@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(names carry the operator ids); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. Implementations live in ``dataintegration_ecomprovider_spark``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.operators import export_views
+
+_SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the EcomProducts export view (SURVEY.md §7 phase 0 —
+    scan + broadcast dim join + order-preserving string-agg + top-1-per-group)
+    on /root/testdata/sf0.001."""
+    return export_views.products_export_view(Catalog(spark, _SMOKE_SF_DIR))
+
+
+def _q_products_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return export_views.products_export_view(Catalog(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "products_export_j4_p6_a1_a8": _q_products_export,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "products_export_j4_p6_a1_a8": export_views.products_export_oracle(),
+    }

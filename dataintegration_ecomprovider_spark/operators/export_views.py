@@ -1,0 +1,144 @@
+"""Export view builders — the reference's read surface, Spark-first.
+
+The reference generates one big SELECT per source table: pruned projection
+(GetColumns, src/EcomSourceReader.cs:326-516), a per-table join graph
+(GetFromTables, :228-324), correlated string-aggregation subqueries for the
+virtual list columns (:336-446), TOP(1) primary-group lookup (:401-404), and
+optional language/shop filters (:165-183).  Here each table's export view is
+a declarative DataFrame tree; Catalyst does pruning/pushdown, and every
+correlated subquery becomes a pre-aggregate + join (see string_agg.py).
+
+Fixture role mapping (FIXTURES.md §"Mapping onto driver testdata"):
+part = EcomProducts, supplier = EcomManufacturers, lineitem = the
+product↔supplier relation detail, nation/region = the group hierarchy.
+
+Scale notes: the membership aggregates shuffle on the parent key once each
+and are joined back with the parent — at 100 TB both sides are shuffled on
+p_partkey, so AQE can plan a co-partitioned sort-merge join; the dimension
+joins (supplier, nation, region) are explicit broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.operators.string_agg import grouped_string_agg, collect_ordered
+from dataintegration_ecomprovider_spark.operators.topk import top_k_per_group
+
+
+def products_export_view(cat: Catalog) -> DataFrame:
+    """The flagship: EcomProducts export SELECT (src/EcomSourceReader.cs:255-282,
+    :387-448) over the fixture schema.
+
+    Per part:
+      - manufacturer left join + isnull(ManufacturerName,'') (J4/P6,
+        src/EcomSourceReader.cs:425): the lowest-keyed supplier that shipped it;
+      - Groups / GroupSorting comma-quoted parallel lists (A1,
+        src/EcomSourceReader.cs:393-400): distinct suppliers that shipped it,
+        ordered by supplier name;
+      - PrimaryGroup (A8, src/EcomSourceReader.cs:401-404): top-1 supplier by
+        shipped quantity (desc), suppkey tie-break.
+    """
+    part = cat.table("part")
+    supplier = cat.table("supplier")
+    lineitem = cat.table("lineitem")
+
+    # product -> supplier relation (distinct pairs + shipped quantity)
+    rel = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    rel = rel.join(F.broadcast(supplier), rel.l_suppkey == supplier.s_suppkey, "inner")
+
+    # Groups + parallel sorting column, ordered by supplier name (stable:
+    # s_name embeds the unique key).
+    groups = (
+        rel.groupBy("l_partkey")
+        .agg(
+            collect_ordered(F.col("s_name"), [F.col("s_name")]).alias("__groups_arr"),
+            collect_ordered(F.col("s_suppkey").cast("string"), [F.col("s_name")]).alias("__sort_arr"),
+        )
+        .select(
+            F.col("l_partkey").alias("g_partkey"),
+            F.concat_ws(",", F.transform("__groups_arr", lambda v: F.concat(F.lit('"'), v, F.lit('"')))).alias("groups"),
+            F.concat_ws(",", "__sort_arr").alias("group_sorting"),
+        )
+    )
+
+    # PrimaryGroup: top-1 supplier per part by qty desc, suppkey asc.
+    primary = top_k_per_group(
+        rel.select("l_partkey", "l_suppkey", "s_name", "qty"),
+        ["l_partkey"],
+        [F.col("qty").desc(), F.col("l_suppkey").asc()],
+        k=1,
+    ).select(F.col("l_partkey").alias("pg_partkey"), F.col("s_name").alias("primary_group"))
+
+    # Manufacturer: lowest-keyed supplier that shipped the part.
+    mfr = top_k_per_group(
+        rel.select("l_partkey", "l_suppkey", "s_name"),
+        ["l_partkey"],
+        [F.col("l_suppkey").asc()],
+        k=1,
+    ).select(F.col("l_partkey").alias("m_partkey"), F.col("s_name").alias("__mfr_name"))
+
+    out = (
+        part.join(mfr, part.p_partkey == mfr.m_partkey, "left")
+        .join(groups, part.p_partkey == groups.g_partkey, "left")
+        .join(primary, part.p_partkey == primary.pg_partkey, "left")
+        .select(
+            F.col("p_partkey").alias("product_id"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_brand").alias("product_brand"),
+            F.col("p_type").alias("product_type"),
+            F.col("p_size").cast("int").alias("product_size"),
+            F.round(F.col("p_retailprice"), 2).alias("product_price"),
+            F.coalesce(F.col("__mfr_name"), F.lit("")).alias("manufacturer_name"),
+            F.coalesce(F.col("groups"), F.lit("")).alias("groups"),
+            F.coalesce(F.col("group_sorting"), F.lit("")).alias("group_sorting"),
+            F.coalesce(F.col("primary_group"), F.lit("")).alias("primary_group"),
+        )
+    )
+    return out
+
+
+def products_export_oracle() -> str:
+    """DuckDB-equivalent SQL for products_export_view (same aliases)."""
+    return """
+WITH rel AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), rel_s AS (
+  SELECT rel.*, s.s_name FROM rel JOIN supplier s ON rel.l_suppkey = s.s_suppkey
+), groups AS (
+  SELECT l_partkey,
+         string_agg('"' || s_name || '"', ',' ORDER BY s_name) AS groups,
+         string_agg(CAST(l_suppkey AS VARCHAR), ',' ORDER BY s_name) AS group_sorting
+  FROM rel_s GROUP BY l_partkey
+), primary_g AS (
+  SELECT l_partkey, s_name AS primary_group
+  FROM (SELECT l_partkey, s_name,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY qty DESC, l_suppkey ASC) AS rn
+        FROM rel_s) WHERE rn = 1
+), mfr AS (
+  SELECT l_partkey, s_name AS mfr_name
+  FROM (SELECT l_partkey, s_name,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_suppkey ASC) AS rn
+        FROM rel_s) WHERE rn = 1
+)
+SELECT p.p_partkey AS product_id,
+       p.p_name AS product_name,
+       p.p_brand AS product_brand,
+       p.p_type AS product_type,
+       CAST(p.p_size AS INTEGER) AS product_size,
+       ROUND(p.p_retailprice, 2) AS product_price,
+       COALESCE(m.mfr_name, '') AS manufacturer_name,
+       COALESCE(g.groups, '') AS groups,
+       COALESCE(g.group_sorting, '') AS group_sorting,
+       COALESCE(pg.primary_group, '') AS primary_group
+FROM part p
+LEFT JOIN mfr m ON p.p_partkey = m.l_partkey
+LEFT JOIN groups g ON p.p_partkey = g.l_partkey
+LEFT JOIN primary_g pg ON p.p_partkey = pg.l_partkey
+"""

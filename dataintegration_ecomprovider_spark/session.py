@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N] (N from SPARK_GRAFT_CPUS, default 32); the
+same config block is what we would ship to a 1000-executor cluster, minus
+the master URL:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting) —
+  at 100 TB the static shuffle-partition number is always wrong, AQE fixes
+  it per-stage.
+- Arrow enabled for the few pandas_udf operators (llm/*).
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are UTC-naive).
+- Broadcast threshold left at default (10 MB) but every known-small
+  dimension join in this codebase also hints `F.broadcast` explicitly, so
+  plans stay broadcast-hash-join even if statistics are missing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "dataintegration-ecomprovider-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
