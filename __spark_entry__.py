@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from dataintegration_ecomprovider_spark.catalog import Catalog
 from dataintegration_ecomprovider_spark.operators import export_views
+from dataintegration_ecomprovider_spark.plans.registry import all_queries
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -33,12 +34,15 @@ def _q_products_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "products_export_j4_p6_a1_a8": _q_products_export,
-    }
+    out = {"products_export_j4_p6_a1_a8": _q_products_export}
+    for name, qd in all_queries().items():
+        out[name] = qd.fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        "products_export_j4_p6_a1_a8": export_views.products_export_oracle(),
-    }
+    out = {"products_export_j4_p6_a1_a8": export_views.products_export_oracle()}
+    for name, qd in all_queries().items():
+        if qd.oracle is not None:
+            out[name] = qd.oracle
+    return out

@@ -19,6 +19,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -66,6 +67,9 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self.specs = dict(specs or FIXTURE_TABLES)
+        # runtime-settable so it also takes effect under a driver-provided
+        # session (not just ours from session.get_spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def spec(self, name: str) -> TableSpec:
         return self.specs[name]
@@ -73,7 +77,14 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self.specs:
             raise KeyError(f"table {name!r} not in catalog whitelist")
-        return self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+        df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+        if name == "events":
+            # events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
+            # default; read it as long (runtime-settable legacy conf) and
+            # surface a proper microsecond TimestampType to consumers.
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in FIXTURE_TABLES:

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (BASELINE north star).
+
+- brute-force cosine top-k: the exact baseline.  Query set × candidate set
+  as a broadcast-nested-loop of the (small) query side against the (huge)
+  candidate side — at 100 TB the candidates never shuffle; each partition
+  scores locally and a top-k aggregate (window or per-partition heap via
+  AQE-sized partitions) reduces.
+- lsh_bucketed: the scale path — random-hyperplane signs bucket vectors;
+  only same-bucket pairs are scored.  Hyperplanes are derived
+  deterministically from the dimension index (no RNG → retry-stable).
+
+All arithmetic in double; similarities rounded to 6 before ranking so
+results are reproducible across engines and summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query (excluding self): columns
+    (query_id, neighbor_id, similarity, rank).  Ranking on the rounded
+    similarity with id tie-break — fully deterministic."""
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id.
+
+    Plane p's normal is pseudo-random ±1 per dimension, derived from
+    xxhash64(p, dim) parity — no RNG state, identical across retries and
+    cluster sizes.  bucket = sum over planes of sign_bit(p) << p.
+    """
+    def dim_sign(p: int):
+        # factory to avoid the (element, index) two-parameter lambda trap
+        return lambda d: F.when(
+            F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    def plane_sign(p: int) -> Column:
+        signed = F.zip_with(
+            vec.cast("array<double>"),
+            F.transform(F.sequence(F.lit(0), F.size(vec) - 1), dim_sign(p)),
+            lambda x, s: x * s,
+        )
+        total = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(total > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    return F.aggregate(
+        F.array(*[plane_sign(p) for p in range(planes)]),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("bucket")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's
+    hyperplane bucket.  Same output shape as brute_force_topk (a query with
+    an under-filled bucket returns fewer than k rows — recall/latency
+    trade, tunable via `planes`)."""
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        q.join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", F.col("rank").cast("int").alias("rank"))
+    )

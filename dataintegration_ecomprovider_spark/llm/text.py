@@ -1,0 +1,81 @@
+"""Text analysis operators for training-data curation (BASELINE north star).
+
+All pure built-in column expressions (whole-stage codegen; no UDFs):
+language-ID by marker-word heuristic, quality scoring (length / word /
+stopword ratios), whitespace+regex token counting, and a polynomial
+rolling-hash fingerprint.  Each has an exact DuckDB-SQL equivalent so the
+oracle can hash-check the results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# marker words per language for the heuristic language-ID (checked in order)
+LANG_MARKERS = (("en", " the "), ("es", " el "), ("fr", " le "), ("de", " der "))
+
+
+def word_array(text: Column) -> Column:
+    return F.split(F.trim(text), "\\s+")
+
+
+def n_words(text: Column) -> Column:
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(word_array(text))
+    ).cast("bigint")
+
+
+def occurrence_count(text: Column, marker: str) -> Column:
+    """Number of occurrences of `marker` via length arithmetic (portable to
+    any SQL engine, unlike regexp_count dialects)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("bigint")
+
+
+def stopword_count(text: Column) -> Column:
+    words = word_array(F.lower(text))
+    return F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("bigint")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring features: lengths, word stats, stopword ratio."""
+    nw = n_words(text)
+    return {
+        "char_len": F.length(text).cast("bigint"),
+        "word_count": nw,
+        "avg_word_len": F.round(
+            F.length(F.regexp_replace(text, "\\s+", "")) / F.greatest(nw, F.lit(1)), 6
+        ),
+        "stopword_ratio": F.round(stopword_count(text) / F.greatest(nw, F.lit(1)), 6),
+    }
+
+
+def lang_guess(text: Column) -> Column:
+    """Marker-word language ID: first language whose marker appears.  A
+    deterministic n-gram-style heuristic (real model would be a pandas_udf;
+    the decision logic is the engine surface being tested)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    expr = F.lit("und")
+    for lang, marker in reversed(LANG_MARKERS):
+        expr = F.when(padded.contains(marker), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def rolling_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling-hash fingerprint over characters:
+    h = (h*base + ascii(c)) mod m.  Bounded intermediate (< 2^63) so the
+    same integer arithmetic is expressible in DuckDB for the oracle."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % F.lit(mod).cast("long"),
+    )

@@ -1,0 +1,56 @@
+"""Pivot / unpivot between EAV rows and wide attribute columns (A4/A5).
+
+The reference materializes product-category fields (EAV rows in
+EcomProductCategoryFieldValue) as dynamic `ProductCategory|cat|field`
+columns via SQL PIVOT on export (src/EcomSourceReader.cs:267-279) and
+decomposes them back to EAV rows on import (HandleProductCategoryFields,
+src/EcomDestinationWriter.cs:1466-1506, :2802-2825), optionally skipping
+empty values (IgnoreEmptyCategoryFieldValues, src/EcomProvider.cs:254-257).
+
+Spark-first shape: `groupBy(...).pivot(col, values).agg(F.max(...))` — pass
+the value list explicitly so the plan needs no extra distinct-scan job and
+stays one shuffle; unpivot via the stack() expression (pure projection, no
+shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_eav(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    value_agg: Column,
+) -> DataFrame:
+    """EAV → wide. `pivot_values` must be supplied (known attribute set) so
+    the plan avoids a pre-scan; the reference likewise enumerates the
+    category fields up front (src/EcomProvider.cs:352-364)."""
+    return df.groupBy(*group_keys).pivot(pivot_col, list(pivot_values)).agg(value_agg)
+
+
+def unpivot_wide(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    key_name: str = "field_key",
+    value_name: str = "field_value",
+    skip_nulls: bool = True,
+) -> DataFrame:
+    """Wide → EAV via stack(); optionally drop null/empty values (the
+    reference's IgnoreEmptyCategoryFieldValues)."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    stacked = df.select(
+        *id_cols,
+        F.expr(f"stack({len(value_cols)}, {pairs}) as ({key_name}, {value_name})"),
+    )
+    if skip_nulls:
+        stacked = stacked.filter(
+            F.col(value_name).isNotNull() & (F.length(F.col(value_name).cast("string")) > 0)
+        )
+    return stacked

@@ -1,0 +1,217 @@
+"""LLM-training-data pipeline queries (BASELINE north star): dedup,
+similarity search, text analysis, multimodal plumbing — over the
+`documents` and `embeddings` fixture tables.
+
+Oracle-checked where the computation is exactly expressible in DuckDB SQL;
+hash-dependent operators (minhash/simhash/LSH — xxhash64 is Spark-specific)
+are rows-only entries with pytest invariants instead (tests/test_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.llm import dedup, similarity, text as text_ops
+from dataintegration_ecomprovider_spark.llm.multimodal import attach_binary_payload, extract_features
+from dataintegration_ecomprovider_spark.plans.registry import QueryDef
+
+
+# --- exact dedup ----------------------------------------------------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.exact_dedup_groups(docs)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+# --- minhash LSH near-dup candidates (rows-only: xxhash64 engine hash) ----
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_candidates(docs, num_hashes=32, bands=8)
+    return dedup.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+# --- simhash fingerprints (rows-only: xxhash64 engine hash) ---------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+
+
+# --- exact n-gram jaccard on a deterministic candidate set ----------------
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard over word-3-gram shingle sets for a deterministic pair set
+    (consecutive doc ids) — fully oracle-checkable in DuckDB with list
+    functions."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn("id_b", F.col("id_a") + 1)
+    pairs = pairs.join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
+    return dedup.jaccard_pairs(docs, pairs)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            range(1, GREATEST(len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 0) + 1),
+            i -> array_to_string(string_split_regex(trim(lower(text)), '\\s+')[i:i+2], ' ')
+         )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# --- brute-force cosine top-k --------------------------------------------
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH cand AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM cand WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS similarity
+  FROM q JOIN cand c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# --- LSH-bucketed ANN (rows-only: xxhash64-derived hyperplanes) -----------
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, planes=6)
+
+
+# --- text quality features ------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    feats = text_ops.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+ORACLE_TEXT_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_len,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS word_count,
+       ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+             GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 6) AS avg_word_len,
+       ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                  w -> w IN ('the','a','and','of','to'))) AS DOUBLE) /
+             GREATEST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END, 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+# --- language ID ----------------------------------------------------------
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select("doc_id", "lang", text_ops.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+ORACLE_LANG_ID = """
+SELECT doc_id, lang,
+       CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 'en'
+            WHEN ' ' || lower(text) || ' ' LIKE '% el %' THEN 'es'
+            WHEN ' ' || lower(text) || ' ' LIKE '% le %' THEN 'fr'
+            WHEN ' ' || lower(text) || ' ' LIKE '% der %' THEN 'de'
+            ELSE 'und' END AS lang_guess
+FROM documents
+"""
+
+
+# --- token counting per source -------------------------------------------
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+        F.sum(text_ops.n_words(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+# --- rolling-hash fingerprint --------------------------------------------
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return docs.select(
+        "doc_id", text_ops.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(range(1, length(text) + 1),
+                                     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# --- multimodal plumbing --------------------------------------------------
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + Arrow-batched mapInPandas feature extraction
+    (decode stubbed; plumbing real)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = attach_binary_payload(docs)
+    return extract_features(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS INTEGER) AS first_byte,
+       'text/plain' AS media_type
+FROM documents
+"""
+
+
+QUERIES = {
+    "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "llm_dedup_minhash_lsh": QueryDef(q_minhash_candidates, None),
+    "llm_dedup_simhash": QueryDef(q_simhash, None),
+    "llm_ngram_jaccard": QueryDef(q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
+    "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None),
+    "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),
+    "llm_lang_id": QueryDef(q_lang_id, ORACLE_LANG_ID),
+    "llm_token_counts": QueryDef(q_token_counts, ORACLE_TOKEN_COUNTS),
+    "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
+    "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
+}

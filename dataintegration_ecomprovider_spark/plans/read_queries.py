@@ -1,0 +1,428 @@
+"""Read-surface queries: scans, filters, joins, aggregates (SURVEY §2.1-2.5).
+
+Each query exercises one reference operator shape on the fixture tables
+(role mapping in FIXTURES.md): part=EcomProducts, supplier=EcomManufacturers,
+nation/region=group hierarchy, customer=AccessUser, lineitem=relation
+detail, events=EAV attribute rows.
+
+Scale notes: dimension joins broadcast explicitly; aggregates pre-aggregate
+before joining back (one shuffle on the parent key); pivots enumerate their
+value set so no extra distinct-scan job runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.functions.text import max_id_suffix
+from dataintegration_ecomprovider_spark.operators.pivot import pivot_eav, unpivot_wide
+from dataintegration_ecomprovider_spark.operators.string_agg import collect_ordered, grouped_string_agg
+from dataintegration_ecomprovider_spark.operators.topk import top_k_per_group
+from dataintegration_ecomprovider_spark.plans.registry import QueryDef
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+# --- S1/P1/P5: projected scan with pushdown-able filter and aliases -------
+def q_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S1/P1: only mapped columns reach the scan
+    (src/EcomSourceReader.cs:151-226, :17-33); aliasing P5 (:344)."""
+    part = Catalog(spark, sf_dir).table("part")
+    return (
+        part.filter(F.col("p_size") < 20)
+        .select(
+            F.col("p_partkey").alias("product_id"),
+            F.col("p_name").alias("product_name"),
+            F.col("p_brand").alias("product_brand"),
+            F.round("p_retailprice", 2).alias("product_price"),
+        )
+    )
+
+
+ORACLE_SCAN = """
+SELECT p_partkey AS product_id, p_name AS product_name, p_brand AS product_brand,
+       ROUND(p_retailprice, 2) AS product_price
+FROM part WHERE p_size < 20
+"""
+
+
+# --- P2: user conditionals (equality / range / LIKE) ----------------------
+def q_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P2: mapping conditionals become WHERE predicates
+    (src/EcomSourceReader.cs:185-205)."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 50000)
+            & F.col("o_orderpriority").startswith("1-")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "o_orderpriority",
+        )
+    )
+
+
+ORACLE_CONDITIONAL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 50000 AND o_orderpriority LIKE '1-%'
+"""
+
+
+# --- P3/P4: language + shop scope filters ---------------------------------
+def q_scope_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P3/P4: per-table language/shop column equality filters
+    (src/EcomSourceReader.cs:165-183)."""
+    events = Catalog(spark, sf_dir).table("events")
+    return (
+        events.filter((F.col("event_type") == "click") & (F.col("user_id") % 10 < 5))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("event_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        )
+    )
+
+
+ORACLE_SCOPE = """
+SELECT event_id, user_id, event_type, ROUND(value, 2) AS event_value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM events WHERE event_type = 'click' AND user_id % 10 < 5
+"""
+
+
+# --- J1/J15: dimension chain with broadcast -------------------------------
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J1 (groups ⋈ languages) / J15 (broadcast dimension caches,
+    src/EcomDestinationWriter.cs:669-1037): customer ⋈ nation ⋈ region."""
+    cat = Catalog(spark, sf_dir)
+    customer, nation, region = cat.table("customer"), cat.table("nation"), cat.table("region")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+ORACLE_DIM_JOIN = """
+SELECT c_custkey, c_name, n.n_name AS nation_name, r.r_name AS region_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# --- J6: aliased self-join (related products) -----------------------------
+def q_self_join_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J6: EcomProductsRelated self-joins EcomProducts twice under
+    source/destination aliases (src/EcomSourceReader.cs:283-288).  Here:
+    co-occurrence pairs of parts within an order, each side resolved to its
+    part name via an aliased join."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey", "l_linenumber")
+    part = cat.table("part").select("p_partkey", "p_name")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        "inner",
+    ).select(
+        F.col("a.l_orderkey").alias("order_id"),
+        F.col("a.l_partkey").alias("src_key"),
+        F.col("b.l_partkey").alias("dst_key"),
+    )
+    ps = part.alias("ps")
+    pd = part.alias("pd")
+    resolved = (
+        pairs.join(F.broadcast(ps), F.col("src_key") == F.col("ps.p_partkey"))
+        .join(F.broadcast(pd), F.col("dst_key") == F.col("pd.p_partkey"))
+        .select(F.col("ps.p_name").alias("src_product"), F.col("pd.p_name").alias("dst_product"))
+    )
+    return resolved.groupBy("src_product", "dst_product").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_count")
+    )
+
+
+ORACLE_SELF_JOIN = """
+SELECT ps.p_name AS src_product, pd.p_name AS dst_product,
+       CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+JOIN part ps ON a.l_partkey = ps.p_partkey
+JOIN part pd ON b.l_partkey = pd.p_partkey
+GROUP BY ps.p_name, pd.p_name
+"""
+
+
+# --- J7: composite-key join ----------------------------------------------
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J7/J9: multi-key equi-joins (3-key product match,
+    src/EcomSourceReader.cs:289-292, :301-310): lineitem left-joined to a
+    per-(part,supplier) aggregate on the composite key."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    ps_agg = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("pair_qty"))
+        .filter(F.col("pair_qty") > 60)
+    )
+    return (
+        li.join(ps_agg, ["l_partkey", "l_suppkey"], "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.coalesce("pair_qty", F.lit(0.0)).alias("pair_qty"),
+        )
+    )
+
+
+ORACLE_COMPOSITE_JOIN = """
+WITH ps_agg AS (
+  SELECT l_partkey, l_suppkey, ROUND(SUM(l_quantity), 2) AS pair_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+  HAVING ROUND(SUM(l_quantity), 2) > 60
+)
+SELECT li.l_orderkey, li.l_linenumber, li.l_partkey, li.l_suppkey,
+       COALESCE(ps_agg.pair_qty, 0.0) AS pair_qty
+FROM lineitem li
+LEFT JOIN ps_agg ON li.l_partkey = ps_agg.l_partkey AND li.l_suppkey = ps_agg.l_suppkey
+"""
+
+
+# --- C1: scalar subquery as left join ------------------------------------
+def q_scalar_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference C1: correlated scalar lookup (AssortmentPermission user
+    columns, src/EcomSourceReader.cs:487-507) decorrelated to a left join."""
+    cat = Catalog(spark, sf_dir)
+    orders, customer = cat.table("orders"), cat.table("customer")
+    return orders.join(
+        customer.select("c_custkey", "c_name"), orders.o_custkey == customer.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("")).alias("customer_name"),
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+ORACLE_SCALAR_LOOKUP = """
+SELECT o_orderkey, COALESCE(c.c_name, '') AS customer_name,
+       ROUND(o_totalprice, 2) AS total_price
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --- A1: order-preserving grouped string-agg ------------------------------
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1: per-parent comma-quoted child list via FOR XML PATH
+    (src/EcomSourceReader.cs:336-352): per nation, its customers ordered by
+    name, plus the member count."""
+    cat = Catalog(spark, sf_dir)
+    customer, nation = cat.table("customer"), cat.table("nation")
+    from dataintegration_ecomprovider_spark.functions.lists import encode_quoted_list
+
+    agg = customer.groupBy("c_nationkey").agg(
+        encode_quoted_list(collect_ordered(F.col("c_name"), [F.col("c_name")])).alias("members"),
+        F.count(F.lit(1)).cast("bigint").alias("member_count"),
+    )
+    return (
+        F.broadcast(nation)
+        .join(agg, nation.n_nationkey == agg.c_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("members", F.lit("")).alias("members"),
+            F.coalesce("member_count", F.lit(0)).alias("member_count"),
+        )
+    )
+
+
+ORACLE_STRING_AGG = """
+WITH agg AS (
+  SELECT c_nationkey,
+         string_agg('"' || c_name || '"', ',' ORDER BY c_name) AS members,
+         CAST(COUNT(*) AS BIGINT) AS member_count
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation_name,
+       COALESCE(agg.members, '') AS members,
+       COALESCE(agg.member_count, 0) AS member_count
+FROM nation n LEFT JOIN agg ON n.n_nationkey = agg.c_nationkey
+"""
+
+
+# --- A2: distinct-then-agg ------------------------------------------------
+def q_distinct_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A2: SELECT DISTINCT inside the string-agg
+    (src/EcomSourceReader.cs:434-435): per nation, sorted distinct market
+    segments of its customers."""
+    cat = Catalog(spark, sf_dir)
+    customer, nation = cat.table("customer"), cat.table("nation")
+    agg = customer.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments")
+    )
+    return (
+        F.broadcast(nation)
+        .join(agg, nation.n_nationkey == agg.c_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("segments", F.lit("")).alias("segments"),
+        )
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+WITH agg AS (
+  SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n.n_name AS nation_name, COALESCE(agg.segments, '') AS segments
+FROM nation n LEFT JOIN agg ON n.n_nationkey = agg.c_nationkey
+"""
+
+
+# --- A3: ID high-water-mark scan -----------------------------------------
+def q_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A3: MAX(CAST(SUBSTRING(id) AS INT)) over LIKE 'prefix%'
+    (GetLastId, src/EcomDestinationWriter.cs:488-667) on the Customer#NNN
+    ids."""
+    customer = Catalog(spark, sf_dir).table("customer")
+    return customer.agg(
+        max_id_suffix(customer, "c_name", "Customer#").alias("high_water")
+    ).select(F.lit("Customer#").alias("prefix"), F.col("high_water").cast("bigint").alias("high_water"))
+
+
+ORACLE_HIGH_WATER = """
+SELECT 'Customer#' AS prefix,
+       CAST(MAX(CASE WHEN c_name LIKE 'Customer#%'
+                      AND regexp_matches(substr(c_name, 10), '^[0-9]+$')
+                     THEN CAST(substr(c_name, 10) AS BIGINT) END) AS BIGINT) AS high_water
+FROM customer
+"""
+
+
+# --- A4: EAV pivot --------------------------------------------------------
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4: PIVOT(max(FieldValueValue) FOR fieldKey IN (...))
+    (src/EcomSourceReader.cs:267-279): events EAV → one column per event
+    type, explicit value list."""
+    events = Catalog(spark, sf_dir).table("events")
+    return pivot_eav(
+        events,
+        ["user_id"],
+        "event_type",
+        EVENT_TYPES,
+        F.round(F.sum("value"), 2),
+    )
+
+
+ORACLE_PIVOT = """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS "view",
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS "error"
+FROM events GROUP BY user_id
+"""
+
+
+# --- A5: unpivot back to EAV ---------------------------------------------
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A5: wide attribute columns decomposed back to EAV rows,
+    skipping empties (HandleProductCategoryFields,
+    src/EcomDestinationWriter.cs:1466-1506)."""
+    wide = q_pivot(spark, sf_dir)
+    return unpivot_wide(
+        wide, ["user_id"], EVENT_TYPES, key_name="event_type", value_name="total_value"
+    ).select("user_id", "event_type", F.col("total_value").cast("double").alias("total_value"))
+
+
+ORACLE_UNPIVOT = """
+SELECT user_id, event_type, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# --- A8: TOP(1) per group -------------------------------------------------
+def q_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A8: correlated TOP(1) (PrimaryGroup,
+    src/EcomSourceReader.cs:401-404) as a ranking window: per nation, the
+    customer with the highest account balance (custkey tie-break)."""
+    cat = Catalog(spark, sf_dir)
+    customer, nation = cat.table("customer"), cat.table("nation")
+    top = top_k_per_group(
+        customer, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey").asc()], k=1
+    )
+    return top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation_name"),
+        F.col("c_name").alias("top_customer"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+ORACLE_TOP1 = """
+SELECT n.n_name AS nation_name, t.c_name AS top_customer, ROUND(t.c_acctbal, 2) AS acctbal
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer) t
+JOIN nation n ON t.c_nationkey = n.n_nationkey
+WHERE t.rn = 1
+"""
+
+
+# --- P7/P8: script transforms + merged destination columns ----------------
+def q_script_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P7: Constant/Append/Prepend script transforms (GetValue,
+    src/EcomDestinationWriter.cs:4426-4451) and P8 merged duplicate-dest
+    columns concatenated in mapping order (GetMergedValue :4453-4476)."""
+    part = Catalog(spark, sf_dir).table("part")
+    return part.select(
+        F.col("p_partkey").alias("product_id"),
+        F.lit("FIXED").alias("constant_col"),
+        F.concat(F.col("p_name"), F.lit("-APPENDED")).alias("appended"),
+        F.concat(F.lit("PRE-"), F.col("p_name")).alias("prepended"),
+        F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type")).alias("merged"),
+    )
+
+
+ORACLE_SCRIPT = """
+SELECT p_partkey AS product_id, 'FIXED' AS constant_col,
+       p_name || '-APPENDED' AS appended,
+       'PRE-' || p_name AS prepended,
+       p_brand || ' ' || p_type AS merged
+FROM part
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "s1_scan_projection": QueryDef(q_scan_projection, ORACLE_SCAN),
+    "p2_conditional_filter": QueryDef(q_conditional_filter, ORACLE_CONDITIONAL),
+    "p3_p4_scope_filter": QueryDef(q_scope_filter, ORACLE_SCOPE),
+    "j1_j15_dim_join": QueryDef(q_dim_join, ORACLE_DIM_JOIN),
+    "j6_self_join_related": QueryDef(q_self_join_related, ORACLE_SELF_JOIN),
+    "j7_composite_key_join": QueryDef(q_composite_key_join, ORACLE_COMPOSITE_JOIN),
+    "c1_scalar_lookup": QueryDef(q_scalar_lookup, ORACLE_SCALAR_LOOKUP),
+    "a1_string_agg": QueryDef(q_string_agg, ORACLE_STRING_AGG),
+    "a2_distinct_string_agg": QueryDef(q_distinct_string_agg, ORACLE_DISTINCT_AGG),
+    "a3_high_water_mark": QueryDef(q_high_water_mark, ORACLE_HIGH_WATER),
+    "a4_pivot": QueryDef(q_pivot, ORACLE_PIVOT),
+    "a5_unpivot": QueryDef(q_unpivot, ORACLE_UNPIVOT),
+    "a8_top1_per_group": QueryDef(q_top1_per_group, ORACLE_TOP1),
+    "p7_p8_script_transforms": QueryDef(q_script_transforms, ORACLE_SCRIPT),
+}

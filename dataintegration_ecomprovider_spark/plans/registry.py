@@ -1,0 +1,32 @@
+"""Query registry: every SURVEY §2 operator gets a named (spark_fn, oracle)
+pair here, merged into __spark_entry__.queries()/oracle_sql().
+
+A QueryDef's `oracle` is DuckDB SQL equivalent to the Spark plan (None for
+genuinely non-SQL-expressible operators → the driver records a rows-only
+check).  Column aliases MUST match between the two (the driver sorts columns
+by name before hashing)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+def all_queries() -> dict[str, QueryDef]:
+    from dataintegration_ecomprovider_spark.plans import read_queries, write_queries, llm_queries
+
+    out: dict[str, QueryDef] = {}
+    for mod in (read_queries, write_queries, llm_queries):
+        overlap = set(out) & set(mod.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(mod.QUERIES)
+    return out

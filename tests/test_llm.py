@@ -1,0 +1,83 @@
+"""Invariant tests for the hash-based LLM operators that have no SQL oracle
+(minhash LSH, simhash, hyperplane LSH) — determinism, recall on planted
+duplicates, and consistency between approximate and exact paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.llm import dedup, similarity
+from tests.conftest import SF_DIR
+
+
+def _docs_with_planted_dups(spark):
+    """Fixture docs plus near-identical copies of the first 5 (one word
+    appended) and exact copies of the next 5, with shifted ids."""
+    docs = Catalog(spark, SF_DIR).table("documents").select("doc_id", "text")
+    near = (
+        docs.filter(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" tail")).alias("text"))
+    )
+    exact = docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    docs = _docs_with_planted_dups(spark)
+    cands = dedup.minhash_candidates(docs, num_hashes=32, bands=8)
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    # exact copies hash to identical signatures -> identical band buckets
+    for i in range(5, 10):
+        assert (i, i + 200000) in got, f"exact dup pair {i} missed by LSH"
+    # near copies (one word of several dozen changed) should mostly survive
+    near_hits = sum((i, i + 100000) in got for i in range(5))
+    assert near_hits >= 3, f"near-dup recall too low: {near_hits}/5"
+
+
+def test_minhash_precision_via_jaccard(spark):
+    docs = _docs_with_planted_dups(spark)
+    cands = dedup.minhash_candidates(docs, num_hashes=32, bands=8)
+    verified = dedup.jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.5)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    for i in range(5, 10):
+        assert (i, i + 200000) in pairs
+    # verification drops random-collision candidates: everything surviving
+    # has genuinely high overlap
+    for r in verified.collect():
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_deterministic_and_dup_invariant(spark):
+    docs = _docs_with_planted_dups(spark)
+    sig = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    rows = {r.doc_id: r.sh for r in sig.collect()}
+    rows2 = {r.doc_id: r.sh for r in sig.collect()}
+    assert rows == rows2, "simhash not deterministic across runs"
+    for i in range(5, 10):
+        assert rows[i] == rows[i + 200000], "identical text -> identical simhash"
+    # near-dups: small hamming distance
+    for i in range(5):
+        ham = bin(rows[i] ^ rows[i + 100000]).count("1")
+        assert ham <= 16, f"near-dup hamming {ham} too large"
+
+
+def test_lsh_topk_consistent_with_bruteforce(spark):
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5, planes=6)
+    exact_sims = {(r.query_id, r.neighbor_id): r.similarity for r in exact.collect()}
+    for r in approx.collect():
+        # approx may return different neighbors (bucket recall) but any
+        # (query, neighbor) it scores must match the exact similarity,
+        # and a bucketed neighbor can never beat the true best
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_sims:
+            assert abs(r.similarity - exact_sims[key]) < 1e-9
+    best_exact = {q: s for (q, _), s in exact_sims.items() if s == max(
+        v for (qq, _), v in exact_sims.items() if qq == q)}
+    for r in approx.filter(F.col("rank") == 1).collect():
+        assert r.similarity <= best_exact.get(r.query_id, 1.0) + 1e-9
