@@ -410,7 +410,233 @@ FROM part
 """
 
 
+# --- J5: left join onto a pivoted derived table ---------------------------
+def q_left_join_pivoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J5: EcomProducts left-joined to the pivoted category-field
+    subquery (src/EcomSourceReader.cs:265-280): customers left-joined to the
+    per-user pivoted event-type totals; non-participating customers keep
+    null attribute columns."""
+    cat = Catalog(spark, sf_dir)
+    customer, events = cat.table("customer"), cat.table("events")
+    pivoted = pivot_eav(
+        events, ["user_id"], "event_type", EVENT_TYPES, F.round(F.sum("value"), 2)
+    )
+    return (
+        customer.join(pivoted, customer.c_custkey == pivoted.user_id, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("click").alias("click_total"),
+            F.col("purchase").alias("purchase_total"),
+        )
+    )
+
+
+ORACLE_LEFT_JOIN_PIVOTED = """
+WITH pivoted AS (
+  SELECT user_id,
+         ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+         ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase
+  FROM events GROUP BY user_id
+)
+SELECT c_custkey, c_name, p.click AS click_total, p.purchase AS purchase_total
+FROM customer c LEFT JOIN pivoted p ON c.c_custkey = p.user_id
+"""
+
+
+# --- J9: chained multi-key left joins --------------------------------------
+def q_chained_left_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J9: EcomStockUnit left-joins EcomProducts (3 keys) then
+    EcomStockLocation (src/EcomSourceReader.cs:301-310): lineitem left-joins
+    a filtered part dim (2-condition join) then a filtered supplier dim,
+    null-coalescing the names (P6)."""
+    cat = Catalog(spark, sf_dir)
+    li, part, supplier = cat.table("lineitem"), cat.table("part"), cat.table("supplier")
+    p = part.filter(F.col("p_size") < 25).select("p_partkey", "p_name")
+    s = supplier.filter(F.col("s_acctbal") > 0).select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.coalesce("p_name", F.lit("")).alias("part_name"),
+            F.coalesce("s_name", F.lit("")).alias("supplier_name"),
+        )
+    )
+
+
+ORACLE_CHAINED_LEFT_JOINS = """
+SELECT l.l_orderkey, l.l_linenumber,
+       COALESCE(p.p_name, '') AS part_name,
+       COALESCE(s.s_name, '') AS supplier_name
+FROM lineitem l
+LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size < 25) p
+       ON l.l_partkey = p.p_partkey
+LEFT JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_acctbal > 0) s
+       ON l.l_suppkey = s.s_suppkey
+"""
+
+
+# --- J17/E18: semi-join chain selection (assortment activation) -----------
+def q_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J17/E18: assortment product selection via nested IN
+    subqueries (src/AssortmentHandler.cs:193-218) → chained semi-joins, then
+    the activation flag flip (UpdateAssortmentsProducts :272-277): parts
+    supplied to open orders of ASIA customers become active."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.table("part")
+    li, orders = cat.table("lineitem"), cat.table("orders")
+    customer, nation, region = cat.table("customer"), cat.table("nation"), cat.table("region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey, "left_semi",
+    )
+    asia_customers = customer.join(
+        F.broadcast(asia_nations), customer.c_nationkey == asia_nations.n_nationkey, "left_semi"
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").join(
+        asia_customers, orders.o_custkey == asia_customers.c_custkey, "left_semi"
+    )
+    selected_parts = li.join(
+        open_orders, li.l_orderkey == open_orders.o_orderkey, "left_semi"
+    ).select(F.col("l_partkey").alias("p_partkey")).dropDuplicates(["p_partkey"])
+    marker = selected_parts.withColumn("__hit", F.lit(True))
+    return (
+        part.join(marker, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.coalesce("__hit", F.lit(False)).alias("product_active"),
+        )
+    )
+
+
+ORACLE_SEMI_JOIN_CHAIN = """
+SELECT p.p_partkey, p.p_name,
+       EXISTS (
+         SELECT 1 FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'O'
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         WHERE l.l_partkey = p.p_partkey
+       ) AS product_active
+FROM part p
+"""
+
+
+# --- A6: per-parent counting joined back -----------------------------------
+def q_variant_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A6: ProductVariantCounter — count variants per (product,
+    language) and distinct option depth, written back onto the product row
+    (UpdateVariantFieldsInProducts, src/EcomDestinationWriter.cs:3691-3725):
+    per-order line count + distinct supplier count joined back onto orders."""
+    cat = Catalog(spark, sf_dir)
+    orders, li = cat.table("orders"), cat.table("lineitem")
+    counts = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("line_count"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("supplier_count"),
+    )
+    return orders.join(counts, orders.o_orderkey == counts.l_orderkey, "left").select(
+        "o_orderkey",
+        F.coalesce("line_count", F.lit(0)).alias("line_count"),
+        F.coalesce("supplier_count", F.lit(0)).alias("supplier_count"),
+    )
+
+
+ORACLE_VARIANT_COUNT = """
+WITH counts AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS line_count,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_count
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, COALESCE(c.line_count, 0) AS line_count,
+       COALESCE(c.supplier_count, 0) AS supplier_count
+FROM orders o LEFT JOIN counts c ON o.o_orderkey = c.l_orderkey
+"""
+
+
+# --- S7: validate-then-write quarantine split ------------------------------
+def q_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S7 SkipFailingRows (src/EcomDestinationWriter.cs:3029-3051):
+    instead of failing the bulk load, failing rows are skipped, counted and
+    logged.  Spark-first: one validation predicate splits the batch into a
+    main sink and a quarantine sink with a reason column — this query
+    returns the unioned routing result (`sink` + `reason`)."""
+    events = Catalog(spark, sf_dir).table("events")
+    valid = (F.col("value") >= 0) & (F.col("value") <= 90) & F.col("event_type").isin(EVENT_TYPES)
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round("value", 2).alias("event_value"),
+        F.when(valid, F.lit("main")).otherwise(F.lit("quarantine")).alias("sink"),
+        F.when(valid, F.lit("")).otherwise(F.lit("value_out_of_range")).alias("reason"),
+    )
+
+
+ORACLE_QUARANTINE_SPLIT = """
+SELECT event_id, event_type, ROUND(value, 2) AS event_value,
+       CASE WHEN value >= 0 AND value <= 90
+             AND event_type IN ('click','view','purchase','signup','error')
+            THEN 'main' ELSE 'quarantine' END AS sink,
+       CASE WHEN value >= 0 AND value <= 90
+             AND event_type IN ('click','view','purchase','signup','error')
+            THEN '' ELSE 'value_out_of_range' END AS reason
+FROM events
+"""
+
+
+# --- S8: parameter-option source -------------------------------------------
+def q_parameter_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference S8: the config-UI option feeds (SELECT ShopID, ShopName FROM
+    EcomShops / languages, src/EcomProvider.cs:1157-1185): the distinct
+    (regionkey, region name) option list."""
+    region = Catalog(spark, sf_dir).table("region")
+    return region.select(
+        F.col("r_regionkey").alias("option_id"), F.col("r_name").alias("option_label")
+    ).dropDuplicates(["option_id", "option_label"])
+
+
+ORACLE_PARAMETER_OPTIONS = """
+SELECT DISTINCT r_regionkey AS option_id, r_name AS option_label FROM region
+"""
+
+
+# --- P9: conditional cast (skip empty values for typed columns) ------------
+def q_conditional_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference P9: empty incoming strings are skipped (NULL) for non-string
+    destination columns instead of failing the cast
+    (IsColumnNullableAndValueNull, src/EcomDestinationWriter.cs:1210-1212)."""
+    part = Catalog(spark, sf_dir).table("part")
+    raw = part.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("")).otherwise(
+            F.col("p_size").cast("string")
+        ).alias("size_str"),
+    )
+    return raw.select(
+        "p_partkey",
+        F.when(F.length(F.trim(F.col("size_str"))) > 0, F.col("size_str").cast("int")).alias("size_typed"),
+    )
+
+
+ORACLE_CONDITIONAL_CAST = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 5 = 0 THEN NULL
+            ELSE CAST(p_size AS INTEGER) END AS size_typed
+FROM part
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
+    "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),
+    "j17_e18_semi_join_chain": QueryDef(q_semi_join_chain, ORACLE_SEMI_JOIN_CHAIN),
+    "a6_variant_count": QueryDef(q_variant_count, ORACLE_VARIANT_COUNT),
+    "s7_quarantine_split": QueryDef(q_quarantine_split, ORACLE_QUARANTINE_SPLIT),
+    "s8_parameter_options": QueryDef(q_parameter_options, ORACLE_PARAMETER_OPTIONS),
+    "p9_conditional_cast": QueryDef(q_conditional_cast, ORACLE_CONDITIONAL_CAST),
     "s1_scan_projection": QueryDef(q_scan_projection, ORACLE_SCAN),
     "p2_conditional_filter": QueryDef(q_conditional_filter, ORACLE_CONDITIONAL),
     "p3_p4_scope_filter": QueryDef(q_scope_filter, ORACLE_SCOPE),

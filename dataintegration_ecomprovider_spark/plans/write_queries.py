@@ -497,9 +497,268 @@ LEFT JOIN nation n2 ON lower(UPPER(n.n_name)) = lower(n2.n_name)
 """
 
 
+# --- U6: remove-missing across unioned stagings ---------------------------
+def q_remove_missing_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference U6 (RemoveMissingRowsAcrossAllTables, src/EcomProvider.cs:
+    1090-1114): several mappings stage into the same destination table; the
+    delete-missing runs against the UNION of their staged keys."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    staging_a = orders.filter(F.col("o_orderkey") % 4 == 0)
+    staging_b = orders.filter(F.col("o_orderkey") % 4 == 1)
+    combined = staging_a.select("o_orderkey").unionByName(staging_b.select("o_orderkey"))
+    return _orders_fmt(merge.remove_missing(orders, combined, ["o_orderkey"]))
+
+
+ORACLE_REMOVE_MISSING_UNION = f"""
+SELECT {_ORDERS_OUT_SQL} FROM orders d
+WHERE d.o_orderkey % 4 IN (0, 1)
+"""
+
+
+# --- U10: partial-update relation prune ------------------------------------
+def q_relation_prune_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference U10 (DeleteExcessFromGroupProductRelation,
+    src/EcomDestinationWriter.cs:4279-4323) with PartialUpdate: prune only
+    relations of parents touched by the import — relations of untouched
+    parents survive regardless.  Parents = orders with key%5==0; staged
+    relation pairs = their odd-numbered lines."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    rel = li.select("l_orderkey", "l_partkey", "l_linenumber")
+    staged = rel.filter((F.col("l_orderkey") % 5 == 0) & (F.col("l_linenumber") % 2 == 1))
+    touched_parents = F.col("l_orderkey") % 5 == 0
+    out = merge.remove_missing(
+        rel, staged, ["l_orderkey", "l_partkey", "l_linenumber"], scope=touched_parents
+    )
+    return out.select("l_orderkey", "l_partkey", "l_linenumber")
+
+
+ORACLE_RELATION_PRUNE_PARTIAL = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+WHERE l_orderkey % 5 <> 0 OR l_linenumber % 2 = 1
+"""
+
+
+# --- E3: adopt existing id found by number ---------------------------------
+def q_adopt_id_by_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E3 (HandleProductIdFoundByNumber,
+    src/EcomDestinationWriter.cs:1292-1307): staged rows arriving without an
+    id adopt the (ProductID, VariantID) of the existing product with the
+    same ProductNumber.  Staged parts with key%3==0 arrive id-less and carry
+    only p_name; the existing dimension resolves name → key."""
+    part = Catalog(spark, sf_dir).table("part")
+    existing = part.select(F.col("p_name").alias("x_name"), F.col("p_partkey").alias("x_key"))
+    staged = part.select(
+        "p_name",
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(None).cast("bigint"))
+         .otherwise(F.col("p_partkey")).alias("incoming_key"),
+    )
+    resolved = staged.join(existing, staged.p_name == existing.x_name, "left")
+    return resolved.select(
+        "p_name",
+        F.coalesce("incoming_key", "x_key").alias("adopted_key"),
+    )
+
+
+ORACLE_ADOPT_ID_BY_NUMBER = """
+SELECT s.p_name,
+       COALESCE(CASE WHEN s.p_partkey % 3 = 0 THEN NULL ELSE s.p_partkey END,
+                x.p_partkey) AS adopted_key
+FROM part s JOIN part x ON s.p_name = x.p_name
+"""
+
+
+# --- E6: composite variant-option explode + validation ---------------------
+def q_variant_option_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E6 (HandleProductVariantOptions,
+    src/EcomDestinationWriter.cs:1309-1343): dot-composite option keys
+    ('VO1.VO2') split on '.', deduped pairwise, validated against the
+    options dimension (missing → error row), emitted with a monotonically
+    increasing per-parent sorting.  Composite = per-order supplier chain;
+    dimension = suppliers with positive balance."""
+    cat = Catalog(spark, sf_dir)
+    li, supplier = cat.table("lineitem"), cat.table("supplier")
+    composite = li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ".",
+            collect_ordered(F.col("l_suppkey").cast("string"),
+                            [F.col("l_suppkey")], distinct=True),
+        ).alias("variant_options")
+    )
+    exploded = composite.select(
+        "l_orderkey",
+        F.posexplode(F.split("variant_options", "\\.")).alias("pos", "option_key"),
+    ).dropDuplicates(["l_orderkey", "option_key"])
+    dim = supplier.filter(F.col("s_acctbal") > 0).select(
+        F.col("s_suppkey").cast("string").alias("option_key")
+    ).withColumn("__ok", F.lit(True))
+    validated = exploded.join(F.broadcast(dim), "option_key", "left")
+    return validated.select(
+        "l_orderkey",
+        F.col("option_key").cast("bigint").alias("option_key"),
+        F.col("pos").cast("int").alias("sorting"),
+        F.coalesce("__ok", F.lit(False)).alias("option_exists"),
+    )
+
+
+ORACLE_VARIANT_OPTION_EXPLODE = """
+WITH opts AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT o.l_orderkey,
+       o.l_suppkey AS option_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o.l_orderkey ORDER BY o.l_suppkey) - 1 AS INTEGER) AS sorting,
+       EXISTS (SELECT 1 FROM supplier s
+               WHERE s.s_suppkey = o.l_suppkey AND s.s_acctbal > 0) AS option_exists
+FROM opts o
+"""
+
+
+# --- E7: related-products cascade + default relation group -----------------
+def q_related_resolve_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E7 (UpdateProductRelatedProducts / GetDefaultGroupID,
+    src/EcomDestinationWriter.cs:3869-3981, :2588-2634): each related
+    reference resolves ID → Number → Name across staged+existing products;
+    unresolved ones land in the default 'Imported Relations Group'.  Related
+    refs = each order's part list exploded; stage 1 resolves against small
+    parts, stage 2 against the rest; misses take the default group id."""
+    cat = Catalog(spark, sf_dir)
+    li, part = cat.table("lineitem"), cat.table("part")
+    refs = li.select("l_orderkey", F.col("l_partkey").cast("string").alias("related_ref"))
+    small = part.filter(F.col("p_size") < 10).select(
+        F.col("p_partkey").cast("string").alias("k1"),
+        F.concat(F.lit("SMALL:"), F.col("p_name")).alias("v1"),
+    )
+    rest = part.filter(F.col("p_size") >= 10).select(
+        F.col("p_partkey").cast("string").alias("k2"),
+        F.concat(F.lit("REST:"), F.col("p_name")).alias("v2"),
+    )
+    out = resolve_cascade(
+        refs,
+        [("related_ref", small, "k1", "v1"), ("related_ref", rest, "k2", "v2")],
+        out_col="resolved",
+        case_insensitive=False,
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("related_ref").cast("bigint").alias("related_key"),
+        F.coalesce("resolved", F.lit("ImportedRELGRP1")).alias("resolved_relation"),
+    )
+
+
+ORACLE_RELATED_RESOLVE_DEFAULT = """
+SELECT l.l_orderkey, l.l_partkey AS related_key,
+       COALESCE(CASE WHEN p.p_size < 10 THEN 'SMALL:' || p.p_name
+                     ELSE 'REST:' || p.p_name END,
+                'ImportedRELGRP1') AS resolved_relation
+FROM lineitem l LEFT JOIN part p ON CAST(l.l_partkey AS VARCHAR) = CAST(p.p_partkey AS VARCHAR)
+"""
+
+
+# --- E8: sorting inheritance ------------------------------------------------
+def q_sorting_inheritance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E8: incoming relation sorting of 0 inherits the existing
+    DB sorting (src/EcomDestinationWriter.cs:2498-2501, :2898-2903):
+    coalesce(nullif(staged, 0), existing, 0)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    existing = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.min("l_linenumber").cast("int").alias("existing_sorting")
+    )
+    staged = existing.select(
+        "l_orderkey", "l_partkey",
+        F.when(F.col("l_partkey") % 2 == 0, F.lit(0))
+         .otherwise(F.col("existing_sorting") + 100).alias("staged_sorting"),
+    )
+    joined = staged.join(existing, ["l_orderkey", "l_partkey"], "left")
+    return joined.select(
+        "l_orderkey", "l_partkey",
+        F.coalesce(
+            F.nullif(F.col("staged_sorting"), F.lit(0)),
+            F.col("existing_sorting"),
+            F.lit(0),
+        ).alias("sorting"),
+    )
+
+
+ORACLE_SORTING_INHERITANCE = """
+WITH existing AS (
+  SELECT l_orderkey, l_partkey, CAST(MIN(l_linenumber) AS INTEGER) AS existing_sorting
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+)
+SELECT l_orderkey, l_partkey,
+       COALESCE(NULLIF(CASE WHEN l_partkey % 2 = 0 THEN 0
+                            ELSE existing_sorting + 100 END, 0),
+                existing_sorting, 0) AS sorting
+FROM existing
+"""
+
+
+# --- E10: user-reference fan-out -------------------------------------------
+def q_user_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E10: an assortment-permission row matching several users
+    fans out one row per user, while prices take the first match
+    (WriteAssortments :1641-1707 vs WritePrices :1719-1802).  Permission
+    refs = distinct market segments; each fans out per matching customer,
+    and `first_custkey` carries the take-first semantics alongside."""
+    customer = Catalog(spark, sf_dir).table("customer")
+    perms = customer.select(F.col("c_mktsegment").alias("segment_ref")).dropDuplicates()
+    matches = perms.join(
+        customer.select("c_custkey", F.col("c_mktsegment").alias("segment_ref")),
+        "segment_ref",
+    )
+    first = matches.groupBy("segment_ref").agg(F.min("c_custkey").alias("first_custkey"))
+    return (
+        matches.join(F.broadcast(first), "segment_ref")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select("segment_ref", "c_custkey", "first_custkey")
+    )
+
+
+ORACLE_USER_FANOUT = """
+WITH first AS (SELECT c_mktsegment, MIN(c_custkey) AS first_custkey
+               FROM customer GROUP BY c_mktsegment)
+SELECT c.c_mktsegment AS segment_ref, c.c_custkey, f.first_custkey
+FROM customer c JOIN first f ON c.c_mktsegment = f.c_mktsegment
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+# --- E11: default-value injection -------------------------------------------
+def q_default_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E11: missing currency/language/unit fall back to defaults
+    (default currency :1728-1739, CountryCultureInfo='' :2143-2152,
+    UnitTranslationLanguageId :1920-1923 in src/EcomDestinationWriter.cs):
+    empty-string scoped fields coalesce to the configured default."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    raw = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("")).otherwise(F.col("o_orderpriority")).alias("priority_in"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit(None).cast("string")).otherwise(F.col("o_orderstatus")).alias("status_in"),
+    )
+    return raw.select(
+        "o_orderkey",
+        F.when(F.length(F.trim("priority_in")) == 0, F.lit("DEFAULT-PRIORITY"))
+         .otherwise(F.col("priority_in")).alias("priority"),
+        F.coalesce("status_in", F.lit("DEFAULT-STATUS")).alias("status"),
+    )
+
+
+ORACLE_DEFAULT_INJECTION = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 7 = 0 THEN 'DEFAULT-PRIORITY' ELSE o_orderpriority END AS priority,
+       CASE WHEN o_orderkey % 11 = 0 THEN 'DEFAULT-STATUS' ELSE o_orderstatus END AS status
+FROM orders
+"""
+
+
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef  # noqa: E402
 
 QUERIES = {
+    "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
+    "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
+    "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),
+    "e6_variant_option_explode": QueryDef(q_variant_option_explode, ORACLE_VARIANT_OPTION_EXPLODE),
+    "e7_related_resolve_default": QueryDef(q_related_resolve_default, ORACLE_RELATED_RESOLVE_DEFAULT),
+    "e8_sorting_inheritance": QueryDef(q_sorting_inheritance, ORACLE_SORTING_INHERITANCE),
+    "e10_user_fanout": QueryDef(q_user_fanout, ORACLE_USER_FANOUT),
+    "e11_default_injection": QueryDef(q_default_injection, ORACLE_DEFAULT_INJECTION),
     "u1_u2_upsert_full": QueryDef(q_upsert_full, ORACLE_UPSERT_FULL),
     "u3_upsert_insert_only": QueryDef(q_upsert_insert_only, ORACLE_UPSERT_INSERT_ONLY),
     "u3_upsert_update_only": QueryDef(q_upsert_update_only, ORACLE_UPSERT_UPDATE_ONLY),
