@@ -1,0 +1,191 @@
+"""Job pipeline — the reference's RunJob orchestration re-expressed
+Spark-first (SURVEY §3.1, §2.7 E15-E17, §2.6 U1-U8).
+
+The reference processes an ordered MappingCollection: normalize the plan
+(OrderTablesInJob, src/EcomProvider.cs:819-920; implicit mapping completion
+AddMappingsToJobThatNeedsToBeThereForMoveToMainTables,
+src/EcomDestinationWriter.cs:3338-3561; virtual-column strip :3597-3689),
+shape each source, stage, then merge per destination table inside one
+transaction (src/EcomProvider.cs:1018-1036).
+
+Spark-first shape: a MappingSpec is declarative config; shaping is a
+DataFrame expression chain (never a row loop); the merge is the join-rewrite
+algebra in operators/merge.py; atomicity (U12) is the stage-validate-swap
+publisher in plans/publish.py (Spark has no cross-table transaction — the
+manifest swap provides the same all-or-nothing visibility).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.operators import merge
+
+# E15: the reference's fixed dependency order (OrderTablesInJob,
+# src/EcomProvider.cs:819-920) — dimensions before facts before relations.
+# Expressed over destination-table names; unknown tables sort last, stably.
+TABLE_ORDER: tuple[str, ...] = (
+    "languages", "countries", "currencies", "stock_locations",
+    "region", "nation",              # fixture dimension analogs
+    "groups", "manufacturers", "supplier", "customer",
+    "variant_groups", "variant_options",
+    "products", "part",
+    "product_items", "products_related", "stock_units",
+    "orders",
+    "details", "category_field_values", "prices", "discounts",
+    "assortments", "assortment_relations",
+    "lineitem", "events",
+    "variant_option_relations", "units", "unit_translations",
+)
+
+
+@dataclass(frozen=True)
+class ColumnRule:
+    """One column mapping (reference ColumnMapping): source expression →
+    destination column, with the P7 script-transform enum folded into the
+    expression builder (GetValue, src/EcomDestinationWriter.cs:4426-4451)."""
+
+    dest: str
+    source: str | None = None          # source column (None for constants)
+    script: str = "none"               # none|constant|append|prepend|new_guid
+    script_value: str = ""
+    is_key: bool = False
+
+    def expr(self) -> Column:
+        if self.script == "constant":
+            return F.lit(self.script_value)
+        if self.script == "new_guid":
+            return F.expr("uuid()")
+        base = F.col(self.source if self.source is not None else self.dest)
+        if self.script == "append":
+            return F.concat(base.cast("string"), F.lit(self.script_value))
+        if self.script == "prepend":
+            return F.concat(F.lit(self.script_value), base.cast("string"))
+        return base
+
+
+@dataclass(frozen=True)
+class MappingSpec:
+    """Declarative source→destination mapping (the reference's Mapping)."""
+
+    source_table: str
+    dest_table: str
+    columns: tuple[ColumnRule, ...]
+    conditional: Column | None = None            # P2 mapping conditionals
+    virtual_columns: tuple[str, ...] = ()        # E17: consumed pre-merge
+    insert_new: bool = True                      # U3 mode matrix
+    update_existing: bool = True
+    remove_missing: bool = False                 # U5
+    deactivate_flags: Mapping[str, Column] | None = None   # U7
+
+    def key_columns(self) -> tuple[str, ...]:
+        return tuple(c.dest for c in self.columns if c.is_key)
+
+
+def order_mappings(mappings: Sequence[MappingSpec]) -> list[MappingSpec]:
+    """E15: sort mappings into the fixed dependency order; ties and unknown
+    tables keep their input order (stable sort)."""
+    rank = {t: i for i, t in enumerate(TABLE_ORDER)}
+    return sorted(mappings, key=lambda m: rank.get(m.dest_table, len(TABLE_ORDER)))
+
+
+def complete_mapping(spec: MappingSpec, dest_key_columns: Sequence[str]) -> MappingSpec:
+    """E16: implicit mapping completion — destination key columns that the
+    user did not map are auto-added as identity mappings and forced to
+    IsKey (HandleIsKeyColumns, src/EcomDestinationWriter.cs:3575-3595)."""
+    cols = list(spec.columns)
+    have = {c.dest: i for i, c in enumerate(cols)}
+    for k in dest_key_columns:
+        if k in have:
+            i = have[k]
+            if not cols[i].is_key:
+                cols[i] = ColumnRule(
+                    dest=cols[i].dest, source=cols[i].source, script=cols[i].script,
+                    script_value=cols[i].script_value, is_key=True,
+                )
+        else:
+            cols.append(ColumnRule(dest=k, source=k, is_key=True))
+    return MappingSpec(
+        source_table=spec.source_table, dest_table=spec.dest_table,
+        columns=tuple(cols), conditional=spec.conditional,
+        virtual_columns=spec.virtual_columns, insert_new=spec.insert_new,
+        update_existing=spec.update_existing, remove_missing=spec.remove_missing,
+        deactivate_flags=spec.deactivate_flags,
+    )
+
+
+def shape(source: DataFrame, spec: MappingSpec) -> DataFrame:
+    """Extract+shape: conditionals (P2) then column rules (P1/P5/P7); merged
+    duplicate destinations concatenate in mapping order (P8,
+    GetMergedValue src/EcomDestinationWriter.cs:4453-4476)."""
+    df = source
+    if spec.conditional is not None:
+        df = df.filter(spec.conditional)
+    by_dest: dict[str, list[Column]] = {}
+    order: list[str] = []
+    for rule in spec.columns:
+        if rule.dest not in by_dest:
+            by_dest[rule.dest] = []
+            order.append(rule.dest)
+        by_dest[rule.dest].append(rule.expr())
+    projections = []
+    for dest in order:
+        exprs = by_dest[dest]
+        col = exprs[0] if len(exprs) == 1 else F.concat(*[e.cast("string") for e in exprs])
+        projections.append(col.alias(dest))
+    return df.select(*projections)
+
+
+def strip_virtual_columns(df: DataFrame, spec: MappingSpec) -> DataFrame:
+    """E17: virtual list/pivot columns were consumed by the explode/relation
+    derivation (E5-E7) and must not reach the merge column set
+    (src/EcomDestinationWriter.cs:3597-3689)."""
+    present = [c for c in spec.virtual_columns if c in df.columns]
+    return df.drop(*present) if present else df
+
+
+def merge_step(dest: DataFrame, staged: DataFrame, spec: MappingSpec) -> DataFrame:
+    """One destination table's new state: the U1-U3 upsert matrix, then the
+    U5/U7 missing-row handling, per the spec's mode flags."""
+    keys = list(spec.key_columns())
+    out = merge.upsert(
+        dest, staged, keys,
+        insert_new=spec.insert_new, update_existing=spec.update_existing,
+    )
+    if spec.remove_missing:
+        out = merge.remove_missing(out, staged, keys)
+    if spec.deactivate_flags:
+        out = merge.deactivate_missing(out, staged, keys, dict(spec.deactivate_flags))
+    return out
+
+
+def run_job(
+    catalog: Catalog,
+    dest_tables: Mapping[str, DataFrame],
+    mappings: Sequence[MappingSpec],
+    dest_keys: Mapping[str, Sequence[str]] | None = None,
+) -> dict[str, DataFrame]:
+    """The full RunJob pipeline as pure DataFrame transforms: normalize
+    (E15+E16), shape, strip virtuals (E17), merge per destination table —
+    mappings staging into the same table apply in order against the evolving
+    state (the reference's per-mapping MoveDataToMainTable loop,
+    src/EcomDestinationWriter.cs:3165-3218).
+
+    Returns {dest_table: new_state}; callers publish atomically via
+    plans.publish (U12)."""
+    ordered = order_mappings(mappings)
+    if dest_keys:
+        ordered = [
+            complete_mapping(m, dest_keys.get(m.dest_table, ())) for m in ordered
+        ]
+    state: dict[str, DataFrame] = dict(dest_tables)
+    for spec in ordered:
+        source = catalog.table(spec.source_table)
+        staged = strip_virtual_columns(shape(source, spec), spec)
+        state[spec.dest_table] = merge_step(state[spec.dest_table], staged, spec)
+    return state

@@ -1,0 +1,101 @@
+"""U12 — multi-table atomic publish (stage → validate → swap).
+
+The reference wraps its whole merge phase in one SqlTransaction
+(src/EcomProvider.cs:1018-1036, rollback :1072-1073).  Spark has no
+cross-table transaction, so the engine provides the same all-or-nothing
+visibility with a manifest swap (SURVEY §4 "custom work #1"):
+
+1. every output table is written to ``<root>/data/<txid>/<table>/`` —
+   staging is invisible to readers;
+2. each staged table is validated (re-readable, expected schema, row-count
+   invariants) while still invisible;
+3. a single atomic ``os.replace`` of the MANIFEST file flips every table to
+   the new version at once.  A crash anywhere before step 3 leaves the
+   previous version fully intact; old versions remain for time-travel /
+   rollback until vacuumed.
+
+At 100 TB this costs nothing extra: the data write happens once (Spark's
+normal parquet job commit), and the swap is one metadata rename — the same
+pattern Delta/Iceberg use for their commit step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "MANIFEST.json"
+
+
+class ValidationError(RuntimeError):
+    pass
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST)
+
+
+def current_manifest(root: str) -> dict:
+    path = _manifest_path(root)
+    if not os.path.exists(path):
+        return {"version": 0, "txid": None, "tables": {}}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read the current committed version of `name` (readers never see
+    in-flight staging directories)."""
+    manifest = current_manifest(root)
+    if name not in manifest["tables"]:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    return spark.read.parquet(manifest["tables"][name])
+
+
+def publish_tables(
+    spark: SparkSession,
+    outputs: Mapping[str, DataFrame],
+    root: str,
+    validators: Mapping[str, Callable[[DataFrame], None]] | None = None,
+) -> dict:
+    """Stage every output, validate, then commit with one manifest swap.
+
+    `validators[name]` is called with the RE-READ staged DataFrame and
+    raises to abort the whole publish (nothing becomes visible — the
+    reference's rollback).  Returns the new manifest.
+    """
+    os.makedirs(root, exist_ok=True)
+    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    staged_paths: dict[str, str] = {}
+
+    for name, df in outputs.items():
+        path = os.path.join(root, "data", txid, name)
+        df.write.mode("errorifexists").parquet(path)
+        staged_paths[name] = path
+
+    for name, path in staged_paths.items():
+        staged = spark.read.parquet(path)
+        if not staged.schema.fields:
+            raise ValidationError(f"{name}: staged table has no columns")
+        if validators and name in validators:
+            validators[name](staged)
+
+    prev = current_manifest(root)
+    manifest = {
+        "version": prev["version"] + 1,
+        "txid": txid,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # carry forward tables not touched by this publish (the reference's
+        # transaction only touches staged tables; others keep their state)
+        "tables": {**prev["tables"], **staged_paths},
+    }
+    tmp = _manifest_path(root) + f".tmp-{txid}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, _manifest_path(root))  # the atomic commit point
+    return manifest

@@ -748,9 +748,65 @@ FROM orders
 """
 
 
+# --- E15/E16/U1-U3 composed: the RunJob pipeline ---------------------------
+def q_pipeline_run_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference §3.1 RunJob end-to-end: two mappings staging into the same
+    destination table, normalized (E15 order + E16 key completion), shaped
+    (P2 conditional + P7 constant script), then merged sequentially against
+    the evolving state (per-mapping MoveDataToMainTable loop,
+    src/EcomDestinationWriter.cs:3165-3218).  Atomic publish (U12) is
+    exercised in tests/test_pipeline.py — here the final state is returned
+    directly for the oracle."""
+    from dataintegration_ecomprovider_spark.plans.pipeline import (
+        ColumnRule, MappingSpec, run_job,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    dest0 = cat.table("orders").filter(F.col("o_orderkey") % 3 != 0)
+
+    def mapping(cond: F.Column, status: str) -> MappingSpec:
+        return MappingSpec(
+            source_table="orders",
+            dest_table="orders",
+            columns=(
+                ColumnRule("o_orderkey", "o_orderkey"),   # E16 forces is_key
+                ColumnRule("o_custkey", "o_custkey"),
+                ColumnRule("o_orderstatus", script="constant", script_value=status),
+                ColumnRule("o_totalprice", "o_totalprice"),
+                ColumnRule("o_orderdate", "o_orderdate"),
+                ColumnRule("o_orderpriority", "o_orderpriority"),
+            ),
+            conditional=cond,
+        )
+
+    state = run_job(
+        cat,
+        {"orders": dest0},
+        [
+            mapping(F.col("o_orderkey") % 2 == 0, "U"),
+            mapping(F.col("o_orderkey") % 5 == 0, "V"),
+        ],
+        dest_keys={"orders": ["o_orderkey"]},
+    )
+    return _orders_fmt(state["orders"])
+
+
+ORACLE_PIPELINE_RUN_JOB = f"""
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'V'
+            WHEN o_orderkey % 2 = 0 THEN 'U'
+            ELSE o_orderstatus END AS o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM orders
+WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
+"""
+
+
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef  # noqa: E402
 
 QUERIES = {
+    "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),

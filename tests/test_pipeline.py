@@ -1,0 +1,174 @@
+"""Pipeline + atomic-publish tests (reference RunJob semantics, SURVEY §3.1):
+E15 ordering, E16 completion, E17 strip, P7/P8 shaping, merge idempotence,
+and U12 all-or-nothing publish."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.plans import publish
+from dataintegration_ecomprovider_spark.plans.pipeline import (
+    ColumnRule,
+    MappingSpec,
+    complete_mapping,
+    order_mappings,
+    run_job,
+    shape,
+    strip_virtual_columns,
+)
+from tests.conftest import SF_DIR
+
+
+def _orders_mapping(**kw) -> MappingSpec:
+    return MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(
+            ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+            ColumnRule("o_custkey", "o_custkey"),
+            ColumnRule("o_orderstatus", script="constant", script_value="U"),
+            ColumnRule("o_totalprice", "o_totalprice"),
+            ColumnRule("o_orderdate", "o_orderdate"),
+            ColumnRule("o_orderpriority", "o_orderpriority"),
+        ),
+        **kw,
+    )
+
+
+def test_order_mappings_is_dependency_sorted_and_stable():
+    li = MappingSpec("lineitem", "lineitem", columns=())
+    cust = MappingSpec("customer", "customer", columns=())
+    nat = MappingSpec("nation", "nation", columns=())
+    unknown1 = MappingSpec("x", "zzz_custom", columns=())
+    unknown2 = MappingSpec("y", "zzz_other", columns=())
+    ordered = order_mappings([unknown1, li, unknown2, cust, nat])
+    names = [m.dest_table for m in ordered]
+    # dimensions before facts; unknowns last in input order (E15)
+    assert names == ["nation", "customer", "lineitem", "zzz_custom", "zzz_other"]
+
+
+def test_complete_mapping_adds_and_forces_keys():
+    spec = MappingSpec(
+        "orders", "orders",
+        columns=(ColumnRule("o_custkey", "o_custkey"),),
+    )
+    done = complete_mapping(spec, ["o_orderkey", "o_custkey"])
+    by_dest = {c.dest: c for c in done.columns}
+    assert by_dest["o_orderkey"].is_key  # auto-added (E16)
+    assert by_dest["o_custkey"].is_key   # forced on existing mapping
+    assert set(done.key_columns()) == {"o_orderkey", "o_custkey"}
+
+
+def test_shape_applies_scripts_and_merges_duplicate_dest(spark):
+    cat = Catalog(spark, SF_DIR)
+    spec = MappingSpec(
+        "part", "products",
+        columns=(
+            ColumnRule("product_id", "p_partkey", is_key=True),
+            ColumnRule("tagged", "p_name", script="prepend", script_value="N:"),
+            # duplicate destination -> P8 concat in mapping order
+            ColumnRule("merged", "p_brand"),
+            ColumnRule("merged", "p_type"),
+            ColumnRule("fixed", script="constant", script_value="C"),
+        ),
+        conditional=F.col("p_size") < 10,
+    )
+    out = shape(cat.table("part"), spec)
+    rows = out.limit(5).collect()
+    assert out.columns == ["product_id", "tagged", "merged", "fixed"]
+    for r in rows:
+        assert r.tagged.startswith("N:")
+        assert r.fixed == "C"
+    # conditional applied
+    assert out.count() == cat.table("part").filter(F.col("p_size") < 10).count()
+
+
+def test_strip_virtual_columns_drops_only_present(spark):
+    cat = Catalog(spark, SF_DIR)
+    df = cat.table("part").withColumn("Groups", F.lit("x"))
+    spec = MappingSpec("part", "part", columns=(), virtual_columns=("Groups", "NotThere"))
+    out = strip_virtual_columns(df, spec)
+    assert "Groups" not in out.columns
+    assert "p_name" in out.columns
+
+
+def test_run_job_upsert_is_idempotent(spark):
+    """The reference re-runs jobs as its incremental model (SURVEY §2.10) —
+    a second identical run must not change the destination."""
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").filter(F.col("o_orderkey") % 3 != 0)
+    mapping = _orders_mapping(conditional=F.col("o_orderkey") % 2 == 0)
+
+    once = run_job(cat, {"orders": dest0}, [mapping])["orders"]
+    twice = run_job(cat, {"orders": once}, [mapping])["orders"]
+    assert once.count() == twice.count()
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_run_job_mode_matrix(spark):
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").filter(F.col("o_orderkey") % 3 != 0)
+    n_dest = dest0.count()
+    staged_cond = F.col("o_orderkey") % 2 == 0
+
+    insert_only = run_job(
+        cat, {"orders": dest0},
+        [_orders_mapping(conditional=staged_cond, update_existing=False)],
+    )["orders"]
+    # existing rows untouched: no dest row flips to the staged constant status
+    kept = insert_only.join(dest0.select("o_orderkey"), "o_orderkey", "left_semi")
+    assert kept.filter(F.col("o_orderstatus") == "U").count() == 0
+    assert insert_only.count() > n_dest
+
+    update_only = run_job(
+        cat, {"orders": dest0},
+        [_orders_mapping(conditional=staged_cond, insert_new=False)],
+    )["orders"]
+    assert update_only.count() == n_dest  # nothing inserted
+
+
+def test_publish_swaps_atomically(spark, tmp_path):
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    region, nation = cat.table("region"), cat.table("nation")
+
+    m1 = publish.publish_tables(spark, {"region": region, "nation": nation}, root)
+    assert m1["version"] == 1
+    assert publish.read_table(spark, root, "region").count() == region.count()
+
+    # failing validation must leave version 1 fully visible (rollback)
+    def reject(df):
+        raise publish.ValidationError("boom")
+
+    with pytest.raises(publish.ValidationError):
+        publish.publish_tables(
+            spark, {"region": region.limit(1)}, root, validators={"region": reject}
+        )
+    m_now = publish.current_manifest(root)
+    assert m_now["version"] == 1
+    assert publish.read_table(spark, root, "region").count() == region.count()
+
+    # successful second publish flips region but carries nation forward
+    m2 = publish.publish_tables(spark, {"region": region.limit(2)}, root)
+    assert m2["version"] == 2
+    assert publish.read_table(spark, root, "region").count() == 2
+    assert publish.read_table(spark, root, "nation").count() == nation.count()
+
+
+def test_publish_staging_invisible_until_commit(spark, tmp_path):
+    root = str(tmp_path / "store2")
+    cat = Catalog(spark, SF_DIR)
+    publish.publish_tables(spark, {"region": cat.table("region")}, root)
+    v1 = publish.current_manifest(root)
+
+    # simulate a crash after staging, before manifest swap: stage data exists
+    # on disk but the manifest (and thus readers) never see it
+    staged_dir = os.path.join(root, "data", "deadbeef-crashed", "region")
+    cat.table("region").limit(1).write.parquet(staged_dir)
+    assert publish.current_manifest(root) == v1
+    assert publish.read_table(spark, root, "region").count() == cat.table("region").count()
