@@ -21,10 +21,12 @@ class QueryDef:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from dataintegration_ecomprovider_spark.plans import read_queries, write_queries, llm_queries
+    from dataintegration_ecomprovider_spark.plans import (
+        read_queries, write_queries, llm_queries, stream_queries,
+    )
 
     out: dict[str, QueryDef] = {}
-    for mod in (read_queries, write_queries, llm_queries):
+    for mod in (read_queries, write_queries, llm_queries, stream_queries):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

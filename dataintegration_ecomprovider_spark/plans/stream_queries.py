@@ -1,0 +1,86 @@
+"""Streaming-surface queries (SURVEY §2.10), exposed through their batch
+equivalents so the driver's DuckDB oracle can check them: the same
+expression trees run under readStream in dataintegration_ecomprovider_spark
+.streaming (exercised in tests/test_streaming.py with watermarks,
+foreachBatch-merge and applyInPandasWithState)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.plans.registry import QueryDef
+from dataintegration_ecomprovider_spark.streaming.sessions import sessionize_batch
+from dataintegration_ecomprovider_spark.streaming.windows import tumbling_agg
+
+
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: count + value sum.  Streaming
+    form adds `watermark='10 minutes'` (tests/test_streaming.py asserts the
+    availableNow stream emits exactly these rows)."""
+    events = Catalog(spark, sf_dir).table("events")
+    return tumbling_agg(
+        events,
+        ts_col="ts",
+        window_duration="1 hour",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute gap) — the batch form of the
+    applyInPandasWithState stateful operator."""
+    events = Catalog(spark, sf_dir).table("events")
+    out = sessionize_batch(events, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "total_value",
+    )
+
+
+ORACLE_SESSIONIZATION = """
+WITH with_breaks AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+  FROM with_breaks
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       ROUND(SUM(value), 2) AS total_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "stream_tumbling_window_agg": QueryDef(q_tumbling_window_agg, ORACLE_TUMBLING),
+    "stream_sessionization": QueryDef(q_sessionization, ORACLE_SESSIONIZATION),
+}

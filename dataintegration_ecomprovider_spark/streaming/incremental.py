@@ -1,0 +1,77 @@
+"""Incremental feeds as Structured Streaming (SURVEY §2.10).
+
+The reference has no streaming surface — its incremental model is "re-run
+the job idempotently" (upsert semantics + IsFirstJobRun writer reuse,
+src/EcomProvider.cs:25, :937-966, :1083-1086).  The Spark engine maps that
+onto Structured Streaming: a file/table stream of staged rows, merged into
+the destination per micro-batch with the same U1-U3 algebra via
+``foreachBatch`` — each batch is exactly the reference's one job run.
+
+At scale: the merge inside foreachBatch is the same join-rewrite used in
+batch (shuffle on the key, broadcast when the batch is small); checkpoints
+make the stream restartable; `availableNow` gives catch-up-then-stop
+semantics for scheduled incremental loads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from dataintegration_ecomprovider_spark.operators import merge
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """A parquet file stream with an explicit schema (streaming sources
+    cannot infer) — the S4 row-iterator analog: rows arrive continuously
+    instead of via GetNext() (src/EcomSourceReader.cs:82-90)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def merge_each_batch(
+    stream: DataFrame,
+    keys: Sequence[str],
+    read_dest: Callable[[SparkSession], DataFrame],
+    write_dest: Callable[[DataFrame], None],
+    checkpoint_dir: str,
+    insert_new: bool = True,
+    update_existing: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """foreachBatch + MERGE: every micro-batch upserts into the destination
+    — the reference's re-run-the-job incremental semantics, one batch = one
+    job run.  Batch keys are deduped first-wins (the reference discards
+    duplicate PK rows, src/EcomDestinationWriter.cs:1269-1278)."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        deduped = batch.dropDuplicates(list(keys))
+        dest = read_dest(batch.sparkSession)
+        new_state = merge.upsert(
+            dest, deduped, keys,
+            insert_new=insert_new, update_existing=update_existing,
+        )
+        write_dest(new_state)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,131 @@
+"""Structured Streaming tests: the true streaming forms of the batch
+queries in plans/stream_queries.py — file source, watermarked windowed agg,
+foreachBatch incremental merge, applyInPandasWithState sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.streaming import incremental
+from dataintegration_ecomprovider_spark.streaming.sessions import (
+    sessionize_batch, sessionize_stream,
+)
+from dataintegration_ecomprovider_spark.streaming.windows import tumbling_agg
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    # the catalog normalizes the nanos timestamp; re-write a micros copy so
+    # readStream can use a plain schema (module-scoped: one write per run)
+    return Catalog(spark, SF_DIR).table("events")
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, events_batch):
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    events_batch.repartition(4).write.parquet(path)
+    return path
+
+
+def test_windowed_agg_stream_matches_batch(spark, events_batch, events_dir, tmp_path):
+    stream = incremental.file_stream(spark, events_dir, events_batch.schema)
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ]
+    windowed = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"], aggs, watermark="10 minutes"
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("windowed_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("windowed_agg").toPandas()
+    want = tumbling_agg(events_batch, "ts", "1 hour", ["event_type"], aggs).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key + ["n_events", "total_value"]].equals(
+        want[key + ["n_events", "total_value"]]
+    )
+
+
+def test_foreachbatch_merge_converges_to_batch_upsert(spark, events_batch, events_dir, tmp_path):
+    """Streaming the staged rows through per-batch MERGE must end in the
+    same state as one batch upsert of everything (idempotent re-run model)."""
+    from dataintegration_ecomprovider_spark.operators import merge
+
+    dest0 = events_batch.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    )
+    store = {"state": dest0.toPandas()}
+
+    def read_dest(s):
+        return s.createDataFrame(store["state"])
+
+    def write_dest(df):
+        store["state"] = df.toPandas()
+
+    stream = incremental.file_stream(spark, events_dir, events_batch.schema).select(
+        "event_id", "event_type", F.round(F.col("value") + 1, 2).alias("value")
+    )
+    q = incremental.merge_each_batch(
+        stream, ["event_id"], read_dest, write_dest,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q.awaitTermination(180)
+
+    staged_all = events_batch.select(
+        "event_id", "event_type", F.round(F.col("value") + 1, 2).alias("value")
+    )
+    want = merge.upsert(dest0, staged_all, ["event_id"]).toPandas()
+    got = store["state"]
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["value"].round(2).values == want["value"].round(2).values).all()
+
+
+def test_stateful_sessionization_stream_matches_batch(spark, events_batch, tmp_path):
+    """applyInPandasWithState sessions (closed by end-of-stream timeout;
+    single batch so no session spans micro-batches) match the batch window
+    implementation for users whose sessions all closed."""
+    # single-file source => one micro-batch; all sessions close via timeout
+    path = str(tmp_path / "events_one")
+    small = events_batch.filter(F.col("user_id") < 50)
+    small.coalesce(1).write.parquet(path)
+    stream = incremental.file_stream(spark, path, events_batch.schema, max_files_per_trigger=10)
+    sessions = sessionize_stream(stream, gap_seconds=1800, timeout_ms=2_000)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    want = sessionize_batch(small, gap_seconds=1800).toPandas()
+    while time.time() < deadline:
+        got = spark.table("sessions_stream").toPandas()
+        if len(got) >= len(want):
+            break
+        time.sleep(2)
+    q.stop()
+    assert len(got) == len(want)
+    key = ["user_id", "session_seq"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got["n_events"].equals(want["n_events"])
+    assert (got["total_value"].round(2).values == want["total_value"].round(2).values).all()
