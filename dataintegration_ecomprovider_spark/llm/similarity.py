@@ -98,6 +98,132 @@ def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
     ).alias("bucket")
 
 
+def near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, similarity ≥
+    threshold) — exact baseline.  Quadratic: use on a candidate slice or
+    behind near_dup_pairs_lsh at scale."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vec_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )
+
+
+def near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs, LSH-pruned: only vectors sharing a hyperplane
+    bucket are compared.  The scale path — within-bucket self-join instead
+    of the quadratic cross join; high-cosine pairs land in the same bucket
+    with probability (1 - θ/π)^planes, tunable via `planes`."""
+    tagged = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = tagged.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = tagged.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: vectors are assigned to their nearest
+    centroid cell; each query scores only the `n_probe` nearest cells.
+
+    Centroids are picked deterministically (every count/n_centroids-th
+    vector by id order) — training-free and retry-stable; at scale a
+    k-means refinement can replace the picker without touching the
+    cell-assignment/probe plan (the shape is: broadcast centroids,
+    partition-local assignment, shuffle once on cell id)."""
+    n = embeddings.count()
+    stride = max(1, n // n_centroids)
+    centroids = (
+        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .filter(F.col("cid") % stride == 0)
+        .limit(n_centroids)
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            F.col(idc),
+            F.col(vecc),
+            "cid",
+            F.round(cosine(F.col(vecc), F.col("cvec")), 6).alias("csim"),
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("csim").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep)
+            .drop("csim", "crank")
+        )
+
+    cells = assign(
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("cand_vec")),
+        "neighbor_id", "cand_vec", keep=1,
+    )
+    probes = assign(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("query_vec")),
+        "query_id", "query_vec", keep=n_probe,
+    )
+    scored = (
+        probes.join(cells, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

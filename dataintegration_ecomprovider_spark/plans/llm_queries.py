@@ -202,8 +202,44 @@ FROM documents
 """
 
 
+# --- embedding-cosine near-duplicate pairs --------------------------------
+def q_near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs over a deterministic slice (every 5th vector) at
+    cosine ≥ 0.2; the LSH-pruned full-table variant is
+    llm_near_dup_embedding_lsh (rows-only)."""
+    emb = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") % 5 == 0)
+    return similarity.near_dup_pairs(emb, threshold=0.2)
+
+
+ORACLE_NEAR_DUP_EMBEDDING = """
+WITH cand AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS similarity
+FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+"""
+
+
+def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.near_dup_pairs_lsh(emb, threshold=0.2, planes=6)
+
+
+# --- IVF-bucketed ANN (rows-only: recall invariant in tests/test_llm.py) --
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
+    "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),
+    "llm_sim_ivf_topk": QueryDef(q_ivf_topk, None),
     "llm_dedup_minhash_lsh": QueryDef(q_minhash_candidates, None),
     "llm_dedup_simhash": QueryDef(q_simhash, None),
     "llm_ngram_jaccard": QueryDef(q_ngram_jaccard, ORACLE_NGRAM_JACCARD),

@@ -81,3 +81,32 @@ def test_lsh_topk_consistent_with_bruteforce(spark):
         v for (qq, _), v in exact_sims.items() if qq == q)}
     for r in approx.filter(F.col("rank") == 1).collect():
         assert r.similarity <= best_exact.get(r.query_id, 1.0) + 1e-9
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_rows = approx.collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    # probing half the cells must recover a meaningful share of true top-5
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} too low"
+    # determinism across runs (centroid pick + ranking are order-free)
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in
+             similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=8).collect()}
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in approx_rows} == again
+
+
+def test_near_dup_lsh_subset_of_exact(spark):
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    exact = similarity.near_dup_pairs(emb, threshold=0.2)
+    pruned = similarity.near_dup_pairs_lsh(emb, threshold=0.2, planes=6)
+    exact_pairs = {(r.id_a, r.id_b): r.similarity for r in exact.collect()}
+    pruned_rows = pruned.collect()
+    # every LSH-surviving pair is a true near-dup with the same similarity
+    for r in pruned_rows:
+        assert (r.id_a, r.id_b) in exact_pairs
+        assert abs(r.similarity - exact_pairs[(r.id_a, r.id_b)]) < 1e-9
