@@ -24,14 +24,19 @@ from dataintegration_ecomprovider_spark.session import get_spark
 HEADLINE = [
     "products_export_j4_p6_a1_a8",  # flagship: joins + string-agg + top-1
     "j6_self_join_related",         # self-join pair explosion + agg
+    "j17_e18_semi_join_chain",      # semi-join chain selection
     "a4_pivot",                     # EAV pivot
     "u1_u2_upsert_full",            # upsert matrix
     "u9_relation_swap",             # relation swap (agg + anti + union)
     "e5_membership_explode",        # encode + explode round-trip
     "e1_a3_surrogate_ids",          # high-water + windowed allocation
+    "e15_e16_u12_pipeline_run_job", # full RunJob pipeline (2 mappings)
+    "stream_sessionization",        # gap sessions (lag + cumsum windows)
     "llm_dedup_exact",              # content-hash dedup
     "llm_dedup_minhash_lsh",        # minhash LSH + jaccard verify
     "llm_sim_cosine_topk",          # brute-force ANN baseline
+    "llm_sim_ivf_topk",             # IVF-bucketed ANN (scale path)
+    "llm_near_dup_embedding_lsh",   # embedding near-dup, LSH-pruned
     "llm_text_quality",             # text feature extraction
     "llm_fingerprint",              # rolling-hash fingerprint
 ]

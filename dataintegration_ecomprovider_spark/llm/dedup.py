@@ -41,9 +41,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (array<string>, distinct)."""
-    words = F.split(F.trim(F.lower(text)), "\\s+")
+def words_of(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), "\\s+")
+
+
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set from an ALREADY-MATERIALIZED word array.
+
+    `words` must be a plain column attribute (projected in a prior select),
+    not the split() expression itself: a non-attribute expression referenced
+    inside the transform lambda is re-evaluated per element — O(W²) per
+    document (measured ~4× on the signature stage at sf0.1)."""
     return F.array_distinct(
         F.filter(
             F.transform(
@@ -53,6 +61,12 @@ def shingles(text: Column, n: int = 3) -> Column:
             lambda s: F.length(s) > 0,
         )
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (array<string>, distinct).  Prefer the
+    two-stage words_of → shingles_from_words when you control the plan."""
+    return shingles_from_words(words_of(text), n)
 
 
 # Permutation family: affine maps mod the Mersenne prime 2^31-1 over the
@@ -84,9 +98,11 @@ def minhash_signatures(
     permutation — measured 30× slower at sf0.1 — because Catalyst's
     CollapseProject re-inlines the shared subexpression into every branch.
     """
-    exploded = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    with_words = docs.select(
+        F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
+    )
+    exploded = with_words.select(
+        "id", F.explode(shingles_from_words(F.col("w"), shingle_n)).alias("s")
     ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
     mins = exploded.groupBy("id").agg(
         *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)]
@@ -149,8 +165,22 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| (rounded 6)."""
-    sh = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh"))
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| (rounded 6).
+
+    Shingles are computed only for docs that appear in a pair (semi-join
+    first): the verification stage touches |pairs| docs, not |corpus| —
+    at 100 TB the candidate set is orders of magnitude smaller than the
+    corpus."""
+    ids = (
+        pairs.select(F.col("id_a").alias("pid"))
+        .unionByName(pairs.select(F.col("id_b").alias("pid")))
+        .dropDuplicates(["pid"])
+    )
+    needed = docs.join(ids, docs[id_col] == ids.pid, "left_semi")
+    sh = (
+        needed.select(F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w"))
+        .select("id", shingles_from_words(F.col("w"), shingle_n).alias("sh"))
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -165,6 +195,37 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) via staged projections: words → shingles → hash array
+    materialize as real columns, so the 63 per-bit aggregates all read the
+    SAME hash-array attribute instead of re-deriving the shingle pipeline
+    per bit (the Column-function form re-evaluates it 63×)."""
+    hashed = (
+        docs.select(F.col(id_col), words_of(F.col(text_col)).alias("__w"))
+        .select(F.col(id_col), shingles_from_words(F.col("__w"), 2).alias("__sh"))
+        .select(F.col(id_col), F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"))
+    )
+
+    def bit_contrib(i: int):
+        return lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bit_cols = []
+    for i in range(min(bits, 63)):
+        contrib = F.transform(F.col("__h"), bit_contrib(i))
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bit_cols.append(
+            F.when(total > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    sig = F.aggregate(F.array(*bit_cols), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return hashed.select(F.col(id_col), sig.alias(out_col))
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

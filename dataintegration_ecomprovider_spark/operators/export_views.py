@@ -52,41 +52,40 @@ def products_export_view(cat: Catalog) -> DataFrame:
     )
     rel = rel.join(F.broadcast(supplier), rel.l_suppkey == supplier.s_suppkey, "inner")
 
-    # Groups + parallel sorting column, ordered by supplier name (stable:
-    # s_name embeds the unique key).
-    groups = (
+    # ALL per-part derived columns in ONE aggregation pass (one shuffle on
+    # l_partkey instead of three agg/window pipelines over recomputed rel):
+    #  - groups/group_sorting: sorted struct collect, parallel lists derive
+    #    from the same array;
+    #  - primary_group (A8 top-1 by qty desc, suppkey asc) and manufacturer
+    #    (lowest suppkey) as struct-ordered min aggregates — a max-by/min-by
+    #    that needs no second window pass.
+    pairs = collect_ordered(
+        F.struct(F.col("s_name").alias("n"), F.col("s_suppkey").cast("string").alias("k")),
+        [F.col("s_name")],
+    )
+    derived = (
         rel.groupBy("l_partkey")
         .agg(
-            collect_ordered(F.col("s_name"), [F.col("s_name")]).alias("__groups_arr"),
-            collect_ordered(F.col("s_suppkey").cast("string"), [F.col("s_name")]).alias("__sort_arr"),
+            pairs.alias("__pairs"),
+            F.min(F.struct((-F.col("qty")).alias("nq"),
+                           F.col("l_suppkey").alias("k"),
+                           F.col("s_name").alias("n"))).alias("__prim"),
+            F.min(F.struct(F.col("l_suppkey").alias("k"),
+                           F.col("s_name").alias("n"))).alias("__mfr"),
         )
         .select(
             F.col("l_partkey").alias("g_partkey"),
-            F.concat_ws(",", F.transform("__groups_arr", lambda v: F.concat(F.lit('"'), v, F.lit('"')))).alias("groups"),
-            F.concat_ws(",", "__sort_arr").alias("group_sorting"),
+            F.concat_ws(
+                ",", F.transform("__pairs", lambda p: F.concat(F.lit('"'), p["n"], F.lit('"')))
+            ).alias("groups"),
+            F.concat_ws(",", F.transform("__pairs", lambda p: p["k"])).alias("group_sorting"),
+            F.col("__prim.n").alias("primary_group"),
+            F.col("__mfr.n").alias("__mfr_name"),
         )
     )
 
-    # PrimaryGroup: top-1 supplier per part by qty desc, suppkey asc.
-    primary = top_k_per_group(
-        rel.select("l_partkey", "l_suppkey", "s_name", "qty"),
-        ["l_partkey"],
-        [F.col("qty").desc(), F.col("l_suppkey").asc()],
-        k=1,
-    ).select(F.col("l_partkey").alias("pg_partkey"), F.col("s_name").alias("primary_group"))
-
-    # Manufacturer: lowest-keyed supplier that shipped the part.
-    mfr = top_k_per_group(
-        rel.select("l_partkey", "l_suppkey", "s_name"),
-        ["l_partkey"],
-        [F.col("l_suppkey").asc()],
-        k=1,
-    ).select(F.col("l_partkey").alias("m_partkey"), F.col("s_name").alias("__mfr_name"))
-
     out = (
-        part.join(mfr, part.p_partkey == mfr.m_partkey, "left")
-        .join(groups, part.p_partkey == groups.g_partkey, "left")
-        .join(primary, part.p_partkey == primary.pg_partkey, "left")
+        part.join(derived, part.p_partkey == derived.g_partkey, "left")
         .select(
             F.col("p_partkey").alias("product_id"),
             F.col("p_name").alias("product_name"),

@@ -41,7 +41,7 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- simhash fingerprints (rows-only: xxhash64 engine hash) ---------------
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
-    return docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
+    return dedup.simhash_signatures(docs)
 
 
 # --- exact n-gram jaccard on a deterministic candidate set ----------------

@@ -390,24 +390,22 @@ def q_membership_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/EcomDestinationWriter.cs:1413-1464).  Round-trip: encode per-order
     member lists (A1 side), then explode back to rows (E5 side)."""
     li = Catalog(spark, sf_dir).table("lineitem")
-    encoded = li.groupBy("l_orderkey").agg(
+    # ONE sorted collect of (member, sorting) structs — the parallel list
+    # columns derive from the same array, halving the per-group sort work
+    # (the reference's Groups/GroupSorting are parallel by construction)
+    pairs = collect_ordered(
+        F.struct(
+            F.col("l_partkey").cast("string").alias("m"),
+            F.col("l_linenumber").cast("string").alias("s"),
+        ),
+        [F.col("l_partkey").cast("string"), F.col("l_linenumber")],
+    )
+    encoded = li.groupBy("l_orderkey").agg(pairs.alias("__pairs")).select(
+        "l_orderkey",
         F.concat_ws(
-            ",",
-            F.transform(
-                collect_ordered(
-                    F.col("l_partkey").cast("string"),
-                    [F.col("l_partkey").cast("string"), F.col("l_linenumber")],
-                ),
-                lambda v: F.concat(F.lit('"'), v, F.lit('"')),
-            ),
+            ",", F.transform("__pairs", lambda p: F.concat(F.lit('"'), p["m"], F.lit('"')))
         ).alias("groups"),
-        F.concat_ws(
-            ",",
-            collect_ordered(
-                F.col("l_linenumber").cast("string"),
-                [F.col("l_partkey").cast("string"), F.col("l_linenumber")],
-            ),
-        ).alias("group_sorting"),
+        F.concat_ws(",", F.transform("__pairs", lambda p: p["s"])).alias("group_sorting"),
     )
     out = explode_membership(
         encoded, ["l_orderkey"], "groups", "member",

@@ -52,7 +52,7 @@ def test_minhash_precision_via_jaccard(spark):
 
 def test_simhash_deterministic_and_dup_invariant(spark):
     docs = _docs_with_planted_dups(spark)
-    sig = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh"))
+    sig = dedup.simhash_signatures(docs, out_col="sh")
     rows = {r.doc_id: r.sh for r in sig.collect()}
     rows2 = {r.doc_id: r.sh for r in sig.collect()}
     assert rows == rows2, "simhash not deterministic across runs"
