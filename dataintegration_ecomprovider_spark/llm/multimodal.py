@@ -68,6 +68,70 @@ def decode_stub(payload: bytes, media_type: str) -> bytes:
     raise NotImplementedError(f"no codec for {media_type} in this environment")
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 4,
+) -> DataFrame:
+    """Frame sampling over binary payloads: chunk each payload into
+    `frame_bytes` frames and keep every `stride`-th — the deterministic
+    stand-in for video frame extraction (a real pipeline decodes with
+    ffmpeg inside the same mapInPandas iterator; payload chunking stands in
+    for the codec so the 1:N row fan-out, batch shape and schema are real).
+
+    Scale: frames multiply rows by ~payload/(frame_bytes*stride); the
+    fan-out happens executor-side per Arrow batch — nothing passes through
+    the driver, and downstream repartition can spread hot documents."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_index": [], "frame": [], "frame_len": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    frame = blob[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(fi)
+                    out["frame"].append(frame)
+                    out["frame_len"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_payload(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize step: normalize every payload to `target_bytes` (truncate or
+    zero-pad) — the deterministic stand-in for image resizing (same
+    schema-in/schema-out contract a PIL-based resize would have)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p)[:target_bytes].ljust(target_bytes, b"\x00") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "media_type": pdf["media_type"],
+                    "byte_len": [len(r) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.  The stub
     computes byte length + first byte; a real pipeline would decode and

@@ -102,6 +102,66 @@ def products_export_view(cat: Catalog) -> DataFrame:
     return out
 
 
+def groups_export_view(cat: Catalog) -> DataFrame:
+    """The EcomGroups export SELECT (src/EcomSourceReader.cs:329-352):
+    language join (J1) + the Shops/ShopSorting and ParentGroups parallel
+    list columns (A1 ×2) — over the fixture role mapping nation=EcomGroups,
+    region=parent hierarchy, customer segments=shop memberships.
+
+    Per nation: `shops` = sorted distinct customer segments (comma-quoted),
+    `shop_sorting` = the per-segment min custkey (parallel array),
+    `parent_groups` = the region as a one-element quoted list."""
+    nation, region, customer = cat.table("nation"), cat.table("region"), cat.table("customer")
+
+    seg = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("c_custkey").alias("seg_sort")
+    )
+    pairs = collect_ordered(
+        F.struct(F.col("c_mktsegment").alias("m"), F.col("seg_sort").cast("string").alias("s")),
+        [F.col("c_mktsegment")],
+    )
+    shops = seg.groupBy("c_nationkey").agg(pairs.alias("__pairs")).select(
+        F.col("c_nationkey").alias("sh_key"),
+        F.concat_ws(
+            ",", F.transform("__pairs", lambda p: F.concat(F.lit('"'), p["m"], F.lit('"')))
+        ).alias("shops"),
+        F.concat_ws(",", F.transform("__pairs", lambda p: p["s"])).alias("shop_sorting"),
+    )
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .join(shops, nation.n_nationkey == F.col("sh_key"), "left")
+        .select(
+            F.col("n_nationkey").alias("group_id"),
+            F.col("n_name").alias("group_name"),
+            F.coalesce("shops", F.lit("")).alias("shops"),
+            F.coalesce("shop_sorting", F.lit("")).alias("shop_sorting"),
+            F.concat(F.lit('"'), F.col("r_name"), F.lit('"')).alias("parent_groups"),
+        )
+    )
+
+
+def groups_export_oracle() -> str:
+    return """
+WITH seg AS (
+  SELECT c_nationkey, c_mktsegment, MIN(c_custkey) AS seg_sort
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+shops AS (
+  SELECT c_nationkey,
+         string_agg('"' || c_mktsegment || '"', ',' ORDER BY c_mktsegment) AS shops,
+         string_agg(CAST(seg_sort AS VARCHAR), ',' ORDER BY c_mktsegment) AS shop_sorting
+  FROM seg GROUP BY c_nationkey
+)
+SELECT n.n_nationkey AS group_id, n.n_name AS group_name,
+       COALESCE(s.shops, '') AS shops,
+       COALESCE(s.shop_sorting, '') AS shop_sorting,
+       '"' || r.r_name || '"' AS parent_groups
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN shops s ON n.n_nationkey = s.c_nationkey
+"""
+
+
 def products_export_oracle() -> str:
     """DuckDB-equivalent SQL for products_export_view (same aliases)."""
     return """

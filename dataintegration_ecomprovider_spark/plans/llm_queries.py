@@ -235,8 +235,33 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
+# --- multimodal frame sampling (1:N fan-out via mapInPandas) --------------
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: payload chunked into 64-byte frames, every
+    4th kept.  The byte arithmetic is oracle-checkable from n_chars (text
+    payloads are UTF-8-encoded so frame boundaries derive from octet
+    length)."""
+    from dataintegration_ecomprovider_spark.llm.multimodal import frame_sample
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = attach_binary_payload(docs)
+    return frame_sample(media, frame_bytes=64, stride=4).select(
+        "doc_id", "frame_index", "frame_len"
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS bl FROM documents
+           WHERE octet_length(encode(text)) > 0)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_index,
+       CAST(CASE WHEN (fi + 1) * 64 <= bl THEN 64 ELSE bl - fi * 64 END AS BIGINT) AS frame_len
+FROM d, UNNEST(generate_series(0, CAST(CEIL(bl / 64.0) AS BIGINT) - 1, 4)) AS t(fi)
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
     "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),
     "llm_sim_ivf_topk": QueryDef(q_ivf_topk, None),

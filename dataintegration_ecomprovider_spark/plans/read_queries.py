@@ -629,7 +629,21 @@ FROM part
 """
 
 
+# --- groups export view (A1 x2 + J1) ---------------------------------------
+def q_groups_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference EcomGroups export (src/EcomSourceReader.cs:329-352): the
+    Shops/ShopSorting/ParentGroups list columns."""
+    from dataintegration_ecomprovider_spark.operators.export_views import groups_export_view
+    return groups_export_view(Catalog(spark, sf_dir))
+
+
+def _groups_export_oracle() -> str:
+    from dataintegration_ecomprovider_spark.operators.export_views import groups_export_oracle
+    return groups_export_oracle()
+
+
 QUERIES: dict[str, QueryDef] = {
+    "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
     "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
     "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),
     "j17_e18_semi_join_chain": QueryDef(q_semi_join_chain, ORACLE_SEMI_JOIN_CHAIN),

@@ -746,6 +746,53 @@ FROM orders
 """
 
 
+# --- E5: primary-flag demotion ----------------------------------------------
+def q_primary_demotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E5 primary demotion (AddGroupReferenceRowToProduct,
+    src/EcomDestinationWriter.cs:2916-2973): a staged primary relation
+    demotes the existing primary — one window over union(staged, existing).
+    Existing relations claim primary when their first line number is 1;
+    staged relations (even parts of every 4th order) always claim it."""
+    from dataintegration_ecomprovider_spark.operators.primary import demote_previous_primary
+
+    li = Catalog(spark, sf_dir).table("lineitem")
+    existing = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.min("l_linenumber").cast("int").alias("sorting")
+    ).withColumn("is_primary", F.col("sorting") == 1)
+    staged = (
+        existing.filter((F.col("l_orderkey") % 4 == 0) & (F.col("l_partkey") % 2 == 0))
+        .withColumn("sorting", F.lit(0))
+        .withColumn("is_primary", F.lit(True))
+    )
+    out = demote_previous_primary(
+        existing, staged, ["l_orderkey"], "is_primary",
+        order_by=[F.col("sorting").asc(), F.col("l_partkey").asc()],
+    )
+    return out.select("l_orderkey", "l_partkey", F.col("sorting").cast("int").alias("sorting"), "is_primary")
+
+
+ORACLE_PRIMARY_DEMOTION = """
+WITH existing AS (
+  SELECT l_orderkey, l_partkey, CAST(MIN(l_linenumber) AS INTEGER) AS sorting,
+         CAST(MIN(l_linenumber) = 1 AS BOOLEAN) AS is_primary, 1 AS tier
+  FROM lineitem GROUP BY l_orderkey, l_partkey
+),
+staged AS (
+  SELECT l_orderkey, l_partkey, 0 AS sorting, TRUE AS is_primary, 0 AS tier
+  FROM existing WHERE l_orderkey % 4 = 0 AND l_partkey % 2 = 0
+),
+unioned AS (SELECT * FROM staged UNION ALL SELECT * FROM existing),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+            ORDER BY CASE WHEN is_primary THEN 0 ELSE 1 END, tier, sorting, l_partkey) AS rn
+  FROM unioned
+)
+SELECT l_orderkey, l_partkey, CAST(sorting AS INTEGER) AS sorting,
+       (is_primary AND rn = 1) AS is_primary
+FROM ranked
+"""
+
+
 # --- E15/E16/U1-U3 composed: the RunJob pipeline ---------------------------
 def q_pipeline_run_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference §3.1 RunJob end-to-end: two mappings staging into the same
@@ -804,6 +851,7 @@ WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef  # noqa: E402
 
 QUERIES = {
+    "e5_primary_demotion": QueryDef(q_primary_demotion, ORACLE_PRIMARY_DEMOTION),
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),

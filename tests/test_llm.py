@@ -100,6 +100,36 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in approx_rows} == again
 
 
+def test_multimodal_frame_sample_and_resize(spark):
+    from dataintegration_ecomprovider_spark.llm import multimodal
+
+    docs = Catalog(spark, SF_DIR).table("documents").limit(20)
+    media = multimodal.attach_binary_payload(docs)
+
+    frames = multimodal.frame_sample(media, frame_bytes=64, stride=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_index % 4 == 0
+        assert 1 <= r.frame_len <= 64
+        assert len(r.frame) == r.frame_len
+    # reconstruct: frame fi covers bytes [fi*64, fi*64+len) of the payload
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for doc_id, rows in by_doc.items():
+        for r in rows:
+            start = r.frame_index * 64
+            assert payloads[doc_id][start:start + r.frame_len] == bytes(r.frame)
+
+    resized = multimodal.resize_payload(media, target_bytes=128)
+    for r in resized.collect():
+        assert r.byte_len == 128
+        assert len(bytes(r.payload)) == 128
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"\x00", "image/png")
+
+
 def test_near_dup_lsh_subset_of_exact(spark):
     emb = Catalog(spark, SF_DIR).table("embeddings")
     exact = similarity.near_dup_pairs(emb, threshold=0.2)
