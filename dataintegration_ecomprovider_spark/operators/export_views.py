@@ -102,6 +102,107 @@ def products_export_view(cat: Catalog) -> DataFrame:
     return out
 
 
+def products_export_full_view(cat: Catalog) -> DataFrame:
+    """The complete EcomProducts export SELECT: the flagship columns plus
+    the remaining virtual list columns (src/EcomSourceReader.cs:387-448) —
+    `variant_options` (A2: DISTINCT dot-joined composite keys, the
+    reference's VO1.VO2 encoding at :434-435) and `related_products`
+    (A1 over the J6 self-join: top-3 co-occurring parts by pair count).
+
+    One extra relation feeds both: lineitem joined to orders (for the
+    option analog) and to itself (for co-occurrence).  Each list column is
+    a pre-aggregate joined back on p_partkey — three shuffles on the part
+    key total, independent of how many list columns ride along."""
+    base = products_export_view(cat)
+    li = cat.table("lineitem").select("l_orderkey", "l_partkey", "l_linenumber")
+    orders = cat.table("orders").select("o_orderkey", "o_orderpriority")
+
+    # variant_options: distinct order priorities of orders shipping the part,
+    # dot-joined in sorted order (composite-key encoding)
+    vo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_set("o_orderpriority")).alias("__vo"))
+        .select(
+            F.col("l_partkey").alias("vo_partkey"),
+            F.concat_ws(".", "__vo").alias("variant_options"),
+        )
+    )
+
+    # related_products: top-3 co-occurring partkeys by pair count (count
+    # desc, partkey asc), comma-quoted — pair explosion + two-phase top-k
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("rp_partkey"), F.col("b.l_partkey").alias("other"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_related = (
+        pairs.groupBy("rp_partkey")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("nc"), F.col("other").alias("o")))
+                ),
+                1, 3,
+            ).alias("__top")
+        )
+        .select(
+            "rp_partkey",
+            F.concat_ws(
+                ",",
+                F.transform("__top", lambda s: F.concat(F.lit('"'), s["o"].cast("string"), F.lit('"'))),
+            ).alias("related_products"),
+        )
+    )
+
+    return (
+        base.join(vo, base.product_id == vo.vo_partkey, "left")
+        .join(top_related, base.product_id == top_related.rp_partkey, "left")
+        .select(
+            *[c for c in base.columns],
+            F.coalesce("variant_options", F.lit("")).alias("variant_options"),
+            F.coalesce("related_products", F.lit("")).alias("related_products"),
+        )
+    )
+
+
+def products_export_full_oracle() -> str:
+    base = products_export_oracle().strip().rstrip(";")
+    return f"""
+WITH base AS ({base}),
+vo AS (
+  SELECT l.l_partkey,
+         string_agg(DISTINCT o.o_orderpriority, '.' ORDER BY o.o_orderpriority) AS variant_options
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY l.l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS rp, b.l_partkey AS other, COUNT(*) AS cnt
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+topr AS (
+  SELECT rp,
+         string_agg('"' || CAST(other AS VARCHAR) || '"', ',' ORDER BY cnt DESC, other ASC) AS related_products
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY rp ORDER BY cnt DESC, other ASC) AS rn
+        FROM pairs)
+  WHERE rn <= 3 GROUP BY rp
+)
+SELECT base.*,
+       COALESCE(vo.variant_options, '') AS variant_options,
+       COALESCE(topr.related_products, '') AS related_products
+FROM base
+LEFT JOIN vo ON base.product_id = vo.l_partkey
+LEFT JOIN topr ON base.product_id = topr.rp
+"""
+
+
 def groups_export_view(cat: Catalog) -> DataFrame:
     """The EcomGroups export SELECT (src/EcomSourceReader.cs:329-352):
     language join (J1) + the Shops/ShopSorting and ParentGroups parallel

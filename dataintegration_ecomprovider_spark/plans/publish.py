@@ -93,9 +93,80 @@ def publish_tables(
         # carry forward tables not touched by this publish (the reference's
         # transaction only touches staged tables; others keep their state)
         "tables": {**prev["tables"], **staged_paths},
+        # committed-version history: staged data dirs are never rewritten,
+        # so old versions stay readable (time travel / rollback) until a
+        # vacuum prunes them
+        "history": (
+            prev.get("history", [])
+            + [{"version": prev["version"], "txid": prev.get("txid"), "tables": prev["tables"]}]
+            if prev["version"] else []
+        ),
     }
+    return _commit(root, txid, manifest)
+
+
+def _commit(root: str, txid: str, manifest: dict) -> dict:
     tmp = _manifest_path(root) + f".tmp-{txid}"
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=2)
     os.replace(tmp, _manifest_path(root))  # the atomic commit point
     return manifest
+
+
+def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> DataFrame:
+    """Time travel: read `name` as of a committed version."""
+    manifest = current_manifest(root)
+    if manifest["version"] == version:
+        tables = manifest["tables"]
+    else:
+        matches = [h for h in manifest.get("history", []) if h["version"] == version]
+        if not matches:
+            raise KeyError(f"version {version} not in history under {root}")
+        tables = matches[0]["tables"]
+    if name not in tables:
+        raise KeyError(f"table {name!r} absent at version {version}")
+    return spark.read.parquet(tables[name])
+
+
+def rollback(root: str, version: int) -> dict:
+    """Re-commit an older version's table map as a NEW version (the data
+    dirs are immutable, so rollback is another manifest swap)."""
+    manifest = current_manifest(root)
+    matches = [h for h in manifest.get("history", []) if h["version"] == version]
+    if not matches:
+        raise KeyError(f"version {version} not in history under {root}")
+    txid = f"rollback-{version}-{uuid.uuid4().hex[:8]}"
+    new = {
+        "version": manifest["version"] + 1,
+        "txid": txid,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "tables": matches[0]["tables"],
+        "history": manifest.get("history", []) + [
+            {"version": manifest["version"], "txid": manifest.get("txid"),
+             "tables": manifest["tables"]}
+        ],
+    }
+    return _commit(root, txid, new)
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    staging: DataFrame,
+    keys,
+    insert_new: bool = True,
+    update_existing: bool = True,
+) -> dict:
+    """Incremental MERGE against the published store: read the current
+    committed version, apply the U1-U3 upsert, publish the new state as the
+    next version.  One call = one reference job run; crash-safe because the
+    publish is all-or-nothing."""
+    from dataintegration_ecomprovider_spark.operators import merge as merge_ops
+
+    dest = read_table(spark, root, name)
+    new_state = merge_ops.upsert(
+        dest, staging, list(keys),
+        insert_new=insert_new, update_existing=update_existing,
+    )
+    return publish_tables(spark, {name: new_state}, root)

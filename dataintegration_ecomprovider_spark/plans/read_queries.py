@@ -642,7 +642,21 @@ def _groups_export_oracle() -> str:
     return groups_export_oracle()
 
 
+def q_products_export_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE EcomProducts export (src/EcomSourceReader.cs:387-448):
+    flagship columns + variant_options (A2 dot-composite) +
+    related_products (A1 over the J6 self-join, top-3 by co-occurrence)."""
+    from dataintegration_ecomprovider_spark.operators.export_views import products_export_full_view
+    return products_export_full_view(Catalog(spark, sf_dir))
+
+
+def _products_export_full_oracle() -> str:
+    from dataintegration_ecomprovider_spark.operators.export_views import products_export_full_oracle
+    return products_export_full_oracle()
+
+
 QUERIES: dict[str, QueryDef] = {
+    "products_export_full_a1_a2_j6": QueryDef(q_products_export_full, _products_export_full_oracle()),
     "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
     "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
     "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),

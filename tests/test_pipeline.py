@@ -160,6 +160,39 @@ def test_publish_swaps_atomically(spark, tmp_path):
     assert publish.read_table(spark, root, "nation").count() == nation.count()
 
 
+def test_incremental_merge_into_with_history_and_rollback(spark, tmp_path):
+    root = str(tmp_path / "store3")
+    cat = Catalog(spark, SF_DIR)
+    orders = cat.table("orders")
+    dest0 = orders.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(spark, {"orders": dest0}, root)
+
+    # three incremental merges = three committed versions
+    slices = [orders.filter(F.col("o_orderkey") % 3 == r).withColumn(
+        "o_orderstatus", F.lit(f"S{r}")) for r in range(3)]
+    for s in slices:
+        publish.merge_into(spark, root, "orders", s, ["o_orderkey"])
+    m = publish.current_manifest(root)
+    assert m["version"] == 4
+    final = publish.read_table(spark, root, "orders")
+
+    # converges to the one-shot upsert of the unioned staging
+    from dataintegration_ecomprovider_spark.operators import merge
+    all_staged = slices[0].unionByName(slices[1]).unionByName(slices[2])
+    want = merge.upsert(dest0, all_staged, ["o_orderkey"])
+    assert final.exceptAll(want).count() == 0 and want.exceptAll(final).count() == 0
+
+    # time travel: v1 is still the original dest
+    v1 = publish.read_table_at(spark, root, "orders", 1)
+    assert v1.exceptAll(dest0).count() == 0 and dest0.exceptAll(v1).count() == 0
+
+    # rollback re-commits v1's state as v5 without touching data dirs
+    publish.rollback(root, 1)
+    rolled = publish.read_table(spark, root, "orders")
+    assert publish.current_manifest(root)["version"] == 5
+    assert rolled.exceptAll(dest0).count() == 0 and dest0.exceptAll(rolled).count() == 0
+
+
 def test_publish_staging_invisible_until_commit(spark, tmp_path):
     root = str(tmp_path / "store2")
     cat = Catalog(spark, SF_DIR)
