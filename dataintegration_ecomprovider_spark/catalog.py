@@ -67,9 +67,11 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self.specs = dict(specs or FIXTURE_TABLES)
-        # runtime-settable so it also takes effect under a driver-provided
-        # session (not just ours from session.get_spark)
+        # runtime-settable so they also take effect under a driver-provided
+        # session (not just ours from session.get_spark): nanos parquet
+        # reads, and UTC so timestamp formatting matches the DuckDB oracle
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def spec(self, name: str) -> TableSpec:
         return self.specs[name]
