@@ -793,6 +793,73 @@ FROM ranked
 """
 
 
+# --- E18: assortment rebuild ------------------------------------------------
+def q_assortment_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference E18 (RebuildAssortments, src/AssortmentHandler.cs:116-161):
+    membership recomputed as a distinct union of relation-derived sets, then
+    the activation flip.  Assortments = regions; source 1 = parts shipped to
+    the region's customers (the group/shop chain); source 2 = direct
+    product relations (every 7th part pinned to its key%5 region).  Output:
+    per-region member count + how many parts end active overall."""
+    from dataintegration_ecomprovider_spark.operators.assortment import (
+        activate_for_membership, rebuild_membership,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    part, li, orders = cat.table("part"), cat.table("lineitem"), cat.table("orders")
+    customer, nation = cat.table("customer"), cat.table("nation")
+
+    chain = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey)
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == nation.n_nationkey)
+        .select(F.col("n_regionkey").alias("assortment_id"),
+                F.col("l_partkey").alias("product_id"))
+    )
+    direct = part.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") % 5).alias("assortment_id"),
+        F.col("p_partkey").alias("product_id"),
+    )
+    membership = rebuild_membership([chain, direct])
+    flagged = activate_for_membership(
+        part.select(F.col("p_partkey").alias("product_id")), membership
+    )
+    per_assortment = membership.groupBy("assortment_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("member_count")
+    )
+    actives = flagged.agg(
+        F.sum(F.when(F.col("product_active"), 1).otherwise(0)).cast("bigint").alias("n")
+    )
+    return per_assortment.crossJoin(actives.select(F.col("n").alias("active_products")))
+
+
+ORACLE_ASSORTMENT_REBUILD = """
+WITH chain AS (
+  SELECT n.n_regionkey AS assortment_id, l.l_partkey AS product_id
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+direct AS (
+  SELECT p_partkey % 5 AS assortment_id, p_partkey AS product_id
+  FROM part WHERE p_partkey % 7 = 0
+),
+membership AS (
+  SELECT DISTINCT assortment_id, product_id
+  FROM (SELECT * FROM chain UNION ALL SELECT * FROM direct)
+),
+actives AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS active_products
+  FROM part WHERE EXISTS (SELECT 1 FROM membership m WHERE m.product_id = part.p_partkey)
+)
+SELECT m.assortment_id, CAST(COUNT(*) AS BIGINT) AS member_count,
+       (SELECT active_products FROM actives) AS active_products
+FROM membership m GROUP BY m.assortment_id
+"""
+
+
 # --- E15/E16/U1-U3 composed: the RunJob pipeline ---------------------------
 def q_pipeline_run_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference §3.1 RunJob end-to-end: two mappings staging into the same
@@ -851,6 +918,7 @@ WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef  # noqa: E402
 
 QUERIES = {
+    "e18_assortment_rebuild": QueryDef(q_assortment_rebuild, ORACLE_ASSORTMENT_REBUILD),
     "e5_primary_demotion": QueryDef(q_primary_demotion, ORACLE_PRIMARY_DEMOTION),
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
