@@ -629,6 +629,40 @@ FROM part
 """
 
 
+# --- §2.9 scalar-function parity -------------------------------------------
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference §2.9 scalar families in one projection: SUBSTRING/LEN/
+    CONCAT (A3 allocators, src/EcomDestinationWriter.cs:494-651), REPLACE
+    quote-escaping (:2241), LIKE prefix tests, int CAST (:1441), ISNULL,
+    date formatting (:3288), and lower-cased case-insensitive keys (§2.9)."""
+    customer = Catalog(spark, sf_dir).table("customer")
+    return customer.select(
+        "c_custkey",
+        F.substring("c_name", 10, 10).alias("name_suffix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+        F.regexp_replace("c_name", "#", "##").alias("escaped_name"),
+        F.col("c_name").startswith("Customer#0000001").alias("has_prefix"),
+        F.substring("c_name", 10, 10).cast("bigint").alias("suffix_int"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("")), F.lit("(none)")).alias("segment"),
+        F.lower("c_mktsegment").alias("segment_ci"),
+    )
+
+
+ORACLE_SCALAR_FUNCTIONS = """
+SELECT c_custkey,
+       substr(c_name, 10, 10) AS name_suffix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       c_mktsegment || ':' || c_name AS tagged,
+       replace(c_name, '#', '##') AS escaped_name,
+       (c_name LIKE 'Customer#0000001%') AS has_prefix,
+       CAST(substr(c_name, 10, 10) AS BIGINT) AS suffix_int,
+       COALESCE(NULLIF(c_mktsegment, ''), '(none)') AS segment,
+       lower(c_mktsegment) AS segment_ci
+FROM customer
+"""
+
+
 # --- groups export view (A1 x2 + J1) ---------------------------------------
 def q_groups_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference EcomGroups export (src/EcomSourceReader.cs:329-352): the
@@ -658,6 +692,7 @@ def _products_export_full_oracle() -> str:
 QUERIES: dict[str, QueryDef] = {
     "products_export_full_a1_a2_j6": QueryDef(q_products_export_full, _products_export_full_oracle()),
     "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
+    "s29_scalar_functions": QueryDef(q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
     "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),
     "j17_e18_semi_join_chain": QueryDef(q_semi_join_chain, ORACLE_SEMI_JOIN_CHAIN),
