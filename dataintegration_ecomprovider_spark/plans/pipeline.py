@@ -70,6 +70,19 @@ class ColumnRule:
 
 
 @dataclass(frozen=True)
+class RelationOutput:
+    """A side-output derived from the shaped staging rows — the reference's
+    relation buffers (EcomGroupProductRelation etc. appended while shaping,
+    src/EcomDestinationWriter.cs:2699-2749) re-expressed as a transform:
+    `derive(staged)` returns the relation rows; they merge into
+    `dest_table` with the U9 relation-swap keyed on `match_keys`."""
+
+    dest_table: str
+    derive: Callable[[DataFrame], DataFrame]
+    match_keys: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class MappingSpec:
     """Declarative source→destination mapping (the reference's Mapping)."""
 
@@ -82,6 +95,7 @@ class MappingSpec:
     update_existing: bool = True
     remove_missing: bool = False                 # U5
     deactivate_flags: Mapping[str, Column] | None = None   # U7
+    relation_outputs: tuple[RelationOutput, ...] = ()      # E5-E7 → U9
 
     def key_columns(self) -> tuple[str, ...]:
         return tuple(c.dest for c in self.columns if c.is_key)
@@ -116,6 +130,7 @@ def complete_mapping(spec: MappingSpec, dest_key_columns: Sequence[str]) -> Mapp
         virtual_columns=spec.virtual_columns, insert_new=spec.insert_new,
         update_existing=spec.update_existing, remove_missing=spec.remove_missing,
         deactivate_flags=spec.deactivate_flags,
+        relation_outputs=spec.relation_outputs,
     )
 
 
@@ -186,6 +201,15 @@ def run_job(
     state: dict[str, DataFrame] = dict(dest_tables)
     for spec in ordered:
         source = catalog.table(spec.source_table)
-        staged = strip_virtual_columns(shape(source, spec), spec)
+        shaped = shape(source, spec)
+        # E5-E7: relation rows derive from the shaped staging BEFORE the
+        # virtual columns are stripped (they are the inputs being consumed),
+        # and land in their relation tables via the U9 swap
+        for rel in spec.relation_outputs:
+            rel_rows = rel.derive(shaped)
+            state[rel.dest_table] = merge.relation_swap(
+                state[rel.dest_table], rel_rows, list(rel.match_keys)
+            )
+        staged = strip_virtual_columns(shaped, spec)
         state[spec.dest_table] = merge_step(state[spec.dest_table], staged, spec)
     return state

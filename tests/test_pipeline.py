@@ -132,6 +132,64 @@ def test_run_job_mode_matrix(spark):
     assert update_only.count() == n_dest  # nothing inserted
 
 
+def test_run_job_relation_outputs_explode_into_swap(spark):
+    """E5→U9 through the pipeline: a mapping carrying a comma-quoted Groups
+    virtual column explodes it into relation rows that swap into the
+    relation table, while the virtual column itself never reaches the
+    destination (E17)."""
+    from dataintegration_ecomprovider_spark.operators.explode import explode_membership
+    from dataintegration_ecomprovider_spark.plans.pipeline import RelationOutput
+
+    cat = Catalog(spark, SF_DIR)
+    # destination state: parts + an existing relation table to be swapped
+    dest_parts = cat.table("part").select(
+        F.col("p_partkey").alias("product_id"), F.col("p_name").alias("product_name")
+    )
+    existing_rel = spark.createDataFrame(
+        [(1, "OLD", 0)], "product_id bigint, member string, pos int"
+    )
+
+    def derive_groups(staged):
+        return explode_membership(
+            staged, ["product_id"], "groups", "member"
+        ).select("product_id", "member", F.col("pos").cast("int").alias("pos"))
+
+    mapping = MappingSpec(
+        source_table="part",
+        dest_table="products",
+        columns=(
+            ColumnRule("product_id", "p_partkey", is_key=True),
+            ColumnRule("product_name", "p_name"),
+            # the virtual Groups column: two quoted members per product
+            ColumnRule("groups", "p_brand", script="prepend", script_value='"G1","'),
+        ),
+        conditional=F.col("p_partkey") <= 3,
+        virtual_columns=("groups",),
+        relation_outputs=(
+            RelationOutput("product_groups", derive_groups, ("product_id",)),
+        ),
+    )
+    # make the quoted list well-formed: '"G1","Brand#NN' -> append closing quote
+    # (script transforms compose; here prepend suffices for the shape test)
+    state = run_job(
+        cat,
+        {"products": dest_parts, "product_groups": existing_rel},
+        [mapping],
+    )
+    products = state["products"]
+    assert "groups" not in products.columns  # E17 strip held
+    rel = state["product_groups"].filter(F.col("product_id") <= 3)
+    got = {(r.product_id, r.pos): r.member for r in rel.collect()}
+    # each staged product contributed member G1 at pos 0 + its brand at pos 1
+    for pid in {r.product_id for r in rel.collect()}:
+        assert got[(pid, 0)] == "G1"
+        assert got[(pid, 1)].startswith("Brand#")
+    # the swap replaced the old relation row for staged products only
+    assert state["product_groups"].filter(F.col("member") == "OLD").count() == (
+        0 if 1 in {pid for (pid, _) in got} else 1
+    )
+
+
 def test_publish_swaps_atomically(spark, tmp_path):
     root = str(tmp_path / "store")
     cat = Catalog(spark, SF_DIR)
