@@ -55,6 +55,20 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+# GPT-2-style pretokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs.  Kept to constructs whose
+# semantics agree between Java regex (Spark) and DuckDB's RE2 so the oracle
+# can count with the same pattern.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pretokenizer matches — the cheap
+    engine-side estimate of LLM token usage (a real tokenizer would be a
+    pandas_udf over the same column; the counting surface is identical)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("bigint")
+
+
 def lang_guess(text: Column) -> Column:
     """Marker-word language ID: first language whose marker appears.  A
     deterministic n-gram-style heuristic (real model would be a pandas_udf;

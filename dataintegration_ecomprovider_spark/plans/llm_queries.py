@@ -151,6 +151,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("doc_count"),
         F.sum(text_ops.n_words(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum(text_ops.bpe_token_count(F.col("text"))).cast("bigint").alias("total_bpe_tokens"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
 
@@ -159,6 +160,9 @@ ORACLE_TOKEN_COUNTS = """
 SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count,
        CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
                      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+'))) AS BIGINT)
+         AS total_bpe_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY source
 """
