@@ -49,6 +49,10 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
+    # one generic warmup action so the first measured query doesn't absorb
+    # JVM/codegen startup (it is not one of the measured queries)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)

@@ -155,7 +155,10 @@ def minhash_candidates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    # candidate pairs are consumed several times downstream (id projection
+    # ×2 for the semi-join + the verification join) — persist the small
+    # pair set so the banded self-join runs once, not once per consumer
+    return pairs.persist()
 
 
 def jaccard_pairs(
