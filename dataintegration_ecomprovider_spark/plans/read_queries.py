@@ -663,6 +663,35 @@ FROM customer
 """
 
 
+# --- semi-structured extraction (events.props JSON) ------------------------
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON property extraction stays
+    JVM-side (get_json_object) and feeds a typed aggregation — the
+    training-pipeline pattern for event payloads (no analog in the
+    reference, whose EAV rows play this role — see A4/A5)."""
+    events = Catalog(spark, sf_dir).table("events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.max("k").cast("bigint").alias("k_max"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACTION = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
 # --- groups export view (A1 x2 + J1) ---------------------------------------
 def q_groups_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference EcomGroups export (src/EcomSourceReader.cs:329-352): the
@@ -693,6 +722,7 @@ QUERIES: dict[str, QueryDef] = {
     "products_export_full_a1_a2_j6": QueryDef(q_products_export_full, _products_export_full_oracle()),
     "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
     "s29_scalar_functions": QueryDef(q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
+    "json_props_extraction": QueryDef(q_json_extraction, ORACLE_JSON_EXTRACTION),
     "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
     "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),
     "j17_e18_semi_join_chain": QueryDef(q_semi_join_chain, ORACLE_SEMI_JOIN_CHAIN),
