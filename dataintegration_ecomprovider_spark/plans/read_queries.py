@@ -692,6 +692,23 @@ FROM events GROUP BY event_type
 """
 
 
+# --- sketch aggregates: HLL distinct + quantile sketch ---------------------
+def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation for 100 TB rollups: HyperLogLog++ distinct
+    counts and a quantile sketch per group — constant memory per group where
+    exact distinct/percentile would buffer the values.  Exact counterparts
+    ride along; tests/test_sketches.py bounds the sketch error.  Rows-only
+    (sketch estimates are engine-specific by design)."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).cast("bigint").alias("approx_distinct_parts"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("exact_p50_qty"),
+        F.round(F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 2).alias("approx_p50_qty"),
+    )
+
+
 # --- groups export view (A1 x2 + J1) ---------------------------------------
 def q_groups_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference EcomGroups export (src/EcomSourceReader.cs:329-352): the
@@ -723,6 +740,7 @@ QUERIES: dict[str, QueryDef] = {
     "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
     "s29_scalar_functions": QueryDef(q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "json_props_extraction": QueryDef(q_json_extraction, ORACLE_JSON_EXTRACTION),
+    "sketch_hll_quantile": QueryDef(q_sketch_aggregates, None),
     "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
     "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),
     "j17_e18_semi_join_chain": QueryDef(q_semi_join_chain, ORACLE_SEMI_JOIN_CHAIN),
