@@ -16,7 +16,7 @@ Tables are loaded lazily and never cached here; callers decide persistence.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -20,12 +20,11 @@ joins (supplier, nation, region) are explicit broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataintegration_ecomprovider_spark.catalog import Catalog
-from dataintegration_ecomprovider_spark.operators.string_agg import grouped_string_agg, collect_ordered
-from dataintegration_ecomprovider_spark.operators.topk import top_k_per_group
+from dataintegration_ecomprovider_spark.operators.string_agg import collect_ordered
 
 
 def products_export_view(cat: Catalog) -> DataFrame:

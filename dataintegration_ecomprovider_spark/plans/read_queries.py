@@ -12,13 +12,13 @@ value set so no extra distinct-scan job runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataintegration_ecomprovider_spark.catalog import Catalog
 from dataintegration_ecomprovider_spark.functions.text import max_id_suffix
 from dataintegration_ecomprovider_spark.operators.pivot import pivot_eav, unpivot_wide
-from dataintegration_ecomprovider_spark.operators.string_agg import collect_ordered, grouped_string_agg
+from dataintegration_ecomprovider_spark.operators.string_agg import collect_ordered
 from dataintegration_ecomprovider_spark.operators.topk import top_k_per_group
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 
