@@ -90,10 +90,15 @@ class MappingSpec:
     dest_table: str
     columns: tuple[ColumnRule, ...]
     conditional: Column | None = None            # P2 mapping conditionals
+    conditional_sql: str | None = None           # P2 parameterized: "{name}"
+    #   placeholders resolve from run_job(params=...) — the reference's
+    #   ReplaceMappingConditionalsWithValuesFromRequest (src/EcomProvider.cs:936)
     virtual_columns: tuple[str, ...] = ()        # E17: consumed pre-merge
     insert_new: bool = True                      # U3 mode matrix
     update_existing: bool = True
     remove_missing: bool = False                 # U5
+    delete_incoming: bool = False                # U4: delete INSTEAD of merge
+    discard_duplicates: bool = False             # E13b DiscardDuplicates option
     deactivate_flags: Mapping[str, Column] | None = None   # U7
     relation_outputs: tuple[RelationOutput, ...] = ()      # E5-E7 → U9
 
@@ -124,23 +129,27 @@ def complete_mapping(spec: MappingSpec, dest_key_columns: Sequence[str]) -> Mapp
                 )
         else:
             cols.append(ColumnRule(dest=k, source=k, is_key=True))
-    return MappingSpec(
-        source_table=spec.source_table, dest_table=spec.dest_table,
-        columns=tuple(cols), conditional=spec.conditional,
-        virtual_columns=spec.virtual_columns, insert_new=spec.insert_new,
-        update_existing=spec.update_existing, remove_missing=spec.remove_missing,
-        deactivate_flags=spec.deactivate_flags,
-        relation_outputs=spec.relation_outputs,
-    )
+    import dataclasses
+
+    return dataclasses.replace(spec, columns=tuple(cols))
 
 
-def shape(source: DataFrame, spec: MappingSpec) -> DataFrame:
-    """Extract+shape: conditionals (P2) then column rules (P1/P5/P7); merged
-    duplicate destinations concatenate in mapping order (P8,
-    GetMergedValue src/EcomDestinationWriter.cs:4453-4476)."""
+def shape(
+    source: DataFrame,
+    spec: MappingSpec,
+    params: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Extract+shape: conditionals (P2, both Column and parameterized-SQL
+    forms) then column rules (P1/P5/P7); merged duplicate destinations
+    concatenate in mapping order (P8, GetMergedValue
+    src/EcomDestinationWriter.cs:4453-4476); optional whole-row dedup over
+    the mapped columns (E13b DiscardDuplicates,
+    src/EcomDestinationWriter.cs:1176, src/EcomProvider.cs:989-990)."""
     df = source
     if spec.conditional is not None:
         df = df.filter(spec.conditional)
+    if spec.conditional_sql is not None:
+        df = df.filter(F.expr(spec.conditional_sql.format(**(params or {}))))
     by_dest: dict[str, list[Column]] = {}
     order: list[str] = []
     for rule in spec.columns:
@@ -153,7 +162,10 @@ def shape(source: DataFrame, spec: MappingSpec) -> DataFrame:
         exprs = by_dest[dest]
         col = exprs[0] if len(exprs) == 1 else F.concat(*[e.cast("string") for e in exprs])
         projections.append(col.alias(dest))
-    return df.select(*projections)
+    out = df.select(*projections)
+    if spec.discard_duplicates:
+        out = out.dropDuplicates()
+    return out
 
 
 def strip_virtual_columns(df: DataFrame, spec: MappingSpec) -> DataFrame:
@@ -166,8 +178,12 @@ def strip_virtual_columns(df: DataFrame, spec: MappingSpec) -> DataFrame:
 
 def merge_step(dest: DataFrame, staged: DataFrame, spec: MappingSpec) -> DataFrame:
     """One destination table's new state: the U1-U3 upsert matrix, then the
-    U5/U7 missing-row handling, per the spec's mode flags."""
+    U5/U7 missing-row handling, per the spec's mode flags.  U4
+    delete-incoming REPLACES the merge entirely (the reference's either-or
+    at src/EcomProvider.cs:1019-1021)."""
     keys = list(spec.key_columns())
+    if spec.delete_incoming:
+        return merge.delete_incoming(dest, staged, keys)
     out = merge.upsert(
         dest, staged, keys,
         insert_new=spec.insert_new, update_existing=spec.update_existing,
@@ -184,6 +200,7 @@ def run_job(
     dest_tables: Mapping[str, DataFrame],
     mappings: Sequence[MappingSpec],
     dest_keys: Mapping[str, Sequence[str]] | None = None,
+    params: Mapping[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """The full RunJob pipeline as pure DataFrame transforms: normalize
     (E15+E16), shape, strip virtuals (E17), merge per destination table —
@@ -201,7 +218,7 @@ def run_job(
     state: dict[str, DataFrame] = dict(dest_tables)
     for spec in ordered:
         source = catalog.table(spec.source_table)
-        shaped = shape(source, spec)
+        shaped = shape(source, spec, params)
         # E5-E7: relation rows derive from the shaped staging BEFORE the
         # virtual columns are stripped (they are the inputs being consumed),
         # and land in their relation tables via the U9 swap

@@ -190,6 +190,53 @@ def test_run_job_relation_outputs_explode_into_swap(spark):
     )
 
 
+def test_parameterized_conditional_discard_duplicates_and_delete_incoming(spark):
+    cat = Catalog(spark, SF_DIR)
+    orders = cat.table("orders")
+    dest0 = orders.select("o_orderkey", "o_orderstatus")
+
+    # P2 parameterized conditional: threshold injected at run time (the
+    # reference substitutes request values into conditionals)
+    param_mapping = MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(
+            ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+            ColumnRule("o_orderstatus", script="constant", script_value="PARAMED"),
+        ),
+        conditional_sql="o_totalprice > {threshold}",
+    )
+    out = run_job(cat, {"orders": dest0}, [param_mapping], params={"threshold": "100000"})["orders"]
+    n_staged = orders.filter(F.col("o_totalprice") > 100000).count()
+    assert out.filter(F.col("o_orderstatus") == "PARAMED").count() == n_staged
+
+    # E13b DiscardDuplicates: mapping projecting a non-unique column set
+    # collapses identical rows before the merge
+    dd = MappingSpec(
+        source_table="orders",
+        dest_table="statuses",
+        columns=(ColumnRule("o_orderstatus", "o_orderstatus", is_key=True),),
+        discard_duplicates=True,
+    )
+    statuses0 = spark.createDataFrame([("Z",)], "o_orderstatus string")
+    got = run_job(cat, {"statuses": statuses0}, [dd])["statuses"]
+    distinct_statuses = {r.o_orderstatus for r in orders.select("o_orderstatus").distinct().collect()}
+    assert {r.o_orderstatus for r in got.collect()} == distinct_statuses | {"Z"}
+    assert got.count() == len(distinct_statuses | {"Z"})  # no dup rows staged
+
+    # U4 delete-incoming replaces the merge: staged keys are REMOVED
+    del_mapping = MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(ColumnRule("o_orderkey", "o_orderkey", is_key=True),),
+        conditional=F.col("o_orderkey") % 2 == 0,
+        delete_incoming=True,
+    )
+    left = run_job(cat, {"orders": dest0}, [del_mapping])["orders"]
+    assert left.filter(F.col("o_orderkey") % 2 == 0).count() == 0
+    assert left.count() == dest0.filter(F.col("o_orderkey") % 2 != 0).count()
+
+
 def test_publish_swaps_atomically(spark, tmp_path):
     root = str(tmp_path / "store")
     cat = Catalog(spark, SF_DIR)
