@@ -262,6 +262,79 @@ LEFT JOIN shops s ON n.n_nationkey = s.c_nationkey
 """
 
 
+def variant_options_export_view(cat: Catalog, language: str | None = None) -> DataFrame:
+    """The EcomVariantsOptions export SELECT (J3, src/EcomSourceReader.cs:
+    247-254): options inner-join languages, LEFT join variant groups on TWO
+    keys, optional language filter (P3), aliased output.  Fixture roles:
+    customer=options, nation=languages, region=variant groups; the second
+    left-join key is a parity condition standing in for the group-language
+    pair."""
+    customer, nation, region = cat.table("customer"), cat.table("nation"), cat.table("region")
+    df = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner"
+    )
+    if language is not None:
+        df = df.filter(F.col("n_name") == language)
+    vg = region.select("r_regionkey", "r_name")
+    df = df.join(
+        F.broadcast(vg),
+        (nation.n_regionkey == vg.r_regionkey) & (customer.c_custkey % 2 == 0),
+        "left",
+    )
+    return df.select(
+        F.col("c_custkey").alias("option_id"),
+        F.col("c_name").alias("option_name"),
+        F.col("n_name").alias("option_language"),
+        F.coalesce("r_name", F.lit("")).alias("variant_group_name"),
+    )
+
+
+def variant_options_export_oracle(language: str | None = None) -> str:
+    lang_cond = f"AND n.n_name = '{language}'" if language else ""
+    return f"""
+SELECT c.c_custkey AS option_id, c.c_name AS option_name,
+       n.n_name AS option_language,
+       COALESCE(r.r_name, '') AS variant_group_name
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey {lang_cond}
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey AND c.c_custkey % 2 = 0
+"""
+
+
+def stock_units_export_view(cat: Catalog) -> DataFrame:
+    """The EcomStockUnit export SELECT (J9, src/EcomSourceReader.cs:301-310):
+    stock rows LEFT join products on a multi-condition key, LEFT join stock
+    locations, null-coalesced names.  Fixture roles: lineitem=stock units,
+    part=products (joined only when the size class matches — the extra key
+    condition), supplier=stock locations."""
+    li, part, supplier = cat.table("lineitem"), cat.table("part"), cat.table("supplier")
+    p = part.select("p_partkey", "p_name", "p_size")
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(p), (li.l_partkey == p.p_partkey) & (p.p_size < 40), "left")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left")
+        .select(
+            F.col("l_orderkey").alias("stock_unit_id"),
+            F.col("l_linenumber").alias("stock_unit_line"),
+            F.coalesce("p_name", F.lit("")).alias("product_name"),
+            F.coalesce("s_name", F.lit("")).alias("stock_location_name"),
+            F.round("l_quantity", 2).alias("stock_quantity"),
+        )
+    )
+
+
+def stock_units_export_oracle() -> str:
+    return """
+SELECT l.l_orderkey AS stock_unit_id, l.l_linenumber AS stock_unit_line,
+       COALESCE(p.p_name, '') AS product_name,
+       COALESCE(s.s_name, '') AS stock_location_name,
+       ROUND(l.l_quantity, 2) AS stock_quantity
+FROM lineitem l
+LEFT JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 40
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+"""
+
+
 def products_export_oracle() -> str:
     """DuckDB-equivalent SQL for products_export_view (same aliases)."""
     return """

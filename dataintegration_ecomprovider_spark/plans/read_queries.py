@@ -735,12 +735,40 @@ def _products_export_full_oracle() -> str:
     return products_export_full_oracle()
 
 
+def q_variant_options_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference EcomVariantsOptions export (J3 + P3,
+    src/EcomSourceReader.cs:247-254)."""
+    from dataintegration_ecomprovider_spark.operators.export_views import variant_options_export_view
+    return variant_options_export_view(Catalog(spark, sf_dir))
+
+
+def _variant_options_export_oracle() -> str:
+    from dataintegration_ecomprovider_spark.operators.export_views import variant_options_export_oracle
+    return variant_options_export_oracle()
+
+
+def q_stock_units_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference EcomStockUnit export (J9 + P6,
+    src/EcomSourceReader.cs:301-310)."""
+    from dataintegration_ecomprovider_spark.operators.export_views import stock_units_export_view
+    return stock_units_export_view(Catalog(spark, sf_dir))
+
+
+def _stock_units_export_oracle() -> str:
+    from dataintegration_ecomprovider_spark.operators.export_views import stock_units_export_oracle
+    return stock_units_export_oracle()
+
+
 QUERIES: dict[str, QueryDef] = {
     "products_export_full_a1_a2_j6": QueryDef(q_products_export_full, _products_export_full_oracle()),
     "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
     "s29_scalar_functions": QueryDef(q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "json_props_extraction": QueryDef(q_json_extraction, ORACLE_JSON_EXTRACTION),
     "sketch_hll_quantile": QueryDef(q_sketch_aggregates, None),
+    "variant_options_export_j3_p3": QueryDef(
+        q_variant_options_export, _variant_options_export_oracle()
+    ),
+    "stock_units_export_j9_p6": QueryDef(q_stock_units_export, _stock_units_export_oracle()),
     "j5_left_join_pivoted": QueryDef(q_left_join_pivoted, ORACLE_LEFT_JOIN_PIVOTED),
     "j9_chained_left_joins": QueryDef(q_chained_left_joins, ORACLE_CHAINED_LEFT_JOINS),
     "j17_e18_semi_join_chain": QueryDef(q_semi_join_chain, ORACLE_SEMI_JOIN_CHAIN),
