@@ -1,0 +1,95 @@
+"""Deterministic sampling / corpus-mix operators for training-data pipelines
+(BASELINE north star; no counterpart in the reference — net-new surface like
+llm/dedup.py).
+
+All three operators are **hash-deterministic**: membership depends only on
+the row's id (via md5), never on RNG state, partitioning, or cluster size —
+re-running the pipeline, retrying a task, or resizing the cluster yields the
+same sample.  That property is what makes them safe at 100 TB:
+
+- `split_assign` (train/val/test) is **map-only** — a projection over the
+  scan, no shuffle at all; Catalyst pushes the surviving-column pruning into
+  the parquet reader.
+- `stratified_topk` (exact per-stratum cap) shuffles once on the stratum key
+  and sorts only within strata.  For skewed strata at extreme scale prefer
+  `rebalance_mix`, which never sorts.
+- `rebalance_mix` (equalize strata) aggregates per-stratum counts (tiny,
+  map-side combined), broadcasts the keep-fraction table, and filters
+  map-side — two passes over the corpus but no wide shuffle of it.
+
+md5 (not xxhash64) so every operator is exactly reproducible in the DuckDB
+oracle: bucket = first 4 hex chars of md5(cast(id as string)) ∈ [0, 65536).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 65536  # 16^4: 4 hex chars of md5
+
+
+def hash_bucket(col: Column) -> Column:
+    """Deterministic bucket in [0, 65536) from md5 of the stringified id."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """Add `bucket` and `split` ('val'/'test'/'train') columns.
+
+    Map-only: split membership is a pure function of the id, so the split is
+    stable under re-runs and under corpus growth (new docs land in splits at
+    the configured rates without reshuffling old ones)."""
+    t_val = int(val_frac * BUCKETS)
+    t_test = int((val_frac + test_frac) * BUCKETS)
+    b = hash_bucket(F.col(id_col))
+    return docs.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < t_val, F.lit("val"))
+        .when(F.col("bucket") < t_test, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def stratified_topk(
+    docs: DataFrame, strata_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen by md5 rank (deterministic).
+
+    One shuffle on the stratum key; the order-by is (md5(id), id) so ties
+    are impossible and the selection is independent of input partitioning."""
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def rebalance_mix(
+    docs: DataFrame, strata_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Downsample every stratum to ≈ the smallest stratum's size (equal mix).
+
+    keep_fraction(stratum) = min_count / count; a row survives iff its hash
+    bucket < floor(65536 * keep_fraction).  The count table is tiny (one row
+    per stratum) and broadcast, so the corpus itself is filtered map-side —
+    the scalable alternative to sorting within skewed strata."""
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("mn"))
+    thresholds = counts.crossJoin(F.broadcast(min_cnt)).select(
+        strata_col,
+        F.floor(F.lit(float(BUCKETS)) * F.col("mn") / F.col("cnt"))
+        .cast("int")
+        .alias("keep_below"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), strata_col)
+        .filter(hash_bucket(F.col(id_col)) < F.col("keep_below"))
+        .drop("keep_below")
+    )

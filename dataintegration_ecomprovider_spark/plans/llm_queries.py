@@ -263,8 +263,84 @@ FROM d, UNNEST(generate_series(0, CAST(CEIL(bl / 64.0) AS BIGINT) - 1, 4)) AS t(
 """
 
 
+# --- deterministic hash split (train/val/test) ----------------------------
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only deterministic split assignment (llm/sampling.py): membership
+    is a pure function of md5(doc_id) — stable across re-runs, retries, and
+    cluster sizes; no shuffle."""
+    from dataintegration_ecomprovider_spark.llm import sampling
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return sampling.split_assign(docs).select("doc_id", "bucket", "split")
+
+
+ORACLE_SPLIT_HASH = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 6553 THEN 'val'
+            WHEN bucket < 13107 THEN 'test'
+            ELSE 'train' END AS split
+FROM d
+"""
+
+
+# --- stratified per-language sample ---------------------------------------
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 docs per language, md5-ranked (llm/sampling.py): one
+    shuffle on the stratum key, tie-free deterministic order."""
+    from dataintegration_ecomprovider_spark.llm import sampling
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return sampling.stratified_topk(docs, "lang", k=50).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM ranked WHERE sample_rank <= 50
+"""
+
+
+# --- corpus mix rebalance (equalize sources) ------------------------------
+def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every language to ≈ the smallest language's size via broadcast
+    keep-fractions + map-side hash filter (llm/sampling.py) — the
+    skew-immune alternative to per-stratum sorting at 100 TB."""
+    from dataintegration_ecomprovider_spark.llm import sampling
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return sampling.rebalance_mix(docs, "lang").select("doc_id", "lang")
+
+
+ORACLE_REBALANCE_MIX = """
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+m AS (SELECT MIN(cnt) AS mn FROM c),
+d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM d JOIN c USING (lang) CROSS JOIN m
+WHERE d.bucket < CAST(FLOOR(65536.0 * m.mn / c.cnt) AS INTEGER)
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "llm_split_hash": QueryDef(q_split_hash, ORACLE_SPLIT_HASH),
+    "llm_sample_stratified": QueryDef(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
+    "llm_rebalance_mix": QueryDef(q_rebalance_mix, ORACLE_REBALANCE_MIX),
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
     "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),

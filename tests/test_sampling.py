@@ -1,0 +1,64 @@
+"""Invariants for the deterministic sampling operators (llm/sampling.py):
+split stability/coverage, exact stratified caps, and rebalance proportions.
+The value-level gates are the DuckDB oracles (llm_split_hash,
+llm_sample_stratified, llm_rebalance_mix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.llm import sampling
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return Catalog(spark, SF_DIR).table("documents")
+
+
+def test_split_assign_partitions_and_is_deterministic(spark):
+    docs = _docs(spark)
+    a = sampling.split_assign(docs)
+    total = docs.count()
+    by_split = dict(a.groupBy("split").count().collect())
+    assert sum(by_split.values()) == total  # every row in exactly one split
+    # rates within a loose tolerance of the configured 10/10/80
+    assert 0.04 < by_split.get("val", 0) / total < 0.16
+    assert 0.04 < by_split.get("test", 0) / total < 0.16
+    # repartitioning the input cannot change any assignment
+    b = sampling.split_assign(docs.repartition(7))
+    assert a.select("doc_id", "split").exceptAll(b.select("doc_id", "split")).count() == 0
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """Docs present before growth keep their split after new docs arrive."""
+    docs = _docs(spark)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    grown = sampling.split_assign(docs).filter(F.col("doc_id") % 2 == 0)
+    alone = sampling.split_assign(half)
+    assert grown.select("doc_id", "split").exceptAll(alone.select("doc_id", "split")).count() == 0
+
+
+def test_stratified_topk_exact_cap_and_no_ties(spark):
+    docs = _docs(spark)
+    k = 20
+    out = sampling.stratified_topk(docs, "lang", k=k)
+    per = out.groupBy("lang").count().collect()
+    sizes = dict(docs.groupBy("lang").count().collect())
+    for row in per:
+        assert row["count"] == min(k, sizes[row["lang"]])
+    # rank is dense 1..k within each stratum
+    mx = out.groupBy("lang").agg(F.max("sample_rank").alias("m"), F.count(F.lit(1)).alias("c"))
+    assert all(r["m"] == r["c"] for r in mx.collect())
+
+
+def test_rebalance_mix_equalizes_within_tolerance(spark):
+    docs = _docs(spark)
+    out = sampling.rebalance_mix(docs, "lang")
+    sizes = dict(out.groupBy("lang").count().collect())
+    mn = min(dict(docs.groupBy("lang").count().collect()).values())
+    # hash thresholding is approximate: each stratum lands near the min size
+    for lang, n in sizes.items():
+        assert 0.5 * mn <= n <= 1.5 * mn, (lang, n, mn)
+    # subset of the corpus, no duplication
+    assert out.count() == out.dropDuplicates(["doc_id"]).count()
