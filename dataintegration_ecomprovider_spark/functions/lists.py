@@ -29,12 +29,17 @@ def encode_quoted_list(arr: Column) -> Column:
 
 
 def decode_quoted_list(col: Column) -> Column:
-    """'"v1","v2"' string -> array<string> (SplitOnComma semantics:
-    split on ',', trim surrounding double quotes and whitespace;
-    src/EcomDestinationWriter.cs:1508-1521).  Empty/null input -> empty array.
-    """
-    return F.when(col.isNull() | (F.length(F.trim(col)) == 0), F.array().cast("array<string>")).otherwise(
-        F.transform(F.split(col, ","), lambda v: F.regexp_replace(F.trim(v), '^"|"$', ""))
+    """'"v1","v2"' string -> array<string>, exactly SplitOnComma
+    (src/EcomDestinationWriter.cs:1508-1521): split on ',' with
+    RemoveEmptyEntries (leading/double commas drop out), then Trim('"') —
+    ALL leading/trailing double-quote chars, and ONLY quote chars (interior
+    whitespace survives, so ' "b"' keeps its leading space and the quote it
+    shields).  Null input -> empty array (the C# null branch)."""
+    return F.when(col.isNull(), F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.filter(F.split(col, ","), lambda v: v != ""),
+            lambda v: F.regexp_replace(v, '^"+|"+$', ""),
+        )
     )
 
 
