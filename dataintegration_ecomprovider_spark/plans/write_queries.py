@@ -585,7 +585,16 @@ def q_variant_option_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = composite.select(
         "l_orderkey",
         F.posexplode(F.split("variant_options", "\\.")).alias("pos", "option_key"),
-    ).dropDuplicates(["l_orderkey", "option_key"])
+    )
+    # reference dedups the relation pair on a LOWERCASED key, first
+    # occurrence wins (ecomVariantOptionsProductRelationKeys,
+    # src/EcomDestinationWriter.cs:1320-1322)
+    w_pair = Window.partitionBy("l_orderkey", F.lower("option_key")).orderBy("pos")
+    exploded = (
+        exploded.withColumn("__rn", F.row_number().over(w_pair))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     dim = supplier.filter(F.col("s_acctbal") > 0).select(
         F.col("s_suppkey").cast("string").alias("option_key")
     ).withColumn("__ok", F.lit(True))
