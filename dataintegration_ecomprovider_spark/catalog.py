@@ -85,7 +85,10 @@ class Catalog:
             # default; read it as long (runtime-settable legacy conf) and
             # surface a proper microsecond TimestampType to consumers.
             if dict(df.dtypes).get("ts") == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                # integer DIV, not double division: epoch-nanos ~1.7e18
+                # exceed double's 2^53 exact range (ulp ≈ 256ns), so
+                # (ts/1000).cast("long") can land 1µs off near boundaries
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

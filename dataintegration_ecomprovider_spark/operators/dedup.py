@@ -19,9 +19,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def first_wins(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+def first_wins(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    order_by: Sequence[Column],
+) -> DataFrame:
     """Keep one row per key under a total order ("first row wins" with an
-    explicit, retry-stable definition of first)."""
+    explicit, retry-stable definition of first).  `keys` may be column
+    names or expressions (e.g. ci()-normalized keys for the reference's
+    case-insensitive collation)."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))

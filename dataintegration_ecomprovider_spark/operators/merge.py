@@ -25,15 +25,82 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataintegration_ecomprovider_spark.functions.text import ci
 
-def _key_cond(dest: DataFrame, staging: DataFrame, keys: Sequence[str]) -> Column:
-    cond = F.lit(True)
+
+def _k(df: DataFrame, name: str, case_insensitive: bool) -> Column:
+    """One side of a key comparison.  Under `case_insensitive` string keys
+    compare through ci() — the reference matches keys under SQL Server's
+    case-insensitive collation everywhere (OrdinalIgnoreCase,
+    src/EcomDestinationWriter.cs:50-52, :1053; SURVEY §2.9).  Non-string
+    keys are left alone (collation doesn't apply)."""
+    col = df[name]
+    if case_insensitive and dict(df.dtypes).get(name) == "string":
+        return ci(col)
+    return col
+
+
+def _with_norm_keys(
+    df: DataFrame, keys: Sequence[str], case_insensitive: bool
+) -> tuple[DataFrame, list[str]]:
+    """Add `__k_<key>` normalized-key columns for name-based joins (semi /
+    anti), returning (df, norm_names).  Callers join on the norm names and
+    drop them after."""
+    norm = []
     for k in keys:
-        cond = cond & (dest[k] == staging[k])
-    return cond
+        nk = f"__k_{k}"
+        df = df.withColumn(nk, _k(df, k, case_insensitive))
+        norm.append(nk)
+    return df, norm
+
+
+def _key_side(
+    df: DataFrame, keys: Sequence[str], case_insensitive: bool
+) -> DataFrame:
+    """Project just the (normalized) key columns for the build side of a
+    semi/anti join."""
+    return df.select(
+        [_k(df, k, case_insensitive).alias(f"__k_{k}") for k in keys]
+    )
+
+
+def assert_unique_keys(
+    staging: DataFrame,
+    keys: Sequence[str],
+    table: str = "staging",
+    case_insensitive: bool = False,
+) -> DataFrame:
+    """Runtime guard reproducing the reference's duplicate-staging-key
+    failure contract: a duplicate key aborts the job with the offending key
+    values in the message ("Subquery returned more than 1 value" → check
+    for duplicate ProductNumber rows, src/EcomProvider.cs:1052-1053).
+
+    Implemented as a count-over-keys window + a conditional raise_error in a
+    filter — the check rides along the job's own execution (no separate
+    validation pass over staging; the window shuffles on the same keys the
+    merge join needs anyway)."""
+    w = Window.partitionBy(*[_k(staging, k, case_insensitive) for k in keys])
+    msg = F.concat(
+        F.lit(f"duplicate staging key in {table} ("),
+        F.concat_ws(
+            ", ", *[F.col(k).cast("string") for k in keys]
+        ),
+        F.lit(
+            ") — remove rows with duplicate key values from the source "
+            "(reference: 'Subquery returned more than 1 value', "
+            "src/EcomProvider.cs:1052-1053)"
+        ),
+    )
+    return (
+        staging.withColumn("__kcnt", F.count(F.lit(1)).over(w))
+        .filter(
+            F.when(F.col("__kcnt") > 1, F.raise_error(msg)).otherwise(F.lit(True))
+        )
+        .drop("__kcnt")
+    )
 
 
 def upsert(
@@ -45,6 +112,8 @@ def upsert(
     update_columns: Sequence[str] | None = None,
     set_on_update: dict[str, Column] | None = None,
     set_on_insert: dict[str, Column] | None = None,
+    validate_unique: bool = False,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """New table state after the U1-U3 upsert matrix.
 
@@ -53,13 +122,75 @@ def upsert(
     - unmatched staging rows are appended when `insert_new` (U2);
     - `set_on_update` / `set_on_insert` add audit stamps (the reference
       stamps ProductUpdated / ProductCreated, src/EcomDestinationWriter.cs:
-      3274, 3286-3289).
+      3274, 3286-3289);
+    - `validate_unique` enforces the reference's duplicate-staging-key
+      failure contract (assert_unique_keys);
+    - `case_insensitive` matches string keys under ci() — the reference's
+      SQL Server collation semantics; matched rows keep the DEST key casing
+      (an UPDATE never rewrites the PK).
 
-    Implementation: one full-outer-shaped pass = dest left join staging
-    (rewrite matched) + staging anti dest (inserts).  Duplicate staging keys
-    must be resolved upstream (see dedup.py) — the reference errors on them
-    ("Subquery returned more than 1 value", src/EcomProvider.cs:1052-1053).
+    Implementation: ONE full-outer join = one staging read and one dest
+    read producing both halves (matched rewrites + unmatched inserts) in a
+    single pass — at 100 TB this halves staging scans vs the reference's
+    two statements (UPDATE + INSERT-via-anti-join, MoveDataToMainTable
+    src/EcomDestinationWriter.cs:3220-3333).  `upsert_two_pass` keeps the
+    literal two-statement form as a cross-check oracle.  Both sides shuffle
+    once on the keys (or the small side broadcasts).
     """
+    dest_cols = dest.columns
+    dtypes = dict(dest.dtypes)
+    if update_columns is None:
+        update_columns = [c for c in dest_cols if c not in keys and c in staging.columns]
+    if validate_unique:
+        staging = assert_unique_keys(
+            staging, keys, case_insensitive=case_insensitive
+        )
+
+    s = staging.select(
+        [F.col(c).alias(f"__s_{c}") for c in staging.columns]
+    ).withColumn("__s_present", F.lit(True))
+    d = dest.withColumn("__d_present", F.lit(True))
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (_k(d, k, case_insensitive) == _k(s, f"__s_{k}", case_insensitive))
+
+    joined = d.join(s, cond, "full_outer" if insert_new else "left")
+    matched = d["__d_present"].isNotNull() & s["__s_present"].isNotNull()
+    insert_row = d["__d_present"].isNull()
+
+    out_cols = []
+    for c in dest_cols:
+        if update_existing and c in update_columns:
+            expr = F.when(matched, s[f"__s_{c}"]).otherwise(d[c])
+        else:
+            expr = d[c]
+        if update_existing and set_on_update and c in set_on_update:
+            expr = F.when(matched, set_on_update[c]).otherwise(expr)
+        if insert_new:
+            if set_on_insert and c in set_on_insert:
+                ins = set_on_insert[c]
+            elif c in staging.columns:
+                ins = s[f"__s_{c}"]
+            else:
+                ins = F.lit(None).cast(dtypes[c])
+            expr = F.when(insert_row, ins).otherwise(expr)
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)
+
+
+def upsert_two_pass(
+    dest: DataFrame,
+    staging: DataFrame,
+    keys: Sequence[str],
+    insert_new: bool = True,
+    update_existing: bool = True,
+    update_columns: Sequence[str] | None = None,
+    set_on_update: dict[str, Column] | None = None,
+    set_on_insert: dict[str, Column] | None = None,
+) -> DataFrame:
+    """The reference's literal two-statement form (UPDATE join + INSERT
+    anti-join) — kept as a cross-check for the single-pass `upsert`
+    (tests assert both produce identical rows).  Reads staging twice."""
     dest_cols = dest.columns
     if update_columns is None:
         update_columns = [c for c in dest_cols if c not in keys and c in staging.columns]
@@ -98,10 +229,18 @@ def upsert(
     return updated.unionByName(inserts)
 
 
-def delete_incoming(dest: DataFrame, staging: DataFrame, keys: Sequence[str]) -> DataFrame:
+def delete_incoming(
+    dest: DataFrame,
+    staging: DataFrame,
+    keys: Sequence[str],
+    case_insensitive: bool = False,
+) -> DataFrame:
     """U4 DeleteIncomingItems: remove dest rows matched by staging (semi-
     delete → remaining = anti join; src/EcomDestinationWriter.cs:3116-3132)."""
-    return dest.join(staging.select(*keys), list(keys), "left_anti")
+    d, norm = _with_norm_keys(dest, keys, case_insensitive)
+    return d.join(
+        _key_side(staging, keys, case_insensitive), norm, "left_anti"
+    ).drop(*norm)
 
 
 def remove_missing(
@@ -109,6 +248,7 @@ def remove_missing(
     staging: DataFrame,
     keys: Sequence[str],
     scope: Column | None = None,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """U5/U6/U8 delete-missing: remove dest rows NOT in staging, optionally
     only within `scope` (the reference's shop/language extra conditions,
@@ -117,11 +257,13 @@ def remove_missing(
 
     remaining = (dest ∈ scope ∧ dest semi staging) ∪ (dest ∉ scope)
     """
+    skeys = _key_side(staging, keys, case_insensitive)
     if scope is None:
-        return dest.join(staging.select(*keys), list(keys), "left_semi")
-    in_scope = dest.filter(scope)
+        d, norm = _with_norm_keys(dest, keys, case_insensitive)
+        return d.join(skeys, norm, "left_semi").drop(*norm)
+    in_scope, norm = _with_norm_keys(dest.filter(scope), keys, case_insensitive)
     out_scope = dest.filter(~scope | scope.isNull())
-    kept = in_scope.join(staging.select(*keys), list(keys), "left_semi")
+    kept = in_scope.join(skeys, norm, "left_semi").drop(*norm)
     return kept.unionByName(out_scope)
 
 
@@ -131,25 +273,33 @@ def deactivate_missing(
     keys: Sequence[str],
     flags: dict[str, Column],
     scope: Column | None = None,
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """U7 soft delete: instead of removing missing rows, set flag columns
     (ProductActive=false, optionally ProductHidden=true;
     src/EcomProvider.cs:164-168, src/EcomDestinationWriter.cs:3093-3101)."""
-    marker = staging.select(*keys).dropDuplicates(list(keys)).withColumn("__hit", F.lit(True))
-    joined = dest.join(marker, list(keys), "left")
+    norm = [f"__k_{k}" for k in keys]
+    marker = (
+        _key_side(staging, keys, case_insensitive)
+        .dropDuplicates(norm)
+        .withColumn("__hit", F.lit(True))
+    )
+    d, _ = _with_norm_keys(dest, keys, case_insensitive)
+    joined = d.join(marker, norm, "left")
     missing = F.col("__hit").isNull()
     if scope is not None:
         missing = missing & scope
     out = joined
     for name, value in flags.items():
         out = out.withColumn(name, F.when(missing, value).otherwise(F.col(name)))
-    return out.drop("__hit")
+    return out.drop("__hit", *norm)
 
 
 def relation_swap(
     dest: DataFrame,
     staging: DataFrame,
     match_keys: Sequence[str],
+    case_insensitive: bool = False,
 ) -> DataFrame:
     """U9 relation-table swap: delete dest rows matching staged rows on
     `match_keys` (pair-key or parent-key per flags,
@@ -157,8 +307,11 @@ def relation_swap(
 
     new = (dest anti staging[match_keys]) ∪ staging
     """
-    survivors = dest.join(staging.select(*match_keys).dropDuplicates(list(match_keys)),
-                          list(match_keys), "left_anti")
+    d, norm = _with_norm_keys(dest, match_keys, case_insensitive)
+    survivors = d.join(
+        _key_side(staging, match_keys, case_insensitive).dropDuplicates(norm),
+        norm, "left_anti",
+    ).drop(*norm)
     return survivors.unionByName(staging.select(*dest.columns))
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataintegration_ecomprovider_spark.catalog import Catalog
-from dataintegration_ecomprovider_spark.operators import merge
+from dataintegration_ecomprovider_spark.operators import dedup, merge
 
 # E15: the reference's fixed dependency order (OrderTablesInJob,
 # src/EcomProvider.cs:819-920) — dimensions before facts before relations.
@@ -101,6 +101,19 @@ class MappingSpec:
     discard_duplicates: bool = False             # E13b DiscardDuplicates option
     deactivate_flags: Mapping[str, Column] | None = None   # U7
     relation_outputs: tuple[RelationOutput, ...] = ()      # E5-E7 → U9
+    # Duplicate-KEY handling before the upsert (distinct from
+    # discard_duplicates, which only drops identical whole rows): the
+    # reference dedups product PKs first-row-wins
+    # (src/EcomDestinationWriter.cs:1269-1278) and errors on duplicate
+    # subquery matches elsewhere (src/EcomProvider.cs:1052-1053).
+    #   "first_wins" — deterministic one-row-per-key (default; order = the
+    #                  non-key staged columns ascending, retry-stable);
+    #   "error"      — abort with the offending keys (reference contract);
+    #   "allow"      — pass through (caller guarantees uniqueness).
+    on_duplicate_keys: str = "first_wins"
+    # The reference matches keys under SQL Server's case-insensitive
+    # collation everywhere (OrdinalIgnoreCase, EcomDestinationWriter.cs:50-52)
+    case_insensitive_keys: bool = True
 
     def key_columns(self) -> tuple[str, ...]:
         return tuple(c.dest for c in self.columns if c.is_key)
@@ -160,7 +173,15 @@ def shape(
     projections = []
     for dest in order:
         exprs = by_dest[dest]
-        col = exprs[0] if len(exprs) == 1 else F.concat(*[e.cast("string") for e in exprs])
+        # P8 merge skips null pieces (the reference's
+        # IsColumnNullableAndValueNull → continue, then += over the rest,
+        # src/EcomDestinationWriter.cs:1160-1175) — a null source must not
+        # null the whole merged value, so coalesce each piece to ''.
+        col = (
+            exprs[0]
+            if len(exprs) == 1
+            else F.concat(*[F.coalesce(e.cast("string"), F.lit("")) for e in exprs])
+        )
         projections.append(col.alias(dest))
     out = df.select(*projections)
     if spec.discard_duplicates:
@@ -182,16 +203,30 @@ def merge_step(dest: DataFrame, staged: DataFrame, spec: MappingSpec) -> DataFra
     delete-incoming REPLACES the merge entirely (the reference's either-or
     at src/EcomProvider.cs:1019-1021)."""
     keys = list(spec.key_columns())
+    ci_keys = spec.case_insensitive_keys
     if spec.delete_incoming:
-        return merge.delete_incoming(dest, staged, keys)
+        return merge.delete_incoming(dest, staged, keys, case_insensitive=ci_keys)
+    if keys and spec.on_duplicate_keys == "first_wins":
+        # deterministic key-level dedup: staging rows sharing key values
+        # must not fan out the matched update (reference PK dedup,
+        # src/EcomDestinationWriter.cs:1269-1278)
+        part = [merge._k(staged, k, ci_keys) for k in keys]
+        order = [F.col(c) for c in staged.columns if c not in keys]
+        staged = dedup.first_wins(staged, part, order) if order else (
+            staged.dropDuplicates(keys)
+        )
     out = merge.upsert(
         dest, staged, keys,
         insert_new=spec.insert_new, update_existing=spec.update_existing,
+        validate_unique=(spec.on_duplicate_keys == "error"),
+        case_insensitive=ci_keys,
     )
     if spec.remove_missing:
-        out = merge.remove_missing(out, staged, keys)
+        out = merge.remove_missing(out, staged, keys, case_insensitive=ci_keys)
     if spec.deactivate_flags:
-        out = merge.deactivate_missing(out, staged, keys, dict(spec.deactivate_flags))
+        out = merge.deactivate_missing(
+            out, staged, keys, dict(spec.deactivate_flags), case_insensitive=ci_keys
+        )
     return out
 
 
@@ -201,6 +236,7 @@ def run_job(
     mappings: Sequence[MappingSpec],
     dest_keys: Mapping[str, Sequence[str]] | None = None,
     params: Mapping[str, str] | None = None,
+    update_only_existing_tables: Sequence[str] = (),
 ) -> dict[str, DataFrame]:
     """The full RunJob pipeline as pure DataFrame transforms: normalize
     (E15+E16), shape, strip virtuals (E17), merge per destination table —
@@ -208,12 +244,27 @@ def run_job(
     state (the reference's per-mapping MoveDataToMainTable loop,
     src/EcomDestinationWriter.cs:3165-3218).
 
+    `update_only_existing_tables` is the reference's
+    UpdateOnlyExistingProducts per-table override: inserts are skipped for
+    just those destination tables (the mode matrix flips to
+    update-existing-only for EcomProducts while other mappings keep their
+    own modes, src/EcomProvider.cs:680-687,
+    src/EcomDestinationWriter.cs:3295-3302).
+
     Returns {dest_table: new_state}; callers publish atomically via
     plans.publish (U12)."""
+    import dataclasses
+
     ordered = order_mappings(mappings)
     if dest_keys:
         ordered = [
             complete_mapping(m, dest_keys.get(m.dest_table, ())) for m in ordered
+        ]
+    if update_only_existing_tables:
+        skip = set(update_only_existing_tables)
+        ordered = [
+            dataclasses.replace(m, insert_new=False) if m.dest_table in skip else m
+            for m in ordered
         ]
     state: dict[str, DataFrame] = dict(dest_tables)
     for spec in ordered:
@@ -225,7 +276,8 @@ def run_job(
         for rel in spec.relation_outputs:
             rel_rows = rel.derive(shaped)
             state[rel.dest_table] = merge.relation_swap(
-                state[rel.dest_table], rel_rows, list(rel.match_keys)
+                state[rel.dest_table], rel_rows, list(rel.match_keys),
+                case_insensitive=spec.case_insensitive_keys,
             )
         staged = strip_virtual_columns(shaped, spec)
         state[spec.dest_table] = merge_step(state[spec.dest_table], staged, spec)

@@ -405,7 +405,7 @@ ORACLE_SCRIPT = """
 SELECT p_partkey AS product_id, 'FIXED' AS constant_col,
        p_name || '-APPENDED' AS appended,
        'PRE-' || p_name AS prepended,
-       p_brand || ' ' || p_type AS merged
+       concat(p_brand, ' ', p_type) AS merged
 FROM part
 """
 

@@ -924,6 +924,54 @@ WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
 """
 
 
+# --- U1/U3 under case-insensitive collation -------------------------------
+def q_upsert_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert where staging keys differ from dest keys ONLY in case: the
+    reference matches under SQL Server's case-insensitive collation
+    (OrdinalIgnoreCase, src/EcomDestinationWriter.cs:50-52, :1053), so
+    case-variant keys UPDATE rather than INSERT.  Matched rows keep the
+    dest key casing (an UPDATE never rewrites the PK); inserts arrive with
+    the staged casing."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    dest = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_name").alias("cust_name"),
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+    staging = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.upper("c_name").alias("cust_name"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("acctbal"),
+    )
+    out = merge.upsert(dest, staging, ["cust_name"], case_insensitive=True)
+    return out.select("cust_name", "c_custkey", F.round("acctbal", 2).alias("acctbal"))
+
+
+ORACLE_UPSERT_CASE_INSENSITIVE = """
+WITH dest AS (
+  SELECT c_name AS cust_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+staging AS (
+  SELECT UPPER(c_name) AS cust_name, c_custkey,
+         ROUND(c_acctbal + 1000.0, 2) AS acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+),
+updated AS (
+  SELECT d.cust_name,
+         COALESCE(s.c_custkey, d.c_custkey) AS c_custkey,
+         COALESCE(s.acctbal, d.acctbal) AS acctbal
+  FROM dest d LEFT JOIN staging s ON lower(d.cust_name) = lower(s.cust_name)
+),
+inserted AS (
+  SELECT s.* FROM staging s WHERE NOT EXISTS
+    (SELECT 1 FROM dest d WHERE lower(d.cust_name) = lower(s.cust_name))
+)
+SELECT cust_name, c_custkey, ROUND(acctbal, 2) AS acctbal
+FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+"""
+
+
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef  # noqa: E402
 
 QUERIES = {
@@ -954,4 +1002,7 @@ QUERIES = {
     "e12_variant_expansion": QueryDef(q_variant_expansion, ORACLE_VARIANT_EXPANSION),
     "e13_dedup_first_wins": QueryDef(q_dedup_first_wins, ORACLE_DEDUP_FIRST_WINS),
     "e14_name_to_id_fixup": QueryDef(q_name_to_id_fixup, ORACLE_NAME_TO_ID_FIXUP),
+    "u1_ci_upsert_case_insensitive": QueryDef(
+        q_upsert_case_insensitive, ORACLE_UPSERT_CASE_INSENSITIVE
+    ),
 }

@@ -17,11 +17,12 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from dataintegration_ecomprovider_spark.operators import merge
+from dataintegration_ecomprovider_spark.operators import dedup, merge
 
 
 def file_stream(
@@ -49,16 +50,26 @@ def merge_each_batch(
     insert_new: bool = True,
     update_existing: bool = True,
     available_now: bool = True,
+    dedup_order_by: Sequence[Column] | None = None,
 ) -> StreamingQuery:
     """foreachBatch + MERGE: every micro-batch upserts into the destination
     — the reference's re-run-the-job incremental semantics, one batch = one
     job run.  Batch keys are deduped first-wins (the reference discards
-    duplicate PK rows, src/EcomDestinationWriter.cs:1269-1278)."""
+    duplicate PK rows, src/EcomDestinationWriter.cs:1269-1278) under
+    `dedup_order_by` — an explicit total order, because "first" under a
+    parallel scan is not stable; defaults to the non-key columns ascending
+    so retries of the same batch pick the same row."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
-        deduped = batch.dropDuplicates(list(keys))
+        order = list(dedup_order_by) if dedup_order_by is not None else [
+            F.col(c) for c in batch.columns if c not in keys
+        ]
+        deduped = (
+            dedup.first_wins(batch, keys, order) if order
+            else batch.dropDuplicates(list(keys))
+        )
         dest = read_dest(batch.sparkSession)
         new_state = merge.upsert(
             dest, deduped, keys,

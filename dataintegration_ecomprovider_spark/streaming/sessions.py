@@ -43,11 +43,12 @@ def sessionize_batch(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Gap sessions in batch: a new session starts where the time since the
     user's previous event exceeds the gap; session_seq numbers a user's
-    sessions in time order."""
-    by_user = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col("event_id"))
+    sessions in time order.  `id_col` breaks ts ties deterministically."""
+    by_user = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
     with_breaks = events.withColumn(
         "__new_session",
         F.when(

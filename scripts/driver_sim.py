@@ -1,9 +1,10 @@
 """Simulate the driver's t1/t2 gates from the outside (the real surface).
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [name_substring ...]
 Runs entry(spark) (t1 smoke), then every queries() entry vs its DuckDB
 oracle at sf_dir (default /root/testdata/sf0.01 — the t2 gate SF), and
-prints one line per query: MATCH / MISMATCH / ROWS-ONLY.
+prints one line per query: MATCH / MISMATCH / ROWS-ONLY.  Extra args
+restrict the run to queries whose name contains any of the substrings.
 """
 
 from __future__ import annotations
@@ -54,13 +55,15 @@ def frames_equal(a, b) -> tuple[bool, str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
     spark = get_spark("driver-sim")
 
-    # t1 smoke
-    edf = entrymod.entry(spark)
-    n = edf.count()
-    print(f"t1 entry(): {n} rows, schema [{', '.join(f.name for f in edf.schema.fields)}]")
-    assert n >= 0
+    if not only:
+        # t1 smoke
+        edf = entrymod.entry(spark)
+        n = edf.count()
+        print(f"t1 entry(): {n} rows, schema [{', '.join(f.name for f in edf.schema.fields)}]")
+        assert n >= 0
 
     # t2 oracle gate
     con = duckdb.connect()
@@ -68,6 +71,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        queries = {n: q for n, q in queries.items() if any(s in n for s in only)}
     failed = []
     for name in sorted(queries):
         sdf = queries[name](spark, sf_dir).toPandas()
