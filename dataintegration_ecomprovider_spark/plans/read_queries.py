@@ -696,17 +696,53 @@ FROM events GROUP BY event_type
 def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregation for 100 TB rollups: HyperLogLog++ distinct
     counts and a quantile sketch per group — constant memory per group where
-    exact distinct/percentile would buffer the values.  Exact counterparts
-    ride along; tests/test_sketches.py bounds the sketch error.  Rows-only
-    (sketch estimates are engine-specific by design)."""
+    exact distinct/percentile would buffer the values.
+
+    Oracle-checkable shape: exact columns (both engines compute identical
+    values) ride alongside BOOLEAN bounded-error assertions on each engine's
+    OWN sketch estimate (|est - exact| / exact < 5%) — the estimates
+    themselves are engine-specific by design (Spark HLL++ / DuckDB HLL,
+    Spark KLL-ish approx_percentile / DuckDB t-digest), but the bound is a
+    portable contract both must satisfy, so the row hash matches.
+    tests/test_sketches.py additionally pins tighter error bounds."""
     li = Catalog(spark, sf_dir).table("lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.countDistinct("l_partkey").cast("bigint").alias("exact_distinct_parts"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).cast("bigint").alias("approx_distinct_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).cast("bigint").alias("__hll"),
         F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("exact_p50_qty"),
-        F.round(F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 2).alias("approx_p50_qty"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("__p50"),
     )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - F.col(exact)) / F.col(exact) < 0.05
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_distinct_parts",
+        "exact_p50_qty",
+        within(F.col("__hll"), "exact_distinct_parts").alias("hll_within_5pct"),
+        within(F.col("__p50"), "exact_p50_qty").alias("p50_within_5pct"),
+    )
+
+
+ORACLE_SKETCH = """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct_parts,
+         CAST(approx_count_distinct(l_partkey) AS BIGINT) AS hll,
+         ROUND(quantile_cont(l_quantity, 0.5), 2) AS exact_p50_qty,
+         approx_quantile(l_quantity, 0.5) AS p50
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, exact_distinct_parts, exact_p50_qty,
+       ABS(CAST(hll AS DOUBLE) - exact_distinct_parts) / exact_distinct_parts < 0.05
+         AS hll_within_5pct,
+       ABS(CAST(p50 AS DOUBLE) - exact_p50_qty) / exact_p50_qty < 0.05
+         AS p50_within_5pct
+FROM agg
+"""
 
 
 # --- groups export view (A1 x2 + J1) ---------------------------------------
@@ -764,7 +800,7 @@ QUERIES: dict[str, QueryDef] = {
     "groups_export_a1_j1": QueryDef(q_groups_export, _groups_export_oracle()),
     "s29_scalar_functions": QueryDef(q_scalar_functions, ORACLE_SCALAR_FUNCTIONS),
     "json_props_extraction": QueryDef(q_json_extraction, ORACLE_JSON_EXTRACTION),
-    "sketch_hll_quantile": QueryDef(q_sketch_aggregates, None),
+    "sketch_hll_quantile": QueryDef(q_sketch_aggregates, ORACLE_SKETCH),
     "variant_options_export_j3_p3": QueryDef(
         q_variant_options_export, _variant_options_export_oracle()
     ),
