@@ -168,16 +168,23 @@ def ivf_topk(
     """IVF-style approximate top-k: vectors are assigned to their nearest
     centroid cell; each query scores only the `n_probe` nearest cells.
 
-    Centroids are picked deterministically (every count/n_centroids-th
-    vector by id order) — training-free and retry-stable; at scale a
+    Centroids are picked by deterministic hash rank — the n_centroids
+    smallest xxhash64(id) values — a uniform pseudo-random-but-stable
+    sample that needs NO driver-side count (the old picker ran
+    embeddings.count() at plan-build time, an extra full pass at 100 TB,
+    and its `id % stride` filter assumed dense numeric ids).  Expressed as
+    orderBy(hash).limit(n), which Catalyst executes as
+    TakeOrderedAndProject: each partition keeps its local top-n, the driver
+    merges — no global sort, no single-partition shuffle.  At scale a
     k-means refinement can replace the picker without touching the
     cell-assignment/probe plan (the shape is: broadcast centroids,
     partition-local assignment, shuffle once on cell id)."""
-    n = embeddings.count()
-    stride = max(1, n // n_centroids)
     centroids = (
-        embeddings.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
-        .filter(F.col("cid") % stride == 0)
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .orderBy(F.xxhash64(F.col("cid")).asc(), F.col("cid").asc())
         .limit(n_centroids)
     )
 
