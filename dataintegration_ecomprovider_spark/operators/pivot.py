@@ -21,6 +21,51 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def discover_pivot_values(
+    df: DataFrame, value_expr: Column, max_values: int = 10000
+) -> list[str]:
+    """A4 pivot-value discovery: the distinct-scan that yields the pivot
+    column list up front — the reference's equivalent enumerates category
+    fields from the category service before building the PIVOT IN (...)
+    clause (src/EcomProvider.cs:352-364, src/EcomSourceReader.cs:267-279).
+
+    One distinct aggregation (map-side partial dedup, one shuffle on the
+    value) + a bounded collect: the result BECOMES columns, so it must be
+    driver-sized by construction — `max_values` guards against pivoting on
+    a high-cardinality column (a 100 TB-scale footgun), failing fast
+    instead of building a million-column plan.  Sorted for a deterministic
+    column order across runs."""
+    rows = (
+        df.select(value_expr.cast("string").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .orderBy("v")
+        .limit(max_values + 1)
+        .collect()
+    )
+    if len(rows) > max_values:
+        raise ValueError(
+            f"pivot column discovery found more than {max_values} distinct "
+            "values — refusing to build that many columns"
+        )
+    return [r.v for r in rows]
+
+
+def category_field_columns(
+    eav: DataFrame,
+    category_col: str,
+    field_col: str,
+    prefix: str = "ProductCategory",
+) -> list[str]:
+    """The reference's dynamic `ProductCategory|<categoryId>|<fieldId>`
+    export-column naming (CONCAT('ProductCategory|', FieldValueFieldCategoryId,
+    '|', FieldValueFieldId), src/EcomSourceReader.cs:271-272) discovered
+    from the EAV rows themselves."""
+    return discover_pivot_values(
+        eav, F.concat_ws("|", F.lit(prefix), F.col(category_col), F.col(field_col))
+    )
+
+
 def pivot_eav(
     df: DataFrame,
     group_keys: Sequence[str],

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from dataintegration_ecomprovider_spark.catalog import Catalog
 from dataintegration_ecomprovider_spark.functions.text import max_id_suffix
-from dataintegration_ecomprovider_spark.operators.pivot import pivot_eav, unpivot_wide
+from dataintegration_ecomprovider_spark.operators.pivot import (
+    discover_pivot_values,
+    pivot_eav,
+    unpivot_wide,
+)
 from dataintegration_ecomprovider_spark.operators.string_agg import collect_ordered
 from dataintegration_ecomprovider_spark.operators.topk import top_k_per_group
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
@@ -320,13 +324,15 @@ FROM customer
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A4: PIVOT(max(FieldValueValue) FOR fieldKey IN (...))
     (src/EcomSourceReader.cs:267-279): events EAV → one column per event
-    type, explicit value list."""
+    type.  The value list comes from the discovery helper — the
+    reference's up-front category-field enumeration
+    (src/EcomProvider.cs:352-364) as a distinct-scan job."""
     events = Catalog(spark, sf_dir).table("events")
     return pivot_eav(
         events,
         ["user_id"],
         "event_type",
-        EVENT_TYPES,
+        discover_pivot_values(events, F.col("event_type")),
         F.round(F.sum("value"), 2),
     )
 
