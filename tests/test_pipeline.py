@@ -132,6 +132,64 @@ def test_run_job_mode_matrix(spark):
     assert update_only.count() == n_dest  # nothing inserted
 
 
+def test_run_job_update_only_existing_tables_override(spark):
+    """UpdateOnlyExistingProducts: the per-table override flips just the
+    named destination to update-existing-only while other mappings keep
+    their modes (src/EcomProvider.cs:680-687,
+    src/EcomDestinationWriter.cs:3295-3302)."""
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").filter(F.col("o_orderkey") % 3 != 0)
+    cust0 = cat.table("customer").filter(F.col("c_custkey") % 2 != 0)
+    cust_mapping = MappingSpec(
+        "customer", "customer",
+        columns=(
+            ColumnRule("c_custkey", "c_custkey", is_key=True),
+            ColumnRule("c_name", "c_name"),
+        ),
+    )
+    state = run_job(
+        cat,
+        {"orders": dest0, "customer": cust0},
+        [_orders_mapping(conditional=F.col("o_orderkey") % 2 == 0), cust_mapping],
+        update_only_existing_tables=["orders"],
+    )
+    # orders: inserts skipped (override) even though insert_new defaulted True
+    assert state["orders"].count() == dest0.count()
+    # but matched rows were still updated
+    assert state["orders"].filter(F.col("o_orderstatus") == "U").count() > 0
+    # customer: unaffected by the override — inserts happened
+    assert state["customer"].count() == cat.table("customer").count()
+
+
+def test_merge_step_duplicate_key_modes(spark):
+    """Staging rows sharing key values must not fan out the matched update:
+    'first_wins' keeps a deterministic row per key (reference PK dedup,
+    src/EcomDestinationWriter.cs:1269-1278); 'error' reproduces the
+    duplicate-subquery failure (src/EcomProvider.cs:1052)."""
+    import dataclasses
+
+    from dataintegration_ecomprovider_spark.plans.pipeline import merge_step
+
+    dest = spark.createDataFrame(
+        [("K1", "old"), ("K2", "old")], "k string, v string"
+    )
+    staged = spark.createDataFrame(
+        [("K1", "a"), ("K1", "b"), ("K3", "c")], "k string, v string"
+    )
+    spec = MappingSpec(
+        "src", "dst",
+        columns=(ColumnRule("k", "k", is_key=True), ColumnRule("v", "v")),
+    )
+    out = merge_step(dest, staged, spec)  # default on_duplicate_keys=first_wins
+    rows = {r.k: r.v for r in out.collect()}
+    # no fan-out: K1 appears once, with the deterministic first row ("a")
+    assert rows == {"K1": "a", "K2": "old", "K3": "c"}
+
+    err_spec = dataclasses.replace(spec, on_duplicate_keys="error")
+    with pytest.raises(Exception, match="duplicate staging key"):
+        merge_step(dest, staged, err_spec).collect()
+
+
 def test_run_job_relation_outputs_explode_into_swap(spark):
     """E5→U9 through the pipeline: a mapping carrying a comma-quoted Groups
     virtual column explodes it into relation rows that swap into the
