@@ -88,6 +88,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<bigint>) minhash signatures.
 
@@ -97,13 +98,23 @@ def minhash_signatures(
     (array_min over 32 transforms) recomputes the shingle construction per
     permutation — measured 30× slower at sf0.1 — because Catalyst's
     CollapseProject re-inlines the shared subexpression into every branch.
+
+    `portable=True` swaps the base shingle hash from xxhash64 to the
+    md5-derived family (llm/portable.py) so a DuckDB oracle can replicate
+    signatures byte-for-byte; same plan shape, slower hash.
     """
+    if portable:
+        from dataintegration_ecomprovider_spark.llm.portable import md5_int60
+
+        base = md5_int60(F.col("s"))
+    else:
+        base = F.xxhash64("s")
     with_words = docs.select(
         F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
     )
     exploded = with_words.select(
         "id", F.explode(shingles_from_words(F.col("w"), shingle_n)).alias("s")
-    ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
+    ).select("id", F.pmod(base, F.lit(_MERSENNE31)).alias("h"))
     mins = exploded.groupBy("id").agg(
         *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)]
     )
@@ -117,24 +128,34 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
     rows = docs; output = distinct candidate pairs that share ≥1 band
     bucket.  The band bucket is the shuffle key — pairs never materialize
     globally, only within buckets.
+
+    `portable=True`: md5-family base hash + the band bucket as the literal
+    signature-slice string (instead of Murmur3 via F.hash) so the bucket
+    join key is engine-independent — slightly wider shuffle keys, same
+    join shape.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, portable)
+
+    def bucket_of(b: int) -> Column:
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.concat_ws(",", sl.cast("array<string>"))
+        return F.hash(sl).cast("string")
+
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -206,15 +227,25 @@ def simhash_signatures(
     text_col: str = "text",
     bits: int = 64,
     out_col: str = "simhash",
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash) via staged projections: words → shingles → hash array
     materialize as real columns, so the 63 per-bit aggregates all read the
     SAME hash-array attribute instead of re-deriving the shingle pipeline
-    per bit (the Column-function form re-evaluates it 63×)."""
+    per bit (the Column-function form re-evaluates it 63×).
+
+    `portable=True`: md5-family shingle hash (60 usable bits — pass
+    bits<=60) so a DuckDB oracle replicates the fingerprint exactly."""
+    if portable:
+        from dataintegration_ecomprovider_spark.llm.portable import md5_int60
+
+        hash_fn = md5_int60
+    else:
+        hash_fn = F.xxhash64
     hashed = (
         docs.select(F.col(id_col), words_of(F.col(text_col)).alias("__w"))
         .select(F.col(id_col), shingles_from_words(F.col("__w"), 2).alias("__sh"))
-        .select(F.col(id_col), F.transform("__sh", lambda s: F.xxhash64(s)).alias("__h"))
+        .select(F.col(id_col), F.transform("__sh", lambda s: hash_fn(s)).alias("__h"))
     )
 
     def bit_contrib(i: int):

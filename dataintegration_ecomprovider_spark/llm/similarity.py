@@ -69,18 +69,34 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 8, portable: bool = False) -> Column:
     """Deterministic random-hyperplane LSH bucket id.
 
     Plane p's normal is pseudo-random ±1 per dimension, derived from
     xxhash64(p, dim) parity — no RNG state, identical across retries and
     cluster sizes.  bucket = sum over planes of sign_bit(p) << p.
+
+    `portable=True` derives the parity from md5('p:d') (llm/portable.py)
+    so a DuckDB oracle builds the identical planes.
     """
-    def dim_sign(p: int):
-        # factory to avoid the (element, index) two-parameter lambda trap
-        return lambda d: F.when(
-            F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-        ).otherwise(F.lit(-1.0))
+    if portable:
+        from dataintegration_ecomprovider_spark.llm.portable import md5_int60
+
+        def dim_sign(p: int):
+            return lambda d: F.when(
+                md5_int60(
+                    F.concat_ws(":", F.lit(str(p)), d.cast("string"))
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+    else:
+
+        def dim_sign(p: int):
+            # factory to avoid the (element, index) two-parameter lambda trap
+            return lambda d: F.when(
+                F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
+            ).otherwise(F.lit(-1.0))
 
     def plane_sign(p: int) -> Column:
         signed = F.zip_with(
@@ -131,6 +147,7 @@ def near_dup_pairs_lsh(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs, LSH-pruned: only vectors sharing a hyperplane
     bucket are compared.  The scale path — within-bucket self-join instead
@@ -139,7 +156,7 @@ def near_dup_pairs_lsh(
     tagged = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes, portable).alias("bucket"),
     )
     a = tagged.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = tagged.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
@@ -164,6 +181,7 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are assigned to their nearest
     centroid cell; each query scores only the `n_probe` nearest cells.
@@ -178,13 +196,21 @@ def ivf_topk(
     merges — no global sort, no single-partition shuffle.  At scale a
     k-means refinement can replace the picker without touching the
     cell-assignment/probe plan (the shape is: broadcast centroids,
-    partition-local assignment, shuffle once on cell id)."""
+    partition-local assignment, shuffle once on cell id).  `portable=True`
+    ranks centroids by md5 of the id string instead of xxhash64 so a
+    DuckDB oracle picks the identical centroid set."""
+    if portable:
+        from dataintegration_ecomprovider_spark.llm.portable import md5_int60
+
+        rank_hash = md5_int60(F.col("cid").cast("string"))
+    else:
+        rank_hash = F.xxhash64(F.col("cid"))
     centroids = (
         embeddings.select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).cast("array<double>").alias("cvec"),
         )
-        .orderBy(F.xxhash64(F.col("cid")).asc(), F.col("cid").asc())
+        .orderBy(rank_hash.asc(), F.col("cid").asc())
         .limit(n_centroids)
     )
 
@@ -238,6 +264,7 @@ def lsh_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's
     hyperplane bucket.  Same output shape as brute_force_topk (a query with
@@ -246,12 +273,12 @@ def lsh_topk(
     cand = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cand_vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes, portable).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("query_vec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_bucket(F.col(vec_col), planes, portable).alias("bucket"),
     )
     scored = (
         q.join(cand, "bucket")

@@ -336,6 +336,222 @@ WHERE d.bucket < CAST(FLOOR(65536.0 * m.mn / c.cnt) AS INTEGER)
 """
 
 
+# --- portable-hash variants: the SAME algorithms, oracle-checkable --------
+# The fast paths hash with xxhash64 (rows-only driver checks); these
+# variants run the identical plans with the md5-derived hash family
+# (llm/portable.py) that DuckDB reproduces byte-for-byte, so minhash LSH /
+# simhash / hyperplane LSH / IVF each get a full value-hash oracle gate.
+
+# DuckDB spelling of words_of / shingles_from_words (llm/dedup.py:44-63):
+# split on \s+ after trim+lower; n-gram windows mirror Spark's
+# sequence(0, greatest(size-n, 0)) + slice(w, i+1, n) exactly (including
+# the partial-window edge for docs shorter than n words).
+_PORTABLE_SHINGLES = """
+words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(0, GREATEST(len(w) - {n}, 0) + 1),
+                          i -> array_to_string(w[i+1:i+{n}], ' ')),
+           s -> len(s) > 0)) AS sh
+  FROM words
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           ('0x' || substring(md5(s), 1, 15))::BIGINT {post}) AS hs
+  FROM sh
+)
+"""
+
+
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_dedup_minhash_lsh with the portable hash family: identical
+    banding/verify plan, md5-derived shingle hashes and literal
+    signature-slice band buckets so DuckDB replicates every signature."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_candidates(docs, num_hashes=32, bands=8, portable=True)
+    return dedup.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.5)
+
+
+# permutation j: a = (2j+1)*2654435761 % M31, b = (j+1)*40503 % M31,
+# perm(h) = (h*a + b) % M31 — mirrors llm/dedup.py::_mix exactly.
+ORACLE_MINHASH_PORTABLE = (
+    "WITH "
+    + _PORTABLE_SHINGLES.format(n=3, post="% 2147483647")
+    + """,
+sig AS (
+  SELECT doc_id,
+         list_transform(range(32), j ->
+            list_min(list_transform(hs, h ->
+               (h * (((2*j + 1) * 2654435761) % 2147483647)
+                + (((j + 1) * 40503) % 2147483647)) % 2147483647))) AS sig
+  FROM hs WHERE len(hs) > 0
+),
+bands AS (
+  SELECT doc_id, t.band AS band,
+         array_to_string(sig[t.band*4 + 1 : t.band*4 + 4], ',') AS bucket
+  FROM sig, (SELECT unnest(range(8)) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a
+  JOIN bands b2 ON a.band = b2.band AND a.bucket = b2.bucket
+                AND a.doc_id < b2.doc_id
+),
+jac AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+)
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_dedup_simhash with the portable hash family (60 usable bits)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.simhash_signatures(docs, bits=60, portable=True)
+
+
+ORACLE_SIMHASH_PORTABLE = (
+    "WITH "
+    + _PORTABLE_SHINGLES.format(n=2, post="")
+    + """
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(60), i ->
+          CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+                 CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+               THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+FROM hs
+"""
+)
+
+
+# DuckDB spelling of the portable hyperplane bucket
+# (llm/similarity.py::hyperplane_bucket portable=True): plane p's ±1 sign
+# for dimension d has the parity of md5('p:d'); bucket = Σ 2^p over planes
+# whose signed projection is positive.
+def _bucket_sql(planes: int) -> str:
+    return f"""
+         CAST(list_sum(list_transform(range({planes}), p ->
+            CASE WHEN list_dot_product(v, list_transform(range(len(v)), d ->
+                   CASE WHEN (('0x' || substring(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT & 1) = 1
+                        THEN 1.0 ELSE -1.0 END)) > 0
+                 THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+    """
+
+
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def q_near_dup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.near_dup_pairs_lsh(emb, threshold=0.2, planes=6, portable=True)
+
+
+ORACLE_NEAR_DUP_LSH_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {_bucket_sql(6)} AS bucket FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         {_COS.format(a="a.v", b="b2.v")} AS similarity
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT DISTINCT id_a, id_b, similarity FROM pairs WHERE similarity >= 0.2
+"""
+
+
+def q_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, planes=6, portable=True)
+
+
+ORACLE_LSH_TOPK_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, v, {_bucket_sql(6)} AS bucket FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a="q.v", b="c.v")} AS similarity
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, portable=True
+    )
+
+
+ORACLE_IVF_TOPK_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+ascore AS (
+  SELECT a.vec_id, a.v, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM v a CROSS JOIN cent c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+),
+cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM aranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM aranked
+           WHERE crank <= 4 AND vec_id < 10),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         {_COS.format(a="p.qv", b="c.nv")} AS similarity
+  FROM probes p JOIN cells c ON p.cid = c.cid AND p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "llm_split_hash": QueryDef(q_split_hash, ORACLE_SPLIT_HASH),
@@ -355,4 +571,11 @@ QUERIES = {
     "llm_token_counts": QueryDef(q_token_counts, ORACLE_TOKEN_COUNTS),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
+    "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
+    "llm_dedup_simhash_portable": QueryDef(q_simhash_portable, ORACLE_SIMHASH_PORTABLE),
+    "llm_near_dup_embedding_lsh_portable": QueryDef(
+        q_near_dup_embedding_lsh_portable, ORACLE_NEAR_DUP_LSH_PORTABLE
+    ),
+    "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
+    "llm_sim_ivf_topk_portable": QueryDef(q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE),
 }
