@@ -2,9 +2,12 @@
 similarity search, text analysis, multimodal plumbing — over the
 `documents` and `embeddings` fixture tables.
 
-Oracle-checked where the computation is exactly expressible in DuckDB SQL;
-hash-dependent operators (minhash/simhash/LSH — xxhash64 is Spark-specific)
-are rows-only entries with pytest invariants instead (tests/test_llm.py).
+Oracle-checked where the computation is exactly expressible in DuckDB SQL.
+The hash-dependent operators (minhash/simhash/LSH/IVF) each appear twice:
+the xxhash64 fast path (rows-only + pytest invariants, tests/test_llm.py)
+and a `_portable` variant on the md5-derived hash family (llm/portable.py)
+with a full DuckDB oracle — the same plan, provable against a second
+engine.
 """
 
 from __future__ import annotations
