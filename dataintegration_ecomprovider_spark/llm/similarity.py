@@ -173,6 +173,64 @@ def near_dup_pairs_lsh(
     )
 
 
+def kmeans_refine(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means refinement of an IVF centroid seed: each iteration
+    assigns every vector to its nearest centroid (broadcast centroids,
+    partition-local scoring) and recomputes each cell's centroid as the
+    per-dimension mean.  Returns (cid, cvec) with the same schema the
+    `ivf_topk` picker produces, so it drops into the cell-assignment plan
+    unchanged.
+
+    Scale shape per iteration: one crossJoin against ≤n_centroids broadcast
+    rows + a top-1 window on the vector id, then posexplode to
+    (cid, dim, value) rows and a (cid, dim) mean — two shuffles, both keyed
+    small.  The new centroids (k × dim doubles) are collected to the driver
+    between iterations — a bounded action, the same loop structure Spark
+    MLlib's KMeans uses — so the per-iteration plan stays flat instead of
+    nesting k join-trees.  A cell that loses all members drops out
+    (k shrinks), mirroring standard Lloyd behavior.  Deterministic: no RNG,
+    ties broken by cid."""
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    current = centroids.select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(current)).select(
+            "__vid", "vec", "cid",
+            F.round(cosine(F.col("vec"), F.col("cvec")), 6).alias("csim"),
+        )
+        w = Window.partitionBy("__vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+        assigned = (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select("cid", F.posexplode("vec").alias("dim", "x"))
+        )
+        means = (
+            assigned.groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        rows = means.collect()  # bounded: ≤ n_centroids rows of dim doubles
+        current = spark.createDataFrame(
+            [(r.cid, r.cvec) for r in rows], "cid long, cvec array<double>"
+        )
+    return current
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -182,6 +240,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = False,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: vectors are assigned to their nearest
     centroid cell; each query scores only the `n_probe` nearest cells.
@@ -213,6 +272,10 @@ def ivf_topk(
         .orderBy(rank_hash.asc(), F.col("cid").asc())
         .limit(n_centroids)
     )
+    if refine_iters > 0:
+        centroids = kmeans_refine(
+            embeddings, centroids, iters=refine_iters, id_col=id_col, vec_col=vec_col
+        )
 
     def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(centroids)).select(

@@ -100,6 +100,38 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert {(r.query_id, r.neighbor_id, r.rank) for r in approx_rows} == again
 
 
+def test_ivf_kmeans_refinement(spark):
+    """Lloyd refinement of the hash-rank seed: centroids move to per-cell
+    means, stay deterministic, and the refined IVF keeps useful recall."""
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    refined = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=8, refine_iters=2
+    )
+    rows = refined.collect()
+    assert rows and all(r.rank <= 5 for r in rows)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"refined IVF recall {recall:.2f} too low"
+    # deterministic: same seed, same iterations -> identical result
+    again = {(r.query_id, r.neighbor_id, r.rank) for r in similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=8, refine_iters=2
+    ).collect()}
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in rows} == again
+    # the refined centroid table keeps the (cid, cvec) contract
+    seed = (
+        emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").cast("array<double>").alias("cvec"))
+        .orderBy(F.xxhash64("cid"), "cid").limit(8)
+    )
+    cents = similarity.kmeans_refine(emb, seed, iters=1).collect()
+    assert 0 < len(cents) <= 8
+    dim = len(emb.select("embedding").first()[0])
+    assert all(len(c.cvec) == dim for c in cents)
+
+
 def test_multimodal_frame_sample_and_resize(spark):
     from dataintegration_ecomprovider_spark.llm import multimodal
 
