@@ -517,6 +517,17 @@ def q_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2 Lloyd refinement iterations on the centroid seed —
+    rows-only (the iterative refinement is not SQL-expressible; recall and
+    determinism are pinned in tests/test_llm.py::test_ivf_kmeans_refinement)."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, refine_iters=2
+    )
+
+
 ORACLE_IVF_TOPK_PORTABLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -581,4 +592,5 @@ QUERIES = {
     ),
     "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
     "llm_sim_ivf_topk_portable": QueryDef(q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE),
+    "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
 }
