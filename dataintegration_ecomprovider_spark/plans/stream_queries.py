@@ -80,7 +80,42 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def q_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the watermark-bounded stream dedup: one row per
+    (user_id, event_type), first by (ts, event_id) — the deterministic
+    contract the streaming dropDuplicatesWithinWatermark form approximates
+    by first-arrival (streaming/windows.py::dedup_within_watermark)."""
+    from dataintegration_ecomprovider_spark.operators.dedup import first_wins
+
+    events = Catalog(spark, sf_dir).table("events")
+    out = first_wins(
+        events, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("value", 2).alias("value"),
+    )
+
+
+ORACLE_DEDUP_WATERMARK = """
+WITH ranked AS (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       ROUND(value, 2) AS value
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stream_tumbling_window_agg": QueryDef(q_tumbling_window_agg, ORACLE_TUMBLING),
     "stream_sessionization": QueryDef(q_sessionization, ORACLE_SESSIONIZATION),
+    "stream_dedup_watermark": QueryDef(q_dedup_watermark, ORACLE_DEDUP_WATERMARK),
 }

@@ -95,6 +95,44 @@ def test_foreachbatch_merge_converges_to_batch_upsert(spark, events_batch, event
     assert (got["value"].round(2).values == want["value"].round(2).values).all()
 
 
+def test_dedup_within_watermark_stream(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark emits exactly one row per key; on a
+    time-ordered replay the kept row is the batch first_wins row."""
+    from dataintegration_ecomprovider_spark.operators.dedup import first_wins
+    from dataintegration_ecomprovider_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    path = str(tmp_path / "events_sorted")
+    small = events_batch.filter(F.col("user_id") < 50)
+    # single time-ordered file => arrival order == event-time order
+    small.orderBy("ts", "event_id").coalesce(1).write.parquet(path)
+    stream = incremental.file_stream(spark, path, events_batch.schema)
+    deduped = dedup_within_watermark(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream").toPandas()
+    want = first_wins(
+        small, ["user_id", "event_type"], [F.col("ts"), F.col("event_id")]
+    ).toPandas()
+    assert len(got) == len(want)  # exactly one row per key
+    key = ["user_id", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got[key].equals(want[key])  # same key set
+    # ordered replay => first arrival IS the earliest (ts, event_id) row
+    assert got["event_id"].equals(want["event_id"])
+
+
 def test_stateful_sessionization_stream_matches_batch(spark, events_batch, tmp_path):
     """applyInPandasWithState sessions (closed by end-of-stream timeout;
     single batch so no session spans micro-batches) match the batch window
