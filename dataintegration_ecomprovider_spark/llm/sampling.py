@@ -93,3 +93,67 @@ def rebalance_mix(
         .filter(hash_bucket(F.col(id_col)) < F.col("keep_below"))
         .drop("keep_below")
     )
+
+
+def quality_filter_by_quantile(
+    docs: DataFrame,
+    score: Column,
+    group_col: str,
+    quantile: float = 0.25,
+) -> DataFrame:
+    """Keep rows whose quality `score` is at or above the per-group
+    `quantile` cutoff — the corpus-curation step that drops the worst tail
+    of each language/source instead of applying one global threshold.
+
+    Shape: per-group exact percentile (one small aggregate, map-side
+    combined), broadcast the one-row-per-group cutoff table, filter the
+    corpus map-side — the corpus is never sorted or widely shuffled.  At
+    extreme group cardinality swap `percentile` for `approx_percentile`
+    (same plan, sketch state); the exact form is the default so the DuckDB
+    oracle can check it."""
+    scored = docs.withColumn("__score", score)
+    cutoffs = scored.groupBy(group_col).agg(
+        F.expr(f"percentile(__score, {quantile})").alias("__cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cutoffs), group_col)
+        .filter(F.col("__score") >= F.col("__cutoff"))
+        .select(*docs.columns)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: Column,
+    bin_tokens: int,
+    partition_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: within each `partition_col` group,
+    docs ordered by id accumulate into bins of ≈ `bin_tokens` tokens —
+    bin_id = floor(running-total-before-this-doc / bin_tokens).  The
+    training-data step that turns a document corpus into
+    fixed-token-budget shards.
+
+    Shape: one shuffle on the partition key + a running-sum window within
+    it.  Parallelism = number of partition_col groups, so partition on a
+    key with enough cardinality (lang, source, or a hash_bucket(id) % N
+    when no natural key exists); a single global packing order would
+    serialize, which is why the operator refuses to run without a
+    partition column.  Deterministic: ordering is (id), never arrival
+    order."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens = docs.withColumn("__tok", token_col)
+    return (
+        tokens.withColumn(
+            "bin_id",
+            F.floor(
+                F.coalesce(F.sum("__tok").over(w), F.lit(0)) / F.lit(bin_tokens)
+            ).cast("bigint"),
+        )
+        .withColumnRenamed("__tok", "n_tokens")
+    )

@@ -566,6 +566,64 @@ SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
 """
 
 
+# --- corpus curation: per-group quantile filter + sequence packing --------
+def q_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop each language's worst word-count quartile — per-group exact
+    percentile broadcast back as a map-side filter (llm/sampling.py::
+    quality_filter_by_quantile)."""
+    from dataintegration_ecomprovider_spark.llm.sampling import quality_filter_by_quantile
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = quality_filter_by_quantile(
+        docs, text_ops.n_words(F.col("text")), "lang", quantile=0.25
+    )
+    return out.select(
+        "doc_id", "lang", text_ops.n_words(F.col("text")).alias("word_count")
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS wc
+  FROM documents
+),
+cut AS (SELECT lang, quantile_cont(wc, 0.25) AS cutoff FROM scored GROUP BY lang)
+SELECT s.doc_id, s.lang, CAST(s.wc AS BIGINT) AS word_count
+FROM scored s JOIN cut c ON s.lang = c.lang
+WHERE s.wc >= c.cutoff
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into ~1000-token bins per language
+    (llm/sampling.py::pack_sequences)."""
+    from dataintegration_ecomprovider_spark.llm.sampling import pack_sequences
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    out = pack_sequences(
+        docs, text_ops.n_words(F.col("text")), bin_tokens=1000, partition_col="lang"
+    )
+    return out.select("doc_id", "lang", "n_tokens", "bin_id")
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 1000.0) AS BIGINT) AS bin_id
+FROM t
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "llm_split_hash": QueryDef(q_split_hash, ORACLE_SPLIT_HASH),
@@ -593,4 +651,8 @@ QUERIES = {
     "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
     "llm_sim_ivf_topk_portable": QueryDef(q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE),
     "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
+    "llm_quality_filter_quantile": QueryDef(
+        q_quality_filter_quantile, ORACLE_QUALITY_FILTER
+    ),
+    "llm_pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK_SEQUENCES),
 }

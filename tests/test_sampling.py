@@ -62,3 +62,44 @@ def test_rebalance_mix_equalizes_within_tolerance(spark):
         assert 0.5 * mn <= n <= 1.5 * mn, (lang, n, mn)
     # subset of the corpus, no duplication
     assert out.count() == out.dropDuplicates(["doc_id"]).count()
+
+
+def test_pack_sequences_bin_capacity_and_determinism(spark):
+    from dataintegration_ecomprovider_spark.llm import text as text_ops
+
+    docs = _docs(spark)
+    out = sampling.pack_sequences(
+        docs, text_ops.n_words(F.col("text")), bin_tokens=500, partition_col="lang"
+    )
+    # every bin except possibly the last per group holds >= bin_tokens only
+    # once overfilled by its final doc: total per bin < bin_tokens + max doc
+    per_bin = out.groupBy("lang", "bin_id").agg(F.sum("n_tokens").alias("tot"))
+    max_doc = out.agg(F.max("n_tokens")).first()[0]
+    assert all(r.tot < 500 + max_doc for r in per_bin.collect())
+    # bins are dense from 0 within each group
+    bins = out.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"), F.countDistinct("bin_id").alias("n"),
+        F.max("bin_id").alias("hi"))
+    assert all(r.lo == 0 and r.hi == r.n - 1 for r in bins.collect())
+    # deterministic across runs
+    a = {(r.doc_id, r.bin_id) for r in out.collect()}
+    b = {(r.doc_id, r.bin_id) for r in sampling.pack_sequences(
+        docs, text_ops.n_words(F.col("text")), bin_tokens=500, partition_col="lang"
+    ).collect()}
+    assert a == b
+
+
+def test_quality_filter_keeps_upper_quantile(spark):
+    from dataintegration_ecomprovider_spark.llm import text as text_ops
+
+    docs = _docs(spark)
+    out = sampling.quality_filter_by_quantile(
+        docs, text_ops.n_words(F.col("text")), "lang", quantile=0.5
+    )
+    # roughly half of each group survives; never more than the group
+    kept = dict(out.groupBy("lang").count().collect())
+    sizes = dict(docs.groupBy("lang").count().collect())
+    for lang, n in sizes.items():
+        assert 0.3 * n <= kept.get(lang, 0) <= n
+    # schema is unchanged (helper columns dropped)
+    assert out.columns == docs.columns
