@@ -1,0 +1,229 @@
+"""Corpus-curation operators: repetition metrics, decontamination, PII scrub.
+
+Training-data quality gates beyond the basic per-doc features in
+``llm/text.py`` — the shapes a 100 TB pretraining pipeline runs before
+tokenization:
+
+* **Repetition metrics** (Gopher-style, Rae et al. 2021 §A1.1): fraction
+  of duplicate words, most-frequent-word share, most-frequent-bigram
+  share.  Implemented as ONE posexplode + two hash aggregations (both get
+  map-side partial aggregation), never an O(n^2) per-row HOF scan.
+* **Decontamination** (n-gram overlap against an eval/benchmark set,
+  GPT-3 appendix C style): the benchmark's distinct shingle hashes are
+  BROADCAST, so the corpus side is a map-side semi-join — the only
+  shuffle is the per-doc overlap count.  At 100 TB the benchmark set is
+  KBs-to-MBs; shuffling the corpus's shingles would be the classic
+  mistake.
+* **PII scrub**: regex count + redact for emails / IPv4 / phone-shaped
+  strings.  Pure ``regexp_count`` / ``regexp_replace`` expression trees
+  (whole-stage codegen); patterns are restricted to constructs whose
+  semantics agree between Java regex (Spark) and RE2 (DuckDB) so the
+  oracle can run the identical patterns.
+
+Reference parity note: the reference provider has no corpus operators —
+these extend the engine for the training-data-pipeline surface the build
+brief requires; test strategy mirrors the reference's oracle-per-operator
+pattern (src/EcomProvider.cs test harness shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.llm.portable import md5_int60
+
+# Java-regex / RE2 common subset (no lookaround, no backrefs).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+
+
+def words_nonempty(text: Column) -> Column:
+    """Whitespace tokens with empties dropped ('' splits to [''])."""
+    return F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != "")
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dup_word_ratio: float = 0.9,
+    max_top_word_ratio: float = 0.3,
+    max_top_bigram_ratio: float = 0.18,
+) -> DataFrame:
+    """Per-document repetition statistics + a Gopher-style ``keep`` flag.
+
+    Output: id_col, word_count, dup_word_ratio (1 - distinct/total),
+    top_word_ratio, top_bigram_ratio, keep.  Docs with no words get zero
+    ratios and keep=true.
+
+    Scale shape: one generator (posexplode of a unigram+bigram struct
+    array), then groupBy(id, n, gram) -> groupBy(id, n) -> pivot to
+    columns.  Both aggregations are hash aggregates with partial
+    (map-side) combine; the gram cardinality per doc bounds the shuffle,
+    not the text length.
+    """
+    words = words_nonempty(F.col(text_col))
+    # NB: Spark's sequence(1, 0) steps DOWNWARD to [1, 0] instead of being
+    # empty, so short/empty docs must be guarded before indexing.
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # struct rows (n, gram): n=1 unigrams, n=2 bigrams, one explode total
+    grams = F.concat(
+        F.transform(words, lambda w: F.struct(F.lit(1).alias("n"), w.alias("gram"))),
+        F.transform(
+            bigrams, lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram"))
+        ),
+    )
+    exploded = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    per_gram = exploded.groupBy(id_col, "n", "gram").agg(F.count("*").alias("cnt"))
+    per_doc_n = per_gram.groupBy(id_col, "n").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup"),
+    )
+    wide = (
+        per_doc_n.groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 1, F.col("total"))), F.lit(0)
+            ).alias("word_count"),
+            F.coalesce(F.max(F.when(F.col("n") == 1, F.col("top"))), F.lit(0)).alias(
+                "top_word"
+            ),
+            F.coalesce(F.max(F.when(F.col("n") == 1, F.col("dup"))), F.lit(0)).alias(
+                "dup_words"
+            ),
+            F.coalesce(
+                F.max(F.when(F.col("n") == 2, F.col("total"))), F.lit(0)
+            ).alias("bigram_count"),
+            F.coalesce(F.max(F.when(F.col("n") == 2, F.col("top"))), F.lit(0)).alias(
+                "top_bigram"
+            ),
+        )
+    )
+    # docs with zero words never appear in `exploded` — re-attach them
+    base = docs.select(id_col).join(wide, id_col, "left").na.fill(0)
+    safe = lambda num, den: F.round(num / F.greatest(den, F.lit(1)), 6)  # noqa: E731
+    return base.select(
+        id_col,
+        F.col("word_count").cast("bigint").alias("word_count"),
+        safe(F.col("dup_words"), F.col("word_count")).alias("dup_word_ratio"),
+        safe(F.col("top_word"), F.col("word_count")).alias("top_word_ratio"),
+        safe(F.col("top_bigram"), F.col("bigram_count")).alias("top_bigram_ratio"),
+        (
+            (safe(F.col("dup_words"), F.col("word_count")) <= max_dup_word_ratio)
+            & (safe(F.col("top_word"), F.col("word_count")) <= max_top_word_ratio)
+            & (
+                safe(F.col("top_bigram"), F.col("bigram_count"))
+                <= max_top_bigram_ratio
+            )
+        ).alias("keep"),
+    )
+
+
+def shingle_hashes(text: Column, n: int) -> Column:
+    """Distinct 60-bit md5 hashes of word n-gram strings (portable family,
+    llm/portable.py) — array column, no explode yet."""
+    words = words_nonempty(text)
+    # guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, not empty
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+                lambda i: md5_int60(
+                    F.concat_ws(" ", F.slice(words, i, F.lit(n)))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Flag corpus docs whose word-``n``-gram overlap with ``benchmark``
+    exceeds ``threshold`` (fraction of the doc's distinct shingles).
+
+    Output: id_col, n_shingles, n_overlap, overlap_ratio, contaminated.
+
+    Scale shape: the benchmark's distinct shingle-hash set is collected
+    into a BROADCAST join side (eval sets are tiny next to a 100 TB
+    corpus), so corpus shingles are filtered map-side; the only shuffle
+    is the groupBy(doc) overlap count.  Never join corpus-shingles
+    against benchmark-shingles on the shuffle path.
+    """
+    bench_hashes = (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("h")
+        ).distinct()
+    )
+    with_shingles = corpus.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), n).alias("shingles")
+    )
+    totals = with_shingles.select(
+        id_col, F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    overlap = (
+        with_shingles.select(F.col(id_col), F.explode("shingles").alias("h"))
+        .join(F.broadcast(bench_hashes), "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    joined = totals.join(overlap, id_col, "left").na.fill({"n_overlap": 0})
+    ratio = F.round(
+        F.col("n_overlap") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+    )
+    return joined.select(
+        id_col,
+        "n_shingles",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def pii_scrub(text: Column) -> dict[str, Column]:
+    """Count and redact email / IPv4 / phone-shaped substrings.
+
+    Returns column exprs: n_emails, n_ipv4, n_phones, redacted.  Order of
+    redaction is fixed (email, ip, phone) so engines agree byte-for-byte.
+    All whole-stage-codegen regex ops — at 100 TB this runs at scan
+    speed; no Python in the loop.
+    """
+    n_emails = F.regexp_count(text, F.lit(EMAIL_PATTERN)).cast("bigint")
+    n_ipv4 = F.regexp_count(text, F.lit(IPV4_PATTERN)).cast("bigint")
+    n_phones = F.regexp_count(text, F.lit(PHONE_PATTERN)).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+            IPV4_PATTERN,
+            "<IP>",
+        ),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return {
+        "n_emails": n_emails,
+        "n_ipv4": n_ipv4,
+        "n_phones": n_phones,
+        "redacted": redacted,
+    }

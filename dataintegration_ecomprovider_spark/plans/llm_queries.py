@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from dataintegration_ecomprovider_spark.catalog import Catalog
 from dataintegration_ecomprovider_spark.llm import dedup, similarity, text as text_ops
 from dataintegration_ecomprovider_spark.llm.multimodal import attach_binary_payload, extract_features
+from dataintegration_ecomprovider_spark.llm.portable import md5_int60_sql
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 
 
@@ -624,6 +625,169 @@ FROM t
 """
 
 
+# --- repetition metrics (Gopher-style quality rules) ----------------------
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-word / top-word / top-bigram shares + keep flag
+    (llm/curation.py::repetition_metrics)."""
+    from dataintegration_ecomprovider_spark.llm.curation import repetition_metrics
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return repetition_metrics(docs)
+
+
+ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(words) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(
+           range(1, greatest(len(words) - 1, 0) + 1),
+           i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w
+),
+per_gram AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY ALL
+),
+per_doc_n AS (
+  SELECT doc_id, n, SUM(cnt) AS total, MAX(cnt) AS top,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+  FROM per_gram GROUP BY doc_id, n
+),
+wide AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN n = 1 THEN total END), 0) AS word_count,
+         COALESCE(MAX(CASE WHEN n = 1 THEN top END), 0) AS top_word,
+         COALESCE(MAX(CASE WHEN n = 1 THEN dup END), 0) AS dup_words,
+         COALESCE(MAX(CASE WHEN n = 2 THEN total END), 0) AS bigram_count,
+         COALESCE(MAX(CASE WHEN n = 2 THEN top END), 0) AS top_bigram
+  FROM per_doc_n GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         COALESCE(word_count, 0) AS word_count,
+         COALESCE(top_word, 0) AS top_word,
+         COALESCE(dup_words, 0) AS dup_words,
+         COALESCE(bigram_count, 0) AS bigram_count,
+         COALESCE(top_bigram, 0) AS top_bigram
+  FROM documents d LEFT JOIN wide USING (doc_id)
+)
+SELECT doc_id,
+       CAST(word_count AS BIGINT) AS word_count,
+       ROUND(dup_words / greatest(word_count, 1), 6) AS dup_word_ratio,
+       ROUND(top_word / greatest(word_count, 1), 6) AS top_word_ratio,
+       ROUND(top_bigram / greatest(bigram_count, 1), 6) AS top_bigram_ratio,
+       (ROUND(dup_words / greatest(word_count, 1), 6) <= 0.9
+        AND ROUND(top_word / greatest(word_count, 1), 6) <= 0.3
+        AND ROUND(top_bigram / greatest(bigram_count, 1), 6) <= 0.18) AS keep
+FROM base
+"""
+
+
+# --- decontamination vs a benchmark set -----------------------------------
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram overlap of the corpus (source <> 'src0') against the
+    benchmark slice (source = 'src0'); benchmark hashes broadcast
+    (llm/curation.py::decontaminate)."""
+    from dataintegration_ecomprovider_spark.llm.curation import decontaminate
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=3,
+        threshold=0.05,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> {md5_int60_sql("array_to_string(w[i:i+2], ' ')")})) AS shingles
+  FROM (SELECT doc_id, source,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents)
+),
+bench AS (SELECT DISTINCT unnest(shingles) AS h FROM sh WHERE source = 'src0'),
+corpus AS (SELECT doc_id, shingles FROM sh WHERE source <> 'src0'),
+totals AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles FROM corpus),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(shingles) AS h FROM corpus)
+  WHERE h IN (SELECT h FROM bench)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(o.n_overlap, 0) / greatest(t.n_shingles, 1), 6)
+         AS overlap_ratio,
+       (ROUND(COALESCE(o.n_overlap, 0) / greatest(t.n_shingles, 1), 6) >= 0.05)
+         AS contaminated
+FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+"""
+
+
+# --- PII scrub ------------------------------------------------------------
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count + redact synthetic PII.  The fixture corpus carries no PII,
+    so the query deterministically augments each doc with an email / IP /
+    phone derived from doc_id, then scrubs — exercising count and
+    replacement against non-trivial input on both engines
+    (llm/curation.py::pii_scrub)."""
+    from dataintegration_ecomprovider_spark.llm.curation import pii_scrub
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    cols = pii_scrub(aug)
+    return docs.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ipv4"].alias("n_ipv4"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["redacted"]).alias("redacted_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "llm_split_hash": QueryDef(q_split_hash, ORACLE_SPLIT_HASH),
@@ -655,4 +819,7 @@ QUERIES = {
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER
     ),
     "llm_pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "llm_repetition_metrics": QueryDef(q_repetition_metrics, ORACLE_REPETITION),
+    "llm_decontaminate": QueryDef(q_decontaminate, ORACLE_DECONTAMINATE),
+    "llm_pii_scrub": QueryDef(q_pii_scrub, ORACLE_PII_SCRUB),
 }

@@ -1,0 +1,83 @@
+"""Semantics tests for llm/curation.py on planted fixtures — cases the
+synthetic corpus can't exercise (real PII hits, known contamination,
+degenerate repetition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.llm import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam"),          # all one word
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, ""),                                   # empty
+            (4, "a b a b a b a b"),                    # bigram loop
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.repetition_metrics(docs).collect()
+    }
+    assert out[1]["dup_word_ratio"] == 1.0
+    assert out[1]["top_word_ratio"] == 1.0
+    assert not out[1]["keep"]
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["keep"]
+    assert out[3]["word_count"] == 0 and out[3]["keep"]
+    # doc 4: 7 bigrams, "a b" appears 4 times
+    assert out[4]["top_bigram_ratio"] == round(4 / 7, 6)
+    assert not out[4]["keep"]
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "quick brown fox somewhere else entirely"),  # 1 shared 3-gram
+            (2, "totally unrelated words here now"),          # none
+            (3, "the quick brown fox jumps elsewhere"),       # several shared
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.decontaminate(corpus, bench, n=3, threshold=0.3).collect()
+    }
+    assert out[1]["n_overlap"] == 1 and not out[1]["contaminated"]
+    assert out[2]["n_overlap"] == 0 and out[2]["overlap_ratio"] == 0.0
+    # doc 3 shares "the quick brown", "quick brown fox", "brown fox jumps"
+    assert out[3]["n_overlap"] == 3 and out[3]["contaminated"]
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    df = _docs(
+        spark,
+        [(1, "mail a.user+x@sub.example.org or 192.168.001.042 call 555-123-4567 done")],
+    )
+    cols = curation.pii_scrub(F.col("text"))
+    row = df.select(
+        cols["n_emails"].alias("e"),
+        cols["n_ipv4"].alias("i"),
+        cols["n_phones"].alias("p"),
+        cols["redacted"].alias("r"),
+    ).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (1, 1, 1)
+    assert row["r"] == "mail <EMAIL> or <IP> call <PHONE> done"
+
+
+def test_pii_scrub_no_false_positives_on_plain_text(spark):
+    df = _docs(spark, [(1, "plain words only, version 1.2 of 3 things")])
+    cols = curation.pii_scrub(F.col("text"))
+    row = df.select(
+        cols["n_emails"].alias("e"), cols["n_ipv4"].alias("i"), cols["n_phones"].alias("p")
+    ).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (0, 0, 0)
