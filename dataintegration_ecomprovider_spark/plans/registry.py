@@ -22,11 +22,11 @@ class QueryDef:
 
 def all_queries() -> dict[str, QueryDef]:
     from dataintegration_ecomprovider_spark.plans import (
-        read_queries, write_queries, llm_queries, stream_queries,
+        read_queries, write_queries, llm_queries, stream_queries, temporal_queries,
     )
 
     out: dict[str, QueryDef] = {}
-    for mod in (read_queries, write_queries, llm_queries, stream_queries):
+    for mod in (read_queries, write_queries, llm_queries, stream_queries, temporal_queries):
         overlap = set(out) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
