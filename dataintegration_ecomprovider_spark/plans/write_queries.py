@@ -352,10 +352,23 @@ def q_resolve_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
     # create ids for the missing slice only (dense rank over the missing keys,
     # mirroring the reference's one-new-id-per-unseen-language allocation)
     missing = joined.filter(F.col("n_name").isNull()).select("c_custkey", "c_nationkey")
-    created = missing.withColumn(
-        "created_nation",
-        F.concat(F.lit("ImportedLANG"), F.dense_rank().over(Window.orderBy("c_nationkey")).cast("string")),
-    ).select("c_custkey", "created_nation")
+    # dense_rank depends only on the distinct unseen keys — rank those few
+    # rows, then broadcast back, instead of dragging every unresolved fact
+    # row through a single-partition window
+    key_ids = (
+        missing.select("c_nationkey")
+        .distinct()
+        .withColumn(
+            "created_nation",
+            F.concat(
+                F.lit("ImportedLANG"),
+                F.row_number().over(Window.orderBy("c_nationkey")).cast("string"),
+            ),
+        )
+    )
+    created = missing.join(F.broadcast(key_ids), "c_nationkey").select(
+        "c_custkey", "created_nation"
+    )
     out = (
         joined.select("c_custkey", "n_name")
         .join(created, "c_custkey", "left")
