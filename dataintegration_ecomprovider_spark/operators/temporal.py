@@ -138,3 +138,135 @@ def rollup_time_buckets(
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    point_prefix: str = "p_",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi-key.
+
+    Spark's native plan for ``p JOIN i ON p.ts BETWEEN i.start AND i.end``
+    is a broadcast-nested-loop — |P|x|I| comparisons, hopeless at scale.
+    This bucketizes time instead: each interval explodes into the fixed
+    ``bucket_seconds`` buckets it overlaps, each point maps to its single
+    bucket, and a plain equi-join on bucket + an exact containment filter
+    does the rest.  Each qualifying (point, interval) pair meets in
+    exactly one bucket (the point's), so no dedup pass is needed.
+
+    Cost model: shuffle is O(|P| + |I| * avg_interval_len / bucket_len);
+    pick ``bucket_seconds`` near the median interval length.  Hot buckets
+    (skewed time ranges) split via AQE skew-join handling.
+    """
+    b = int(bucket_seconds) * 1_000_000
+    i_cols = intervals.columns
+    p_cols = [c for c in points.columns]
+    exploded = intervals.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / b).cast("long"),
+                (F.unix_micros(F.col(end_col)) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.select(
+        *[F.col(c).alias(f"{point_prefix}{c}") for c in p_cols]
+    ).withColumn(
+        "_rj_bucket",
+        (F.unix_micros(F.col(f"{point_prefix}{point_ts}")) / b).cast("long"),
+    )
+    ts = F.col(f"{point_prefix}{point_ts}")
+    return (
+        exploded.join(pts, "_rj_bucket")
+        .filter((ts >= F.col(start_col)) & (ts <= F.col(end_col)))
+        .drop("_rj_bucket")
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    step_seconds: int = 60,
+    agg_value: Column | None = None,
+    locf: bool = True,
+) -> DataFrame:
+    """Regularize a time series: one row per ``step_seconds`` bucket per
+    group between that group's first and last observation, with
+    ``n_events`` (0 on empty buckets) and ``bucket_value`` (sum of values;
+    LOCF carry-forward on empty buckets when ``locf``, else null).
+
+    Everything is per-group: the spine is a per-group ``sequence`` +
+    ``explode`` (size bounded by the group's time span / step), the fill
+    is a `last(ignorenulls)` window partitioned by group — no global
+    window, no driver-side time range.
+    """
+    group_cols = list(group_cols)
+    b = int(step_seconds) * 1_000_000
+    val = agg_value if agg_value is not None else F.sum("value")
+    bucketed = df.groupBy(
+        *group_cols,
+        (F.unix_micros(F.col(ts_col)) / b).cast("long").alias("_gf_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        val.alias("_gf_val"),
+    )
+    spine = (
+        bucketed.groupBy(*group_cols)
+        .agg(F.min("_gf_bucket").alias("_lo"), F.max("_gf_bucket").alias("_hi"))
+        .withColumn("_gf_bucket", F.explode(F.sequence("_lo", "_hi")))
+        .drop("_lo", "_hi")
+    )
+    joined = spine.join(bucketed, [*group_cols, "_gf_bucket"], "left")
+    if locf:
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("_gf_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = joined.withColumn(
+            "bucket_value", F.last("_gf_val", ignorenulls=True).over(w)
+        )
+    else:
+        filled = joined.withColumn("bucket_value", F.col("_gf_val"))
+    return filled.select(
+        *group_cols,
+        F.timestamp_micros(F.col("_gf_bucket") * b).alias("bucket_start"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        "bucket_value",
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    *,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-group time-weighted average: each observation holds its value
+    until the next one (last observation gets zero weight), weights are
+    exact integer microsecond gaps.  One partitioned window — the shape
+    streams per group at any scale.
+    """
+    group_cols = list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, tiebreak_col)
+    gap = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).cast("double")
+    weighted = df.withColumn("_twa_w", F.coalesce(gap, F.lit(0.0)))
+    return weighted.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum(F.col("_twa_w") * F.col(value_col)) / F.sum("_twa_w"), 6
+        ).alias("twa"),
+    )

@@ -124,3 +124,131 @@ def test_rollup_scans_raw_once(spark):
     # hour exchange — i.e. coarser levels re-aggregate partials instead of
     # re-scanning raw events (the continuous-aggregate property)
     assert plan.count("ReusedExchange") >= 2
+
+
+def test_range_join_boundaries_and_spanning(spark):
+    intervals = _mk(
+        spark,
+        [
+            (1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 13:00:00")),  # spans 4 hourly buckets
+            (2, _ts("2024-01-01 10:30:00"), _ts("2024-01-01 10:40:00")),
+        ],
+        ["iid", "start_ts", "end_ts"],
+    )
+    points = _mk(
+        spark,
+        [
+            (10, _ts("2024-01-01 10:00:00")),  # == start (inclusive)
+            (11, _ts("2024-01-01 13:00:00")),  # == end (inclusive)
+            (12, _ts("2024-01-01 12:15:00")),  # mid, different bucket than start
+            (13, _ts("2024-01-01 09:59:59")),  # just outside
+            (14, _ts("2024-01-01 10:35:00")),  # inside both intervals
+        ],
+        ["pid", "ts"],
+    )
+    out = temporal.range_join(
+        points, intervals, start_col="start_ts", end_col="end_ts", bucket_seconds=3600
+    )
+    pairs = sorted((r["iid"], r["p_pid"]) for r in out.collect())
+    assert pairs == [(1, 10), (1, 11), (1, 12), (1, 14), (2, 14)]
+
+
+def test_range_join_no_nested_loop_plan(spark):
+    intervals = _mk(
+        spark, [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        ["iid", "start_ts", "end_ts"],
+    )
+    points = _mk(spark, [(10, _ts("2024-01-01 10:30:00"))], ["pid", "ts"])
+    plan = (
+        temporal.range_join(points, intervals, start_col="start_ts", end_col="end_ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_fills_and_carries(spark):
+    ev = _mk(
+        spark,
+        [
+            (1, "a", _ts("2024-01-01 00:00:10"), 2.0),
+            (2, "a", _ts("2024-01-01 00:00:50"), 3.0),
+            # minute 00:01 empty
+            (3, "a", _ts("2024-01-01 00:02:05"), 7.0),
+            (4, "b", _ts("2024-01-01 00:05:00"), 1.0),
+        ],
+        ["event_id", "event_type", "ts", "value"],
+    )
+    out = {
+        (r["event_type"], r["bucket_start"].strftime("%H:%M")): (
+            r["n_events"], r["bucket_value"],
+        )
+        for r in temporal.gapfill(
+            ev, group_cols=["event_type"], step_seconds=60
+        ).collect()
+    }
+    assert out[("a", "00:00")] == (2, 5.0)
+    assert out[("a", "00:01")] == (0, 5.0)  # empty minute exists, value carried
+    assert out[("a", "00:02")] == (1, 7.0)
+    assert out[("b", "00:05")] == (1, 1.0)
+    assert ("b", "00:04") not in out  # spine is per-group, not global
+
+
+def test_gapfill_null_fill_mode(spark):
+    ev = _mk(
+        spark,
+        [
+            (1, "a", _ts("2024-01-01 00:00:10"), 2.0),
+            (2, "a", _ts("2024-01-01 00:02:05"), 7.0),
+        ],
+        ["event_id", "event_type", "ts", "value"],
+    )
+    rows = {
+        r["bucket_start"].strftime("%H:%M"): r["bucket_value"]
+        for r in temporal.gapfill(
+            ev, group_cols=["event_type"], step_seconds=60, locf=False
+        ).collect()
+    }
+    assert rows["00:01"] is None
+
+
+def test_scd2_collapses_noop_changes(spark):
+    from dataintegration_ecomprovider_spark.operators.history import scd2_from_changelog
+
+    log = _mk(
+        spark,
+        [
+            (1, "u1", _ts("2024-01-01 00:00:00"), "bronze"),
+            (2, "u1", _ts("2024-01-02 00:00:00"), "bronze"),  # no-op touch
+            (3, "u1", _ts("2024-01-03 00:00:00"), "gold"),
+            (4, "u1", _ts("2024-01-04 00:00:00"), "gold"),    # no-op touch
+            (5, "u2", _ts("2024-01-01 00:00:00"), "silver"),
+        ],
+        ["change_id", "user", "ts", "tier"],
+    )
+    out = scd2_from_changelog(
+        log, keys=["user"], ts_col="ts", attr_cols=["tier"], tiebreak_col="change_id"
+    ).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user"], []).append(r)
+    u1 = sorted(by_user["u1"], key=lambda r: r["valid_from"])
+    assert [r["tier"] for r in u1] == ["bronze", "gold"]  # touches collapsed
+    assert u1[0]["valid_to"] == u1[1]["valid_from"]  # contiguous intervals
+    assert (u1[0]["is_current"], u1[1]["is_current"]) == (False, True)
+    assert by_user["u2"][0]["is_current"] is True
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    ev = _mk(
+        spark,
+        [
+            (1, "u", _ts("2024-01-01 00:00:00"), 10.0),  # held 60 s
+            (2, "u", _ts("2024-01-01 00:01:00"), 20.0),  # held 180 s
+            (3, "u", _ts("2024-01-01 00:04:00"), 99.0),  # last: zero weight
+        ],
+        ["event_id", "user_id", "ts", "value"],
+    )
+    row = temporal.time_weighted_avg(ev, group_cols=["user_id"]).collect()[0]
+    # (60*10 + 180*20) / 240 = 17.5 — the trailing 99 never counts
+    assert row["n_obs"] == 3 and row["twa"] == 17.5
