@@ -81,14 +81,21 @@ class Catalog:
             raise KeyError(f"table {name!r} not in catalog whitelist")
         df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
         if name == "events":
-            # events.ts is TIMESTAMP(NANOS) parquet, which Spark refuses by
-            # default; read it as long (runtime-settable legacy conf) and
-            # surface a proper microsecond TimestampType to consumers.
-            if dict(df.dtypes).get("ts") == "bigint":
+            # events.ts varies across driver-generated fixture rounds:
+            # TIMESTAMP(NANOS) (Spark reads as long under the legacy conf)
+            # or TIMESTAMP(MICROS) without UTC adjustment (Spark reads as
+            # TIMESTAMP_NTZ).  Surface a proper microsecond TimestampType
+            # either way so downstream unix_micros/window math is uniform.
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 # integer DIV, not double division: epoch-nanos ~1.7e18
                 # exceed double's 2^53 exact range (ulp ≈ 256ns), so
                 # (ts/1000).cast("long") can land 1µs off near boundaries
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                # session timezone is pinned UTC above, so this cast maps
+                # wall time → the same instant, exactly and reversibly
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     def __getattr__(self, name: str) -> DataFrame:
