@@ -383,10 +383,9 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # permutation j: a = (2j+1)*2654435761 % M31, b = (j+1)*40503 % M31,
 # perm(h) = (h*a + b) % M31 — mirrors llm/dedup.py::_mix exactly.
-ORACLE_MINHASH_PORTABLE = (
-    "WITH "
-    + _PORTABLE_SHINGLES.format(n=3, post="% 2147483647")
-    + """,
+# Shared CTE chain (shingle-hash → signatures → band buckets → candidate
+# pairs → jaccard verify); reused by the clustering oracle below.
+_PORTABLE_PAIRS_CTES = """
 sig AS (
   SELECT doc_id,
          list_transform(range(32), j ->
@@ -413,8 +412,59 @@ jac AS (
   FROM cand c
   JOIN sh x ON x.doc_id = c.id_a
   JOIN sh y ON y.doc_id = c.id_b
-)
+)"""
+
+ORACLE_MINHASH_PORTABLE = (
+    "WITH "
+    + _PORTABLE_SHINGLES.format(n=3, post="% 2147483647")
+    + ","
+    + _PORTABLE_PAIRS_CTES
+    + """
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+)
+
+
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: portable-minhash candidate pairs (jaccard
+    >= 0.5) grouped into connected components (llm/cluster.py — pointer-
+    jumping label propagation, O(log diameter) rounds, no driver-side
+    union-find), every doc mapped to its cluster id (min doc_id in the
+    component; singletons map to themselves) with the canonical survivor
+    flagged.  Keep-one-per-cluster dedup = filter(is_canonical)."""
+    from dataintegration_ecomprovider_spark.llm import cluster
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    pairs = dedup.minhash_candidates(docs, num_hashes=32, bands=8, portable=True)
+    pairs = dedup.jaccard_pairs(docs, pairs).filter(F.col("jaccard") >= 0.5)
+    return cluster.dedup_clusters(docs.select("doc_id"), pairs)
+
+
+# The recursive CTE enumerates every (node, reachable-label) pair — fine at
+# oracle SF, exponential-ish on dense graphs at scale; it exists to PROVE
+# the pointer-jumping result, not to compute it.
+ORACLE_CLUSTER_CC = (
+    "WITH RECURSIVE "
+    + _PORTABLE_SHINGLES.format(n=3, post="% 2147483647")
+    + ","
+    + _PORTABLE_PAIRS_CTES
+    + """,
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       (COALESCE(c.component, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 )
 
@@ -808,6 +858,7 @@ QUERIES = {
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
+    "llm_dedup_cluster_cc": QueryDef(q_dedup_cluster_cc, ORACLE_CLUSTER_CC),
     "llm_dedup_simhash_portable": QueryDef(q_simhash_portable, ORACLE_SIMHASH_PORTABLE),
     "llm_near_dup_embedding_lsh_portable": QueryDef(
         q_near_dup_embedding_lsh_portable, ORACLE_NEAR_DUP_LSH_PORTABLE
