@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
+from dataintegration_ecomprovider_spark import runtime
 from dataintegration_ecomprovider_spark.session import get_spark
 
 HEADLINE = [
@@ -115,6 +116,7 @@ def _warmup(spark) -> None:
         .write.format("noop").mode("overwrite").save()
     )
     spark.catalog.clearCache()
+    runtime.release_caches(spark)
 
 
 def main() -> None:
@@ -132,6 +134,9 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # free persisted intermediates so no query benefits from (or pays
+        # the memory of) a predecessor's caches
+        runtime.release_caches(spark)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -12,10 +12,11 @@ JUMPING (label <- label(label) each round, the Shiloach-Vishkin shortcut),
 so convergence is O(log(diameter)) rounds, not O(diameter): a 1M-node
 duplicate chain converges in ~20 rounds where naive propagation needs 1M.
 Each round is two shuffles (one groupBy, one self-join), lineage is cut
-with localCheckpoint so the plan does not grow across iterations, and the
-loop early-stops on a converged round (one count() action per round — the
-operator is inherently iterative; the count rides on the checkpoint it
-would materialize anyway).
+with localCheckpoint so the plan does not grow across iterations, each
+round frees the previous round's checkpoint blocks, and the loop
+early-stops on a converged round (the change count is taken on rounds 0-1
+and then every other round — it rides on the checkpoint the round
+materializes anyway).
 
 Duplicate clusters from LSH are near-cliques of small diameter, so in
 practice 2-3 rounds converge; the pointer-jumping bound is for the
@@ -31,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dataintegration_ecomprovider_spark import runtime
+
 
 def connected_components(
     edges: DataFrame,
@@ -43,15 +46,55 @@ def connected_components(
 
     Deterministic: no RNG, no monotonically_increasing_id — output is a
     pure function of the edge set, identical across retries and cluster
-    sizes.  Raises if max_rounds is exhausted before convergence (only
-    reachable with a graph whose diameter exceeds 2^max_rounds)."""
+    sizes.  Raises if max_rounds is exhausted before convergence; because
+    convergence is confirmed by a no-change round, a graph needs up to one
+    round beyond its label-propagation depth, so the practical bound is a
+    diameter around 2^(max_rounds-1) — unreachable for any real graph.
+
+    Storage discipline: each round's checkpoint supersedes the previous
+    round's — the superseded blocks are freed immediately (not left to
+    accumulate over up to max_rounds rounds), so executor storage holds at
+    most the edge table plus two label tables at any instant.  Convergence
+    is counted on rounds 0-1 and then every other round (near-clique LSH
+    graphs converge in 2-3 rounds; for longer chains the skipped checks
+    halve the per-round action count at the cost of at most one extra
+    round before detection)."""
+    spark = edges.sparkSession
+    # Scoped workaround for a Spark optimizer defect: Union's constraint
+    # rewrite (UnionBase.rewriteConstraints) can hit "key not found:
+    # <attr>" when the per-round plan self-joins the union-of-labels after
+    # DeduplicateRelations regenerates attribute ids — reached only on
+    # multi-round (deep-chain) graphs.  The round plans are explicit
+    # joins/aggregations that gain nothing from inferred constraints, so
+    # propagation is disabled for the duration of the iteration and
+    # restored on exit (every action this function runs is inside the
+    # scope; the returned plan is a plain projection over the final
+    # checkpoint and optimizes fine either way).
+    constraint_conf = "spark.sql.constraintPropagation.enabled"
+    prev_conf = spark.conf.get(constraint_conf, "true")
+    spark.conf.set(constraint_conf, "false")
+    try:
+        return _connected_components_rounds(spark, edges, src, dst, max_rounds)
+    finally:
+        spark.conf.set(constraint_conf, prev_conf)
+
+
+def _connected_components_rounds(
+    spark, edges: DataFrame, src: str, dst: str, max_rounds: int
+) -> DataFrame:
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).filter(
         F.col("a") != F.col("b")
     )
+    # checkpoint BEFORE deriving nodes, so the node distinct and the
+    # initial label build both read the materialized edges instead of
+    # re-evaluating the union+filter plan
+    before = runtime.persistent_rdd_ids(spark)
+    e = e.localCheckpoint(eager=True)
+    e_ids = runtime.persistent_rdd_ids(spark) - before
     # initial label: min(self, direct neighbors) — one shuffle
     nodes = e.select(F.col("a").alias("node")).distinct()
-    e = e.localCheckpoint(eager=True)
+    before = runtime.persistent_rdd_ids(spark)
     lab = (
         e.union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
         .groupBy("a")
@@ -59,7 +102,8 @@ def connected_components(
         .withColumnRenamed("a", "node")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    lab_ids = runtime.persistent_rdd_ids(spark) - before
+    for r in range(max_rounds):
         # propagate: candidate label for u = min over neighbors' labels
         prop = (
             e.join(lab.withColumnRenamed("node", "b"), "b")
@@ -73,6 +117,7 @@ def connected_components(
         )
         # pointer jump: label <- min(label, label(label)) — halves chain
         # depth every round (log-round convergence on path graphs)
+        before = runtime.persistent_rdd_ids(spark)
         jumped = (
             new.alias("x")
             .join(
@@ -90,14 +135,24 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.join(lab.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        lab = jumped
+        jumped_ids = runtime.persistent_rdd_ids(spark) - before
+        check = r < 2 or r % 2 == 1 or r == max_rounds - 1
+        changed = None
+        if check:
+            changed = (
+                jumped.join(lab.withColumnRenamed("label", "old"), "node")
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+        # the previous round's labels are fully superseded (jumped is
+        # materialized, and `changed` — when checked — has been counted):
+        # free those blocks now instead of accumulating across rounds
+        runtime.unpersist_rdd_ids(spark, lab_ids)
+        lab, lab_ids = jumped, jumped_ids
         if changed == 0:
+            runtime.unpersist_rdd_ids(spark, e_ids)
             return lab.select("node", F.col("label").alias("component"))
+    runtime.unpersist_rdd_ids(spark, e_ids | lab_ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
@@ -114,13 +169,15 @@ def dedup_clusters(
     component; singletons are their own cluster) and flag the canonical
     survivor.  Filtering `is_canonical` is the keep-one-per-cluster dedup.
 
-    The docs side is only left-joined against the (small) component map —
-    the corpus is never shuffled, so at 100 TB this costs one broadcast-ish
-    join over however many docs actually had a near-dup candidate."""
+    The component map is broadcast explicitly (it is bounded by the
+    candidate-pair node set, not the corpus), so the corpus side is
+    guaranteed never to shuffle.  A pathologically duplicate-heavy corpus
+    whose component map outgrows executor memory would drop the hint and
+    accept one shuffle on the id."""
     comp = connected_components(pairs, src=src, dst=dst)
     return (
         docs.join(
-            comp.withColumnRenamed("node", id_col), id_col, "left"
+            F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
         )
         .select(
             F.col(id_col),

@@ -161,25 +161,42 @@ def minhash_candidates(
             )
         ).alias("pos", "bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # the self-join consumes banded twice — persist so the signature
-    # pipeline (explode + 32-way min agg) runs once, not twice
-    banded = banded.persist()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Pairs via groupBy-collect within each (band, bucket) — NOT a banded
+    # self-join: the signature pipeline is consumed exactly once (no
+    # corpus-scale persist needed) and the only shuffle is the bucket
+    # groupBy.  An id appears at most once per (band, bucket), so the
+    # sorted-array expansion yields strict id_a < id_b pairs, identical to
+    # the self-join's a.id < b.id output.  Skew profile matches the
+    # self-join's (a hot bucket concentrates on one reducer either way);
+    # bucket sizes are bounded by band width (p99 = 2 at sf0.1).
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    pairs = (
+        buckets.select(F.explode(pair_array).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # candidate pairs are consumed several times downstream (id projection
     # ×2 for the semi-join + the verification join) — persist the small
-    # pair set so the banded self-join runs once, not once per consumer
-    return pairs.persist()
+    # pair set so the LSH pipeline runs once, not once per consumer.  The
+    # persist is TRACKED: callers free it with runtime.release_caches()
+    # after consuming their results (round-2 leak finding).
+    from dataintegration_ecomprovider_spark import runtime
+
+    return runtime.track(pairs.persist())
 
 
 def jaccard_pairs(

@@ -61,8 +61,13 @@ def global_rank(
     # with a seed derived from the RDD id, so two materializations of the
     # same lineage can bucket rows differently — the counts pass and the
     # rank pass must read the one materialization (disk-backed, linear,
-    # no worse than the sort shuffle itself)
-    ranged = (
+    # no worse than the sort shuffle itself).  It cannot unpersist inline
+    # (the returned plan is lazy and still reads it), so it is TRACKED:
+    # callers free it with runtime.release_caches() after consuming the
+    # result (round-2 leak finding).
+    from dataintegration_ecomprovider_spark import runtime
+
+    ranged = runtime.track(
         df.repartitionByRange(n_parts, *order_by)
         .withColumn("_gr_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)

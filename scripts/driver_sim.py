@@ -18,6 +18,7 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod
+from dataintegration_ecomprovider_spark import runtime
 from dataintegration_ecomprovider_spark.session import get_spark
 
 TABLES = [
@@ -76,6 +77,11 @@ def main() -> int:
     failed = []
     for name in sorted(queries):
         sdf = queries[name](spark, sf_dir).toPandas()
+        # results are consumed — free any persisted/checkpointed
+        # intermediates before the next query (cache-hygiene contract)
+        runtime.release_caches(spark)
+        leaked = runtime.persistent_rdd_ids(spark)
+        assert not leaked, f"{name}: leaked persistent RDDs {leaked}"
         if name not in oracles:
             print(f"t2 {name}: ROWS-ONLY ({len(sdf)} rows)")
             continue
