@@ -80,6 +80,39 @@ def lang_guess(text: Column) -> Column:
     return expr
 
 
+# --- pluggable model seam --------------------------------------------------
+# The heuristics above are deterministic, oracle-checkable DEFAULTS.  Real
+# models (a BPE tokenizer, a fastText-style langid, a learned quality
+# scorer) drop in behind the SAME column contracts via these Arrow-batched
+# pandas_udf wrappers — the query shapes (llm_token_counts, llm_lang_id,
+# llm_text_quality) do not change, only the column expression does.  At
+# 100 TB the batch transfer is the Arrow path (vectorized, constant
+# memory per batch), never a row-at-a-time Python UDF.
+
+
+def batched_column_model(fn, return_type: str):
+    """Wrap `fn(pandas.Series) -> pandas.Series` as an Arrow-batched column
+    function.  `return_type` is the DDL type the contract demands (e.g.
+    "bigint" for a token counter matching bpe_token_count, "string" for a
+    language-ID matching lang_guess).  The returned object is used exactly
+    like the heuristic: ``col_fn(F.col("text"))``."""
+    import pandas as pd  # noqa: F401 — documents the fn signature
+
+    return F.pandas_udf(fn, returnType=return_type)
+
+
+def with_model(df, fn, output_schema, text_col: str = "text"):
+    """Apply a per-batch text model producing SEVERAL columns at once:
+    `fn(pandas.Series) -> pandas.DataFrame` whose columns match
+    `output_schema` (a DDL struct string or StructType, e.g.
+    "lang string, score double").  The struct result is flattened onto the
+    input rows — the multi-feature analog of quality_features, with the
+    same one-pass, no-shuffle plan shape."""
+    udf = F.pandas_udf(fn, returnType=output_schema)
+    out = df.withColumn("__model", udf(F.col(text_col)))
+    return out.select("*", "__model.*").drop("__model")
+
+
 def rolling_fingerprint(text: Column, mod: int = 1_000_000_007, base: int = 31) -> Column:
     """Polynomial rolling-hash fingerprint over characters:
     h = (h*base + ascii(c)) mod m.  Bounded intermediate (< 2^63) so the

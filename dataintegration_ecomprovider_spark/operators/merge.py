@@ -36,9 +36,21 @@ def _k(df: DataFrame, name: str, case_insensitive: bool) -> Column:
     compare through ci() — the reference matches keys under SQL Server's
     case-insensitive collation everywhere (OrdinalIgnoreCase,
     src/EcomDestinationWriter.cs:50-52, :1053; SURVEY §2.9).  Non-string
-    keys are left alone (collation doesn't apply)."""
+    keys are left alone (collation doesn't apply).
+
+    Engine convention: a MATERIALIZED `__k_<name>` column, when present,
+    IS the normalized key and is returned as-is.  This is what makes
+    bucketed staging exchange-free: operators/bucketing.py writes staging
+    and destination tables bucketed on the materialized norm columns, and
+    because every merge-family comparison resolves to that same column
+    attribute, Catalyst sees the bucketed scan's hash partitioning satisfy
+    the join/window distribution — no Exchange.  Recomputing ci() inline
+    here would break the attribute lineage and reintroduce the shuffle."""
     col = df[name]
     if case_insensitive and dict(df.dtypes).get(name) == "string":
+        nk = f"__k_{name}"
+        if nk in df.columns:
+            return df[nk]
         return ci(col)
     return col
 
@@ -48,11 +60,13 @@ def _with_norm_keys(
 ) -> tuple[DataFrame, list[str]]:
     """Add `__k_<key>` normalized-key columns for name-based joins (semi /
     anti), returning (df, norm_names).  Callers join on the norm names and
-    drop them after."""
+    drop them after.  Pre-materialized norm columns are kept as-is (see
+    _k: replacing them would sever the bucketed-scan attribute lineage)."""
     norm = []
     for k in keys:
         nk = f"__k_{k}"
-        df = df.withColumn(nk, _k(df, k, case_insensitive))
+        if nk not in df.columns:
+            df = df.withColumn(nk, _k(df, k, case_insensitive))
         norm.append(nk)
     return df, norm
 
@@ -63,7 +77,11 @@ def _key_side(
     """Project just the (normalized) key columns for the build side of a
     semi/anti join."""
     return df.select(
-        [_k(df, k, case_insensitive).alias(f"__k_{k}") for k in keys]
+        [
+            (df[f"__k_{k}"] if f"__k_{k}" in df.columns
+             else _k(df, k, case_insensitive)).alias(f"__k_{k}")
+            for k in keys
+        ]
     )
 
 
@@ -152,7 +170,16 @@ def upsert(
     d = dest.withColumn("__d_present", F.lit(True))
     cond = F.lit(True)
     for k in keys:
-        cond = cond & (_k(d, k, case_insensitive) == _k(s, f"__s_{k}", case_insensitive))
+        nk = f"__k_{k}"
+        if nk in dest.columns and nk in staging.columns:
+            # materialized norm keys (bucketed staging): compare the
+            # bucketed column attributes directly so the bucketed scans'
+            # partitioning satisfies the join — no Exchange (see _k)
+            cond = cond & (d[nk] == s[f"__s_{nk}"])
+        else:
+            cond = cond & (
+                _k(d, k, case_insensitive) == _k(s, f"__s_{k}", case_insensitive)
+            )
 
     joined = d.join(s, cond, "full_outer" if insert_new else "left")
     matched = d["__d_present"].isNotNull() & s["__s_present"].isNotNull()

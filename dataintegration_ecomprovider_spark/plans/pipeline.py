@@ -211,7 +211,10 @@ def merge_step(dest: DataFrame, staged: DataFrame, spec: MappingSpec) -> DataFra
         # must not fan out the matched update (reference PK dedup,
         # src/EcomDestinationWriter.cs:1269-1278)
         part = [merge._k(staged, k, ci_keys) for k in keys]
-        order = [F.col(c) for c in staged.columns if c not in keys]
+        order = [
+            F.col(c) for c in staged.columns
+            if c not in keys and not c.startswith("__k_")
+        ]
         staged = dedup.first_wins(staged, part, order) if order else (
             staged.dropDuplicates(keys)
         )
@@ -237,6 +240,9 @@ def run_job(
     dest_keys: Mapping[str, Sequence[str]] | None = None,
     params: Mapping[str, str] | None = None,
     update_only_existing_tables: Sequence[str] = (),
+    bucketed_staging: bool = False,
+    staging_buckets: int = 32,
+    staging_prefix: str = "stage_job",
 ) -> dict[str, DataFrame]:
     """The full RunJob pipeline as pure DataFrame transforms: normalize
     (E15+E16), shape, strip virtuals (E17), merge per destination table —
@@ -251,9 +257,27 @@ def run_job(
     own modes, src/EcomProvider.cs:680-687,
     src/EcomDestinationWriter.cs:3295-3302).
 
+    `bucketed_staging=True` is the scale path for the merge family: each
+    mapping's staged rows AND the evolving destination state are written
+    as bucketed tables on the mapping's (normalized) key columns before
+    the merge — the analog of the reference's temp tables keyed like
+    their destination (CreateTempTables,
+    src/EcomDestinationWriter.cs:234-417).  Every U1-U11 join, the
+    first-wins key dedup window, and the unique-key guard then read
+    co-located buckets with ZERO Exchange (tests/test_plan_shapes.py
+    asserts this).  The per-mapping materialization replaces the shuffles
+    the default path pays per join — at 100 TB the win is that a
+    destination merged by several mappings shuffles once at stage time
+    instead of once per join, and AQE never sees a skewed merge key.
+    Staging tables live under `staging_prefix` until the caller consumes
+    the returned state and calls bucketing.drop_staging_tables (the
+    reference drops temp tables on Close, :4167-4182).
+
     Returns {dest_table: new_state}; callers publish atomically via
     plans.publish (U12)."""
     import dataclasses
+
+    from dataintegration_ecomprovider_spark.operators import bucketing
 
     ordered = order_mappings(mappings)
     if dest_keys:
@@ -267,7 +291,7 @@ def run_job(
             for m in ordered
         ]
     state: dict[str, DataFrame] = dict(dest_tables)
-    for spec in ordered:
+    for i, spec in enumerate(ordered):
         source = catalog.table(spec.source_table)
         shaped = shape(source, spec, params)
         # E5-E7: relation rows derive from the shaped staging BEFORE the
@@ -280,5 +304,24 @@ def run_job(
                 case_insensitive=spec.case_insensitive_keys,
             )
         staged = strip_virtual_columns(shaped, spec)
+        keys = spec.key_columns()
+        if bucketed_staging and keys:
+            staged = bucketing.stage_for_merge(
+                catalog.spark, staged, keys,
+                f"{staging_prefix}_{i}_{spec.dest_table}_stg",
+                staging_buckets, spec.case_insensitive_keys,
+            )
+            state[spec.dest_table] = bucketing.stage_for_merge(
+                catalog.spark, state[spec.dest_table], keys,
+                f"{staging_prefix}_{i}_{spec.dest_table}_dst",
+                staging_buckets, spec.case_insensitive_keys,
+            )
         state[spec.dest_table] = merge_step(state[spec.dest_table], staged, spec)
+    if bucketed_staging:
+        # the materialized norm-key columns are staging internals, not
+        # destination schema
+        state = {
+            t: df.drop(*[c for c in df.columns if c.startswith("__k_")])
+            for t, df in state.items()
+        }
     return state

@@ -48,13 +48,28 @@ def current_manifest(root: str) -> dict:
         return json.load(fh)
 
 
+def _read_entry(spark: SparkSession, entry) -> DataFrame:
+    """Resolve one manifest table entry.  Plain string = parquet path;
+    dict = bucketed table ({"path", "table", "bucket_keys", "num_buckets"})
+    read via the session catalog so bucket metadata survives and joins on
+    the bucket keys skip their Exchange.  If the catalog entry is gone
+    (new session against an old manifest), fall back to the parquet path —
+    correct, just without the bucket co-location."""
+    if isinstance(entry, str):
+        return spark.read.parquet(entry)
+    try:
+        return spark.table(entry["table"])
+    except Exception:
+        return spark.read.parquet(entry["path"])
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read the current committed version of `name` (readers never see
     in-flight staging directories)."""
     manifest = current_manifest(root)
     if name not in manifest["tables"]:
         raise KeyError(f"table {name!r} has no committed version under {root}")
-    return spark.read.parquet(manifest["tables"][name])
+    return _read_entry(spark, manifest["tables"][name])
 
 
 def publish_tables(
@@ -62,24 +77,51 @@ def publish_tables(
     outputs: Mapping[str, DataFrame],
     root: str,
     validators: Mapping[str, Callable[[DataFrame], None]] | None = None,
+    bucket_keys: Mapping[str, list] | None = None,
+    num_buckets: int = 32,
 ) -> dict:
     """Stage every output, validate, then commit with one manifest swap.
 
     `validators[name]` is called with the RE-READ staged DataFrame and
     raises to abort the whole publish (nothing becomes visible — the
     reference's rollback).  Returns the new manifest.
+
+    `bucket_keys[name]` publishes that table BUCKETED on those columns
+    (an external table at the staged path, registered per-version in the
+    session catalog): the next job's merge against it — and any reader
+    joining on the keys — skips its Exchange.  This closes the loop with
+    run_job(bucketed_staging=True): destination tables round-trip through
+    publish/read_table without ever re-shuffling on their merge keys,
+    the analog of the reference keeping destination tables indexed on
+    their keys across job runs.
     """
     os.makedirs(root, exist_ok=True)
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
-    staged_paths: dict[str, str] = {}
+    staged_paths: dict[str, object] = {}
 
     for name, df in outputs.items():
         path = os.path.join(root, "data", txid, name)
-        df.write.mode("errorifexists").parquet(path)
-        staged_paths[name] = path
+        if bucket_keys and name in bucket_keys:
+            keys = list(bucket_keys[name])
+            tname = f"pub_{name}_{txid}".replace("-", "_")
+            (
+                df.repartition(num_buckets, *keys)
+                .write.mode("errorifexists")
+                .bucketBy(num_buckets, *keys)
+                .sortBy(*keys)
+                .option("path", path)
+                .saveAsTable(tname)
+            )
+            staged_paths[name] = {
+                "path": path, "table": tname,
+                "bucket_keys": keys, "num_buckets": num_buckets,
+            }
+        else:
+            df.write.mode("errorifexists").parquet(path)
+            staged_paths[name] = path
 
-    for name, path in staged_paths.items():
-        staged = spark.read.parquet(path)
+    for name, entry in staged_paths.items():
+        staged = _read_entry(spark, entry)
         if not staged.schema.fields:
             raise ValidationError(f"{name}: staged table has no columns")
         if validators and name in validators:
@@ -125,7 +167,7 @@ def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> Da
         tables = matches[0]["tables"]
     if name not in tables:
         raise KeyError(f"table {name!r} absent at version {version}")
-    return spark.read.parquet(tables[name])
+    return _read_entry(spark, tables[name])
 
 
 def rollback(root: str, version: int) -> dict:

@@ -883,14 +883,7 @@ FROM membership m GROUP BY m.assortment_id
 
 
 # --- E15/E16/U1-U3 composed: the RunJob pipeline ---------------------------
-def q_pipeline_run_job(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference §3.1 RunJob end-to-end: two mappings staging into the same
-    destination table, normalized (E15 order + E16 key completion), shaped
-    (P2 conditional + P7 constant script), then merged sequentially against
-    the evolving state (per-mapping MoveDataToMainTable loop,
-    src/EcomDestinationWriter.cs:3165-3218).  Atomic publish (U12) is
-    exercised in tests/test_pipeline.py — here the final state is returned
-    directly for the oracle."""
+def _pipeline_job(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
     from dataintegration_ecomprovider_spark.plans.pipeline import (
         ColumnRule, MappingSpec, run_job,
     )
@@ -921,8 +914,33 @@ def q_pipeline_run_job(spark: SparkSession, sf_dir: str) -> DataFrame:
             mapping(F.col("o_orderkey") % 5 == 0, "V"),
         ],
         dest_keys={"orders": ["o_orderkey"]},
+        bucketed_staging=bucketed,
+        staging_prefix="stage_q_u12",
     )
     return _orders_fmt(state["orders"])
+
+
+def q_pipeline_run_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference §3.1 RunJob end-to-end: two mappings staging into the same
+    destination table, normalized (E15 order + E16 key completion), shaped
+    (P2 conditional + P7 constant script), then merged sequentially against
+    the evolving state (per-mapping MoveDataToMainTable loop,
+    src/EcomDestinationWriter.cs:3165-3218).  Atomic publish (U12) is
+    exercised in tests/test_pipeline.py — here the final state is returned
+    directly for the oracle."""
+    return _pipeline_job(spark, sf_dir, bucketed=False)
+
+
+def q_pipeline_run_job_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same RunJob pipeline through BUCKETED staging (S5/S6 scale
+    path): staged rows and the evolving destination are written as tables
+    bucketed on the merge key — the analog of the reference's temp tables
+    keyed like their destination (CreateTempTables,
+    src/EcomDestinationWriter.cs:234-417) — so every upsert join and key
+    dedup runs with zero Exchange (plan-asserted in
+    tests/test_plan_shapes.py).  Same oracle as the default path: the
+    storage layout must not change a single row."""
+    return _pipeline_job(spark, sf_dir, bucketed=True)
 
 
 ORACLE_PIPELINE_RUN_JOB = f"""
@@ -991,6 +1009,7 @@ QUERIES = {
     "e18_assortment_rebuild": QueryDef(q_assortment_rebuild, ORACLE_ASSORTMENT_REBUILD),
     "e5_primary_demotion": QueryDef(q_primary_demotion, ORACLE_PRIMARY_DEMOTION),
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
+    "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),

@@ -368,3 +368,45 @@ def test_publish_staging_invisible_until_commit(spark, tmp_path):
     cat.table("region").limit(1).write.parquet(staged_dir)
     assert publish.current_manifest(root) == v1
     assert publish.read_table(spark, root, "region").count() == cat.table("region").count()
+
+
+def test_publish_bucketed_roundtrip_and_exchange_free_merge(spark, tmp_path):
+    """publish_tables(bucket_keys=...) closes the loop with bucketed
+    staging: the committed table reads back identical AND a follow-up
+    merge against it on the bucket key needs no Exchange on the dest side
+    (the published layout survives the round trip)."""
+    from dataintegration_ecomprovider_spark.operators import bucketing, merge
+
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    manifest = publish.publish_tables(
+        spark, {"orders": orders}, root,
+        bucket_keys={"orders": ["o_orderkey"]}, num_buckets=8,
+    )
+    entry = manifest["tables"]["orders"]
+    assert entry["bucket_keys"] == ["o_orderkey"]
+
+    back = publish.read_table(spark, root, "orders")
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        staging = bucketing.stage_for_merge(
+            spark,
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("o_orderstatus", F.lit("U")),
+            ["o_orderkey"], "tpub_stg", 8,
+        )
+        plan = (
+            merge.upsert(back, staging, ["o_orderkey"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tpub_stg")

@@ -68,3 +68,61 @@ def test_split_assign_is_map_only(spark):
     out = split_assign(docs, "doc_id", val_frac=0.1, test_frac=0.1)
     plan = _plan(out)
     assert "Exchange" not in plan, f"sampling shuffles:\n{plan[:2000]}"
+
+
+def test_bucketed_merge_family_is_exchange_free(spark):
+    """run_job(bucketed_staging=True)'s contract: once both merge sides
+    are staged bucketed on the (normalized) keys, the WHOLE merge family
+    — full-outer upsert, semi/anti delete-missing, CI string keys through
+    the materialized __k_ columns — runs with zero Exchange nodes."""
+    from dataintegration_ecomprovider_spark.operators import bucketing
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cat = Catalog(spark, SF_DIR)
+        orders = cat.table("orders")
+        d = bucketing.stage_for_merge(
+            spark, orders.filter(F.col("o_orderkey") % 3 != 0),
+            ["o_orderkey"], "tps_dst", 8)
+        s = bucketing.stage_for_merge(
+            spark, orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("o_orderstatus", F.lit("U")),
+            ["o_orderkey"], "tps_stg", 8)
+        assert "Exchange" not in _plan(merge.upsert(d, s, ["o_orderkey"]))
+        assert "Exchange" not in _plan(merge.remove_missing(d, s, ["o_orderkey"]))
+        assert "Exchange" not in _plan(merge.delete_incoming(d, s, ["o_orderkey"]))
+
+        # case-insensitive STRING keys: bucketing on the materialized
+        # __k_ norm column must be honored by the upsert condition
+        cust = cat.table("customer")
+        d2 = bucketing.stage_for_merge(
+            spark, cust.select(F.col("c_name").alias("cust_name"), "c_custkey"),
+            ["cust_name"], "tps_dst2", 8, case_insensitive=True)
+        s2 = bucketing.stage_for_merge(
+            spark, cust.filter(F.col("c_custkey") % 2 == 0)
+            .select(F.upper("c_name").alias("cust_name"), "c_custkey"),
+            ["cust_name"], "tps_stg2", 8, case_insensitive=True)
+        plan = _plan(merge.upsert(d2, s2, ["cust_name"], case_insensitive=True))
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("tps_dst", "tps_stg", "tps_dst2", "tps_stg2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_run_job_bucketed_matches_default(spark):
+    """The bucketed staging path is a storage-layout change only — row-
+    identical to the default path on the full two-mapping pipeline."""
+    from dataintegration_ecomprovider_spark.operators.bucketing import drop_staging_tables
+    from dataintegration_ecomprovider_spark.plans.write_queries import (
+        q_pipeline_run_job, q_pipeline_run_job_bucketed,
+    )
+
+    a = q_pipeline_run_job(spark, SF_DIR).toPandas()
+    b = q_pipeline_run_job_bucketed(spark, SF_DIR).toPandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(by=cols).reset_index(drop=True)
+    b = b[cols].sort_values(by=cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert drop_staging_tables(spark, "stage_q_u12") > 0

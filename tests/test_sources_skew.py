@@ -97,3 +97,22 @@ def test_salted_top1_equals_window_top1(spark):
     )
     want = {r.l_partkey: (-r.l_quantity, r.l_suppkey) for r in want_rows}
     assert got == want
+
+
+def test_products_export_salted_is_bit_identical(spark):
+    """The flagship's salted aggregation (hot-product opt-in) must be a
+    pure execution-shape change: same rows, same strings, same ordering
+    inside every list column as the unsalted oracle-checked plan."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.operators.export_views import (
+        products_export_view,
+    )
+
+    cat = Catalog(spark, SF_DIR)
+    cols = None
+    plain = products_export_view(cat).toPandas()
+    salted = products_export_view(cat, salts=8).toPandas()
+    cols = sorted(plain.columns)
+    plain = plain[cols].sort_values(by=cols).reset_index(drop=True)
+    salted = salted[cols].sort_values(by=cols).reset_index(drop=True)
+    assert plain.equals(salted)
