@@ -40,6 +40,8 @@ HEADLINE = [
     "llm_near_dup_embedding_lsh",   # embedding near-dup, LSH-pruned
     "llm_text_quality",             # text feature extraction
     "llm_fingerprint",              # rolling-hash fingerprint
+    "llm_chunk_documents",          # sliding-window chunking (round 3)
+    "u12_pipeline_run_job_bucketed",  # exchange-free merge pipeline (round 3)
 ]
 
 

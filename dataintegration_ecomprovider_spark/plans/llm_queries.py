@@ -22,6 +22,35 @@ from dataintegration_ecomprovider_spark.llm.portable import md5_int60_sql
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 
 
+# --- sliding-window document chunking -------------------------------------
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (llm/chunking.py): 40-word windows, stride
+    30 (10-word overlap) — zero-shuffle scan-side rewrite."""
+    from dataintegration_ecomprovider_spark.llm.chunking import chunk_documents
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return chunk_documents(docs, max_words=40, stride=30)
+
+
+ORACLE_CHUNK_DOCUMENTS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+  FROM documents WHERE length(trim(text)) > 0
+),
+c AS (
+  SELECT doc_id, words, len(words) AS n,
+         CASE WHEN len(words) <= 40 THEN 1
+              ELSE CAST(ceil((len(words) - 40) / 30.0) AS INT) + 1 END AS n_chunks
+  FROM w
+)
+SELECT c.doc_id,
+       CAST(i AS INT) AS chunk_id,
+       array_to_string(words[i*30 + 1 : i*30 + 40], ' ') AS chunk_text,
+       CAST(LEAST(40, n - i*30) AS BIGINT) AS chunk_words
+FROM c, UNNEST(range(n_chunks)) AS t(i)
+"""
+
+
 # --- exact dedup ----------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
@@ -879,6 +908,7 @@ QUERIES = {
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER
     ),
     "llm_pack_sequences": QueryDef(q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "llm_chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "llm_repetition_metrics": QueryDef(q_repetition_metrics, ORACLE_REPETITION),
     "llm_decontaminate": QueryDef(q_decontaminate, ORACLE_DECONTAMINATE),
     "llm_pii_scrub": QueryDef(q_pii_scrub, ORACLE_PII_SCRUB),

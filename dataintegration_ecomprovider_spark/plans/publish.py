@@ -93,7 +93,10 @@ def publish_tables(
     run_job(bucketed_staging=True): destination tables round-trip through
     publish/read_table without ever re-shuffling on their merge keys,
     the analog of the reference keeping destination tables indexed on
-    their keys across job runs.
+    their keys across job runs.  For case-insensitive STRING merge keys,
+    bucket on the materialized `__k_<key>` norm columns (see
+    operators/bucketing.norm_bucket_columns) — bucketing the raw casing
+    co-locates nothing for a ci() comparison.
     """
     os.makedirs(root, exist_ok=True)
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
@@ -199,11 +202,19 @@ def merge_into(
     keys,
     insert_new: bool = True,
     update_existing: bool = True,
+    bucketed: bool = False,
+    num_buckets: int = 32,
 ) -> dict:
     """Incremental MERGE against the published store: read the current
     committed version, apply the U1-U3 upsert, publish the new state as the
     next version.  One call = one reference job run; crash-safe because the
-    publish is all-or-nothing."""
+    publish is all-or-nothing.
+
+    `bucketed=True` keeps the destination bucketed on `keys` across
+    versions: each merge reads a bucketed dest (its join side needs no
+    Exchange) and republishes bucketed, so repeated incremental loads —
+    the reference's re-run-the-job idempotent feed — never re-shuffle the
+    accumulated destination, only the (small) incoming staging."""
     from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
     dest = read_table(spark, root, name)
@@ -211,4 +222,8 @@ def merge_into(
         dest, staging, list(keys),
         insert_new=insert_new, update_existing=update_existing,
     )
-    return publish_tables(spark, {name: new_state}, root)
+    return publish_tables(
+        spark, {name: new_state}, root,
+        bucket_keys={name: list(keys)} if bucketed else None,
+        num_buckets=num_buckets,
+    )

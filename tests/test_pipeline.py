@@ -410,3 +410,45 @@ def test_publish_bucketed_roundtrip_and_exchange_free_merge(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS tpub_stg")
+
+
+def test_merge_into_bucketed_keeps_layout_across_versions(spark, tmp_path):
+    """Repeated incremental merges with bucketed=True: every version's
+    destination reads back bucketed, the dest side of each merge join
+    plans without an Exchange, and the data matches the unbucketed path."""
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    base = cat.table("orders").select("o_orderkey", "o_orderstatus")
+    publish.publish_tables(
+        spark, {"orders": base}, root,
+        bucket_keys={"orders": ["o_orderkey"]}, num_buckets=8,
+    )
+    for status in ("U", "V"):
+        inc = base.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+            "o_orderstatus", F.lit(status)
+        )
+        publish.merge_into(
+            spark, root, "orders", inc, ["o_orderkey"],
+            bucketed=True, num_buckets=8,
+        )
+    final = publish.read_table(spark, root, "orders")
+    # dest side of a follow-up merge join: no Exchange above its scan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        from dataintegration_ecomprovider_spark.operators import merge
+
+        inc = base.limit(100).withColumn("o_orderstatus", F.lit("W"))
+        plan = (
+            merge.upsert(final, inc, ["o_orderkey"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # exactly ONE exchange (the incoming staging); dest never re-shuffles
+        assert plan.count("Exchange hashpartitioning") <= 1, plan[:2500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    rows = final.toPandas()
+    assert (rows[rows["o_orderkey"] % 2 == 0]["o_orderstatus"] == "V").all()
+    assert len(rows) == base.count()
