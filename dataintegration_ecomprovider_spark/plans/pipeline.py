@@ -243,6 +243,7 @@ def run_job(
     bucketed_staging: bool = False,
     staging_buckets: int = 32,
     staging_prefix: str = "stage_job",
+    dest_bucketed: Sequence[str] = (),
 ) -> dict[str, DataFrame]:
     """The full RunJob pipeline as pure DataFrame transforms: normalize
     (E15+E16), shape, strip virtuals (E17), merge per destination table —
@@ -258,20 +259,24 @@ def run_job(
     src/EcomDestinationWriter.cs:3295-3302).
 
     `bucketed_staging=True` is the scale path for the merge family: each
-    mapping's staged rows AND the evolving destination state are written
-    as bucketed tables on the mapping's (normalized) key columns before
-    the merge — the analog of the reference's temp tables keyed like
+    mapping's staged rows are written as bucketed tables on the mapping's
+    (normalized) key columns, and the destination is staged bucketed ONCE
+    per table — the analog of the reference's temp tables keyed like
     their destination (CreateTempTables,
-    src/EcomDestinationWriter.cs:234-417).  Every U1-U11 join, the
-    first-wins key dedup window, and the unique-key guard then read
-    co-located buckets with ZERO Exchange (tests/test_plan_shapes.py
-    asserts this).  The per-mapping materialization replaces the shuffles
-    the default path pays per join — at 100 TB the win is that a
-    destination merged by several mappings shuffles once at stage time
-    instead of once per join, and AQE never sees a skewed merge key.
-    Staging tables live under `staging_prefix` until the caller consumes
-    the returned state and calls bucketing.drop_staging_tables (the
-    reference drops temp tables on Close, :4167-4182).
+    src/EcomDestinationWriter.cs:234-417).  The first merge per table
+    then runs with ZERO Exchange — join, first-wins dedup window,
+    unique-key guard all read co-located buckets
+    (tests/test_plan_shapes.py asserts this); later mappings into the
+    same table shuffle only the evolving-state side (one Exchange — a
+    shuffle is strictly cheaper than re-writing the whole table per
+    mapping, which is why dest staging is once, not per-mapping; the
+    staging side stays exchange-free).  Tables named in `dest_bucketed`
+    skip even the initial dest staging — pass the tables you read from a
+    bucketed publish (publish_tables(bucket_keys=...)), whose layout
+    already matches.  Staging tables live under `staging_prefix` until
+    the caller consumes the returned state and calls
+    bucketing.drop_staging_tables (the reference drops temp tables on
+    Close, :4167-4182).
 
     Returns {dest_table: new_state}; callers publish atomically via
     plans.publish (U12)."""
@@ -291,6 +296,7 @@ def run_job(
             for m in ordered
         ]
     state: dict[str, DataFrame] = dict(dest_tables)
+    staged_dest: set[str] = set(dest_bucketed)
     for i, spec in enumerate(ordered):
         source = catalog.table(spec.source_table)
         shaped = shape(source, spec, params)
@@ -311,11 +317,13 @@ def run_job(
                 f"{staging_prefix}_{i}_{spec.dest_table}_stg",
                 staging_buckets, spec.case_insensitive_keys,
             )
-            state[spec.dest_table] = bucketing.stage_for_merge(
-                catalog.spark, state[spec.dest_table], keys,
-                f"{staging_prefix}_{i}_{spec.dest_table}_dst",
-                staging_buckets, spec.case_insensitive_keys,
-            )
+            if spec.dest_table not in staged_dest:
+                state[spec.dest_table] = bucketing.stage_for_merge(
+                    catalog.spark, state[spec.dest_table], keys,
+                    f"{staging_prefix}_{i}_{spec.dest_table}_dst",
+                    staging_buckets, spec.case_insensitive_keys,
+                )
+                staged_dest.add(spec.dest_table)
         state[spec.dest_table] = merge_step(state[spec.dest_table], staged, spec)
     if bucketed_staging:
         # the materialized norm-key columns are staging internals, not

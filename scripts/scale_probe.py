@@ -1,0 +1,86 @@
+"""10x scale probe (local[32]): synthesize ~sf1 from sf0.1 by shifted-key
+union, persist it as parquet, and time the heavy surfaces — records the
+scale-up behavior SCALE.md cites.  Usage: python scripts/scale_probe.py
+
+Shifted copies make every duplicated document a TRUE near-dup of its
+original, so the minhash number is adversarial (candidate pairs grow far
+faster than 10x); organic 10x data has a smaller verify set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark import runtime
+from dataintegration_ecomprovider_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/sfprobe_r3"
+COPIES = 10
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
+
+
+def synthesize(spark) -> None:
+    if os.path.exists(os.path.join(OUT, "_READY")):
+        return
+    shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
+    for t in PASSTHROUGH:
+        os.symlink(f"{BASE}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+    def shifted_union(df, col):
+        mx = df.agg(F.max(col)).collect()[0][0] + 1
+        out = None
+        for i in range(COPIES):
+            c = df.withColumn(col, F.col(col) + F.lit(i * mx))
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    shifted_union(orders, "o_orderkey").write.parquet(f"{OUT}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    shifted_union(li, "l_orderkey").write.parquet(f"{OUT}/lineitem.parquet")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    shifted_union(docs, "doc_id").write.parquet(f"{OUT}/documents.parquet")
+    open(os.path.join(OUT, "_READY"), "w").close()
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize(spark)
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod._all()
+    names = [
+        "products_export_j4_p6_a1_a8",
+        "e15_e16_u12_pipeline_run_job",
+        "u12_pipeline_run_job_bucketed",
+        "e5_membership_explode",
+        "u9_relation_swap",
+        "llm_dedup_minhash_lsh",
+        "llm_chunk_documents",
+        "llm_fingerprint",
+    ]
+    timings = {}
+    for name in names:
+        t0 = time.perf_counter()
+        queries[name](spark, OUT).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        runtime.release_caches(spark)
+    print(json.dumps({"probe": "10x_sf0.1", "copies": COPIES, "queries": timings}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
