@@ -305,8 +305,16 @@ def run_job(
         # and land in their relation tables via the U9 swap
         for rel in spec.relation_outputs:
             rel_rows = rel.derive(shaped)
+            dest_rel = state[rel.dest_table]
+            # a table bucket-staged by an earlier mapping carries __k_
+            # norm columns the freshly derived relation rows don't have;
+            # strip them so the swap's union aligns (the swap re-derives
+            # what it needs for its own match keys)
+            extra = [c for c in dest_rel.columns if c.startswith("__k_")]
+            if extra:
+                dest_rel = dest_rel.drop(*extra)
             state[rel.dest_table] = merge.relation_swap(
-                state[rel.dest_table], rel_rows, list(rel.match_keys),
+                dest_rel, rel_rows, list(rel.match_keys),
                 case_insensitive=spec.case_insensitive_keys,
             )
         staged = strip_virtual_columns(shaped, spec)

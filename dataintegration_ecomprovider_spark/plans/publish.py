@@ -194,6 +194,59 @@ def rollback(root: str, version: int) -> dict:
     return _commit(root, txid, new)
 
 
+def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
+    """Prune history: keep the current version plus the newest
+    `keep_versions - 1` historical versions; delete data directories (and
+    drop bucketed-table catalog entries) referenced ONLY by pruned
+    versions.  Time travel/rollback remain available within the kept
+    window.  At 100 TB this is the storage-reclamation step a versioned
+    store needs — the same role as Delta VACUUM; like there, a reader
+    pinned to a pruned version loses it, so keep_versions is an
+    operational retention policy, not a correctness knob.
+
+    Returns {"removed_versions": [...], "removed_paths": [...]}.
+    """
+    import shutil
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    manifest = current_manifest(root)
+    history = manifest.get("history", [])
+    keep_hist = history[len(history) - (keep_versions - 1):] if keep_versions > 1 else []
+    pruned = history[: len(history) - len(keep_hist)]
+    if not pruned:
+        return {"removed_versions": [], "removed_paths": []}
+
+    def paths_of(tables: dict) -> set[str]:
+        out = set()
+        for entry in tables.values():
+            out.add(entry["path"] if isinstance(entry, dict) else entry)
+        return out
+
+    live: set[str] = paths_of(manifest["tables"])
+    for h in keep_hist:
+        live |= paths_of(h["tables"])
+    removed_paths: list[str] = []
+    for h in pruned:
+        for name, entry in h["tables"].items():
+            path = entry["path"] if isinstance(entry, dict) else entry
+            if path in live:
+                continue
+            if isinstance(entry, dict):
+                spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
+            shutil.rmtree(path, ignore_errors=True)
+            removed_paths.append(path)
+            live.add(path)  # don't double-remove across pruned versions
+
+    new_manifest = dict(manifest)
+    new_manifest["history"] = keep_hist
+    _commit(root, manifest.get("txid") or "vacuum", new_manifest)
+    return {
+        "removed_versions": [h["version"] for h in pruned],
+        "removed_paths": removed_paths,
+    }
+
+
 def merge_into(
     spark: SparkSession,
     root: str,

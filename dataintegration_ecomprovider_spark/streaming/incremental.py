@@ -85,3 +85,54 @@ def merge_each_batch(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_store(
+    stream: DataFrame,
+    root: str,
+    name: str,
+    keys: Sequence[str],
+    checkpoint_dir: str,
+    insert_new: bool = True,
+    update_existing: bool = True,
+    available_now: bool = True,
+    dedup_order_by: Sequence[Column] | None = None,
+    bucketed: bool = False,
+    num_buckets: int = 32,
+) -> StreamingQuery:
+    """Stream → versioned store: every micro-batch becomes one crash-safe
+    VERSION via publish.merge_into — streaming and batch share one write
+    path, and a mid-batch crash leaves the previous version fully visible
+    (the manifest swap is the visibility boundary).  On checkpoint replay
+    a batch re-merges into the current version: the upsert is idempotent
+    on its keys, so the DATA is exactly-once while version numbers are
+    at-least-once (a replayed batch can add an identical version).
+    `bucketed=True` keeps the destination bucketed across versions
+    (merge_into): a continuously-fed 100 TB table never re-shuffles its
+    accumulated side, only each (small) incoming batch."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        order = list(dedup_order_by) if dedup_order_by is not None else [
+            F.col(c) for c in batch.columns if c not in keys
+        ]
+        deduped = (
+            dedup.first_wins(batch, keys, order) if order
+            else batch.dropDuplicates(list(keys))
+        )
+        publish.merge_into(
+            batch.sparkSession, root, name, deduped, keys,
+            insert_new=insert_new, update_existing=update_existing,
+            bucketed=bucketed, num_buckets=num_buckets,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -452,3 +452,32 @@ def test_merge_into_bucketed_keeps_layout_across_versions(spark, tmp_path):
     rows = final.toPandas()
     assert (rows[rows["o_orderkey"] % 2 == 0]["o_orderstatus"] == "V").all()
     assert len(rows) == base.count()
+
+
+def test_vacuum_prunes_old_versions_keeps_current(spark, tmp_path):
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    base = cat.table("nation").select("n_nationkey", "n_name")
+    # v1..v4: four publishes of evolving state
+    for i in range(4):
+        publish.publish_tables(
+            spark, {"nation": base.withColumn("v", F.lit(i))}, root
+        )
+    before = publish.current_manifest(root)
+    assert before["version"] == 4 and len(before["history"]) == 3
+
+    res = publish.vacuum(spark, root, keep_versions=2)
+    assert res["removed_versions"] == [1, 2]
+    assert len(res["removed_paths"]) == 2
+    for p in res["removed_paths"]:
+        assert not os.path.exists(p)
+
+    after = publish.current_manifest(root)
+    assert after["version"] == 4
+    # current + one historical version still readable
+    assert publish.read_table(spark, root, "nation").count() == base.count()
+    assert publish.read_table_at(spark, root, "nation", 3).count() == base.count()
+    with pytest.raises(KeyError):
+        publish.read_table_at(spark, root, "nation", 1)
+    # idempotent
+    assert publish.vacuum(spark, root, keep_versions=2)["removed_versions"] == []

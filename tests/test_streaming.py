@@ -167,3 +167,41 @@ def test_stateful_sessionization_stream_matches_batch(spark, events_batch, tmp_p
     want = want.sort_values(key).reset_index(drop=True)
     assert got["n_events"].equals(want["n_events"])
     assert (got["total_value"].round(2).values == want["total_value"].round(2).values).all()
+
+
+def test_stream_into_store_versions_per_batch(spark, tmp_path):
+    """File stream -> versioned store: each micro-batch publishes one
+    version via the shared merge path; the final state upserts correctly
+    and history supports time travel to the pre-batch version."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    publish.publish_tables(spark, {"t": base}, root)
+
+    batch1 = spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"])
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_into_store(
+        file_stream(spark, src, batch1.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt,
+    )
+    q.awaitTermination(120)
+
+    manifest = publish.current_manifest(root)
+    assert manifest["version"] == 2
+    rows = {
+        r["k"]: r["v"]
+        for r in publish.read_table(spark, root, "t").collect()
+    }
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # previous version intact (time travel)
+    v1 = {r["k"]: r["v"] for r in publish.read_table_at(spark, root, "t", 1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}
