@@ -114,3 +114,42 @@ def test_relation_outputs_need_registry():
 def test_version_gate():
     with pytest.raises(ValueError, match="format_version"):
         jobspec.job_from_json('{"format_version": 99, "mappings": []}')
+
+
+# --- property: serde is lossless over the declarative subset --------------
+from hypothesis import given, settings, strategies as st
+
+_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_"),
+    min_size=1, max_size=12,
+)
+_rules = st.builds(
+    ColumnRule,
+    dest=_names,
+    source=st.one_of(st.none(), _names),
+    script=st.sampled_from(["none", "constant", "append", "prepend", "new_guid"]),
+    script_value=st.text(max_size=10),
+    is_key=st.booleans(),
+)
+_specs = st.builds(
+    MappingSpec,
+    source_table=_names,
+    dest_table=_names,
+    columns=st.lists(_rules, min_size=1, max_size=6).map(tuple),
+    conditional_sql=st.one_of(st.none(), st.just("o_orderkey % 2 = 0")),
+    virtual_columns=st.lists(_names, max_size=3).map(tuple),
+    insert_new=st.booleans(),
+    update_existing=st.booleans(),
+    remove_missing=st.booleans(),
+    delete_incoming=st.booleans(),
+    discard_duplicates=st.booleans(),
+    on_duplicate_keys=st.sampled_from(["first_wins", "error", "allow"]),
+    case_insensitive_keys=st.booleans(),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(spec=_specs)
+def test_serde_round_trip_is_lossless(spec):
+    loaded = jobspec.mapping_from_dict(jobspec.mapping_to_dict(spec))
+    assert loaded == spec
