@@ -108,3 +108,63 @@ def test_full_job_publish_and_idempotent_rerun(spark, tmp_path):
     g2 = publish.read_table_at(spark, root, "product_groups", 2)
     g3 = publish.read_table(spark, root, "product_groups")
     assert g3.exceptAll(g2).count() == 0 and g2.exceptAll(g3).count() == 0
+
+
+def test_full_job_bucketed_lifecycle_matches_default(spark, tmp_path):
+    """Round-3 composition: bucketed publish -> run_job with bucketed
+    staging (dest layout reused via dest_bucketed, relation outputs
+    crossing a bucket-staged destination) -> bucketed republish ->
+    vacuum -> staging cleanup.  The whole lifecycle must be row-identical
+    to the default (unbucketed) pipeline."""
+    from dataintegration_ecomprovider_spark.operators.bucketing import (
+        drop_staging_tables,
+    )
+
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    dest0 = {
+        "nation": cat.table("nation").select("n_nationkey", "n_name").limit(10),
+        "products": cat.table("part").select(
+            F.col("p_partkey").alias("product_id"),
+            F.concat(F.lit("OLD:"), F.col("p_name")).alias("product_name"),
+        ),
+        "product_groups": spark.createDataFrame(
+            [(1, "STALE", 0)], "product_id bigint, member string, pos int"
+        ),
+    }
+    publish.publish_tables(
+        spark, dest0, root,
+        bucket_keys={"nation": ["n_nationkey"], "products": ["product_id"]},
+        num_buckets=8,
+    )
+
+    current = {
+        name: publish.read_table(spark, root, name)
+        for name in ("nation", "products", "product_groups")
+    }
+    keys = {"nation": ["n_nationkey"], "products": ["product_id"]}
+    bucketed_state = run_job(
+        cat, current, _job_mappings(), dest_keys=keys,
+        bucketed_staging=True, staging_buckets=8,
+        staging_prefix="e2e_bq", dest_bucketed=("nation", "products"),
+    )
+    manifest = publish.publish_tables(
+        spark, bucketed_state, root,
+        bucket_keys={"nation": ["n_nationkey"], "products": ["product_id"]},
+        num_buckets=8,
+    )
+    assert manifest["version"] == 2
+
+    # reference result: the same job through the default path
+    default_state = run_job(cat, dest0, _job_mappings(), dest_keys=keys)
+    for name in ("nation", "products", "product_groups"):
+        got = publish.read_table(spark, root, name)
+        want = default_state[name]
+        assert got.count() == want.count(), name
+        assert got.exceptAll(want).count() == 0, name
+        assert want.exceptAll(got).count() == 0, name
+
+    publish.vacuum(spark, root, keep_versions=1)
+    assert publish.current_manifest(root)["history"] == []
+    assert publish.read_table(spark, root, "products").count() > 0
+    assert drop_staging_tables(spark, "e2e_bq") > 0
