@@ -164,15 +164,25 @@ def products_export_full_view(cat: Catalog) -> DataFrame:
     )
 
     # related_products: top-3 co-occurring partkeys by pair count (count
-    # desc, partkey asc), comma-quoted — pair explosion + two-phase top-k
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    # desc, partkey asc), comma-quoted — directed pairs via groupBy +
+    # in-array expansion (one pass over lineitem, no self-join SMJ; same
+    # rows as the aliased self-join on l_orderkey with partkey inequality)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_partkey").alias("pks")
+    )
+    pks = F.col("pks")
+    directed = F.flatten(
+        F.transform(
+            pks,
+            lambda x: F.transform(
+                F.filter(pks, lambda y: y != x),
+                lambda y: F.struct(x.alias("rp_partkey"), y.alias("other")),
+            ),
         )
-        .groupBy(F.col("a.l_partkey").alias("rp_partkey"), F.col("b.l_partkey").alias("other"))
+    )
+    pairs = (
+        per_order.select(F.explode(directed).alias("p"))
+        .groupBy(F.col("p.rp_partkey").alias("rp_partkey"), F.col("p.other").alias("other"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     top_related = (
