@@ -188,3 +188,23 @@ def job_from_json(
     ]
     dest_keys = {t: list(ks) for t, ks in doc.get("dest_keys", {}).items()}
     return mappings, dest_keys
+
+
+def save_job(
+    path: str,
+    mappings: Sequence[MappingSpec],
+    dest_keys: Mapping[str, Sequence[str]] | None = None,
+    catalog=None,
+) -> None:
+    """Persist a job definition to a file (the reference persists jobs as
+    XML files the UI reloads, src/EcomProvider.cs:706-732)."""
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(job_to_json(mappings, dest_keys, catalog=catalog))
+
+
+def load_job(
+    path: str,
+    relation_registry: Mapping[str, RelationOutput] | None = None,
+) -> tuple[list[MappingSpec], dict[str, list[str]]]:
+    with open(path, encoding="utf-8") as fh:
+        return job_from_json(fh.read(), relation_registry)

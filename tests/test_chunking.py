@@ -87,3 +87,34 @@ def test_chunking_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+# --- property: chunk arithmetic matches a pure-Python model ----------------
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_words=st.integers(min_value=1, max_value=400),
+    max_words=st.integers(min_value=1, max_value=60),
+    data=st.data(),
+)
+def test_chunk_arithmetic_matches_python_model(spark, n_words, max_words, data):
+    stride = data.draw(st.integers(min_value=1, max_value=max_words))
+    text = " ".join(f"w{i}" for i in range(n_words))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = (
+        chunk_documents(docs, max_words=max_words, stride=stride)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    words = text.split()
+    expect = []
+    i = 0
+    while True:
+        expect.append(" ".join(words[i : i + max_words]))
+        if i + max_words >= n_words:
+            break
+        i += stride
+    assert [r["chunk_text"] for r in got] == expect
+    assert [r["chunk_words"] for r in got] == [len(c.split()) for c in expect]

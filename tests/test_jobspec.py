@@ -153,3 +153,19 @@ _specs = st.builds(
 def test_serde_round_trip_is_lossless(spec):
     loaded = jobspec.mapping_from_dict(jobspec.mapping_to_dict(spec))
     assert loaded == spec
+
+
+def test_save_load_job_file(spark, tmp_path):
+    path = str(tmp_path / "job.json")
+    mappings = [
+        MappingSpec(
+            source_table="orders", dest_table="orders",
+            columns=(ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+                     ColumnRule("o_orderstatus", script="constant", script_value="X")),
+            conditional_sql="o_orderkey % 2 = 0",
+        )
+    ]
+    jobspec.save_job(path, mappings, {"orders": ["o_orderkey"]})
+    loaded, keys = jobspec.load_job(path)
+    assert loaded == mappings
+    assert keys == {"orders": ["o_orderkey"]}
