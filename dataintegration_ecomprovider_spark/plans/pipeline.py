@@ -244,6 +244,7 @@ def run_job(
     staging_buckets: int = 32,
     staging_prefix: str = "stage_job",
     dest_bucketed: Sequence[str] = (),
+    keep_norm_columns: bool = False,
 ) -> dict[str, DataFrame]:
     """The full RunJob pipeline as pure DataFrame transforms: normalize
     (E15+E16), shape, strip virtuals (E17), merge per destination table —
@@ -333,9 +334,14 @@ def run_job(
                 )
                 staged_dest.add(spec.dest_table)
         state[spec.dest_table] = merge_step(state[spec.dest_table], staged, spec)
-    if bucketed_staging:
+    if bucketed_staging and not keep_norm_columns:
         # the materialized norm-key columns are staging internals, not
-        # destination schema
+        # destination schema.  keep_norm_columns=True retains them so a
+        # case-insensitive-string-keyed destination can be PUBLISHED
+        # bucketed on its __k_ columns (publish_tables bucket_keys) and
+        # fed back through dest_bucketed on the next run — without them,
+        # CI string keys fall back to one dest-side shuffle per job run
+        # (numeric keys need no norm column and close the loop either way)
         state = {
             t: df.drop(*[c for c in df.columns if c.startswith("__k_")])
             for t, df in state.items()

@@ -126,3 +126,58 @@ def test_run_job_bucketed_matches_default(spark):
     b = b[cols].sort_values(by=cols).reset_index(drop=True)
     assert a.equals(b)
     assert drop_staging_tables(spark, "stage_q_u12") > 0
+
+
+def test_ci_keyed_publish_loop_stays_exchange_free(spark, tmp_path):
+    """Case-insensitive STRING keys across job runs: run_job with
+    keep_norm_columns=True -> publish bucketed on the __k_ norm column ->
+    next run's merge against the published dest plans with no Exchange on
+    the dest side (the layout round-trips)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.pipeline import (
+        ColumnRule, MappingSpec, run_job,
+    )
+    from dataintegration_ecomprovider_spark.operators import bucketing, merge
+
+    cat = Catalog(spark, SF_DIR)
+    root = str(tmp_path / "store")
+    dest0 = cat.table("customer").select(
+        F.col("c_name").alias("cust_name"), "c_custkey"
+    )
+    spec = MappingSpec(
+        source_table="customer",
+        dest_table="customers",
+        columns=(
+            ColumnRule("cust_name", "c_name", is_key=True),
+            ColumnRule("c_custkey", "c_custkey"),
+        ),
+        conditional=F.col("c_custkey") % 2 == 0,
+    )
+    state = run_job(
+        cat, {"customers": dest0}, [spec],
+        bucketed_staging=True, staging_buckets=8,
+        staging_prefix="tci_run1", keep_norm_columns=True,
+    )
+    assert "__k_cust_name" in state["customers"].columns
+    publish.publish_tables(
+        spark, state, root,
+        bucket_keys={"customers": ["__k_cust_name"]}, num_buckets=8,
+    )
+
+    dest = publish.read_table(spark, root, "customers")
+    staging = bucketing.stage_for_merge(
+        spark,
+        cat.table("customer").select(
+            F.upper("c_name").alias("cust_name"), "c_custkey"
+        ).limit(500),
+        ["cust_name"], "tci_stg2", 8, case_insensitive=True,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(merge.upsert(dest, staging, ["cust_name"], case_insensitive=True))
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tci_stg2")
+        bucketing.drop_staging_tables(spark, "tci_run1")
