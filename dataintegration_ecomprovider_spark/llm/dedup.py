@@ -76,10 +76,26 @@ def shingles(text: Column, n: int = 3) -> Column:
 _MERSENNE31 = 2_147_483_647
 
 
-def _mix(h31: Column, i: int) -> Column:
+def _mix_coeffs(i: int) -> tuple[int, int]:
     a = (2 * i + 1) * 2654435761 % _MERSENNE31  # Knuth multiplicative spread
     b = (i + 1) * 40503 % _MERSENNE31
+    return a, b
+
+
+def _mix(h31: Column, i: int) -> Column:
+    a, b = _mix_coeffs(i)
     return F.pmod(h31 * F.lit(a).cast("long") + F.lit(b).cast("long"), F.lit(_MERSENNE31))
+
+
+def _min_mix_sql(i: int) -> str:
+    """SQL text of min(_mix(h, i)) — one parser call instead of ~8 py4j
+    Column-composition round trips per permutation.  Same expression after
+    analysis; shaves a slice of the ~1 s driver-side plan-construction
+    cost (profiled: the cost is aggregate py4j chatter across the whole
+    pipeline, amortized to nothing at real scale where the plan is built
+    once per job)."""
+    a, b = _mix_coeffs(i)
+    return f"min(pmod(h * {a}L + {b}L, {_MERSENNE31}L))"
 
 
 def minhash_signatures(
@@ -116,7 +132,7 @@ def minhash_signatures(
         "id", F.explode(shingles_from_words(F.col("w"), shingle_n)).alias("s")
     ).select("id", F.pmod(base, F.lit(_MERSENNE31)).alias("h"))
     mins = exploded.groupBy("id").agg(
-        *[F.min(_mix(F.col("h"), i)).alias(f"m{i}") for i in range(num_hashes)]
+        *[F.expr(_min_mix_sql(i)).alias(f"m{i}") for i in range(num_hashes)]
     )
     return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
