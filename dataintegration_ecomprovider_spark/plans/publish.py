@@ -25,9 +25,10 @@ import json
 import os
 import time
 import uuid
-from collections.abc import Callable, Mapping
+from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST = "MANIFEST.json"
 
@@ -226,6 +227,17 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     live: set[str] = paths_of(manifest["tables"])
     for h in keep_hist:
         live |= paths_of(h["tables"])
+
+    # Commit the pruned manifest FIRST, then delete data.  A crash between
+    # the two steps leaves orphaned-but-unreferenced directories (harmless,
+    # re-collectable by a later vacuum over the same txid namespace); the
+    # reverse order would leave a manifest still referencing versions whose
+    # data is gone, breaking read_table_at's KeyError contract with a raw
+    # parquet error.
+    new_manifest = dict(manifest)
+    new_manifest["history"] = keep_hist
+    _commit(root, manifest.get("txid") or "vacuum", new_manifest)
+
     removed_paths: list[str] = []
     for h in pruned:
         for name, entry in h["tables"].items():
@@ -237,10 +249,6 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
             shutil.rmtree(path, ignore_errors=True)
             removed_paths.append(path)
             live.add(path)  # don't double-remove across pruned versions
-
-    new_manifest = dict(manifest)
-    new_manifest["history"] = keep_hist
-    _commit(root, manifest.get("txid") or "vacuum", new_manifest)
     return {
         "removed_versions": [h["version"] for h in pruned],
         "removed_paths": removed_paths,
@@ -280,3 +288,169 @@ def merge_into(
         bucket_keys={name: list(keys)} if bucketed else None,
         num_buckets=num_buckets,
     )
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: Sequence[str] | None = None,
+    case_insensitive: bool = False,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Version-diff (CDC) read: the rows that changed between two committed
+    versions of `name`, tagged ``insert`` / ``update`` / ``delete``.
+
+    This is the feed every downstream incremental consumer wants: instead
+    of re-reading the full table per version (the reference's incremental
+    model is "re-run the job idempotently", IsFirstJobRun,
+    /root/reference/src/EcomProvider.cs:25, :937-966), a versioned store
+    can answer "what changed" exactly — a key-wise full-outer join of the
+    two versions:
+
+    - key only in `to_version`  → ``insert`` (the new row),
+    - key only in `from_version` → ``delete`` (the old row),
+    - key in both with any non-key column differing (null-safe) →
+      ``update`` (the new row); unchanged rows are dropped.
+
+    `keys` identify rows across versions; `case_insensitive=True` matches
+    string keys through the same ci() normalization the merge family uses
+    (operators/merge._k), so a key that merely changed casing diffs as an
+    update, not a delete+insert.
+
+    Scale shape: one shuffle per side on the key columns — the minimal
+    cost of a full key-wise diff — and Catalyst prunes the comparison to
+    the columns actually selected downstream.  Columns are taken from the
+    NEW version's schema; a column absent from the old version compares as
+    null (schema evolution adds show up as updates).
+    """
+    from dataintegration_ecomprovider_spark.operators import merge as merge_ops
+
+    if not keys:
+        raise ValueError("read_changes requires the table's key columns")
+    if to_version is None:
+        to_version = current_manifest(root)["version"]
+    old = read_table_at(spark, root, name, from_version)
+    new = read_table_at(spark, root, name, to_version)
+
+    keys = list(keys)
+    cols = [c for c in new.columns if not c.startswith("__k_")]
+    missing = [k for k in keys if k not in cols]
+    if missing:
+        raise ValueError(f"key columns {missing} not in table {name!r}")
+    for c in cols:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None))
+    old = old.select(cols)
+    new = new.select(cols)
+
+    old, norm = merge_ops._with_norm_keys(old, keys, case_insensitive)
+    new, _ = merge_ops._with_norm_keys(new, keys, case_insensitive)
+    data_cols = [c for c in cols if c not in keys]
+    old = old.select(
+        *norm,
+        F.lit(True).alias("__old_present"),
+        *[F.col(c).alias(f"__old_{c}") for c in cols],
+    )
+    new = new.select(*norm, F.lit(True).alias("__new_present"), *cols)
+
+    joined = new.join(old, norm, "full_outer")
+    differs = F.lit(False)
+    for c in data_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+    change = (
+        F.when(F.col("__old_present").isNull(), F.lit("insert"))
+        .when(F.col("__new_present").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    # delete rows surface the OLD version's values (the new side is all
+    # null because the row is gone); insert/update rows are exactly the new
+    # version's row — including genuine nulls, hence the presence marker
+    # rather than a value coalesce
+    out_cols = [
+        F.when(F.col("__new_present").isNull(), F.col(f"__old_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in cols
+    ]
+    return (
+        joined.withColumn(change_col, change)
+        .filter(F.col(change_col).isNotNull())
+        .select(*out_cols, change_col)
+    )
+
+
+def _data_files(path: str) -> list[str]:
+    """Parquet data files under a table directory (commit markers and
+    metadata excluded)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    target_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite `name`'s CURRENT version into
+    target-size files and publish the rewrite atomically as a NEW version.
+    Row-identical by construction — the rewrite is a plain re-write of the
+    committed data, committed through the same manifest swap, so readers
+    either see the old layout or the compacted one, never a mix.
+
+    Why it exists: ``stream_into_store`` commits one version per
+    micro-batch (streaming/incremental.py), so a continuously-fed table
+    accumulates per-batch file counts without bound; at 100 TB the
+    read-side file listing and per-file open cost become the bottleneck
+    long before the data itself does.  Delta/Iceberg ship OPTIMIZE /
+    rewriteDataFiles for exactly this; this is the versioned store's
+    equivalent, safe to run concurrently with readers (old versions stay
+    readable until vacuumed).
+
+    Bucketed tables are re-written bucketed on the same keys and bucket
+    count — one file per bucket — so the exchange-free merge path
+    (merge_into(bucketed=True) / run_job(dest_bucketed=...)) survives
+    compaction.  Plain tables coalesce (no shuffle) to
+    max(1, ceil(bytes / target_file_bytes)) files, or `target_files` when
+    given.
+
+    Returns {"version", "files_before", "files_after", "bytes"}.
+    """
+    import math
+
+    manifest = current_manifest(root)
+    if name not in manifest["tables"]:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    entry = manifest["tables"][name]
+    path = entry["path"] if isinstance(entry, dict) else entry
+    files = _data_files(path)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+
+    df = _read_entry(spark, entry)
+    if isinstance(entry, dict):
+        # preserve the bucketed layout: same keys, same bucket count
+        new_manifest = publish_tables(
+            spark, {name: df}, root,
+            bucket_keys={name: list(entry["bucket_keys"])},
+            num_buckets=int(entry["num_buckets"]),
+        )
+    else:
+        n = target_files or max(1, math.ceil(total_bytes / target_file_bytes))
+        new_manifest = publish_tables(spark, {name: df.coalesce(n)}, root)
+
+    new_entry = new_manifest["tables"][name]
+    new_path = new_entry["path"] if isinstance(new_entry, dict) else new_entry
+    return {
+        "version": new_manifest["version"],
+        "files_before": len(files),
+        "files_after": len(_data_files(new_path)),
+        "bytes": total_bytes,
+    }

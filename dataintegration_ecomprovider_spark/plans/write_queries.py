@@ -955,6 +955,69 @@ WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
 """
 
 
+# --- U12 + CDC: version-diff read over the versioned store ----------------
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC over the U12 versioned store: publish two versions of an orders
+    table into a throwaway store root, then read_changes(v1 → v2) tags the
+    key-wise delta insert/update/delete.  This is the incremental feed the
+    reference approximates by re-running jobs idempotently (IsFirstJobRun,
+    src/EcomProvider.cs:25, :937-966) — the versioned store answers it
+    exactly with one full-outer key diff (plans/publish.read_changes).
+
+    v1 = orders with o_orderkey % 3 != 0; v2 = orders with % 4 != 0 and the
+    status flipped to 'X' on % 5 == 0 rows — so the diff exercises all
+    three change kinds deterministically."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="cdc_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v1}, root)
+    publish.publish_tables(spark, {"orders": v2}, root)
+    return publish.read_changes(
+        spark, root, "orders", from_version=1, to_version=2, keys=["o_orderkey"]
+    )
+
+
+ORACLE_VERSION_DIFF = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+SELECT
+  CASE WHEN v2.o_orderkey IS NULL THEN v1.o_orderkey ELSE v2.o_orderkey END AS o_orderkey,
+  CASE WHEN v2.o_orderkey IS NULL THEN v1.o_custkey ELSE v2.o_custkey END AS o_custkey,
+  CASE WHEN v2.o_orderkey IS NULL THEN v1.o_orderstatus ELSE v2.o_orderstatus END AS o_orderstatus,
+  CASE WHEN v2.o_orderkey IS NULL THEN v1.o_totalprice ELSE v2.o_totalprice END AS o_totalprice,
+  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+       WHEN v2.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+   OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+   OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+"""
+
+
 # --- U1/U3 under case-insensitive collation -------------------------------
 def q_upsert_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert where staging keys differ from dest keys ONLY in case: the
@@ -1010,6 +1073,7 @@ QUERIES = {
     "e5_primary_demotion": QueryDef(q_primary_demotion, ORACLE_PRIMARY_DEMOTION),
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
+    "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),

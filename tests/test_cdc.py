@@ -1,0 +1,259 @@
+"""Version-diff (CDC) + small-file compaction over the versioned store.
+
+read_changes answers "what changed between version A and B" as tagged
+insert/update/delete rows — the incremental feed the reference approximates
+by idempotent job re-runs (IsFirstJobRun, src/EcomProvider.cs:25, :937-966).
+compact bounds the per-micro-batch file accumulation of stream_into_store
+(one version per batch) the way Delta OPTIMIZE does.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.catalog import Catalog
+from dataintegration_ecomprovider_spark.plans import publish
+
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_read_changes_tags_insert_update_delete(spark, tmp_path):
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "id bigint, name string, val double",
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "id bigint, name string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root)
+    publish.publish_tables(spark, {"t": v2}, root)
+
+    changes = publish.read_changes(spark, root, "t", 1, 2, keys=["id"])
+    assert changes.columns == ["id", "name", "val", "change_type"]
+    assert _rows(changes) == {
+        (1, "a", 10.0, "delete"),   # old row's values survive on delete
+        (2, "b", 25.0, "update"),
+        (4, "d", 40.0, "insert"),
+    }
+    # row 3 is unchanged (null == null is null-safe-equal) and excluded
+
+    # to_version defaults to the current version
+    assert _rows(publish.read_changes(spark, root, "t", 1, keys=["id"])) == _rows(changes)
+
+
+def test_read_changes_null_transitions_are_updates(spark, tmp_path):
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame([(1, None), (2, "x")], "id bigint, name string")
+    v2 = spark.createDataFrame([(1, "now"), (2, None)], "id bigint, name string")
+    publish.publish_tables(spark, {"t": v1}, root)
+    publish.publish_tables(spark, {"t": v2}, root)
+    changes = publish.read_changes(spark, root, "t", 1, 2, keys=["id"])
+    assert _rows(changes) == {(1, "now", "update"), (2, None, "update")}
+
+
+def test_read_changes_case_insensitive_keys(spark, tmp_path):
+    """A key that only changed casing must diff as ONE update (new casing
+    reported), not delete+insert — same ci() normalization as the merge
+    family (operators/merge._k)."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame([("Widget", 1), ("Gadget", 2)], "sku string, qty int")
+    v2 = spark.createDataFrame([("WIDGET", 5), ("Gadget", 2)], "sku string, qty int")
+    publish.publish_tables(spark, {"t": v1}, root)
+    publish.publish_tables(spark, {"t": v2}, root)
+
+    ci = publish.read_changes(
+        spark, root, "t", 1, 2, keys=["sku"], case_insensitive=True
+    )
+    assert _rows(ci) == {("WIDGET", 5, "update")}
+
+    cs = publish.read_changes(spark, root, "t", 1, 2, keys=["sku"])
+    assert _rows(cs) == {("Widget", 1, "delete"), ("WIDGET", 5, "insert")}
+
+
+def test_read_changes_requires_keys_and_valid_version(spark, tmp_path):
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": spark.createDataFrame([(1,)], "id bigint")}, root
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        publish.read_changes(spark, root, "t", 1, 1)
+    with pytest.raises(ValueError, match="not in table"):
+        publish.read_changes(spark, root, "t", 1, 1, keys=["nope"])
+    with pytest.raises(KeyError):
+        publish.read_changes(spark, root, "t", 7, keys=["id"])
+
+
+def test_read_changes_composes_with_run_job(spark, tmp_path):
+    """Diff of two job runs == the second run's staged deltas: publish the
+    pre-job state as v1, run the U1-U3 job, publish the result as v2 —
+    read_changes reports exactly the rows the mapping touched."""
+    from dataintegration_ecomprovider_spark.plans.pipeline import (
+        ColumnRule, MappingSpec, run_job,
+    )
+
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(spark, {"orders": dest0}, root)
+
+    spec = MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(
+            ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+            ColumnRule("o_custkey", "o_custkey"),
+            ColumnRule("o_orderstatus", script="constant", script_value="Z"),
+        ),
+        conditional=F.col("o_orderkey") % 2 == 0,
+    )
+    state = run_job(cat, {"orders": publish.read_table(spark, root, "orders")}, [spec])
+    publish.publish_tables(spark, {"orders": state["orders"]}, root)
+
+    changes = publish.read_changes(spark, root, "orders", 1, 2, keys=["o_orderkey"])
+    got = changes.groupBy("change_type").count().collect()
+    by_type = {r["change_type"]: r["count"] for r in got}
+
+    orders = cat.table("orders")
+    n_insert = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0)
+    ).count()
+    n_update = orders.filter(
+        (F.col("o_orderkey") % 3 != 0)
+        & (F.col("o_orderkey") % 2 == 0)
+        & (F.col("o_orderstatus") != "Z")
+    ).count()
+    assert by_type.get("insert", 0) == n_insert
+    assert by_type.get("update", 0) == n_update
+    assert "delete" not in by_type  # an upsert never deletes
+    assert changes.filter(
+        (F.col("change_type") == "update") & (F.col("o_orderstatus") != "Z")
+    ).count() == 0
+
+
+def test_version_diff_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.write_queries import (
+        ORACLE_VERSION_DIFF, q_version_diff,
+    )
+
+    spark_pdf = q_version_diff(spark, SF_DIR).toPandas()
+    oracle_pdf = oracle.execute(ORACLE_VERSION_DIFF).df()
+    assert_frames_match(spark_pdf, oracle_pdf, "u12_version_diff")
+
+
+def test_compact_plain_table_row_identical_bounded_files(spark, tmp_path):
+    """Many small versions (the stream_into_store pattern: one per
+    micro-batch) → compact → same rows, fewer files, new version; the
+    pre-compact version stays readable (time travel) until vacuumed."""
+    root = str(tmp_path / "store")
+    orders = Catalog(spark, SF_DIR).table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    publish.publish_tables(spark, {"orders": orders.filter(F.col("o_orderkey") % 5 == 0).repartition(4)}, root)
+    for m in range(1, 5):
+        publish.merge_into(
+            spark, root, "orders",
+            orders.filter(F.col("o_orderkey") % 5 == m).repartition(4),
+            ["o_orderkey"],
+        )
+    # fragment the current version the way a many-partition shuffle write
+    # would at scale (AQE coalesces this tiny fixture to one file otherwise)
+    publish.publish_tables(
+        spark, {"orders": publish.read_table(spark, root, "orders").repartition(16)}, root
+    )
+    before = publish.read_table(spark, root, "orders")
+    n_before = before.count()
+    v_before = publish.current_manifest(root)["version"]
+
+    stats = publish.compact(spark, root, "orders", target_files=2)
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert stats["version"] == v_before + 1
+
+    after = publish.read_table(spark, root, "orders")
+    assert after.count() == n_before
+    assert _rows(after) == _rows(publish.read_table_at(spark, root, "orders", v_before))
+    # compaction is just another version: vacuum reclaims the fragmented one
+    publish.vacuum(spark, root, keep_versions=1)
+    assert publish.read_table(spark, root, "orders").count() == n_before
+
+
+def test_compact_bucketed_table_preserves_exchange_free_merge(spark, tmp_path):
+    """Compacting a bucketed table must preserve the bucketed layout: the
+    next merge against it still plans with no Exchange on the dest side."""
+    root = str(tmp_path / "store")
+    orders = Catalog(spark, SF_DIR).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    publish.publish_tables(
+        spark, {"orders": orders.filter(F.col("o_orderkey") % 2 == 0)},
+        root, bucket_keys={"orders": ["o_orderkey"]}, num_buckets=8,
+    )
+    publish.merge_into(
+        spark, root, "orders", orders.filter(F.col("o_orderkey") % 3 == 0),
+        ["o_orderkey"], bucketed=True, num_buckets=8,
+    )
+    n = publish.read_table(spark, root, "orders").count()
+
+    stats = publish.compact(spark, root, "orders")
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    assert isinstance(entry, dict) and entry["bucket_keys"] == ["o_orderkey"]
+    assert stats["files_after"] <= 8
+    assert publish.read_table(spark, root, "orders").count() == n
+
+    from dataintegration_ecomprovider_spark.operators import bucketing, merge
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dest = publish.read_table(spark, root, "orders")
+        staging = bucketing.stage_for_merge(
+            spark, orders.filter(F.col("o_orderkey") % 7 == 0),
+            ["o_orderkey"], "tcdc_stg", 8,
+        )
+        plan = merge.upsert(dest, staging, ["o_orderkey"])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tcdc_stg")
+
+
+def test_vacuum_commits_manifest_before_deleting_data(spark, tmp_path, monkeypatch):
+    """Crash-ordering contract: the pruned manifest is committed BEFORE any
+    data directory is removed, so a crash mid-vacuum can only orphan
+    unreferenced directories — never leave the manifest pointing at deleted
+    data (read_table_at keeps its KeyError contract)."""
+    import shutil as _shutil
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    publish.publish_tables(spark, {"t": df}, root)
+    publish.publish_tables(spark, {"t": spark.createDataFrame([(2, "b")], "id bigint, name string")}, root)
+    publish.publish_tables(spark, {"t": spark.createDataFrame([(3, "c")], "id bigint, name string")}, root)
+
+    calls = []
+    real_rmtree = _shutil.rmtree
+
+    def crashing_rmtree(path, *a, **kw):
+        calls.append(path)
+        raise RuntimeError("simulated crash during delete")
+
+    monkeypatch.setattr(_shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish.vacuum(spark, root, keep_versions=1)
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    # the manifest no longer references the pruned versions (committed
+    # first), and the surviving current version is intact
+    m = publish.current_manifest(root)
+    assert m.get("history", []) == []
+    with pytest.raises(KeyError):
+        publish.read_table_at(spark, root, "t", 1)
+    assert _rows(publish.read_table(spark, root, "t")) == {(3, "c")}
