@@ -42,6 +42,7 @@ HEADLINE = [
     "llm_fingerprint",              # rolling-hash fingerprint
     "llm_chunk_documents",          # sliding-window chunking (round 3)
     "u12_pipeline_run_job_bucketed",  # exchange-free merge pipeline (round 3)
+    "u12_version_diff",             # versioned-store CDC diff (round 4)
 ]
 
 

@@ -82,6 +82,16 @@ def connected_components(
 def _connected_components_rounds(
     spark, edges: DataFrame, src: str, dst: str, max_rounds: int
 ) -> DataFrame:
+    def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        """localCheckpoint + the EXPLICIT id of the persisted RDD backing
+        it, read off the checkpointed plan (runtime.checkpoint_rdd_id) —
+        not a registry diff, which would attribute any concurrently
+        persisted RDD from another thread to this operator and free it
+        out from under its owner (round-3 advisor finding)."""
+        out = df.localCheckpoint(eager=True)
+        rid = runtime.checkpoint_rdd_id(out)
+        return out, ({rid} if rid is not None else set())
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).filter(
         F.col("a") != F.col("b")
@@ -89,20 +99,15 @@ def _connected_components_rounds(
     # checkpoint BEFORE deriving nodes, so the node distinct and the
     # initial label build both read the materialized edges instead of
     # re-evaluating the union+filter plan
-    before = runtime.persistent_rdd_ids(spark)
-    e = e.localCheckpoint(eager=True)
-    e_ids = runtime.persistent_rdd_ids(spark) - before
+    e, e_ids = _ckpt(e)
     # initial label: min(self, direct neighbors) — one shuffle
     nodes = e.select(F.col("a").alias("node")).distinct()
-    before = runtime.persistent_rdd_ids(spark)
-    lab = (
+    lab, lab_ids = _ckpt(
         e.union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
         .groupBy("a")
         .agg(F.min("b").alias("label"))
         .withColumnRenamed("a", "node")
-        .localCheckpoint(eager=True)
     )
-    lab_ids = runtime.persistent_rdd_ids(spark) - before
     for r in range(max_rounds):
         # propagate: candidate label for u = min over neighbors' labels
         prop = (
@@ -117,8 +122,7 @@ def _connected_components_rounds(
         )
         # pointer jump: label <- min(label, label(label)) — halves chain
         # depth every round (log-round convergence on path graphs)
-        before = runtime.persistent_rdd_ids(spark)
-        jumped = (
+        jumped, jumped_ids = _ckpt(
             new.alias("x")
             .join(
                 new.select(
@@ -133,9 +137,7 @@ def _connected_components_rounds(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
-        jumped_ids = runtime.persistent_rdd_ids(spark) - before
         check = r < 2 or r % 2 == 1 or r == max_rounds - 1
         changed = None
         if check:
@@ -151,6 +153,10 @@ def _connected_components_rounds(
         lab, lab_ids = jumped, jumped_ids
         if changed == 0:
             runtime.unpersist_rdd_ids(spark, e_ids)
+            # the FINAL label checkpoint backs the returned DataFrame —
+            # register it so the caller's release_caches frees it once
+            # the results are consumed
+            runtime.track_rdd_ids(lab_ids)
             return lab.select("node", F.col("label").alias("component"))
     runtime.unpersist_rdd_ids(spark, e_ids | lab_ids)
     raise RuntimeError(
@@ -164,21 +170,32 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    broadcast: bool | None = None,
+    broadcast_max_nodes: int = 4_000_000,
 ) -> DataFrame:
     """Assign every document its duplicate-cluster id (min doc id in the
     component; singletons are their own cluster) and flag the canonical
     survivor.  Filtering `is_canonical` is the keep-one-per-cluster dedup.
 
-    The component map is broadcast explicitly (it is bounded by the
-    candidate-pair node set, not the corpus), so the corpus side is
-    guaranteed never to shuffle.  A pathologically duplicate-heavy corpus
-    whose component map outgrows executor memory would drop the hint and
-    accept one shuffle on the id."""
+    The broadcast of the component map is GATED, not forced: the map
+    scales with the candidate-pair node set, and on a duplicate-heavy
+    corpus — the main dedup use case at 100 TB — forcing the hint would
+    blow past Spark's broadcast hard limit / driver memory and hard-fail
+    where a shuffle join succeeds.  ``broadcast=None`` (default) measures
+    the map (one cheap count over the already-checkpointed labels) and
+    broadcasts only under `broadcast_max_nodes` (~4M nodes ≈ tens of MB of
+    (id, id) pairs), falling back to a plain key-shuffle join otherwise;
+    True/False overrides the gate in either direction."""
     comp = connected_components(pairs, src=src, dst=dst)
+    if broadcast is None:
+        # comp reads a materialized checkpoint — counting it is one cheap
+        # pass over stored blocks, not a recompute of the iteration
+        broadcast = comp.count() <= broadcast_max_nodes
+    mapped = comp.withColumnRenamed("node", id_col)
+    if broadcast:
+        mapped = F.broadcast(mapped)
     return (
-        docs.join(
-            F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
-        )
+        docs.join(mapped, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("component", F.col(id_col)).alias("cluster_id"),

@@ -190,19 +190,21 @@ def minhash_candidates(
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-    pair_array = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids) - i - 1),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # Stream the within-bucket pair expansion: posexplode the member list,
+    # then explode each member's strictly-later suffix.  Same output as a
+    # flattened all-pairs array, but no single value ever holds the O(k²)
+    # cross-product — a hot bucket (mass-duplicate corpus) peaks at one
+    # O(k) suffix array per generated row instead of one O(k²) array per
+    # bucket, so the 2 GB single-value limit is out of reach and the
+    # generators pipeline row-by-row through whole-stage codegen.
     pairs = (
-        buckets.select(F.explode(pair_array).alias("p"))
-        .select("p.id_a", "p.id_b")
+        buckets.select("ids", F.posexplode("ids").alias("pos", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("pos") + 2, F.size("ids") - F.col("pos") - 1)
+            ).alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     # candidate pairs are consumed several times downstream (id projection
@@ -254,6 +256,27 @@ def jaccard_pairs(
     )
 
 
+def _simhash_from_hashes(hashes: Column, bits: int) -> Column:
+    """The SimHash bit-aggregation, single source of truth for BOTH public
+    forms (simhash_signatures and the Column-form simhash): per bit i, the
+    sign of the sum of (+1/-1) contributions of each shingle-hash's bit i;
+    positive sums set bit i of the fingerprint.  Capped at 63 bits to stay
+    within signed-long positive range."""
+
+    def bit_contrib(i: int):
+        # factory to avoid the late-binding loop-variable lambda trap
+        return lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bit_cols = []
+    for i in range(min(bits, 63)):
+        contrib = F.transform(hashes, bit_contrib(i))
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bit_cols.append(
+            F.when(total > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return F.aggregate(F.array(*bit_cols), F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def simhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -280,36 +303,16 @@ def simhash_signatures(
         .select(F.col(id_col), shingles_from_words(F.col("__w"), 2).alias("__sh"))
         .select(F.col(id_col), F.transform("__sh", lambda s: hash_fn(s)).alias("__h"))
     )
-
-    def bit_contrib(i: int):
-        return lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-    bit_cols = []
-    for i in range(min(bits, 63)):
-        contrib = F.transform(F.col("__h"), bit_contrib(i))
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        bit_cols.append(
-            F.when(total > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    sig = F.aggregate(F.array(*bit_cols), F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return hashed.select(F.col(id_col), sig.alias(out_col))
+    return hashed.select(
+        F.col(id_col), _simhash_from_hashes(F.col("__h"), bits).alias(out_col)
+    )
 
 
 def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over word shingles: per bit, sign of the sum of
-    (+1/-1) contributions of each shingle's hash bit.  Expressed with
-    aggregate over the shingle array — stays JVM-side."""
+    """64-bit SimHash over word shingles as a single Column expression.
+    Same formula as simhash_signatures by construction (both delegate to
+    _simhash_from_hashes — tests/test_llm.py parity-pins them); prefer the
+    DataFrame form when you control the plan: this one re-derives the
+    shingle pipeline inside each bit aggregate."""
     hashes = F.transform(shingles(text, 2), lambda s: F.xxhash64(s))
-
-    def bit_contrib(i: int):
-        # factory (see _perm_hash) to avoid the (element, index) lambda trap
-        return lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-
-    bit_cols = []
-    for i in range(min(bits, 63)):  # stay within signed-long positive range
-        contrib = F.transform(hashes, bit_contrib(i))
-        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
-        bit_cols.append(
-            F.when(total > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-        )
-    return F.aggregate(F.array(*bit_cols), F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return _simhash_from_hashes(hashes, bits)

@@ -242,7 +242,7 @@ def run_job(
     update_only_existing_tables: Sequence[str] = (),
     bucketed_staging: bool = False,
     staging_buckets: int = 32,
-    staging_prefix: str = "stage_job",
+    staging_prefix: str | None = None,
     dest_bucketed: Sequence[str] = (),
     keep_norm_columns: bool = False,
 ) -> dict[str, DataFrame]:
@@ -277,13 +277,23 @@ def run_job(
     already matches.  Staging tables live under `staging_prefix` until
     the caller consumes the returned state and calls
     bucketing.drop_staging_tables (the reference drops temp tables on
-    Close, :4167-4182).
+    Close, :4167-4182).  The default prefix is UNIQUE PER RUN
+    (stage_job_<hex>): a second run_job in the same session must not
+    overwrite staging tables that a previous run's still-unconsumed lazy
+    state DataFrames read (that would corrupt their results silently).
+    Pass an explicit prefix only when you own its lifecycle — e.g. a
+    serial re-run that has already consumed or dropped the previous
+    run's staging.
 
     Returns {dest_table: new_state}; callers publish atomically via
     plans.publish (U12)."""
     import dataclasses
+    import uuid
 
     from dataintegration_ecomprovider_spark.operators import bucketing
+
+    if staging_prefix is None:
+        staging_prefix = f"stage_job_{uuid.uuid4().hex[:8]}"
 
     ordered = order_mappings(mappings)
     if dest_keys:

@@ -255,6 +255,67 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     }
 
 
+def collect_orphans(
+    spark: SparkSession,
+    root: str,
+    min_age_seconds: float = 24 * 3600,
+) -> dict:
+    """Remove data directories under `<root>/data/` that NO committed
+    version (current or history) references — the leftovers of a publish
+    that crashed before its manifest swap, or of a vacuum that crashed
+    after its manifest commit (vacuum deletes data only after committing
+    the pruned manifest, so its crash residue is always unreferenced and
+    safe to collect — see vacuum).
+
+    `min_age_seconds` guards the race with an IN-FLIGHT publish: a staging
+    directory being written right now is also unreferenced (its manifest
+    swap hasn't happened yet), so only directories untouched for at least
+    this long are collected (default 24 h — far beyond any publish's
+    validate window; tests pass 0).  Mirrors Delta VACUUM's retention
+    check for exactly this reason.
+
+    Returns {"removed_paths": [...]}.
+    """
+    import shutil
+
+    manifest = current_manifest(root)
+
+    def paths_of(tables: dict) -> set[str]:
+        return {
+            os.path.normpath(e["path"] if isinstance(e, dict) else e)
+            for e in tables.values()
+        }
+
+    referenced = paths_of(manifest["tables"])
+    for h in manifest.get("history", []):
+        referenced |= paths_of(h["tables"])
+
+    data_root = os.path.join(root, "data")
+    removed: list[str] = []
+    now = time.time()
+    if os.path.isdir(data_root):
+        for txid in sorted(os.listdir(data_root)):
+            txdir = os.path.join(data_root, txid)
+            if not os.path.isdir(txdir):
+                continue
+            for table in sorted(os.listdir(txdir)):
+                path = os.path.normpath(os.path.join(txdir, table))
+                if path in referenced:
+                    continue
+                newest = max(
+                    (os.path.getmtime(os.path.join(dp, f))
+                     for dp, _dn, fs in os.walk(path) for f in fs),
+                    default=os.path.getmtime(path),
+                )
+                if now - newest < min_age_seconds:
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+            if not os.listdir(txdir):
+                os.rmdir(txdir)
+    return {"removed_paths": removed}
+
+
 def merge_into(
     spark: SparkSession,
     root: str,

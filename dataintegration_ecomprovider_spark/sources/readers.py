@@ -69,16 +69,22 @@ class JdbcSource:
     """Partitioned JDBC scan with the reference's projected-SELECT pushdown.
 
     `columns`/`predicate` compose into a pushed-down query exactly like the
-    reference's `select <mapped cols> from <table> where <conditionals>`
-    (src/EcomSourceReader.cs:161-163, :185-205) — the database sees only the
-    pruned projection.  `partition_column` must be numeric/date; ranges
-    split [lower_bound, upper_bound] into `num_partitions` concurrent reads.
+    reference's `select * from (select <mapped cols> from <tables>) as
+    result where <conditionals>` (src/EcomSourceReader.cs:161-163,
+    :185-205) — the database sees only the pruned projection.
+    `scope_filters` are the reference's language/shop scoping clauses
+    (P3/P4: sqlLanguageWhere/sqlShopWhere, src/EcomSourceReader.cs:165-183)
+    — each AND-composed after the mapping conditionals exactly as the
+    reference appends them (:192-199, :207-217).  `partition_column` must
+    be numeric/date; ranges split [lower_bound, upper_bound] into
+    `num_partitions` concurrent reads.
     """
 
     url: str
     table: str
     columns: Sequence[str] | None = None
     predicate: str | None = None
+    scope_filters: Sequence[str] = ()
     partition_column: str | None = None
     lower_bound: int | None = None
     upper_bound: int | None = None
@@ -88,7 +94,8 @@ class JdbcSource:
 
     def pushdown_query(self) -> str:
         cols = ", ".join(self.columns) if self.columns else "*"
-        where = f" WHERE {self.predicate}" if self.predicate else ""
+        clauses = ([self.predicate] if self.predicate else []) + list(self.scope_filters)
+        where = f" WHERE {' AND '.join(clauses)}" if clauses else ""
         return f"(SELECT {cols} FROM {self.table}{where}) AS pushed"
 
     def reader_options(self) -> dict[str, str]:

@@ -257,3 +257,49 @@ def test_vacuum_commits_manifest_before_deleting_data(spark, tmp_path, monkeypat
     with pytest.raises(KeyError):
         publish.read_table_at(spark, root, "t", 1)
     assert _rows(publish.read_table(spark, root, "t")) == {(3, "c")}
+
+
+def test_collect_orphans_reclaims_unreferenced_only(spark, tmp_path):
+    """Orphan collection: a crashed publish's staging dir (unreferenced by
+    any committed version) is reclaimed; referenced dirs and too-recent
+    dirs survive."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    publish.publish_tables(spark, {"t": df}, root)
+
+    # simulate a publish that crashed before its manifest swap: a staged
+    # directory exists but no manifest references it
+    live_path = publish.current_manifest(root)["tables"]["t"]
+    orphan = os.path.join(root, "data", "deadbeef-crashed", "t")
+    shutil.copytree(live_path, orphan)
+
+    # too recent: protected by the in-flight guard
+    res = publish.collect_orphans(spark, root, min_age_seconds=3600)
+    assert res["removed_paths"] == []
+    assert os.path.isdir(orphan)
+
+    # old enough: reclaimed; the committed version is untouched
+    res = publish.collect_orphans(spark, root, min_age_seconds=0)
+    assert res["removed_paths"] == [os.path.normpath(orphan)]
+    assert not os.path.exists(os.path.dirname(orphan))  # empty txid dir pruned
+    assert _rows(publish.read_table(spark, root, "t")) == {(1, "a")}
+
+    # idempotent
+    assert publish.collect_orphans(spark, root, min_age_seconds=0)["removed_paths"] == []
+
+
+def test_collect_orphans_spares_history_versions(spark, tmp_path):
+    """Historical (time-travelable) versions are referenced — never
+    collected."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": spark.createDataFrame([(1,)], "id bigint")}, root
+    )
+    publish.publish_tables(
+        spark, {"t": spark.createDataFrame([(2,)], "id bigint")}, root
+    )
+    assert publish.collect_orphans(spark, root, min_age_seconds=0)["removed_paths"] == []
+    assert _rows(publish.read_table_at(spark, root, "t", 1)) == {(1,)}

@@ -47,3 +47,29 @@ def test_discovery_cardinality_guard(spark):
     big = spark.range(50).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError, match="more than 10 distinct"):
         discover_pivot_values(big, F.col("k"), max_values=10)
+
+
+def test_discovery_memoized_per_cache_key(spark):
+    """With a cache_key the distinct-scan runs once per key: a second build
+    returns the memoized list without touching the (changed) source, and a
+    different key re-scans.  clear_discovery_cache() resets."""
+    from dataintegration_ecomprovider_spark.operators.pivot import (
+        clear_discovery_cache,
+    )
+
+    clear_discovery_cache()
+    try:
+        eav1 = spark.createDataFrame([("a",), ("b",)], "k string")
+        eav2 = spark.createDataFrame([("z",)], "k string")
+        key = ("test", "k")
+        assert discover_pivot_values(eav1, F.col("k"), cache_key=key) == ["a", "b"]
+        # same key: memo wins even though the source frame differs
+        assert discover_pivot_values(eav2, F.col("k"), cache_key=key) == ["a", "b"]
+        # different key: real scan
+        assert discover_pivot_values(eav2, F.col("k"), cache_key=("test", "k2")) == ["z"]
+        # no key: never cached
+        assert discover_pivot_values(eav2, F.col("k")) == ["z"]
+        clear_discovery_cache()
+        assert discover_pivot_values(eav2, F.col("k"), cache_key=key) == ["z"]
+    finally:
+        clear_discovery_cache()

@@ -181,3 +181,51 @@ def test_ci_keyed_publish_loop_stays_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS tci_stg2")
         bucketing.drop_staging_tables(spark, "tci_run1")
+
+
+def test_unpartitioned_windows_read_bounded_inputs(spark):
+    """The two single-partition (unpartitioned) windows in the engine are
+    INTENTIONAL and bounded — their input is an aggregate whose row count
+    is capped by construction, never the fact table (WindowExec's "No
+    Partition Defined" warning is expected and harmless here; SCALE.md
+    records it).  This pins the shape so a future unbounded global window
+    fails loudly instead of hiding among known warnings."""
+    from dataintegration_ecomprovider_spark.operators.surrogate import global_rank
+    from dataintegration_ecomprovider_spark.plans.write_queries import (
+        q_resolve_or_create,
+    )
+
+    cat = Catalog(spark, SF_DIR)
+
+    # global_rank: the only global window runs over the per-range-partition
+    # counts — ≤ num_partitions rows by construction
+    ranked = global_rank(
+        cat.table("orders"), [F.col("o_orderkey")], "rk", num_partitions=8
+    )
+    plan = _plan(ranked)
+    assert "Window" in plan
+    assert "hashaggregate(keys=[_gr_pid" in plan.lower().replace(" ", ""), (
+        "global window must read the per-partition count aggregate:\n" + plan[:3000]
+    )
+    # runtime bound: the window input is one row per range partition —
+    # the same aggregate global_rank windows over, rebuilt here
+    from dataintegration_ecomprovider_spark import runtime
+
+    n_window_rows = (
+        cat.table("orders")
+        .repartitionByRange(8, F.col("o_orderkey"))
+        .select(F.spark_partition_id().alias("_gr_pid"))
+        .distinct()
+        .count()
+    )
+    ranked.count()  # materialize, then free the tracked range persist
+    runtime.release_caches(spark)
+    assert 0 < n_window_rows <= 8
+
+    # resolve-or-create: the dense-rank window reads the DISTINCT unseen
+    # keys (bounded by dimension cardinality), not the unresolved fact rows
+    plan2 = _plan(q_resolve_or_create(spark, SF_DIR))
+    assert "Window" in plan2
+    assert "hashaggregate(keys=[c_nationkey" in plan2.lower().replace(" ", ""), (
+        "rank window must read the distinct-key aggregate:\n" + plan2[:3000]
+    )
