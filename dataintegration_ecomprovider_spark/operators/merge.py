@@ -132,6 +132,7 @@ def upsert(
     set_on_insert: dict[str, Column] | None = None,
     validate_unique: bool = False,
     case_insensitive: bool = False,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """New table state after the U1-U3 upsert matrix.
 
@@ -145,7 +146,12 @@ def upsert(
       failure contract (assert_unique_keys);
     - `case_insensitive` matches string keys under ci() — the reference's
       SQL Server collation semantics; matched rows keep the DEST key casing
-      (an UPDATE never rewrites the PK).
+      (an UPDATE never rewrites the PK);
+    - `evolve_schema=True` ADDS staging-only columns to the output (Delta
+      mergeSchema semantics — the reference's schema-augmentation analog
+      on the write path, src/EcomProvider.cs:346-381): touched rows take
+      the staged value, untouched dest rows get null.  Default False keeps
+      the strict contract: staging-only columns are dropped.
 
     Implementation: ONE full-outer join = one staging read and one dest
     read producing both halves (matched rewrites + unmatched inserts) in a
@@ -202,6 +208,21 @@ def upsert(
                 ins = F.lit(None).cast(dtypes[c])
             expr = F.when(insert_row, ins).otherwise(expr)
         out_cols.append(expr.alias(c))
+    if evolve_schema:
+        # a new column populates only the rows this merge actually touches
+        # under the mode matrix: updated rows (when updating) and inserted
+        # rows (when inserting); everything else is null
+        touched = F.lit(False)
+        if update_existing:
+            touched = touched | matched
+        if insert_new:
+            touched = touched | insert_row
+        for c in staging.columns:
+            if c in dest_cols or c.startswith("__"):
+                continue
+            out_cols.append(
+                F.when(touched, s[f"__s_{c}"]).otherwise(F.lit(None)).alias(c)
+            )
     return joined.select(*out_cols)
 
 

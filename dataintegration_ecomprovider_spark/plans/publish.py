@@ -326,6 +326,7 @@ def merge_into(
     update_existing: bool = True,
     bucketed: bool = False,
     num_buckets: int = 32,
+    evolve_schema: bool = False,
 ) -> dict:
     """Incremental MERGE against the published store: read the current
     committed version, apply the U1-U3 upsert, publish the new state as the
@@ -336,13 +337,19 @@ def merge_into(
     versions: each merge reads a bucketed dest (its join side needs no
     Exchange) and republishes bucketed, so repeated incremental loads —
     the reference's re-run-the-job idempotent feed — never re-shuffle the
-    accumulated destination, only the (small) incoming staging."""
+    accumulated destination, only the (small) incoming staging.
+
+    `evolve_schema=True` lets a batch carrying NEW columns widen the
+    table (merge.upsert mergeSchema semantics); because versions are
+    immutable, old versions keep the narrow schema and read_changes
+    reports the widening as updates on the touched rows."""
     from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
     dest = read_table(spark, root, name)
     new_state = merge_ops.upsert(
         dest, staging, list(keys),
         insert_new=insert_new, update_existing=update_existing,
+        evolve_schema=evolve_schema,
     )
     return publish_tables(
         spark, {name: new_state}, root,
@@ -385,7 +392,8 @@ def read_changes(
     cost of a full key-wise diff — and Catalyst prunes the comparison to
     the columns actually selected downstream.  Columns are taken from the
     NEW version's schema; a column absent from the old version compares as
-    null (schema evolution adds show up as updates).
+    null — after a schema widening, rows appear as updates exactly where
+    the new column holds a non-null value.
     """
     from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
@@ -440,6 +448,37 @@ def read_changes(
         joined.withColumn(change_col, change)
         .filter(F.col(change_col).isNotNull())
         .select(*out_cols, change_col)
+    )
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    case_insensitive: bool = False,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Apply a read_changes feed to a replica: insert/update rows upsert,
+    delete rows delete — the downstream half of the CDC loop.  By
+    construction, ``apply_changes(version N, read_changes(N, M))`` is
+    row-identical to version M (tests/test_cdc.py proves it across a chain
+    of versions), so an incremental consumer that follows the feed never
+    re-reads a full table.
+
+    Scale shape: one key-shuffle join for the upsert half and one anti-join
+    for the delete half — both against the (small) change set, with the
+    replica side broadcast-eligible per batch; the same algebra as one
+    reference job run, driven by the diff instead of the full source."""
+    from dataintegration_ecomprovider_spark.operators import merge as merge_ops
+
+    ups = changes.filter(F.col(change_col) != "delete").drop(change_col)
+    dels = changes.filter(F.col(change_col) == "delete").drop(change_col)
+    out = merge_ops.upsert(
+        target, ups, list(keys),
+        case_insensitive=case_insensitive, evolve_schema=True,
+    )
+    return merge_ops.delete_incoming(
+        out, dels, list(keys), case_insensitive=case_insensitive
     )
 
 

@@ -990,6 +990,46 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream half of the CDC loop: replay read_changes(v1 → v2)
+    onto a replica of v1 (publish.apply_changes: upsert the insert/update
+    rows, anti-join the deletes) — the result must be row-identical to v2,
+    so the oracle IS v2's definition.  Proves an incremental consumer can
+    follow the store without full re-reads (the reference's consumers
+    re-run the whole job instead, src/EcomProvider.cs:937-966)."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="cdc_apply_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v1}, root)
+    publish.publish_tables(spark, {"orders": v2}, root)
+    replica = publish.read_table_at(spark, root, "orders", 1)
+    delta = publish.read_changes(
+        spark, root, "orders", from_version=1, to_version=2, keys=["o_orderkey"]
+    )
+    return publish.apply_changes(replica, delta, ["o_orderkey"])
+
+
+ORACLE_CDC_APPLY = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 4 <> 0
+"""
+
+
 ORACLE_VERSION_DIFF = """
 WITH v1 AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1074,6 +1114,7 @@ QUERIES = {
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
+    "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),

@@ -71,6 +71,8 @@ def main() -> None:
         "llm_dedup_minhash_lsh",
         "llm_chunk_documents",
         "llm_fingerprint",
+        "u12_version_diff",      # CDC diff at 10x (two publishes + full-outer)
+        "u12_cdc_apply",         # diff + replay round-trip at 10x
     ]
     timings = {}
     for name in names:

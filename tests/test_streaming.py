@@ -205,3 +205,52 @@ def test_stream_into_store_versions_per_batch(spark, tmp_path):
     # previous version intact (time travel)
     v1 = {r["k"]: r["v"] for r in publish.read_table_at(spark, root, "t", 1).collect()}
     assert v1 == {1: "a", 2: "b", 3: "c"}
+
+
+def test_stream_cdc_follow_and_compact_invisible(spark, tmp_path):
+    """Streaming + CDC + compaction compose: a follower replaying
+    read_changes across the streamed versions reconstructs the final state
+    from the base version, and a subsequent compact() — being a pure
+    layout rewrite — produces an EMPTY change feed."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    publish.publish_tables(spark, {"t": base}, root)
+
+    spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame([(4, "D"), (5, "e")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = stream_into_store(
+        file_stream(spark, src, base.schema, max_files_per_trigger=1),
+        root, "t", ["k"], ckpt,
+    )
+    q.awaitTermination(120)
+
+    v_final = publish.current_manifest(root)["version"]
+    assert v_final >= 3  # base + one version per micro-batch
+
+    # follower: replay the whole streamed range in one diff
+    delta = publish.read_changes(spark, root, "t", 1, v_final, keys=["k"])
+    replica = publish.apply_changes(
+        publish.read_table_at(spark, root, "t", 1), delta, ["k"]
+    )
+    expect = {(r["k"], r["v"]) for r in publish.read_table(spark, root, "t").collect()}
+    assert {(r["k"], r["v"]) for r in replica.collect()} == expect
+
+    # compaction is a layout change only: its version diffs as EMPTY
+    publish.compact(spark, root, "t", target_files=1)
+    v_compact = publish.current_manifest(root)["version"]
+    assert v_compact == v_final + 1
+    assert publish.read_changes(
+        spark, root, "t", v_final, v_compact, keys=["k"]
+    ).count() == 0
