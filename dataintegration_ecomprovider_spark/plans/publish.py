@@ -21,6 +21,7 @@ pattern Delta/Iceberg use for their commit step.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -37,8 +38,51 @@ class ValidationError(RuntimeError):
     pass
 
 
+class ConcurrentPublishError(RuntimeError):
+    """The manifest advanced past the version a CAS publish expected —
+    another writer committed first.  Re-read and retry (merge_into does)."""
+
+
 def _manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST)
+
+
+@contextlib.contextmanager
+def _manifest_lock(root: str, timeout: float = 60.0, stale: float = 300.0):
+    """Advisory commit lock: serializes the read-manifest → build → swap
+    critical section across processes on the same store root (O_CREAT|
+    O_EXCL is atomic on POSIX and most shared filesystems).  Only the
+    COMMIT is serialized — staging writes and validation run fully
+    concurrently outside it, so the lock is held for milliseconds.  A lock
+    older than `stale` seconds is presumed abandoned (crashed writer) and
+    taken over."""
+    path = os.path.join(root, ".MANIFEST.lock")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > stale:
+                    os.unlink(path)
+                    continue
+            except OSError:
+                continue  # holder released between the existence check and stat
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire manifest lock {path} within {timeout}s"
+                )
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
 
 def current_manifest(root: str) -> dict:
@@ -51,17 +95,38 @@ def current_manifest(root: str) -> dict:
 
 def _read_entry(spark: SparkSession, entry) -> DataFrame:
     """Resolve one manifest table entry.  Plain string = parquet path;
-    dict = bucketed table ({"path", "table", "bucket_keys", "num_buckets"})
-    read via the session catalog so bucket metadata survives and joins on
-    the bucket keys skip their Exchange.  If the catalog entry is gone
-    (new session against an old manifest), fall back to the parquet path —
-    correct, just without the bucket co-location."""
+    dict = metadata-carrying entry ({"path", optional "table" +
+    "bucket_keys" + "num_buckets" for bucketed tables, optional "keys"}).
+    Bucketed tables read via the session catalog so bucket metadata
+    survives and joins on the bucket keys skip their Exchange.  If the
+    catalog entry is gone (new session against an old manifest), fall back
+    to the parquet path — correct, just without the bucket co-location."""
     if isinstance(entry, str):
         return spark.read.parquet(entry)
-    try:
-        return spark.table(entry["table"])
-    except Exception:
-        return spark.read.parquet(entry["path"])
+    if "table" in entry:
+        try:
+            return spark.table(entry["table"])
+        except Exception:
+            pass
+    return spark.read.parquet(entry["path"])
+
+
+def table_keys(root: str, name: str) -> list[str] | None:
+    """The key columns recorded for `name` in the current manifest (the
+    store-level analog of the reference's IsPrimaryKey schema flags,
+    src/EcomProvider.cs:393-406), or None if never declared.  Recorded at
+    publish time (publish_tables(table_keys=...) or any merge_into /
+    bucketed publish) and carried forward across versions, so CDC reads
+    and incremental merges need no caller-side key bookkeeping."""
+    manifest = current_manifest(root)
+    entry = manifest["tables"].get(name)
+    if isinstance(entry, dict):
+        keys = entry.get("keys") or entry.get("bucket_keys")
+        if keys:
+            # bucket keys may be materialized __k_ norm columns; report
+            # the logical key names
+            return [k[4:] if k.startswith("__k_") else k for k in keys]
+    return None
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
@@ -80,8 +145,18 @@ def publish_tables(
     validators: Mapping[str, Callable[[DataFrame], None]] | None = None,
     bucket_keys: Mapping[str, list] | None = None,
     num_buckets: int = 32,
+    table_keys: Mapping[str, Sequence[str]] | None = None,
+    expected_version: int | None = None,
 ) -> dict:
     """Stage every output, validate, then commit with one manifest swap.
+
+    Concurrency: the commit (read-latest-manifest → chain → swap) runs
+    under an advisory lock, so concurrent publishers to the SAME root
+    serialize and never lose each other's tables.  `expected_version`
+    adds compare-and-swap semantics: the commit aborts with
+    ConcurrentPublishError if the store moved past that version while
+    this publish was staging — the read-modify-write guard merge_into
+    uses to retry instead of silently overwriting a concurrent merge.
 
     `validators[name]` is called with the RE-READ staged DataFrame and
     raises to abort the whole publish (nothing becomes visible — the
@@ -98,13 +173,29 @@ def publish_tables(
     bucket on the materialized `__k_<key>` norm columns (see
     operators/bucketing.norm_bucket_columns) — bucketing the raw casing
     co-locates nothing for a ci() comparison.
+
+    `table_keys[name]` records that table's logical key columns in the
+    manifest (see table_keys()): CDC reads and incremental merges then
+    need no caller-side key bookkeeping.  Keys recorded by a previous
+    version carry forward automatically — declare once per table, not per
+    publish.
     """
     os.makedirs(root, exist_ok=True)
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged_paths: dict[str, object] = {}
+    prev = current_manifest(root)
+
+    def _keys_for(name: str) -> list[str] | None:
+        if table_keys and name in table_keys:
+            return list(table_keys[name])
+        prev_entry = prev["tables"].get(name)
+        if isinstance(prev_entry, dict) and prev_entry.get("keys"):
+            return list(prev_entry["keys"])
+        return None
 
     for name, df in outputs.items():
         path = os.path.join(root, "data", txid, name)
+        keys_meta = _keys_for(name)
         if bucket_keys and name in bucket_keys:
             keys = list(bucket_keys[name])
             tname = f"pub_{name}_{txid}".replace("-", "_")
@@ -116,10 +207,16 @@ def publish_tables(
                 .option("path", path)
                 .saveAsTable(tname)
             )
-            staged_paths[name] = {
+            entry: dict = {
                 "path": path, "table": tname,
                 "bucket_keys": keys, "num_buckets": num_buckets,
             }
+            if keys_meta:
+                entry["keys"] = keys_meta
+            staged_paths[name] = entry
+        elif keys_meta:
+            df.write.mode("errorifexists").parquet(path)
+            staged_paths[name] = {"path": path, "keys": keys_meta}
         else:
             df.write.mode("errorifexists").parquet(path)
             staged_paths[name] = path
@@ -131,24 +228,34 @@ def publish_tables(
         if validators and name in validators:
             validators[name](staged)
 
-    prev = current_manifest(root)
-    manifest = {
-        "version": prev["version"] + 1,
-        "txid": txid,
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        # carry forward tables not touched by this publish (the reference's
-        # transaction only touches staged tables; others keep their state)
-        "tables": {**prev["tables"], **staged_paths},
-        # committed-version history: staged data dirs are never rewritten,
-        # so old versions stay readable (time travel / rollback) until a
-        # vacuum prunes them
-        "history": (
-            prev.get("history", [])
-            + [{"version": prev["version"], "txid": prev.get("txid"), "tables": prev["tables"]}]
-            if prev["version"] else []
-        ),
-    }
-    return _commit(root, txid, manifest)
+    # commit critical section: re-read the manifest as it stands NOW
+    # (staging/validation may be long) and chain the swap off it, under
+    # the advisory lock so concurrent publishers serialize
+    with _manifest_lock(root):
+        prev = current_manifest(root)
+        if expected_version is not None and prev["version"] != expected_version:
+            raise ConcurrentPublishError(
+                f"store at version {prev['version']}, expected "
+                f"{expected_version} — another writer committed first"
+            )
+        manifest = {
+            "version": prev["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # carry forward tables not touched by this publish (the
+            # reference's transaction only touches staged tables; others
+            # keep their state)
+            "tables": {**prev["tables"], **staged_paths},
+            # committed-version history: staged data dirs are never
+            # rewritten, so old versions stay readable (time travel /
+            # rollback) until a vacuum prunes them
+            "history": (
+                prev.get("history", [])
+                + [{"version": prev["version"], "txid": prev.get("txid"), "tables": prev["tables"]}]
+                if prev["version"] else []
+            ),
+        }
+        return _commit(root, txid, manifest)
 
 
 def _commit(root: str, txid: str, manifest: dict) -> dict:
@@ -176,23 +283,25 @@ def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> Da
 
 def rollback(root: str, version: int) -> dict:
     """Re-commit an older version's table map as a NEW version (the data
-    dirs are immutable, so rollback is another manifest swap)."""
-    manifest = current_manifest(root)
-    matches = [h for h in manifest.get("history", []) if h["version"] == version]
-    if not matches:
-        raise KeyError(f"version {version} not in history under {root}")
-    txid = f"rollback-{version}-{uuid.uuid4().hex[:8]}"
-    new = {
-        "version": manifest["version"] + 1,
-        "txid": txid,
-        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        "tables": matches[0]["tables"],
-        "history": manifest.get("history", []) + [
-            {"version": manifest["version"], "txid": manifest.get("txid"),
-             "tables": manifest["tables"]}
-        ],
-    }
-    return _commit(root, txid, new)
+    dirs are immutable, so rollback is another manifest swap), serialized
+    against concurrent publishers by the commit lock."""
+    with _manifest_lock(root):
+        manifest = current_manifest(root)
+        matches = [h for h in manifest.get("history", []) if h["version"] == version]
+        if not matches:
+            raise KeyError(f"version {version} not in history under {root}")
+        txid = f"rollback-{version}-{uuid.uuid4().hex[:8]}"
+        new = {
+            "version": manifest["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "tables": matches[0]["tables"],
+            "history": manifest.get("history", []) + [
+                {"version": manifest["version"], "txid": manifest.get("txid"),
+                 "tables": manifest["tables"]}
+            ],
+        }
+        return _commit(root, txid, new)
 
 
 def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
@@ -211,32 +320,38 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
-    manifest = current_manifest(root)
-    history = manifest.get("history", [])
-    keep_hist = history[len(history) - (keep_versions - 1):] if keep_versions > 1 else []
-    pruned = history[: len(history) - len(keep_hist)]
-    if not pruned:
-        return {"removed_versions": [], "removed_paths": []}
 
-    def paths_of(tables: dict) -> set[str]:
-        out = set()
-        for entry in tables.values():
-            out.add(entry["path"] if isinstance(entry, dict) else entry)
-        return out
+    # The prune decision and its manifest commit form one critical section
+    # (a publish landing in between would chain off the un-pruned
+    # manifest and resurrect history).  Deletion happens OUTSIDE the lock
+    # — the pruned dirs are unreferenced the instant the commit lands.
+    with _manifest_lock(root):
+        manifest = current_manifest(root)
+        history = manifest.get("history", [])
+        keep_hist = history[len(history) - (keep_versions - 1):] if keep_versions > 1 else []
+        pruned = history[: len(history) - len(keep_hist)]
+        if not pruned:
+            return {"removed_versions": [], "removed_paths": []}
 
-    live: set[str] = paths_of(manifest["tables"])
-    for h in keep_hist:
-        live |= paths_of(h["tables"])
+        def paths_of(tables: dict) -> set[str]:
+            out = set()
+            for entry in tables.values():
+                out.add(entry["path"] if isinstance(entry, dict) else entry)
+            return out
 
-    # Commit the pruned manifest FIRST, then delete data.  A crash between
-    # the two steps leaves orphaned-but-unreferenced directories (harmless,
-    # re-collectable by a later vacuum over the same txid namespace); the
-    # reverse order would leave a manifest still referencing versions whose
-    # data is gone, breaking read_table_at's KeyError contract with a raw
-    # parquet error.
-    new_manifest = dict(manifest)
-    new_manifest["history"] = keep_hist
-    _commit(root, manifest.get("txid") or "vacuum", new_manifest)
+        live: set[str] = paths_of(manifest["tables"])
+        for h in keep_hist:
+            live |= paths_of(h["tables"])
+
+        # Commit the pruned manifest FIRST, then delete data.  A crash
+        # between the two steps leaves orphaned-but-unreferenced
+        # directories (harmless, re-collectable by collect_orphans); the
+        # reverse order would leave a manifest still referencing versions
+        # whose data is gone, breaking read_table_at's KeyError contract
+        # with a raw parquet error.
+        new_manifest = dict(manifest)
+        new_manifest["history"] = keep_hist
+        _commit(root, manifest.get("txid") or "vacuum", new_manifest)
 
     removed_paths: list[str] = []
     for h in pruned:
@@ -244,7 +359,7 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
             path = entry["path"] if isinstance(entry, dict) else entry
             if path in live:
                 continue
-            if isinstance(entry, dict):
+            if isinstance(entry, dict) and entry.get("table"):
                 spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
             shutil.rmtree(path, ignore_errors=True)
             removed_paths.append(path)
@@ -321,7 +436,7 @@ def merge_into(
     root: str,
     name: str,
     staging: DataFrame,
-    keys,
+    keys: Sequence[str] | None = None,
     insert_new: bool = True,
     update_existing: bool = True,
     bucketed: bool = False,
@@ -342,20 +457,41 @@ def merge_into(
     `evolve_schema=True` lets a batch carrying NEW columns widen the
     table (merge.upsert mergeSchema semantics); because versions are
     immutable, old versions keep the narrow schema and read_changes
-    reports the widening as updates on the touched rows."""
+    reports the widening as updates on the touched rows.
+
+    Concurrency: the merge is a read-modify-write, so it publishes with
+    compare-and-swap on the version it read and RETRIES from a fresh read
+    if another writer committed in between — two concurrent merge_into
+    calls against one table serialize instead of losing one's updates."""
     from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
-    dest = read_table(spark, root, name)
-    new_state = merge_ops.upsert(
-        dest, staging, list(keys),
-        insert_new=insert_new, update_existing=update_existing,
-        evolve_schema=evolve_schema,
-    )
-    return publish_tables(
-        spark, {name: new_state}, root,
-        bucket_keys={name: list(keys)} if bucketed else None,
-        num_buckets=num_buckets,
-    )
+    if keys is None:
+        keys = table_keys(root, name)
+        if not keys:
+            raise ValueError(
+                f"table {name!r} has no recorded keys — pass keys= or "
+                "publish with publish_tables(table_keys=...)"
+            )
+    last_err: ConcurrentPublishError | None = None
+    for _attempt in range(5):
+        base_version = current_manifest(root)["version"]
+        dest = read_table(spark, root, name)
+        new_state = merge_ops.upsert(
+            dest, staging, list(keys),
+            insert_new=insert_new, update_existing=update_existing,
+            evolve_schema=evolve_schema,
+        )
+        try:
+            return publish_tables(
+                spark, {name: new_state}, root,
+                bucket_keys={name: list(keys)} if bucketed else None,
+                num_buckets=num_buckets,
+                table_keys={name: list(keys)},
+                expected_version=base_version,
+            )
+        except ConcurrentPublishError as e:
+            last_err = e  # rebuild against the advanced version and retry
+    raise last_err
 
 
 def read_changes(
@@ -397,6 +533,8 @@ def read_changes(
     """
     from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
+    if keys is None:
+        keys = table_keys(root, name)
     if not keys:
         raise ValueError("read_changes requires the table's key columns")
     if to_version is None:
@@ -535,7 +673,7 @@ def compact(
     total_bytes = sum(os.path.getsize(f) for f in files)
 
     df = _read_entry(spark, entry)
-    if isinstance(entry, dict):
+    if isinstance(entry, dict) and entry.get("bucket_keys"):
         # preserve the bucketed layout: same keys, same bucket count
         new_manifest = publish_tables(
             spark, {name: df}, root,

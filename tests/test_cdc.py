@@ -383,3 +383,136 @@ def test_upsert_evolve_schema_insert_only_mode(spark):
         dest, staging, ["id"], update_existing=False, evolve_schema=True
     )
     assert _rows(out) == {(1, "a", None), (2, "b", None), (3, "c", "y")}
+
+
+def test_manifest_key_metadata_drives_cdc_and_merge(spark, tmp_path):
+    """Keys declared once at publish time (table_keys=...) persist in the
+    manifest, carry forward across versions, and become the defaults for
+    merge_into and read_changes — no caller-side key bookkeeping."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")},
+        root,
+        table_keys={"t": ["id"]},
+    )
+    assert publish.table_keys(root, "t") == ["id"]
+
+    # keys=None resolves from the manifest
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame([(2, "B"), (3, "c")], "id bigint, name string"),
+    )
+    # carried forward through the merge's own publish
+    assert publish.table_keys(root, "t") == ["id"]
+    changes = publish.read_changes(spark, root, "t", 1)
+    assert _rows(changes) == {(2, "B", "update"), (3, "c", "insert")}
+
+    # a table with no recorded keys still demands them explicitly
+    publish.publish_tables(
+        spark, {"u": spark.createDataFrame([(1,)], "id bigint")}, root
+    )
+    assert publish.table_keys(root, "u") is None
+    with pytest.raises(ValueError, match="no recorded keys"):
+        publish.merge_into(spark, root, "u", spark.createDataFrame([(2,)], "id bigint"))
+
+
+def test_bucketed_publish_reports_logical_keys(spark, tmp_path):
+    """A bucketed publish on materialized __k_ norm columns still reports
+    the LOGICAL key names through table_keys()."""
+    from dataintegration_ecomprovider_spark.operators import bucketing
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([("Widget", 1)], "sku string, qty int")
+    df, bucket_cols = bucketing.norm_bucket_columns(df, ["sku"], case_insensitive=True)
+    publish.publish_tables(
+        spark, {"t": df}, root, bucket_keys={"t": bucket_cols}, num_buckets=4
+    )
+    assert publish.table_keys(root, "t") == ["sku"]
+
+    # compaction keeps the keys-carrying bucketed entry intact
+    publish.compact(spark, root, "t")
+    assert publish.table_keys(root, "t") == ["sku"]
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry.get("bucket_keys") == bucket_cols
+
+
+def test_concurrent_publishers_lose_nothing(spark, tmp_path):
+    """N threads publishing DIFFERENT tables into one store root: the
+    commit lock serializes the manifest chain, so every publish lands —
+    no last-writer-wins loss of another table's commit."""
+    import threading
+
+    root = str(tmp_path / "store")
+    errs = []
+
+    def pub(i: int) -> None:
+        try:
+            publish.publish_tables(
+                spark,
+                {f"t{i}": spark.createDataFrame([(i,)], "id bigint")},
+                root,
+            )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=pub, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    m = publish.current_manifest(root)
+    assert m["version"] == 8
+    assert {f"t{i}" for i in range(8)} <= set(m["tables"])
+
+
+def test_cas_publish_conflict_raises(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1,)], "id bigint")
+    publish.publish_tables(spark, {"t": df}, root)
+    with pytest.raises(publish.ConcurrentPublishError, match="expected 0"):
+        publish.publish_tables(spark, {"t": df}, root, expected_version=0)
+    # matching expectation commits
+    publish.publish_tables(spark, {"t": df}, root, expected_version=1)
+    assert publish.current_manifest(root)["version"] == 2
+
+
+def test_concurrent_merge_into_serializes(spark, tmp_path):
+    """Two concurrent merge_into calls on ONE table: CAS + retry means
+    neither merge's rows are lost (without it, both would read the same
+    base version and the later commit would drop the earlier's updates)."""
+    import threading
+
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(0, "base")], "id bigint, v string")},
+        root,
+        table_keys={"t": ["id"]},
+    )
+
+    errs = []
+
+    def merge(lo: int) -> None:
+        try:
+            publish.merge_into(
+                spark, root, "t",
+                spark.createDataFrame(
+                    [(lo, f"w{lo}"), (lo + 1, f"w{lo + 1}")], "id bigint, v string"
+                ),
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=merge, args=(lo,)) for lo in (10, 20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = _rows(publish.read_table(spark, root, "t"))
+    assert rows == {
+        (0, "base"), (10, "w10"), (11, "w11"), (20, "w20"), (21, "w21")
+    }
+    assert publish.current_manifest(root)["version"] == 3
