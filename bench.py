@@ -43,6 +43,7 @@ HEADLINE = [
     "llm_chunk_documents",          # sliding-window chunking (round 3)
     "u12_pipeline_run_job_bucketed",  # exchange-free merge pipeline (round 3)
     "u12_version_diff",             # versioned-store CDC diff (round 4)
+    "llm_dedup_incremental",        # batch-vs-index ingest dedup (round 4)
 ]
 
 

@@ -137,6 +137,40 @@ def minhash_signatures(
     return mins.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def band_buckets(
+    sig: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    id_col: str = "id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows from a minhash signature table —
+    the banding step shared by minhash_candidates (within-corpus pairs)
+    and llm/incremental.py (batch-vs-index matching).  `portable=True`
+    spells the bucket as the literal signature-slice string (engine-
+    independent join key); the fast path hashes the slice with Murmur3."""
+    rows_per_band = num_hashes // bands
+
+    def bucket_of(b: int) -> Column:
+        sl = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        if portable:
+            return F.concat_ws(",", sl.cast("array<string>"))
+        return F.hash(sl).cast("string")
+
+    return sig.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("pos", "bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -157,26 +191,8 @@ def minhash_candidates(
     join key is engine-independent — slightly wider shuffle keys, same
     join shape.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, portable)
-
-    def bucket_of(b: int) -> Column:
-        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        if portable:
-            return F.concat_ws(",", sl.cast("array<string>"))
-        return F.hash(sl).cast("string")
-
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("pos", "bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_buckets(sig, num_hashes, bands, portable)
     # Pairs via groupBy-collect within each (band, bucket) — NOT a banded
     # self-join: the signature pipeline is consumed exactly once (no
     # corpus-scale persist needed) and the only shuffle is the bucket

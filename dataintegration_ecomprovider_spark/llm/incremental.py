@@ -1,0 +1,140 @@
+"""Incremental corpus deduplication — dedup an ingest batch against a
+PERSISTENT MinHash signature index instead of recomputing corpus LSH.
+
+The batch operators in llm/dedup.py answer "which documents in THIS corpus
+are near-duplicates of each other".  A training-data pipeline at 100 TB
+asks a different question on every ingest: "which of these NEW documents
+duplicate something we already kept?"  Recomputing signatures over the
+full corpus per batch is O(corpus) — prohibitive.  This module makes
+ingest O(batch):
+
+- the corpus keeps two small side tables, its signature table
+  ``(id, sig)`` and its band table ``(id, band, bucket)`` — built once per
+  document, ever (minhash_signatures + dedup.band_buckets);
+- a new batch computes ITS signatures/bands (O(batch)), joins its band
+  rows against the index band rows on (band, bucket) for candidates, and
+  scores candidates with the classic MinHash estimate of Jaccard
+  similarity (fraction of agreeing signature components) — no document
+  text is ever re-read, not the corpus's and not even the batch's;
+- surviving novel documents append their signature/band rows to the index
+  (publish via plans/publish for atomic versioned updates — see
+  tests/test_llm_incremental.py for the store round-trip).
+
+Scale shape: the only corpus-scale work is the (band, bucket) join, and
+the index band table can be PUBLISHED BUCKETED on (band, bucket)
+(publish_tables(bucket_keys=...)), so each ingest shuffles just the batch
+side.  Candidate scoring joins signatures for candidate ids only
+(semi-join-scoped, like dedup.jaccard_pairs).
+
+No reference analog (the reference dedups per-key in-memory,
+src/EcomDestinationWriter.cs:1269-1278); this extends the LLM-pipeline
+north star (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.llm import dedup
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """The MinHash estimator: fraction of signature components on which
+    two documents agree is an unbiased estimate of their shingle-set
+    Jaccard similarity.  Pure codegen (zip_with + aggregate), rounded to 6
+    for engine-independent comparison."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(agree / F.size(sig_a), 6)
+
+
+def match_against_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    index_bands: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """(new_id, corpus_id, est_jaccard) for every batch document whose
+    estimated similarity to an indexed document reaches `threshold`.
+
+    `new_sigs` is the batch signature table (minhash_signatures output:
+    (id, sig)); `index_sigs`/`index_bands` are the corpus side tables.
+    Candidates come from the (band, bucket) join — only signature
+    agreement is scored, never text."""
+    new_bands = dedup.band_buckets(new_sigs, num_hashes, bands, portable)
+    cand = (
+        new_bands.withColumnRenamed("id", "new_id")
+        .join(
+            index_bands.select(
+                F.col("id").alias("corpus_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    a = new_sigs.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_a"))
+    b = index_sigs.select(F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def dedup_batch_against_index(
+    batch_docs: DataFrame,
+    index_sigs: DataFrame | None,
+    index_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    portable: bool = False,
+) -> dict[str, DataFrame]:
+    """One ingest step.  Returns
+    ``{"kept": batch docs novel vs the index, "matches": (new_id,
+    corpus_id, est_jaccard), "sigs": kept (id, sig), "bands": kept
+    (id, band, bucket)}`` — append `sigs`/`bands` to the index tables
+    (e.g. publish.merge_into with insert_new only) to complete the step.
+
+    Pass None index tables for the FIRST batch: everything is kept and
+    the returned side tables seed the index.  Within-batch near-dups are
+    intentionally out of scope here — run the batch operators
+    (dedup.minhash_candidates / cluster.dedup_clusters) on the batch
+    first if ingest batches can self-duplicate."""
+    sigs = dedup.minhash_signatures(
+        batch_docs, id_col, text_col, num_hashes, shingle_n, portable
+    )
+    if index_sigs is None or index_bands is None:
+        kept_sigs = sigs
+        matches = None
+    else:
+        matches = match_against_index(
+            sigs, index_sigs, index_bands, num_hashes, bands, threshold, portable
+        )
+        dup_ids = matches.select(F.col("new_id").alias("id")).dropDuplicates(["id"])
+        kept_sigs = sigs.join(dup_ids, "id", "left_anti")
+    kept = batch_docs.join(
+        kept_sigs.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )
+    return {
+        "kept": kept,
+        "matches": matches,
+        "sigs": kept_sigs,
+        "bands": dedup.band_buckets(kept_sigs, num_hashes, bands, portable),
+    }

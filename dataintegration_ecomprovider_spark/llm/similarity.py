@@ -258,6 +258,53 @@ def ivf_topk(
     partition-local assignment, shuffle once on cell id).  `portable=True`
     ranks centroids by md5 of the id string instead of xxhash64 so a
     DuckDB oracle picks the identical centroid set."""
+    idx = ivf_index(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        portable=portable, refine_iters=refine_iters,
+    )
+    return ivf_topk_from_index(
+        queries, idx["centroids"], idx["cells"], k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _assign_to_centroids(
+    df: DataFrame, centroids: DataFrame, idc: str, vecc: str, keep: int
+) -> DataFrame:
+    """Nearest-`keep` centroid assignment: broadcast the (small) centroid
+    table, score partition-locally, rank per vector."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(idc),
+        F.col(vecc),
+        "cid",
+        F.round(cosine(F.col(vecc), F.col("cvec")), 6).alias("csim"),
+    )
+    w = Window.partitionBy(idc).orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= keep)
+        .drop("csim", "crank")
+    )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    refine_iters: int = 0,
+) -> dict[str, DataFrame]:
+    """The PERSISTENT half of IVF: ``{"centroids": (cid, cvec), "cells":
+    (cid, neighbor_id, cand_vec)}`` — the corpus-scale work (centroid pick
+    or k-means refine + one nearest-centroid pass over every vector) done
+    ONCE, not per query batch.  Publish both tables to the versioned store
+    (cells bucketed on cid: every later probe join reads co-located cells
+    with no corpus-side Exchange) and serve queries with
+    ivf_topk_from_index — the ANN-serving pattern at 100 TB, where
+    re-assigning the corpus per query batch is prohibitive.
+    tests/test_llm_incremental.py proves the store round-trip is
+    result-identical to the inline ivf_topk."""
     if portable:
         from dataintegration_ecomprovider_spark.llm.portable import md5_int60
 
@@ -276,30 +323,32 @@ def ivf_topk(
         centroids = kmeans_refine(
             embeddings, centroids, iters=refine_iters, id_col=id_col, vec_col=vec_col
         )
-
-    def assign(df: DataFrame, idc: str, vecc: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            F.col(idc),
-            F.col(vecc),
-            "cid",
-            F.round(cosine(F.col(vecc), F.col("cvec")), 6).alias("csim"),
-        )
-        w = Window.partitionBy(idc).orderBy(F.col("csim").desc(), F.col("cid").asc())
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= keep)
-            .drop("csim", "crank")
-        )
-
-    cells = assign(
+    cells = _assign_to_centroids(
         embeddings.select(F.col(id_col).alias("neighbor_id"),
                           F.col(vec_col).cast("array<double>").alias("cand_vec")),
-        "neighbor_id", "cand_vec", keep=1,
+        centroids, "neighbor_id", "cand_vec", keep=1,
     )
-    probes = assign(
+    return {"centroids": centroids, "cells": cells}
+
+
+def ivf_topk_from_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cells: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k from a prebuilt IVF index (ivf_index
+    output, possibly read back from the versioned store): queries assign
+    to their `n_probe` nearest cells (broadcast centroids), probe only
+    those cells' vectors, rank.  O(queries × probed cells) — the corpus
+    is touched only through the (bucketed) cells table."""
+    probes = _assign_to_centroids(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("query_vec")),
-        "query_id", "query_vec", keep=n_probe,
+        centroids, "query_id", "query_vec", keep=n_probe,
     )
     scored = (
         probes.join(cells, "cid")

@@ -463,6 +463,81 @@ SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5
 )
 
 
+def _incremental_matches(spark: SparkSession, sf_dir: str, portable: bool) -> DataFrame:
+    """Corpus = documents with doc_id % 3 != 0 (their signature/band index
+    tables built once); batch = the % 3 == 0 docs.  Output = the batch's
+    matches against the index (new_id, corpus_id, est_jaccard >= 0.5)."""
+    from dataintegration_ecomprovider_spark.llm import incremental
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx_sigs = dedup.minhash_signatures(corpus, portable=portable)
+    idx_bands = dedup.band_buckets(idx_sigs, portable=portable)
+    step = incremental.dedup_batch_against_index(
+        batch, idx_sigs, idx_bands, threshold=0.5, portable=portable
+    )
+    return step["matches"]
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (llm/incremental.py): a new batch matched
+    against the corpus's persistent MinHash signature index — O(batch)
+    per ingest, candidates from the (band, bucket) join, similarity from
+    signature agreement (the MinHash Jaccard estimator), no text re-read.
+    Fast path (xxhash64): rows-only driver check; the _portable twin is
+    the full oracle gate."""
+    return _incremental_matches(spark, sf_dir, portable=False)
+
+
+def q_incremental_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_dedup_incremental on the portable md5 hash family — DuckDB
+    reproduces signatures, band buckets and the agreement estimate
+    byte-for-byte."""
+    return _incremental_matches(spark, sf_dir, portable=True)
+
+
+ORACLE_INCREMENTAL_PORTABLE = (
+    "WITH "
+    + _PORTABLE_SHINGLES.format(n=3, post="% 2147483647")
+    + ","
+    + """
+sig AS (
+  SELECT doc_id,
+         list_transform(range(32), j ->
+            list_min(list_transform(hs, h ->
+               (h * (((2*j + 1) * 2654435761) % 2147483647)
+                + (((j + 1) * 40503) % 2147483647)) % 2147483647))) AS sig
+  FROM hs WHERE len(hs) > 0
+),
+corpus_bands AS (
+  SELECT doc_id, t.band AS band,
+         array_to_string(sig[t.band*4 + 1 : t.band*4 + 4], ',') AS bucket
+  FROM sig, (SELECT unnest(range(8)) AS band) t
+  WHERE doc_id % 3 <> 0
+),
+batch_bands AS (
+  SELECT doc_id, t.band AS band,
+         array_to_string(sig[t.band*4 + 1 : t.band*4 + 4], ',') AS bucket
+  FROM sig, (SELECT unnest(range(8)) AS band) t
+  WHERE doc_id % 3 = 0
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM batch_bands b
+  JOIN corpus_bands c ON b.band = c.band AND b.bucket = c.bucket
+)
+SELECT cand.new_id, cand.corpus_id,
+       ROUND(len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0, 6)
+         AS est_jaccard
+FROM cand
+JOIN sig x ON x.doc_id = cand.new_id
+JOIN sig y ON y.doc_id = cand.corpus_id
+WHERE len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5
+"""
+)
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: portable-minhash candidate pairs (jaccard
     >= 0.5) grouped into connected components (llm/cluster.py — pointer-
@@ -604,6 +679,47 @@ def q_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=5, n_centroids=16, n_probe=4, portable=True
     )
+
+
+def _ivf_index_roundtrip(spark: SparkSession, sf_dir: str, portable: bool) -> DataFrame:
+    """Build the IVF index ONCE, publish it to a throwaway versioned
+    store (cells bucketed on the cell id — probe joins read co-located
+    buckets), read it back, and serve the query batch from the stored
+    index.  Must be result-identical to the inline ivf_topk, so the
+    portable twin reuses ORACLE_IVF_TOPK_PORTABLE verbatim."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = similarity.ivf_index(emb, n_centroids=16, portable=portable)
+    root = tempfile.mkdtemp(prefix="ivf_index_")
+    publish.publish_tables(
+        spark,
+        {"ivf_centroids": idx["centroids"], "ivf_cells": idx["cells"]},
+        root,
+        bucket_keys={"ivf_cells": ["cid"]},
+        num_buckets=8,
+    )
+    return similarity.ivf_topk_from_index(
+        queries,
+        publish.read_table(spark, root, "ivf_centroids"),
+        publish.read_table(spark, root, "ivf_cells"),
+        k=5, n_probe=4,
+    )
+
+
+def q_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving from a PERSISTED IVF index (llm/similarity.py::
+    ivf_index + ivf_topk_from_index through the versioned store) — the
+    corpus-scale assignment pass runs once at index-build, not per query
+    batch.  Fast path: rows-only; the _portable twin carries the oracle."""
+    return _ivf_index_roundtrip(spark, sf_dir, portable=False)
+
+
+def q_ivf_index_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_index_roundtrip(spark, sf_dir, portable=True)
 
 
 def q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,6 +1012,10 @@ QUERIES = {
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
+    "llm_dedup_incremental": QueryDef(q_incremental_dedup, None),
+    "llm_dedup_incremental_portable": QueryDef(
+        q_incremental_dedup_portable, ORACLE_INCREMENTAL_PORTABLE
+    ),
     "llm_dedup_cluster_cc": QueryDef(q_dedup_cluster_cc, ORACLE_CLUSTER_CC),
     "llm_dedup_simhash_portable": QueryDef(q_simhash_portable, ORACLE_SIMHASH_PORTABLE),
     "llm_near_dup_embedding_lsh_portable": QueryDef(
@@ -903,6 +1023,10 @@ QUERIES = {
     ),
     "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
     "llm_sim_ivf_topk_portable": QueryDef(q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE),
+    "llm_sim_ivf_index_topk": QueryDef(q_ivf_index_topk, None),
+    "llm_sim_ivf_index_topk_portable": QueryDef(
+        q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE
+    ),
     "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
     "llm_quality_filter_quantile": QueryDef(
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER

@@ -1,0 +1,217 @@
+"""Incremental corpus dedup (llm/incremental.py): ingest batches dedup
+against a persistent signature index — O(batch) per ingest — and the index
+lives in the versioned store, appended atomically per batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.llm import dedup, incremental
+from dataintegration_ecomprovider_spark.plans import publish
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+TEXTS = {
+    "alpha": "the quick brown fox jumps over the lazy dog near the old river bank",
+    "alpha2": "the quick brown fox jumps over the lazy dog near the old river bend",
+    "beta": "pack my box with five dozen liquor jugs before the long winter night",
+    "gamma": "machine learning pipelines deduplicate training corpora at massive scale",
+}
+
+
+def test_estimator_bounds_and_exact_match(spark):
+    docs = _docs(spark, [(1, TEXTS["alpha"]), (2, TEXTS["alpha"]), (3, TEXTS["beta"])])
+    sigs = dedup.minhash_signatures(docs)
+    a = sigs.filter(F.col("id") == 1).select(F.col("sig").alias("sig_a"))
+    for other, expect_one in ((2, True), (3, False)):
+        b = sigs.filter(F.col("id") == other).select(F.col("sig").alias("sig_b"))
+        est = (
+            a.crossJoin(b)
+            .select(incremental.estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias("e"))
+            .collect()[0]["e"]
+        )
+        if expect_one:
+            assert est == 1.0  # identical text -> identical signature
+        else:
+            assert est < 0.5
+
+
+def test_first_batch_seeds_index_then_batches_dedup(spark):
+    b1 = _docs(spark, [(1, TEXTS["alpha"]), (2, TEXTS["beta"])])
+    step1 = incremental.dedup_batch_against_index(b1, None, None)
+    assert step1["matches"] is None
+    assert {r.doc_id for r in step1["kept"].collect()} == {1, 2}
+
+    idx_sigs, idx_bands = step1["sigs"], step1["bands"]
+    # batch 2: one exact dup of doc 1, one near-dup of doc 1, one novel
+    b2 = _docs(
+        spark,
+        [(10, TEXTS["alpha"]), (11, TEXTS["alpha2"]), (12, TEXTS["gamma"])],
+    )
+    step2 = incremental.dedup_batch_against_index(b2, idx_sigs, idx_bands)
+    matches = {(r.new_id, r.corpus_id) for r in step2["matches"].collect()}
+    assert (10, 1) in matches
+    assert (11, 1) in matches          # near-dup caught via band collision
+    kept2 = {r.doc_id for r in step2["kept"].collect()}
+    assert kept2 == {12}
+
+    # signature/band rows returned only for KEPT docs — the index grows by
+    # novel documents exactly
+    assert {r.id for r in step2["sigs"].collect()} == {12}
+    assert {r.id for r in step2["bands"].select("id").distinct().collect()} == {12}
+
+
+def test_ingest_loop_through_versioned_store(spark, tmp_path):
+    """Three batches through the store: per batch, matches drop dups, the
+    kept docs + index rows publish atomically (insert-only merges), and
+    the final corpus holds exactly the novel documents."""
+    root = str(tmp_path / "store")
+    batches = [
+        [(1, TEXTS["alpha"]), (2, TEXTS["beta"])],
+        [(10, TEXTS["alpha"]), (11, TEXTS["gamma"])],     # 10 dups 1
+        [(20, TEXTS["gamma"]), (21, TEXTS["alpha2"])],    # 20 dups 11, 21 ~ 1
+    ]
+    for i, rows in enumerate(batches):
+        batch = _docs(spark, rows)
+        if i == 0:
+            step = incremental.dedup_batch_against_index(batch, None, None)
+        else:
+            step = incremental.dedup_batch_against_index(
+                batch,
+                publish.read_table(spark, root, "minhash_sigs"),
+                publish.read_table(spark, root, "minhash_bands"),
+            )
+        if i == 0:
+            publish.publish_tables(
+                spark,
+                {
+                    "corpus": step["kept"],
+                    "minhash_sigs": step["sigs"],
+                    "minhash_bands": step["bands"],
+                },
+                root,
+                table_keys={"corpus": ["doc_id"], "minhash_sigs": ["id"]},
+            )
+        else:
+            # append-only growth (one version per table per ingest; a real
+            # deployment would publish all three in one publish_tables —
+            # merge_into used here to exercise the insert-only path)
+            publish.merge_into(
+                spark, root, "corpus", step["kept"], ["doc_id"],
+                update_existing=False,
+            )
+            publish.merge_into(
+                spark, root, "minhash_sigs", step["sigs"], ["id"],
+                update_existing=False,
+            )
+            publish.merge_into(
+                spark, root, "minhash_bands", step["bands"], ["id", "band"],
+                update_existing=False,
+            )
+
+    corpus_ids = {r.doc_id for r in publish.read_table(spark, root, "corpus").collect()}
+    assert corpus_ids == {1, 2, 11}  # 10, 20 exact dups; 21 near-dups 1
+    idx_ids = {r.id for r in publish.read_table(spark, root, "minhash_sigs").collect()}
+    assert idx_ids == corpus_ids
+    # band table consistent with the signature table
+    band_ids = {
+        r.id
+        for r in publish.read_table(spark, root, "minhash_bands")
+        .select("id").distinct().collect()
+    }
+    assert band_ids == corpus_ids
+
+
+def test_index_band_join_uses_bucketed_layout(spark, tmp_path):
+    """The scale path: the index band table published BUCKETED on
+    (band, bucket) makes the candidate join read co-located buckets — no
+    Exchange on the corpus side of the join."""
+    root = str(tmp_path / "store")
+    corpus = _docs(
+        spark, [(i, f"{TEXTS['alpha']} variant {i}") for i in range(20)]
+    )
+    sigs = dedup.minhash_signatures(corpus)
+    bands = dedup.band_buckets(sigs)
+    publish.publish_tables(
+        spark,
+        {"minhash_bands": bands, "minhash_bands_plain": bands},
+        root,
+        bucket_keys={"minhash_bands": ["band", "bucket"]}, num_buckets=4,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx_bands = publish.read_table(spark, root, "minhash_bands")
+        batch = _docs(spark, [(100, TEXTS["alpha"])])
+        new_bands = dedup.band_buckets(dedup.minhash_signatures(batch))
+
+        def n_exchanges(index_side):
+            joined = new_bands.join(
+                index_side.withColumnRenamed("id", "corpus_id"), ["band", "bucket"]
+            )
+            return joined._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+        # the same join against the same rows stored UNBUCKETED shuffles
+        # the corpus side; the bucketed index contributes ZERO Exchanges —
+        # only the batch side's own shuffles remain
+        plain = publish.read_table(spark, root, "minhash_bands_plain")
+        assert n_exchanges(idx_bands) == n_exchanges(plain) - 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_index_store_roundtrip_matches_inline(spark, tmp_path):
+    """ivf_index published to the store and served via ivf_topk_from_index
+    must produce exactly the inline ivf_topk results (the index is the
+    same computation, persisted once instead of per query batch)."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from tests.conftest import SF_DIR
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    inline = similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
+
+    root = str(tmp_path / "store")
+    idx = similarity.ivf_index(emb, n_centroids=8)
+    publish.publish_tables(
+        spark,
+        {"ivf_centroids": idx["centroids"], "ivf_cells": idx["cells"]},
+        root,
+        bucket_keys={"ivf_cells": ["cid"]},
+        num_buckets=4,
+    )
+    served = similarity.ivf_topk_from_index(
+        queries,
+        publish.read_table(spark, root, "ivf_centroids"),
+        publish.read_table(spark, root, "ivf_cells"),
+        k=3, n_probe=2,
+    )
+    a = {tuple(r) for r in inline.collect()}
+    b = {tuple(r) for r in served.collect()}
+    assert a == b and a
+
+    # the bucketed cells table serves the probe join without a corpus-side
+    # shuffle: same join against the same rows stored unbucketed has one
+    # more Exchange
+    publish.publish_tables(spark, {"ivf_cells_plain": idx["cells"]}, root)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(cells):
+            df = similarity.ivf_topk_from_index(
+                queries, publish.read_table(spark, root, "ivf_centroids"),
+                cells, k=3, n_probe=2,
+            )
+            return df._jdf.queryExecution().executedPlan().toString().count("Exchange")
+
+        bucketed = n_exchanges(publish.read_table(spark, root, "ivf_cells"))
+        plain = n_exchanges(publish.read_table(spark, root, "ivf_cells_plain"))
+        assert bucketed == plain - 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
