@@ -357,3 +357,91 @@ def run_job(
             for t, df in state.items()
         }
     return state
+
+
+def run_job_on_store(
+    catalog: Catalog,
+    root: str,
+    mappings: Sequence[MappingSpec],
+    dest_keys: Mapping[str, Sequence[str]] | None = None,
+    params: Mapping[str, str] | None = None,
+    with_changes: bool = False,
+    **run_job_kwargs,
+) -> dict:
+    """One reference job run against the VERSIONED STORE, end to end:
+    read every destination table the mappings touch from the store's
+    current version, run the full RunJob pipeline (E15-E17, shape, merge
+    matrix), publish ALL resulting tables as ONE atomic version (the U12
+    transaction envelope), and — with `with_changes=True` — hand back the
+    run's CDC feed per table (what this job inserted/updated/deleted).
+
+    Key metadata: per-table keys come from `dest_keys`, else from each
+    mapping's key columns, else from the store's recorded keys
+    (publish.table_keys); they are (re)recorded in the manifest on
+    publish, so downstream read_changes/merge_into need no key arguments.
+
+    Concurrency: the publish carries compare-and-swap on the version the
+    job read; a concurrent writer landing first raises
+    ConcurrentPublishError — re-running the job (idempotent by the merge
+    algebra, the reference's own re-run model) is the retry.
+
+    Returns {"manifest", "from_version", "to_version", "state",
+    "changes" (name -> lazy CDC DataFrame; only with_changes=True)}.
+    """
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    spark = catalog.spark
+    tables: list[str] = []
+    for m in mappings:
+        if m.dest_table not in tables:
+            tables.append(m.dest_table)
+        for rel in m.relation_outputs:
+            if rel.dest_table not in tables:
+                tables.append(rel.dest_table)
+
+    keys_by_table: dict[str, list[str]] = {}
+    for t in tables:
+        if dest_keys and t in dest_keys:
+            keys_by_table[t] = list(dest_keys[t])
+            continue
+        from_mapping = [
+            list(m.key_columns()) for m in mappings
+            if m.dest_table == t and m.key_columns()
+        ]
+        if from_mapping:
+            keys_by_table[t] = from_mapping[0]
+        else:
+            stored = publish.table_keys(root, t)
+            if stored:
+                keys_by_table[t] = stored
+
+    from_version = publish.current_manifest(root)["version"]
+    dest_tables = {t: publish.read_table(spark, root, t) for t in tables}
+    state = run_job(
+        catalog, dest_tables, mappings,
+        dest_keys=keys_by_table or None, params=params, **run_job_kwargs,
+    )
+    manifest = publish.publish_tables(
+        spark, state, root,
+        table_keys={t: k for t, k in keys_by_table.items()},
+        expected_version=from_version,
+    )
+    out = {
+        "manifest": manifest,
+        "from_version": from_version,
+        "to_version": manifest["version"],
+        "state": state,
+    }
+    if with_changes:
+        out["changes"] = {
+            t: publish.read_changes(
+                spark, root, t, from_version, manifest["version"],
+                keys=keys_by_table.get(t),
+                case_insensitive=any(
+                    m.case_insensitive_keys for m in mappings if m.dest_table == t
+                ),
+            )
+            for t in tables
+            if keys_by_table.get(t)
+        }
+    return out

@@ -215,3 +215,49 @@ def test_ivf_index_store_roundtrip_matches_inline(spark, tmp_path):
         assert bucketed == plain - 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stream_dedup_into_store(spark, tmp_path):
+    """Streaming ingest dedup end-to-end: two micro-batches with exact,
+    near and within-batch duplicates; the corpus + signature index publish
+    atomically per batch and end holding exactly the novel documents."""
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_dedup_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = _docs(spark, [
+        (1, TEXTS["alpha"]),
+        (2, TEXTS["beta"]),
+        (3, TEXTS["alpha"]),          # within-batch exact dup of 1
+    ])
+    b2 = _docs(spark, [
+        (10, TEXTS["alpha"]),         # cross-batch exact dup of 1
+        (11, TEXTS["alpha2"]),        # cross-batch near dup of 1
+        (12, TEXTS["gamma"]),         # novel
+    ])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_dedup_into_store(
+        file_stream(spark, src, b1.schema, max_files_per_trigger=1),
+        root, ckpt,
+    )
+    q.awaitTermination(180)
+
+    corpus_ids = {
+        r.doc_id for r in publish.read_table(spark, root, "corpus").collect()
+    }
+    assert corpus_ids == {1, 2, 12}
+    idx_ids = {
+        r.id for r in publish.read_table(spark, root, "minhash_sigs").collect()
+    }
+    assert idx_ids == corpus_ids
+    # one atomic version per micro-batch, all three tables in each
+    m = publish.current_manifest(root)
+    assert m["version"] == 2
+    assert {"corpus", "minhash_sigs", "minhash_bands"} <= set(m["tables"])
+    assert publish.table_keys(root, "corpus") == ["doc_id"]

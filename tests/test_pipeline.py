@@ -481,3 +481,57 @@ def test_vacuum_prunes_old_versions_keeps_current(spark, tmp_path):
         publish.read_table_at(spark, root, "nation", 1)
     # idempotent
     assert publish.vacuum(spark, root, keep_versions=2)["removed_versions"] == []
+
+
+def test_run_job_on_store_atomic_with_changes(spark, tmp_path):
+    """Store-level job run: read dests from the store, run the mapping
+    pipeline, publish everything as ONE version, and surface the run's CDC
+    feed.  The final state matches the direct run_job result; the change
+    feed holds exactly the touched rows."""
+    from dataintegration_ecomprovider_spark.plans.pipeline import (
+        ColumnRule, MappingSpec, run_job_on_store,
+    )
+
+    root = str(tmp_path / "store")
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(spark, {"orders": dest0}, root)
+
+    spec = MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(
+            ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+            ColumnRule("o_custkey", "o_custkey"),
+            ColumnRule("o_orderstatus", script="constant", script_value="Q"),
+        ),
+        conditional=F.col("o_orderkey") % 2 == 0,
+    )
+    res = run_job_on_store(cat, root, [spec], with_changes=True)
+    assert res["from_version"] == 1 and res["to_version"] == 2
+    assert publish.table_keys(root, "orders") == ["o_orderkey"]
+
+    # state matches the published table
+    published = publish.read_table(spark, root, "orders")
+    assert published.count() == res["state"]["orders"].count()
+
+    # the change feed: every even key either updated (was present) or
+    # inserted (was filtered out of v1); no deletes from an upsert
+    changes = res["changes"]["orders"]
+    kinds = {r["change_type"] for r in changes.select("change_type").distinct().collect()}
+    assert kinds == {"insert", "update"}
+    assert changes.filter(F.col("o_orderstatus") != "Q").count() == 0
+
+    # CAS: a job publishing against a stale version raises
+    import pytest as _pytest
+
+    publish.publish_tables(
+        spark, {"other": spark.createDataFrame([(1,)], "id bigint")}, root
+    )
+    stale = publish.current_manifest(root)["version"] - 1
+    with _pytest.raises(publish.ConcurrentPublishError):
+        publish.publish_tables(
+            spark, {"orders": published}, root, expected_version=stale
+        )
