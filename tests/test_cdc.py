@@ -516,3 +516,30 @@ def test_concurrent_merge_into_serializes(spark, tmp_path):
         (0, "base"), (10, "w10"), (11, "w11"), (20, "w20"), (21, "w21")
     }
     assert publish.current_manifest(root)["version"] == 3
+
+
+def test_read_changes_over_bucketed_versions_is_exchange_free(spark, tmp_path):
+    """The scale path composes: a store kept bucketed on its key (the
+    bucketed merge loop) gives CDC for free — both versions read
+    co-located, so the full-outer diff plans with ZERO Exchange."""
+    root = str(tmp_path / "store")
+    base = Catalog(spark, SF_DIR).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    publish.publish_tables(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 3 != 0)}, root,
+        bucket_keys={"orders": ["o_orderkey"]}, num_buckets=8,
+    )
+    publish.publish_tables(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 4 != 0)}, root,
+        bucket_keys={"orders": ["o_orderkey"]}, num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        changes = publish.read_changes(spark, root, "orders", 1, 2, keys=["o_orderkey"])
+        plan = changes._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert changes.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
