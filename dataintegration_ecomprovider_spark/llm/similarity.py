@@ -409,3 +409,52 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "similarity", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space, then inside each cluster drop every item
+    whose cosine similarity to a LOWER-ID item of the same cluster meets
+    `threshold` — the min-id item of each near-set survives.  The paper's
+    greedy within-cluster sweep is order-dependent; this first-wins variant
+    is the deterministic, engine-independent policy (the same convention as
+    E13 first-wins dedup), so a DuckDB oracle reproduces it exactly
+    (portable=True → md5-ranked centroid pick, see ivf_index).
+
+    Scale shape — why this survives 100 TB where naive semantic dedup
+    (all-pairs cosine) cannot: clustering via the IVF machinery is one
+    broadcast-centroids assignment pass + one shuffle on the cell id; the
+    quadratic pair comparison runs only WITHIN a cell, so total work is
+    Σ|cell|² not |corpus|² — identical skew profile to the MinHash-LSH
+    band buckets (llm/dedup.py).  `refine_iters` > 0 tightens clusters
+    with Lloyd iterations (better dedup recall, same plan shape).
+
+    Returns the KEPT rows of `embeddings` (all original columns)."""
+    idx = ivf_index(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        portable=portable, refine_iters=refine_iters,
+    )
+    cells = idx["cells"]  # (cid, neighbor_id, cand_vec)
+    a = cells.select(
+        "cid", F.col("neighbor_id").alias("id_a"), F.col("cand_vec").alias("va")
+    )
+    b = cells.select(
+        "cid", F.col("neighbor_id").alias("id_b"), F.col("cand_vec").alias("vb")
+    )
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return embeddings.join(dup_ids, id_col, "left_anti")

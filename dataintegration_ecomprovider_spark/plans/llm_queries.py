@@ -771,6 +771,59 @@ SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
 """
 
 
+# --- SemDeDup: cluster-scoped semantic deduplication ----------------------
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cluster
+    the space, drop every vector with a lower-id near-twin (cosine ≥ 0.25)
+    in its cluster (llm/similarity.py::semantic_dedup).  Work is Σ|cell|²,
+    never |corpus|² — the published recipe for semantic dedup at web scale.
+    Fast path (xxhash64 centroid pick): rows-only; the _portable twin
+    carries the DuckDB oracle."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.25, n_centroids=16).select(
+        "vec_id"
+    )
+
+
+def q_semantic_dedup_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.25, n_centroids=16, portable=True
+    ).select("vec_id")
+
+
+ORACLE_SEMANTIC_DEDUP_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+ascore AS (
+  SELECT a.vec_id, a.v, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM v a CROSS JOIN cent c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+),
+cells AS (SELECT vec_id, v AS nv, cid FROM aranked WHERE crank = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS.format(a="a.nv", b="b.nv")} >= 0.25
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+"""
+
+
 # --- corpus curation: per-group quantile filter + sequence packing --------
 def q_quality_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop each language's worst word-count quartile — per-group exact
@@ -1000,6 +1053,10 @@ QUERIES = {
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
     "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),
+    "llm_semantic_dedup": QueryDef(q_semantic_dedup, None),
+    "llm_semantic_dedup_portable": QueryDef(
+        q_semantic_dedup_portable, ORACLE_SEMANTIC_DEDUP_PORTABLE
+    ),
     "llm_sim_ivf_topk": QueryDef(q_ivf_topk, None),
     "llm_dedup_minhash_lsh": QueryDef(q_minhash_candidates, None),
     "llm_dedup_simhash": QueryDef(q_simhash, None),

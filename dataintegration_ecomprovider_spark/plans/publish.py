@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "MANIFEST.json"
+STATS_FILE = "_STATS.json"
+# Delta indexes the first 32 columns by default for the same reason: stats
+# cost is per-column per-file, and predicates overwhelmingly hit early
+# columns.
+MAX_STATS_COLUMNS = 32
 
 
 class ValidationError(RuntimeError):
@@ -147,6 +152,9 @@ def publish_tables(
     num_buckets: int = 32,
     table_keys: Mapping[str, Sequence[str]] | None = None,
     expected_version: int | None = None,
+    partition_by: Mapping[str, Sequence[str]] | None = None,
+    collect_stats: bool = True,
+    stats_columns: Mapping[str, Sequence[str]] | None = None,
 ) -> dict:
     """Stage every output, validate, then commit with one manifest swap.
 
@@ -179,6 +187,24 @@ def publish_tables(
     need no caller-side key bookkeeping.  Keys recorded by a previous
     version carry forward automatically — declare once per table, not per
     publish.
+
+    `partition_by[name]` publishes that table hive-partitioned on those
+    columns (`<path>/<col>=<val>/...`): readers filtering on them prune
+    whole directories at plan time (`PartitionFilters` in the scan — the
+    100 TB pattern of partitioning fact tables by ingest date).  Like
+    keys, a table's partition spec carries forward across versions, so
+    merge_into / compact republish the same layout without re-declaring
+    it.  Mutually exclusive with bucket_keys for the same table.
+
+    `collect_stats=True` (default) records per-file column min/max/null
+    statistics in a `_STATS.json` sidecar inside each staged table
+    directory (plus per-table rows/bytes in the manifest entry), from the
+    parquet footers already written — no extra Spark job, O(files) driver
+    footer reads, the same cost/benefit trade as Delta's stats collection.
+    scan_table() uses them to skip files that provably cannot match a
+    predicate before Spark ever lists them.  `stats_columns[name]` narrows
+    which columns get min/max (default: the first MAX_STATS_COLUMNS
+    primitive columns).
     """
     os.makedirs(root, exist_ok=True)
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
@@ -193,9 +219,22 @@ def publish_tables(
             return list(prev_entry["keys"])
         return None
 
+    def _parts_for(name: str) -> list[str] | None:
+        if partition_by and name in partition_by:
+            return list(partition_by[name])
+        prev_entry = prev["tables"].get(name)
+        if isinstance(prev_entry, dict) and prev_entry.get("partition_by"):
+            return list(prev_entry["partition_by"])
+        return None
+
     for name, df in outputs.items():
         path = os.path.join(root, "data", txid, name)
         keys_meta = _keys_for(name)
+        parts = _parts_for(name)
+        if parts and bucket_keys and name in bucket_keys:
+            raise ValueError(
+                f"{name}: partition_by and bucket_keys are mutually exclusive"
+            )
         if bucket_keys and name in bucket_keys:
             keys = list(bucket_keys[name])
             tname = f"pub_{name}_{txid}".replace("-", "_")
@@ -214,12 +253,30 @@ def publish_tables(
             if keys_meta:
                 entry["keys"] = keys_meta
             staged_paths[name] = entry
+        elif parts:
+            df.write.mode("errorifexists").partitionBy(*parts).parquet(path)
+            entry = {"path": path, "partition_by": parts}
+            if keys_meta:
+                entry["keys"] = keys_meta
+            staged_paths[name] = entry
         elif keys_meta:
             df.write.mode("errorifexists").parquet(path)
             staged_paths[name] = {"path": path, "keys": keys_meta}
         else:
             df.write.mode("errorifexists").parquet(path)
             staged_paths[name] = path
+
+    if collect_stats:
+        for name, entry in list(staged_paths.items()):
+            path = entry["path"] if isinstance(entry, dict) else entry
+            cols = list(stats_columns[name]) if stats_columns and name in stats_columns else None
+            summary = write_stats_sidecar(path, columns=cols)
+            if not isinstance(entry, dict):
+                entry = {"path": path}
+            entry["rows"] = summary["rows"]
+            entry["bytes"] = summary["bytes"]
+            entry["num_files"] = summary["num_files"]
+            staged_paths[name] = entry
 
     for name, entry in staged_paths.items():
         staged = _read_entry(spark, entry)
@@ -631,6 +688,309 @@ def _data_files(path: str) -> list[str]:
     return out
 
 
+# --- file-level statistics & data skipping (round 4) -----------------------
+#
+# The versioned store's answer to Delta/Iceberg data skipping: at publish
+# time, per-file column min/max/null-count statistics are read from the
+# parquet footers Spark already wrote (no extra job — O(files) driver-side
+# footer reads) and recorded in a `_STATS.json` sidecar inside the immutable
+# table directory.  scan_table() then answers selective reads by handing
+# Spark ONLY the files whose [min, max] range can satisfy the predicate.
+# At 100 TB this is the difference between listing/opening a million files
+# and opening the dozen that matter — parquet row-group skipping only helps
+# AFTER a file is opened; this prunes before the scan is planned.  The
+# underscore prefix keeps the sidecar invisible to Spark's own file
+# discovery (same convention as _SUCCESS).
+
+
+def _stat_value(v):
+    """Parquet-footer statistic → JSON-storable, order-preserving value.
+    None = unusable for pruning (conservative)."""
+    import datetime
+    import decimal
+    import math
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max never worth a skip decision
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # ISO order == chronological order
+    return None  # bytes & exotic types: no pruning
+
+
+def _partition_values(rel_dir: str) -> dict[str, str]:
+    """Hive-style `col=val` path segments → {col: val} (partition columns
+    never appear in the footers, so their stats come from the path)."""
+    from urllib.parse import unquote
+
+    out: dict[str, str] = {}
+    for seg in rel_dir.split(os.sep):
+        if "=" in seg:
+            col, _, val = seg.partition("=")
+            out[col] = unquote(val)
+    return out
+
+
+def write_stats_sidecar(path: str, columns: Sequence[str] | None = None) -> dict:
+    """Collect per-file stats for every data file under `path` and write
+    `<path>/_STATS.json`.  Returns {"rows", "bytes", "num_files"}.
+
+    Per file: rows, bytes, and for each tracked column [min, max, nulls]
+    merged across row groups (None where the footer has no usable stat —
+    pruning then keeps the file).  Partition columns materialize as
+    min == max == the directory value."""
+    import pyarrow.parquet as pq
+
+    files = _data_files(path)
+    entries: list[dict] = []
+    total_rows = 0
+    tracked: list[str] | None = list(columns) if columns is not None else None
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
+        if tracked is None:
+            # default: first MAX_STATS_COLUMNS top-level primitive columns
+            tracked = [
+                md.schema.column(i).path
+                for i in range(md.num_columns)
+                if "." not in md.schema.column(i).path
+            ][:MAX_STATS_COLUMNS]
+        stats: dict[str, list] = {}
+        for i in range(md.num_columns):
+            name = md.schema.column(i).path
+            if name not in tracked:
+                continue
+            mn = mx = None
+            nulls = 0
+            usable = True
+            nulls_known = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None:
+                    usable = False
+                    nulls_known = False
+                    break
+                if st.null_count is None:
+                    nulls_known = False
+                else:
+                    nulls += st.null_count
+                if not st.has_min_max:
+                    # all-null row group has no min/max but stays prunable
+                    if st.null_count == md.row_group(rg).num_rows:
+                        continue
+                    usable = False
+                    continue
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None:
+                    usable = False
+                    continue
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            stats[name] = [
+                mn if usable else None,
+                mx if usable else None,
+                nulls if nulls_known else None,
+            ]
+        rel = os.path.relpath(f, path)
+        for col, val in _partition_values(os.path.dirname(rel)).items():
+            stats[col] = [val, val, 0]
+        entries.append({
+            "file": rel,
+            "rows": md.num_rows,
+            "bytes": os.path.getsize(f),
+            "stats": stats,
+        })
+        total_rows += md.num_rows
+    sidecar = {"files": entries}
+    tmp = os.path.join(path, STATS_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(sidecar, fh)
+    os.replace(tmp, os.path.join(path, STATS_FILE))
+    return {
+        "rows": total_rows,
+        "bytes": sum(e["bytes"] for e in entries),
+        "num_files": len(entries),
+    }
+
+
+def table_stats(root: str, name: str) -> dict | None:
+    """{"rows", "bytes", "num_files"} recorded at publish time for the
+    current version of `name`, or None if published with
+    collect_stats=False.  Free to read (manifest only) — the input to
+    size-based planning decisions (broadcast thresholds, compaction
+    triggers) without a Spark job."""
+    entry = current_manifest(root)["tables"].get(name)
+    if isinstance(entry, dict) and "rows" in entry:
+        return {
+            "rows": entry["rows"],
+            "bytes": entry["bytes"],
+            "num_files": entry.get("num_files"),
+        }
+    return None
+
+
+_OPS = {"=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null"}
+
+
+def _comparable(a, b):
+    """Coerce a (stat, predicate-value) pair onto one comparable axis, or
+    (None, None) when they don't share one (→ keep the file)."""
+    if isinstance(a, (int, float)) and not isinstance(a, bool) and isinstance(
+        b, (int, float)
+    ) and not isinstance(b, bool):
+        return float(a), float(b)
+    if isinstance(a, str):
+        import datetime
+
+        if isinstance(b, (datetime.datetime, datetime.date)):
+            return a, b.isoformat()  # stats store temporals as ISO strings
+        if isinstance(b, str):
+            return a, b
+        if isinstance(b, (int, float)) and not isinstance(b, bool):
+            # partition-directory values are path strings; compare
+            # numerically when both sides parse ("o_year=1995" vs 1995)
+            try:
+                return float(a), float(b)
+            except ValueError:
+                return None, None
+    return None, None
+
+
+def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
+    """Conservative skip decision: False ONLY when the file provably holds
+    no matching row."""
+    s = entry.get("stats", {}).get(col)
+    if s is None:
+        return True
+    mn, mx, nulls = s
+    rows = entry.get("rows")
+    if op == "is_null":
+        return nulls is None or nulls > 0
+    all_null = nulls is not None and rows is not None and nulls == rows
+    if op == "is_not_null":
+        return not all_null
+    if all_null:
+        return False  # comparisons never match null
+    if mn is None or mx is None:
+        return True
+    if op == "in":
+        return any(_file_may_match(entry, col, "=", v) for v in value)
+    mn_c, v = _comparable(mn, value)
+    mx_c, _ = _comparable(mx, value)
+    if mn_c is None or mx_c is None:
+        return True
+    if op in ("=", "=="):
+        return mn_c <= v <= mx_c
+    if op == "<":
+        return mn_c < v
+    if op == "<=":
+        return mn_c <= v
+    if op == ">":
+        return mx_c > v
+    return mx_c >= v  # ">="
+
+
+def prune_files(root: str, name: str, where: Sequence[tuple]) -> tuple[list[str], int]:
+    """(absolute paths of files that may match all predicates, total file
+    count) for the current version of `name`.  Exposed separately so tests
+    and operators can assert/observe skipping without reading data."""
+    manifest = current_manifest(root)
+    if name not in manifest["tables"]:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    entry = manifest["tables"][name]
+    path = entry["path"] if isinstance(entry, dict) else entry
+    sidecar = os.path.join(path, STATS_FILE)
+    if not os.path.exists(sidecar):
+        files = _data_files(path)
+        return files, len(files)
+    with open(sidecar, encoding="utf-8") as fh:
+        stats = json.load(fh)
+    kept = [
+        os.path.join(path, e["file"])
+        for e in stats["files"]
+        if all(
+            _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
+            for p in where
+        )
+    ]
+    return kept, len(stats["files"])
+
+
+def _predicate_column(pred: tuple):
+    col, op, *rest = pred
+    if op not in _OPS:
+        raise ValueError(f"unsupported predicate op {op!r} (one of {sorted(_OPS)})")
+    c = F.col(col)
+    if op in ("=", "=="):
+        return c == F.lit(rest[0])
+    if op == "<":
+        return c < F.lit(rest[0])
+    if op == "<=":
+        return c <= F.lit(rest[0])
+    if op == ">":
+        return c > F.lit(rest[0])
+    if op == ">=":
+        return c >= F.lit(rest[0])
+    if op == "in":
+        return c.isin(list(rest[0]))
+    if op == "is_null":
+        return c.isNull()
+    return c.isNotNull()
+
+
+def scan_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    where: Sequence[tuple] = (),
+) -> DataFrame:
+    """Selective read with file-level data skipping: semantically identical
+    to ``read_table(...).filter(<where>)``, but Spark is handed only the
+    files whose recorded [min, max] ranges can satisfy every predicate —
+    the rest are never listed, opened, or planned.
+
+    `where` is a sequence of ``(column, op, value)`` triples, AND-combined;
+    op ∈ {=, ==, <, <=, >, >=, in, is_null, is_not_null} — the same
+    skipping-friendly predicate algebra Delta evaluates against its file
+    stats.  The predicates are ALSO applied as a Spark filter (residual
+    rows inside kept files are still filtered, and Catalyst pushes the
+    filter into the parquet scan for row-group skipping), so results are
+    exact regardless of how coarse the file stats are.
+
+    Tables published without stats fall back to a full read + filter.
+    Note: a pruned scan reads by explicit file list, so bucket metadata
+    does not survive — use read_table for merge-side reads that rely on
+    bucketed co-location; scan_table targets selective analytics reads."""
+    if not where:
+        return read_table(spark, root, name)
+    cond = None
+    for pred in where:
+        c = _predicate_column(pred)
+        cond = c if cond is None else (cond & c)
+    manifest = current_manifest(root)
+    entry = manifest["tables"][name] if name in manifest["tables"] else None
+    if entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    path = entry["path"] if isinstance(entry, dict) else entry
+    kept, total = prune_files(root, name, where)
+    if len(kept) == total:
+        # nothing skipped (or no stats): the plain read keeps bucket/
+        # partition metadata and still gets row-group skipping via the
+        # pushed filter
+        return _read_entry(spark, entry).filter(cond)
+    if not kept:
+        # no file can match: correct result is empty with the table schema
+        return _read_entry(spark, entry).filter(F.lit(False)).filter(cond)
+    reader = spark.read.option("basePath", path)
+    return reader.parquet(*kept).filter(cond)
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -680,6 +1040,12 @@ def compact(
             bucket_keys={name: list(entry["bucket_keys"])},
             num_buckets=int(entry["num_buckets"]),
         )
+    elif isinstance(entry, dict) and entry.get("partition_by"):
+        # hive-partitioned: co-locate each partition value's rows in one
+        # task so every `col=val` directory compacts to ~one file; the
+        # partition spec itself carries forward through publish_tables
+        parts = list(entry["partition_by"])
+        new_manifest = publish_tables(spark, {name: df.repartition(*parts)}, root)
     else:
         n = target_files or max(1, math.ceil(total_bytes / target_file_bytes))
         new_manifest = publish_tables(spark, {name: df.coalesce(n)}, root)

@@ -1022,6 +1022,82 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return publish.apply_changes(replica, delta, ["o_orderkey"])
 
 
+def q_data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping over the versioned store (round 4): orders
+    is published range-layed-out on o_custkey into 8 files with per-file
+    min/max stats (publish.write_stats_sidecar, collected from the parquet
+    footers at publish time); scan_table hands Spark ONLY the files whose
+    [min, max] can satisfy the predicate — at 100 TB the difference between
+    opening a million files and the few that matter (Delta/Iceberg's data
+    skipping; the reference pushes WHERE clauses to SQL Server instead,
+    src/EcomSourceReader.cs:151-226, which is the same
+    prune-before-you-read idea).  Results are exact: the predicate is also
+    applied as a residual Spark filter, so the oracle is a plain WHERE."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="skip_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base.repartitionByRange(8, "o_custkey")}, root
+    )
+    kept, total = publish.prune_files(
+        root, "orders", [("o_custkey", ">", 50), ("o_custkey", "<=", 200)]
+    )
+    if not (0 < len(kept) < total):  # the point of the operator IS the skip
+        raise AssertionError(f"expected file skipping, kept {len(kept)}/{total}")
+    return publish.scan_table(
+        spark, root, "orders", [("o_custkey", ">", 50), ("o_custkey", "<=", 200)]
+    )
+
+
+ORACLE_DATA_SKIPPING_SCAN = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_custkey > 50 AND o_custkey <= 200
+"""
+
+
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned publish + partition-pruned read (round 4): orders
+    published partitioned by order year (publish_tables(partition_by=...));
+    the year filter prunes whole `o_year=` directories at plan time
+    (PartitionFilters — asserted in tests/test_store_layout.py; here the
+    oracle checks the value semantics).  Partitioning a 100 TB fact table
+    by ingest date is THE baseline layout this enables."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="part_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base}, root, partition_by={"orders": ["o_year"]}
+    )
+    scanned = publish.read_table(spark, root, "orders").filter(
+        F.col("o_year") == 1996
+    )
+    return scanned.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("o_totalprice"), 1).alias("sum_total"),
+    )
+
+
+ORACLE_PARTITIONED_SCAN = """
+SELECT o_orderpriority, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 1) AS sum_total
+FROM orders WHERE year(o_orderdate) = 1996
+GROUP BY o_orderpriority
+"""
+
+
 ORACLE_CDC_APPLY = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
@@ -1115,6 +1191,8 @@ QUERIES = {
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
+    "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
+    "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),

@@ -272,7 +272,8 @@ def test_collect_orphans_reclaims_unreferenced_only(spark, tmp_path):
 
     # simulate a publish that crashed before its manifest swap: a staged
     # directory exists but no manifest references it
-    live_path = publish.current_manifest(root)["tables"]["t"]
+    entry = publish.current_manifest(root)["tables"]["t"]
+    live_path = entry["path"] if isinstance(entry, dict) else entry
     orphan = os.path.join(root, "data", "deadbeef-crashed", "t")
     shutil.copytree(live_path, orphan)
 

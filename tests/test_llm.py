@@ -214,3 +214,59 @@ def test_simhash_forms_parity(spark):
     a = {r.doc_id: r.simhash for r in staged.collect()}
     b = {r.doc_id: r.simhash for r in column.collect()}
     assert a == b
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup (llm/similarity.semantic_dedup): kept set is a subset of
+    the corpus; every dropped id has a lower-id near-twin in its cluster;
+    a higher threshold never keeps fewer rows; refine_iters changes
+    clusters but preserves the first-wins policy shape."""
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    total = emb.count()
+    kept = similarity.semantic_dedup(emb, threshold=0.25, n_centroids=8)
+    kept_ids = {r[0] for r in kept.select("vec_id").collect()}
+    all_ids = {r[0] for r in emb.select("vec_id").collect()}
+    assert kept_ids <= all_ids
+    assert 0 < len(kept_ids) <= total
+    # original columns survive
+    assert kept.columns == emb.columns
+
+    # every dropped id must have a lower-id cluster-mate with cos >= t
+    idx = similarity.ivf_index(emb, n_centroids=8)
+    cells = {
+        r["neighbor_id"]: (r["cid"], r["cand_vec"])
+        for r in idx["cells"].collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    dropped = all_ids - kept_ids
+    assert dropped, "threshold chosen to actually drop rows"
+    for i in dropped:
+        cid, v = cells[i]
+        assert any(
+            j < i and cells[j][0] == cid and cos(cells[j][1], v) >= 0.25
+            for j in all_ids
+        ), f"dropped {i} has no lower-id near-twin in cluster {cid}"
+
+    # monotone: stricter threshold drops no more rows
+    kept_hi = similarity.semantic_dedup(emb, threshold=0.9, n_centroids=8).count()
+    assert kept_hi >= len(kept_ids)
+
+    # Lloyd-refined clustering still returns a deterministic subset
+    kept_ref = similarity.semantic_dedup(
+        emb, threshold=0.25, n_centroids=8, refine_iters=2
+    )
+    ids_a = {r[0] for r in kept_ref.select("vec_id").collect()}
+    ids_b = {
+        r[0]
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.25, n_centroids=8, refine_iters=2
+        ).select("vec_id").collect()
+    }
+    assert ids_a == ids_b
