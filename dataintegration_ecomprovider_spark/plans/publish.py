@@ -299,6 +299,8 @@ def publish_tables(
             "version": prev["version"] + 1,
             "txid": txid,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            # sub-second commit stamp for TIMESTAMP AS OF reads
+            "committed_at_unix": time.time(),
             # carry forward tables not touched by this publish (the
             # reference's transaction only touches staged tables; others
             # keep their state)
@@ -308,7 +310,9 @@ def publish_tables(
             # rollback) until a vacuum prunes them
             "history": (
                 prev.get("history", [])
-                + [{"version": prev["version"], "txid": prev.get("txid"), "tables": prev["tables"]}]
+                + [{"version": prev["version"], "txid": prev.get("txid"),
+                    "tables": prev["tables"],
+                    "committed_at_unix": prev.get("committed_at_unix")}]
                 if prev["version"] else []
             ),
         }
@@ -352,10 +356,12 @@ def rollback(root: str, version: int) -> dict:
             "version": manifest["version"] + 1,
             "txid": txid,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
             "tables": matches[0]["tables"],
             "history": manifest.get("history", []) + [
                 {"version": manifest["version"], "txid": manifest.get("txid"),
-                 "tables": manifest["tables"]}
+                 "tables": manifest["tables"],
+                 "committed_at_unix": manifest.get("committed_at_unix")}
             ],
         }
         return _commit(root, txid, new)
@@ -997,6 +1003,7 @@ def compact(
     name: str,
     target_files: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: Sequence[str] | None = None,
 ) -> dict:
     """Small-file compaction: rewrite `name`'s CURRENT version into
     target-size files and publish the rewrite atomically as a NEW version.
@@ -1019,6 +1026,15 @@ def compact(
     compaction.  Plain tables coalesce (no shuffle) to
     max(1, ceil(bytes / target_file_bytes)) files, or `target_files` when
     given.
+
+    `sort_by` CLUSTERS the rewrite (plain tables only): rows are
+    range-repartitioned and sorted within partitions on those columns, so
+    each output file covers a disjoint [min, max] range — the Z-order/
+    OPTIMIZE-ZORDER role for the stats sidecar: after a clustered compact,
+    scan_table predicates on the sort columns skip all but the touched
+    files, where append-order files each span the whole domain and skip
+    nothing.  One extra range shuffle vs plain coalesce — paid once,
+    amortized over every selective read after it.
 
     Returns {"version", "files_before", "files_after", "bytes"}.
     """
@@ -1048,7 +1064,11 @@ def compact(
         new_manifest = publish_tables(spark, {name: df.repartition(*parts)}, root)
     else:
         n = target_files or max(1, math.ceil(total_bytes / target_file_bytes))
-        new_manifest = publish_tables(spark, {name: df.coalesce(n)}, root)
+        if sort_by:
+            out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            out = df.coalesce(n)
+        new_manifest = publish_tables(spark, {name: out}, root)
 
     new_entry = new_manifest["tables"][name]
     new_path = new_entry["path"] if isinstance(new_entry, dict) else new_entry
@@ -1058,3 +1078,234 @@ def compact(
         "files_after": len(_data_files(new_path)),
         "bytes": total_bytes,
     }
+
+
+SYNC_FILE = "_SYNC.json"
+
+
+def _sync_state(root: str) -> dict:
+    path = os.path.join(root, SYNC_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def replicate_table(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    name: str,
+    keys: Sequence[str] | None = None,
+    case_insensitive: bool = False,
+) -> dict:
+    """Incremental store-to-store replication: bring `name` in the replica
+    store up to the source store's current version by shipping ONLY the
+    CDC delta since the last sync (read_changes → apply_changes →
+    publish), falling back to a full copy on first sync.
+
+    This is the cross-region/cross-cluster story at 100 TB: after the
+    first seed, each sync moves O(changed rows), never the table — where
+    the reference's model would re-run the full job against the second
+    destination (src/EcomProvider.cs:937-966).  Sync state (last
+    replicated source version per table) lives in `_SYNC.json` at the
+    replica root and is committed AFTER the replica publish, so a crash
+    between the two replays an idempotent delta (apply_changes upserts/
+    deletes are idempotent on keys) rather than losing one.
+
+    The replica is a normal versioned store: its tables are readable,
+    time-travelable, compactable, and can themselves be replicated onward.
+    Returns {"table", "from_version", "to_version", "mode"}.
+    """
+    src_version = current_manifest(src_root)["version"]
+    if keys is None:
+        keys = table_keys(src_root, name)
+    state = _sync_state(dst_root)
+    last = state.get(name)
+
+    if last is None:
+        # first sync: seed with a full copy of the current source version
+        df = read_table(spark, src_root, name)
+        publish_tables(
+            spark, {name: df}, dst_root,
+            table_keys={name: list(keys)} if keys else None,
+        )
+        mode = "seed"
+    elif last == src_version:
+        return {
+            "table": name, "from_version": last, "to_version": src_version,
+            "mode": "noop",
+        }
+    else:
+        if not keys:
+            raise ValueError(
+                f"incremental replication of {name!r} requires key columns"
+            )
+        delta = read_changes(
+            spark, src_root, name, from_version=last, to_version=src_version,
+            keys=keys, case_insensitive=case_insensitive,
+        )
+        replica = read_table(spark, dst_root, name)
+        new_state = apply_changes(
+            replica, delta, keys, case_insensitive=case_insensitive
+        )
+        publish_tables(spark, {name: new_state}, dst_root)
+        mode = "delta"
+
+    os.makedirs(dst_root, exist_ok=True)
+    state[name] = src_version
+    tmp = os.path.join(dst_root, SYNC_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, os.path.join(dst_root, SYNC_FILE))
+    return {
+        "table": name, "from_version": last, "to_version": src_version,
+        "mode": mode,
+    }
+
+
+def read_table_asof(
+    spark: SparkSession, root: str, name: str, timestamp: float | str
+) -> DataFrame:
+    """TIMESTAMP AS OF time travel: read `name` as of the newest version
+    committed at or before `timestamp` (unix seconds, or an ISO-8601
+    string parsed as UTC).  Completes the Delta-parity pair with
+    read_table_at's VERSION AS OF — the audit/repro question ("what did
+    the table say when that model trained?") is usually asked in time,
+    not version numbers.  Raises KeyError when no version that old
+    survives (vacuumed or store younger than the timestamp)."""
+    if isinstance(timestamp, str):
+        import datetime
+
+        ts = datetime.datetime.fromisoformat(
+            timestamp.replace("Z", "+00:00")
+        )
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        cutoff = ts.timestamp()
+    else:
+        cutoff = float(timestamp)
+
+    manifest = current_manifest(root)
+    candidates = []
+    for h in manifest.get("history", []):
+        if h.get("committed_at_unix") is not None:
+            candidates.append((h["committed_at_unix"], h["version"], h["tables"]))
+    if manifest.get("committed_at_unix") is not None:
+        candidates.append(
+            (manifest["committed_at_unix"], manifest["version"], manifest["tables"])
+        )
+    eligible = [c for c in candidates if c[0] <= cutoff]
+    if not eligible:
+        raise KeyError(
+            f"no committed version of {root!r} at or before timestamp {timestamp!r}"
+        )
+    _, version, tables = max(eligible, key=lambda c: (c[0], c[1]))
+    if name not in tables:
+        raise KeyError(f"table {name!r} absent as of timestamp {timestamp!r}")
+    return _read_entry(spark, tables[name])
+
+
+# --- declarative publish expectations --------------------------------------
+#
+# Validator factories for publish_tables(validators=...): each returns a
+# callable that inspects the RE-READ staged DataFrame and raises
+# ValidationError to abort the whole publish (nothing becomes visible —
+# the reference's transaction rollback, src/EcomProvider.cs:1072-1073;
+# the declarative form is Delta Live Tables' expectations).  Each check is
+# one aggregation job over the staged table; at 100 TB that is a scan, so
+# gate expensive checks on the tables that need them.  Row-level
+# quarantine (skip bad rows instead of failing) is the S7 operator
+# (plans/read_queries.py quarantine_split) applied BEFORE publish; these
+# are the table-level last line of defense.
+
+
+def expect_not_null(*cols: str) -> Callable[[DataFrame], None]:
+    """Fail the publish if any listed column holds a null."""
+
+    def check(df: DataFrame) -> None:
+        counts = df.select(
+            *[F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in cols]
+        ).first()
+        bad = {c: counts[c] for c in cols if counts[c]}
+        if bad:
+            raise ValidationError(f"nulls in non-nullable columns: {bad}")
+
+    return check
+
+
+def expect_unique(*keys: str) -> Callable[[DataFrame], None]:
+    """Fail the publish if the key columns do not uniquely identify rows."""
+
+    def check(df: DataFrame) -> None:
+        dup = (
+            df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            sample = {k: dup[0][k] for k in keys}
+            raise ValidationError(
+                f"duplicate key {sample} (count={dup[0]['count']}) on {list(keys)}"
+            )
+
+    return check
+
+
+def expect_row_count(
+    min_rows: int = 0, max_rows: int | None = None
+) -> Callable[[DataFrame], None]:
+    """Fail the publish outside [min_rows, max_rows] — the cheap sanity
+    gate against an upstream bug emptying (or exploding) a feed."""
+
+    def check(df: DataFrame) -> None:
+        n = df.count()
+        if n < min_rows:
+            raise ValidationError(f"row count {n} < required minimum {min_rows}")
+        if max_rows is not None and n > max_rows:
+            raise ValidationError(f"row count {n} > allowed maximum {max_rows}")
+
+    return check
+
+
+def expect_values_in(col: str, allowed: Sequence) -> Callable[[DataFrame], None]:
+    """Fail the publish if `col` holds a value outside `allowed` (nulls
+    pass — combine with expect_not_null to forbid them)."""
+
+    def check(df: DataFrame) -> None:
+        bad = (
+            df.filter(~F.col(col).isin(list(allowed)) & F.col(col).isNotNull())
+            .select(col).limit(5).collect()
+        )
+        if bad:
+            vals = [r[0] for r in bad]
+            raise ValidationError(f"{col}: values outside allowed set: {vals}")
+
+    return check
+
+
+def expect_range(col: str, lo=None, hi=None) -> Callable[[DataFrame], None]:
+    """Fail the publish if `col` falls outside [lo, hi] (either bound
+    optional; nulls pass)."""
+
+    def check(df: DataFrame) -> None:
+        cond = F.lit(False)
+        if lo is not None:
+            cond = cond | (F.col(col) < lo)
+        if hi is not None:
+            cond = cond | (F.col(col) > hi)
+        bad = df.filter(cond).select(col).limit(5).collect()
+        if bad:
+            vals = [r[0] for r in bad]
+            raise ValidationError(f"{col}: values outside [{lo}, {hi}]: {vals}")
+
+    return check
+
+
+def all_of(*validators: Callable[[DataFrame], None]) -> Callable[[DataFrame], None]:
+    """Compose validators; the first failure aborts (publish is already
+    all-or-nothing, so ordering only affects the error message)."""
+
+    def check(df: DataFrame) -> None:
+        for v in validators:
+            v(df)
+
+    return check

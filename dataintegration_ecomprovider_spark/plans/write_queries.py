@@ -1098,6 +1098,52 @@ GROUP BY o_orderpriority
 """
 
 
+def q_store_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental store-to-store replication (publish.replicate_table):
+    seed the replica at source v1, advance the source two more versions,
+    then one delta sync ships read_changes(v1 → v3) and applies it — the
+    replica must equal v3 exactly, so the oracle IS v3's definition.
+    After the seed, each sync moves O(changed rows), never the table —
+    the cross-region story at 100 TB (the reference would re-run the full
+    job against the second destination, src/EcomProvider.cs:937-966)."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    src = tempfile.mkdtemp(prefix="repl_src_")
+    dst = tempfile.mkdtemp(prefix="repl_dst_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, src, table_keys={"orders": ["o_orderkey"]}
+    )
+    publish.replicate_table(spark, src, dst, "orders")  # seed @ v1
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0)
+    publish.publish_tables(spark, {"orders": v2}, src)
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v3}, src)
+    res = publish.replicate_table(spark, src, dst, "orders")  # delta v1→v3
+    if res["mode"] != "delta":
+        raise AssertionError(f"expected a delta sync, got {res['mode']}")
+    return publish.read_table(spark, dst, "orders")
+
+
+ORACLE_STORE_REPLICATE = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey % 4 <> 0
+"""
+
+
 ORACLE_CDC_APPLY = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
@@ -1193,6 +1239,7 @@ QUERIES = {
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
+    "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),

@@ -196,6 +196,7 @@ def stream_into_store(
     dedup_order_by: Sequence[Column] | None = None,
     bucketed: bool = False,
     num_buckets: int = 32,
+    auto_compact_files: int | None = None,
 ) -> StreamingQuery:
     """Stream → versioned store: every micro-batch becomes one crash-safe
     VERSION via publish.merge_into — streaming and batch share one write
@@ -206,7 +207,15 @@ def stream_into_store(
     at-least-once (a replayed batch can add an identical version).
     `bucketed=True` keeps the destination bucketed across versions
     (merge_into): a continuously-fed 100 TB table never re-shuffles its
-    accumulated side, only each (small) incoming batch."""
+    accumulated side, only each (small) incoming batch.
+
+    `auto_compact_files=N` closes the small-file loop inline: after a
+    merge leaves the table above N data files (read from the manifest's
+    publish-time stats — no file listing), the batch hook runs
+    publish.compact before returning.  One-version-per-micro-batch ingest
+    then keeps a bounded file count forever instead of deferring to an
+    out-of-band OPTIMIZE job — the operational default Delta calls
+    auto-compaction, and the read-side guarantee that matters at 100 TB."""
     from dataintegration_ecomprovider_spark.plans import publish
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -224,6 +233,10 @@ def stream_into_store(
             insert_new=insert_new, update_existing=update_existing,
             bucketed=bucketed, num_buckets=num_buckets,
         )
+        if auto_compact_files is not None:
+            stats = publish.table_stats(root, name)
+            if stats and stats.get("num_files") and stats["num_files"] > auto_compact_files:
+                publish.compact(batch.sparkSession, root, name)
 
     writer = (
         stream.writeStream.foreachBatch(process)

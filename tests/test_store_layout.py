@@ -173,3 +173,154 @@ def test_compact_recomputes_stats(spark, store):
     out = publish.scan_table(spark, store, "orders", [("o_custkey", "<=", 50)])
     full = publish.read_table(spark, store, "orders").filter(F.col("o_custkey") <= 50)
     assert _rows(out) == _rows(full)
+
+
+def test_compact_sort_by_clusters_for_skipping(spark, store):
+    """compact(sort_by=...) range-clusters the rewrite so file [min,max]
+    ranges are disjoint on the sort column — data skipping then prunes to
+    ~one file where the append-order layout pruned nothing."""
+    df = _orders(spark).repartition(8)  # hash layout: every file spans the domain
+    publish.publish_tables(spark, {"orders": df}, store)
+    where = [("o_custkey", ">", 10), ("o_custkey", "<=", 40)]
+    kept_before, total_before = publish.prune_files(store, "orders", where)
+    assert len(kept_before) == total_before  # nothing skippable yet
+    publish.compact(spark, store, "orders", target_files=8, sort_by=["o_custkey"])
+    kept_after, total_after = publish.prune_files(store, "orders", where)
+    assert total_after == 8 and len(kept_after) < total_after
+    out = publish.scan_table(spark, store, "orders", where)
+    full = publish.read_table(spark, store, "orders").filter(
+        (F.col("o_custkey") > 10) & (F.col("o_custkey") <= 40)
+    )
+    assert _rows(out) == _rows(full)
+
+
+def test_replicate_table_seeds_then_ships_deltas(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = _orders(spark).limit(300)
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, src, table_keys={"orders": ["o_orderkey"]}
+    )
+    res = publish.replicate_table(spark, src, dst, "orders")
+    assert res["mode"] == "seed" and res["to_version"] == 1
+    assert _rows(publish.read_table(spark, dst, "orders")) == _rows(v1)
+
+    # two more source versions before the next sync: delta covers both
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0)
+    publish.publish_tables(spark, {"orders": v2}, src)
+    v3 = v2.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(0.0)).otherwise(F.col("o_totalprice")),
+    )
+    publish.publish_tables(spark, {"orders": v3}, src)
+    res = publish.replicate_table(spark, src, dst, "orders")
+    assert res["mode"] == "delta" and res["from_version"] == 1 and res["to_version"] == 3
+    assert _rows(publish.read_table(spark, dst, "orders")) == _rows(v3)
+
+    # caught up → noop (no new replica version)
+    ver = publish.current_manifest(dst)["version"]
+    res = publish.replicate_table(spark, src, dst, "orders")
+    assert res["mode"] == "noop"
+    assert publish.current_manifest(dst)["version"] == ver
+
+    # keys came from the source manifest and carried into the replica
+    assert publish.table_keys(dst, "orders") == ["o_orderkey"]
+
+
+def test_replicate_without_keys_requires_them_for_delta(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = _orders(spark).limit(50)
+    publish.publish_tables(spark, {"orders": df}, src)  # no keys recorded
+    publish.replicate_table(spark, src, dst, "orders")  # seed is fine
+    publish.publish_tables(spark, {"orders": df.limit(20)}, src)
+    with pytest.raises(ValueError, match="key columns"):
+        publish.replicate_table(spark, src, dst, "orders")
+
+
+def test_read_table_asof_timestamp(spark, store):
+    """TIMESTAMP AS OF: commit stamps (committed_at_unix) select the newest
+    version at-or-before the asked instant; pre-store instants raise."""
+    df1 = _orders(spark).limit(10)
+    df2 = _orders(spark).limit(20)
+    df3 = _orders(spark).limit(30)
+    m1 = publish.publish_tables(spark, {"t": df1}, store)
+    m2 = publish.publish_tables(spark, {"t": df2}, store)
+    publish.publish_tables(spark, {"t": df3}, store)
+    t1 = m1["committed_at_unix"]
+    t2 = m2["committed_at_unix"]
+    assert publish.read_table_asof(spark, store, "t", t1).count() == 10
+    assert publish.read_table_asof(spark, store, "t", (t1 + t2) / 2).count() == 10
+    assert publish.read_table_asof(spark, store, "t", t2).count() == 20
+    assert publish.read_table_asof(spark, store, "t", time_far_future()).count() == 30
+    # ISO-8601 string form (UTC)
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        t2, tz=datetime.timezone.utc
+    ).isoformat()
+    assert publish.read_table_asof(spark, store, "t", iso).count() == 20
+    with pytest.raises(KeyError):
+        publish.read_table_asof(spark, store, "t", t1 - 10.0)
+
+
+def time_far_future() -> float:
+    import time
+
+    return time.time() + 1e6
+
+
+def test_publish_expectations_gate_the_swap(spark, store):
+    """Expectations abort the whole publish (nothing visible) and pass
+    when satisfied — the declarative form of the reference's transaction
+    rollback."""
+    ok = _orders(spark).limit(100)
+    checks = publish.all_of(
+        publish.expect_not_null("o_orderkey"),
+        publish.expect_unique("o_orderkey"),
+        publish.expect_row_count(min_rows=1, max_rows=10_000),
+        publish.expect_values_in("o_orderstatus", ["F", "O", "P"]),
+        publish.expect_range("o_totalprice", lo=0.0),
+    )
+    publish.publish_tables(spark, {"orders": ok}, store, validators={"orders": checks})
+    assert publish.current_manifest(store)["version"] == 1
+
+    dup = ok.union(ok.limit(5))
+    with pytest.raises(publish.ValidationError, match="duplicate key"):
+        publish.publish_tables(
+            spark, {"orders": dup}, store,
+            validators={"orders": publish.expect_unique("o_orderkey")},
+        )
+    # failed publish left no new version and the table intact
+    assert publish.current_manifest(store)["version"] == 1
+    assert publish.read_table(spark, store, "orders").count() == 100
+
+    with pytest.raises(publish.ValidationError, match="row count"):
+        publish.publish_tables(
+            spark, {"orders": ok.filter(F.lit(False))}, store,
+            validators={"orders": publish.expect_row_count(min_rows=1)},
+        )
+    bad_status = ok.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("?")).otherwise(F.col("o_orderstatus")),
+    )
+    with pytest.raises(publish.ValidationError, match="outside allowed set"):
+        publish.publish_tables(
+            spark, {"orders": bad_status}, store,
+            validators={"orders": publish.expect_values_in("o_orderstatus", ["F", "O", "P"])},
+        )
+    with pytest.raises(publish.ValidationError, match="outside"):
+        publish.publish_tables(
+            spark, {"orders": ok.withColumn("o_totalprice", F.lit(-1.0))}, store,
+            validators={"orders": publish.expect_range("o_totalprice", lo=0.0)},
+        )
+    nullable = ok.withColumn(
+        "o_custkey", F.when(F.col("o_orderkey") % 3 == 0, F.col("o_custkey"))
+    )
+    with pytest.raises(publish.ValidationError, match="non-nullable"):
+        publish.publish_tables(
+            spark, {"orders": nullable}, store,
+            validators={"orders": publish.expect_not_null("o_custkey")},
+        )
+    assert publish.current_manifest(store)["version"] == 1

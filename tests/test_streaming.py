@@ -254,3 +254,38 @@ def test_stream_cdc_follow_and_compact_invisible(spark, tmp_path):
     assert publish.read_changes(
         spark, root, "t", v_final, v_compact, keys=["k"]
     ).count() == 0
+
+
+def test_stream_into_store_auto_compacts(spark, tmp_path):
+    """auto_compact_files keeps a continuously-fed table's file count
+    bounded: each micro-batch merges then compacts when the manifest's
+    publish-time file count exceeds the threshold — rows stay identical,
+    and the bound holds however many batches arrive."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(0, "z")], ["k", "v"])
+    publish.publish_tables(spark, {"t": base}, root)
+
+    schema = base.schema
+    # 4 micro-batches, each appending multi-file input
+    for i in range(1, 5):
+        b = spark.createDataFrame([(i * 10 + j, f"v{i}") for j in range(4)], ["k", "v"])
+        b.repartition(4).write.mode("append").parquet(src)
+
+    q = stream_into_store(
+        file_stream(spark, src, schema, max_files_per_trigger=4),
+        root, "t", ["k"], ckpt,
+        auto_compact_files=3,
+    )
+    q.awaitTermination(180)
+
+    stats = publish.table_stats(root, "t")
+    assert stats["num_files"] <= 3
+    got = {r["k"] for r in publish.read_table(spark, root, "t").collect()}
+    assert got == {0} | {i * 10 + j for i in range(1, 5) for j in range(4)}
