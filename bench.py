@@ -44,6 +44,8 @@ HEADLINE = [
     "u12_pipeline_run_job_bucketed",  # exchange-free merge pipeline (round 3)
     "u12_version_diff",             # versioned-store CDC diff (round 4)
     "llm_dedup_incremental",        # batch-vs-index ingest dedup (round 4)
+    "u12_data_skipping_scan",       # stats sidecar + file pruning (round 4)
+    "llm_semantic_dedup",           # SemDeDup cluster-scoped dedup (round 4)
 ]
 
 

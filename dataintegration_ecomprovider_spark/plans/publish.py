@@ -594,8 +594,6 @@ def read_changes(
     null — after a schema widening, rows appear as updates exactly where
     the new column holds a non-null value.
     """
-    from dataintegration_ecomprovider_spark.operators import merge as merge_ops
-
     if keys is None:
         keys = table_keys(root, name)
     if not keys:
@@ -604,12 +602,33 @@ def read_changes(
         to_version = current_manifest(root)["version"]
     old = read_table_at(spark, root, name, from_version)
     new = read_table_at(spark, root, name, to_version)
+    return diff_frames(
+        old, new, keys,
+        case_insensitive=case_insensitive, change_col=change_col,
+    )
+
+
+def diff_frames(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    case_insensitive: bool = False,
+    change_col: str = "change_type",
+) -> DataFrame:
+    """The engine of read_changes as a pure two-DataFrame operator: the
+    key-wise full-outer diff of `old` → `new` tagged insert/update/delete
+    (semantics documented on read_changes).  Exposed separately so diffs
+    compose outside the store — staging-vs-destination previews, test
+    properties (tests/test_cdc.py hypothesis round-trip: applying the diff
+    of A→B onto A reconstructs B for ARBITRARY frames), and cross-store
+    comparisons."""
+    from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
     keys = list(keys)
     cols = [c for c in new.columns if not c.startswith("__k_")]
     missing = [k for k in keys if k not in cols]
     if missing:
-        raise ValueError(f"key columns {missing} not in table {name!r}")
+        raise ValueError(f"key columns {missing} not in the new frame")
     for c in cols:
         if c not in old.columns:
             old = old.withColumn(c, F.lit(None))

@@ -64,6 +64,21 @@ def JsonSource(path: str, **kw) -> FileSource:
     return FileSource(path, "json", **kw)
 
 
+def OrcSource(path: str, **kw) -> FileSource:
+    return FileSource(path, "orc", **kw)
+
+
+def XmlSource(path: str, row_tag: str = "row", **kw) -> FileSource:
+    """XML feed source (Spark 4 native `xml` format, the spark-xml lineage):
+    one DataFrame row per `row_tag` element, schema inferred or supplied.
+    The wider DataIntegration suite the reference ships in reads XML product
+    feeds as a first-class provider; projection/predicates compose the same
+    way as every FileSource."""
+    opts = dict(kw.pop("options", {}))
+    opts.setdefault("rowTag", row_tag)
+    return FileSource(path, "xml", options=opts, **kw)
+
+
 @dataclass(frozen=True)
 class JdbcSource:
     """Partitioned JDBC scan with the reference's projected-SELECT pushdown.

@@ -24,9 +24,9 @@ from dataintegration_ecomprovider_spark import runtime
 from dataintegration_ecomprovider_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/sfprobe_r3"
+OUT = "/tmp/sfprobe_r4"
 COPIES = 10
-PASSTHROUGH = ["region", "nation", "customer", "supplier", "part", "events", "embeddings"]
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "part", "events"]
 
 
 def synthesize(spark) -> None:
@@ -51,6 +51,10 @@ def synthesize(spark) -> None:
     shifted_union(li, "l_orderkey").write.parquet(f"{OUT}/lineitem.parquet")
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     shifted_union(docs, "doc_id").write.parquet(f"{OUT}/documents.parquet")
+    # embeddings duplicate as EXACT near-dups (vectors unchanged, ids
+    # shifted) — adversarial for semantic dedup / ANN: dup-heavy cells
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    shifted_union(emb, "vec_id").write.parquet(f"{OUT}/embeddings.parquet")
     open(os.path.join(OUT, "_READY"), "w").close()
 
 
@@ -73,6 +77,9 @@ def main() -> None:
         "llm_fingerprint",
         "u12_version_diff",      # CDC diff at 10x (two publishes + full-outer)
         "u12_cdc_apply",         # diff + replay round-trip at 10x
+        "u12_data_skipping_scan",  # stats collection + pruned scan at 10x
+        "u12_store_replicate",     # seed + delta sync at 10x
+        "llm_semantic_dedup",      # cluster-scoped pair work at 10x
     ]
     timings = {}
     for name in names:

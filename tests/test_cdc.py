@@ -84,7 +84,7 @@ def test_read_changes_requires_keys_and_valid_version(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key columns"):
         publish.read_changes(spark, root, "t", 1, 1)
-    with pytest.raises(ValueError, match="not in table"):
+    with pytest.raises(ValueError, match="key columns"):
         publish.read_changes(spark, root, "t", 1, 1, keys=["nope"])
     with pytest.raises(KeyError):
         publish.read_changes(spark, root, "t", 7, keys=["id"])
@@ -544,3 +544,52 @@ def test_read_changes_over_bucketed_versions_is_exchange_free(spark, tmp_path):
         assert changes.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- hypothesis: diff/apply round-trip over arbitrary frames ---------------
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_CDC_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.text("xy", min_size=0, max_size=2),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+def _cdc_df(spark, rows):
+    seen, out = set(), []
+    for k, v, s in rows:
+        if k not in seen:
+            seen.add(k)
+            out.append((k, v, s))
+    return spark.createDataFrame(out or [(99, None, "")], "k int, v int, s string")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old_rows=_CDC_ROWS, new_rows=_CDC_ROWS)
+def test_diff_apply_roundtrip_property(spark, old_rows, new_rows):
+    """For ARBITRARY frames A, B (unique keys, null-bearing values):
+    apply_changes(A, diff_frames(A, B)) is row-identical to B, the diff of
+    a frame with itself is empty, and every tagged row is consistent with
+    membership in A/B."""
+    a = _cdc_df(spark, old_rows)
+    b = _cdc_df(spark, new_rows)
+    delta = publish.diff_frames(a, b, ["k"])
+    rebuilt = publish.apply_changes(a, delta, ["k"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, b.collect()))
+
+    assert publish.diff_frames(a, a, ["k"]).count() == 0
+
+    a_keys = {r.k for r in a.collect()}
+    b_keys = {r.k for r in b.collect()}
+    for r in delta.collect():
+        if r["change_type"] == "insert":
+            assert r.k in b_keys and r.k not in a_keys
+        elif r["change_type"] == "delete":
+            assert r.k in a_keys and r.k not in b_keys
+        else:
+            assert r.k in a_keys and r.k in b_keys

@@ -121,3 +121,63 @@ def test_extra_properties_pass_through_without_clobbering():
     assert opts["user"] == "etl"
     assert opts["isolationLevel"] == "READ_COMMITTED"
     assert opts["dbtable"].startswith("(SELECT")
+
+
+# --- JdbcSink: the write-back contract (EcomDestinationWriter parity) ------
+from dataintegration_ecomprovider_spark.sources.writers import JdbcSink  # noqa: E402
+
+
+def _sink(**kw):
+    return JdbcSink(URL, "EcomProducts", keys=["ProductID", "ProductLanguageID"], **kw)
+
+
+def test_sink_writer_options_are_batched_and_partitioned():
+    opts = _sink(batch_size=50_000, num_partitions=16).writer_options()
+    assert opts["dbtable"] == "EcomProducts_stage_bulk"
+    assert opts["batchsize"] == "50000"
+    assert opts["numPartitions"] == "16"
+    assert opts["isolationLevel"] == "READ_COMMITTED"
+    assert all(isinstance(v, str) for v in opts.values())
+
+
+def test_sink_tsql_merge_upsert_full():
+    sql = _sink().merge_sql(["ProductID", "ProductLanguageID", "ProductName", "ProductPrice"])
+    assert sql == (
+        "MERGE INTO [EcomProducts] AS d USING [EcomProducts_stage_bulk] AS s "
+        "ON d.[ProductID] = s.[ProductID] AND d.[ProductLanguageID] = s.[ProductLanguageID]\n"
+        "WHEN MATCHED THEN UPDATE SET d.[ProductName] = s.[ProductName], "
+        "d.[ProductPrice] = s.[ProductPrice]\n"
+        "WHEN NOT MATCHED THEN INSERT ([ProductID], [ProductLanguageID], "
+        "[ProductName], [ProductPrice]) VALUES (s.[ProductID], "
+        "s.[ProductLanguageID], s.[ProductName], s.[ProductPrice]);"
+    )
+
+
+def test_sink_merge_modes_match_u3_matrix():
+    cols = ["ProductID", "ProductLanguageID", "ProductName"]
+    ins_only = _sink().merge_sql(cols, update_existing=False)
+    assert "WHEN MATCHED" not in ins_only and "WHEN NOT MATCHED THEN INSERT" in ins_only
+    upd_only = _sink().merge_sql(cols, insert_new=False)
+    assert "WHEN MATCHED THEN UPDATE" in upd_only and "INSERT" not in upd_only
+
+
+def test_sink_delete_missing_dialects():
+    cols = ["ProductID", "ProductLanguageID", "ProductName"]
+    tsql = _sink().merge_sql(cols, delete_missing=True)
+    assert tsql.endswith("WHEN NOT MATCHED BY SOURCE THEN DELETE;")
+    ansi = _sink(dialect="ansi").merge_sql(cols, delete_missing=True)
+    assert "NOT MATCHED BY SOURCE" not in ansi
+    assert 'DELETE FROM "EcomProducts" WHERE ("ProductID", "ProductLanguageID") NOT IN' in ansi
+
+
+def test_sink_validates_dialect_and_keys():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dialect"):
+        JdbcSink(URL, "t", keys=["k"], dialect="mysql")
+    with _pytest.raises(ValueError, match="key columns"):
+        JdbcSink(URL, "t", keys=[])
+
+
+def test_sink_cleanup_drops_staging():
+    assert _sink().cleanup_sql() == "DROP TABLE IF EXISTS [EcomProducts_stage_bulk];"

@@ -116,3 +116,27 @@ def test_products_export_salted_is_bit_identical(spark):
     plain = plain[cols].sort_values(by=cols).reset_index(drop=True)
     salted = salted[cols].sort_values(by=cols).reset_index(drop=True)
     assert plain.equals(salted)
+
+
+def test_orc_and_xml_sources_round_trip(spark, tmp_path):
+    """OrcSource (columnar alternate) and XmlSource (Spark 4 native xml —
+    the DataIntegration suite's XML-feed provider role) load, project, and
+    filter like every FileSource."""
+    from dataintegration_ecomprovider_spark.sources.readers import OrcSource, XmlSource
+
+    region = Catalog(spark, SF_DIR).table("region")
+
+    orc_path = str(tmp_path / "orc")
+    region.write.format("orc").save(orc_path)
+    assert OrcSource(orc_path).load(spark).count() == region.count()
+
+    xml_path = str(tmp_path / "xml")
+    region.selectExpr(
+        "r_regionkey", "r_name"
+    ).coalesce(1).write.format("xml").option("rowTag", "region").save(xml_path)
+    loaded = XmlSource(
+        xml_path, row_tag="region",
+        columns=["r_name"], predicate="r_regionkey < 3",
+    ).load(spark)
+    assert loaded.columns == ["r_name"]
+    assert loaded.count() == 3
