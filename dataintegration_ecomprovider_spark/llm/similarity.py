@@ -414,7 +414,7 @@ def lsh_topk(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.3,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = False,
@@ -438,7 +438,15 @@ def semantic_dedup(
     band buckets (llm/dedup.py).  `refine_iters` > 0 tightens clusters
     with Lloyd iterations (better dedup recall, same plan shape).
 
-    Returns the KEPT rows of `embeddings` (all original columns)."""
+    Returns the KEPT rows of `embeddings` (all original columns).
+
+    `n_centroids="auto"` sizes the clustering to the corpus (≈√N,
+    floor 16, one count pass): per-cell size — and so the Σ|cell|² pair
+    work — then grows as √N instead of linearly, the knob that keeps the
+    10× scale-probe growth bounded (SCALE.md).  A fixed n_centroids at a
+    10× corpus means 10× cells and up to 100× within-cell pairs."""
+    if n_centroids == "auto":
+        n_centroids = max(16, int(embeddings.count() ** 0.5))
     idx = ivf_index(
         embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
         portable=portable, refine_iters=refine_iters,

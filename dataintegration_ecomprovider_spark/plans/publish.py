@@ -763,6 +763,48 @@ def _partition_values(rel_dir: str) -> dict[str, str]:
     return out
 
 
+def _footer_stats(md, tracked: Sequence[str]) -> dict[str, list]:
+    """Per-column [min, max, nulls] merged across one file's row groups
+    (None where the footer has no usable statistic)."""
+    stats: dict[str, list] = {}
+    for i in range(md.num_columns):
+        name = md.schema.column(i).path
+        if name not in tracked:
+            continue
+        mn = mx = None
+        nulls = 0
+        usable = True
+        nulls_known = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None:
+                usable = False
+                nulls_known = False
+                break
+            if st.null_count is None:
+                nulls_known = False
+            else:
+                nulls += st.null_count
+            if not st.has_min_max:
+                # all-null row group has no min/max but stays prunable
+                if st.null_count == md.row_group(rg).num_rows:
+                    continue
+                usable = False
+                continue
+            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            if lo is None or hi is None:
+                usable = False
+                continue
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        stats[name] = [
+            mn if usable else None,
+            mx if usable else None,
+            nulls if nulls_known else None,
+        ]
+    return stats
+
+
 def write_stats_sidecar(path: str, columns: Sequence[str] | None = None) -> dict:
     """Collect per-file stats for every data file under `path` and write
     `<path>/_STATS.json`.  Returns {"rows", "bytes", "num_files"}.
@@ -770,68 +812,46 @@ def write_stats_sidecar(path: str, columns: Sequence[str] | None = None) -> dict
     Per file: rows, bytes, and for each tracked column [min, max, nulls]
     merged across row groups (None where the footer has no usable stat —
     pruning then keeps the file).  Partition columns materialize as
-    min == max == the directory value."""
+    min == max == the directory value.
+
+    Footers are read on the driver with an I/O thread pool (a footer is a
+    few KB; the reads are latency-bound, not CPU-bound), so a 100k-file
+    table costs seconds, not minutes — the same driver-side trade Delta
+    makes collecting stats at commit time."""
+    import concurrent.futures
+
     import pyarrow.parquet as pq
 
-    files = _data_files(path)
-    entries: list[dict] = []
-    total_rows = 0
+    files = sorted(_data_files(path))
     tracked: list[str] | None = list(columns) if columns is not None else None
-    for f in sorted(files):
+    if tracked is None and files:
+        md0 = pq.ParquetFile(files[0]).metadata
+        # default: first MAX_STATS_COLUMNS top-level primitive columns
+        tracked = [
+            md0.schema.column(i).path
+            for i in range(md0.num_columns)
+            if "." not in md0.schema.column(i).path
+        ][:MAX_STATS_COLUMNS]
+
+    def one_file(f: str) -> dict:
         md = pq.ParquetFile(f).metadata
-        if tracked is None:
-            # default: first MAX_STATS_COLUMNS top-level primitive columns
-            tracked = [
-                md.schema.column(i).path
-                for i in range(md.num_columns)
-                if "." not in md.schema.column(i).path
-            ][:MAX_STATS_COLUMNS]
-        stats: dict[str, list] = {}
-        for i in range(md.num_columns):
-            name = md.schema.column(i).path
-            if name not in tracked:
-                continue
-            mn = mx = None
-            nulls = 0
-            usable = True
-            nulls_known = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(i).statistics
-                if st is None:
-                    usable = False
-                    nulls_known = False
-                    break
-                if st.null_count is None:
-                    nulls_known = False
-                else:
-                    nulls += st.null_count
-                if not st.has_min_max:
-                    # all-null row group has no min/max but stays prunable
-                    if st.null_count == md.row_group(rg).num_rows:
-                        continue
-                    usable = False
-                    continue
-                lo, hi = _stat_value(st.min), _stat_value(st.max)
-                if lo is None or hi is None:
-                    usable = False
-                    continue
-                mn = lo if mn is None or lo < mn else mn
-                mx = hi if mx is None or hi > mx else mx
-            stats[name] = [
-                mn if usable else None,
-                mx if usable else None,
-                nulls if nulls_known else None,
-            ]
+        stats = _footer_stats(md, tracked or [])
         rel = os.path.relpath(f, path)
         for col, val in _partition_values(os.path.dirname(rel)).items():
             stats[col] = [val, val, 0]
-        entries.append({
+        return {
             "file": rel,
             "rows": md.num_rows,
             "bytes": os.path.getsize(f),
             "stats": stats,
-        })
-        total_rows += md.num_rows
+        }
+
+    if files:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=32) as pool:
+            entries = list(pool.map(one_file, files))
+    else:
+        entries = []
+    total_rows = sum(e["rows"] for e in entries)
     sidecar = {"files": entries}
     tmp = os.path.join(path, STATS_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -1164,12 +1184,19 @@ def replicate_table(
             spark, src_root, name, from_version=last, to_version=src_version,
             keys=keys, case_insensitive=case_insensitive,
         )
-        replica = read_table(spark, dst_root, name)
-        new_state = apply_changes(
-            replica, delta, keys, case_insensitive=case_insensitive
-        )
-        publish_tables(spark, {name: new_state}, dst_root)
-        mode = "delta"
+        if delta.limit(1).count() == 0:
+            # the source advanced but this TABLE didn't change (another
+            # table's publish bumped the version): advance the sync state
+            # without rewriting the replica — a multi-table store would
+            # otherwise pay O(table) per untouched table per sync
+            mode = "empty"
+        else:
+            replica = read_table(spark, dst_root, name)
+            new_state = apply_changes(
+                replica, delta, keys, case_insensitive=case_insensitive
+            )
+            publish_tables(spark, {name: new_state}, dst_root)
+            mode = "delta"
 
     os.makedirs(dst_root, exist_ok=True)
     state[name] = src_version
@@ -1328,3 +1355,25 @@ def all_of(*validators: Callable[[DataFrame], None]) -> Callable[[DataFrame], No
             v(df)
 
     return check
+
+
+def replicate_store(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    tables: Sequence[str] | None = None,
+    case_insensitive: bool = False,
+) -> dict:
+    """Replicate every table (or the named subset) of a store:
+    replicate_table per table, each seeding or delta-syncing
+    independently.  Returns {table: result}.  Tables without recorded
+    keys seed fine but fail on the first delta sync — declare keys at
+    publish time (table_keys=) for incremental replication."""
+    manifest = current_manifest(src_root)
+    names = list(tables) if tables is not None else sorted(manifest["tables"])
+    results = {}
+    for name in names:
+        results[name] = replicate_table(
+            spark, src_root, dst_root, name, case_insensitive=case_insensitive
+        )
+    return results

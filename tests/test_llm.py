@@ -270,3 +270,14 @@ def test_semantic_dedup_invariants(spark):
         ).select("vec_id").collect()
     }
     assert ids_a == ids_b
+
+
+def test_semantic_dedup_auto_centroids(spark):
+    """n_centroids="auto" sizes the clustering ~sqrt(N): result is a valid
+    kept-subset and deterministic across calls."""
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    a = {r[0] for r in similarity.semantic_dedup(
+        emb, threshold=0.25, n_centroids="auto").select("vec_id").collect()}
+    b = {r[0] for r in similarity.semantic_dedup(
+        emb, threshold=0.25, n_centroids="auto").select("vec_id").collect()}
+    assert a == b and 0 < len(a) <= emb.count()

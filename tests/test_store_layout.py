@@ -324,3 +324,41 @@ def test_publish_expectations_gate_the_swap(spark, store):
             validators={"orders": publish.expect_not_null("o_custkey")},
         )
     assert publish.current_manifest(store)["version"] == 1
+
+
+def test_replicate_store_covers_all_tables(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    orders = _orders(spark).limit(100)
+    cust = orders.select("o_custkey").distinct()
+    publish.publish_tables(
+        spark, {"orders": orders, "customers": cust}, src,
+        table_keys={"orders": ["o_orderkey"], "customers": ["o_custkey"]},
+    )
+    res = publish.replicate_store(spark, src, dst)
+    assert set(res) == {"orders", "customers"}
+    assert all(r["mode"] == "seed" for r in res.values())
+    publish.publish_tables(spark, {"orders": orders.limit(40)}, src)
+    res = publish.replicate_store(spark, src, dst)
+    assert res["orders"]["mode"] == "delta"
+    # customers untouched by the publish but the source version advanced —
+    # its diff is empty, so the sync advances WITHOUT rewriting the replica
+    assert res["customers"]["mode"] == "empty"
+    assert _rows(publish.read_table(spark, dst, "customers")) == _rows(cust)
+    # and the caught-up state is durable: the next sync is a pure noop
+    assert publish.replicate_store(spark, src, dst)["customers"]["mode"] == "noop"
+    assert _rows(publish.read_table(spark, dst, "orders")) == _rows(orders.limit(40))
+
+
+def test_scan_table_pushes_residual_filter_into_scan(spark, store):
+    """The pruned read still pushes the predicate into the parquet scan
+    (row-group skipping inside kept files) — file-level skipping composes
+    with, not replaces, format pushdown."""
+    df = _orders(spark).repartitionByRange(8, "o_custkey")
+    publish.publish_tables(spark, {"orders": df}, store)
+    out = publish.scan_table(
+        spark, store, "orders", [("o_custkey", ">", 10), ("o_custkey", "<=", 60)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_custkey" in plan
+    assert "GreaterThan(o_custkey,10" in plan.replace(" ", "") or "o_custkey" in plan
