@@ -327,16 +327,22 @@ def _commit(root: str, txid: str, manifest: dict) -> dict:
     return manifest
 
 
-def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> DataFrame:
-    """Time travel: read `name` as of a committed version."""
+def tables_at(root: str, version: int) -> dict:
+    """The manifest table map as of a committed version (current or
+    history) — pure metadata, no SparkSession, so executor-side readers
+    (streaming/store_source.py) can resolve version paths too."""
     manifest = current_manifest(root)
     if manifest["version"] == version:
-        tables = manifest["tables"]
-    else:
-        matches = [h for h in manifest.get("history", []) if h["version"] == version]
-        if not matches:
-            raise KeyError(f"version {version} not in history under {root}")
-        tables = matches[0]["tables"]
+        return manifest["tables"]
+    matches = [h for h in manifest.get("history", []) if h["version"] == version]
+    if not matches:
+        raise KeyError(f"version {version} not in history under {root}")
+    return matches[0]["tables"]
+
+
+def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> DataFrame:
+    """Time travel: read `name` as of a committed version."""
+    tables = tables_at(root, version)
     if name not in tables:
         raise KeyError(f"table {name!r} absent at version {version}")
     return _read_entry(spark, tables[name])

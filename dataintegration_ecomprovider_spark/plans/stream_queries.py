@@ -114,8 +114,65 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_store_changes_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `store_changes` Python streaming DataSource (Spark 4 DataSource
+    API, streaming/store_source.py): publish two versions of an orders
+    slice, tail the store from version 0 with one availableNow pass into a
+    parquet sink, and return what arrived.  Tailing from the empty version
+    nets the whole history, so the feed is exactly the current version's
+    rows tagged `insert` — the oracle restates that definition.  The
+    incremental (checkpoint-resume) semantics are pinned in
+    tests/test_store_source.py against read_changes."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.store_source import (
+        StoreChangesDataSource,
+    )
+
+    root = tempfile.mkdtemp(prefix="ssrc_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 == 0)
+    v2 = base.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["o_orderkey"]})
+    publish.publish_tables(spark, {"t": v2}, root)
+
+    spark.dataSource.register(StoreChangesDataSource)
+    out = tempfile.mkdtemp(prefix="ssrc_out_")
+    q = (
+        spark.readStream.format("store_changes")
+        .option("root", root).option("table", "t")
+        .option("startingVersion", "earliest").option("partitions", "8")
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssrc_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+ORACLE_STORE_CHANGES_SOURCE = """
+SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       'insert' AS change_type
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
 QUERIES = {
     "stream_tumbling_window_agg": QueryDef(q_tumbling_window_agg, ORACLE_TUMBLING),
     "stream_sessionization": QueryDef(q_sessionization, ORACLE_SESSIONIZATION),
     "stream_dedup_watermark": QueryDef(q_dedup_watermark, ORACLE_DEDUP_WATERMARK),
+    "stream_store_changes_source": QueryDef(
+        q_store_changes_source, ORACLE_STORE_CHANGES_SOURCE
+    ),
 }
