@@ -332,3 +332,39 @@ def simhash(text: Column, bits: int = 64) -> Column:
     shingle pipeline inside each bit aggregate."""
     hashes = F.transform(shingles(text, 2), lambda s: F.xxhash64(s))
     return _simhash_from_hashes(hashes, bits)
+
+
+def repeated_spans(
+    docs: DataFrame,
+    span_words: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-span detection: word n-gram spans that occur
+    in at least `min_docs` distinct documents — boilerplate headers, license
+    blocks, templated text.  The shuffle-friendly approximation of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): fixed-width spans instead of
+    maximal repeats, so the whole computation is one explode + one
+    aggregation.
+
+    Scale shape: spans explode partition-locally (distinct within doc);
+    the count-distinct aggregates in two phases with a (span, doc) partial
+    distinct first, so even a span present in half the corpus — the skew
+    case — reduces per-partition before the final count.  Docs shorter
+    than `span_words` words contribute nothing (filtered on both engines).
+
+    Returns (span, n_docs), one row per repeated span."""
+    with_words = docs.select(
+        F.col(id_col), words_of(F.col(text_col)).alias("w")
+    ).filter(F.size(F.col("w")) >= span_words)
+    exploded = with_words.select(
+        id_col,
+        F.explode(shingles_from_words(F.col("w"), span_words)).alias("span"),
+    )
+    return (
+        exploded.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

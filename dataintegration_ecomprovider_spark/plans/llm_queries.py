@@ -771,6 +771,33 @@ SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
 """
 
 
+# --- cross-document repeated spans (boilerplate detection) ----------------
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width repeated-span detection across the corpus
+    (llm/dedup.py::repeated_spans) — the shuffle-friendly stand-in for
+    suffix-array substring dedup: 4-word spans present in ≥2 documents."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.repeated_spans(docs, span_words=4, min_docs=2)
+
+
+ORACLE_REPEATED_SPANS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(ws) - 3, 0) + 1),
+           i -> array_to_string(ws[i:i+3], ' '))) AS spans
+  FROM w WHERE len(ws) >= 4
+),
+e AS (SELECT doc_id, unnest(spans) AS span FROM sh)
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM e GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 # --- SemDeDup: cluster-scoped semantic deduplication ----------------------
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cluster
@@ -1053,6 +1080,7 @@ QUERIES = {
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
     "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),
+    "llm_repeated_spans": QueryDef(q_repeated_spans, ORACLE_REPEATED_SPANS),
     "llm_semantic_dedup": QueryDef(q_semantic_dedup, None),
     "llm_semantic_dedup_portable": QueryDef(
         q_semantic_dedup_portable, ORACLE_SEMANTIC_DEDUP_PORTABLE

@@ -281,3 +281,22 @@ def test_semantic_dedup_auto_centroids(spark):
     b = {r[0] for r in similarity.semantic_dedup(
         emb, threshold=0.25, n_centroids="auto").select("vec_id").collect()}
     assert a == b and 0 < len(a) <= emb.count()
+
+
+def test_repeated_spans_constructed_corpus(spark):
+    """Spans shared across docs are found exactly; within-doc repetition
+    alone does not qualify; short docs are excluded."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "said the quick brown fox today"),
+            (3, "repeat repeat repeat repeat repeat repeat repeat"),  # one doc only
+            (4, "tiny doc"),  # shorter than the span
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r["span"], r["n_docs"])
+        for r in dedup.repeated_spans(docs, span_words=4, min_docs=2).collect()
+    }
+    assert out == {("the quick brown fox", 2)}

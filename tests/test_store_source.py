@@ -118,3 +118,25 @@ def test_stream_requires_keys(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / "ck3"))
             .trigger(availableNow=True).start().awaitTermination(60)
         )
+
+
+def test_stream_over_partitioned_table(spark, tmp_path):
+    """Tailing a hive-partitioned table: the partition column comes back
+    as a normal column in the change feed (path-derived via pyarrow hive
+    partitioning), and the diff semantics are unchanged."""
+    root = str(tmp_path / "pstore")
+    v1 = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2021, "b")], "id bigint, yr int, name string"
+    )
+    publish.publish_tables(
+        spark, {"t": v1}, root,
+        table_keys={"t": ["id"]}, partition_by={"t": ["yr"]},
+    )
+    v2 = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2021, "B"), (3, 2022, "c")],
+        "id bigint, yr int, name string",
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+    got = _read_stream(spark, root, str(tmp_path / "ckp"), startingVersion="1")
+    rows = {(r["id"], r["yr"], r["name"], r["change_type"]) for r in got.collect()}
+    assert rows == {(2, 2021, "B", "update"), (3, 2022, "c", "insert")}
