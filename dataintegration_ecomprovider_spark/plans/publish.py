@@ -1383,3 +1383,50 @@ def replicate_store(
             spark, src_root, dst_root, name, case_insensitive=case_insensitive
         )
     return results
+
+
+def describe_history(root: str) -> list[dict]:
+    """The store's commit log as data (Delta DESCRIBE HISTORY role):
+    one dict per committed version, oldest first — version, txid,
+    commit timestamps, tables present, and which tables CHANGED relative
+    to the previous version (entry identity, pure metadata — no Spark
+    job, no file listing)."""
+    manifest = current_manifest(root)
+    if manifest["version"] == 0:
+        return []
+    snapshots = [
+        {
+            "version": h["version"],
+            "txid": h.get("txid"),
+            "committed_at_unix": h.get("committed_at_unix"),
+            "tables": h["tables"],
+        }
+        for h in manifest.get("history", [])
+    ] + [
+        {
+            "version": manifest["version"],
+            "txid": manifest.get("txid"),
+            "committed_at_unix": manifest.get("committed_at_unix"),
+            "tables": manifest["tables"],
+        }
+    ]
+    out = []
+    prev_tables: dict = {}
+    for snap in snapshots:
+        def _path(e):
+            return e["path"] if isinstance(e, dict) else e
+
+        changed = sorted(
+            name
+            for name, e in snap["tables"].items()
+            if name not in prev_tables or _path(prev_tables[name]) != _path(e)
+        )
+        out.append({
+            "version": snap["version"],
+            "txid": snap["txid"],
+            "committed_at_unix": snap["committed_at_unix"],
+            "tables": sorted(snap["tables"]),
+            "changed": changed,
+        })
+        prev_tables = snap["tables"]
+    return out

@@ -362,3 +362,48 @@ def test_scan_table_pushes_residual_filter_into_scan(spark, store):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_custkey" in plan
     assert "GreaterThan(o_custkey,10" in plan.replace(" ", "") or "o_custkey" in plan
+
+
+def test_describe_history_reports_versions_and_changes(spark, store):
+    df = _orders(spark).limit(50)
+    publish.publish_tables(spark, {"a": df, "b": df.limit(10)}, store)
+    publish.publish_tables(spark, {"a": df.limit(20)}, store)  # b carried forward
+    hist = publish.describe_history(store)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["changed"] == ["a", "b"]
+    assert hist[1]["changed"] == ["a"]
+    assert hist[1]["tables"] == ["a", "b"]
+    assert all(h["committed_at_unix"] for h in hist)
+    assert publish.describe_history(str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "") + "/nope") == []
+
+
+# --- hypothesis: pruning never changes results -----------------------------
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_SCAN_STORE = {}
+
+
+def _scan_store(spark, tmp_path_factory):
+    if "root" not in _SCAN_STORE:
+        root = str(tmp_path_factory.mktemp("scanprop") / "store")
+        df = _orders(spark).repartitionByRange(6, "o_custkey")
+        publish.publish_tables(spark, {"orders": df}, root)
+        _SCAN_STORE["root"] = root
+    return _SCAN_STORE["root"]
+
+
+_OPS = st.sampled_from(["<", "<=", ">", ">=", "=", "=="])
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(op1=_OPS, v1=st.integers(-50, 2000), op2=_OPS, v2=st.integers(-50, 2000))
+def test_scan_table_equals_filter_property(spark, tmp_path_factory, op1, v1, op2, v2):
+    """For ARBITRARY predicate pairs, the pruned scan returns exactly the
+    rows of a full read + filter — file skipping is invisible to results."""
+    root = _scan_store(spark, tmp_path_factory)
+    where = [("o_custkey", op1, v1), ("o_orderkey", op2, v2)]
+    pruned = publish.scan_table(spark, root, "orders", where)
+    cond1 = publish._predicate_column(("o_custkey", op1, v1))
+    cond2 = publish._predicate_column(("o_orderkey", op2, v2))
+    full = publish.read_table(spark, root, "orders").filter(cond1 & cond2)
+    assert _rows(pruned) == _rows(full)
