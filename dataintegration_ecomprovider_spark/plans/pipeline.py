@@ -366,6 +366,7 @@ def run_job_on_store(
     dest_keys: Mapping[str, Sequence[str]] | None = None,
     params: Mapping[str, str] | None = None,
     with_changes: bool = False,
+    validators: Mapping[str, Callable] | None = None,
     **run_job_kwargs,
 ) -> dict:
     """One reference job run against the VERSIONED STORE, end to end:
@@ -384,6 +385,10 @@ def run_job_on_store(
     job read; a concurrent writer landing first raises
     ConcurrentPublishError — re-running the job (idempotent by the merge
     algebra, the reference's own re-run model) is the retry.
+
+    `validators` are publish expectations (publish.expect_* / all_of) per
+    destination table: any failure aborts the WHOLE job's swap before a
+    row becomes visible.
 
     Returns {"manifest", "from_version", "to_version", "state",
     "changes" (name -> lazy CDC DataFrame; only with_changes=True)}.
@@ -425,6 +430,10 @@ def run_job_on_store(
         spark, state, root,
         table_keys={t: k for t, k in keys_by_table.items()},
         expected_version=from_version,
+        # publish expectations gate the whole job commit: a failing check
+        # on any staged table aborts the swap, nothing becomes visible —
+        # the declarative form of the reference's transaction rollback
+        validators=validators,
     )
     out = {
         "manifest": manifest,

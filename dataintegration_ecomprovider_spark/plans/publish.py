@@ -1205,11 +1205,17 @@ def replicate_table(
             mode = "delta"
 
     os.makedirs(dst_root, exist_ok=True)
-    state[name] = src_version
-    tmp = os.path.join(dst_root, SYNC_FILE + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(state, fh)
-    os.replace(tmp, os.path.join(dst_root, SYNC_FILE))
+    # sync-state update is a read-modify-write of a shared file: take the
+    # replica's commit lock so two concurrent replicate_table calls (for
+    # DIFFERENT tables of one store) don't lose each other's entries.
+    # The data publish above already released the same lock — no nesting.
+    with _manifest_lock(dst_root):
+        state = _sync_state(dst_root)
+        state[name] = src_version
+        tmp = os.path.join(dst_root, SYNC_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(dst_root, SYNC_FILE))
     return {
         "table": name, "from_version": last, "to_version": src_version,
         "mode": mode,
@@ -1430,3 +1436,21 @@ def describe_history(root: str) -> list[dict]:
         })
         prev_tables = snap["tables"]
     return out
+
+
+def register_store(
+    spark: SparkSession, root: str, prefix: str = "store_"
+) -> list[str]:
+    """Expose every table of the store's CURRENT version to Spark SQL as
+    `<prefix><table>` temp views — `spark.sql("SELECT ... FROM
+    store_orders")` over committed data with zero copying.  Views are a
+    SNAPSHOT of the version at registration (each wraps this version's
+    immutable files); re-register after a publish to advance.  Returns
+    the view names created."""
+    manifest = current_manifest(root)
+    names = []
+    for name in sorted(manifest["tables"]):
+        view = f"{prefix}{name}"
+        _read_entry(spark, manifest["tables"][name]).createOrReplaceTempView(view)
+        names.append(view)
+    return names

@@ -257,8 +257,9 @@ def test_read_table_asof_timestamp(spark, store):
     # ISO-8601 string form (UTC)
     import datetime
 
+    # +1ms: isoformat truncates to microseconds, which can round BELOW t2
     iso = datetime.datetime.fromtimestamp(
-        t2, tz=datetime.timezone.utc
+        t2 + 0.001, tz=datetime.timezone.utc
     ).isoformat()
     assert publish.read_table_asof(spark, store, "t", iso).count() == 20
     with pytest.raises(KeyError):
@@ -407,3 +408,104 @@ def test_scan_table_equals_filter_property(spark, tmp_path_factory, op1, v1, op2
     cond2 = publish._predicate_column(("o_orderkey", op2, v2))
     full = publish.read_table(spark, root, "orders").filter(cond1 & cond2)
     assert _rows(pruned) == _rows(full)
+
+
+def test_register_store_exposes_sql_views(spark, store):
+    df = _orders(spark).limit(80)
+    publish.publish_tables(spark, {"orders": df, "tiny": df.limit(5)}, store)
+    views = publish.register_store(spark, store)
+    assert views == ["store_orders", "store_tiny"]
+    assert spark.sql("SELECT COUNT(*) c FROM store_orders").first()["c"] == 80
+    # snapshot semantics: a later publish doesn't move the view until
+    # re-registration
+    publish.publish_tables(spark, {"orders": df.limit(30)}, store)
+    assert spark.sql("SELECT COUNT(*) c FROM store_orders").first()["c"] == 80
+    publish.register_store(spark, store)
+    assert spark.sql("SELECT COUNT(*) c FROM store_orders").first()["c"] == 30
+
+
+def test_run_job_on_store_validators_gate_commit(spark, store):
+    """A failing publish expectation aborts the whole job publish —
+    store state and version unchanged."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.plans.pipeline import (
+        ColumnRule, MappingSpec, run_job_on_store,
+    )
+
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").select("o_orderkey", "o_custkey").limit(100)
+    publish.publish_tables(spark, {"orders": dest0}, store,
+                           table_keys={"orders": ["o_orderkey"]})
+    spec = MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(
+            ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+            ColumnRule("o_custkey", "o_custkey"),
+        ),
+    )
+    with pytest.raises(publish.ValidationError, match="row count"):
+        run_job_on_store(
+            cat, store, [spec],
+            validators={"orders": publish.expect_row_count(max_rows=5)},
+        )
+    assert publish.current_manifest(store)["version"] == 1
+    assert publish.read_table(spark, store, "orders").count() == 100
+    # and a passing expectation commits
+    out = run_job_on_store(
+        cat, store, [spec],
+        validators={"orders": publish.expect_not_null("o_orderkey")},
+    )
+    assert out["to_version"] == 2
+
+
+def test_scan_partitioned_table_on_non_partition_column(spark, store):
+    """Pruning a partitioned table on a DATA column: the explicit-file
+    read (basePath) must still recover the partition column, and results
+    must match the full read + filter."""
+    df = _orders(spark).withColumn("o_year", F.year("o_orderdate"))
+    # range-lay the rows inside each partition so o_custkey stats bite
+    publish.publish_tables(
+        spark, {"orders": df.repartitionByRange(4, "o_custkey")}, store,
+        partition_by={"orders": ["o_year"]},
+    )
+    where = [("o_custkey", "<=", 30)]
+    scanned = publish.scan_table(spark, store, "orders", where)
+    assert "o_year" in scanned.columns
+    full = publish.read_table(spark, store, "orders").filter(F.col("o_custkey") <= 30)
+    assert _rows(scanned.select(sorted(scanned.columns))) == _rows(
+        full.select(sorted(full.columns))
+    )
+
+
+def test_concurrent_replicate_table_syncs_do_not_lose_state(spark, tmp_path):
+    """Two threads replicating DIFFERENT tables of one store concurrently:
+    both sync-state entries survive (the replica commit lock serializes
+    the read-modify-write of _SYNC.json)."""
+    import threading
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = _orders(spark).limit(60)
+    publish.publish_tables(
+        spark, {"a": df, "b": df.limit(20)}, src,
+        table_keys={"a": ["o_orderkey"], "b": ["o_orderkey"]},
+    )
+    errs = []
+
+    def sync(name):
+        try:
+            publish.replicate_table(spark, src, dst, name)
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=sync, args=(n,)) for n in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    state = publish._sync_state(dst)
+    assert state == {"a": 1, "b": 1}
+    assert publish.read_table(spark, dst, "a").count() == 60
+    assert publish.read_table(spark, dst, "b").count() == 20
