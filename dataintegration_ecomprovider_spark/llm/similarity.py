@@ -466,3 +466,61 @@ def semantic_dedup(
         .distinct()
     )
     return embeddings.join(dup_ids, id_col, "left_anti")
+
+
+def quantize(vec: Column) -> Column:
+    """Deterministic scalar quantization of an embedding to 8-bit integer
+    levels: q_i = floor(x_i * 127 / max|x|).  floor (toward -inf) on both
+    engines — no rounding-mode divergence, so a DuckDB oracle reproduces
+    the codes exactly.  Cosine over the quantized vectors needs NO scale
+    bookkeeping (the per-vector scale cancels in dot/(|a||b|)).
+
+    Why at 100 TB: a float64 corpus of embeddings is the dominant memory/
+    shuffle term in every ANN probe; 8-bit codes cut candidate-side bytes
+    ~8x (faiss's SQ8 trade) at a recall cost pinned in tests."""
+    scale = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    return F.transform(vec, lambda x: F.floor(x * F.lit(127.0) / scale))
+
+
+def brute_force_topk_quantized(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """brute_force_topk over 8-bit-quantized vectors: same plan shape
+    (broadcast query side, partition-local scoring, per-query rank), the
+    candidate side carrying int codes instead of doubles.  Output columns
+    match brute_force_topk; similarities are the quantized approximation."""
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(F.col(vec_col).cast("array<double>")).alias("cand_q"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col).cast("array<double>")).alias("query_q"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("query_q"), F.col("cand_q")), 6).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "similarity",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

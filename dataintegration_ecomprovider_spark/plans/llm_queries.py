@@ -274,6 +274,20 @@ def q_near_dup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_lsh(emb, threshold=0.2, planes=6)
 
 
+# --- 8-bit quantized ANN (memory-reduction path) --------------------------
+def q_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over 8-bit scalar-quantized vectors
+    (llm/similarity.py::quantize — floor-based codes, so the oracle
+    reproduces them exactly): ~8x smaller candidate bytes, recall pinned
+    vs the exact top-k in tests/test_llm.py."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk_quantized(emb, queries, k=5)
+
+
+# (ORACLE_TOPK_QUANTIZED is defined after _COS, below)
+
+
 # --- IVF-bucketed ANN (rows-only: recall invariant in tests/test_llm.py) --
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).table("embeddings")
@@ -620,6 +634,32 @@ _COS = (
     "ROUND(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+
+_QUANT = (
+    "list_transform({v}, x -> floor(x * 127.0 / "
+    "GREATEST(list_max(list_transform({v}, y -> abs(y))), 1e-30)))"
+)
+
+ORACLE_TOPK_QUANTIZED = f"""
+WITH v AS (
+  SELECT vec_id,
+         {_QUANT.format(v="list_transform(embedding, x -> CAST(x AS DOUBLE))")} AS q
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a="a.q", b="c.q")} AS similarity
+  FROM v a JOIN v c ON a.vec_id <> c.vec_id
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_near_dup_embedding_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,6 +1130,7 @@ QUERIES = {
     "llm_dedup_simhash": QueryDef(q_simhash, None),
     "llm_ngram_jaccard": QueryDef(q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
+    "llm_sim_topk_quantized": QueryDef(q_topk_quantized, ORACLE_TOPK_QUANTIZED),
     "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None),
     "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),
     "llm_lang_id": QueryDef(q_lang_id, ORACLE_LANG_ID),

@@ -300,3 +300,24 @@ def test_repeated_spans_constructed_corpus(spark):
         for r in dedup.repeated_spans(docs, span_words=4, min_docs=2).collect()
     }
     assert out == {("the quick brown fox", 2)}
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """8-bit quantization: top-5 neighbor recall vs the exact top-k stays
+    high on the fixture, and codes are integral in [-127, 127]."""
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    quant = similarity.brute_force_topk_quantized(emb, queries, k=5)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    qu = {(r["query_id"], r["neighbor_id"]) for r in quant.collect()}
+    recall = len(ex & qu) / len(ex)
+    assert recall >= 0.7, f"quantized recall {recall}"
+
+    codes = emb.select(
+        similarity.quantize(F.col("embedding").cast("array<double>")).alias("q")
+    )
+    bounds = codes.select(
+        F.array_max("q").alias("hi"), F.array_min("q").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
+    assert bounds["hi"] <= 127 and bounds["lo"] >= -128
