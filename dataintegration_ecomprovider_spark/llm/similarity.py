@@ -294,6 +294,7 @@ def ivf_index(
     vec_col: str = "embedding",
     portable: bool = False,
     refine_iters: int = 0,
+    quantized: bool = False,
 ) -> dict[str, DataFrame]:
     """The PERSISTENT half of IVF: ``{"centroids": (cid, cvec), "cells":
     (cid, neighbor_id, cand_vec)}`` — the corpus-scale work (centroid pick
@@ -304,7 +305,12 @@ def ivf_index(
     ivf_topk_from_index — the ANN-serving pattern at 100 TB, where
     re-assigning the corpus per query batch is prohibitive.
     tests/test_llm_incremental.py proves the store round-trip is
-    result-identical to the inline ivf_topk."""
+    result-identical to the inline ivf_topk.
+
+    `quantized=True` stores cells as 8-bit codes (see quantize): the
+    faiss IVF-SQ8 layout — assignment stays full-precision, the
+    PERSISTED corpus shrinks ~8x, probes score code-vs-code (serve with
+    ivf_topk_from_index(quantized=True))."""
     if portable:
         from dataintegration_ecomprovider_spark.llm.portable import md5_int60
 
@@ -328,6 +334,8 @@ def ivf_index(
                           F.col(vec_col).cast("array<double>").alias("cand_vec")),
         centroids, "neighbor_id", "cand_vec", keep=1,
     )
+    if quantized:
+        cells = cells.withColumn("cand_vec", quantize(F.col("cand_vec")))
     return {"centroids": centroids, "cells": cells}
 
 
@@ -339,17 +347,23 @@ def ivf_topk_from_index(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized: bool = False,
 ) -> DataFrame:
     """Serve approximate top-k from a prebuilt IVF index (ivf_index
     output, possibly read back from the versioned store): queries assign
     to their `n_probe` nearest cells (broadcast centroids), probe only
     those cells' vectors, rank.  O(queries × probed cells) — the corpus
-    is touched only through the (bucketed) cells table."""
+    is touched only through the (bucketed) cells table.  `quantized=True`
+    serves an ivf_index(quantized=True) layout: cell assignment stays
+    full-precision, probe scoring quantizes the query so both sides score
+    in code space."""
     probes = _assign_to_centroids(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("query_vec")),
         centroids, "query_id", "query_vec", keep=n_probe,
     )
+    if quantized:
+        probes = probes.withColumn("query_vec", quantize(F.col("query_vec")))
     scored = (
         probes.join(cells, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -261,3 +261,39 @@ def test_stream_dedup_into_store(spark, tmp_path):
     assert m["version"] == 2
     assert {"corpus", "minhash_sigs", "minhash_bands"} <= set(m["tables"])
     assert publish.table_keys(root, "corpus") == ["doc_id"]
+
+
+def test_ivf_sq8_index_roundtrip_recall(spark, tmp_path):
+    """IVF-SQ8: a quantized index publishes/reads back through the store
+    (int codes survive parquet), cells carry integral codes, and serving
+    recall vs the full-precision IVF stays high on the fixture."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from tests.conftest import SF_DIR
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    full = similarity.ivf_topk(emb, queries, k=5, n_centroids=8)
+    idx = similarity.ivf_index(emb, n_centroids=8, quantized=True)
+    root = str(tmp_path / "sq8")
+    publish.publish_tables(
+        spark, {"cent": idx["centroids"], "cells": idx["cells"]}, root,
+        bucket_keys={"cells": ["cid"]}, num_buckets=4,
+    )
+    served = similarity.ivf_topk_from_index(
+        queries,
+        publish.read_table(spark, root, "cent"),
+        publish.read_table(spark, root, "cells"),
+        k=5, quantized=True,
+    )
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    s = {(r["query_id"], r["neighbor_id"]) for r in served.collect()}
+    assert len(f & s) / len(f) >= 0.6
+
+    codes = publish.read_table(spark, root, "cells").select(
+        F.array_max("cand_vec").alias("hi"), F.array_min("cand_vec").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
+    assert codes["hi"] <= 127 and codes["lo"] >= -128
