@@ -1,0 +1,194 @@
+"""Incremental view maintenance (IVM): keep an aggregate table current
+in O(changed rows) by consuming the versioned store's CDC feed, instead
+of recomputing the aggregate from the full source per refresh.
+
+The maintained view is ``GROUP BY <group_cols>`` with ``COUNT(*)`` and
+``SUM(coalesce(col, 0))`` measures — the self-maintainable aggregate
+family (counts and sums admit exact retraction; MIN/MAX do not, they
+need a recompute on delete, which is why continuous-aggregate systems
+draw the same line).  Each refresh:
+
+1. reads ``read_changes(include_old=True)`` for the source's unconsumed
+   version range;
+2. turns every change row into ±contribution rows — an insert adds its
+   values under its group, a delete subtracts under its OLD group, an
+   update does both (so a row MOVING between groups adjusts both sides);
+3. aggregates the contributions (one shuffle on the group columns —
+   O(delta), never O(source)) and merges them into the aggregate table
+   with a key-wise full-outer join, dropping groups whose count reaches
+   zero;
+4. publishes the new aggregate state as the next store version and
+   records the consumed source version (same crash-safe ordering as
+   replicate_table: data first, then state — a replayed delta would be
+   wrong for IVM, so state here is committed in the same lock window
+   right after the publish).
+
+This is the TimescaleDB continuous-aggregate / materialized-view-
+maintenance role; the reference's analog is re-running the whole
+aggregation job per refresh (src/EcomProvider.cs:937-966).  The batch
+rollup cascade (operators/temporal.py) recomputes from raw; this
+maintains from deltas — at 100 TB the difference between touching the
+changed rows and touching everything.
+
+NULL semantics: sums treat NULL as 0 (the view's SUM column is
+``SUM(COALESCE(col, 0))``); an all-null group therefore reads 0 where a
+direct ``SUM`` would read NULL — document-level choice pinned in tests
+and mirrored in every oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.plans import publish
+
+COUNT_COL = "cnt"
+
+
+def _sum_alias(c: str) -> str:
+    return f"sum_{c}"
+
+
+def aggregate_table(
+    df: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str]
+) -> DataFrame:
+    """The view definition, computed directly (seed / recompute oracle):
+    COUNT(*) + SUM(coalesce(c, 0)) per group."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(COUNT_COL),
+        *[
+            F.sum(F.coalesce(F.col(c), F.lit(0))).alias(_sum_alias(c))
+            for c in sum_cols
+        ],
+    )
+
+
+def apply_aggregate_delta(
+    agg: DataFrame,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Merge a read_changes(include_old=True) feed into an aggregate-table
+    state: O(delta) contributions + one key-wise merge join.  Groups whose
+    count reaches zero drop out (their sums are exactly retracted)."""
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+
+    # +new contributions (insert + update), grouped by NEW group values
+    pos = changes.filter(F.col(change_col) != "delete").select(
+        *group_cols,
+        F.lit(1).alias("__d_cnt"),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(f"__d_{c}") for c in sum_cols],
+    )
+    # -old contributions (delete + update), grouped by OLD group values
+    # (delete rows carry old values in BOTH the main and __old columns)
+    neg = changes.filter(F.col(change_col) != "insert").select(
+        *[F.col(f"{g}__old").alias(g) for g in group_cols],
+        F.lit(-1).alias("__d_cnt"),
+        *[
+            (-F.coalesce(F.col(f"{c}__old"), F.lit(0))).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
+    )
+    delta = (
+        pos.unionByName(neg)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("__d_cnt").alias("__d_cnt"),
+            *[F.sum(f"__d_{c}").alias(f"__d_{c}") for c in sum_cols],
+        )
+    )
+    merged = agg.join(delta, group_cols, "full_outer").select(
+        *group_cols,
+        (F.coalesce(F.col(COUNT_COL), F.lit(0))
+         + F.coalesce(F.col("__d_cnt"), F.lit(0))).alias(COUNT_COL),
+        *[
+            (F.coalesce(F.col(_sum_alias(c)), F.lit(0))
+             + F.coalesce(F.col(f"__d_{c}"), F.lit(0))).alias(_sum_alias(c))
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col(COUNT_COL) > 0)
+
+
+def maintain_aggregate(
+    spark: SparkSession,
+    root: str,
+    src: str,
+    dst: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    keys: Sequence[str] | None = None,
+) -> dict:
+    """Bring the aggregate table `dst` current with source table `src`
+    (same store root): first call seeds with a full aggregation; later
+    calls consume only the CDC delta since the version last reflected
+    (recorded in the store's sync-state file under ``agg:<dst>``).
+
+    Returns {"dst", "from_version", "to_version", "mode"} — mode is
+    "seed" | "delta" | "noop"."""
+    state_key = f"agg:{dst}"
+    manifest = publish.current_manifest(root)
+    src_version = manifest["version"]
+    state = publish._sync_state(root)
+    last = state.get(state_key)
+    if keys is None:
+        keys = publish.table_keys(root, src)
+
+    def _seed() -> str:
+        out = aggregate_table(
+            publish.read_table(spark, root, src), group_cols, sum_cols
+        )
+        publish.publish_tables(spark, {dst: out}, root)
+        return "seed"
+
+    if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif last == src_version:
+        return {"dst": dst, "from_version": last, "to_version": src_version,
+                "mode": "noop"}
+    else:
+        if not keys:
+            raise ValueError(
+                f"incremental maintenance of {dst!r} needs {src!r}'s key "
+                "columns — publish with table_keys= or pass keys="
+            )
+        try:
+            changes = publish.read_changes(
+                spark, root, src, from_version=last, to_version=src_version,
+                keys=keys, include_old=True,
+            )
+        except KeyError:
+            # the consumed-from version was vacuumed out of history: the
+            # delta is unrecoverable, fall back to a full re-seed
+            mode = _seed()
+        else:
+            if changes.limit(1).count() == 0:
+                # the store advanced but `src` didn't (e.g. our own dst
+                # publishes): advance the watermark without rewriting
+                mode = "empty"
+            else:
+                agg = publish.read_table(spark, root, dst)
+                publish.publish_tables(
+                    spark,
+                    {dst: apply_aggregate_delta(agg, changes, group_cols, sum_cols)},
+                    root,
+                )
+                mode = "delta"
+
+    with publish._manifest_lock(root):
+        state = publish._sync_state(root)
+        state[state_key] = src_version
+        tmp = os.path.join(root, publish.SYNC_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(root, publish.SYNC_FILE))
+    return {"dst": dst, "from_version": last, "to_version": src_version,
+            "mode": mode}

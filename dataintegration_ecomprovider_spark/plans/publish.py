@@ -572,6 +572,7 @@ def read_changes(
     keys: Sequence[str] | None = None,
     case_insensitive: bool = False,
     change_col: str = "change_type",
+    include_old: bool = False,
 ) -> DataFrame:
     """Version-diff (CDC) read: the rows that changed between two committed
     versions of `name`, tagged ``insert`` / ``update`` / ``delete``.
@@ -611,6 +612,7 @@ def read_changes(
     return diff_frames(
         old, new, keys,
         case_insensitive=case_insensitive, change_col=change_col,
+        include_old=include_old,
     )
 
 
@@ -620,6 +622,7 @@ def diff_frames(
     keys: Sequence[str],
     case_insensitive: bool = False,
     change_col: str = "change_type",
+    include_old: bool = False,
 ) -> DataFrame:
     """The engine of read_changes as a pure two-DataFrame operator: the
     key-wise full-outer diff of `old` → `new` tagged insert/update/delete
@@ -627,7 +630,13 @@ def diff_frames(
     compose outside the store — staging-vs-destination previews, test
     properties (tests/test_cdc.py hypothesis round-trip: applying the diff
     of A→B onto A reconstructs B for ARBITRARY frames), and cross-store
-    comparisons."""
+    comparisons.
+
+    `include_old=True` appends `<col>__old` columns holding the FROM-side
+    values (null on inserts; on deletes they equal the main columns) —
+    what an incremental consumer needs to RETRACT old contributions, e.g.
+    aggregate maintenance (plans/materialize.py) where an update both
+    subtracts the old value and adds the new one."""
     from dataintegration_ecomprovider_spark.operators import merge as merge_ops
 
     keys = list(keys)
@@ -670,6 +679,12 @@ def diff_frames(
         .alias(c)
         for c in cols
     ]
+    if include_old:
+        out_cols += [
+            F.when(F.col("__old_present").isNotNull(), F.col(f"__old_{c}"))
+            .alias(f"{c}__old")
+            for c in cols
+        ]
     return (
         joined.withColumn(change_col, change)
         .filter(F.col(change_col).isNotNull())

@@ -1136,6 +1136,60 @@ def q_store_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return publish.read_table(spark, dst, "orders")
 
 
+def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (plans/materialize.py): seed a
+    COUNT/SUM aggregate over orders-by-status at v1, advance the source a
+    version (inserts + deletes + value updates + group MOVES via the
+    status flip), refresh from the CDC delta — the maintained table must
+    equal the direct aggregate of v2, which IS the oracle.  O(changed
+    rows) per refresh where the reference re-runs the aggregation job
+    (src/EcomProvider.cs:937-966)."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    root = tempfile.mkdtemp(prefix="ivm_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    materialize.maintain_aggregate(
+        spark, root, "orders", "orders_by_status",
+        ["o_orderstatus"], ["o_totalprice"],
+    )
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, root)
+    res = materialize.maintain_aggregate(
+        spark, root, "orders", "orders_by_status",
+        ["o_orderstatus"], ["o_totalprice"],
+    )
+    if res["mode"] != "delta":
+        raise AssertionError(f"expected a delta refresh, got {res['mode']}")
+    out = publish.read_table(spark, root, "orders_by_status")
+    return out.select(
+        "o_orderstatus", "cnt",
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+    )
+
+
+ORACLE_INCREMENTAL_AGGREGATE = """
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(COALESCE(ROUND(o_totalprice, 2), 0)), 2) AS sum_total
+FROM orders WHERE o_orderkey % 4 <> 0
+GROUP BY 1
+"""
+
+
 ORACLE_STORE_REPLICATE = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
@@ -1240,6 +1294,9 @@ QUERIES = {
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
+    "u12_incremental_aggregate": QueryDef(
+        q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE
+    ),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
     "e3_adopt_id_by_number": QueryDef(q_adopt_id_by_number, ORACLE_ADOPT_ID_BY_NUMBER),
