@@ -54,17 +54,32 @@ def _sum_alias(c: str) -> str:
     return f"sum_{c}"
 
 
+def _min_alias(c: str) -> str:
+    return f"min_{c}"
+
+
+def _max_alias(c: str) -> str:
+    return f"max_{c}"
+
+
 def aggregate_table(
-    df: DataFrame, group_cols: Sequence[str], sum_cols: Sequence[str]
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The view definition, computed directly (seed / recompute oracle):
-    COUNT(*) + SUM(coalesce(c, 0)) per group."""
+    COUNT(*) + SUM(coalesce(c, 0)) + MIN(c)/MAX(c) per group (MIN/MAX
+    skip nulls, standard SQL)."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(COUNT_COL),
         *[
             F.sum(F.coalesce(F.col(c), F.lit(0))).alias(_sum_alias(c))
             for c in sum_cols
         ],
+        *[F.min(F.col(c)).alias(_min_alias(c)) for c in min_cols],
+        *[F.max(F.col(c)).alias(_max_alias(c)) for c in max_cols],
     )
 
 
@@ -74,12 +89,28 @@ def apply_aggregate_delta(
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     change_col: str = "change_type",
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    source: DataFrame | None = None,
 ) -> DataFrame:
     """Merge a read_changes(include_old=True) feed into an aggregate-table
     state: O(delta) contributions + one key-wise merge join.  Groups whose
-    count reaches zero drop out (their sums are exactly retracted)."""
+    count reaches zero drop out (their sums are exactly retracted).
+
+    MIN/MAX (`min_cols`/`max_cols`, `source` = the view's source at the
+    TARGET version, required when either is set) are not retractable from
+    the delta alone: inserts fold in cheaply (least/greatest against the
+    stored extremum), but a RETRACTED value at or beyond the stored
+    extremum forces that group's extremum to be recomputed — done with a
+    semi-join of the source to ONLY the affected groups, so the recompute
+    cost is O(rows of groups that lost an extremum), not O(source).  This
+    is the textbook IVM treatment of non-self-maintainable aggregates."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
+    min_cols = list(min_cols)
+    max_cols = list(max_cols)
+    if (min_cols or max_cols) and source is None:
+        raise ValueError("min/max maintenance needs the target-version source")
 
     # +new contributions (insert + update), grouped by NEW group values
     pos = changes.filter(F.col(change_col) != "delete").select(
@@ -105,7 +136,29 @@ def apply_aggregate_delta(
             *[F.sum(f"__d_{c}").alias(f"__d_{c}") for c in sum_cols],
         )
     )
-    merged = agg.join(delta, group_cols, "full_outer").select(
+    if min_cols or max_cols:
+        # extremum bookkeeping: inserted values fold in via least/greatest;
+        # retracted values flag a per-group recompute when they touch the
+        # stored extremum
+        ins_mm = changes.filter(F.col(change_col) != "delete").groupBy(
+            *group_cols
+        ).agg(
+            *[F.min(F.col(c)).alias(f"__p_min_{c}") for c in min_cols],
+            *[F.max(F.col(c)).alias(f"__p_max_{c}") for c in max_cols],
+        )
+        ret_mm = changes.filter(F.col(change_col) != "insert").select(
+            *[F.col(f"{g}__old").alias(g) for g in group_cols],
+            *[F.col(f"{c}__old").alias(f"__rv_{c}") for c in set(min_cols) | set(max_cols)],
+        ).groupBy(*group_cols).agg(
+            *[F.min(f"__rv_{c}").alias(f"__r_min_{c}") for c in min_cols],
+            *[F.max(f"__rv_{c}").alias(f"__r_max_{c}") for c in max_cols],
+        )
+        delta = delta.join(ins_mm, group_cols, "left").join(
+            ret_mm, group_cols, "left"
+        )
+
+    merged = agg.join(delta, group_cols, "full_outer")
+    out_cols = [
         *group_cols,
         (F.coalesce(F.col(COUNT_COL), F.lit(0))
          + F.coalesce(F.col("__d_cnt"), F.lit(0))).alias(COUNT_COL),
@@ -114,8 +167,52 @@ def apply_aggregate_delta(
              + F.coalesce(F.col(f"__d_{c}"), F.lit(0))).alias(_sum_alias(c))
             for c in sum_cols
         ],
+    ]
+    if not (min_cols or max_cols):
+        return merged.select(*out_cols).filter(F.col(COUNT_COL) > 0)
+
+    def _needs_min(c):
+        return F.col(f"__r_min_{c}").isNotNull() & (
+            F.col(_min_alias(c)).isNull()
+            | (F.col(f"__r_min_{c}") <= F.col(_min_alias(c)))
+        )
+
+    def _needs_max(c):
+        return F.col(f"__r_max_{c}").isNotNull() & (
+            F.col(_max_alias(c)).isNull()
+            | (F.col(f"__r_max_{c}") >= F.col(_max_alias(c)))
+        )
+
+    needs_any = F.lit(False)
+    for c in min_cols:
+        needs_any = needs_any | _needs_min(c)
+    for c in max_cols:
+        needs_any = needs_any | _needs_max(c)
+    affected = merged.filter(needs_any).select(*group_cols).distinct()
+    recomputed = (
+        source.join(affected, group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[F.min(F.col(c)).alias(f"__rc_min_{c}") for c in min_cols],
+            *[F.max(F.col(c)).alias(f"__rc_max_{c}") for c in max_cols],
+        )
     )
-    return merged.filter(F.col(COUNT_COL) > 0)
+    out_cols += [
+        F.when(_needs_min(c), F.col(f"__rc_min_{c}"))
+        .otherwise(F.least(F.col(_min_alias(c)), F.col(f"__p_min_{c}")))
+        .alias(_min_alias(c))
+        for c in min_cols
+    ] + [
+        F.when(_needs_max(c), F.col(f"__rc_max_{c}"))
+        .otherwise(F.greatest(F.col(_max_alias(c)), F.col(f"__p_max_{c}")))
+        .alias(_max_alias(c))
+        for c in max_cols
+    ]
+    return (
+        merged.join(recomputed, group_cols, "left")
+        .select(*out_cols)
+        .filter(F.col(COUNT_COL) > 0)
+    )
 
 
 def maintain_aggregate(
@@ -126,6 +223,8 @@ def maintain_aggregate(
     group_cols: Sequence[str],
     sum_cols: Sequence[str] = (),
     keys: Sequence[str] | None = None,
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ) -> dict:
     """Bring the aggregate table `dst` current with source table `src`
     (same store root): first call seeds with a full aggregation; later
@@ -144,7 +243,8 @@ def maintain_aggregate(
 
     def _seed() -> str:
         out = aggregate_table(
-            publish.read_table(spark, root, src), group_cols, sum_cols
+            publish.read_table(spark, root, src), group_cols, sum_cols,
+            min_cols=min_cols, max_cols=max_cols,
         )
         publish.publish_tables(spark, {dst: out}, root)
         return "seed"
@@ -176,11 +276,15 @@ def maintain_aggregate(
                 mode = "empty"
             else:
                 agg = publish.read_table(spark, root, dst)
-                publish.publish_tables(
-                    spark,
-                    {dst: apply_aggregate_delta(agg, changes, group_cols, sum_cols)},
-                    root,
+                new_state = apply_aggregate_delta(
+                    agg, changes, group_cols, sum_cols,
+                    min_cols=min_cols, max_cols=max_cols,
+                    source=(
+                        publish.read_table_at(spark, root, src, src_version)
+                        if (min_cols or max_cols) else None
+                    ),
                 )
+                publish.publish_tables(spark, {dst: new_state}, root)
                 mode = "delta"
 
     with publish._manifest_lock(root):

@@ -116,3 +116,55 @@ def test_diff_frames_include_old_columns(spark):
     assert rows[1]["change_type"] == "delete" and rows[1]["v__old"] == "x" and rows[1]["v"] == "x"
     assert rows[2]["change_type"] == "update" and rows[2]["v__old"] == "y" and rows[2]["v"] == "Y"
     assert rows[3]["change_type"] == "insert" and rows[3]["v__old"] is None and rows[3]["v"] == "z"
+
+
+def test_maintain_min_max_with_targeted_recompute(spark, tmp_path):
+    """MIN/MAX maintenance: inserts fold in via least/greatest; deleting
+    or moving the extremum triggers the per-group recompute path; every
+    refresh equals the direct recompute."""
+    root = str(tmp_path / "store")
+
+    def rec(src="t"):
+        return materialize.aggregate_table(
+            publish.read_table(spark, root, src), ["grp"], ["val"],
+            min_cols=["val"], max_cols=["val"],
+        )
+
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 50.0), (3, "b", 5.0), (4, "b", None)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    materialize.maintain_aggregate(
+        spark, root, "t", "mm", ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    assert _rows(publish.read_table(spark, root, "mm")) == _rows(rec())
+
+    # v2: delete the max of group a (50) -> recompute path; insert a new
+    # global min into b (cheap path); update id=1 to a new max (cheap)
+    v2 = spark.createDataFrame(
+        [(1, "a", 60.0), (3, "b", 5.0), (4, "b", None), (5, "b", 1.0)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+    res = materialize.maintain_aggregate(
+        spark, root, "t", "mm", ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "mm"))
+    assert got == _rows(rec())
+    assert got == sorted([("a", 1, 60.0, 60.0, 60.0), ("b", 3, 6.0, 1.0, 5.0)])
+
+    # v3: delete the only non-null values of b -> min/max must go NULL
+    v3 = v2.filter(~F.col("id").isin(3, 5))
+    publish.publish_tables(spark, {"t": v3}, root)
+    materialize.maintain_aggregate(
+        spark, root, "t", "mm", ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    got = _rows(publish.read_table(spark, root, "mm"))
+    assert got == _rows(rec())
+    b_row = [r for r in got if r[0] == "b"][0]
+    assert b_row[1] == 1 and b_row[3] is None and b_row[4] is None
