@@ -46,6 +46,7 @@ HEADLINE = [
     "llm_dedup_incremental",        # batch-vs-index ingest dedup (round 4)
     "u12_data_skipping_scan",       # stats sidecar + file pruning (round 4)
     "llm_semantic_dedup",           # SemDeDup cluster-scoped dedup (round 4)
+    "u12_incremental_aggregate",    # IVM: O(delta) aggregate refresh (round 4)
 ]
 
 

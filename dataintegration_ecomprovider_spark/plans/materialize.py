@@ -136,30 +136,40 @@ def apply_aggregate_delta(
             *[F.sum(f"__d_{c}").alias(f"__d_{c}") for c in sum_cols],
         )
     )
+    # All merge joins key on `__gk` = struct(<group cols>): struct join
+    # equality is NULL-SAFE per field (verified: a NULL group value merges
+    # instead of splitting into two rows), where joining on the raw group
+    # columns would never match NULL groups across the full-outer join.
+    def _gk(df: DataFrame) -> DataFrame:
+        return df.withColumn("__gk", F.struct(*group_cols)).drop(*group_cols)
+
+    delta = _gk(delta)
     if min_cols or max_cols:
         # extremum bookkeeping: inserted values fold in via least/greatest;
         # retracted values flag a per-group recompute when they touch the
         # stored extremum
-        ins_mm = changes.filter(F.col(change_col) != "delete").groupBy(
-            *group_cols
-        ).agg(
-            *[F.min(F.col(c)).alias(f"__p_min_{c}") for c in min_cols],
-            *[F.max(F.col(c)).alias(f"__p_max_{c}") for c in max_cols],
+        ins_mm = _gk(
+            changes.filter(F.col(change_col) != "delete").groupBy(
+                *group_cols
+            ).agg(
+                *[F.min(F.col(c)).alias(f"__p_min_{c}") for c in min_cols],
+                *[F.max(F.col(c)).alias(f"__p_max_{c}") for c in max_cols],
+            )
         )
-        ret_mm = changes.filter(F.col(change_col) != "insert").select(
-            *[F.col(f"{g}__old").alias(g) for g in group_cols],
-            *[F.col(f"{c}__old").alias(f"__rv_{c}") for c in set(min_cols) | set(max_cols)],
-        ).groupBy(*group_cols).agg(
-            *[F.min(f"__rv_{c}").alias(f"__r_min_{c}") for c in min_cols],
-            *[F.max(f"__rv_{c}").alias(f"__r_max_{c}") for c in max_cols],
+        ret_mm = _gk(
+            changes.filter(F.col(change_col) != "insert").select(
+                *[F.col(f"{g}__old").alias(g) for g in group_cols],
+                *[F.col(f"{c}__old").alias(f"__rv_{c}") for c in set(min_cols) | set(max_cols)],
+            ).groupBy(*group_cols).agg(
+                *[F.min(f"__rv_{c}").alias(f"__r_min_{c}") for c in min_cols],
+                *[F.max(f"__rv_{c}").alias(f"__r_max_{c}") for c in max_cols],
+            )
         )
-        delta = delta.join(ins_mm, group_cols, "left").join(
-            ret_mm, group_cols, "left"
-        )
+        delta = delta.join(ins_mm, "__gk", "left").join(ret_mm, "__gk", "left")
 
-    merged = agg.join(delta, group_cols, "full_outer")
+    merged = _gk(agg).join(delta, "__gk", "full_outer")
     out_cols = [
-        *group_cols,
+        *[F.col(f"__gk.{g}").alias(g) for g in group_cols],
         (F.coalesce(F.col(COUNT_COL), F.lit(0))
          + F.coalesce(F.col("__d_cnt"), F.lit(0))).alias(COUNT_COL),
         *[
@@ -188,10 +198,11 @@ def apply_aggregate_delta(
         needs_any = needs_any | _needs_min(c)
     for c in max_cols:
         needs_any = needs_any | _needs_max(c)
-    affected = merged.filter(needs_any).select(*group_cols).distinct()
+    affected = merged.filter(needs_any).select("__gk").distinct()
     recomputed = (
-        source.join(affected, group_cols, "left_semi")
-        .groupBy(*group_cols)
+        source.withColumn("__gk", F.struct(*group_cols))
+        .join(affected, "__gk", "left_semi")
+        .groupBy("__gk")
         .agg(
             *[F.min(F.col(c)).alias(f"__rc_min_{c}") for c in min_cols],
             *[F.max(F.col(c)).alias(f"__rc_max_{c}") for c in max_cols],
@@ -209,7 +220,7 @@ def apply_aggregate_delta(
         for c in max_cols
     ]
     return (
-        merged.join(recomputed, group_cols, "left")
+        merged.join(recomputed, "__gk", "left")
         .select(*out_cols)
         .filter(F.col(COUNT_COL) > 0)
     )

@@ -80,6 +80,7 @@ def main() -> None:
         "u12_data_skipping_scan",  # stats collection + pruned scan at 10x
         "u12_store_replicate",     # seed + delta sync at 10x
         "llm_semantic_dedup",      # cluster-scoped pair work at 10x
+        "u12_incremental_aggregate",  # IVM refresh at 10x
     ]
     timings = {}
     for name in names:

@@ -168,3 +168,42 @@ def test_maintain_min_max_with_targeted_recompute(spark, tmp_path):
     assert got == _rows(rec())
     b_row = [r for r in got if r[0] == "b"][0]
     assert b_row[1] == 1 and b_row[3] is None and b_row[4] is None
+
+
+def test_maintain_with_null_group_values(spark, tmp_path):
+    """A NULL group value is one group (SQL GROUP BY semantics): the merge
+    must fold its delta into the existing NULL-group row, not split it —
+    pinned because a join on the raw group columns would never match
+    NULL = NULL."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, None, 10.0), (2, None, 20.0), (3, "b", 30.0)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    materialize.maintain_aggregate(
+        spark, root, "t", "agg", ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    # delete the NULL group's min, insert another NULL-group row
+    v2 = spark.createDataFrame(
+        [(2, None, 20.0), (3, "b", 30.0), (4, None, 40.0)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+    materialize.maintain_aggregate(
+        spark, root, "t", "agg", ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"],
+    )
+    got = {tuple(r) for r in publish.read_table(spark, root, "agg").collect()}
+    expect = {
+        tuple(r)
+        for r in materialize.aggregate_table(
+            publish.read_table(spark, root, "t"), ["grp"], ["val"],
+            min_cols=["val"], max_cols=["val"],
+        ).collect()
+    }
+    assert got == expect
+    null_rows = [r for r in got if r[0] is None]
+    assert len(null_rows) == 1 and null_rows[0][1] == 2
+    assert null_rows[0][3] == 20.0 and null_rows[0][4] == 40.0
