@@ -373,6 +373,67 @@ def rollback(root: str, version: int) -> dict:
         return _commit(root, txid, new)
 
 
+def clone_table(
+    root: str,
+    name: str,
+    dest: str,
+    dest_root: str | None = None,
+) -> dict:
+    """Shallow clone: commit `dest` as a new table whose manifest entry
+    points at `name`'s CURRENT data directory — zero bytes copied, pure
+    metadata, any table size (the Delta SHALLOW CLONE role).  Key /
+    bucket / partition metadata carries, so the clone merges and scans
+    exactly like the source did.
+
+    Writes are copy-on-write by construction: every merge_into/publish
+    against the clone stages a NEW immutable directory and re-points only
+    the clone's entry, so source and clone diverge without ever touching
+    each other's data — the dev/test-against-production-data pattern at
+    100 TB, where a physical copy is days of I/O.
+
+    Same-root clones stay safe under vacuum (the shared directory is
+    referenced by the live manifest, so vacuum keeps it).  With
+    `dest_root`, the clone lands in ANOTHER store and references the
+    source store's directory by absolute path; vacuuming the SOURCE can
+    then delete data the clone still references — the same documented
+    hazard as Delta's cross-table shallow clones.  Use replicate_table
+    for a self-contained (deep) copy.
+
+    Fails if `dest` already exists (clone creates, it never replaces).
+    Returns the destination store's new manifest."""
+    import copy
+
+    src_root = root
+    dest_root = dest_root or root
+    os.makedirs(dest_root, exist_ok=True)
+    with _manifest_lock(dest_root):
+        src_manifest = current_manifest(src_root)
+        if name not in src_manifest["tables"]:
+            raise KeyError(f"table {name!r} has no committed version under {src_root}")
+        entry = copy.deepcopy(src_manifest["tables"][name])
+        manifest = current_manifest(dest_root)
+        if dest in manifest["tables"]:
+            raise ValueError(
+                f"table {dest!r} already exists under {dest_root}; "
+                "clone creates, it never replaces"
+            )
+        txid = f"clone-{uuid.uuid4().hex[:8]}"
+        new = {
+            "version": manifest["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
+            "tables": {**manifest["tables"], dest: entry},
+            "history": manifest.get("history", []) + (
+                [{"version": manifest["version"], "txid": manifest.get("txid"),
+                  "tables": manifest["tables"],
+                  "committed_at_unix": manifest.get("committed_at_unix")}]
+                if manifest["version"] else []
+            ),
+        }
+        return _commit(dest_root, txid, new)
+
+
 def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     """Prune history: keep the current version plus the newest
     `keep_versions - 1` historical versions; delete data directories (and
@@ -1057,6 +1118,62 @@ def scan_table(
     return reader.parquet(*kept).filter(cond)
 
 
+def _zvalue_column(df: DataFrame, cols: Sequence[str], bits: int = 8):
+    """Interleaved-bit Z-order key over `cols` (numeric / date / timestamp).
+
+    Each column is linearly scaled to a `bits`-bit integer using its
+    global [min, max] (one tiny aggregate — O(1) result on the driver),
+    then the per-column bit patterns are interleaved so that sorting by
+    the single Z value keeps rows close in EVERY clustered dimension at
+    once, not just the leading one.  This is the OPTIMIZE ZORDER BY role:
+    after a Z-clustered rewrite, file-level [min, max] stats are narrow on
+    all clustered columns, so scan_table prunes on whichever of them the
+    predicate touches — a lexicographic sort only ever prunes on the
+    first.
+
+    All row-side arithmetic is built-in Column expressions (codegen;
+    `bits × len(cols)` shift/or terms — 16 for the common 2-column case).
+    NULLs sort to cell 0.  Strings are rejected: hashing them would
+    destroy the range locality that makes clustering work (same
+    restriction rationale as Delta's type support list)."""
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError("bits * len(cols) must fit in a signed long")
+    numeric = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+    as_double = []
+    for c in cols:
+        dt = dict(df.dtypes).get(c)
+        if dt is None:
+            raise KeyError(f"cluster column {c!r} not in DataFrame")
+        if dt in numeric or dt.startswith("decimal"):
+            as_double.append(F.col(c).cast("double"))
+        elif dt in ("date", "timestamp", "timestamp_ntz"):
+            as_double.append(F.col(c).cast("timestamp").cast("double"))
+        else:
+            raise TypeError(
+                f"cluster column {c!r} has type {dt}; Z-order needs a "
+                "numeric, date, or timestamp column"
+            )
+    row = df.agg(
+        *[f(e).alias(f"{which}_{i}")
+          for i, e in enumerate(as_double) for which, f in (("mn", F.min), ("mx", F.max))]
+    ).first()
+    cells = float((1 << bits) - 1)
+    z = F.lit(0).cast("long")
+    for i, e in enumerate(as_double):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant / all-null column contributes nothing
+        scaled = F.floor((e - F.lit(mn)) / F.lit(mx - mn) * F.lit(cells))
+        v = F.coalesce(
+            F.greatest(F.lit(0), F.least(F.lit(int(cells)), scaled)), F.lit(0)
+        ).cast("long")
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(v.bitwiseAND(F.lit(1 << b)), b * (len(cols) - 1) + i)
+            )
+    return z
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -1064,6 +1181,7 @@ def compact(
     target_files: int | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] | None = None,
+    cluster_by: Sequence[str] | None = None,
 ) -> dict:
     """Small-file compaction: rewrite `name`'s CURRENT version into
     target-size files and publish the rewrite atomically as a NEW version.
@@ -1089,16 +1207,26 @@ def compact(
 
     `sort_by` CLUSTERS the rewrite (plain tables only): rows are
     range-repartitioned and sorted within partitions on those columns, so
-    each output file covers a disjoint [min, max] range — the Z-order/
-    OPTIMIZE-ZORDER role for the stats sidecar: after a clustered compact,
-    scan_table predicates on the sort columns skip all but the touched
-    files, where append-order files each span the whole domain and skip
-    nothing.  One extra range shuffle vs plain coalesce — paid once,
-    amortized over every selective read after it.
+    each output file covers a disjoint [min, max] range — after a
+    clustered compact, scan_table predicates on the LEADING sort column
+    skip all but the touched files, where append-order files each span
+    the whole domain and skip nothing.  One extra range shuffle vs plain
+    coalesce — paid once, amortized over every selective read after it.
+
+    `cluster_by` is the multi-dimensional form (OPTIMIZE ZORDER BY role,
+    mutually exclusive with sort_by): rows are ordered by an
+    interleaved-bit Z value over the given numeric/temporal columns
+    (_zvalue_column), so every clustered column ends up with narrow
+    per-file [min, max] ranges and scan_table prunes on ANY of them —
+    a lexicographic sort_by=[a, b] leaves b's ranges as wide as the
+    domain in every file.  Same single range shuffle as sort_by.
 
     Returns {"version", "files_before", "files_after", "bytes"}.
     """
     import math
+
+    if sort_by and cluster_by:
+        raise ValueError("sort_by and cluster_by are mutually exclusive")
 
     manifest = current_manifest(root)
     if name not in manifest["tables"]:
@@ -1124,7 +1252,15 @@ def compact(
         new_manifest = publish_tables(spark, {name: df.repartition(*parts)}, root)
     else:
         n = target_files or max(1, math.ceil(total_bytes / target_file_bytes))
-        if sort_by:
+        if cluster_by:
+            z = _zvalue_column(df, list(cluster_by))
+            out = (
+                df.withColumn("__zorder", z)
+                .repartitionByRange(n, "__zorder")
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder")
+            )
+        elif sort_by:
             out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
         else:
             out = df.coalesce(n)

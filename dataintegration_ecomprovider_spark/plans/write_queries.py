@@ -1062,6 +1062,45 @@ FROM orders WHERE o_custkey > 50 AND o_custkey <= 200
 """
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered compaction + multi-dimension data skipping
+    (round 4): orders lands hash-layed-out (no file skippable), then
+    `compact(cluster_by=["o_custkey", "o_totalprice"])` rewrites it
+    ordered by an interleaved-bit Z value, so per-file [min, max] ranges
+    are narrow on BOTH clustered columns — the OPTIMIZE ZORDER BY role.
+    The in-query assertion requires a predicate on the SECOND clustered
+    column alone to skip files, which a lexicographic sort can never do;
+    results stay exact (residual Spark filter), so the oracle is a plain
+    WHERE.  At 100 TB this is how point/range lookups on two independent
+    dimensions of one fact table both avoid scanning it."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="zorder_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    publish.publish_tables(spark, {"orders": base.repartition(8)}, root)
+    publish.compact(
+        spark, root, "orders", target_files=8,
+        cluster_by=["o_custkey", "o_totalprice"],
+    )
+    where = [("o_totalprice", "<", 50000.0)]
+    kept, total = publish.prune_files(root, "orders", where)
+    if not (0 < len(kept) < total):  # the point of the operator IS the skip
+        raise AssertionError(f"expected z-order skipping, kept {len(kept)}/{total}")
+    return publish.scan_table(spark, root, "orders", where)
+
+
+ORACLE_ZORDER_SCAN = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE ROUND(o_totalprice, 2) < 50000.0
+"""
+
+
 def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned publish + partition-pruned read (round 4): orders
     published partitioned by order year (publish_tables(partition_by=...));
@@ -1293,6 +1332,7 @@ QUERIES = {
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
+    "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(
         q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE

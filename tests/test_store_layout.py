@@ -194,6 +194,100 @@ def test_compact_sort_by_clusters_for_skipping(spark, store):
     assert _rows(out) == _rows(full)
 
 
+def test_compact_cluster_by_zorder_prunes_every_dimension(spark, store):
+    """compact(cluster_by=[x, y]) interleaves bits of BOTH columns into one
+    Z value, so per-file [min, max] ranges are narrow on each clustered
+    column and scan_table prunes on either predicate.  The lexicographic
+    sort_by=[x, y] control prunes only on x — y spans the domain in every
+    file."""
+    df = (
+        spark.range(0, 20000)
+        .select(
+            (F.col("id") % 141).cast("int").alias("x"),
+            ((F.col("id") * 7919) % 211).cast("int").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        .repartition(16)
+    )
+    publish.publish_tables(spark, {"t": df}, store)
+    w_x = [("x", ">", 10), ("x", "<=", 30)]
+    w_y = [("y", ">", 10), ("y", "<=", 30)]
+    assert len(publish.prune_files(store, "t", w_x)[0]) == 16  # hash layout: no skip
+
+    publish.compact(spark, store, "t", target_files=16, cluster_by=["x", "y"])
+    kept_x, total = publish.prune_files(store, "t", w_x)
+    kept_y, _ = publish.prune_files(store, "t", w_y)
+    assert total == 16
+    assert len(kept_x) < total and len(kept_y) < total  # skips on BOTH dims
+
+    # exactness: pruned scan == full read + filter, on each dimension
+    for where, cond in ((w_x, (F.col("x") > 10) & (F.col("x") <= 30)),
+                        (w_y, (F.col("y") > 10) & (F.col("y") <= 30))):
+        out = publish.scan_table(spark, store, "t", where)
+        full = publish.read_table(spark, store, "t").filter(cond)
+        assert _rows(out) == _rows(full)
+
+    # control: lexicographic clustering cannot prune the second column
+    publish.compact(spark, store, "t", target_files=16, sort_by=["x", "y"])
+    assert len(publish.prune_files(store, "t", w_y)[0]) == 16
+
+    with pytest.raises(TypeError):
+        publish._zvalue_column(publish.read_table(spark, store, "t")
+                               .withColumn("s", F.lit("a")), ["s"])
+    with pytest.raises(ValueError):
+        publish.compact(spark, store, "t", sort_by=["x"], cluster_by=["y"])
+
+
+def test_clone_table_shallow_zero_copy_then_copy_on_write(spark, store):
+    """clone_table commits a second table name pointing at the SAME data
+    directory (zero bytes moved), carrying key metadata; a merge against
+    the clone stages a new directory and re-points only the clone, so
+    source and clone diverge copy-on-write; vacuum keeps the still-shared
+    directory alive."""
+    base = _orders(spark).limit(200)
+    publish.publish_tables(
+        spark, {"orders": base}, store, table_keys={"orders": ["o_orderkey"]}
+    )
+    publish.clone_table(store, "orders", "orders_dev")
+
+    m = publish.current_manifest(store)
+    src_entry, dev_entry = m["tables"]["orders"], m["tables"]["orders_dev"]
+    assert src_entry["path"] == dev_entry["path"]  # shallow: shared directory
+    assert _rows(publish.read_table(spark, store, "orders_dev")) == _rows(base)
+    assert publish.table_keys(store, "orders_dev") == ["o_orderkey"]
+
+    # copy-on-write: merge into the clone — source untouched, paths split
+    delta = base.limit(10).withColumn("o_orderstatus", F.lit("Z"))
+    publish.merge_into(spark, store, "orders_dev", delta)
+    m = publish.current_manifest(store)
+    assert m["tables"]["orders"]["path"] != m["tables"]["orders_dev"]["path"]
+    assert _rows(publish.read_table(spark, store, "orders")) == _rows(base)
+    assert (
+        publish.read_table(spark, store, "orders_dev")
+        .filter(F.col("o_orderstatus") == "Z").count() == 10
+    )
+
+    # the source's directory is still referenced by the live manifest:
+    # vacuum to a single version must not delete it
+    publish.vacuum(spark, store, keep_versions=1)
+    assert _rows(publish.read_table(spark, store, "orders")) == _rows(base)
+
+    with pytest.raises(ValueError):
+        publish.clone_table(store, "orders", "orders_dev")  # exists
+
+
+def test_clone_table_into_other_store(spark, store, tmp_path):
+    dest_root = str(tmp_path / "dest_store")
+    base = _orders(spark).limit(100)
+    publish.publish_tables(
+        spark, {"orders": base}, store, table_keys={"orders": ["o_orderkey"]}
+    )
+    publish.clone_table(store, "orders", "orders", dest_root=dest_root)
+    assert _rows(publish.read_table(spark, dest_root, "orders")) == _rows(base)
+    assert publish.table_keys(dest_root, "orders") == ["o_orderkey"]
+    assert publish.current_manifest(dest_root)["version"] == 1
+
+
 def test_replicate_table_seeds_then_ships_deltas(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")
