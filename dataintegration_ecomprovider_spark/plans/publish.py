@@ -101,19 +101,98 @@ def current_manifest(root: str) -> dict:
 def _read_entry(spark: SparkSession, entry) -> DataFrame:
     """Resolve one manifest table entry.  Plain string = parquet path;
     dict = metadata-carrying entry ({"path", optional "table" +
-    "bucket_keys" + "num_buckets" for bucketed tables, optional "keys"}).
+    "bucket_keys" + "num_buckets" for bucketed tables, optional "keys",
+    optional "deltas" for merge-on-read tables}).
     Bucketed tables read via the session catalog so bucket metadata
     survives and joins on the bucket keys skip their Exchange.  If the
     catalog entry is gone (new session against an old manifest), fall back
-    to the parquet path — correct, just without the bucket co-location."""
+    to the parquet path — correct, just without the bucket co-location.
+
+    Entries carrying ``deltas`` (written by merge_into_mor) reconstruct
+    the merge-on-read state: base rows not overridden by any delta, plus
+    the newest delta row per key that is not a delete marker."""
     if isinstance(entry, str):
         return spark.read.parquet(entry)
     if "table" in entry:
         try:
-            return spark.table(entry["table"])
+            base = spark.table(entry["table"])
         except Exception:
-            pass
-    return spark.read.parquet(entry["path"])
+            base = spark.read.parquet(entry["path"])
+    else:
+        base = spark.read.parquet(entry["path"])
+    if entry.get("deltas"):
+        return _apply_deltas(spark, base, entry)
+    return base
+
+
+def _entry_paths(entry) -> list[str]:
+    """Every data directory a manifest entry references: the base path
+    plus any merge-on-read delta directories.  Vacuum/orphan collection
+    must treat delta dirs as live data — deleting one would corrupt every
+    version whose entry references it."""
+    if isinstance(entry, str):
+        return [entry]
+    return [entry["path"]] + [d["path"] for d in entry.get("deltas", [])]
+
+
+# merge-on-read delta metadata columns (never visible to readers)
+MOR_CHANGE_COL = "__mor_change"
+MOR_SEQ_COL = "__mor_seq"
+# a delta key-set below this total size rides a broadcast anti-join, so
+# the base table never shuffles during reconstruction (the common case:
+# deltas are tiny relative to the base).  Above it the join is left to
+# the planner/AQE — same gating discipline as dedup_clusters' component
+# map (a blind broadcast hint would hard-fail past Spark's 8 GB limit).
+MOR_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _apply_deltas(spark: SparkSession, base: DataFrame, entry: dict) -> DataFrame:
+    """Reconstruct a merge-on-read table: ``base`` is the last compacted
+    rewrite, ``entry["deltas"]`` an ordered list of upsert/delete row
+    files.  Later deltas win over earlier ones and every delta wins over
+    the base (the write path appends, never rewrites — see
+    merge_into_mor).
+
+    Scale shape: the per-key last-wins resolution shuffles ONLY the delta
+    rows (one window over the keys); the base is touched by a single
+    anti-join against the distinct delta keys, broadcast while the
+    recorded delta bytes stay under MOR_BROADCAST_MAX_BYTES — the 100 TB
+    steady state, where a day of deltas is GBs against a 100 TB base and
+    the base side neither shuffles nor sorts.  Column pruning pushes
+    through the union, so narrow reads stay narrow on both sides.
+    """
+    from pyspark.sql import Window
+
+    keys = entry.get("keys")
+    if not keys:
+        raise ValidationError(
+            "merge-on-read entry has deltas but no recorded keys"
+        )
+    cols = base.columns
+    parts = []
+    for i, d in enumerate(entry["deltas"]):
+        parts.append(
+            spark.read.parquet(d["path"]).withColumn(MOR_SEQ_COL, F.lit(i))
+        )
+    deltas = parts[0]
+    for p in parts[1:]:
+        deltas = deltas.unionByName(p)
+    w = Window.partitionBy(*keys).orderBy(F.col(MOR_SEQ_COL).desc())
+    latest = (
+        deltas.withColumn("__mor_rn", F.row_number().over(w))
+        .filter(F.col("__mor_rn") == 1)
+        .drop("__mor_rn", MOR_SEQ_COL)
+    )
+    # anti-join semantics don't need a distinct right side — feeding the
+    # raw delta keys skips an aggregation and lets the base side proceed
+    # without waiting on the last-wins window
+    delta_keys = deltas.select(*keys)
+    delta_bytes = sum(int(d.get("bytes", 0)) for d in entry["deltas"])
+    if delta_bytes <= MOR_BROADCAST_MAX_BYTES:
+        delta_keys = F.broadcast(delta_keys)
+    survivors = base.join(delta_keys, on=list(keys), how="left_anti")
+    upserts = latest.filter(F.col(MOR_CHANGE_COL) != "delete").select(*cols)
+    return survivors.unionByName(upserts)
 
 
 def table_keys(root: str, name: str) -> list[str] | None:
@@ -466,7 +545,7 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
         def paths_of(tables: dict) -> set[str]:
             out = set()
             for entry in tables.values():
-                out.add(entry["path"] if isinstance(entry, dict) else entry)
+                out.update(_entry_paths(entry))
             return out
 
         live: set[str] = paths_of(manifest["tables"])
@@ -486,14 +565,18 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     removed_paths: list[str] = []
     for h in pruned:
         for name, entry in h["tables"].items():
-            path = entry["path"] if isinstance(entry, dict) else entry
-            if path in live:
-                continue
-            if isinstance(entry, dict) and entry.get("table"):
-                spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
-            shutil.rmtree(path, ignore_errors=True)
-            removed_paths.append(path)
-            live.add(path)  # don't double-remove across pruned versions
+            for path in _entry_paths(entry):
+                if path in live:
+                    continue
+                if (
+                    isinstance(entry, dict)
+                    and entry.get("table")
+                    and path == entry["path"]
+                ):
+                    spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
+                shutil.rmtree(path, ignore_errors=True)
+                removed_paths.append(path)
+                live.add(path)  # don't double-remove across pruned versions
     return {
         "removed_versions": [h["version"] for h in pruned],
         "removed_paths": removed_paths,
@@ -527,8 +610,9 @@ def collect_orphans(
 
     def paths_of(tables: dict) -> set[str]:
         return {
-            os.path.normpath(e["path"] if isinstance(e, dict) else e)
+            os.path.normpath(p)
             for e in tables.values()
+            for p in _entry_paths(e)
         }
 
     referenced = paths_of(manifest["tables"])
@@ -622,6 +706,142 @@ def merge_into(
         except ConcurrentPublishError as e:
             last_err = e  # rebuild against the advanced version and retry
     raise last_err
+
+
+def merge_into_mor(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    staging: DataFrame,
+    keys: Sequence[str] | None = None,
+    deletes: DataFrame | None = None,
+    insert_new: bool = True,
+    update_existing: bool = True,
+) -> dict:
+    """Merge-on-read MERGE: commit the U1-U3 upsert (plus optional U4
+    delete-incoming) as an appended DELTA file instead of rewriting the
+    table — the write costs O(|staging|), never O(|table|).
+
+    ``merge_into`` is copy-on-write: every call re-reads and re-writes the
+    full destination, so a 100 TB table fed hourly pays 100 TB of write
+    amplification per feed.  Here each call stages only the incoming rows
+    (tagged upsert/delete) to ``<root>/data/<txid>/<name>_delta/`` and the
+    commit appends that file to the manifest entry's ``deltas`` list as a
+    NEW version — Hudi's MERGE_ON_READ / Delta's deletion-vector trade.
+    Readers reconstruct current state lazily (see _apply_deltas: the base
+    is touched by one broadcast anti-join, only delta rows shuffle); a
+    periodic ``compact()`` folds accumulated deltas back into a clean base
+    (compact reads through _apply_deltas and republishes, so the folded
+    entry naturally carries no deltas).
+
+    `deletes` rows (key columns; extra columns ignored) commit delete
+    markers.  `insert_new=False` / `update_existing=False` restrict the
+    staging rows against the CURRENT reconstructed key set (one
+    broadcast-staging semi/anti join — O(base scan), no base shuffle);
+    the default full-upsert path never reads the base at all.
+
+    Unsupported here (use merge_into): schema evolution, case-insensitive
+    keys.  `staging` must be key-unique (the standard MERGE precondition —
+    Delta likewise rejects multi-matches); a key in both `staging` and
+    `deletes` deletes (delete-wins, enforced at write time).  Time travel,
+    CDC reads, vacuum, replication and compaction all work unchanged —
+    versions are immutable, each commit's entry just carries a longer
+    delta list.
+
+    Concurrency: the delta is staged outside the lock and appended to the
+    LATEST entry under the commit lock, so concurrent writers serialize
+    without retries (append order = commit order).  Returns the new
+    manifest."""
+    prev_entry = current_manifest(root)["tables"].get(name)
+    if prev_entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    if keys is None:
+        keys = table_keys(root, name)
+        if not keys:
+            raise ValueError(
+                f"table {name!r} has no recorded keys — pass keys= or "
+                "publish with publish_tables(table_keys=...)"
+            )
+    keys = list(keys)
+    base_schema = _read_entry(spark, prev_entry).schema
+    base_cols = [f.name for f in base_schema.fields]
+    missing = [k for k in keys if k not in staging.columns]
+    if missing:
+        raise ValueError(f"staging is missing key columns {missing}")
+
+    if not (insert_new and update_existing):
+        existing = read_table(spark, root, name).select(*keys)
+        how = "left_semi" if not insert_new else "left_anti"
+        staging = staging.join(existing, on=keys, how=how)
+
+    # deltas must carry the base schema exactly (readers union them with
+    # the base); absent columns ride as typed nulls
+    def _conform(df: DataFrame, change: str) -> DataFrame:
+        out = df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in base_schema.fields
+            ]
+        )
+        return out.withColumn(MOR_CHANGE_COL, F.lit(change))
+
+    n_parts = ["upsert"]
+    if deletes is not None:
+        dmissing = [k for k in keys if k not in deletes.columns]
+        if dmissing:
+            raise ValueError(f"deletes is missing key columns {dmissing}")
+        # a key both upserted and deleted in ONE call would tie in the
+        # reader's last-wins window — define delete-wins deterministically
+        staging = staging.join(
+            deletes.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+        delta_df = _conform(staging, "upsert").unionByName(
+            _conform(deletes.select(*keys), "delete")
+        )
+        n_parts.append("delete")
+    else:
+        delta_df = _conform(staging, "upsert")
+
+    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    delta_path = os.path.join(root, "data", txid, f"{name}_delta")
+    delta_df.write.mode("errorifexists").parquet(delta_path)
+    summary = write_stats_sidecar(delta_path)
+
+    with _manifest_lock(root):
+        prev = current_manifest(root)
+        if name not in prev["tables"]:
+            raise KeyError(f"table {name!r} vanished from {root}")
+        entry = prev["tables"][name]
+        entry = {"path": entry} if isinstance(entry, str) else dict(entry)
+        entry["keys"] = entry.get("keys") or keys
+        entry["deltas"] = list(entry.get("deltas", [])) + [
+            {
+                "path": delta_path,
+                "rows": summary["rows"],
+                "bytes": summary["bytes"],
+                "txid": txid,
+                "kinds": n_parts,
+            }
+        ]
+        manifest = {
+            "version": prev["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
+            "tables": {**prev["tables"], name: entry},
+            "history": prev.get("history", [])
+            + [
+                {
+                    "version": prev["version"],
+                    "txid": prev.get("txid"),
+                    "tables": prev["tables"],
+                    "committed_at_unix": prev.get("committed_at_unix"),
+                }
+            ],
+        }
+        return _commit(root, txid, manifest)
 
 
 def read_changes(
@@ -1112,10 +1332,17 @@ def scan_table(
         # pushed filter
         return _read_entry(spark, entry).filter(cond)
     if not kept:
-        # no file can match: correct result is empty with the table schema
-        return _read_entry(spark, entry).filter(F.lit(False)).filter(cond)
-    reader = spark.read.option("basePath", path)
-    return reader.parquet(*kept).filter(cond)
+        # no BASE file can match: the base contributes nothing
+        base = spark.read.parquet(path).filter(F.lit(False))
+    else:
+        base = spark.read.option("basePath", path).parquet(*kept)
+    if isinstance(entry, dict) and entry.get("deltas"):
+        # merge-on-read: file stats prune only the BASE side (safe — a
+        # pruned base row either can't match `cond` or is overridden by a
+        # delta; the final filter re-checks every surviving row).  Delta
+        # rows are always read in full: they're the small side by design.
+        return _apply_deltas(spark, base, entry).filter(cond)
+    return base.filter(cond)
 
 
 def _zvalue_column(df: DataFrame, cols: Sequence[str], bits: int = 8):
@@ -1233,7 +1460,10 @@ def compact(
         raise KeyError(f"table {name!r} has no committed version under {root}")
     entry = manifest["tables"][name]
     path = entry["path"] if isinstance(entry, dict) else entry
-    files = _data_files(path)
+    # count every referenced dir (base + merge-on-read deltas): compact
+    # reads through _apply_deltas, so the rewrite folds deltas back into
+    # a clean base and the new entry carries none
+    files = [f for p in _entry_paths(entry) for f in _data_files(p)]
     total_bytes = sum(os.path.getsize(f) for f in files)
 
     df = _read_entry(spark, entry)

@@ -1273,6 +1273,76 @@ WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
 """
 
 
+def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle over the U12 versioned store: publish an
+    orders base, commit TWO O(delta) merges (merge_into_mor appends
+    upsert/delete files, never rewriting the base — Hudi MERGE_ON_READ /
+    Delta deletion-vector trade vs the reference re-writing destination
+    rows in place per job run, src/EcomProvider.cs:937-966), then read the
+    reconstructed current state.  Delta 1 re-prices %5 keys; delta 2
+    re-flags %7 keys (some are brand-new inserts — their keys were
+    excluded from the base) and deletes %11 keys.  The read-side plan
+    touches the base with ONE broadcast anti-join: no base shuffle, no
+    sort (tests/test_mor.py::test_mor_base_side_has_no_shuffle)."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="mor_store_")
+    full = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    base = full.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": base}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    d1 = full.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1, 2)
+    ).withColumn("o_orderstatus", F.lit("M1"))
+    publish.merge_into_mor(spark, root, "orders", d1)
+    d2 = full.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("M2")
+    )
+    dels = full.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    publish.merge_into_mor(spark, root, "orders", d2, deletes=dels)
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_MERGE_ON_READ = """
+WITH full_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders
+),
+base AS (SELECT * FROM full_t WHERE o_orderkey % 3 <> 0),
+d1 AS (
+  SELECT o_orderkey, o_custkey, 'M1' AS o_orderstatus,
+         ROUND(o_totalprice + 1, 2) AS o_totalprice
+  FROM full_t WHERE o_orderkey % 5 = 0
+),
+d2 AS (
+  SELECT o_orderkey, o_custkey, 'M2' AS o_orderstatus, o_totalprice
+  FROM full_t WHERE o_orderkey % 7 = 0
+),
+dels AS (SELECT o_orderkey FROM full_t WHERE o_orderkey % 11 = 0),
+s1 AS (
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d1)
+  UNION ALL SELECT * FROM d1
+),
+-- delta 2: delete-wins within the call, upserts override s1, deletes drop
+s2 AS (
+  SELECT * FROM s1
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d2)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+  UNION ALL
+  SELECT * FROM d2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM s2
+"""
+
+
 # --- U1/U3 under case-insensitive collation -------------------------------
 def q_upsert_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert where staging keys differ from dest keys ONLY in case: the
@@ -1330,6 +1400,7 @@ QUERIES = {
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
+    "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),

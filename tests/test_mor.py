@@ -1,0 +1,243 @@
+"""Merge-on-read (MoR) writes for the versioned store.
+
+merge_into (copy-on-write) rewrites the full destination per merge — at
+100 TB that's O(table) write amplification per feed.  merge_into_mor
+commits only the incoming rows as an appended delta file (Hudi
+MERGE_ON_READ / Delta deletion-vector trade); readers reconstruct
+lazily, compact() folds deltas back into a clean base.  The reference's
+closest analog is re-running a job against an already-loaded destination
+(src/EcomProvider.cs:937-966) — there the database's B-tree pays the
+in-place cost; here the delta log does.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.operators import merge as merge_ops
+from dataintegration_ecomprovider_spark.plans import publish
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _store(spark, tmp_path, rows=((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))):
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame(list(rows), "id bigint, name string, val double")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    return root
+
+
+def test_mor_upsert_matches_cow_merge(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    staging = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], "id bigint, name string, val double"
+    )
+    base = publish.read_table(spark, root, "t")
+    expected = _rows(merge_ops.upsert(base, staging, ["id"]))
+
+    publish.merge_into_mor(spark, root, "t", staging)
+    got = publish.read_table(spark, root, "t")
+    assert got.columns == ["id", "name", "val"]
+    assert _rows(got) == expected
+
+
+def test_mor_write_is_o_delta_not_o_table(spark, tmp_path):
+    """The base directory is untouched by a MoR merge — only a new delta
+    dir appears (the whole point: O(|staging|) write amplification)."""
+    root = _store(spark, tmp_path)
+    entry_before = publish.current_manifest(root)["tables"]["t"]
+    base_path = entry_before["path"]
+    base_files = {
+        (f, os.path.getmtime(f)) for f in publish._data_files(base_path)
+    }
+
+    staging = spark.createDataFrame([(1, "a1", 11.0)], "id bigint, name string, val double")
+    publish.merge_into_mor(spark, root, "t", staging)
+
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry["path"] == base_path  # base never rewritten
+    assert {(f, os.path.getmtime(f)) for f in publish._data_files(base_path)} == base_files
+    assert len(entry["deltas"]) == 1
+    assert entry["deltas"][0]["rows"] == 1
+
+
+def test_mor_last_wins_across_deltas(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    for v in (100.0, 200.0, 300.0):
+        staging = spark.createDataFrame(
+            [(2, "b", v)], "id bigint, name string, val double"
+        )
+        publish.merge_into_mor(spark, root, "t", staging)
+    got = dict(
+        (r.id, r.val) for r in publish.read_table(spark, root, "t").collect()
+    )
+    assert got == {1: 10.0, 2: 300.0, 3: 30.0}
+
+
+def test_mor_deletes(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    staging = spark.createDataFrame([(4, "d", 40.0)], "id bigint, name string, val double")
+    deletes = spark.createDataFrame([(1,)], "id bigint")
+    publish.merge_into_mor(spark, root, "t", staging, deletes=deletes)
+    assert _rows(publish.read_table(spark, root, "t")) == {
+        (2, "b", 20.0),
+        (3, "c", 30.0),
+        (4, "d", 40.0),
+    }
+    # delete then re-insert in a LATER delta resurrects the key
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(1, "back", 1.0)], "id bigint, name string, val double"),
+    )
+    assert (1, "back", 1.0) in _rows(publish.read_table(spark, root, "t"))
+
+
+def test_mor_insert_only_and_update_only(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    staging = spark.createDataFrame(
+        [(2, "upd", 0.0), (9, "new", 9.0)], "id bigint, name string, val double"
+    )
+    publish.merge_into_mor(spark, root, "t", staging, update_existing=False)
+    rows = _rows(publish.read_table(spark, root, "t"))
+    assert (2, "b", 20.0) in rows and (9, "new", 9.0) in rows
+
+    publish.merge_into_mor(spark, root, "t", staging, insert_new=False)
+    rows = _rows(publish.read_table(spark, root, "t"))
+    assert (2, "upd", 0.0) in rows
+    assert sum(1 for r in rows if r[0] == 9) == 1  # no duplicate insert
+
+
+def test_mor_time_travel_and_cdc(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, "b2", 21.0)], "id bigint, name string, val double"),
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, "d", 40.0)], "id bigint, name string, val double"),
+        deletes=spark.createDataFrame([(3,)], "id bigint"),
+    )
+    # v1 = base, v2 = +update(2), v3 = +insert(4), -delete(3)
+    assert _rows(publish.read_table_at(spark, root, "t", 1)) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+    assert _rows(publish.read_table_at(spark, root, "t", 2)) == {
+        (1, "a", 10.0), (2, "b2", 21.0), (3, "c", 30.0)
+    }
+    changes = publish.read_changes(spark, root, "t", 2, 3)
+    assert _rows(changes) == {
+        (3, "c", 30.0, "delete"),
+        (4, "d", 40.0, "insert"),
+    }
+
+
+def test_compact_folds_deltas_into_clean_base(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    for i in range(4):
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame(
+                [(10 + i, f"n{i}", float(i))], "id bigint, name string, val double"
+            ),
+        )
+    before = _rows(publish.read_table(spark, root, "t"))
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert len(entry["deltas"]) == 4
+
+    res = publish.compact(spark, root, "t")
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert not entry.get("deltas")
+    assert _rows(publish.read_table(spark, root, "t")) == before
+    assert res["files_after"] <= res["files_before"]
+    # a fresh MoR merge starts a new delta log on the compacted base
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(99, "z", 9.9)], "id bigint, name string, val double"),
+    )
+    assert (99, "z", 9.9) in _rows(publish.read_table(spark, root, "t"))
+
+
+def test_vacuum_keeps_live_delta_dirs(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(5, "e", 50.0)], "id bigint, name string, val double"),
+    )
+    expected = _rows(publish.read_table(spark, root, "t"))
+    # versions: 1 (base), 2 (base+delta).  keep only current.
+    publish.vacuum(spark, root, keep_versions=1)
+    # the delta dir AND the base dir are both referenced by v2 — neither
+    # may be deleted even though v1 (same base path) was pruned
+    assert _rows(publish.read_table(spark, root, "t")) == expected
+    entry = publish.current_manifest(root)["tables"]["t"]
+    for p in publish._entry_paths(entry):
+        assert os.path.isdir(p), p
+
+
+def test_vacuum_removes_pruned_delta_dirs_after_compact(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(5, "e", 50.0)], "id bigint, name string, val double"),
+    )
+    delta_dir = publish.current_manifest(root)["tables"]["t"]["deltas"][0]["path"]
+    publish.compact(spark, root, "t")  # v3: clean base, no deltas
+    res = publish.vacuum(spark, root, keep_versions=1)
+    assert delta_dir in res["removed_paths"]
+    assert not os.path.isdir(delta_dir)
+
+
+def test_scan_table_skipping_still_sees_deltas(spark, tmp_path):
+    root = str(tmp_path / "store")
+    base = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("val"),
+    ).repartitionByRange(8, "id")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    # delta updates id=5 and inserts id=5000 (outside every base file's range)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(5, 99.0), (5000, 42.0)], "id bigint, val double"),
+    )
+    got = publish.scan_table(spark, root, "t", where=[("id", ">=", 4900)])
+    assert _rows(got) == {(5000, 42.0)}
+    got2 = publish.scan_table(spark, root, "t", where=[("id", "=", 5)])
+    assert _rows(got2) == {(5, 99.0)}
+    # pruning actually happened on the base side
+    kept, total = publish.prune_files(root, "t", [("id", ">=", 4900)])
+    assert total > 1 and len(kept) < total
+
+
+def test_mor_requires_keys_and_existing_table(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    with pytest.raises(KeyError):
+        publish.merge_into_mor(spark, root, "missing", df, keys=["id"])
+    publish.publish_tables(spark, {"t": df}, root)  # no keys recorded
+    with pytest.raises(ValueError):
+        publish.merge_into_mor(spark, root, "t", df)
+
+
+def test_mor_base_side_has_no_shuffle(spark, tmp_path):
+    """Reconstruction must not shuffle or sort the base: the delta keys
+    broadcast (bytes under MOR_BROADCAST_MAX_BYTES) so the base side is a
+    BroadcastHashJoin LeftAnti over a plain scan."""
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, "x", 0.0)], "id bigint, name string, val double"),
+    )
+    plan = (
+        publish.read_table(spark, root, "t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the only Exchange allowed is the broadcast one + the delta window's
+    # hash partitioning; the base scan must not feed a SortMergeJoin
+    assert "SortMergeJoin" not in plan
