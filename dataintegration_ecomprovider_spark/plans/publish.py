@@ -821,6 +821,7 @@ def merge_into_mor(
                 "path": delta_path,
                 "rows": summary["rows"],
                 "bytes": summary["bytes"],
+                "num_files": summary["num_files"],
                 "txid": txid,
                 "kinds": n_parts,
             }
@@ -1174,11 +1175,24 @@ def table_stats(root: str, name: str) -> dict | None:
     triggers) without a Spark job."""
     entry = current_manifest(root)["tables"].get(name)
     if isinstance(entry, dict) and "rows" in entry:
-        return {
+        stats = {
             "rows": entry["rows"],
             "bytes": entry["bytes"],
             "num_files": entry.get("num_files"),
         }
+        deltas = entry.get("deltas") or []
+        if deltas:
+            # merge-on-read: add the delta log's footprint.  `rows` becomes
+            # an UPPER bound (an update counts in both base and delta until
+            # compaction); bytes/num_files are exact for what a reader opens.
+            stats["rows"] += sum(int(d.get("rows", 0)) for d in deltas)
+            stats["bytes"] += sum(int(d.get("bytes", 0)) for d in deltas)
+            if stats["num_files"] is not None:
+                stats["num_files"] += sum(
+                    int(d.get("num_files", 1)) for d in deltas
+                )
+            stats["num_deltas"] = len(deltas)
+        return stats
     return None
 
 

@@ -197,6 +197,7 @@ def stream_into_store(
     bucketed: bool = False,
     num_buckets: int = 32,
     auto_compact_files: int | None = None,
+    mor: bool = False,
 ) -> StreamingQuery:
     """Stream → versioned store: every micro-batch becomes one crash-safe
     VERSION via publish.merge_into — streaming and batch share one write
@@ -215,8 +216,22 @@ def stream_into_store(
     publish.compact before returning.  One-version-per-micro-batch ingest
     then keeps a bounded file count forever instead of deferring to an
     out-of-band OPTIMIZE job — the operational default Delta calls
-    auto-compaction, and the read-side guarantee that matters at 100 TB."""
+    auto-compaction, and the read-side guarantee that matters at 100 TB.
+
+    `mor=True` switches each batch's merge to merge_into_mor: the batch
+    is committed as an appended DELTA file, so per-batch write cost is
+    O(|batch|) instead of O(|table|) — the difference between a stream
+    that rewrites 100 TB every trigger and one that appends MBs.  Pair
+    with auto_compact_files (compact folds the delta log back into a
+    clean base once the total file count crosses N) for bounded read
+    amplification.  Replay semantics match the default path: a replayed
+    batch appends an identical delta, and last-wins reconstruction makes
+    the duplicate invisible.  Incompatible with bucketed=True (the MoR
+    base keeps whatever layout the seed publish had)."""
     from dataintegration_ecomprovider_spark.plans import publish
+
+    if mor and bucketed:
+        raise ValueError("mor=True does not combine with bucketed=True")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
@@ -228,11 +243,24 @@ def stream_into_store(
             dedup.first_wins(batch, keys, order) if order
             else batch.dropDuplicates(list(keys))
         )
-        publish.merge_into(
-            batch.sparkSession, root, name, deduped, keys,
-            insert_new=insert_new, update_existing=update_existing,
-            bucketed=bucketed, num_buckets=num_buckets,
-        )
+        if mor:
+            if name in publish.current_manifest(root)["tables"]:
+                publish.merge_into_mor(
+                    batch.sparkSession, root, name, deduped, keys,
+                    insert_new=insert_new, update_existing=update_existing,
+                )
+            else:
+                # first batch seeds the base the delta log hangs off
+                publish.publish_tables(
+                    batch.sparkSession, {name: deduped}, root,
+                    table_keys={name: list(keys)},
+                )
+        else:
+            publish.merge_into(
+                batch.sparkSession, root, name, deduped, keys,
+                insert_new=insert_new, update_existing=update_existing,
+                bucketed=bucketed, num_buckets=num_buckets,
+            )
         if auto_compact_files is not None:
             stats = publish.table_stats(root, name)
             if stats and stats.get("num_files") and stats["num_files"] > auto_compact_files:

@@ -207,6 +207,58 @@ def test_stream_into_store_versions_per_batch(spark, tmp_path):
     assert v1 == {1: "a", 2: "b", 3: "c"}
 
 
+def test_stream_into_store_mor_appends_deltas(spark, tmp_path):
+    """mor=True: micro-batches append delta files instead of rewriting
+    the table — the base dir stays byte-identical across batches, state
+    reconstructs correctly, and auto-compaction folds the delta log."""
+    import os
+
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+    base_path = publish.current_manifest(root)["tables"]["t"]["path"]
+    base_sig = {
+        (f, os.path.getmtime(f)) for f in publish._data_files(base_path)
+    }
+
+    spark.createDataFrame([(2, "B"), (4, "d")], ["k", "v"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_store(
+        file_stream(spark, src, base.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt, mor=True,
+    )
+    q.awaitTermination(120)
+
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry["path"] == base_path
+    assert len(entry["deltas"]) == 1
+    assert {
+        (f, os.path.getmtime(f)) for f in publish._data_files(base_path)
+    } == base_sig
+    rows = {r["k"]: r["v"] for r in publish.read_table(spark, root, "t").collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    # second batch with a tight auto-compact budget folds the delta log
+    spark.createDataFrame([(5, "e")], ["k", "v"]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_store(
+        file_stream(spark, src, base.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt, mor=True, auto_compact_files=1,
+    )
+    q.awaitTermination(120)
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert not entry.get("deltas")
+    rows = {r["k"]: r["v"] for r in publish.read_table(spark, root, "t").collect()}
+    assert rows == {1: "a", 2: "B", 3: "c", 4: "d", 5: "e"}
+
+
 def test_stream_cdc_follow_and_compact_invisible(spark, tmp_path):
     """Streaming + CDC + compaction compose: a follower replaying
     read_changes across the streamed versions reconstructs the final state
