@@ -168,8 +168,53 @@ FROM orders WHERE o_orderkey % 3 = 0
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase attribution via the stream-stream interval join
+    (streaming/joins.interval_join): every purchase within 30 minutes
+    after a click by the same user, batch form (the streaming form adds
+    watermarks on both sides — tests/test_streaming.py asserts the
+    availableNow stream emits exactly these rows).  Timestamps format to
+    strings so the hashes match across engines."""
+    from dataintegration_ecomprovider_spark.streaming.joins import interval_join
+
+    events = Catalog(spark, sf_dir).table("events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    joined = interval_join(
+        clicks, purchases, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts", upper="30 minutes",
+    )
+    return joined.select(
+        "user_id", "click_id", "purchase_id", "purchase_value",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       ROUND(p.value, 2) AS purchase_value,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_tumbling_window_agg": QueryDef(q_tumbling_window_agg, ORACLE_TUMBLING),
+    "stream_interval_join": QueryDef(q_interval_join, ORACLE_INTERVAL_JOIN),
     "stream_sessionization": QueryDef(q_sessionization, ORACLE_SESSIONIZATION),
     "stream_dedup_watermark": QueryDef(q_dedup_watermark, ORACLE_DEDUP_WATERMARK),
     "stream_store_changes_source": QueryDef(

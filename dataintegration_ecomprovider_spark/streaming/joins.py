@@ -1,0 +1,67 @@
+"""Stream-stream interval joins with watermark-bounded state (SURVEY
+§2.10 extension).
+
+Net-new relative to the reference (whose joins all run at import time,
+src/EcomSourceReader.cs:151-226): two live event streams joined on a key
+within an event-time interval — the attribution shape (purchase within N
+minutes of a click, error following a deploy, …).
+
+Scale: Spark buffers each side's rows as state until the other side's
+watermark passes the interval bound, then expires them — so state size is
+O(rate × interval), not O(stream).  Without BOTH watermarks and a
+time-range predicate on the join condition, a stream-stream join is
+rejected (inner) or unbounded; this module builds the condition in the
+exact shape Structured Streaming's state-cleanup analyzer recognizes.
+The same expression tree runs in batch (no watermarks) — that form is the
+oracle-checked query surface (plans/stream_queries.q_interval_join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join `right` rows to `left` rows with the same `key` where
+    ``left_ts <= right_ts <= left_ts + upper`` (`upper` is a SQL interval
+    string, e.g. ``'30 minutes'``).
+
+    For streaming inputs pass BOTH watermarks: left-side state can expire
+    once the right watermark passes `left_ts + upper`, right-side state
+    once the left watermark passes `right_ts` — the bounded-state
+    contract.  Leave them None for the batch/oracle form.
+
+    Column collisions: every non-key column of `left` keeps its name;
+    colliding columns of `right` get a ``r_`` prefix.  The key joins with
+    an equi-condition so the shuffle hashes on it (both sides partition
+    identically — one Exchange each, no broadcast needed at stream scale).
+    """
+    if left_watermark is not None:
+        left = left.withWatermark(left_ts, left_watermark)
+    if right_watermark is not None:
+        right = right.withWatermark(right_ts, right_watermark)
+
+    collisions = (set(left.columns) & set(right.columns)) - {key}
+    for c in collisions:
+        right = right.withColumnRenamed(c, f"r_{c}")
+    r_ts = f"r_{right_ts}" if right_ts in collisions else right_ts
+
+    cond = (
+        (left[key] == right[key])
+        & (F.col(r_ts) >= F.col(left_ts))
+        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    joined = left.join(right, cond, how)
+    # keep ONE key column (join condition used qualified refs)
+    return joined.drop(right[key])

@@ -207,6 +207,60 @@ def test_stream_into_store_versions_per_batch(spark, tmp_path):
     assert v1 == {1: "a", 2: "b", 3: "c"}
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Two file STREAMS joined with interval_join + watermarks emit
+    exactly the rows the batch form (the oracle-checked
+    stream_interval_join query) produces."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.plans.stream_queries import (
+        q_interval_join,
+    )
+    from dataintegration_ecomprovider_spark.streaming.incremental import file_stream
+    from dataintegration_ecomprovider_spark.streaming.joins import interval_join
+
+    from tests.conftest import SF_DIR
+
+    events = Catalog(spark, SF_DIR).table("events")
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases_b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.coalesce(1).write.parquet(cdir)
+    purchases_b.coalesce(1).write.parquet(pdir)
+
+    joined = interval_join(
+        file_stream(spark, cdir, clicks_b.schema, max_files_per_trigger=10),
+        file_stream(spark, pdir, purchases_b.schema, max_files_per_trigger=10),
+        key="user_id", left_ts="click_ts", right_ts="purchase_ts",
+        upper="30 minutes",
+        left_watermark="1 hour", right_watermark="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("ssj_out").collect()
+    }
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in q_interval_join(spark, SF_DIR).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
 def test_stream_into_store_mor_appends_deltas(spark, tmp_path):
     """mor=True: micro-batches append delta files instead of rewriting
     the table — the base dir stays byte-identical across batches, state
