@@ -1167,6 +1167,156 @@ def write_stats_sidecar(path: str, columns: Sequence[str] | None = None) -> dict
     }
 
 
+BLOOM_FILE = "_BLOOM.json"
+
+
+def _bloom_params(ndv: int, fpp: float) -> tuple[int, int]:
+    """Optimal (bits m, hash count k) for `ndv` distinct values at false-
+    positive rate `fpp` — the standard Bloom sizing formulas."""
+    import math
+
+    ndv = max(1, ndv)
+    m = max(64, int(math.ceil(-ndv * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, round(m / ndv * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions_py(value, k: int, m: int) -> list[int]:
+    """Driver-side twin of the Spark-side position expression in
+    write_bloom_sidecar — MUST stay formula-identical (parity-pinned in
+    tests/test_bloom.py::test_position_parity)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def write_bloom_sidecar(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    columns: Sequence[str],
+    fpp: float = 0.01,
+    ndv_per_file: int | None = None,
+) -> dict:
+    """Build a per-file Bloom filter index for `columns` of the CURRENT
+    version of `name` and write it to `<path>/_BLOOM.json`.
+
+    Why: min/max stats prune nothing for a point lookup on a
+    high-cardinality column that isn't clustered — every file's [min, max]
+    spans the domain.  A Bloom filter answers "this file definitely does
+    not contain v" regardless of ordering, which is the 100 TB needle
+    lookup (order id, user id, document hash) against append-ordered
+    files.  Delta's Bloom index / Parquet's optional bloom pages play the
+    same role; this one lives beside _STATS.json so prune_files consults
+    both.  scan_table/prune_files use it for `=` and `in` predicates.
+
+    Cost: one distributed pass over the base (each file's values hash
+    into k bit positions, one shuffle of (file, bit) pairs); the packed
+    bitmaps come back O(files × m/8) bytes.  Opt-in per table, like
+    clustered compaction — rerun after compact() (the sidecar lives
+    inside the data directory, so a rewrite naturally sheds it).
+    Restricted to integer/string columns: the hash canonicalizes through
+    a string cast, which is bit-stable across engines only for those
+    types.  Merge-on-read deltas are unaffected (pruning already touches
+    only the base side).
+
+    Returns {"columns": {col: {"m", "k"}}, "num_files"}.
+    """
+    entry = current_manifest(root)["tables"].get(name)
+    if entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    path = entry["path"] if isinstance(entry, dict) else entry
+
+    base = spark.read.parquet(path)
+    allowed = {"tinyint", "smallint", "int", "bigint", "string"}
+    for c in columns:
+        dt = dict(base.dtypes).get(c)
+        if dt is None:
+            raise ValueError(f"column {c!r} not in table {name!r}")
+        if dt not in allowed:
+            raise ValueError(
+                f"bloom column {c!r} has type {dt}; only integer/string "
+                "columns hash bit-stably through the string canonicalization"
+            )
+
+    if ndv_per_file is None:
+        stats = table_stats(root, name)
+        if stats and stats.get("num_files"):
+            ndv_per_file = max(1, stats["rows"] // stats["num_files"])
+        else:
+            ndv_per_file = 100_000
+
+    import base64
+
+    out_cols: dict[str, dict] = {}
+    for c in columns:
+        m, k = _bloom_params(ndv_per_file, fpp)
+        pos_exprs = [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("__v").cast("string"), F.lit(f"#{i}")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+        rows = (
+            base.select(
+                F.input_file_name().alias("__file"), F.col(c).alias("__v")
+            )
+            .filter(F.col("__v").isNotNull())
+            .select("__file", F.explode(F.array(*pos_exprs)).alias("__bit"))
+            .groupBy("__file")
+            .agg(F.collect_set("__bit").alias("__bits"))
+            .collect()
+        )
+        files: dict[str, str] = {}
+        for r in rows:
+            buf = bytearray((m + 7) // 8)
+            for b in r["__bits"]:
+                buf[b >> 3] |= 1 << (b & 7)
+            rel = os.path.relpath(r["__file"].removeprefix("file://"), path)
+            files[rel] = base64.b64encode(bytes(buf)).decode("ascii")
+        out_cols[c] = {"m": m, "k": k, "files": files}
+
+    sidecar = {"columns": out_cols}
+    tmp = os.path.join(path, BLOOM_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(sidecar, fh)
+    os.replace(tmp, os.path.join(path, BLOOM_FILE))
+    return {
+        "columns": {c: {"m": v["m"], "k": v["k"]} for c, v in out_cols.items()},
+        "num_files": max((len(v["files"]) for v in out_cols.values()), default=0),
+    }
+
+
+def _bloom_may_contain(colmeta: dict, rel_file: str, value) -> bool:
+    """False only when the file's bitmap PROVES `value` absent."""
+    import base64
+
+    b64 = colmeta["files"].get(rel_file)
+    if b64 is None:
+        return True  # file unknown to the index (e.g. all-null) → keep
+    buf = base64.b64decode(b64)
+    for p in _bloom_positions_py(value, colmeta["k"], colmeta["m"]):
+        if not (buf[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def table_stats(root: str, name: str) -> dict | None:
     """{"rows", "bytes", "num_files"} recorded at publish time for the
     current version of `name`, or None if published with
@@ -1268,19 +1418,49 @@ def prune_files(root: str, name: str, where: Sequence[tuple]) -> tuple[list[str]
     path = entry["path"] if isinstance(entry, dict) else entry
     sidecar = os.path.join(path, STATS_FILE)
     if not os.path.exists(sidecar):
-        files = _data_files(path)
-        return files, len(files)
-    with open(sidecar, encoding="utf-8") as fh:
-        stats = json.load(fh)
-    kept = [
-        os.path.join(path, e["file"])
-        for e in stats["files"]
-        if all(
-            _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
-            for p in where
-        )
-    ]
-    return kept, len(stats["files"])
+        total_files = _data_files(path)
+        kept = list(total_files)
+        total = len(total_files)
+    else:
+        with open(sidecar, encoding="utf-8") as fh:
+            stats = json.load(fh)
+        kept = [
+            os.path.join(path, e["file"])
+            for e in stats["files"]
+            if all(
+                _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
+                for p in where
+            )
+        ]
+        total = len(stats["files"])
+
+    # second pass: per-file Bloom filters (write_bloom_sidecar) prove
+    # absence for = / in predicates that min/max ranges can't
+    bloom_path = os.path.join(path, BLOOM_FILE)
+    if kept and os.path.exists(bloom_path):
+        with open(bloom_path, encoding="utf-8") as fh:
+            bloom = json.load(fh)
+        for p in where:
+            col, op, value = p[0], p[1], (p[2] if len(p) > 2 else None)
+            colmeta = bloom["columns"].get(col)
+            if colmeta is None or value is None:
+                continue
+            if op in ("=", "=="):
+                kept = [
+                    f for f in kept
+                    if _bloom_may_contain(colmeta, os.path.relpath(f, path), value)
+                ]
+            elif op == "in":
+                kept = [
+                    f for f in kept
+                    if any(
+                        _bloom_may_contain(
+                            colmeta, os.path.relpath(f, path), v
+                        )
+                        for v in value
+                    )
+                ]
+    return kept, total
 
 
 def _predicate_column(pred: tuple):

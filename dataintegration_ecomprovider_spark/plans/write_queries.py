@@ -1062,6 +1062,47 @@ FROM orders WHERE o_custkey > 50 AND o_custkey <= 200
 """
 
 
+def q_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping (round 4): orders is published hash-
+    scattered into 8 files (every file's o_orderkey [min, max] spans the
+    domain — min/max stats prune NOTHING for a point lookup), then
+    publish.write_bloom_sidecar builds a per-file Bloom index and
+    scan_table proves most files cannot contain the probed keys.  This is
+    the 100 TB needle lookup (order id / user id / doc hash against
+    append-ordered files) — Delta's Bloom index / Parquet bloom pages
+    role.  The query asserts pruning actually happened, then returns the
+    exact rows; the oracle is a plain IN."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="bloom_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    # hash-scatter so min/max is useless on o_orderkey by construction
+    publish.publish_tables(
+        spark, {"orders": base.repartition(8, "o_orderstatus", "o_custkey")}, root
+    )
+    probes = [32, 323, 3200, 9999998]  # 3 present-ish keys + 1 absent
+    baseline, total = publish.prune_files(root, "orders", [("o_orderkey", "in", probes)])
+    publish.write_bloom_sidecar(spark, root, "orders", ["o_orderkey"], fpp=0.001)
+    kept, _ = publish.prune_files(root, "orders", [("o_orderkey", "in", probes)])
+    if not len(kept) < len(baseline):  # the point of the index IS the skip
+        raise AssertionError(
+            f"expected bloom skipping, kept {len(kept)}/{len(baseline)}/{total}"
+        )
+    return publish.scan_table(spark, root, "orders", [("o_orderkey", "in", probes)])
+
+
+ORACLE_BLOOM_SCAN = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey IN (32, 323, 3200, 9999998)
+"""
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered compaction + multi-dimension data skipping
     (round 4): orders lands hash-layed-out (no file skippable), then
@@ -1402,6 +1443,7 @@ QUERIES = {
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
+    "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),

@@ -1,0 +1,153 @@
+"""Per-file Bloom-filter data skipping for the versioned store.
+
+Min/max stats prune nothing for a point lookup on a high-cardinality
+column that isn't clustered (every append-ordered file spans the whole
+domain); a Bloom filter proves absence regardless of ordering — Delta's
+Bloom index / Parquet bloom pages role, living beside _STATS.json.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.plans import publish
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def _seed(spark, tmp_path, n=10_000, files=8):
+    """n rows hash-scattered across `files` files: every file's [min, max]
+    on `uid` spans the domain, so min/max skipping is useless."""
+    root = str(tmp_path / "store")
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("uid"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+        )
+        .repartition(files, "name")  # scatter: uid ranges overlap per file
+    )
+    publish.publish_tables(spark, {"t": df}, root, table_keys={"t": ["uid"]})
+    return root
+
+
+def test_position_parity(spark):
+    """The Python-side hash positions must equal the Spark-side expression
+    for every probed value — the correctness backbone of the index."""
+    m, k = 16384, 5
+    values = [0, 1, 42, 999_999_999_999, "hello", "u123", ""]
+    exprs = [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("v").cast("string"), F.lit(f"#{i}"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(m),
+        ).alias(f"p{i}")
+        for i in range(k)
+    ]
+    df = spark.createDataFrame([(str(v),) for v in values], ["v"]).select(
+        "v", *exprs
+    )
+    for r in df.collect():
+        expected = publish._bloom_positions_py(r["v"], k, m)
+        assert [r[f"p{i}"] for i in range(k)] == expected
+
+
+def test_bloom_prunes_point_lookup_where_minmax_cannot(spark, tmp_path):
+    root = _seed(spark, tmp_path)
+    # min/max alone: no file excluded for a mid-domain point lookup
+    kept_mm, total = publish.prune_files(root, "t", [("uid", "=", 4321)])
+    assert total == 8 and len(kept_mm) == total
+
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"], fpp=0.001)
+    kept, total = publish.prune_files(root, "t", [("uid", "=", 4321)])
+    assert len(kept) < total  # bloom actually skipped files
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 4321)])
+    assert _rows(got) == {(4321, "u4321")}
+
+
+def test_bloom_never_false_negative(spark, tmp_path):
+    """Every present value must survive pruning (Bloom errors are one-
+    sided): probe a spread of existing keys and verify exact results."""
+    root = _seed(spark, tmp_path, n=2000)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid", "name"], fpp=0.01)
+    for uid in (0, 1, 777, 1337, 1999):
+        got = publish.scan_table(spark, root, "t", where=[("uid", "=", uid)])
+        assert _rows(got) == {(uid, f"u{uid}")}, uid
+    # string column too
+    got = publish.scan_table(spark, root, "t", where=[("name", "=", "u55")])
+    assert _rows(got) == {(55, "u55")}
+
+
+def test_bloom_absent_value_prunes_everything_or_near(spark, tmp_path):
+    root = _seed(spark, tmp_path, n=2000)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"], fpp=0.001)
+    kept, total = publish.prune_files(root, "t", [("uid", "=", 10_000_000)])
+    assert len(kept) <= 1  # fpp-bounded false positives at most
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 10_000_000)])
+    assert got.count() == 0
+
+
+def test_bloom_in_predicate(spark, tmp_path):
+    root = _seed(spark, tmp_path, n=2000)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"], fpp=0.001)
+    got = publish.scan_table(
+        spark, root, "t", where=[("uid", "in", [3, 999, 5_555_555])]
+    )
+    assert _rows(got) == {(3, "u3"), (999, "u999")}
+    kept_narrow, _ = publish.prune_files(root, "t", [("uid", "in", [3])])
+    kept_wide, total = publish.prune_files(
+        root, "t", [("uid", "in", list(range(0, 2000, 7)))]
+    )
+    assert len(kept_narrow) <= len(kept_wide) <= total
+
+
+def test_bloom_composes_with_mor_deltas(spark, tmp_path):
+    """Bloom pruning touches only the base; a merge-on-read delta row for
+    a key the bloom would prune must still be found."""
+    root = _seed(spark, tmp_path, n=2000)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"], fpp=0.001)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(5_000_000, "new")], "uid bigint, name string"),
+    )
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 5_000_000)])
+    assert _rows(got) == {(5_000_000, "new")}
+    # updated-in-delta row: base bloom keeps its old file, delta overrides
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(777, "updated")], "uid bigint, name string"),
+    )
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 777)])
+    assert _rows(got) == {(777, "updated")}
+
+
+def test_bloom_rejects_unstable_types(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.range(10).select(F.col("id"), F.rand(7).alias("x"))
+    publish.publish_tables(spark, {"t": df}, root)
+    with pytest.raises(ValueError):
+        publish.write_bloom_sidecar(spark, root, "t", ["x"])
+    with pytest.raises(ValueError):
+        publish.write_bloom_sidecar(spark, root, "t", ["missing"])
+
+
+def test_compact_sheds_stale_bloom(spark, tmp_path):
+    """The sidecar lives inside the data dir — a compact rewrite points
+    the entry at a fresh dir with no bloom, never at stale bitmaps."""
+    root = _seed(spark, tmp_path, n=500)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"])
+    publish.compact(spark, root, "t")
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert not os.path.exists(os.path.join(entry["path"], publish.BLOOM_FILE))
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 5)])
+    assert _rows(got) == {(5, "u5")}
