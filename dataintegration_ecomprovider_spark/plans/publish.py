@@ -161,38 +161,53 @@ def _apply_deltas(spark: SparkSession, base: DataFrame, entry: dict) -> DataFram
     the base side neither shuffles nor sorts.  Column pruning pushes
     through the union, so narrow reads stay narrow on both sides.
     """
-    from pyspark.sql import Window
-
     keys = entry.get("keys")
     if not keys:
         raise ValidationError(
             "merge-on-read entry has deltas but no recorded keys"
         )
     cols = base.columns
-    parts = []
-    for i, d in enumerate(entry["deltas"]):
-        parts.append(
-            spark.read.parquet(d["path"]).withColumn(MOR_SEQ_COL, F.lit(i))
-        )
-    deltas = parts[0]
-    for p in parts[1:]:
-        deltas = deltas.unionByName(p)
-    w = Window.partitionBy(*keys).orderBy(F.col(MOR_SEQ_COL).desc())
-    latest = (
-        deltas.withColumn("__mor_rn", F.row_number().over(w))
-        .filter(F.col("__mor_rn") == 1)
-        .drop("__mor_rn", MOR_SEQ_COL)
-    )
+    deltas = _read_delta_log(spark, entry["deltas"])
+    latest = _latest_per_key(deltas, keys)
     # anti-join semantics don't need a distinct right side — feeding the
     # raw delta keys skips an aggregation and lets the base side proceed
     # without waiting on the last-wins window
     delta_keys = deltas.select(*keys)
-    delta_bytes = sum(int(d.get("bytes", 0)) for d in entry["deltas"])
-    if delta_bytes <= MOR_BROADCAST_MAX_BYTES:
+    if _deltas_bytes(entry["deltas"]) <= MOR_BROADCAST_MAX_BYTES:
         delta_keys = F.broadcast(delta_keys)
     survivors = base.join(delta_keys, on=list(keys), how="left_anti")
     upserts = latest.filter(F.col(MOR_CHANGE_COL) != "delete").select(*cols)
     return survivors.unionByName(upserts)
+
+
+def _read_delta_log(spark: SparkSession, deltas: Sequence[dict]) -> DataFrame:
+    """Union of the given delta files, each tagged with its position in
+    the log (MOR_SEQ_COL) so later files win per-key resolution."""
+    parts = [
+        spark.read.parquet(d["path"]).withColumn(MOR_SEQ_COL, F.lit(i))
+        for i, d in enumerate(deltas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _latest_per_key(deltas: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """The newest delta row per key (upsert row or delete marker) — one
+    window over ONLY the delta rows, never the base."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(MOR_SEQ_COL).desc())
+    return (
+        deltas.withColumn("__mor_rn", F.row_number().over(w))
+        .filter(F.col("__mor_rn") == 1)
+        .drop("__mor_rn", MOR_SEQ_COL)
+    )
+
+
+def _deltas_bytes(deltas: Sequence[dict]) -> int:
+    return sum(int(d.get("bytes", 0)) for d in deltas)
 
 
 def table_keys(root: str, name: str) -> list[str] | None:
@@ -889,12 +904,94 @@ def read_changes(
         raise ValueError("read_changes requires the table's key columns")
     if to_version is None:
         to_version = current_manifest(root)["version"]
+    if not case_insensitive:
+        fast = _mor_changes_fast(
+            spark, root, name, from_version, to_version, list(keys),
+            change_col, include_old,
+        )
+        if fast is not None:
+            return fast
     old = read_table_at(spark, root, name, from_version)
     new = read_table_at(spark, root, name, to_version)
     return diff_frames(
         old, new, keys,
         case_insensitive=case_insensitive, change_col=change_col,
         include_old=include_old,
+    )
+
+
+def _mor_delta_suffix(from_entry, to_entry) -> list[dict] | None:
+    """The delta files committed BETWEEN two versions of a merge-on-read
+    table, or None when the versions aren't base-sharing log extensions
+    of each other (different base path → a compact/rewrite happened in
+    between; fall back to the generic full diff)."""
+    if not isinstance(to_entry, dict) or not to_entry.get("deltas"):
+        return None
+    if isinstance(from_entry, str):
+        from_path, from_deltas = from_entry, []
+    elif isinstance(from_entry, dict):
+        from_path, from_deltas = from_entry["path"], from_entry.get("deltas", [])
+    else:
+        return None
+    to_deltas = to_entry["deltas"]
+    if from_path != to_entry["path"] or len(to_deltas) <= len(from_deltas):
+        return None
+    if [d["path"] for d in to_deltas[: len(from_deltas)]] != [
+        d["path"] for d in from_deltas
+    ]:
+        return None
+    return to_deltas[len(from_deltas):]
+
+
+def _mor_changes_fast(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+    change_col: str,
+    include_old: bool,
+) -> DataFrame | None:
+    """O(delta) CDC between two versions of a merge-on-read table.
+
+    The generic read_changes reconstructs BOTH versions and full-outer
+    diffs them — O(2 × table) scan + shuffle.  When `to_version`'s entry
+    is `from_version`'s entry plus appended delta files, the changed keys
+    are exactly the suffix deltas' keys, so the diff needs only:
+
+    - the suffix delta rows (small), last-wins resolved, and
+    - the FROM-version state of just those keys (one base scan with a
+      broadcast semi-join — no base shuffle, and file skipping applies).
+
+    diff_frames then classifies insert/update/delete and drops no-op
+    re-upserts, byte-identically to the generic path (pinned in
+    tests/test_mor.py).  This is the feed store_changes/replicate_table
+    ride per micro-batch: at 100 TB each incremental sync costs the delta
+    plus one pruned scan instead of two full reconstructions."""
+    try:
+        from_entry = tables_at(root, from_version).get(name)
+        to_entry = tables_at(root, to_version).get(name)
+    except KeyError:
+        return None
+    suffix = _mor_delta_suffix(from_entry, to_entry)
+    if suffix is None:
+        return None
+    deltas = _read_delta_log(spark, suffix)
+    latest = _latest_per_key(deltas, keys)
+    dkeys = deltas.select(*keys).distinct()
+    if _deltas_bytes(suffix) <= MOR_BROADCAST_MAX_BYTES:
+        dkeys = F.broadcast(dkeys)
+    old_scoped = _read_entry(spark, from_entry).join(
+        dkeys, on=keys, how="left_semi"
+    )
+    # no schema evolution on the MoR path → old columns == new columns
+    new_scoped = latest.filter(F.col(MOR_CHANGE_COL) != "delete").select(
+        *old_scoped.columns
+    )
+    return diff_frames(
+        old_scoped, new_scoped, keys,
+        change_col=change_col, include_old=include_old,
     )
 
 

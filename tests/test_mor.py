@@ -214,6 +214,58 @@ def test_scan_table_skipping_still_sees_deltas(spark, tmp_path):
     assert total > 1 and len(kept) < total
 
 
+def test_cdc_fast_path_matches_generic_diff(spark, tmp_path):
+    """read_changes between MoR versions rides the O(delta) fast path
+    (suffix deltas + one scoped base scan) and must emit exactly what the
+    generic two-version full-outer diff emits — including no-op re-upsert
+    suppression and include_old columns."""
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(2, "b2", 21.0), (3, "c", 30.0), (4, "d", 40.0)],  # update, no-op, insert
+            "id bigint, name string, val double",
+        ),
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, "d2", 41.0)], "id bigint, name string, val double"),
+        deletes=spark.createDataFrame([(1,), (77,)], "id bigint"),  # delete + no-op delete
+    )
+    for frm, to in [(1, 2), (2, 3), (1, 3)]:
+        f_entry = publish.tables_at(root, frm)["t"]
+        t_entry = publish.tables_at(root, to)["t"]
+        assert publish._mor_delta_suffix(f_entry, t_entry) is not None
+        fast = publish.read_changes(spark, root, "t", frm, to, include_old=True)
+        generic = publish.diff_frames(
+            publish.read_table_at(spark, root, "t", frm),
+            publish.read_table_at(spark, root, "t", to),
+            ["id"], include_old=True,
+        )
+        assert sorted(fast.columns) == sorted(generic.columns)
+        assert _rows(fast.select(*sorted(fast.columns))) == _rows(
+            generic.select(*sorted(fast.columns))
+        ), (frm, to)
+
+
+def test_cdc_falls_back_to_generic_across_compact(spark, tmp_path):
+    """A compact between the versions breaks the shared-base condition;
+    read_changes must fall back to the generic diff and stay correct
+    (a pure layout rewrite diffs as empty)."""
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(9, "i", 90.0)], "id bigint, name string, val double"),
+    )
+    publish.compact(spark, root, "t")  # v3, new base path
+    f_entry = publish.tables_at(root, 2)["t"]
+    t_entry = publish.tables_at(root, 3)["t"]
+    assert publish._mor_delta_suffix(f_entry, t_entry) is None
+    assert publish.read_changes(spark, root, "t", 2, 3).count() == 0
+    changes = publish.read_changes(spark, root, "t", 1, 3)
+    assert _rows(changes) == {(9, "i", 90.0, "insert")}
+
+
 def test_mor_requires_keys_and_existing_table(spark, tmp_path):
     root = str(tmp_path / "store")
     df = spark.createDataFrame([(1, "a")], "id bigint, name string")
