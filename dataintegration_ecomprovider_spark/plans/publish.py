@@ -1815,11 +1815,19 @@ def replicate_table(
     name: str,
     keys: Sequence[str] | None = None,
     case_insensitive: bool = False,
+    mor: bool = False,
 ) -> dict:
     """Incremental store-to-store replication: bring `name` in the replica
     store up to the source store's current version by shipping ONLY the
     CDC delta since the last sync (read_changes → apply_changes →
     publish), falling back to a full copy on first sync.
+
+    `mor=True` makes the replica WRITE O(delta) as well: each sync
+    commits the change set as a merge-on-read delta (merge_into_mor)
+    instead of republishing the replica's full state — without it, a
+    sync reads O(changes) but still rewrites O(replica).  Pair with a
+    periodic compact() on the replica.  Requires exact-match keys (the
+    MoR limitation).
 
     This is the cross-region/cross-cluster story at 100 TB: after the
     first seed, each sync moves O(changed rows), never the table — where
@@ -1868,6 +1876,22 @@ def replicate_table(
             # without rewriting the replica — a multi-table store would
             # otherwise pay O(table) per untouched table per sync
             mode = "empty"
+        elif mor:
+            if case_insensitive:
+                raise ValueError("mor replication requires exact-match keys")
+            data_cols = [
+                c for c in delta.columns
+                if c != "change_type" and not c.endswith("__old")
+            ]
+            merge_into_mor(
+                spark, dst_root, name,
+                staging=delta.filter(F.col("change_type") != "delete")
+                .select(*data_cols),
+                keys=keys,
+                deletes=delta.filter(F.col("change_type") == "delete")
+                .select(*keys),
+            )
+            mode = "delta_mor"
         else:
             replica = read_table(spark, dst_root, name)
             new_state = apply_changes(

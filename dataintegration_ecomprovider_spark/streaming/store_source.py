@@ -69,18 +69,34 @@ def _version_rows(
         return {}
     path = entry["path"] if isinstance(entry, dict) else entry
     partitioning = "hive" if isinstance(entry, dict) and entry.get("partition_by") else None
-    dataset = ds.dataset(path, format="parquet", partitioning=partitioning)
-    present = [c for c in columns if c in dataset.schema.names]
-    tbl = dataset.to_table(columns=present)
-    cols = {c: tbl.column(c).to_pylist() if c in present else [None] * tbl.num_rows
-            for c in columns}
-    out: dict[tuple, tuple] = {}
-    key_idx = list(keys)
-    for i in range(tbl.num_rows):
-        k = tuple(cols[c][i] for c in key_idx)
-        if _key_shard(k, num_shards) != shard:
-            continue
-        out[k] = tuple(cols[c][i] for c in columns)
+
+    def shard_rows(dpath, want_cols, part=None):
+        dataset = ds.dataset(dpath, format="parquet", partitioning=part)
+        present = [c for c in want_cols if c in dataset.schema.names]
+        tbl = dataset.to_table(columns=present)
+        cols = {
+            c: tbl.column(c).to_pylist() if c in present else [None] * tbl.num_rows
+            for c in want_cols
+        }
+        for i in range(tbl.num_rows):
+            k = tuple(cols[c][i] for c in keys)
+            if _key_shard(k, num_shards) != shard:
+                continue
+            yield k, tuple(cols[c][i] for c in want_cols)
+
+    out: dict[tuple, tuple] = dict(shard_rows(path, list(columns), partitioning))
+    # merge-on-read: replay the delta log in commit order (upserts
+    # override, delete markers remove) — reading only the base would
+    # silently serve stale rows for a MoR table
+    deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
+    change = publish.MOR_CHANGE_COL
+    n = len(columns)
+    for d in deltas:
+        for k, row in shard_rows(d["path"], list(columns) + [change]):
+            if row[n] == "delete":
+                out.pop(k, None)
+            else:
+                out[k] = row[:n]
     return out
 
 

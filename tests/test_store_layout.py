@@ -322,6 +322,40 @@ def test_replicate_table_seeds_then_ships_deltas(spark, tmp_path):
     assert publish.table_keys(dst, "orders") == ["o_orderkey"]
 
 
+def test_replicate_table_mor_writes_only_deltas(spark, tmp_path):
+    """mor=True replication: each sync appends a merge-on-read delta to
+    the replica (base untouched) yet the replica state tracks the source
+    exactly — O(delta) on BOTH the read and write side of the sync."""
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = _orders(spark).limit(300)
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, src, table_keys={"orders": ["o_orderkey"]}
+    )
+    publish.replicate_table(spark, src, dst, "orders", mor=True)
+    replica_base = publish.current_manifest(dst)["tables"]["orders"]["path"]
+    sig = {(f, os.path.getmtime(f)) for f in publish._data_files(replica_base)}
+
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(0.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, src)
+    res = publish.replicate_table(spark, src, dst, "orders", mor=True)
+    assert res["mode"] == "delta_mor"
+    entry = publish.current_manifest(dst)["tables"]["orders"]
+    assert entry["path"] == replica_base and len(entry["deltas"]) == 1
+    assert {
+        (f, os.path.getmtime(f)) for f in publish._data_files(replica_base)
+    } == sig
+    assert _rows(publish.read_table(spark, dst, "orders")) == _rows(v2)
+
+
 def test_replicate_without_keys_requires_them_for_delta(spark, tmp_path):
     src = str(tmp_path / "src")
     dst = str(tmp_path / "dst")

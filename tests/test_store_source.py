@@ -104,6 +104,44 @@ def test_stream_from_specific_version_and_key_shards(spark, store, tmp_path):
     )
 
 
+def test_stream_over_merge_on_read_table(spark, tmp_path):
+    """A MoR chain must tail identically to the JVM-side read_changes:
+    the pyarrow version reader replays the delta log (upserts override
+    the base, delete markers drop keys) instead of serving stale base
+    rows."""
+    root = str(tmp_path / "morstore")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(2, "B", 25.0), (4, "d", 40.0)], "id bigint, name string, val double"
+        ),
+        deletes=spark.createDataFrame([(1,)], "id bigint"),
+    )
+    got = _read_stream(
+        spark, root, str(tmp_path / "ckm"), startingVersion="1", partitions="2"
+    )
+    expected = publish.read_changes(spark, root, "t", 1, 2, keys=["id"])
+    assert _rows(got) == _rows(expected)
+    assert _rows(got) == sorted(
+        [(1, "a", 10.0, "delete"), (2, "B", 25.0, "update"), (4, "d", 40.0, "insert")]
+    )
+
+    # a second delta on the same chain tails incrementally too
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, "B2", 26.0)], "id bigint, name string, val double"),
+    )
+    got2 = _read_stream(
+        spark, root, str(tmp_path / "ckm2"), startingVersion="2"
+    )
+    assert _rows(got2) == sorted([(2, "B2", 26.0, "update")])
+
+
 def test_stream_requires_keys(spark, tmp_path):
     root = str(tmp_path / "nokeys")
     publish.publish_tables(
