@@ -62,16 +62,34 @@ def _max_alias(c: str) -> str:
     return f"max_{c}"
 
 
+def _hll_alias(c: str) -> str:
+    return f"hll_{c}"
+
+
+def estimate_distinct(df: DataFrame, distinct_cols: Sequence[str]) -> DataFrame:
+    """Replace each maintained HLL sketch column with its BIGINT distinct
+    estimate (the read-side of distinct_cols maintenance)."""
+    out = df
+    for c in distinct_cols:
+        out = out.withColumn(
+            f"approx_distinct_{c}", F.hll_sketch_estimate(F.col(_hll_alias(c)))
+        ).drop(_hll_alias(c))
+    return out
+
+
 def aggregate_table(
     df: DataFrame,
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The view definition, computed directly (seed / recompute oracle):
     COUNT(*) + SUM(coalesce(c, 0)) + MIN(c)/MAX(c) per group (MIN/MAX
-    skip nulls, standard SQL)."""
+    skip nulls, standard SQL) + an HLL sketch per distinct_cols column
+    (Datasketches hll_sketch_agg; read estimates via
+    estimate_distinct)."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(COUNT_COL),
         *[
@@ -80,6 +98,10 @@ def aggregate_table(
         ],
         *[F.min(F.col(c)).alias(_min_alias(c)) for c in min_cols],
         *[F.max(F.col(c)).alias(_max_alias(c)) for c in max_cols],
+        *[
+            F.hll_sketch_agg(F.col(c)).alias(_hll_alias(c))
+            for c in distinct_cols
+        ],
     )
 
 
@@ -92,6 +114,7 @@ def apply_aggregate_delta(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     source: DataFrame | None = None,
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Merge a read_changes(include_old=True) feed into an aggregate-table
     state: O(delta) contributions + one key-wise merge join.  Groups whose
@@ -104,13 +127,24 @@ def apply_aggregate_delta(
     extremum forces that group's extremum to be recomputed — done with a
     semi-join of the source to ONLY the affected groups, so the recompute
     cost is O(rows of groups that lost an extremum), not O(source).  This
-    is the textbook IVM treatment of non-self-maintainable aggregates."""
+    is the textbook IVM treatment of non-self-maintainable aggregates.
+
+    `distinct_cols` maintain per-group HLL sketches (approx distinct):
+    inserts UNION into the stored sketch (sketch merge is cheap and
+    order-independent); sketches admit no retraction at all, so ANY
+    retraction touching a group forces that group's sketch recompute via
+    the same scoped semi-join — the sketch analog of the MIN/MAX rule,
+    with a coarser trigger (no "did it touch the extremum" test
+    exists for a sketch)."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     min_cols = list(min_cols)
     max_cols = list(max_cols)
-    if (min_cols or max_cols) and source is None:
-        raise ValueError("min/max maintenance needs the target-version source")
+    distinct_cols = list(distinct_cols)
+    if (min_cols or max_cols or distinct_cols) and source is None:
+        raise ValueError(
+            "min/max/distinct maintenance needs the target-version source"
+        )
 
     # +new contributions (insert + update), grouped by NEW group values
     pos = changes.filter(F.col(change_col) != "delete").select(
@@ -144,25 +178,37 @@ def apply_aggregate_delta(
         return df.withColumn("__gk", F.struct(*group_cols)).drop(*group_cols)
 
     delta = _gk(delta)
-    if min_cols or max_cols:
-        # extremum bookkeeping: inserted values fold in via least/greatest;
-        # retracted values flag a per-group recompute when they touch the
-        # stored extremum
+    non_self = bool(min_cols or max_cols or distinct_cols)
+    if non_self:
+        # non-self-maintainable bookkeeping: inserted values fold in
+        # cheaply (least/greatest for extrema, sketch-union for HLL);
+        # retracted values flag a per-group recompute — for extrema only
+        # when they touch the stored extremum, for sketches on ANY
+        # retraction of a non-null value
         ins_mm = _gk(
             changes.filter(F.col(change_col) != "delete").groupBy(
                 *group_cols
             ).agg(
                 *[F.min(F.col(c)).alias(f"__p_min_{c}") for c in min_cols],
                 *[F.max(F.col(c)).alias(f"__p_max_{c}") for c in max_cols],
+                *[
+                    F.hll_sketch_agg(F.col(c)).alias(f"__p_hll_{c}")
+                    for c in distinct_cols
+                ],
             )
         )
+        ret_src_cols = set(min_cols) | set(max_cols) | set(distinct_cols)
         ret_mm = _gk(
             changes.filter(F.col(change_col) != "insert").select(
                 *[F.col(f"{g}__old").alias(g) for g in group_cols],
-                *[F.col(f"{c}__old").alias(f"__rv_{c}") for c in set(min_cols) | set(max_cols)],
+                *[F.col(f"{c}__old").alias(f"__rv_{c}") for c in ret_src_cols],
             ).groupBy(*group_cols).agg(
                 *[F.min(f"__rv_{c}").alias(f"__r_min_{c}") for c in min_cols],
                 *[F.max(f"__rv_{c}").alias(f"__r_max_{c}") for c in max_cols],
+                *[
+                    F.max(F.col(f"__rv_{c}").isNotNull()).alias(f"__r_hll_{c}")
+                    for c in distinct_cols
+                ],
             )
         )
         delta = delta.join(ins_mm, "__gk", "left").join(ret_mm, "__gk", "left")
@@ -178,7 +224,7 @@ def apply_aggregate_delta(
             for c in sum_cols
         ],
     ]
-    if not (min_cols or max_cols):
+    if not non_self:
         return merged.select(*out_cols).filter(F.col(COUNT_COL) > 0)
 
     def _needs_min(c):
@@ -193,11 +239,16 @@ def apply_aggregate_delta(
             | (F.col(f"__r_max_{c}") >= F.col(_max_alias(c)))
         )
 
+    def _needs_hll(c):
+        return F.coalesce(F.col(f"__r_hll_{c}"), F.lit(False))
+
     needs_any = F.lit(False)
     for c in min_cols:
         needs_any = needs_any | _needs_min(c)
     for c in max_cols:
         needs_any = needs_any | _needs_max(c)
+    for c in distinct_cols:
+        needs_any = needs_any | _needs_hll(c)
     affected = merged.filter(needs_any).select("__gk").distinct()
     recomputed = (
         source.withColumn("__gk", F.struct(*group_cols))
@@ -206,8 +257,21 @@ def apply_aggregate_delta(
         .agg(
             *[F.min(F.col(c)).alias(f"__rc_min_{c}") for c in min_cols],
             *[F.max(F.col(c)).alias(f"__rc_max_{c}") for c in max_cols],
+            *[
+                F.hll_sketch_agg(F.col(c)).alias(f"__rc_hll_{c}")
+                for c in distinct_cols
+            ],
         )
     )
+
+    def _hll_merged(c):
+        stored, part = F.col(_hll_alias(c)), F.col(f"__p_hll_{c}")
+        return (
+            F.when(stored.isNull(), part)
+            .when(part.isNull(), stored)
+            .otherwise(F.hll_union(stored, part))
+        )
+
     out_cols += [
         F.when(_needs_min(c), F.col(f"__rc_min_{c}"))
         .otherwise(F.least(F.col(_min_alias(c)), F.col(f"__p_min_{c}")))
@@ -218,6 +282,11 @@ def apply_aggregate_delta(
         .otherwise(F.greatest(F.col(_max_alias(c)), F.col(f"__p_max_{c}")))
         .alias(_max_alias(c))
         for c in max_cols
+    ] + [
+        F.when(_needs_hll(c), F.col(f"__rc_hll_{c}"))
+        .otherwise(_hll_merged(c))
+        .alias(_hll_alias(c))
+        for c in distinct_cols
     ]
     return (
         merged.join(recomputed, "__gk", "left")
@@ -236,6 +305,7 @@ def maintain_aggregate(
     keys: Sequence[str] | None = None,
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    distinct_cols: Sequence[str] = (),
 ) -> dict:
     """Bring the aggregate table `dst` current with source table `src`
     (same store root): first call seeds with a full aggregation; later
@@ -255,7 +325,7 @@ def maintain_aggregate(
     def _seed() -> str:
         out = aggregate_table(
             publish.read_table(spark, root, src), group_cols, sum_cols,
-            min_cols=min_cols, max_cols=max_cols,
+            min_cols=min_cols, max_cols=max_cols, distinct_cols=distinct_cols,
         )
         publish.publish_tables(spark, {dst: out}, root)
         return "seed"
@@ -290,9 +360,10 @@ def maintain_aggregate(
                 new_state = apply_aggregate_delta(
                     agg, changes, group_cols, sum_cols,
                     min_cols=min_cols, max_cols=max_cols,
+                    distinct_cols=distinct_cols,
                     source=(
                         publish.read_table_at(spark, root, src, src_version)
-                        if (min_cols or max_cols) else None
+                        if (min_cols or max_cols or distinct_cols) else None
                     ),
                 )
                 publish.publish_tables(spark, {dst: new_state}, root)

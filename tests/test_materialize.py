@@ -207,3 +207,103 @@ def test_maintain_with_null_group_values(spark, tmp_path):
     null_rows = [r for r in got if r[0] is None]
     assert len(null_rows) == 1 and null_rows[0][1] == 2
     assert null_rows[0][3] == 20.0 and null_rows[0][4] == 40.0
+
+
+def test_maintain_distinct_hll_sketches(spark, tmp_path):
+    """distinct_cols maintenance: insert-only refreshes ride the sketch
+    union (no source recompute needed for correctness of the estimate);
+    any retraction triggers the per-group recompute.  Every refresh's
+    ESTIMATES equal the direct-recompute estimates (sketch binaries may
+    differ by merge order; estimates must not)."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    root = str(tmp_path / "store")
+
+    def est(df):
+        return _rows(
+            materialize.estimate_distinct(df, ["val"]).select(
+                "grp", "cnt", "approx_distinct_val"
+            )
+        )
+
+    def rec():
+        return materialize.aggregate_table(
+            publish.read_table(spark, root, "t"), ["grp"], [],
+            distinct_cols=["val"],
+        )
+
+    v1 = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", f"u{i % 7}") for i in range(1, 40)],
+        "id bigint, grp string, val string",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    materialize.maintain_aggregate(
+        spark, root, "t", "dv", ["grp"], [], distinct_cols=["val"]
+    )
+    assert est(publish.read_table(spark, root, "dv")) == est(rec())
+
+    # v2: pure inserts with NEW distinct values -> union path
+    v2 = v1.unionByName(
+        spark.createDataFrame(
+            [(100 + i, "a", f"w{i}") for i in range(5)],
+            "id bigint, grp string, val string",
+        )
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+    res = materialize.maintain_aggregate(
+        spark, root, "t", "dv", ["grp"], [], distinct_cols=["val"]
+    )
+    assert res["mode"] == "delta"
+    got = est(publish.read_table(spark, root, "dv"))
+    assert got == est(rec())
+    a_row = [r for r in got if r[0] == "a"][0]
+    assert a_row[2] == 12  # 7 u-values + 5 w-values, HLL exact at this scale
+
+    # v3: delete every w-value and some u rows -> recompute path for a
+    v3 = v2.filter(~F.col("val").startswith("w")).filter(F.col("id") != 1)
+    publish.publish_tables(spark, {"t": v3}, root)
+    materialize.maintain_aggregate(
+        spark, root, "t", "dv", ["grp"], [], distinct_cols=["val"]
+    )
+    got = est(publish.read_table(spark, root, "dv"))
+    assert got == est(rec())
+    a_row = [r for r in got if r[0] == "a"][0]
+    assert a_row[2] == 7  # back to the u-values only
+
+
+def test_maintain_distinct_composes_with_sum_minmax(spark, tmp_path):
+    """All three non-self-maintainable families in ONE view refresh."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0, "x"), (2, "a", 20.0, "y"), (3, "b", 30.0, "x")],
+        "id bigint, grp string, val double, tag string",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    kw = dict(
+        sum_cols=["val"], min_cols=["val"], max_cols=["val"],
+        distinct_cols=["tag"],
+    )
+    materialize.maintain_aggregate(spark, root, "t", "mv", ["grp"], **kw)
+    v2 = spark.createDataFrame(
+        [(2, "a", 25.0, "y"), (3, "b", 30.0, "x"), (4, "b", 1.0, "z")],
+        "id bigint, grp string, val double, tag string",
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+    materialize.maintain_aggregate(spark, root, "t", "mv", ["grp"], **kw)
+    got = _rows(
+        materialize.estimate_distinct(
+            publish.read_table(spark, root, "mv"), ["tag"]
+        )
+    )
+    expected = _rows(
+        materialize.estimate_distinct(
+            materialize.aggregate_table(
+                publish.read_table(spark, root, "t"), ["grp"], ["val"],
+                min_cols=["val"], max_cols=["val"], distinct_cols=["tag"],
+            ),
+            ["tag"],
+        )
+    )
+    assert got == expected
