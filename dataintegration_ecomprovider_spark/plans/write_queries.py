@@ -1261,6 +1261,88 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct maintenance (materialize distinct_cols, round 4):
+    seed an approx-distinct-customers-per-status view, advance the source
+    (inserts + deletes + status moves), refresh from the CDC delta —
+    inserts ride the sketch union, retractions the per-group recompute.
+    Oracle shape: exact columns ride with a BOOLEAN bounded-error
+    assertion on the engine's own estimate (the sketch_hll_quantile
+    contract), so the row hash is portable."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    root = tempfile.mkdtemp(prefix="ivm_hll_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_custkey"
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    kw = dict(sum_cols=[], distinct_cols=["o_custkey"])
+    materialize.maintain_aggregate(
+        spark, root, "orders", "cust_by_status", ["o_orderstatus"], **kw
+    )
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, root)
+    res = materialize.maintain_aggregate(
+        spark, root, "orders", "cust_by_status", ["o_orderstatus"], **kw
+    )
+    if res["mode"] != "delta":
+        raise AssertionError(f"expected a delta refresh, got {res['mode']}")
+    view = materialize.estimate_distinct(
+        publish.read_table(spark, root, "cust_by_status"), ["o_custkey"]
+    )
+    exact = (
+        publish.read_table(spark, root, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+        )
+    )
+    return view.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        F.col("cnt").cast("bigint").alias("n_orders"),
+        "exact_distinct",
+        (
+            F.abs(
+                F.col("approx_distinct_o_custkey").cast("double")
+                - F.col("exact_distinct")
+            )
+            / F.col("exact_distinct")
+            < 0.05
+        ).alias("hll_within_5pct"),
+    )
+
+
+ORACLE_INCREMENTAL_DISTINCT = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_custkey
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+agg AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+         CAST(approx_count_distinct(o_custkey) AS BIGINT) AS hll
+  FROM v2 GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n_orders, exact_distinct,
+       ABS(CAST(hll AS DOUBLE) - exact_distinct) / exact_distinct < 0.05
+         AS hll_within_5pct
+FROM agg
+"""
+
+
 ORACLE_INCREMENTAL_AGGREGATE = """
 SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1449,6 +1531,9 @@ QUERIES = {
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(
         q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE
+    ),
+    "u12_incremental_distinct": QueryDef(
+        q_incremental_distinct, ORACLE_INCREMENTAL_DISTINCT
     ),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),
