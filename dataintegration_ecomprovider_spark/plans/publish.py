@@ -1281,13 +1281,17 @@ def _bloom_params(ndv: int, fpp: float) -> tuple[int, int]:
 def _bloom_positions_py(value, k: int, m: int) -> list[int]:
     """Driver-side twin of the Spark-side position expression in
     write_bloom_sidecar — MUST stay formula-identical (parity-pinned in
-    tests/test_bloom.py::test_position_parity)."""
+    tests/test_bloom.py::test_position_parity).
+
+    Kirsch-Mitzenmacher double hashing: position_i = (h1 + i·h2) mod m
+    from TWO md5 digests, preserving the Bloom fpp bound while the build
+    pass computes 2 hashes per value instead of k (k≈15 at fpp=1e-3 —
+    the dominant cost of the distributed build at corpus scale)."""
     import hashlib
 
-    return [
-        int(hashlib.md5(f"{value}#{i}".encode()).hexdigest()[:15], 16) % m
-        for i in range(k)
-    ]
+    h1 = int(hashlib.md5(f"{value}#h1".encode()).hexdigest()[:15], 16) % m
+    h2 = int(hashlib.md5(f"{value}#h2".encode()).hexdigest()[:15], 16) % (m - 1) + 1
+    return [(h1 + i * h2) % m for i in range(k)]
 
 
 def write_bloom_sidecar(
@@ -1349,25 +1353,26 @@ def write_bloom_sidecar(
     import base64
 
     out_cols: dict[str, dict] = {}
+    def _digest_mod(suffix: str, modulus) -> "F.Column":
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("__v").cast("string"), F.lit(suffix))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            modulus,
+        )
+
     for c in columns:
         m, k = _bloom_params(ndv_per_file, fpp)
+        # Kirsch-Mitzenmacher: k positions from TWO digests (see
+        # _bloom_positions_py, the parity-pinned twin)
         pos_exprs = [
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.col("__v").cast("string"), F.lit(f"#{i}")
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(m),
-            )
+            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(m))
             for i in range(k)
         ]
         rows = (
@@ -1375,6 +1380,11 @@ def write_bloom_sidecar(
                 F.input_file_name().alias("__file"), F.col(c).alias("__v")
             )
             .filter(F.col("__v").isNotNull())
+            .select(
+                "__file",
+                _digest_mod("#h1", F.lit(m)).alias("__h1"),
+                (_digest_mod("#h2", F.lit(m - 1)) + F.lit(1)).alias("__h2"),
+            )
             .select("__file", F.explode(F.array(*pos_exprs)).alias("__bit"))
             .groupBy("__file")
             .agg(F.collect_set("__bit").alias("__bits"))

@@ -38,22 +38,28 @@ def _seed(spark, tmp_path, n=10_000, files=8):
 
 def test_position_parity(spark):
     """The Python-side hash positions must equal the Spark-side expression
-    for every probed value — the correctness backbone of the index."""
+    for every probed value — the correctness backbone of the index
+    (Kirsch-Mitzenmacher double hashing on both sides)."""
     m, k = 16384, 5
-    values = [0, 1, 42, 999_999_999_999, "hello", "u123", ""]
-    exprs = [
-        F.pmod(
+
+    def digest_mod(suffix, modulus):
+        return F.pmod(
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col("v").cast("string"), F.lit(f"#{i}"))),
+                    F.md5(F.concat(F.col("v").cast("string"), F.lit(suffix))),
                     1, 15,
                 ),
                 16, 10,
             ).cast("long"),
-            F.lit(m),
-        ).alias(f"p{i}")
-        for i in range(k)
+            F.lit(modulus),
+        )
+
+    h1 = digest_mod("#h1", m)
+    h2 = digest_mod("#h2", m - 1) + F.lit(1)
+    exprs = [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m)).alias(f"p{i}") for i in range(k)
     ]
+    values = [0, 1, 42, 999_999_999_999, "hello", "u123", ""]
     df = spark.createDataFrame([(str(v),) for v in values], ["v"]).select(
         "v", *exprs
     )
