@@ -81,6 +81,9 @@ def main() -> None:
         "u12_store_replicate",     # seed + delta sync at 10x
         "llm_semantic_dedup",      # cluster-scoped pair work at 10x
         "u12_incremental_aggregate",  # IVM refresh at 10x
+        "u12_merge_on_read",       # MoR delta merges + reconstruction at 10x
+        "u12_bloom_scan",          # bloom build + pruned point lookup at 10x
+        "stream_interval_join",    # interval-join state shape at 10x
     ]
     timings = {}
     for name in names:
@@ -88,6 +91,39 @@ def main() -> None:
         queries[name](spark, OUT).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
         runtime.release_caches(spark)
+
+    # merge-on-read vs copy-on-write at 10x: same staging batch (0.1% of
+    # the table) merged into the same published lineitem-sized base —
+    # the per-merge write-amplification trade quantified
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    base = spark.read.parquet(f"{OUT}/lineitem.parquet").select(
+        F.concat_ws("#", "l_orderkey", "l_linenumber").alias("k"),
+        "l_quantity", "l_extendedprice", "l_shipdate",
+    )
+    staging = base.sample(0.001, seed=7).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    staging.persist().count()
+    for label, fn in [
+        ("merge_cow", lambda r: publish.merge_into(spark, r, "t", staging)),
+        ("merge_mor", lambda r: publish.merge_into_mor(spark, r, "t", staging)),
+    ]:
+        root = tempfile.mkdtemp(prefix=f"probe_{label}_")
+        publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+        t0 = time.perf_counter()
+        fn(root)
+        timings[label + "_write"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        publish.read_table(spark, root, "t").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[label + "_read"] = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(root, ignore_errors=True)
+    staging.unpersist()
+
     print(json.dumps({"probe": "10x_sf0.1", "copies": COPIES, "queries": timings}))
     spark.stop()
 
