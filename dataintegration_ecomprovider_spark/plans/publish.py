@@ -783,6 +783,15 @@ def merge_into_mor(
     missing = [k for k in keys if k not in staging.columns]
     if missing:
         raise ValueError(f"staging is missing key columns {missing}")
+    unknown = [c for c in staging.columns if c not in base_cols]
+    if unknown:
+        # silently dropping a column the caller staged would corrupt the
+        # feed invisibly; MoR has no schema evolution (use merge_into)
+        raise ValueError(
+            f"staging carries columns {unknown} not in table {name!r}; "
+            "merge_into_mor does not evolve schemas — use "
+            "merge_into(evolve_schema=True)"
+        )
 
     if not (insert_new and update_existing):
         existing = read_table(spark, root, name).select(*keys)

@@ -29,13 +29,17 @@ def interval_join(
     left_ts: str,
     right_ts: str,
     upper: str,
+    lower: str | None = None,
     left_watermark: str | None = None,
     right_watermark: str | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join `right` rows to `left` rows with the same `key` where
-    ``left_ts <= right_ts <= left_ts + upper`` (`upper` is a SQL interval
-    string, e.g. ``'30 minutes'``).
+    ``left_ts + lower <= right_ts <= left_ts + upper`` (SQL interval
+    strings, e.g. ``'30 minutes'``; `lower` defaults to ``'0 seconds'`` —
+    strictly-after attribution.  A negative `lower` like ``'-5 minutes'``
+    admits right events shortly BEFORE the left event, the
+    clock-skew-tolerant form).
 
     For streaming inputs pass BOTH watermarks: left-side state can expire
     once the right watermark passes `left_ts + upper`, right-side state
@@ -57,9 +61,15 @@ def interval_join(
         right = right.withColumnRenamed(c, f"r_{c}")
     r_ts = f"r_{right_ts}" if right_ts in collisions else right_ts
 
+    lo = (
+        F.col(left_ts)
+        if lower is None
+        # Spark parses signed interval literals: INTERVAL -5 MINUTES
+        else F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+    )
     cond = (
         (left[key] == right[key])
-        & (F.col(r_ts) >= F.col(left_ts))
+        & (F.col(r_ts) >= lo)
         & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
     joined = left.join(right, cond, how)

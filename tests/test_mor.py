@@ -276,6 +276,96 @@ def test_mor_requires_keys_and_existing_table(spark, tmp_path):
         publish.merge_into_mor(spark, root, "t", df)
 
 
+def test_mor_over_partitioned_base(spark, tmp_path):
+    """A hive-partitioned base reconstructs correctly: partition columns
+    come back from the directory layout on the base side and as plain
+    columns from the delta files; readers filtering on the partition
+    column still see delta rows for it."""
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "de", 1.0), (2, "de", 2.0), (3, "en", 3.0)],
+        "id bigint, lang string, val double",
+    )
+    publish.publish_tables(
+        spark, {"t": base}, root,
+        table_keys={"t": ["id"]}, partition_by={"t": ["lang"]},
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(2, "en", 9.0), (4, "fr", 4.0)], "id bigint, lang string, val double"
+        ),
+        deletes=spark.createDataFrame([(3,)], "id bigint"),
+    )
+    got = publish.read_table(spark, root, "t")
+    assert {(r.id, r.lang, r.val) for r in got.collect()} == {
+        (1, "de", 1.0), (2, "en", 9.0), (4, "fr", 4.0)
+    }
+    # partition-column filter still surfaces the delta row
+    assert {(r.id,) for r in got.filter(F.col("lang") == "en").collect()} == {(2,)}
+
+
+def test_mor_concurrent_writers_both_land(spark, tmp_path):
+    """Two merge_into_mor calls racing on one table serialize under the
+    commit lock: both deltas append (no lost update), order = commit
+    order."""
+    import threading
+
+    root = _store(spark, tmp_path)
+    errs = []
+
+    def write(uid, val):
+        try:
+            publish.merge_into_mor(
+                spark, root, "t",
+                spark.createDataFrame(
+                    [(uid, "c", val)], "id bigint, name string, val double"
+                ),
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=write, args=(10, 1.0)),
+        threading.Thread(target=write, args=(11, 2.0)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert len(entry["deltas"]) == 2
+    got = {r.id for r in publish.read_table(spark, root, "t").collect()}
+    assert {10, 11} <= got
+
+
+def test_mor_rejects_unknown_staging_columns(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    widened = spark.createDataFrame(
+        [(1, "a", 1.0, "extra")], "id bigint, name string, val double, note string"
+    )
+    with pytest.raises(ValueError, match="not in table"):
+        publish.merge_into_mor(spark, root, "t", widened)
+
+
+def test_mor_timestamp_asof_reads(spark, tmp_path):
+    import time as _time
+
+    root = _store(spark, tmp_path)
+    _time.sleep(0.05)
+    t_before = _time.time()
+    _time.sleep(0.05)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(9, "z", 9.0)], "id bigint, name string, val double"),
+    )
+    old = publish.read_table_asof(spark, root, "t", t_before)
+    assert {r.id for r in old.collect()} == {1, 2, 3}
+    now = publish.read_table_asof(spark, root, "t", _time.time())
+    assert {r.id for r in now.collect()} == {1, 2, 3, 9}
+
+
 def test_mor_base_side_has_no_shuffle(spark, tmp_path):
     """Reconstruction must not shuffle or sort the base: the delta keys
     broadcast (bytes under MOR_BROADCAST_MAX_BYTES) so the base side is a

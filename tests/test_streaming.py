@@ -261,6 +261,34 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expected and len(expected) > 0
 
 
+def test_interval_join_lower_bound(spark):
+    """lower widens/narrows the window: negative admits right events
+    before the left event; positive excludes the immediate aftermath."""
+    from dataintegration_ecomprovider_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], ["k", "lts"]
+    ).select("k", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:58:00", "before"),
+         (1, "2024-01-01 10:03:00", "in"),
+         (1, "2024-01-01 10:40:00", "late")],
+        ["k", "rts", "tag"],
+    ).select("k", F.col("rts").cast("timestamp"), "tag")
+
+    def tags(**kw):
+        return {
+            r.tag
+            for r in interval_join(
+                left, right, key="k", left_ts="lts", right_ts="rts", **kw
+            ).collect()
+        }
+
+    assert tags(upper="30 minutes") == {"in"}
+    assert tags(upper="30 minutes", lower="-5 minutes") == {"before", "in"}
+    assert tags(upper="50 minutes", lower="5 minutes") == {"late"}
+
+
 def test_stream_into_store_mor_appends_deltas(spark, tmp_path):
     """mor=True: micro-batches append delta files instead of rewriting
     the table — the base dir stays byte-identical across batches, state
