@@ -1462,6 +1462,43 @@ def table_stats(root: str, name: str) -> dict | None:
     return None
 
 
+def store_usage(root: str) -> dict:
+    """Pure-metadata storage audit of the whole store: per table —
+    current-version bytes/files/rows (table_stats, delta-aware), delta
+    log depth, and how many historical versions still reference bytes on
+    disk; plus store totals including bytes held ONLY by history (the
+    vacuum-reclaimable number an operator watches at 100 TB).  Walks
+    manifest + on-disk sizes, runs no Spark job."""
+    manifest = current_manifest(root)
+    tables: dict[str, dict] = {}
+    live_paths: set[str] = set()
+    for name, entry in manifest["tables"].items():
+        stats = table_stats(root, name) or {}
+        deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
+        paths = _entry_paths(entry)
+        live_paths.update(paths)
+        tables[name] = {
+            "bytes": stats.get("bytes"),
+            "rows": stats.get("rows"),
+            "num_files": stats.get("num_files"),
+            "num_deltas": len(deltas),
+        }
+    hist_paths: set[str] = set()
+    for h in manifest.get("history", []):
+        for entry in h["tables"].values():
+            hist_paths.update(_entry_paths(entry))
+    reclaimable = 0
+    for p in hist_paths - live_paths:
+        if os.path.isdir(p):
+            reclaimable += sum(os.path.getsize(f) for f in _data_files(p))
+    return {
+        "version": manifest["version"],
+        "num_versions": 1 + len(manifest.get("history", [])),
+        "tables": tables,
+        "history_only_bytes": reclaimable,
+    }
+
+
 _OPS = {"=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null"}
 
 

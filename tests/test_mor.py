@@ -137,6 +137,28 @@ def test_mor_time_travel_and_cdc(spark, tmp_path):
     }
 
 
+def test_store_usage_audit(spark, tmp_path):
+    """store_usage: delta-aware per-table footprint + the vacuumable
+    history-only byte count, from metadata alone."""
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(7, "g", 70.0)], "id bigint, name string, val double"),
+    )
+    u = publish.store_usage(root)
+    assert u["version"] == 2 and u["num_versions"] == 2
+    assert u["tables"]["t"]["num_deltas"] == 1
+    assert u["tables"]["t"]["rows"] == 4  # 3 base + 1 delta (upper bound)
+    assert u["history_only_bytes"] == 0  # v1 shares the base dir with v2
+
+    publish.compact(spark, root, "t")  # v3: new base; old base+delta now history-only
+    u2 = publish.store_usage(root)
+    assert u2["tables"]["t"]["num_deltas"] == 0
+    assert u2["history_only_bytes"] > 0
+    publish.vacuum(spark, root, keep_versions=1)
+    assert publish.store_usage(root)["history_only_bytes"] == 0
+
+
 def test_compact_folds_deltas_into_clean_base(spark, tmp_path):
     root = _store(spark, tmp_path)
     for i in range(4):
@@ -264,6 +286,64 @@ def test_cdc_falls_back_to_generic_across_compact(spark, tmp_path):
     assert publish.read_changes(spark, root, "t", 2, 3).count() == 0
     changes = publish.read_changes(spark, root, "t", 1, 3)
     assert _rows(changes) == {(9, "i", 90.0, "insert")}
+
+
+# --- hypothesis: arbitrary merge/delete/compact sequences vs a dict model --
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_KEYS = st.integers(min_value=0, max_value=9)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(st.tuples(_KEYS, st.integers(0, 99)), max_size=4, unique_by=lambda t: t[0]),
+            st.lists(_KEYS, max_size=2, unique=True),
+        ),
+        st.tuples(st.just("compact"), st.none(), st.none()),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_OPS)
+def test_mor_model_property(spark, tmp_path_factory, ops):
+    """Model-based check: any interleaving of MoR merges (upserts +
+    deletes) and compactions must equal a plain dict replay — the store's
+    read-side reconstruction IS the dict semantics, at every intermediate
+    version."""
+    root = str(tmp_path_factory.mktemp("morprop") / "store")
+    base = {0: 1000, 1: 1001}
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(list(base.items()), "id bigint, v bigint")},
+        root,
+        table_keys={"t": ["id"]},
+    )
+    model = dict(base)
+    for op, upserts, deletes in ops:
+        if op == "compact":
+            publish.compact(spark, root, "t")
+        else:
+            upserts = [(k, v) for k, v in upserts if k not in (deletes or [])]
+            publish.merge_into_mor(
+                spark, root, "t",
+                spark.createDataFrame(upserts or [(999, 0)], "id bigint, v bigint")
+                .filter(F.lit(bool(upserts))),
+                deletes=(
+                    spark.createDataFrame([(k,) for k in deletes], "id bigint")
+                    if deletes else None
+                ),
+            )
+            for k, v in upserts:
+                model[k] = v
+            for k in deletes or []:
+                model.pop(k, None)
+        got = {
+            r.id: r.v for r in publish.read_table(spark, root, "t").collect()
+        }
+        assert got == model
 
 
 def test_mor_requires_keys_and_existing_table(spark, tmp_path):
