@@ -1462,6 +1462,65 @@ def table_stats(root: str, name: str) -> dict | None:
     return None
 
 
+def maintain_store(
+    spark: SparkSession,
+    root: str,
+    max_deltas: int = 8,
+    max_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    bloom_columns: Mapping[str, Sequence[str]] | None = None,
+    keep_versions: int | None = None,
+    orphan_min_age_seconds: float = 24 * 3600,
+) -> dict:
+    """One operational maintenance pass over the whole store — the
+    scheduled job a 100 TB deployment runs nightly (Delta's OPTIMIZE +
+    VACUUM pairing), built from the existing primitives:
+
+    1. COMPACT every table whose merge-on-read delta log is deeper than
+       `max_deltas`, or whose file count exceeds `max_files` (when set) —
+       folding delta logs and small files back into target-size bases;
+    2. rebuild the Bloom index for compacted tables listed in
+       `bloom_columns` (a rewrite sheds the sidecar, so the index follows
+       the data);
+    3. VACUUM to `keep_versions` (when set) and collect aged orphans.
+
+    Tables are processed independently; a failure on one table is
+    recorded and does not block the rest.  Returns
+    {"compacted": {name: result}, "blooms": [names], "vacuum", "orphans",
+    "errors": {name: str}}.
+    """
+    manifest = current_manifest(root)
+    report: dict = {"compacted": {}, "blooms": [], "errors": {}}
+    for name in sorted(manifest["tables"]):
+        entry = manifest["tables"][name]
+        deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
+        stats = table_stats(root, name) or {}
+        needs = len(deltas) > max_deltas or (
+            max_files is not None
+            and stats.get("num_files") is not None
+            and stats["num_files"] > max_files
+        )
+        if not needs:
+            continue
+        try:
+            report["compacted"][name] = compact(
+                spark, root, name, target_file_bytes=target_file_bytes
+            )
+            if bloom_columns and name in bloom_columns:
+                write_bloom_sidecar(
+                    spark, root, name, list(bloom_columns[name])
+                )
+                report["blooms"].append(name)
+        except Exception as e:  # noqa: BLE001 — per-table isolation
+            report["errors"][name] = f"{type(e).__name__}: {e}"
+    if keep_versions is not None:
+        report["vacuum"] = vacuum(spark, root, keep_versions=keep_versions)
+    report["orphans"] = collect_orphans(
+        spark, root, min_age_seconds=orphan_min_age_seconds
+    )
+    return report
+
+
 def store_usage(root: str) -> dict:
     """Pure-metadata storage audit of the whole store: per table —
     current-version bytes/files/rows (table_stats, delta-aware), delta

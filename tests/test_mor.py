@@ -159,6 +159,47 @@ def test_store_usage_audit(spark, tmp_path):
     assert publish.store_usage(root)["history_only_bytes"] == 0
 
 
+def test_maintain_store_policy_pass(spark, tmp_path):
+    """maintain_store: compacts only tables over the delta/file budget,
+    rebuilds requested blooms after their compaction, vacuums, and keeps
+    every table readable with identical rows."""
+    import os
+
+    root = str(tmp_path / "store")
+    deep = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("u"), F.col("id").cast("string")).alias("name")
+    )
+    shallow = spark.createDataFrame([(1, "x")], "id bigint, name string")
+    publish.publish_tables(
+        spark, {"deep": deep, "shallow": shallow}, root,
+        table_keys={"deep": ["id"], "shallow": ["id"]},
+    )
+    for i in range(3):  # delta log depth 3 on `deep` only
+        publish.merge_into_mor(
+            spark, root, "deep",
+            spark.createDataFrame([(100 + i, f"n{i}")], "id bigint, name string"),
+        )
+    before = {r.id for r in publish.read_table(spark, root, "deep").collect()}
+
+    report = publish.maintain_store(
+        spark, root, max_deltas=2,
+        bloom_columns={"deep": ["id"]},
+        keep_versions=1, orphan_min_age_seconds=0,
+    )
+    assert set(report["compacted"]) == {"deep"}
+    assert report["blooms"] == ["deep"] and not report["errors"]
+    entry = publish.current_manifest(root)["tables"]["deep"]
+    assert not entry.get("deltas")
+    assert os.path.exists(os.path.join(entry["path"], publish.BLOOM_FILE))
+    assert {r.id for r in publish.read_table(spark, root, "deep").collect()} == before
+    # bloom is live: absent-key scan prunes everything
+    kept, total = publish.prune_files(root, "deep", [("id", "=", 999_999)])
+    assert len(kept) <= 1
+    # vacuum pruned history; shallow untouched and readable
+    assert publish.store_usage(root)["history_only_bytes"] == 0
+    assert publish.read_table(spark, root, "shallow").count() == 1
+
+
 def test_compact_folds_deltas_into_clean_base(spark, tmp_path):
     root = _store(spark, tmp_path)
     for i in range(4):
