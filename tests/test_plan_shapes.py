@@ -229,3 +229,37 @@ def test_unpartitioned_windows_read_bounded_inputs(spark):
     assert "hashaggregate(keys=[c_nationkey" in plan2.lower().replace(" ", ""), (
         "rank window must read the distinct-key aggregate:\n" + plan2[:3000]
     )
+
+
+def test_mor_reconstruction_prunes_columns(spark, tmp_path):
+    """Column pruning must push THROUGH merge-on-read reconstruction
+    (anti-join + union): a 2-column projection over a wide MoR table
+    reads only those columns from the base scan, and only the key from
+    the anti-join's delta-key scan — at 100 TB the difference between
+    reading 2 columns and the whole table."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "store")
+    df = spark.range(100).selectExpr(
+        "id", "id*2 as a", "id*3 as b", "cast(id as string) as s"
+    )
+    publish.publish_tables(spark, {"t": df}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.range(5).selectExpr("id", "id*7 as a", "id*9 as b", "'x' as s"),
+    )
+    plan = (
+        publish.read_table(spark, root, "t")
+        .select("id", "a")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [
+        ln.strip() for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    assert len(scans) == 3  # base, delta keys (anti side), delta rows
+    base_scan = [s for s in scans if "_delta" not in s][0]
+    assert "[id#" in base_scan and ",b#" not in base_scan and ",s#" not in base_scan
+    for s in scans:
+        assert ",b#" not in s and ",s#" not in s, s
