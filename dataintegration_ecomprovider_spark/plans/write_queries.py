@@ -1466,6 +1466,81 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM s2
 """
 
 
+def q_maintain_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly maintenance pass (publish.maintain_store) exercised as
+    a query: seed an orders base, stack THREE merge-on-read deltas past
+    the policy budget, run the pass (compact folds the log, the declared
+    Bloom index is rebuilt on the fresh base, history vacuumed), then
+    return the final state — which must equal the plain upsert chain (the
+    oracle), with in-query assertions that the policy actually fired."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="maint_store_")
+    full = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    publish.publish_tables(
+        spark, {"orders": full.filter(F.col("o_orderkey") % 3 != 0)}, root,
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    for mod, status in ((5, "M1"), (7, "M2"), (11, "M3")):
+        publish.merge_into_mor(
+            spark, root, "orders",
+            full.filter(F.col("o_orderkey") % mod == 0).withColumn(
+                "o_orderstatus", F.lit(status)
+            ),
+        )
+    report = publish.maintain_store(
+        spark, root, max_deltas=2,
+        bloom_columns={"orders": ["o_orderkey"]}, keep_versions=1,
+        orphan_min_age_seconds=0,
+    )
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    if (
+        "orders" not in report["compacted"]
+        or report["blooms"] != ["orders"]
+        or report["errors"]
+        or entry.get("deltas")
+    ):
+        raise AssertionError(f"maintenance pass misfired: {report}")
+    kept, total = publish.prune_files(root, "orders", [("o_orderkey", "=", -1)])
+    if kept:  # absent key: the rebuilt bloom must prune every file
+        raise AssertionError(f"bloom not live after maintenance: {kept}/{total}")
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_MAINTAIN_STORE = """
+WITH full_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders
+),
+base AS (SELECT * FROM full_t WHERE o_orderkey % 3 <> 0),
+d1 AS (SELECT o_orderkey, o_custkey, 'M1' AS o_orderstatus, o_totalprice
+       FROM full_t WHERE o_orderkey % 5 = 0),
+d2 AS (SELECT o_orderkey, o_custkey, 'M2' AS o_orderstatus, o_totalprice
+       FROM full_t WHERE o_orderkey % 7 = 0),
+d3 AS (SELECT o_orderkey, o_custkey, 'M3' AS o_orderstatus, o_totalprice
+       FROM full_t WHERE o_orderkey % 11 = 0),
+s1 AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d1)
+  UNION ALL SELECT * FROM d1
+),
+s2 AS (
+  SELECT * FROM s1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d2)
+  UNION ALL SELECT * FROM d2
+),
+s3 AS (
+  SELECT * FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d3)
+  UNION ALL SELECT * FROM d3
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM s3
+"""
+
+
 # --- U1/U3 under case-insensitive collation -------------------------------
 def q_upsert_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert where staging keys differ from dest keys ONLY in case: the
@@ -1524,6 +1599,7 @@ QUERIES = {
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
+    "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
