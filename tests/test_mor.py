@@ -387,6 +387,27 @@ def test_mor_model_property(spark, tmp_path_factory, ops):
         assert got == model
 
 
+def test_mor_crashed_staging_is_orphan_collectable(spark, tmp_path):
+    """A delta staged to disk whose commit never happened (crash between
+    write and manifest swap) is invisible to readers and reclaimed by
+    collect_orphans — the same crash contract as publish staging."""
+    import os
+
+    root = _store(spark, tmp_path)
+    # simulate the crash: write a delta dir the manifest never references
+    orphan = os.path.join(root, "data", "deadbeef-crash", "t_delta")
+    spark.createDataFrame(
+        [(2, "ghost", 0.0)], "id bigint, name string, val double"
+    ).withColumn(publish.MOR_CHANGE_COL, F.lit("upsert")).write.parquet(orphan)
+
+    assert _rows(publish.read_table(spark, root, "t")) == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)
+    }
+    res = publish.collect_orphans(spark, root, min_age_seconds=0)
+    assert os.path.normpath(orphan) in res["removed_paths"]
+    assert not os.path.exists(orphan)
+
+
 def test_mor_requires_keys_and_existing_table(spark, tmp_path):
     root = str(tmp_path / "store")
     df = spark.createDataFrame([(1, "a")], "id bigint, name string")
