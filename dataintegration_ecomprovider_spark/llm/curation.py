@@ -201,6 +201,65 @@ def decontaminate(
     )
 
 
+def decontaminate_exact(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+) -> DataFrame:
+    """Exact-substring decontamination: flag corpus docs containing ANY
+    exact length-`window` character substring of any benchmark doc — the
+    stricter sibling of ``decontaminate``'s n-gram Jaccard (the GPT-3 /
+    Llama papers' "N-character overlap" eval-leak check; fuzzy overlap
+    misses verbatim quotes shorter than its shingle budget, this catches
+    them exactly).
+
+    Output: id_col, n_hits (distinct matched corpus windows),
+    contaminated.
+
+    Scale shape: the benchmark's distinct window set broadcasts (eval
+    sets are tiny next to a 100 TB corpus), so every corpus window is
+    probed MAP-SIDE against a hashmap — the corpus never shuffles its
+    windows; the only shuffle is the per-doc hit count.  Window
+    enumeration is a partition-local sequence-explode (same shape as
+    chunking, llm/chunking.py).  Docs shorter than `window` cannot match
+    and are never exploded."""
+    def windows(col: Column) -> Column:
+        n = F.length(col) - F.lit(window - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+            lambda i: F.substring(col, i, F.lit(window)),
+        )
+
+    bench_windows = (
+        benchmark.filter(F.length(text_col) >= window)
+        .select(F.explode(windows(F.col(text_col))).alias("w"))
+        .distinct()
+    )
+    hits = (
+        corpus.filter(F.length(text_col) >= window)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(windows(F.col(text_col)))).alias("w"),
+        )
+        .join(F.broadcast(bench_windows), "w", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .na.fill({"n_hits": 0})
+        .select(
+            id_col,
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
 def pii_scrub(text: Column) -> dict[str, Column]:
     """Count and redact email / IPv4 / phone-shaped substrings.
 

@@ -1029,6 +1029,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64-char-substring decontamination of the corpus against the
+    src0 benchmark slice (llm/curation.py::decontaminate_exact) — the
+    verbatim-leak check the n-gram Jaccard form can miss; benchmark
+    windows broadcast, corpus windows probed map-side."""
+    from dataintegration_ecomprovider_spark.llm.curation import decontaminate_exact
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return decontaminate_exact(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        window=64,
+    )
+
+
+ORACLE_DECONTAMINATE_EXACT = """
+WITH win AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(text) - 63, 0) + 1),
+           i -> substr(text, i, 64))) AS ws
+  FROM documents
+  WHERE len(text) >= 64
+),
+bench AS (SELECT DISTINCT unnest(ws) AS w FROM win WHERE source = 'src0'),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT doc_id, unnest(ws) AS w FROM win WHERE source <> 'src0')
+  WHERE w IN (SELECT w FROM bench)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 ORACLE_DECONTAMINATE = f"""
 WITH sh AS (
   SELECT doc_id, source,
@@ -1161,5 +1200,8 @@ QUERIES = {
     "llm_chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "llm_repetition_metrics": QueryDef(q_repetition_metrics, ORACLE_REPETITION),
     "llm_decontaminate": QueryDef(q_decontaminate, ORACLE_DECONTAMINATE),
+    "llm_decontaminate_exact": QueryDef(
+        q_decontaminate_exact, ORACLE_DECONTAMINATE_EXACT
+    ),
     "llm_pii_scrub": QueryDef(q_pii_scrub, ORACLE_PII_SCRUB),
 }

@@ -81,3 +81,29 @@ def test_pii_scrub_no_false_positives_on_plain_text(spark):
         cols["n_emails"].alias("e"), cols["n_ipv4"].alias("i"), cols["n_phones"].alias("p")
     ).collect()[0]
     assert (row["e"], row["i"], row["p"]) == (0, 0, 0)
+
+
+def test_decontaminate_exact_substring(spark):
+    """A verbatim 64+-char quote flags; a paraphrase (no 64-char exact
+    window shared) does not; short docs never match."""
+    from dataintegration_ecomprovider_spark.llm.curation import decontaminate_exact
+
+    secret = "the quick brown fox jumps over the lazy dog while seventeen owls watch silently from the oak"
+    bench = spark.createDataFrame([(100, secret)], "doc_id bigint, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix junk {secret} suffix junk"),          # verbatim quote
+            (2, secret.replace("seventeen", "eighteen")),       # paraphrase
+            (3, "way too short"),                               # < window
+            (4, "x" * 200),                                     # unrelated
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate_exact(corpus, bench, window=64).collect()
+    }
+    assert got[1][1] is True and got[1][0] > 0
+    assert got[2] == (0, False)  # the edit breaks every 64-window crossing it
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
