@@ -260,6 +260,73 @@ def decontaminate_exact(
     )
 
 
+def line_dedup(
+    corpus: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    min_line_chars: int = 16,
+) -> DataFrame:
+    """Corpus-global line deduplication (the C4 / RefinedWeb boilerplate
+    pass): remove every line that occurs at least `min_count` times
+    ACROSS the corpus — navigation chrome, cookie banners, license
+    footers — and reassemble each document from its surviving lines in
+    order.  Lines shorter than `min_line_chars` are never candidates
+    (blank lines and bullets would otherwise dedup everywhere).
+
+    Output: id_col, text (reassembled), n_removed.  Docs whose every
+    line was removed keep an empty string (callers filter).
+
+    Scale shape: one shuffle counts lines by their md5 (fixed-width
+    shuffle key, portable to the oracle); the duplicated-line anti-join
+    is left UNHINTED so AQE broadcasts it when small (the common case —
+    boilerplate is a tiny distinct set) and falls back to a shuffle join
+    on a mass-duplicated corpus instead of blowing the broadcast limit;
+    reassembly is one groupBy(doc) with an order-pinned collect.
+    Nothing quadratic, nothing driver-side."""
+    from pyspark.sql import Window  # noqa: F401 (documentation parity)
+
+    lines = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__idx", "__ln"),
+    )
+    candidate = F.length("__ln") >= min_line_chars
+    dup_hashes = (
+        lines.filter(candidate)
+        .groupBy(F.md5(F.col("__ln")).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("__h")
+    )
+    tagged = lines.withColumn(
+        "__h", F.when(candidate, F.md5(F.col("__ln")))
+    ).join(dup_hashes, "__h", "left_anti")
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__idx"), F.col("__ln")))
+                ),
+                lambda s: s["__ln"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def pii_scrub(text: Column) -> dict[str, Column]:
     """Count and redact email / IPv4 / phone-shaped substrings.
 

@@ -1029,6 +1029,61 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line dedup (llm/curation.py::line_dedup, the C4 /
+    RefinedWeb boilerplate pass).  The synthetic docs carry no newlines,
+    so the query builds a deterministic line structure: body + a COOKIE
+    BANNER shared by every doc (must be removed everywhere) + a short
+    per-doc tail (below the candidate length, always kept).  Bodies
+    removed only where the corpus contains exact-duplicate documents."""
+    from dataintegration_ecomprovider_spark.llm.curation import line_dedup
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nCOOKIE BANNER: accept tracking to continue reading\ndoc-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = line_dedup(corpus, min_count=2, min_line_chars=16)
+    return out.select("doc_id", F.md5("text").alias("text_md5"), "n_removed")
+
+
+ORACLE_LINE_DEDUP = """
+WITH corpus AS (
+  SELECT doc_id,
+         text || chr(10) || 'COOKIE BANNER: accept tracking to continue reading'
+              || chr(10) || 'doc-' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+         unnest(string_split(text, chr(10))) AS ln
+  FROM corpus
+),
+dups AS (
+  SELECT ln FROM lines WHERE len(ln) >= 16 GROUP BY ln HAVING COUNT(*) >= 2
+),
+kept AS (
+  SELECT doc_id, idx, ln FROM lines
+  WHERE NOT (len(ln) >= 16 AND ln IN (SELECT ln FROM dups))
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       md5(COALESCE(r.text, '')) AS text_md5,
+       CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 64-char-substring decontamination of the corpus against the
     src0 benchmark slice (llm/curation.py::decontaminate_exact) — the
@@ -1203,5 +1258,6 @@ QUERIES = {
     "llm_decontaminate_exact": QueryDef(
         q_decontaminate_exact, ORACLE_DECONTAMINATE_EXACT
     ),
+    "llm_line_dedup": QueryDef(q_line_dedup, ORACLE_LINE_DEDUP),
     "llm_pii_scrub": QueryDef(q_pii_scrub, ORACLE_PII_SCRUB),
 }

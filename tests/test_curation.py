@@ -107,3 +107,24 @@ def test_decontaminate_exact_substring(spark):
     assert got[2] == (0, False)  # the edit breaks every 64-window crossing it
     assert got[3] == (0, False)
     assert got[4] == (0, False)
+
+
+def test_line_dedup_removes_global_boilerplate(spark):
+    from dataintegration_ecomprovider_spark.llm.curation import line_dedup
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER FOR MORE"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first body line here\n{banner}\nok"),
+            (2, f"a different body line entirely\n{banner}\nok"),
+            (3, f"third doc distinct content line\n{banner}"),
+            (4, banner),  # all lines removed -> empty text
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_removed) for r in line_dedup(docs).collect()}
+    assert got[1] == ("unique first body line here\nok", 1)
+    assert got[2] == ("a different body line entirely\nok", 1)
+    assert got[3] == ("third doc distinct content line", 1)
+    assert got[4] == ("", 1)
+    # short lines ("ok") are never candidates even though repeated
