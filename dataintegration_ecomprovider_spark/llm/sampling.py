@@ -95,6 +95,49 @@ def rebalance_mix(
     )
 
 
+def temperature_mix(
+    docs: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/source-mix
+    rule from mBERT/XLM-R and the Llama data recipes): stratum i is kept
+    with probability proportional to ``p_i^alpha / p_i`` where ``p_i`` is
+    its corpus share — ``alpha=1`` keeps the natural mix, ``alpha=0``
+    equalizes every stratum (rebalance_mix's policy), values between
+    up-sample the tail without flattening the head.  Kept fractions are
+    normalized so the LARGEST resulting stratum keeps everything
+    (pure downsampling — deterministic, no row duplication).
+
+    `weight_col` sizes strata by a weight (e.g. token counts) instead of
+    row counts — mixes are usually specified over tokens, not documents.
+
+    Survival is the same deterministic md5-bucket rule as rebalance_mix /
+    split_assign, so the sample is reproducible and oracle-checkable.
+    The per-stratum threshold table is tiny and broadcast; the corpus is
+    filtered map-side with zero extra shuffles."""
+    w = weight_col if weight_col is not None else F.lit(1)
+    counts = docs.groupBy(strata_col).agg(F.sum(w).alias("cnt"))
+    # keep_i ∝ cnt_i^(alpha-1), normalized so max keep == 1
+    powed = counts.select(
+        strata_col, "cnt", F.pow(F.col("cnt"), F.lit(alpha - 1.0)).alias("k")
+    )
+    mx = powed.agg(F.max("k").alias("mk"))
+    thresholds = powed.crossJoin(F.broadcast(mx)).select(
+        strata_col,
+        F.floor(F.lit(float(BUCKETS)) * F.col("k") / F.col("mk"))
+        .cast("int")
+        .alias("keep_below"),
+    )
+    return (
+        docs.join(F.broadcast(thresholds), strata_col)
+        .filter(hash_bucket(F.col(id_col)) < F.col("keep_below"))
+        .drop("keep_below")
+    )
+
+
 def quality_filter_by_quantile(
     docs: DataFrame,
     score: Column,

@@ -378,6 +378,34 @@ def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.rebalance_mix(docs, "lang").select("doc_id", "lang")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing at alpha=0.5 (llm/sampling.py::
+    temperature_mix): head languages downsample toward sqrt of their
+    natural share, the tail keeps everything — deterministic md5-bucket
+    survival, thresholds broadcast, corpus filtered map-side."""
+    from dataintegration_ecomprovider_spark.llm.sampling import temperature_mix
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "lang")
+    return temperature_mix(docs, "lang", alpha=0.5)
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+),
+p AS (SELECT lang, cnt, POW(cnt, -0.5) AS k FROM c),
+m AS (SELECT MAX(k) AS mk FROM p),
+d AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM d JOIN p USING (lang) CROSS JOIN m
+WHERE d.bucket < CAST(FLOOR(65536.0 * p.k / m.mk) AS INTEGER)
+"""
+
+
 ORACLE_REBALANCE_MIX = """
 WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
 m AS (SELECT MIN(cnt) AS mn FROM c),
@@ -1211,6 +1239,7 @@ QUERIES = {
     "llm_split_hash": QueryDef(q_split_hash, ORACLE_SPLIT_HASH),
     "llm_sample_stratified": QueryDef(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "llm_rebalance_mix": QueryDef(q_rebalance_mix, ORACLE_REBALANCE_MIX),
+    "llm_temperature_mix": QueryDef(q_temperature_mix, ORACLE_TEMPERATURE_MIX),
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
     "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),

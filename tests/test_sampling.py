@@ -103,3 +103,54 @@ def test_quality_filter_keeps_upper_quantile(spark):
         assert 0.3 * n <= kept.get(lang, 0) <= n
     # schema is unchanged (helper columns dropped)
     assert out.columns == docs.columns
+
+
+def test_temperature_mix_interpolates_between_natural_and_equal(spark):
+    """alpha=1 keeps everything (natural mix); alpha=0 equals
+    rebalance_mix's equal-size policy (same thresholds); alpha=0.5 lies
+    between; the tail stratum always keeps everything."""
+    from dataintegration_ecomprovider_spark.llm.sampling import (
+        rebalance_mix, temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+         for i in range(1000)],
+        "doc_id bigint, lang string",
+    )
+
+    def sizes(df):
+        return {r["lang"]: r["n"] for r in
+                df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    nat = sizes(temperature_mix(docs, "lang", alpha=1.0))
+    assert nat == {"big": 900, "mid": 90, "small": 10}  # keep == 1 everywhere
+
+    eq = sizes(temperature_mix(docs, "lang", alpha=0.0))
+    assert eq == sizes(rebalance_mix(docs, "lang"))
+
+    half = sizes(temperature_mix(docs, "lang", alpha=0.5))
+    assert half["small"] == 10  # tail keeps everything
+    assert eq["big"] <= half["big"] <= nat["big"]
+    assert half["big"] < nat["big"]  # head actually downsampled
+    # expected keep fraction for the head at alpha=0.5 is sqrt(10/900)
+    assert abs(half["big"] / 900 - (10 / 900) ** 0.5) < 0.05
+
+
+def test_temperature_mix_token_weighted(spark):
+    """weight_col sizes strata by tokens: a stratum with few huge docs
+    downsamples like a big stratum."""
+    from dataintegration_ecomprovider_spark.llm.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "heavy", 10_000) for i in range(50)]
+        + [(100 + i, "light", 10) for i in range(50)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    out = temperature_mix(
+        docs, "lang", alpha=0.5, weight_col=F.col("n_tokens")
+    )
+    sizes = {r["lang"]: r["n"] for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes.get("light", 0) == 50           # small-token stratum kept
+    assert 0 < sizes.get("heavy", 0) < 50        # heavy-token stratum thinned
