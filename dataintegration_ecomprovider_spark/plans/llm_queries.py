@@ -378,6 +378,35 @@ def q_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.rebalance_mix(docs, "lang").select("doc_id", "lang")
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training export (llm/export.py::
+    shard_assign — md5-bucket of the id, stable across runs/parallelism):
+    per-shard doc and token counts for an 8-shard export of the corpus.
+    The file-writing half (write_training_shards: one co-located file per
+    shard + _SHARDS.json manifest) is pytest-gated; this query pins the
+    assignment itself against the oracle."""
+    from dataintegration_ecomprovider_spark.llm.export import shard_assign
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "n_chars")
+    return (
+        shard_assign(docs, 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+ORACLE_TRAINING_SHARDS = """
+SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+         AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing at alpha=0.5 (llm/sampling.py::
     temperature_mix): head languages downsample toward sqrt of their
@@ -1240,6 +1269,7 @@ QUERIES = {
     "llm_sample_stratified": QueryDef(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "llm_rebalance_mix": QueryDef(q_rebalance_mix, ORACLE_REBALANCE_MIX),
     "llm_temperature_mix": QueryDef(q_temperature_mix, ORACLE_TEMPERATURE_MIX),
+    "llm_training_shards": QueryDef(q_training_shards, ORACLE_TRAINING_SHARDS),
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
     "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),
