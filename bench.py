@@ -47,6 +47,7 @@ HEADLINE = [
     "u12_data_skipping_scan",       # stats sidecar + file pruning (round 4)
     "llm_semantic_dedup",           # SemDeDup cluster-scoped dedup (round 4)
     "u12_incremental_aggregate",    # IVM: O(delta) aggregate refresh (round 4)
+    "u12_incremental_join",         # IVM: scoped join-view refresh (round 4)
     "u12_merge_on_read",            # MoR delta merges + lazy reconstruction (round 4)
     "u12_bloom_scan",               # Bloom-filter point-lookup skipping (round 4)
     "stream_interval_join",         # stream-stream interval join, batch form (round 4)

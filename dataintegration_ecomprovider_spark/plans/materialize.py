@@ -378,3 +378,231 @@ def maintain_aggregate(
         os.replace(tmp, os.path.join(root, publish.SYNC_FILE))
     return {"dst": dst, "from_version": last, "to_version": src_version,
             "mode": mode}
+
+
+# --- join-view maintenance (round 4) ---------------------------------------
+#
+# The aggregate family above maintains GROUP BY views; this maintains the
+# OTHER half of the reference's export surface — the fact-⋈-dimension view
+# (every J1-J4/J9 export view is one) — so a changed dimension row re-derives
+# only the fact rows that reference it, instead of re-running the whole
+# export join per refresh (src/EcomProvider.cs:937-966).  The delta rule for
+# a key-FK join specializes to a scoped recompute: the view is keyed by the
+# fact keys (the dim key is unique, so joining never fans rows out), and a
+# change anywhere can only alter view rows whose fact key is "affected":
+#
+#   affected = keys of changed fact rows
+#            ∪ current fact rows whose FK references a changed dim key
+#
+# new_view = (view ∖ affected) ∪ (fact⟨affected⟩ ⋈ current dim) — an
+# anti-join, a semi-join-scoped rebuild, and a union.  O(delta + affected)
+# rows move; the only full-table touch is the FK membership probe against
+# the current fact, which is a scan with a broadcast-eligible semi-join
+# (no fact shuffle — AQE broadcasts the delta-sized key set) and benefits
+# from the store's file skipping.  This is the classic counting/DRed IVM
+# argument collapsed for the 1:N equi-join case.
+
+
+def join_view(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    dim_key: str | None = None,
+    dim_cols: Sequence[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """The view definition, computed directly (seed / recompute oracle):
+    ``fact ⋈ dim ON fact.fk = dim.dim_key`` carrying `dim_cols` (default:
+    every dim column except the key).  `how` is ``left`` (FK optional —
+    unmatched fact rows keep null dim columns) or ``inner``.
+
+    `dim_key` MUST be unique in `dim` — the view stays keyed by the fact
+    keys only under that contract (the J1-J4 dimension-join shape)."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    dim_key = dim_key or fk
+    if dim_cols is None:
+        dim_cols = [c for c in dim.columns if c != dim_key]
+    clash = set(dim_cols) & set(fact.columns)
+    if clash:
+        raise ValueError(f"dim columns {sorted(clash)} collide with fact columns")
+    dproj = dim.select(F.col(dim_key).alias("__jk"), *dim_cols)
+    return fact.join(dproj, fact[fk] == F.col("__jk"), how).drop("__jk")
+
+
+def _changed_dim_keys(dim_changes: DataFrame, dim_key: str,
+                      change_col: str) -> DataFrame:
+    """Distinct dim-key values whose row changed — NEW-side keys of
+    inserts/updates plus OLD-side keys of updates/deletes (a dim row whose
+    key itself changed affects fact rows referencing EITHER value).
+    Requires the ``include_old=True`` diff columns."""
+    old_col = f"{dim_key}__old"
+    if old_col not in dim_changes.columns:
+        raise ValueError(
+            "dim_changes must carry include_old=True columns "
+            f"(missing {old_col!r})"
+        )
+    new_side = dim_changes.filter(F.col(change_col) != "delete").select(
+        F.col(dim_key).alias("__jk")
+    )
+    old_side = dim_changes.filter(F.col(change_col) != "insert").select(
+        F.col(old_col).alias("__jk")
+    )
+    return (
+        new_side.unionByName(old_side)
+        .filter(F.col("__jk").isNotNull())
+        .distinct()
+    )
+
+
+def apply_join_delta(
+    view: DataFrame,
+    fact_now: DataFrame,
+    dim_now: DataFrame,
+    fact_changes: DataFrame | None,
+    dim_changes: DataFrame | None,
+    fact_keys: Sequence[str],
+    fk: str,
+    dim_key: str | None = None,
+    dim_cols: Sequence[str] | None = None,
+    how: str = "left",
+    change_col: str = "change_type",
+) -> DataFrame:
+    """Merge read_changes feeds for the fact and/or dim side into a
+    join-view state (semantics documented on the section header above).
+    Either changes frame may be None/absent when that side didn't move.
+
+    Affected-key joins go through a ``struct(<fact keys>)`` key so the
+    semi/anti joins match null key fields null-safely, same as the
+    aggregate family's ``__gk`` merge key.  No broadcast is forced — the
+    affected/changed key sets are delta-sized, and AQE picks the broadcast
+    side at runtime (forcing the hint here would hard-fail on a pathological
+    all-rows-changed refresh where a shuffle join degrades gracefully)."""
+    fact_keys = list(fact_keys)
+    dim_key = dim_key or fk
+
+    affected = None
+    if fact_changes is not None:
+        # delete rows carry old key values in the main columns, so one
+        # projection covers inserted, updated and deleted fact keys
+        affected = fact_changes.select(
+            F.struct(*fact_keys).alias("__gk")
+        ).distinct()
+    if dim_changes is not None:
+        dkeys = _changed_dim_keys(dim_changes, dim_key, change_col)
+        via_dim = (
+            fact_now.join(dkeys, fact_now[fk] == F.col("__jk"), "left_semi")
+            .select(F.struct(*fact_keys).alias("__gk"))
+            .distinct()
+        )
+        affected = via_dim if affected is None else (
+            affected.unionByName(via_dim).distinct()
+        )
+    if affected is None:
+        return view
+
+    kept = (
+        view.withColumn("__gk", F.struct(*fact_keys))
+        .join(affected, "__gk", "left_anti")
+        .drop("__gk")
+    )
+    scoped_fact = (
+        fact_now.withColumn("__gk", F.struct(*fact_keys))
+        .join(affected, "__gk", "left_semi")
+        .drop("__gk")
+    )
+    rebuilt = join_view(scoped_fact, dim_now, fk, dim_key, dim_cols, how)
+    return kept.unionByName(rebuilt.select(*kept.columns))
+
+
+def maintain_join(
+    spark: SparkSession,
+    root: str,
+    fact: str,
+    dim: str,
+    dst: str,
+    fk: str,
+    dim_key: str | None = None,
+    dim_cols: Sequence[str] | None = None,
+    how: str = "left",
+    fact_keys: Sequence[str] | None = None,
+) -> dict:
+    """Bring the join view `dst` = `fact ⋈ dim` current (same store root):
+    first call seeds with the full join; later calls consume only the CDC
+    deltas of BOTH sides since the version last reflected (recorded under
+    ``join:<dst>`` in the store's sync-state file, the maintain_aggregate
+    protocol).  A vacuumed-away delta range falls back to a full re-seed.
+
+    Returns {"dst", "from_version", "to_version", "mode"} — mode is
+    "seed" | "delta" | "noop" | "empty"."""
+    state_key = f"join:{dst}"
+    manifest = publish.current_manifest(root)
+    src_version = manifest["version"]
+    state = publish._sync_state(root)
+    last = state.get(state_key)
+    if fact_keys is None:
+        fact_keys = publish.table_keys(root, fact)
+    if not fact_keys:
+        raise ValueError(
+            f"join maintenance of {dst!r} needs {fact!r}'s key columns — "
+            "publish with table_keys= or pass fact_keys="
+        )
+    dim_key = dim_key or fk
+
+    def _seed() -> str:
+        out = join_view(
+            publish.read_table(spark, root, fact),
+            publish.read_table(spark, root, dim),
+            fk, dim_key, dim_cols, how,
+        )
+        publish.publish_tables(
+            spark, {dst: out}, root, table_keys={dst: list(fact_keys)}
+        )
+        return "seed"
+
+    if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif last == src_version:
+        return {"dst": dst, "from_version": last, "to_version": src_version,
+                "mode": "noop"}
+    else:
+        try:
+            fact_changes = publish.read_changes(
+                spark, root, fact, from_version=last, to_version=src_version,
+                keys=fact_keys,
+            )
+            dim_changes = publish.read_changes(
+                spark, root, dim, from_version=last, to_version=src_version,
+                keys=[dim_key], include_old=True,
+            )
+        except KeyError:
+            mode = _seed()
+        else:
+            fact_moved = fact_changes.limit(1).count() > 0
+            dim_moved = dim_changes.limit(1).count() > 0
+            if not fact_moved and not dim_moved:
+                mode = "empty"
+            else:
+                new_state = apply_join_delta(
+                    publish.read_table(spark, root, dst),
+                    publish.read_table_at(spark, root, fact, src_version),
+                    publish.read_table_at(spark, root, dim, src_version),
+                    fact_changes if fact_moved else None,
+                    dim_changes if dim_moved else None,
+                    fact_keys, fk, dim_key, dim_cols, how,
+                )
+                publish.publish_tables(
+                    spark, {dst: new_state}, root,
+                    table_keys={dst: list(fact_keys)},
+                )
+                mode = "delta"
+
+    with publish._manifest_lock(root):
+        state = publish._sync_state(root)
+        state[state_key] = src_version
+        tmp = os.path.join(root, publish.SYNC_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(root, publish.SYNC_FILE))
+    return {"dst": dst, "from_version": last, "to_version": src_version,
+            "mode": mode}

@@ -1261,6 +1261,70 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance (plans/materialize.py::maintain_join): seed an
+    orders-⋈-customer export view at v1, advance BOTH sides a version —
+    orders inserts/deletes, FK moves (custkey+1 for every 7th order), value
+    updates (total+10 for every 11th); customer inserts/deletes plus a
+    segment rewrite on every 3rd key — and refresh from the two CDC deltas.
+    The maintained view must equal the direct join of v2, which IS the
+    oracle.  Only affected fact keys are rebuilt (changed orders ∪ orders
+    referencing changed customers) where the reference re-runs the whole
+    export join per refresh (src/EcomProvider.cs:937-966)."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    root = tempfile.mkdtemp(prefix="ivm_join_store_")
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+    )
+    cust = cat.table("customer").select("c_custkey", "c_name", "c_mktsegment")
+    v1_orders = orders.filter(F.col("o_orderkey") % 3 != 0)
+    v1_cust = cust.filter(F.col("c_custkey") % 2 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1_orders, "customer": v1_cust}, root,
+        table_keys={"orders": ["o_orderkey"], "customer": ["c_custkey"]},
+    )
+    kw = dict(fk="o_custkey", dim_key="c_custkey", how="left")
+    materialize.maintain_join(
+        spark, root, "orders", "customer", "orders_enriched", **kw
+    )
+    v2_orders = (
+        orders.filter(F.col("o_orderkey") % 4 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1)
+            .otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "total",
+            F.when(
+                F.col("o_orderkey") % 11 == 0,
+                F.round(F.col("total") + 10.0, 2),
+            ).otherwise(F.col("total")),
+        )
+    )
+    v2_cust = cust.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    publish.publish_tables(
+        spark, {"orders": v2_orders, "customer": v2_cust}, root
+    )
+    res = materialize.maintain_join(
+        spark, root, "orders", "customer", "orders_enriched", **kw
+    )
+    if res["mode"] != "delta":
+        raise AssertionError(f"expected a delta refresh, got {res['mode']}")
+    return publish.read_table(spark, root, "orders_enriched").select(
+        "o_orderkey", "o_custkey", "total", "c_name", "c_mktsegment"
+    )
+
+
 def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct maintenance (materialize distinct_cols, round 4):
     seed an approx-distinct-customers-per-status view, advance the source
@@ -1340,6 +1404,26 @@ SELECT o_orderstatus, n_orders, exact_distinct,
        ABS(CAST(hll AS DOUBLE) - exact_distinct) / exact_distinct < 0.05
          AS hll_within_5pct
 FROM agg
+"""
+
+
+ORACLE_INCREMENTAL_JOIN = """
+WITH v2_orders AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN ROUND(ROUND(o_totalprice, 2) + 10.0, 2)
+              ELSE ROUND(o_totalprice, 2) END AS total
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+v2_cust AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT o.o_orderkey, o.o_custkey, o.total, c.c_name, c.c_mktsegment
+FROM v2_orders o LEFT JOIN v2_cust c ON o.o_custkey = c.c_custkey
 """
 
 
@@ -1610,6 +1694,9 @@ QUERIES = {
     ),
     "u12_incremental_distinct": QueryDef(
         q_incremental_distinct, ORACLE_INCREMENTAL_DISTINCT
+    ),
+    "u12_incremental_join": QueryDef(
+        q_incremental_join, ORACLE_INCREMENTAL_JOIN
     ),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),

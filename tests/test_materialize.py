@@ -307,3 +307,156 @@ def test_maintain_distinct_composes_with_sum_minmax(spark, tmp_path):
         )
     )
     assert got == expected
+
+
+# --- join-view maintenance (round 4) ---------------------------------------
+
+
+def _join_recompute(spark, root, **kw):
+    return materialize.join_view(
+        publish.read_table(spark, root, "fact"),
+        publish.read_table(spark, root, "dim"),
+        **kw,
+    )
+
+
+def _seed_join_store(spark, root):
+    fact = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 2.0), (3, 20, 3.0), (4, 99, 4.0), (5, None, 5.0)],
+        "id bigint, fk int, val double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "ten"), (20, "twenty"), (30, "thirty")], "dk int, name string"
+    )
+    publish.publish_tables(
+        spark, {"fact": fact, "dim": dim}, root,
+        table_keys={"fact": ["id"], "dim": ["dk"]},
+    )
+
+
+def test_maintain_join_seed_then_both_side_deltas(spark, tmp_path):
+    """Seed a left fact-dim view, then change BOTH sides in one version —
+    fact insert/delete/value-update/FK-move, dim value-update/delete/insert
+    (the insert matching a previously-dangling FK) — one delta refresh must
+    equal the direct join of the new version."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    kw = dict(fk="fk", dim_key="dk", how="left")
+    res = materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    assert res["mode"] == "seed"
+    assert _rows(publish.read_table(spark, root, "v")) == _rows(
+        _join_recompute(spark, root, **kw)
+    )
+
+    # fact: delete id=1, move id=3's FK 20->10, update id=4's val,
+    #       insert id=6 -> 30; dim: rename 10, delete 20, insert 99
+    # (id=4's FK 99 was dangling and now resolves via the dim-change path)
+    fact2 = spark.createDataFrame(
+        [(2, 10, 2.0), (3, 10, 3.0), (4, 99, 44.0), (5, None, 5.0), (6, 30, 6.0)],
+        "id bigint, fk int, val double",
+    )
+    dim2 = spark.createDataFrame(
+        [(10, "TEN"), (30, "thirty"), (99, "found")], "dk int, name string"
+    )
+    publish.publish_tables(spark, {"fact": fact2, "dim": dim2}, root)
+    res = materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "v"))
+    assert got == _rows(_join_recompute(spark, root, **kw))
+    assert (5, None, 5.0, None) in got          # dangling FK keeps null dim
+    assert (4, 99, 44.0, "found") in got        # dim insert resolved it
+
+
+def test_maintain_join_dim_only_delta_scopes_fact_rows(spark, tmp_path):
+    """A dim-only change refreshes exactly the fact rows referencing the
+    changed dim keys: mode is delta and the result matches recompute."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    kw = dict(fk="fk", dim_key="dk", how="left")
+    materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    dim2 = spark.createDataFrame(
+        [(10, "TEN"), (20, "twenty"), (30, "thirty")], "dk int, name string"
+    )
+    publish.publish_tables(spark, {"dim": dim2}, root)
+    res = materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "v"))
+    assert got == _rows(_join_recompute(spark, root, **kw))
+    assert (1, 10, 1.0, "TEN") in got and (3, 20, 3.0, "twenty") in got
+
+
+def test_maintain_join_inner_and_modes(spark, tmp_path):
+    """Inner-join views drop unmatched fact rows through seed and delta;
+    an unchanged store answers noop, an unrelated-table publish answers
+    empty (watermark advances, no rewrite)."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    kw = dict(fk="fk", dim_key="dk", how="inner")
+    materialize.maintain_join(spark, root, "fact", "dim", "vi", **kw)
+    got = _rows(publish.read_table(spark, root, "vi"))
+    assert got == _rows(_join_recompute(spark, root, **kw))
+    assert all(r[3] is not None for r in got) and len(got) == 3
+
+    # the seed's own publish advanced the store, so the next call advances
+    # the watermark over an empty delta; only then does the store read noop
+    res = materialize.maintain_join(spark, root, "fact", "dim", "vi", **kw)
+    assert res["mode"] == "empty"
+    res = materialize.maintain_join(spark, root, "fact", "dim", "vi", **kw)
+    assert res["mode"] == "noop"
+
+    other = spark.createDataFrame([(1,)], "x int")
+    publish.publish_tables(spark, {"other": other}, root)
+    res = materialize.maintain_join(spark, root, "fact", "dim", "vi", **kw)
+    assert res["mode"] == "empty"
+    assert _rows(publish.read_table(spark, root, "vi")) == got
+
+
+def test_maintain_join_reseeds_after_vacuum(spark, tmp_path):
+    """When the consumed-from version was vacuumed out of history the
+    delta is unrecoverable — maintain_join falls back to a full re-seed."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    kw = dict(fk="fk", dim_key="dk", how="left")
+    materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    for i in range(3):
+        f = spark.createDataFrame([(1, 10, float(i))], "id bigint, fk int, val double")
+        publish.publish_tables(spark, {"fact": f}, root)
+    publish.vacuum(spark, root, keep_versions=1)
+    res = materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    assert res["mode"] == "seed"
+    assert _rows(publish.read_table(spark, root, "v")) == _rows(
+        _join_recompute(spark, root, **kw)
+    )
+
+
+def test_apply_join_delta_null_safe_fact_keys(spark):
+    """Fact keys containing nulls still anti/semi-join through the struct
+    key (a raw-column join would drop them from the rebuild)."""
+    fact1 = spark.createDataFrame(
+        [(None, 10, 1.0), (2, 20, 2.0)], "id bigint, fk int, val double"
+    )
+    fact2 = spark.createDataFrame(
+        [(None, 20, 9.0), (2, 20, 2.0)], "id bigint, fk int, val double"
+    )
+    dim = spark.createDataFrame([(10, "ten"), (20, "twenty")], "dk int, name string")
+    view1 = materialize.join_view(fact1, dim, "fk", "dk")
+    changes = publish.diff_frames(fact1, fact2, ["id"])
+    got = materialize.apply_join_delta(
+        view1, fact2, dim, changes, None, ["id"], "fk", "dk"
+    )
+    from collections import Counter
+
+    expected = materialize.join_view(fact2, dim, "fk", "dk")
+    assert Counter(tuple(r) for r in got.collect()) == Counter(
+        tuple(r) for r in expected.collect()
+    )
+
+
+def test_join_view_rejects_collisions_and_bad_how(spark):
+    fact = spark.createDataFrame([(1, 10, "x")], "id bigint, fk int, name string")
+    dim = spark.createDataFrame([(10, "ten")], "dk int, name string")
+    with pytest.raises(ValueError, match="collide"):
+        materialize.join_view(fact, dim, "fk", "dk")
+    with pytest.raises(ValueError, match="how"):
+        materialize.join_view(fact, dim.withColumnRenamed("name", "dname"),
+                              "fk", "dk", how="cross")
