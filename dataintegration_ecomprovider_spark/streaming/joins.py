@@ -61,17 +61,27 @@ def interval_join(
         right = right.withColumnRenamed(c, f"r_{c}")
     r_ts = f"r_{right_ts}" if right_ts in collisions else right_ts
 
+    # alias both sides and qualify every reference: when left and right
+    # share lineage (the batch/oracle form joins two projections of one
+    # table) unqualified/dataset-indexed refs resolve to the same attribute
+    # and Spark falls back to self-join disambiguation with a
+    # "trivially true equals predicate" warning — aliases make the
+    # resolution explicit instead
+    left = left.alias("__ij_l")
+    right = right.alias("__ij_r")
+    l_ts, l_key = F.col(f"__ij_l.{left_ts}"), F.col(f"__ij_l.{key}")
+    rr_ts, r_key = F.col(f"__ij_r.{r_ts}"), F.col(f"__ij_r.{key}")
     lo = (
-        F.col(left_ts)
+        l_ts
         if lower is None
         # Spark parses signed interval literals: INTERVAL -5 MINUTES
-        else F.col(left_ts) + F.expr(f"INTERVAL {lower}")
+        else l_ts + F.expr(f"INTERVAL {lower}")
     )
     cond = (
-        (left[key] == right[key])
-        & (F.col(r_ts) >= lo)
-        & (F.col(r_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+        (l_key == r_key)
+        & (rr_ts >= lo)
+        & (rr_ts <= l_ts + F.expr(f"INTERVAL {upper}"))
     )
     joined = left.join(right, cond, how)
     # keep ONE key column (join condition used qualified refs)
-    return joined.drop(right[key])
+    return joined.drop(r_key)
