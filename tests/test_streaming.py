@@ -484,3 +484,81 @@ def test_stream_into_store_auto_compacts(spark, tmp_path):
     assert stats["num_files"] <= 3
     got = {r["k"] for r in publish.read_table(spark, root, "t").collect()}
     assert got == {0} | {i * 10 + j for i in range(1, 5) for j in range(4)}
+
+
+def test_streamed_versions_feed_view_maintenance(spark, tmp_path):
+    """End-to-end continuous pipeline: micro-batches stream into the store
+    (one version each), then maintain_aggregate AND maintain_join catch the
+    derived views up from the accumulated CDC chain in one delta refresh
+    apiece — the views equal direct recomputation over the final state.
+    Proves the IVM family composes with the streaming version chain
+    (multiple versions per refresh, not just single-publish deltas)."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 10, 3.0)], ["k", "fk", "val"]
+    )
+    dim = spark.createDataFrame([(10, "ten"), (20, "twenty")], ["dk", "name"])
+    publish.publish_tables(
+        spark, {"t": base, "d": dim}, root,
+        table_keys={"t": ["k"], "d": ["dk"]},
+    )
+    # seed both views at version 1
+    materialize.maintain_aggregate(spark, root, "t", "t_by_fk", ["fk"], ["val"])
+    materialize.maintain_join(spark, root, "t", "d", "t_wide", fk="fk",
+                              dim_key="dk")
+
+    # two micro-batches -> two more source versions (update k=2, insert
+    # k=4 into a fresh fk group, then move k=3's fk)
+    b1 = spark.createDataFrame([(2, 20, 22.0), (4, 30, 4.0)], ["k", "fk", "val"])
+    b2 = spark.createDataFrame([(3, 20, 3.0)], ["k", "fk", "val"])
+    b1.coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_store(
+        file_stream(spark, src, b1.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt,
+    )
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_store(
+        file_stream(spark, src, b1.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt,
+    )
+    q.awaitTermination(120)
+
+    res_a = materialize.maintain_aggregate(
+        spark, root, "t", "t_by_fk", ["fk"], ["val"]
+    )
+    res_j = materialize.maintain_join(
+        spark, root, "t", "d", "t_wide", fk="fk", dim_key="dk"
+    )
+    assert res_a["mode"] == "delta" and res_j["mode"] == "delta"
+
+    got_agg = sorted(
+        tuple(r) for r in publish.read_table(spark, root, "t_by_fk").collect()
+    )
+    want_agg = sorted(
+        tuple(r)
+        for r in materialize.aggregate_table(
+            publish.read_table(spark, root, "t"), ["fk"], ["val"]
+        ).collect()
+    )
+    assert got_agg == want_agg
+    got_join = sorted(
+        tuple(r) for r in publish.read_table(spark, root, "t_wide").collect()
+    )
+    want_join = sorted(
+        tuple(r)
+        for r in materialize.join_view(
+            publish.read_table(spark, root, "t"),
+            publish.read_table(spark, root, "d"),
+            "fk", "dk",
+        ).collect()
+    )
+    assert got_join == want_join
+    assert (4, 30, 4.0, None) in got_join  # new fk group has no dim match
