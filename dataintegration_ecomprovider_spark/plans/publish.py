@@ -1471,26 +1471,55 @@ def maintain_store(
     bloom_columns: Mapping[str, Sequence[str]] | None = None,
     keep_versions: int | None = None,
     orphan_min_age_seconds: float = 24 * 3600,
+    refresh_views: Sequence[Mapping] | None = None,
 ) -> dict:
     """One operational maintenance pass over the whole store — the
     scheduled job a 100 TB deployment runs nightly (Delta's OPTIMIZE +
     VACUUM pairing), built from the existing primitives:
 
-    1. COMPACT every table whose merge-on-read delta log is deeper than
+    1. REFRESH maintained views (`refresh_views`: specs of
+       ``{"kind": "aggregate"|"join", **maintain_* kwargs}`` dispatched
+       to plans/materialize) — FIRST, so each view consumes the CDC
+       chain while the history it needs still exists; run after vacuum,
+       a pruned range would force full re-seeds;
+    2. COMPACT every table whose merge-on-read delta log is deeper than
        `max_deltas`, or whose file count exceeds `max_files` (when set) —
        folding delta logs and small files back into target-size bases;
-    2. rebuild the Bloom index for compacted tables listed in
+    3. rebuild the Bloom index for compacted tables listed in
        `bloom_columns` (a rewrite sheds the sidecar, so the index follows
        the data);
-    3. VACUUM to `keep_versions` (when set) and collect aged orphans.
+    4. VACUUM to `keep_versions` (when set) and collect aged orphans.
 
-    Tables are processed independently; a failure on one table is
+    Tables and views are processed independently; a failure on one is
     recorded and does not block the rest.  Returns
-    {"compacted": {name: result}, "blooms": [names], "vacuum", "orphans",
-    "errors": {name: str}}.
+    {"views": {dst: result}, "compacted": {name: result},
+    "blooms": [names], "vacuum", "orphans", "errors": {name: str}}.
     """
+    report: dict = {"views": {}, "compacted": {}, "blooms": [], "errors": {}}
+    if refresh_views:
+        # local import: materialize imports this module
+        from dataintegration_ecomprovider_spark.plans import materialize
+
+        for i, spec in enumerate(refresh_views):
+            spec = dict(spec)
+            kind = spec.pop("kind", None)
+            dst = spec.get("dst", f"<spec {i}>")
+            try:
+                if kind == "aggregate":
+                    report["views"][dst] = materialize.maintain_aggregate(
+                        spark, root, **spec
+                    )
+                elif kind == "join":
+                    report["views"][dst] = materialize.maintain_join(
+                        spark, root, **spec
+                    )
+                else:
+                    raise ValueError(
+                        f"view kind must be 'aggregate' or 'join', got {kind!r}"
+                    )
+            except Exception as e:  # noqa: BLE001 — per-view isolation
+                report["errors"][f"view:{dst}"] = f"{type(e).__name__}: {e}"
     manifest = current_manifest(root)
-    report: dict = {"compacted": {}, "blooms": [], "errors": {}}
     for name in sorted(manifest["tables"]):
         entry = manifest["tables"][name]
         deltas = entry.get("deltas", []) if isinstance(entry, dict) else []

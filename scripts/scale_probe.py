@@ -81,6 +81,7 @@ def main() -> None:
         "u12_store_replicate",     # seed + delta sync at 10x
         "llm_semantic_dedup",      # cluster-scoped pair work at 10x
         "u12_incremental_aggregate",  # IVM refresh at 10x
+        "u12_incremental_join",    # join-view scoped rebuild at 10x
         "u12_merge_on_read",       # MoR delta merges + reconstruction at 10x
         "u12_bloom_scan",          # bloom build + pruned point lookup at 10x
         "stream_interval_join",    # interval-join state shape at 10x

@@ -460,3 +460,43 @@ def test_join_view_rejects_collisions_and_bad_how(spark):
     with pytest.raises(ValueError, match="how"):
         materialize.join_view(fact, dim.withColumnRenamed("name", "dname"),
                               "fk", "dk", how="cross")
+
+
+def test_maintain_store_refreshes_views_before_vacuum(spark, tmp_path):
+    """The policy pass (publish.maintain_store refresh_views=) refreshes
+    maintained views FIRST, so they consume the CDC chain before vacuum
+    prunes it; a malformed spec records an error without blocking the
+    others or the rest of the pass."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    materialize.maintain_aggregate(spark, root, "fact", "by_fk", ["fk"], ["val"])
+    materialize.maintain_join(spark, root, "fact", "dim", "wide", fk="fk",
+                              dim_key="dk")
+    fact2 = spark.createDataFrame(
+        [(1, 20, 11.0), (2, 10, 2.0), (6, 30, 6.0)],
+        "id bigint, fk int, val double",
+    )
+    publish.publish_tables(spark, {"fact": fact2}, root)
+
+    report = publish.maintain_store(
+        spark, root, keep_versions=1,
+        refresh_views=[
+            {"kind": "aggregate", "src": "fact", "dst": "by_fk",
+             "group_cols": ["fk"], "sum_cols": ["val"]},
+            {"kind": "join", "fact": "fact", "dim": "dim", "dst": "wide",
+             "fk": "fk", "dim_key": "dk"},
+            {"kind": "bogus", "dst": "nope"},
+        ],
+    )
+    assert report["views"]["by_fk"]["mode"] == "delta"
+    assert report["views"]["wide"]["mode"] == "delta"
+    assert "view:nope" in report["errors"] and "bogus" in report["errors"]["view:nope"]
+    # both views current despite history being vacuumed afterwards
+    assert _rows(publish.read_table(spark, root, "by_fk")) == _rows(
+        materialize.aggregate_table(
+            publish.read_table(spark, root, "fact"), ["fk"], ["val"]
+        )
+    )
+    assert _rows(publish.read_table(spark, root, "wide")) == _rows(
+        _join_recompute(spark, root, fk="fk", dim_key="dk")
+    )
