@@ -500,3 +500,56 @@ def test_maintain_store_refreshes_views_before_vacuum(spark, tmp_path):
     assert _rows(publish.read_table(spark, root, "wide")) == _rows(
         _join_recompute(spark, root, fk="fk", dim_key="dk")
     )
+
+
+# --- hypothesis: arbitrary fact/dim version chains vs direct recompute -----
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_FIDS = st.integers(min_value=0, max_value=6)
+_FKS = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+_FACTS = st.lists(
+    st.tuples(_FIDS, _FKS, st.integers(0, 50)),
+    min_size=0, max_size=6, unique_by=lambda t: t[0],
+)
+_DIMS = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=4, unique_by=lambda t: t[0],
+)
+_CHAIN = st.lists(st.tuples(_FACTS, _DIMS), min_size=2, max_size=4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(chain=_CHAIN)
+def test_maintain_join_model_property(spark, tmp_path_factory, chain):
+    """Model-based check: for ANY sequence of fact/dim versions (arbitrary
+    inserts, deletes, FK moves — including to/from NULL — value updates,
+    dim-row appearances and disappearances), refreshing the join view
+    after each version equals the direct join of that version.  The seed
+    version and every refresh ride the same public API the driver query
+    uses."""
+    root = str(tmp_path_factory.mktemp("joinprop") / "store")
+    kw = dict(fk="fk", dim_key="dk", how="left")
+
+    def frames(facts, dims):
+        f = spark.createDataFrame(
+            facts or [], "id bigint, fk int, val int"
+        )
+        d = spark.createDataFrame(dims or [], "dk int, name string")
+        return f, d
+
+    f0, d0 = frames(*chain[0])
+    publish.publish_tables(
+        spark, {"fact": f0, "dim": d0}, root,
+        table_keys={"fact": ["id"], "dim": ["dk"]},
+    )
+    materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    assert _rows(publish.read_table(spark, root, "v")) == _rows(
+        materialize.join_view(f0, d0, **kw)
+    )
+    for facts, dims in chain[1:]:
+        f, d = frames(facts, dims)
+        publish.publish_tables(spark, {"fact": f, "dim": d}, root)
+        materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+        assert _rows(publish.read_table(spark, root, "v")) == _rows(
+            materialize.join_view(f, d, **kw)
+        )
