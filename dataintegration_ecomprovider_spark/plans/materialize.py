@@ -467,6 +467,8 @@ def apply_join_delta(
     dim_cols: Sequence[str] | None = None,
     how: str = "left",
     change_col: str = "change_type",
+    broadcast: bool | None = None,
+    broadcast_max_keys: int = 4_000_000,
 ) -> DataFrame:
     """Merge read_changes feeds for the fact and/or dim side into a
     join-view state (semantics documented on the section header above).
@@ -474,12 +476,28 @@ def apply_join_delta(
 
     Affected-key joins go through a ``struct(<fact keys>)`` key so the
     semi/anti joins match null key fields null-safely, same as the
-    aggregate family's ``__gk`` merge key.  No broadcast is forced — the
-    affected/changed key sets are delta-sized, and AQE picks the broadcast
-    side at runtime (forcing the hint here would hard-fail on a pathological
-    all-rows-changed refresh where a shuffle join degrades gracefully)."""
+    aggregate family's ``__gk`` merge key.
+
+    Broadcasting is GATED, not forced (the dedup_clusters pattern):
+    ``broadcast=None`` persists the changed-dim-key and affected-key sets
+    (each registered in the current runtime scope — release via
+    release_caches/job_scope; the persist also stops the affected-key
+    subtree recomputing for its anti- and semi-join consumers), counts
+    them, and hints F.broadcast only under `broadcast_max_keys` (~4M keys
+    ≈ tens of MB) — so a delta-sized refresh never shuffles the full fact
+    table, while a pathological all-rows-changed refresh degrades to a
+    shuffle join instead of blowing the broadcast limit.  True/False
+    overrides the gate in either direction (skipping the persist+count)."""
+    from dataintegration_ecomprovider_spark import runtime
+
     fact_keys = list(fact_keys)
     dim_key = dim_key or fk
+
+    def _gate(keys: DataFrame) -> DataFrame:
+        if broadcast is None:
+            keys = runtime.track(keys.persist())
+            return F.broadcast(keys) if keys.count() <= broadcast_max_keys else keys
+        return F.broadcast(keys) if broadcast else keys
 
     affected = None
     if fact_changes is not None:
@@ -489,7 +507,7 @@ def apply_join_delta(
             F.struct(*fact_keys).alias("__gk")
         ).distinct()
     if dim_changes is not None:
-        dkeys = _changed_dim_keys(dim_changes, dim_key, change_col)
+        dkeys = _gate(_changed_dim_keys(dim_changes, dim_key, change_col))
         via_dim = (
             fact_now.join(dkeys, fact_now[fk] == F.col("__jk"), "left_semi")
             .select(F.struct(*fact_keys).alias("__gk"))
@@ -500,6 +518,7 @@ def apply_join_delta(
         )
     if affected is None:
         return view
+    affected = _gate(affected)
 
     kept = (
         view.withColumn("__gk", F.struct(*fact_keys))

@@ -263,3 +263,47 @@ def test_mor_reconstruction_prunes_columns(spark, tmp_path):
     assert "[id#" in base_scan and ",b#" not in base_scan and ",s#" not in base_scan
     for s in scans:
         assert ",b#" not in s and ",s#" not in s, s
+
+
+def test_join_ivm_refresh_broadcasts_delta_sized_keys(spark):
+    """apply_join_delta with a delta-sized change set must execute every
+    affected-key join (view anti, fact semi, FK probe) as a broadcast —
+    no full-fact shuffle.  No hint is forced in the operator (an
+    all-rows-changed refresh must degrade to a shuffle, not fail), so the
+    broadcast decision is AQE's: execute, then assert the FINAL adaptive
+    plan contains no sort-merge or shuffled-hash join."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    orders = Catalog(spark, SF_DIR).table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = Catalog(spark, SF_DIR).table("customer").select(
+        "c_custkey", "c_name"
+    )
+    fact2 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 997 == 0, F.lit(0.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    fact_changes = publish.diff_frames(orders, fact2, ["o_orderkey"])
+    dim_changes = publish.diff_frames(
+        cust, cust.filter(F.col("c_custkey") % 499 != 0), ["c_custkey"],
+        include_old=True,
+    )
+    view = materialize.join_view(orders, cust, "o_custkey", "c_custkey")
+    out = materialize.apply_join_delta(
+        view, fact2, cust, fact_changes, dim_changes,
+        ["o_orderkey"], "o_custkey", "c_custkey",
+    )
+    out.collect()  # finalize AQE on THIS DataFrame's query execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    for ln in plan.splitlines():
+        # the view/fact/dim build joins may legitimately shuffle; the
+        # affected-key joins are the ones keyed on __gk / __jk
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and (
+            "__gk" in ln or "__jk" in ln
+        ):
+            raise AssertionError(f"affected-key join not broadcast: {ln}")
+    assert "BroadcastHashJoin" in plan
