@@ -602,18 +602,26 @@ def maintain_join(
             if not fact_moved and not dim_moved:
                 mode = "empty"
             else:
-                new_state = apply_join_delta(
-                    publish.read_table(spark, root, dst),
-                    publish.read_table_at(spark, root, fact, src_version),
-                    publish.read_table_at(spark, root, dim, src_version),
-                    fact_changes if fact_moved else None,
-                    dim_changes if dim_moved else None,
-                    fact_keys, fk, dim_key, dim_cols, how,
-                )
-                publish.publish_tables(
-                    spark, {dst: new_state}, root,
-                    table_keys={dst: list(fact_keys)},
-                )
+                from dataintegration_ecomprovider_spark import runtime
+
+                # own scope: the gated-broadcast key-set persists inside
+                # apply_join_delta are fully consumed once the publish
+                # materializes the refresh — free them here instead of
+                # leaving them for the caller's release_caches
+                with runtime.job_scope() as scope:
+                    new_state = apply_join_delta(
+                        publish.read_table(spark, root, dst),
+                        publish.read_table_at(spark, root, fact, src_version),
+                        publish.read_table_at(spark, root, dim, src_version),
+                        fact_changes if fact_moved else None,
+                        dim_changes if dim_moved else None,
+                        fact_keys, fk, dim_key, dim_cols, how,
+                    )
+                    publish.publish_tables(
+                        spark, {dst: new_state}, root,
+                        table_keys={dst: list(fact_keys)},
+                    )
+                    scope.release(spark)
                 mode = "delta"
 
     with publish._manifest_lock(root):
