@@ -633,3 +633,76 @@ def maintain_join(
         os.replace(tmp, os.path.join(root, publish.SYNC_FILE))
     return {"dst": dst, "from_version": last, "to_version": src_version,
             "mode": mode}
+
+
+# --- declared views: view definitions persisted in the store ---------------
+#
+# The jobspec precedent (plans/jobspec.py — job definitions as files)
+# applied to maintained views: a view's definition is declared ONCE into
+# the store root (`_VIEWS.json`, manifest-lock guarded like the sync
+# state), and every later maintenance pass — refresh_declared_views here,
+# or publish.maintain_store with no explicit specs — refreshes ALL
+# declared views without the caller re-shipping definitions.  This is what
+# makes the nightly policy pass self-contained: the store carries both its
+# data AND the derived-view contracts over it.
+
+VIEWS_FILE = "_VIEWS.json"
+
+
+def declare_view(root: str, kind: str, **spec) -> dict:
+    """Persist a view definition under the store root.  `kind` is
+    ``aggregate`` (maintain_aggregate kwargs) or ``join`` (maintain_join
+    kwargs); `spec` must include ``dst`` (the view's table name, also its
+    registry key).  Re-declaring a dst overwrites its spec.  Returns the
+    full declared-view registry."""
+    if kind not in ("aggregate", "join"):
+        raise ValueError(f"view kind must be 'aggregate' or 'join', got {kind!r}")
+    if "dst" not in spec:
+        raise ValueError("a declared view needs a dst table name")
+    with publish._manifest_lock(root):
+        views = declared_views(root)
+        views[spec["dst"]] = {"kind": kind, **spec}
+        tmp = os.path.join(root, VIEWS_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(views, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(root, VIEWS_FILE))
+    return views
+
+
+def drop_view_declaration(root: str, dst: str) -> bool:
+    """Remove `dst` from the declared-view registry (the view's data
+    table, if any, stays — drop it via the normal table lifecycle).
+    Returns whether a declaration existed."""
+    with publish._manifest_lock(root):
+        views = declared_views(root)
+        existed = dst in views
+        views.pop(dst, None)
+        tmp = os.path.join(root, VIEWS_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(views, fh, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(root, VIEWS_FILE))
+    return existed
+
+
+def declared_views(root: str) -> dict:
+    """The declared-view registry: {dst: {"kind": ..., **spec}}."""
+    path = os.path.join(root, VIEWS_FILE)
+    if not os.path.exists(path):
+        return {}
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def refresh_declared_views(spark: SparkSession, root: str) -> dict:
+    """Refresh every declared view, isolating per-view failures.
+    Returns {"views": {dst: maintain_* result}, "errors": {dst: str}}."""
+    report: dict = {"views": {}, "errors": {}}
+    for dst, spec in sorted(declared_views(root).items()):
+        spec = dict(spec)
+        kind = spec.pop("kind")
+        fn = maintain_aggregate if kind == "aggregate" else maintain_join
+        try:
+            report["views"][dst] = fn(spark, root, **spec)
+        except Exception as e:  # noqa: BLE001 — per-view isolation
+            report["errors"][dst] = f"{type(e).__name__}: {e}"
+    return report

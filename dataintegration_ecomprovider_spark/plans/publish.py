@@ -1477,11 +1477,14 @@ def maintain_store(
     scheduled job a 100 TB deployment runs nightly (Delta's OPTIMIZE +
     VACUUM pairing), built from the existing primitives:
 
-    1. REFRESH maintained views (`refresh_views`: specs of
-       ``{"kind": "aggregate"|"join", **maintain_* kwargs}`` dispatched
-       to plans/materialize) — FIRST, so each view consumes the CDC
-       chain while the history it needs still exists; run after vacuum,
-       a pruned range would force full re-seeds;
+    1. REFRESH maintained views — FIRST, so each view consumes the CDC
+       chain while the history it needs still exists (run after vacuum,
+       a pruned range would force full re-seeds).  With `refresh_views`
+       omitted, every view DECLARED in the store
+       (materialize.declare_view → `_VIEWS.json`) refreshes — the pass
+       is self-contained, no caller-shipped specs; explicit specs of
+       ``{"kind": "aggregate"|"join", **maintain_* kwargs}`` override,
+       and ``refresh_views=()`` skips view refresh entirely;
     2. COMPACT every table whose merge-on-read delta log is deeper than
        `max_deltas`, or whose file count exceeds `max_files` (when set) —
        folding delta logs and small files back into target-size bases;
@@ -1495,11 +1498,16 @@ def maintain_store(
     {"views": {dst: result}, "compacted": {name: result},
     "blooms": [names], "vacuum", "orphans", "errors": {name: str}}.
     """
-    report: dict = {"views": {}, "compacted": {}, "blooms": [], "errors": {}}
-    if refresh_views:
-        # local import: materialize imports this module
-        from dataintegration_ecomprovider_spark.plans import materialize
+    # local import: materialize imports this module
+    from dataintegration_ecomprovider_spark.plans import materialize
 
+    report: dict = {"views": {}, "compacted": {}, "blooms": [], "errors": {}}
+    if refresh_views is None:
+        declared = materialize.refresh_declared_views(spark, root)
+        report["views"] = declared["views"]
+        for dst, err in declared["errors"].items():
+            report["errors"][f"view:{dst}"] = err
+    elif refresh_views:
         for i, spec in enumerate(refresh_views):
             spec = dict(spec)
             kind = spec.pop("kind", None)

@@ -553,3 +553,50 @@ def test_maintain_join_model_property(spark, tmp_path_factory, chain):
         assert _rows(publish.read_table(spark, root, "v")) == _rows(
             materialize.join_view(f, d, **kw)
         )
+
+
+def test_declared_views_refresh_through_maintain_store(spark, tmp_path):
+    """View definitions declared INTO the store (materialize.declare_view)
+    make the policy pass self-contained: maintain_store with no specs
+    refreshes every declared view; dropping a declaration stops its
+    refresh; redeclaring a dst overwrites."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    materialize.declare_view(
+        root, "aggregate", src="fact", dst="by_fk",
+        group_cols=["fk"], sum_cols=["val"],
+    )
+    materialize.declare_view(
+        root, "join", fact="fact", dim="dim", dst="wide", fk="fk",
+        dim_key="dk",
+    )
+    assert set(materialize.declared_views(root)) == {"by_fk", "wide"}
+
+    report = publish.maintain_store(spark, root)
+    assert report["views"]["by_fk"]["mode"] == "seed"
+    assert report["views"]["wide"]["mode"] == "seed"
+    assert not report["errors"]
+
+    fact2 = spark.createDataFrame(
+        [(1, 20, 11.0), (2, 10, 2.0)], "id bigint, fk int, val double"
+    )
+    publish.publish_tables(spark, {"fact": fact2}, root)
+    report = publish.maintain_store(spark, root)
+    assert report["views"]["by_fk"]["mode"] == "delta"
+    assert report["views"]["wide"]["mode"] == "delta"
+    assert _rows(publish.read_table(spark, root, "wide")) == _rows(
+        _join_recompute(spark, root, fk="fk", dim_key="dk")
+    )
+
+    assert materialize.drop_view_declaration(root, "by_fk") is True
+    assert materialize.drop_view_declaration(root, "by_fk") is False
+    report = publish.maintain_store(spark, root)
+    assert set(report["views"]) == {"wide"}
+    # explicit empty spec list skips view refresh entirely
+    report = publish.maintain_store(spark, root, refresh_views=())
+    assert report["views"] == {}
+
+    with pytest.raises(ValueError, match="kind"):
+        materialize.declare_view(root, "bogus", dst="x")
+    with pytest.raises(ValueError, match="dst"):
+        materialize.declare_view(root, "join", fact="fact", dim="dim", fk="fk")
