@@ -198,6 +198,7 @@ def stream_into_store(
     num_buckets: int = 32,
     auto_compact_files: int | None = None,
     mor: bool = False,
+    refresh_views: bool = False,
 ) -> StreamingQuery:
     """Stream → versioned store: every micro-batch becomes one crash-safe
     VERSION via publish.merge_into — streaming and batch share one write
@@ -227,7 +228,15 @@ def stream_into_store(
     amplification.  Replay semantics match the default path: a replayed
     batch appends an identical delta, and last-wins reconstruction makes
     the duplicate invisible.  Incompatible with bucketed=True (the MoR
-    base keeps whatever layout the seed publish had)."""
+    base keeps whatever layout the seed publish had).
+
+    `refresh_views=True` runs materialize.refresh_declared_views after
+    each batch's merge (and compaction) — every view DECLARED in the
+    store stays current with the stream, the continuous-aggregate
+    experience: declare once, stream forever.  Refreshes are
+    watermark-driven (each consumes exactly the versions since the last),
+    so a replayed batch costs an empty refresh, and a view falling behind
+    never skips a range."""
     from dataintegration_ecomprovider_spark.plans import publish
 
     if mor and bucketed:
@@ -265,6 +274,14 @@ def stream_into_store(
             stats = publish.table_stats(root, name)
             if stats and stats.get("num_files") and stats["num_files"] > auto_compact_files:
                 publish.compact(batch.sparkSession, root, name)
+        if refresh_views:
+            from dataintegration_ecomprovider_spark.plans import materialize
+
+            report = materialize.refresh_declared_views(batch.sparkSession, root)
+            if report["errors"]:
+                raise RuntimeError(
+                    f"declared-view refresh failed: {report['errors']}"
+                )
 
     writer = (
         stream.writeStream.foreachBatch(process)

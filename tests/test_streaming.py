@@ -562,3 +562,47 @@ def test_streamed_versions_feed_view_maintenance(spark, tmp_path):
     )
     assert got_join == want_join
     assert (4, 30, 4.0, None) in got_join  # new fk group has no dim match
+
+
+def test_stream_into_store_refreshes_declared_views(spark, tmp_path):
+    """stream_into_store(refresh_views=True): views declared in the store
+    stay current per micro-batch with no manual refresh — the
+    continuous-aggregate loop (declare once, stream forever)."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], ["k", "grp", "val"]
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+    materialize.declare_view(
+        root, "aggregate", src="t", dst="t_by_grp",
+        group_cols=["grp"], sum_cols=["val"],
+    )
+
+    batch = spark.createDataFrame(
+        [(2, "a", 22.0), (3, "c", 3.0)], ["k", "grp", "val"]
+    )
+    batch.coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_store(
+        file_stream(spark, src, batch.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt, refresh_views=True,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        tuple(r) for r in publish.read_table(spark, root, "t_by_grp").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in materialize.aggregate_table(
+            publish.read_table(spark, root, "t"), ["grp"], ["val"]
+        ).collect()
+    )
+    assert got == want
+    assert ("c", 1, 3.0) in got and ("a", 2, 23.0) in got
