@@ -597,18 +597,26 @@ def maintain_join(
         except KeyError:
             mode = _seed()
         else:
-            fact_moved = fact_changes.limit(1).count() > 0
-            dim_moved = dim_changes.limit(1).count() > 0
-            if not fact_moved and not dim_moved:
-                mode = "empty"
-            else:
-                from dataintegration_ecomprovider_spark import runtime
+            from dataintegration_ecomprovider_spark import runtime
 
-                # own scope: the gated-broadcast key-set persists inside
-                # apply_join_delta are fully consumed once the publish
-                # materializes the refresh — free them here instead of
-                # leaving them for the caller's release_caches
-                with runtime.job_scope() as scope:
+            # own scope: every persist below (the change feeds here, the
+            # gated-broadcast key sets inside apply_join_delta) is fully
+            # consumed once the publish materializes the refresh — free
+            # them here instead of leaving them for the caller's
+            # release_caches
+            with runtime.job_scope() as scope:
+                # persist the delta-sized change feeds ONCE: the moved
+                # probes, the broadcast-gate counts and the refresh plan
+                # all read the cached delta, where evaluating each
+                # consumer against the lazy diff would recompute the
+                # O(table) version diff per use
+                fact_changes = runtime.track(fact_changes.persist())
+                dim_changes = runtime.track(dim_changes.persist())
+                fact_moved = fact_changes.count() > 0
+                dim_moved = dim_changes.count() > 0
+                if not fact_moved and not dim_moved:
+                    mode = "empty"
+                else:
                     new_state = apply_join_delta(
                         publish.read_table(spark, root, dst),
                         publish.read_table_at(spark, root, fact, src_version),
@@ -621,8 +629,8 @@ def maintain_join(
                         spark, {dst: new_state}, root,
                         table_keys={dst: list(fact_keys)},
                     )
-                    scope.release(spark)
-                mode = "delta"
+                    mode = "delta"
+                scope.release(spark)
 
     with publish._manifest_lock(root):
         state = publish._sync_state(root)

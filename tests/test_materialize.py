@@ -600,3 +600,26 @@ def test_declared_views_refresh_through_maintain_store(spark, tmp_path):
         materialize.declare_view(root, "bogus", dst="x")
     with pytest.raises(ValueError, match="dst"):
         materialize.declare_view(root, "join", fact="fact", dim="dim", fk="fk")
+
+
+def test_maintain_join_over_mor_source(spark, tmp_path):
+    """maintain_join composes with merge-on-read sources: fact versions
+    written as MoR delta appends still refresh the view correctly —
+    read_changes rides its O(delta) fast path underneath, so the refresh
+    cost follows the delta, not the table."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    kw = dict(fk="fk", dim_key="dk", how="left")
+    materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+
+    publish.merge_into_mor(
+        spark, root, "fact",
+        spark.createDataFrame(
+            [(2, 20, 22.0), (6, 30, 6.0)], "id bigint, fk int, val double"
+        ),
+    )
+    res = materialize.maintain_join(spark, root, "fact", "dim", "v", **kw)
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "v"))
+    assert got == _rows(_join_recompute(spark, root, **kw))
+    assert (2, 20, 22.0, "twenty") in got and (6, 30, 6.0, "thirty") in got
