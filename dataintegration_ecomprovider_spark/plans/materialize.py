@@ -351,23 +351,33 @@ def maintain_aggregate(
             # delta is unrecoverable, fall back to a full re-seed
             mode = _seed()
         else:
-            if changes.limit(1).count() == 0:
-                # the store advanced but `src` didn't (e.g. our own dst
-                # publishes): advance the watermark without rewriting
-                mode = "empty"
-            else:
-                agg = publish.read_table(spark, root, dst)
-                new_state = apply_aggregate_delta(
-                    agg, changes, group_cols, sum_cols,
-                    min_cols=min_cols, max_cols=max_cols,
-                    distinct_cols=distinct_cols,
-                    source=(
-                        publish.read_table_at(spark, root, src, src_version)
-                        if (min_cols or max_cols or distinct_cols) else None
-                    ),
-                )
-                publish.publish_tables(spark, {dst: new_state}, root)
-                mode = "delta"
+            from dataintegration_ecomprovider_spark import runtime
+
+            # persist the delta-sized change feed ONCE and free it after
+            # the publish: the refresh plan reads `changes` up to four
+            # times (± contributions, insert/retract bookkeeping), each
+            # of which would otherwise re-evaluate the O(table) version
+            # diff — same treatment as maintain_join
+            with runtime.job_scope() as scope:
+                changes = runtime.track(changes.persist())
+                if changes.count() == 0:
+                    # the store advanced but `src` didn't (e.g. our own
+                    # dst publishes): advance the watermark, no rewrite
+                    mode = "empty"
+                else:
+                    agg = publish.read_table(spark, root, dst)
+                    new_state = apply_aggregate_delta(
+                        agg, changes, group_cols, sum_cols,
+                        min_cols=min_cols, max_cols=max_cols,
+                        distinct_cols=distinct_cols,
+                        source=(
+                            publish.read_table_at(spark, root, src, src_version)
+                            if (min_cols or max_cols or distinct_cols) else None
+                        ),
+                    )
+                    publish.publish_tables(spark, {dst: new_state}, root)
+                    mode = "delta"
+                scope.release(spark)
 
     with publish._manifest_lock(root):
         state = publish._sync_state(root)
