@@ -367,6 +367,7 @@ def run_job_on_store(
     params: Mapping[str, str] | None = None,
     with_changes: bool = False,
     validators: Mapping[str, Callable] | None = None,
+    refresh_views: bool = False,
     **run_job_kwargs,
 ) -> dict:
     """One reference job run against the VERSIONED STORE, end to end:
@@ -390,8 +391,17 @@ def run_job_on_store(
     destination table: any failure aborts the WHOLE job's swap before a
     row becomes visible.
 
+    `refresh_views=True` runs materialize.refresh_declared_views after
+    the job's publish lands — the batch analog of
+    stream_into_store(refresh_views=True): one job run leaves both the
+    destination tables AND every declared derived view current.  A view
+    refresh failure raises (the job's own swap has already committed;
+    views refresh on the next pass from their recorded watermark, so
+    nothing is lost or skipped).
+
     Returns {"manifest", "from_version", "to_version", "state",
-    "changes" (name -> lazy CDC DataFrame; only with_changes=True)}.
+    "changes" (name -> lazy CDC DataFrame; only with_changes=True),
+    "views" (dst -> maintain result; only refresh_views=True)}.
     """
     from dataintegration_ecomprovider_spark.plans import publish
 
@@ -441,6 +451,15 @@ def run_job_on_store(
         "to_version": manifest["version"],
         "state": state,
     }
+    if refresh_views:
+        from dataintegration_ecomprovider_spark.plans import materialize
+
+        report = materialize.refresh_declared_views(spark, root)
+        if report["errors"]:
+            raise RuntimeError(
+                f"declared-view refresh failed: {report['errors']}"
+            )
+        out["views"] = report["views"]
     if with_changes:
         out["changes"] = {
             t: publish.read_changes(

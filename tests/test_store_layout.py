@@ -637,3 +637,50 @@ def test_concurrent_replicate_table_syncs_do_not_lose_state(spark, tmp_path):
     assert state == {"a": 1, "b": 1}
     assert publish.read_table(spark, dst, "a").count() == 60
     assert publish.read_table(spark, dst, "b").count() == 20
+
+
+def test_run_job_on_store_refreshes_declared_views(spark, store):
+    """run_job_on_store(refresh_views=True): one batch job run leaves the
+    destination tables AND every declared view current — the batch analog
+    of the streaming refresh loop."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.plans import materialize
+    from dataintegration_ecomprovider_spark.plans.pipeline import (
+        ColumnRule, MappingSpec, run_job_on_store,
+    )
+
+    cat = Catalog(spark, SF_DIR)
+    dest0 = cat.table("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(100)
+    publish.publish_tables(spark, {"orders": dest0}, store,
+                           table_keys={"orders": ["o_orderkey"]})
+    materialize.declare_view(
+        store, "aggregate", src="orders", dst="orders_by_status",
+        group_cols=["o_orderstatus"], sum_cols=["o_totalprice"],
+    )
+    spec = MappingSpec(
+        source_table="orders",
+        dest_table="orders",
+        columns=(
+            ColumnRule("o_orderkey", "o_orderkey", is_key=True),
+            ColumnRule("o_orderstatus", "o_orderstatus"),
+            ColumnRule("o_totalprice", "o_totalprice"),
+        ),
+    )
+    out = run_job_on_store(cat, store, [spec], refresh_views=True)
+    assert out["views"]["orders_by_status"]["mode"] == "seed"
+    out = run_job_on_store(cat, store, [spec], refresh_views=True)
+    assert out["views"]["orders_by_status"]["mode"] in ("delta", "empty")
+    got = sorted(
+        tuple(r)
+        for r in publish.read_table(spark, store, "orders_by_status").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in materialize.aggregate_table(
+            publish.read_table(spark, store, "orders"),
+            ["o_orderstatus"], ["o_totalprice"],
+        ).collect()
+    )
+    assert got == want
