@@ -323,8 +323,14 @@ def maintain_aggregate(
         keys = publish.table_keys(root, src)
 
     def _seed() -> str:
+        # read the source AT the watermarked version, not at whatever is
+        # current: a publish landing between the manifest capture above
+        # and this scan would put version-N+1 data in the seed while the
+        # watermark says N — the next delta refresh would re-apply the
+        # N→N+1 delta and silently double-count
         out = aggregate_table(
-            publish.read_table(spark, root, src), group_cols, sum_cols,
+            publish.read_table_at(spark, root, src, src_version),
+            group_cols, sum_cols,
             min_cols=min_cols, max_cols=max_cols, distinct_cols=distinct_cols,
         )
         publish.publish_tables(spark, {dst: out}, root)
@@ -359,25 +365,33 @@ def maintain_aggregate(
             # of which would otherwise re-evaluate the O(table) version
             # diff — same treatment as maintain_join
             with runtime.job_scope() as scope:
-                changes = runtime.track(changes.persist())
-                if changes.count() == 0:
-                    # the store advanced but `src` didn't (e.g. our own
-                    # dst publishes): advance the watermark, no rewrite
-                    mode = "empty"
-                else:
-                    agg = publish.read_table(spark, root, dst)
-                    new_state = apply_aggregate_delta(
-                        agg, changes, group_cols, sum_cols,
-                        min_cols=min_cols, max_cols=max_cols,
-                        distinct_cols=distinct_cols,
-                        source=(
-                            publish.read_table_at(spark, root, src, src_version)
-                            if (min_cols or max_cols or distinct_cols) else None
-                        ),
-                    )
-                    publish.publish_tables(spark, {dst: new_state}, root)
-                    mode = "delta"
-                scope.release(spark)
+                try:
+                    changes = runtime.track(changes.persist())
+                    if changes.count() == 0:
+                        # the store advanced but `src` didn't (e.g. our own
+                        # dst publishes): advance the watermark, no rewrite
+                        mode = "empty"
+                    else:
+                        agg = publish.read_table(spark, root, dst)
+                        new_state = apply_aggregate_delta(
+                            agg, changes, group_cols, sum_cols,
+                            min_cols=min_cols, max_cols=max_cols,
+                            distinct_cols=distinct_cols,
+                            source=(
+                                publish.read_table_at(
+                                    spark, root, src, src_version
+                                )
+                                if (min_cols or max_cols or distinct_cols)
+                                else None
+                            ),
+                        )
+                        publish.publish_tables(spark, {dst: new_state}, root)
+                        mode = "delta"
+                finally:
+                    # release even when the refresh raises — a chronically
+                    # failing view must not leak its persisted change feed
+                    # every maintain pass (executor storage memory)
+                    scope.release(spark)
 
     with publish._manifest_lock(root):
         state = publish._sync_state(root)
@@ -579,9 +593,13 @@ def maintain_join(
     dim_key = dim_key or fk
 
     def _seed() -> str:
+        # seed AT the watermarked version (see maintain_aggregate._seed):
+        # a concurrent publish between the manifest capture and this scan
+        # must not leak into the seed, or the next refresh re-applies its
+        # delta on top
         out = join_view(
-            publish.read_table(spark, root, fact),
-            publish.read_table(spark, root, dim),
+            publish.read_table_at(spark, root, fact, src_version),
+            publish.read_table_at(spark, root, dim, src_version),
             fk, dim_key, dim_cols, how,
         )
         publish.publish_tables(
@@ -620,27 +638,35 @@ def maintain_join(
                 # all read the cached delta, where evaluating each
                 # consumer against the lazy diff would recompute the
                 # O(table) version diff per use
-                fact_changes = runtime.track(fact_changes.persist())
-                dim_changes = runtime.track(dim_changes.persist())
-                fact_moved = fact_changes.count() > 0
-                dim_moved = dim_changes.count() > 0
-                if not fact_moved and not dim_moved:
-                    mode = "empty"
-                else:
-                    new_state = apply_join_delta(
-                        publish.read_table(spark, root, dst),
-                        publish.read_table_at(spark, root, fact, src_version),
-                        publish.read_table_at(spark, root, dim, src_version),
-                        fact_changes if fact_moved else None,
-                        dim_changes if dim_moved else None,
-                        fact_keys, fk, dim_key, dim_cols, how,
-                    )
-                    publish.publish_tables(
-                        spark, {dst: new_state}, root,
-                        table_keys={dst: list(fact_keys)},
-                    )
-                    mode = "delta"
-                scope.release(spark)
+                try:
+                    fact_changes = runtime.track(fact_changes.persist())
+                    dim_changes = runtime.track(dim_changes.persist())
+                    fact_moved = fact_changes.count() > 0
+                    dim_moved = dim_changes.count() > 0
+                    if not fact_moved and not dim_moved:
+                        mode = "empty"
+                    else:
+                        new_state = apply_join_delta(
+                            publish.read_table(spark, root, dst),
+                            publish.read_table_at(
+                                spark, root, fact, src_version
+                            ),
+                            publish.read_table_at(
+                                spark, root, dim, src_version
+                            ),
+                            fact_changes if fact_moved else None,
+                            dim_changes if dim_moved else None,
+                            fact_keys, fk, dim_key, dim_cols, how,
+                        )
+                        publish.publish_tables(
+                            spark, {dst: new_state}, root,
+                            table_keys={dst: list(fact_keys)},
+                        )
+                        mode = "delta"
+                finally:
+                    # release even on a raising refresh — see
+                    # maintain_aggregate for the leak this prevents
+                    scope.release(spark)
 
     with publish._manifest_lock(root):
         state = publish._sync_state(root)

@@ -1115,7 +1115,11 @@ def _data_files(path: str) -> list[str]:
     """Parquet data files under a table directory (commit markers and
     metadata excluded)."""
     out = []
-    for dirpath, _dirs, files in os.walk(path):
+    for dirpath, dirs, files in os.walk(path):
+        # metadata directories (_bloom-*, Spark's _temporary) hold parquet
+        # that is NOT table data — prune them the way Hadoop's path filter
+        # hides _/.-prefixed paths from the scan
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(dirpath, f))
@@ -1312,7 +1316,11 @@ def write_bloom_sidecar(
     ndv_per_file: int | None = None,
 ) -> dict:
     """Build a per-file Bloom filter index for `columns` of the CURRENT
-    version of `name` and write it to `<path>/_BLOOM.json`.
+    version of `name`: bitmaps land as a sharded parquet index under
+    `<path>/_bloom-*/` (one (col, file, bitmap) row per file, written
+    distributed), and `<path>/_BLOOM.json` holds only the (m, k) sizing —
+    a few hundred bytes regardless of file count, the Delta-checkpoint /
+    Iceberg-manifest role for this sidecar.
 
     Why: min/max stats prune nothing for a point lookup on a
     high-cardinality column that isn't clustered — every file's [min, max]
@@ -1323,9 +1331,10 @@ def write_bloom_sidecar(
     same role; this one lives beside _STATS.json so prune_files consults
     both.  scan_table/prune_files use it for `=` and `in` predicates.
 
-    Cost: one distributed pass over the base (each file's values hash
-    into k bit positions, one shuffle of (file, bit) pairs); the packed
-    bitmaps come back O(files × m/8) bytes.  Opt-in per table, like
+    Cost: one distributed pass over the base; each input split packs its
+    rows' positions into per-file partial bitmaps executor-side
+    (map-side combine), so the shuffle carries O(splits × m/8) packed
+    bytes and the driver never holds a bitmap.  Opt-in per table, like
     clustered compaction — rerun after compact() (the sidecar lives
     inside the data directory, so a rewrite naturally sheds it).
     Restricted to integer/string columns: the hash canonicalizes through
@@ -1359,78 +1368,201 @@ def write_bloom_sidecar(
         else:
             ndv_per_file = 100_000
 
-    import base64
+    params = {c: _bloom_params(ndv_per_file, fpp) for c in columns}
+    index = _bloom_index_df(base, path, columns, params)
 
-    out_cols: dict[str, dict] = {}
-    def _digest_mod(suffix: str, modulus) -> "F.Column":
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("__v").cast("string"), F.lit(suffix))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            modulus,
-        )
+    # Layout: shard so each index file is ~64 MB; the (col, file) range
+    # partitioning + sort gives every shard a tight [min, max] on `file`,
+    # so a point lookup's pyarrow read decodes only the shards/row groups
+    # covering the probed files.
+    nfiles = entry.get("num_files") if isinstance(entry, dict) else None
+    if not nfiles:
+        nfiles = len(_data_files(path))
+    est_bytes = sum((m + 7) // 8 for m, _k in params.values()) * max(1, nfiles)
+    nparts = max(1, min(1 + est_bytes // (64 << 20), 4096))
+    import uuid
 
+    dirname = f"_bloom-{uuid.uuid4().hex[:8]}"
+    (
+        index.repartitionByRange(int(nparts), "col", "file")
+        .sortWithinPartitions("col", "file")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, dirname))
+    )
+
+    sidecar = {
+        "format": "parquet",
+        "dir": dirname,
+        "columns": {c: {"m": m, "k": k} for c, (m, k) in params.items()},
+    }
+    tmp = os.path.join(path, BLOOM_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(sidecar, fh)
+    os.replace(tmp, os.path.join(path, BLOOM_FILE))
+    # the json flip is the commit point — superseded index dirs are garbage
+    import shutil
+
+    for d in os.listdir(path):
+        if d.startswith("_bloom-") and d != dirname:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    import pyarrow.dataset as _ds
+
+    counts = (
+        _ds.dataset(os.path.join(path, dirname), format="parquet")
+        .to_table(columns=["col"])
+        .column("col")
+        .to_pylist()
+    )
+    from collections import Counter
+
+    per_col = Counter(counts)
+    return {
+        "columns": {c: {"m": m, "k": k} for c, (m, k) in params.items()},
+        "num_files": max(per_col.values(), default=0),
+    }
+
+
+def _bloom_digest_mod(suffix: str, modulus) -> "F.Column":
+    """md5-derived hash of the string-canonicalized value, mod `modulus`
+    — formula-identical to _bloom_positions_py (parity-pinned)."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("__v").cast("string"), F.lit(suffix))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        modulus,
+    )
+
+
+def _bloom_index_df(base, path: str, columns, params) -> DataFrame:
+    """The distributed Bloom build plan: one (col, file, bitmap) row per
+    data file per indexed column, with bitmaps packed ENTIRELY executor-
+    side.
+
+    Stage 1 (mapInPandas, map-side combine): each input split computes the
+    Kirsch-Mitzenmacher positions for its rows vectorized in numpy and ORs
+    them into one partial bitmap per file it touches — the shuffle carries
+    O(splits × m/8) packed bytes, not O(rows × k) position ints.  Stage 2
+    (applyInPandas per file) ORs the partials.  Nothing larger than the
+    index itself ever exists in one place, and the driver never sees a bit
+    position — the round-4 build collected every file's position set to
+    the driver (40×+ the index size; an OOM at 100 TB file counts)."""
+    union = None
     for c in columns:
-        m, k = _bloom_params(ndv_per_file, fpp)
-        # Kirsch-Mitzenmacher: k positions from TWO digests (see
-        # _bloom_positions_py, the parity-pinned twin)
-        pos_exprs = [
-            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(m))
-            for i in range(k)
-        ]
-        rows = (
+        m, k = params[c]
+        nbytes = (m + 7) // 8
+
+        def partial_pack(batches, m=m, k=k, nbytes=nbytes):
+            import numpy as np
+            import pandas as pd
+
+            bufs: dict[str, "np.ndarray"] = {}
+            for pdf in batches:
+                for f, g in pdf.groupby("__file", sort=False):
+                    buf = bufs.get(f)
+                    if buf is None:
+                        buf = bufs[f] = np.zeros(nbytes, dtype=np.uint8)
+                    h1 = g["__h1"].to_numpy(np.int64)
+                    h2 = g["__h2"].to_numpy(np.int64)
+                    for i in range(k):
+                        pos = (h1 + i * h2) % m
+                        np.bitwise_or.at(
+                            buf,
+                            pos >> 3,
+                            np.left_shift(
+                                np.uint8(1), (pos & 7).astype(np.uint8)
+                            ),
+                        )
+            for f, buf in bufs.items():
+                yield pd.DataFrame({"__file": [f], "__bm": [buf.tobytes()]})
+
+        def make_merge(path):
+            # single-arg closure: applyInPandas passes (key, pdf) to any
+            # TWO-parameter function, so no extra default args here
+            def merge_partials(pdf):
+                import numpy as np
+                import pandas as pd
+
+                arrs = np.stack(
+                    [np.frombuffer(b, dtype=np.uint8) for b in pdf["__bm"]]
+                )
+                rel = os.path.relpath(
+                    pdf["__file"].iloc[0].removeprefix("file://"), path
+                )
+                return pd.DataFrame(
+                    {
+                        "file": [rel],
+                        "bitmap": [
+                            np.bitwise_or.reduce(arrs, axis=0).tobytes()
+                        ],
+                    }
+                )
+
+            return merge_partials
+
+        merge_partials = make_merge(path)
+
+        packed = (
             base.select(
                 F.input_file_name().alias("__file"), F.col(c).alias("__v")
             )
             .filter(F.col("__v").isNotNull())
             .select(
                 "__file",
-                _digest_mod("#h1", F.lit(m)).alias("__h1"),
-                (_digest_mod("#h2", F.lit(m - 1)) + F.lit(1)).alias("__h2"),
+                _bloom_digest_mod("#h1", F.lit(m)).alias("__h1"),
+                (_bloom_digest_mod("#h2", F.lit(m - 1)) + F.lit(1)).alias(
+                    "__h2"
+                ),
             )
-            .select("__file", F.explode(F.array(*pos_exprs)).alias("__bit"))
+            .mapInPandas(partial_pack, "__file string, __bm binary")
             .groupBy("__file")
-            .agg(F.collect_set("__bit").alias("__bits"))
-            .collect()
+            .applyInPandas(merge_partials, "file string, bitmap binary")
+            .select(F.lit(c).alias("col"), "file", "bitmap")
         )
-        files: dict[str, str] = {}
-        for r in rows:
-            buf = bytearray((m + 7) // 8)
-            for b in r["__bits"]:
-                buf[b >> 3] |= 1 << (b & 7)
-            rel = os.path.relpath(r["__file"].removeprefix("file://"), path)
-            files[rel] = base64.b64encode(bytes(buf)).decode("ascii")
-        out_cols[c] = {"m": m, "k": k, "files": files}
-
-    sidecar = {"columns": out_cols}
-    tmp = os.path.join(path, BLOOM_FILE + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(sidecar, fh)
-    os.replace(tmp, os.path.join(path, BLOOM_FILE))
-    return {
-        "columns": {c: {"m": v["m"], "k": v["k"]} for c, v in out_cols.items()},
-        "num_files": max((len(v["files"]) for v in out_cols.values()), default=0),
-    }
+        union = packed if union is None else union.unionByName(packed)
+    return union
 
 
-def _bloom_may_contain(colmeta: dict, rel_file: str, value) -> bool:
+def _bitmap_may_contain(buf: bytes, k: int, m: int, value) -> bool:
     """False only when the file's bitmap PROVES `value` absent."""
-    import base64
-
-    b64 = colmeta["files"].get(rel_file)
-    if b64 is None:
-        return True  # file unknown to the index (e.g. all-null) → keep
-    buf = base64.b64decode(b64)
-    for p in _bloom_positions_py(value, colmeta["k"], colmeta["m"]):
+    for p in _bloom_positions_py(value, k, m):
         if not (buf[p >> 3] >> (p & 7)) & 1:
             return False
     return True
+
+
+def _load_bloom_bitmaps(
+    path: str, bloom: dict, col: str, rel_files
+) -> dict[str, bytes]:
+    """{rel_file: packed bitmap} for `col`, reading ONLY the requested
+    rows of the sharded parquet index — the (col, file) sort order gives
+    pyarrow row-group min/max pruning, so a point lookup over a million-
+    file table decodes a handful of row groups, never the whole index."""
+    if bloom.get("format") != "parquet":  # legacy inline sidecar
+        import base64
+
+        files = bloom["columns"][col].get("files", {})
+        return {
+            f: base64.b64decode(b) for f, b in files.items() if f in rel_files
+        }
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(
+        os.path.join(path, bloom["dir"]), format="parquet"
+    ).to_table(
+        filter=(ds.field("col") == col)
+        & ds.field("file").isin(list(rel_files)),
+        columns=["file", "bitmap"],
+    )
+    return dict(
+        zip(tbl.column("file").to_pylist(), tbl.column("bitmap").to_pylist())
+    )
 
 
 def table_stats(root: str, name: str) -> dict | None:
@@ -1694,21 +1826,21 @@ def prune_files(root: str, name: str, where: Sequence[tuple]) -> tuple[list[str]
             colmeta = bloom["columns"].get(col)
             if colmeta is None or value is None:
                 continue
-            if op in ("=", "=="):
-                kept = [
-                    f for f in kept
-                    if _bloom_may_contain(colmeta, os.path.relpath(f, path), value)
-                ]
-            elif op == "in":
-                kept = [
-                    f for f in kept
-                    if any(
-                        _bloom_may_contain(
-                            colmeta, os.path.relpath(f, path), v
-                        )
-                        for v in value
-                    )
-                ]
+            if op not in ("=", "==", "in") or not kept:
+                continue
+            rels = {f: os.path.relpath(f, path) for f in kept}
+            bitmaps = _load_bloom_bitmaps(path, bloom, col, set(rels.values()))
+            values = list(value) if op == "in" else [value]
+            kept = [
+                f
+                for f in kept
+                # file unknown to the index (e.g. all-null column) → keep
+                if (bm := bitmaps.get(rels[f])) is None
+                or any(
+                    _bitmap_may_contain(bm, colmeta["k"], colmeta["m"], v)
+                    for v in values
+                )
+            ]
     return kept, total
 
 

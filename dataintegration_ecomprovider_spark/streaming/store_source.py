@@ -19,13 +19,18 @@ semantics as ``publish.read_changes(root, table, v₁, v₂)``, proven
 equivalent in tests/test_store_source.py.
 
 Execution shape: `partitions()` fans the diff out over `partitions`
-key-hash shards; each executor-side `read()` diffs ONLY its key shard,
-in Arrow, with both versions' files column-pruned to the table schema.
-Memory per task is O(changed shard), tunable via the `partitions`
-option.  This is the convenience tail for the streaming glue layer; a
-100 TB backfill diff belongs in `read_changes` (full JVM join) driven by
-``foreachBatch`` — the source docstring of each is explicit about which
-side of that line it sits on.
+key-hash shards (default 1); each executor-side `read()` streams both
+versions' files batch-at-a-time through pyarrow, assigns shards with a
+VECTORIZED deterministic row hash (no per-row Python in the scan), and
+diffs its shard with a keyed pandas merge — per-row Python exists only
+when yielding the O(changes) output tuples the DataSource API requires.
+Memory per task is O(scan batch + shard).  Note each shard re-scans the
+version's files (the predicate is a hash, not pushdownable), so
+`partitions=N` costs N× the I/O — leave it at 1 unless the diff itself
+is the bottleneck.  This is the convenience tail for the streaming glue
+layer; a 100 TB backfill diff belongs in `read_changes` (full JVM join)
+driven by ``foreachBatch`` — the source docstring of each is explicit
+about which side of that line it sits on.
 
 Reference analog: none — the reference re-runs jobs idempotently
 (IsFirstJobRun, /root/reference/src/EcomProvider.cs:25, :937-966); a
@@ -34,20 +39,30 @@ versioned store turns that into an exact, resumable change stream.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
 CHANGE_COL = "change_type"
+_MOR_CHG = "__mor_chg"
 
 
-def _key_shard(key_tuple: tuple, num_shards: int) -> int:
-    digest = hashlib.md5(repr(key_tuple).encode()).digest()
-    return int.from_bytes(digest[:4], "big") % num_shards
+def _shard_ids(pdf, keys: Sequence[str], num_shards: int):
+    """Vectorized deterministic shard id per row: key columns are string-
+    canonicalized, concatenated, and hashed with pandas' fixed-key row
+    hash (stable across processes — every task partitions the keyspace
+    identically).  No per-row Python."""
+    import pandas as pd
+
+    s = None
+    for c in keys:
+        part = pdf[c].astype("string").fillna("\x00null")
+        s = part if s is None else s + "\x1f" + part
+    h = pd.util.hash_pandas_object(s.astype(object), index=False).to_numpy()
+    return h % num_shards
 
 
-def _version_rows(
+def _version_frame(
     root: str,
     table: str,
     version: int,
@@ -55,49 +70,120 @@ def _version_rows(
     keys: Sequence[str],
     shard: int,
     num_shards: int,
-) -> dict[tuple, tuple]:
-    """{key tuple: full row tuple} for THIS shard of one committed version,
-    read via pyarrow (no SparkSession on executors).  Version 0 = empty."""
-    if version == 0:
-        return {}
+):
+    """pandas DataFrame (Arrow-backed dtypes) holding THIS shard of one
+    committed version, read via pyarrow (no SparkSession on executors).
+    Files stream batch-at-a-time (memory O(batch + shard), never
+    O(table)); merge-on-read deltas replay in commit order vectorized
+    (keyed keep-last + delete-marker drop).  Version 0 = empty."""
+    import pandas as pd
+    import pyarrow as pa
     import pyarrow.dataset as ds
 
     from dataintegration_ecomprovider_spark.plans import publish
 
+    columns = list(columns)
+    if version == 0:
+        return pd.DataFrame(columns=columns)
     entry = publish.tables_at(root, version).get(table)
     if entry is None:
-        return {}
+        return pd.DataFrame(columns=columns)
     path = entry["path"] if isinstance(entry, dict) else entry
-    partitioning = "hive" if isinstance(entry, dict) and entry.get("partition_by") else None
+    partitioning = (
+        "hive" if isinstance(entry, dict) and entry.get("partition_by") else None
+    )
 
-    def shard_rows(dpath, want_cols, part=None):
+    def shard_frames(dpath, want_cols, part=None):
         dataset = ds.dataset(dpath, format="parquet", partitioning=part)
         present = [c for c in want_cols if c in dataset.schema.names]
-        tbl = dataset.to_table(columns=present)
-        cols = {
-            c: tbl.column(c).to_pylist() if c in present else [None] * tbl.num_rows
-            for c in want_cols
-        }
-        for i in range(tbl.num_rows):
-            k = tuple(cols[c][i] for c in keys)
-            if _key_shard(k, num_shards) != shard:
+        for batch in dataset.scanner(columns=present).to_batches():
+            if batch.num_rows == 0:
                 continue
-            yield k, tuple(cols[c][i] for c in want_cols)
+            pdf = pa.Table.from_batches([batch]).to_pandas(
+                types_mapper=pd.ArrowDtype
+            )
+            for c in want_cols:
+                if c not in pdf.columns:
+                    pdf[c] = None  # schema evolution: absent → null
+            pdf = pdf[want_cols]
+            if num_shards > 1:
+                pdf = pdf.loc[_shard_ids(pdf, keys, num_shards) == shard]
+            if len(pdf):
+                yield pdf
 
-    out: dict[tuple, tuple] = dict(shard_rows(path, list(columns), partitioning))
+    frames = [
+        f.assign(**{_MOR_CHG: "upsert"})
+        for f in shard_frames(path, columns, partitioning)
+    ]
     # merge-on-read: replay the delta log in commit order (upserts
     # override, delete markers remove) — reading only the base would
     # silently serve stale rows for a MoR table
     deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
     change = publish.MOR_CHANGE_COL
-    n = len(columns)
     for d in deltas:
-        for k, row in shard_rows(d["path"], list(columns) + [change]):
-            if row[n] == "delete":
-                out.pop(k, None)
-            else:
-                out[k] = row[:n]
-    return out
+        for f in shard_frames(d["path"], columns + [change]):
+            frames.append(f.rename(columns={change: _MOR_CHG}))
+    if not frames:
+        return pd.DataFrame(columns=columns)
+    merged = pd.concat(frames, ignore_index=True)
+    # concat order == commit order, so keep="last" is the MoR override
+    merged = merged.drop_duplicates(subset=list(keys), keep="last")
+    merged = merged.loc[merged[_MOR_CHG].astype(object) != "delete"]
+    return merged[columns]
+
+
+def _py(v):
+    """One output value: pandas/numpy scalar → plain Python (None for any
+    NA) — applied only to the O(changes) rows actually yielded."""
+    import pandas as pd
+
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass
+    return v.item() if hasattr(v, "item") else v
+
+
+def _diff_frames(old, new, columns: Sequence[str], keys: Sequence[str]):
+    """Yield (*row, change_type) tuples for the keyed diff old → new —
+    one vectorized outer merge + column-equality pass; per-row Python
+    only over the changed rows."""
+    value_cols = [c for c in columns if c not in keys]
+    merged = new.merge(
+        old, on=list(keys), how="outer", suffixes=("", "__old"), indicator=True
+    )
+    flag = merged["_merge"].astype(object)
+
+    def rows(pdf, cols, tag):
+        for rec in pdf[cols].itertuples(index=False, name=None):
+            yield tuple(_py(v) for v in rec) + (tag,)
+
+    yield from rows(merged.loc[flag == "left_only"], list(columns), "insert")
+    old_cols = [c if c in keys else c + "__old" for c in columns]
+    yield from rows(merged.loc[flag == "right_only"], old_cols, "delete")
+
+    both = merged.loc[flag == "both"]
+    if not len(both):
+        return
+    if value_cols:
+        changed = None
+        for c in value_cols:
+            a, b = both[c], both[c + "__old"]
+            eq = a == b
+            try:
+                eq = eq.fillna(False)
+            except (TypeError, ValueError):
+                pass
+            same = eq.astype(bool) | (a.isna() & b.isna())
+            d = ~same
+            changed = d if changed is None else (changed | d)
+        both = both.loc[changed]
+    else:
+        both = both.iloc[0:0]  # key-only rows can't change
+    yield from rows(both, list(columns), "update")
 
 
 def _shard_partition(root, table, from_v, to_v, columns, keys, shard, num_shards):
@@ -115,7 +201,7 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         options = {k.lower(): v for k, v in options.items()}
         self.root = options["root"]
         self.table = options["table"]
-        self.num_shards = int(options.get("partitions", "4"))
+        self.num_shards = int(options.get("partitions", "1"))
         self.columns = [f.name for f in schema.fields if f.name != CHANGE_COL]
         from dataintegration_ecomprovider_spark.plans import publish
 
@@ -156,16 +242,9 @@ class StoreChangesStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         root, table, from_v, to_v, columns, keys, shard, num_shards = partition.value
-        old = _version_rows(root, table, from_v, columns, keys, shard, num_shards)
-        new = _version_rows(root, table, to_v, columns, keys, shard, num_shards)
-        for k, row in new.items():
-            if k not in old:
-                yield (*row, "insert")
-            elif old[k] != row:
-                yield (*row, "update")
-        for k, row in old.items():
-            if k not in new:
-                yield (*row, "delete")
+        old = _version_frame(root, table, from_v, columns, keys, shard, num_shards)
+        new = _version_frame(root, table, to_v, columns, keys, shard, num_shards)
+        yield from _diff_frames(old, new, columns, keys)
 
     def commit(self, end: dict) -> None:
         pass  # versions are immutable until vacuum; nothing to release
@@ -178,7 +257,8 @@ class StoreChangesDataSource(DataSource):
     defaults to the manifest's recorded table keys), startingVersion
     (int | "earliest"; default = the version current when the stream
     starts, i.e. new changes only), partitions (key-hash shards per
-    micro-batch, default 4)."""
+    micro-batch, default 1 — each extra shard re-scans the version's
+    files, so raise it only when the diff compute itself dominates)."""
 
     @classmethod
     def name(cls) -> str:

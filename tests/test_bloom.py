@@ -157,3 +157,60 @@ def test_compact_sheds_stale_bloom(spark, tmp_path):
     assert not os.path.exists(os.path.join(entry["path"], publish.BLOOM_FILE))
     got = publish.scan_table(spark, root, "t", where=[("uid", "=", 5)])
     assert _rows(got) == {(5, "u5")}
+
+
+def test_bloom_build_is_executor_side_and_metadata_sharded(spark, tmp_path):
+    """The round-4 build collected every file's bit-position SET to the
+    driver (40x the index size -- an OOM at 100 TB file counts).  Pin the
+    rebuilt shape: bitmaps are packed in the cluster (mapInPandas partial
+    pack + applyInPandas OR-merge), the build plan contains NO position
+    collect_set, the bitmaps live in a sharded parquet index, and
+    _BLOOM.json stays O(columns) bytes regardless of file count."""
+    root = _seed(spark, tmp_path, n=2000, files=6)
+    entry = publish.current_manifest(root)["tables"]["t"]
+    path = entry["path"]
+
+    # plan shape of the distributed build
+    base = spark.read.parquet(path)
+    params = {"uid": publish._bloom_params(250, 0.01)}
+    plan = (
+        publish._bloom_index_df(base, path, ["uid"], params)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "collect_set" not in plan
+    assert "MapInPandas" in plan          # map-side partial pack
+    assert "FlatMapGroupsInPandas" in plan  # per-file OR-merge
+
+    publish.write_bloom_sidecar(spark, root, "t", ["uid", "name"])
+    sidecar_path = os.path.join(path, publish.BLOOM_FILE)
+    # metadata json holds only (m, k) sizing -- tiny at ANY file count
+    assert os.path.getsize(sidecar_path) < 1024
+    import json as _json
+
+    with open(sidecar_path) as fh:
+        bloom = _json.load(fh)
+    assert bloom["format"] == "parquet"
+    index_dir = os.path.join(path, bloom["dir"])
+    assert bloom["dir"].startswith("_bloom-") and os.path.isdir(index_dir)
+
+    # the sharded index holds one packed bitmap per (col, file), each
+    # exactly m/8 bytes -- O(index) total, nothing driver-assembled
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(index_dir, format="parquet").to_table()
+    m = bloom["columns"]["uid"]["m"]
+    per_col = {}
+    for col, bm in zip(
+        tbl.column("col").to_pylist(), tbl.column("bitmap").to_pylist()
+    ):
+        per_col.setdefault(col, []).append(len(bm))
+    assert set(per_col) == {"uid", "name"}
+    assert all(ln == (m + 7) // 8 for ln in per_col["uid"])
+    assert len(per_col["uid"]) == 6  # one bitmap per data file
+
+    # the index parquet must NOT be mistaken for table data
+    assert len(publish._data_files(path)) == 6
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 77)])
+    assert _rows(got) == {(77, "u77")}

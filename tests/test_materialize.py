@@ -623,3 +623,56 @@ def test_maintain_join_over_mor_source(spark, tmp_path):
     got = _rows(publish.read_table(spark, root, "v"))
     assert got == _rows(_join_recompute(spark, root, **kw))
     assert (2, 20, 22.0, "twenty") in got and (6, 30, 6.0, "thirty") in got
+
+
+def test_seed_pins_watermarked_version_under_concurrent_publish(
+    spark, tmp_path, monkeypatch
+):
+    """A publish landing between maintain_aggregate's manifest capture and
+    its seed scan must NOT leak into the seed: the watermark says version
+    N, so a seed containing N+1 data would get the N->N+1 delta re-applied
+    by the next refresh and silently double-count.  The seed reads
+    read_table_at(src, src_version), which this race makes observable."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id bigint, grp string, val double"
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+
+    # fire a concurrent publish the moment maintain_aggregate asks for the
+    # sync state -- i.e. AFTER it captured the manifest version, BEFORE the
+    # seed scan runs
+    real_sync = publish._sync_state
+    fired = {"done": False}
+
+    def racing_sync(r):
+        state = real_sync(r)
+        if not fired["done"]:
+            fired["done"] = True
+            v2 = spark.createDataFrame(
+                [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 100.0)],
+                "id bigint, grp string, val double",
+            )
+            publish.publish_tables(spark, {"t": v2}, root)
+        return state
+
+    monkeypatch.setattr(publish, "_sync_state", racing_sync)
+    res = materialize.maintain_aggregate(
+        spark, root, "t", "t_agg", ["grp"], ["val"]
+    )
+    assert res["mode"] == "seed"
+    monkeypatch.setattr(publish, "_sync_state", real_sync)
+
+    # the racing publish's row must be absent from the version-pinned seed
+    assert _rows(publish.read_table(spark, root, "t_agg")) == sorted(
+        [("a", 1, 10.0), ("b", 1, 20.0)]
+    )
+
+    # the next refresh applies the raced-in delta exactly once
+    res = materialize.maintain_aggregate(
+        spark, root, "t", "t_agg", ["grp"], ["val"]
+    )
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "t_agg"))
+    assert got == _rows(_recompute(spark, root, "t", ["grp"], ["val"]))
+    assert got == sorted([("a", 2, 110.0), ("b", 1, 20.0)])
