@@ -479,6 +479,27 @@ def _changed_dim_keys(dim_changes: DataFrame, dim_key: str,
     )
 
 
+def _approx_row_bytes(schema) -> int:
+    """Conservative static per-row width estimate for a key frame —
+    fixed-width types by size, strings/binary/other at 48 bytes (Spark's
+    own DEFAULT_SIZE_IN_BYTES ballpark for unbounded types), structs
+    recursed.  Used to turn a broadcast ROW gate into a BYTE gate."""
+    from pyspark.sql import types as T
+
+    fixed = {
+        T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4, T.LongType: 8,
+        T.FloatType: 4, T.DoubleType: 8, T.BooleanType: 1, T.DateType: 4,
+        T.TimestampType: 8,
+    }
+
+    def field_bytes(dt) -> int:
+        if isinstance(dt, T.StructType):
+            return sum(field_bytes(f.dataType) for f in dt.fields)
+        return fixed.get(type(dt), 48)
+
+    return max(8, sum(field_bytes(f.dataType) for f in schema.fields))
+
+
 def apply_join_delta(
     view: DataFrame,
     fact_now: DataFrame,
@@ -492,7 +513,7 @@ def apply_join_delta(
     how: str = "left",
     change_col: str = "change_type",
     broadcast: bool | None = None,
-    broadcast_max_keys: int = 4_000_000,
+    broadcast_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Merge read_changes feeds for the fact and/or dim side into a
     join-view state (semantics documented on the section header above).
@@ -507,11 +528,15 @@ def apply_join_delta(
     (each registered in the current runtime scope — release via
     release_caches/job_scope; the persist also stops the affected-key
     subtree recomputing for its anti- and semi-join consumers), counts
-    them, and hints F.broadcast only under `broadcast_max_keys` (~4M keys
-    ≈ tens of MB) — so a delta-sized refresh never shuffles the full fact
-    table, while a pathological all-rows-changed refresh degrades to a
-    shuffle join instead of blowing the broadcast limit.  True/False
-    overrides the gate in either direction (skipping the persist+count)."""
+    them, and hints F.broadcast only while ``count × estimated row
+    width`` stays under `broadcast_max_bytes` — a BYTE gate, like the
+    MoR fast path's MOR_BROADCAST_MAX_BYTES, because a row-count gate
+    silently lets wide multi-column/string keys balloon to hundreds of
+    driver-side MB.  A delta-sized refresh thus never shuffles the full
+    fact table, while a pathological all-rows-changed refresh degrades
+    to a shuffle join instead of blowing the broadcast limit.
+    True/False overrides the gate in either direction (skipping the
+    persist+count)."""
     from dataintegration_ecomprovider_spark import runtime
 
     fact_keys = list(fact_keys)
@@ -520,7 +545,8 @@ def apply_join_delta(
     def _gate(keys: DataFrame) -> DataFrame:
         if broadcast is None:
             keys = runtime.track(keys.persist())
-            return F.broadcast(keys) if keys.count() <= broadcast_max_keys else keys
+            est = keys.count() * _approx_row_bytes(keys.schema)
+            return F.broadcast(keys) if est <= broadcast_max_bytes else keys
         return F.broadcast(keys) if broadcast else keys
 
     affected = None
@@ -706,6 +732,7 @@ def declare_view(root: str, kind: str, **spec) -> dict:
     with publish._manifest_lock(root):
         views = declared_views(root)
         views[spec["dst"]] = {"kind": kind, **spec}
+        _view_refresh_order(views)  # reject dependency cycles at declare time
         tmp = os.path.join(root, VIEWS_FILE + ".tmp")
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(views, fh, indent=1, sort_keys=True)
@@ -737,12 +764,54 @@ def declared_views(root: str) -> dict:
         return json.load(fh)
 
 
+def _view_sources(spec: dict) -> list[str]:
+    """The table names a declared view reads from."""
+    if spec.get("kind") == "aggregate":
+        return [spec["src"]]
+    return [spec["fact"], spec["dim"]]
+
+
+def _view_refresh_order(views: dict) -> list[str]:
+    """Declared views in dependency order (Kahn's algorithm): a view
+    whose src/fact/dim is ANOTHER declared view's dst refreshes after
+    that upstream, so one maintenance pass leaves a whole view-over-view
+    DAG current instead of lagging one pass per level.  Alphabetical
+    among independents (deterministic reports).  Raises ValueError on a
+    dependency cycle — also called at declare time so cycles are
+    rejected before they poison every later refresh."""
+    waiting = {
+        dst: {s for s in _view_sources(spec) if s in views}
+        for dst, spec in views.items()
+    }
+    order: list[str] = []
+    ready = sorted(d for d, deps in waiting.items() if not deps)
+    pending = {d: deps for d, deps in waiting.items() if deps}
+    while ready:
+        n = ready.pop(0)
+        order.append(n)
+        released = []
+        for d, deps in pending.items():
+            deps.discard(n)
+            if not deps:
+                released.append(d)
+        for d in released:
+            del pending[d]
+        ready = sorted(set(ready) | set(released))
+    if pending:
+        raise ValueError(
+            f"declared views form a dependency cycle: {sorted(pending)}"
+        )
+    return order
+
+
 def refresh_declared_views(spark: SparkSession, root: str) -> dict:
-    """Refresh every declared view, isolating per-view failures.
+    """Refresh every declared view in DEPENDENCY order (see
+    _view_refresh_order), isolating per-view failures.
     Returns {"views": {dst: maintain_* result}, "errors": {dst: str}}."""
     report: dict = {"views": {}, "errors": {}}
-    for dst, spec in sorted(declared_views(root).items()):
-        spec = dict(spec)
+    views = declared_views(root)
+    for dst in _view_refresh_order(views):
+        spec = dict(views[dst])
         kind = spec.pop("kind")
         fn = maintain_aggregate if kind == "aggregate" else maintain_join
         try:

@@ -166,6 +166,16 @@ def _apply_deltas(spark: SparkSession, base: DataFrame, entry: dict) -> DataFram
         raise ValidationError(
             "merge-on-read entry has deltas but no recorded keys"
         )
+    if entry.get("schema_json"):
+        # the entry's logical schema was widened by merge_into_mor(
+        # evolve_schema=True): the base parquet lacks the new columns, so
+        # conform it (absent → typed null) instead of forcing an O(table)
+        # copy-on-write rewrite just to add a column
+        from pyspark.sql.types import StructType
+
+        base = _conform_to_schema(
+            base, StructType.fromJson(json.loads(entry["schema_json"]))
+        )
     cols = base.columns
     deltas = _read_delta_log(spark, entry["deltas"])
     latest = _latest_per_key(deltas, keys)
@@ -182,15 +192,30 @@ def _apply_deltas(spark: SparkSession, base: DataFrame, entry: dict) -> DataFram
 
 def _read_delta_log(spark: SparkSession, deltas: Sequence[dict]) -> DataFrame:
     """Union of the given delta files, each tagged with its position in
-    the log (MOR_SEQ_COL) so later files win per-key resolution."""
+    the log (MOR_SEQ_COL) so later files win per-key resolution.  Files
+    written before a schema evolution are narrower than later ones —
+    allowMissingColumns fills the gap with nulls."""
     parts = [
         spark.read.parquet(d["path"]).withColumn(MOR_SEQ_COL, F.lit(i))
         for i, d in enumerate(deltas)
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def _conform_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Project `df` onto `schema` exactly: present columns cast, absent
+    columns ride as typed nulls."""
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
 
 
 def _latest_per_key(deltas: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -401,14 +426,9 @@ def publish_tables(
             "tables": {**prev["tables"], **staged_paths},
             # committed-version history: staged data dirs are never
             # rewritten, so old versions stay readable (time travel /
-            # rollback) until a vacuum prunes them
-            "history": (
-                prev.get("history", [])
-                + [{"version": prev["version"], "txid": prev.get("txid"),
-                    "tables": prev["tables"],
-                    "committed_at_unix": prev.get("committed_at_unix")}]
-                if prev["version"] else []
-            ),
+            # rollback) until a vacuum prunes them; the oldest entries
+            # live in spilled checkpoint files (see _history_fields)
+            **_history_fields(root, prev),
         }
         return _commit(root, txid, manifest)
 
@@ -421,6 +441,87 @@ def _commit(root: str, txid: str, manifest: dict) -> dict:
     return manifest
 
 
+# MANIFEST.json carries the full table map of every historical version, so
+# without a bound it grows (and is rewritten) O(versions × tables) per
+# commit.  Past HISTORY_INLINE_MAX entries, the oldest half spills to an
+# immutable checkpoint file under <root>/_history/ and the manifest keeps
+# only a {file, from, to} pointer — the Delta checkpoint / Iceberg
+# metadata-log role: commit cost stays O(recent), however old the store.
+HISTORY_INLINE_MAX = 64
+HISTORY_DIR = "_history"
+
+
+def _history_fields(root: str, prev: dict) -> dict:
+    """The history fields for a manifest that supersedes `prev`: prev's
+    snapshot appended inline, oldest entries spilled once the inline list
+    exceeds HISTORY_INLINE_MAX.  Spill files are written BEFORE the commit
+    point — a crashed commit leaves an orphaned spill file (harmless,
+    overwritten by name on retry), never a manifest pointing at a missing
+    file."""
+    hist = list(prev.get("history", []))
+    if prev["version"]:
+        hist.append(
+            {"version": prev["version"], "txid": prev.get("txid"),
+             "tables": prev["tables"],
+             "committed_at_unix": prev.get("committed_at_unix")}
+        )
+    spills = list(prev.get("history_spills", []))
+    if len(hist) > HISTORY_INLINE_MAX:
+        # spill down to half the cap so commits amortize to O(1) spills
+        cut = len(hist) - HISTORY_INLINE_MAX // 2
+        chunk, hist = hist[:cut], hist[cut:]
+        os.makedirs(os.path.join(root, HISTORY_DIR), exist_ok=True)
+        fname = (
+            f"HISTORY-{chunk[0]['version']:010d}-{chunk[-1]['version']:010d}"
+            ".json"
+        )
+        fpath = os.path.join(root, HISTORY_DIR, fname)
+        tmp = fpath + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"entries": chunk}, fh)
+        os.replace(tmp, fpath)
+        spills.append(
+            {"file": fname, "from": chunk[0]["version"],
+             "to": chunk[-1]["version"]}
+        )
+    out = {"history": hist}
+    if spills:
+        out["history_spills"] = spills
+    return out
+
+
+def _spilled_entries(root: str, spill: dict) -> list[dict]:
+    with open(
+        os.path.join(root, HISTORY_DIR, spill["file"]), encoding="utf-8"
+    ) as fh:
+        return json.load(fh)["entries"]
+
+
+def _all_history(root: str, manifest: dict) -> list[dict]:
+    """Every historical version snapshot, oldest first — spilled
+    checkpoints then the inline tail.  O(total history); version lookups
+    should use _history_entry, which touches at most one spill file."""
+    out: list[dict] = []
+    for sp in manifest.get("history_spills", []):
+        out.extend(_spilled_entries(root, sp))
+    out.extend(manifest.get("history", []))
+    return out
+
+
+def _history_entry(root: str, manifest: dict, version: int) -> dict | None:
+    """One historical version's snapshot, reading at most the single spill
+    file whose [from, to] range covers it."""
+    for h in manifest.get("history", []):
+        if h["version"] == version:
+            return h
+    for sp in manifest.get("history_spills", []):
+        if sp["from"] <= version <= sp["to"]:
+            for h in _spilled_entries(root, sp):
+                if h["version"] == version:
+                    return h
+    return None
+
+
 def tables_at(root: str, version: int) -> dict:
     """The manifest table map as of a committed version (current or
     history) — pure metadata, no SparkSession, so executor-side readers
@@ -428,10 +529,10 @@ def tables_at(root: str, version: int) -> dict:
     manifest = current_manifest(root)
     if manifest["version"] == version:
         return manifest["tables"]
-    matches = [h for h in manifest.get("history", []) if h["version"] == version]
-    if not matches:
+    entry = _history_entry(root, manifest, version)
+    if entry is None:
         raise KeyError(f"version {version} not in history under {root}")
-    return matches[0]["tables"]
+    return entry["tables"]
 
 
 def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> DataFrame:
@@ -448,8 +549,8 @@ def rollback(root: str, version: int) -> dict:
     against concurrent publishers by the commit lock."""
     with _manifest_lock(root):
         manifest = current_manifest(root)
-        matches = [h for h in manifest.get("history", []) if h["version"] == version]
-        if not matches:
+        match = _history_entry(root, manifest, version)
+        if match is None:
             raise KeyError(f"version {version} not in history under {root}")
         txid = f"rollback-{version}-{uuid.uuid4().hex[:8]}"
         new = {
@@ -457,12 +558,8 @@ def rollback(root: str, version: int) -> dict:
             "txid": txid,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "committed_at_unix": time.time(),
-            "tables": matches[0]["tables"],
-            "history": manifest.get("history", []) + [
-                {"version": manifest["version"], "txid": manifest.get("txid"),
-                 "tables": manifest["tables"],
-                 "committed_at_unix": manifest.get("committed_at_unix")}
-            ],
+            "tables": match["tables"],
+            **_history_fields(root, manifest),
         }
         return _commit(root, txid, new)
 
@@ -518,12 +615,7 @@ def clone_table(
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "committed_at_unix": time.time(),
             "tables": {**manifest["tables"], dest: entry},
-            "history": manifest.get("history", []) + (
-                [{"version": manifest["version"], "txid": manifest.get("txid"),
-                  "tables": manifest["tables"],
-                  "committed_at_unix": manifest.get("committed_at_unix")}]
-                if manifest["version"] else []
-            ),
+            **_history_fields(dest_root, manifest),
         }
         return _commit(dest_root, txid, new)
 
@@ -551,7 +643,8 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     # — the pruned dirs are unreferenced the instant the commit lands.
     with _manifest_lock(root):
         manifest = current_manifest(root)
-        history = manifest.get("history", [])
+        spills = list(manifest.get("history_spills", []))
+        history = _all_history(root, manifest)  # spilled + inline, oldest first
         keep_hist = history[len(history) - (keep_versions - 1):] if keep_versions > 1 else []
         pruned = history[: len(history) - len(keep_hist)]
         if not pruned:
@@ -573,9 +666,18 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
         # reverse order would leave a manifest still referencing versions
         # whose data is gone, breaking read_table_at's KeyError contract
         # with a raw parquet error.
+        # the kept tail re-inlines (later commits re-spill past the cap);
+        # every spill checkpoint is superseded by this commit
         new_manifest = dict(manifest)
         new_manifest["history"] = keep_hist
+        new_manifest.pop("history_spills", None)
         _commit(root, manifest.get("txid") or "vacuum", new_manifest)
+
+    for sp in spills:  # superseded checkpoint files, post-commit cleanup
+        try:
+            os.remove(os.path.join(root, HISTORY_DIR, sp["file"]))
+        except OSError:
+            pass
 
     removed_paths: list[str] = []
     for h in pruned:
@@ -631,7 +733,7 @@ def collect_orphans(
         }
 
     referenced = paths_of(manifest["tables"])
-    for h in manifest.get("history", []):
+    for h in _all_history(root, manifest):
         referenced |= paths_of(h["tables"])
 
     data_root = os.path.join(root, "data")
@@ -732,6 +834,7 @@ def merge_into_mor(
     deletes: DataFrame | None = None,
     insert_new: bool = True,
     update_existing: bool = True,
+    evolve_schema: bool = False,
 ) -> dict:
     """Merge-on-read MERGE: commit the U1-U3 upsert (plus optional U4
     delete-incoming) as an appended DELTA file instead of rewriting the
@@ -755,8 +858,14 @@ def merge_into_mor(
     broadcast-staging semi/anti join — O(base scan), no base shuffle);
     the default full-upsert path never reads the base at all.
 
-    Unsupported here (use merge_into): schema evolution, case-insensitive
-    keys.  `staging` must be key-unique (the standard MERGE precondition —
+    Schema evolution: `evolve_schema=True` widens the table IN PLACE when
+    staging carries new columns — the widened schema is recorded on the
+    manifest entry, the base is never rewritten (readers null-fill the
+    new columns on pre-evolution rows), and compact() folds everything to
+    the new schema.  New columns only; a type change still needs the CoW
+    `merge_into(evolve_schema=True)`.  Unsupported here (use merge_into):
+    case-insensitive keys.  `staging` must be key-unique (the standard
+    MERGE precondition —
     Delta likewise rejects multi-matches); a key in both `staging` and
     `deletes` deletes (delete-wins, enforced at write time).  Time travel,
     CDC reads, vacuum, replication and compaction all work unchanged —
@@ -784,14 +893,31 @@ def merge_into_mor(
     if missing:
         raise ValueError(f"staging is missing key columns {missing}")
     unknown = [c for c in staging.columns if c not in base_cols]
-    if unknown:
+    if unknown and not evolve_schema:
         # silently dropping a column the caller staged would corrupt the
-        # feed invisibly; MoR has no schema evolution (use merge_into)
+        # feed invisibly
         raise ValueError(
             f"staging carries columns {unknown} not in table {name!r}; "
-            "merge_into_mor does not evolve schemas — use "
-            "merge_into(evolve_schema=True)"
+            "pass evolve_schema=True to widen the table in place"
         )
+    if unknown:
+        # widen the LOGICAL schema in place: the new columns are recorded
+        # on the manifest entry (schema_json) and materialize at read time
+        # as typed nulls on the un-rewritten base — O(1) metadata, where a
+        # CoW merge_into(evolve_schema=True) pays an O(table) rewrite on
+        # exactly the table class MoR was bought for.  New columns only;
+        # type changes still require the CoW path.
+        from pyspark.sql.types import StructField, StructType
+
+        staged_fields = {f.name: f for f in staging.schema.fields}
+        base_schema = StructType(
+            list(base_schema.fields)
+            + [
+                StructField(c, staged_fields[c].dataType, True)
+                for c in unknown
+            ]
+        )
+        base_cols = [f.name for f in base_schema.fields]
 
     if not (insert_new and update_existing):
         existing = read_table(spark, root, name).select(*keys)
@@ -801,15 +927,9 @@ def merge_into_mor(
     # deltas must carry the base schema exactly (readers union them with
     # the base); absent columns ride as typed nulls
     def _conform(df: DataFrame, change: str) -> DataFrame:
-        out = df.select(
-            *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in df.columns
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in base_schema.fields
-            ]
+        return _conform_to_schema(df, base_schema).withColumn(
+            MOR_CHANGE_COL, F.lit(change)
         )
-        return out.withColumn(MOR_CHANGE_COL, F.lit(change))
 
     n_parts = ["upsert"]
     if deletes is not None:
@@ -840,6 +960,25 @@ def merge_into_mor(
         entry = prev["tables"][name]
         entry = {"path": entry} if isinstance(entry, str) else dict(entry)
         entry["keys"] = entry.get("keys") or keys
+        if unknown or entry.get("schema_json"):
+            # record the widened logical schema, merged UNDER the lock
+            # with whatever a concurrent writer may have evolved — column
+            # sets union; readers null-fill whichever columns any given
+            # delta file predates
+            from pyspark.sql.types import StructType
+
+            fields, names = [], set()
+            if entry.get("schema_json"):
+                for f in StructType.fromJson(
+                    json.loads(entry["schema_json"])
+                ).fields:
+                    fields.append(f)
+                    names.add(f.name)
+            for f in base_schema.fields:
+                if f.name not in names:
+                    fields.append(f)
+                    names.add(f.name)
+            entry["schema_json"] = json.dumps(StructType(fields).jsonValue())
         entry["deltas"] = list(entry.get("deltas", [])) + [
             {
                 "path": delta_path,
@@ -856,15 +995,7 @@ def merge_into_mor(
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "committed_at_unix": time.time(),
             "tables": {**prev["tables"], name: entry},
-            "history": prev.get("history", [])
-            + [
-                {
-                    "version": prev["version"],
-                    "txid": prev.get("txid"),
-                    "tables": prev["tables"],
-                    "committed_at_unix": prev.get("committed_at_unix"),
-                }
-            ],
+            **_history_fields(root, prev),
         }
         return _commit(root, txid, manifest)
 
@@ -994,9 +1125,16 @@ def _mor_changes_fast(
     old_scoped = _read_entry(spark, from_entry).join(
         dkeys, on=keys, how="left_semi"
     )
-    # no schema evolution on the MoR path → old columns == new columns
-    new_scoped = latest.filter(F.col(MOR_CHANGE_COL) != "delete").select(
-        *old_scoped.columns
+    if isinstance(to_entry, dict) and to_entry.get("schema_json"):
+        # schema evolved between the versions: diff in the TO-version's
+        # widened schema (old rows null-fill the new columns, exactly as
+        # the generic full diff would see them)
+        from pyspark.sql.types import StructType
+
+        widened = StructType.fromJson(json.loads(to_entry["schema_json"]))
+        old_scoped = _conform_to_schema(old_scoped, widened)
+    new_scoped = _conform_to_schema(
+        latest.filter(F.col(MOR_CHANGE_COL) != "delete"), old_scoped.schema
     )
     return diff_frames(
         old_scoped, new_scoped, keys,
@@ -1265,16 +1403,86 @@ def write_stats_sidecar(path: str, columns: Sequence[str] | None = None) -> dict
     else:
         entries = []
     total_rows = sum(e["rows"] for e in entries)
-    sidecar = {"files": entries}
+    if len(entries) <= STATS_INLINE_MAX_FILES:
+        sidecar = {"files": entries}
+    else:
+        # columnar checkpoint: past the inline cap the per-file entries
+        # land in parquet under _stats-*/ (file, rows, bytes, stats-as-
+        # JSON-string — Delta's checkpoint encodes file stats the same
+        # way) and _STATS.json is a bounded pointer.  Readers stream the
+        # parquet; no single json ever holds a million file entries.
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_w
+
+        dirname = f"_stats-{_uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(path, dirname), exist_ok=True)
+        for i in range(0, len(entries), STATS_SHARD_ROWS):
+            chunk = entries[i:i + STATS_SHARD_ROWS]
+            tbl = pa.table(
+                {
+                    "file": [e["file"] for e in chunk],
+                    "rows": [e["rows"] for e in chunk],
+                    "bytes": [e["bytes"] for e in chunk],
+                    "stats": [json.dumps(e["stats"]) for e in chunk],
+                }
+            )
+            pq_w.write_table(
+                tbl,
+                os.path.join(path, dirname, f"part-{i // STATS_SHARD_ROWS:05d}.parquet"),
+            )
+        sidecar = {"format": "parquet", "dir": dirname, "num_files": len(entries)}
     tmp = os.path.join(path, STATS_FILE + ".tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(sidecar, fh)
     os.replace(tmp, os.path.join(path, STATS_FILE))
+    if sidecar.get("format") == "parquet":
+        for d in os.listdir(path):  # superseded checkpoints, post-commit
+            if d.startswith("_stats-") and d != sidecar["dir"]:
+                import shutil
+
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {
         "rows": total_rows,
         "bytes": sum(e["bytes"] for e in entries),
         "num_files": len(entries),
     }
+
+
+# Inline cap for _STATS.json: tables up to this many files keep the
+# single-json sidecar (cheap, human-readable); larger tables checkpoint
+# to parquet.  ~1k entries ≈ a few hundred KB of json — well under any
+# parse-time or file-size concern.
+STATS_INLINE_MAX_FILES = 1000
+STATS_SHARD_ROWS = 100_000  # rows per stats-checkpoint parquet file
+
+
+def _load_stats_entries(path: str) -> list[dict] | None:
+    """The per-file stats entries recorded by write_stats_sidecar, inline
+    or parquet-checkpointed; None when the table was published with
+    collect_stats=False."""
+    sidecar = os.path.join(path, STATS_FILE)
+    if not os.path.exists(sidecar):
+        return None
+    with open(sidecar, encoding="utf-8") as fh:
+        stats = json.load(fh)
+    if stats.get("format") != "parquet":
+        return stats["files"]
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(
+        os.path.join(path, stats["dir"]), format="parquet"
+    ).to_table()
+    return [
+        {"file": f, "rows": r, "bytes": b, "stats": json.loads(s)}
+        for f, r, b, s in zip(
+            tbl.column("file").to_pylist(),
+            tbl.column("rows").to_pylist(),
+            tbl.column("bytes").to_pylist(),
+            tbl.column("stats").to_pylist(),
+        )
+    ]
 
 
 BLOOM_FILE = "_BLOOM.json"
@@ -1797,23 +2005,21 @@ def prune_files(root: str, name: str, where: Sequence[tuple]) -> tuple[list[str]
         raise KeyError(f"table {name!r} has no committed version under {root}")
     entry = manifest["tables"][name]
     path = entry["path"] if isinstance(entry, dict) else entry
-    sidecar = os.path.join(path, STATS_FILE)
-    if not os.path.exists(sidecar):
+    entries = _load_stats_entries(path)
+    if entries is None:
         total_files = _data_files(path)
         kept = list(total_files)
         total = len(total_files)
     else:
-        with open(sidecar, encoding="utf-8") as fh:
-            stats = json.load(fh)
         kept = [
             os.path.join(path, e["file"])
-            for e in stats["files"]
+            for e in entries
             if all(
                 _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
                 for p in where
             )
         ]
-        total = len(stats["files"])
+        total = len(entries)
 
     # second pass: per-file Bloom filters (write_bloom_sidecar) prove
     # absence for = / in predicates that min/max ranges can't
@@ -2226,7 +2432,7 @@ def read_table_asof(
 
     manifest = current_manifest(root)
     candidates = []
-    for h in manifest.get("history", []):
+    for h in _all_history(root, manifest):
         if h.get("committed_at_unix") is not None:
             candidates.append((h["committed_at_unix"], h["version"], h["tables"]))
     if manifest.get("committed_at_unix") is not None:
@@ -2387,7 +2593,7 @@ def describe_history(root: str) -> list[dict]:
             "committed_at_unix": h.get("committed_at_unix"),
             "tables": h["tables"],
         }
-        for h in manifest.get("history", [])
+        for h in _all_history(root, manifest)
     ] + [
         {
             "version": manifest["version"],

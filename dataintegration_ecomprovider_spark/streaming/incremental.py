@@ -199,6 +199,7 @@ def stream_into_store(
     auto_compact_files: int | None = None,
     mor: bool = False,
     refresh_views: bool = False,
+    strict_views: bool = False,
 ) -> StreamingQuery:
     """Stream → versioned store: every micro-batch becomes one crash-safe
     VERSION via publish.merge_into — streaming and batch share one write
@@ -236,7 +237,10 @@ def stream_into_store(
     experience: declare once, stream forever.  Refreshes are
     watermark-driven (each consumes exactly the versions since the last),
     so a replayed batch costs an empty refresh, and a view falling behind
-    never skips a range."""
+    never skips a range.  A failing view refresh is logged and skipped by
+    default — derived-view health must not halt ingest (a deterministic
+    declaration error would otherwise fail every checkpoint replay of the
+    same batch); pass strict_views=True to fail the stream instead."""
     from dataintegration_ecomprovider_spark.plans import publish
 
     if mor and bucketed:
@@ -279,8 +283,23 @@ def stream_into_store(
 
             report = materialize.refresh_declared_views(batch.sparkSession, root)
             if report["errors"]:
-                raise RuntimeError(
-                    f"declared-view refresh failed: {report['errors']}"
+                # view errors are usually deterministic (a bad column in a
+                # declared spec), so failing the stream would poison-pill
+                # ALL future ingest on checkpoint replay — one bad
+                # declaration, addable by any store writer, must not halt
+                # the feed.  Default: log and keep ingesting (the view's
+                # watermark doesn't advance, so a fixed declaration
+                # catches up on the next batch); strict_views=True opts
+                # into fail-fast for pipelines that prefer a hard stop.
+                if strict_views:
+                    raise RuntimeError(
+                        f"declared-view refresh failed: {report['errors']}"
+                    )
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "declared-view refresh failed for batch %s "
+                    "(ingest continues): %s", batch_id, report["errors"],
                 )
 
     writer = (

@@ -676,3 +676,75 @@ def test_seed_pins_watermarked_version_under_concurrent_publish(
     got = _rows(publish.read_table(spark, root, "t_agg"))
     assert got == _rows(_recompute(spark, root, "t", ["grp"], ["val"]))
     assert got == sorted([("a", 2, 110.0), ("b", 1, 20.0)])
+
+
+def test_declared_view_dag_refreshes_in_dependency_order(spark, tmp_path):
+    """A view over another view's dst must refresh AFTER its upstream in
+    the SAME pass.  The downstream view is named to sort alphabetically
+    FIRST ('a_top' < 'z_base'), so the old sorted() iteration would leave
+    it one pass stale — topological order makes one pass current."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    # z_base = fact ⋈ dim; a_top = SUM(val) per name over z_base
+    materialize.declare_view(
+        root, "join", fact="fact", dim="dim", dst="z_base", fk="fk",
+        dim_key="dk",
+    )
+    materialize.declare_view(
+        root, "aggregate", src="z_base", dst="a_top",
+        group_cols=["name"], sum_cols=["val"],
+    )
+
+    report = materialize.refresh_declared_views(spark, root)
+    assert not report["errors"]
+    assert list(report["views"]) == ["z_base", "a_top"]  # dependency order
+
+    def recompute_top():
+        return materialize.aggregate_table(
+            publish.read_table(spark, root, "z_base"), ["name"], ["val"]
+        )
+
+    def rowset(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert rowset(publish.read_table(spark, root, "a_top")) == rowset(
+        recompute_top()
+    )
+
+    # change the base fact; ONE pass must land in BOTH views
+    fact2 = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 2.0), (6, 20, 6.0)],
+        "id bigint, fk int, val double",
+    )
+    publish.publish_tables(spark, {"fact": fact2}, root)
+    report = materialize.refresh_declared_views(spark, root)
+    assert not report["errors"]
+    assert report["views"]["z_base"]["mode"] == "delta"
+    assert report["views"]["a_top"]["mode"] == "delta"
+    assert rowset(publish.read_table(spark, root, "z_base")) == rowset(
+        _join_recompute(spark, root, fk="fk", dim_key="dk")
+    )
+    assert rowset(publish.read_table(spark, root, "a_top")) == rowset(
+        recompute_top()
+    )
+
+
+def test_declared_view_cycles_rejected_at_declare_time(spark, tmp_path):
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)
+    materialize.declare_view(
+        root, "aggregate", src="w_view", dst="v_view",
+        group_cols=["g"], sum_cols=[],
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        materialize.declare_view(
+            root, "aggregate", src="v_view", dst="w_view",
+            group_cols=["g"], sum_cols=[],
+        )
+    # the rejected declaration must not have been persisted
+    assert "w_view" not in materialize.declared_views(root)
+    with pytest.raises(ValueError, match="cycle"):
+        materialize.declare_view(
+            root, "aggregate", src="self", dst="self",
+            group_cols=["g"], sum_cols=[],
+        )

@@ -525,3 +525,95 @@ def test_mor_base_side_has_no_shuffle(spark, tmp_path):
     # the only Exchange allowed is the broadcast one + the delta window's
     # hash partitioning; the base scan must not feed a SortMergeJoin
     assert "SortMergeJoin" not in plan
+
+
+def test_mor_schema_evolution_widens_in_place(spark, tmp_path):
+    """evolve_schema=True adds new columns as pure metadata: the base is
+    never rewritten (pre-evolution rows null-fill), old narrow deltas
+    still replay, CDC across the evolution works, and compact folds to
+    the widened schema — mirroring merge_into's CoW evolution semantics
+    without its O(table) write."""
+    root = _store(spark, tmp_path)
+    base_path = publish.current_manifest(root)["tables"]["t"]["path"]
+    base_files_before = sorted(publish._data_files(base_path))
+
+    # narrow delta first (so the log holds pre-evolution files)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, "b2", 25.0)], "id bigint, name string, val double"),
+    )
+    # unknown column without the flag still refuses
+    wide = spark.createDataFrame(
+        [(3, "c3", 35.0, "EU"), (4, "d", 40.0, "US")],
+        "id bigint, name string, val double, region string",
+    )
+    with pytest.raises(ValueError, match="evolve_schema"):
+        publish.merge_into_mor(spark, root, "t", wide)
+
+    publish.merge_into_mor(spark, root, "t", wide, evolve_schema=True)
+    got = publish.read_table(spark, root, "t")
+    assert got.columns == ["id", "name", "val", "region"]
+    assert _rows(got) == {
+        (1, "a", 10.0, None),      # base row: null-filled
+        (2, "b2", 25.0, None),     # pre-evolution delta row: null-filled
+        (3, "c3", 35.0, "EU"),
+        (4, "d", 40.0, "US"),
+    }
+    # the base directory was NOT rewritten
+    assert sorted(publish._data_files(base_path)) == base_files_before
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry.get("schema_json")
+
+    # time travel reads the pre-evolution schema at the old version
+    old = publish.read_table_at(spark, root, "t", 1)
+    assert old.columns == ["id", "name", "val"]
+
+    # CDC across the evolution boundary: new column rides the diff
+    changes = publish.read_changes(spark, root, "t", 2, 3, keys=["id"])
+    assert set(changes.columns) == {"id", "name", "val", "region", "change_type"}
+    assert _rows(changes) == {
+        (3, "c3", 35.0, "EU", "update"),
+        (4, "d", 40.0, "US", "insert"),
+    }
+
+    # a later merge in the WIDENED schema needs no flag
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(5, "e", 50.0, "APAC")],
+            "id bigint, name string, val double, region string",
+        ),
+    )
+    # compact folds everything to the new schema and sheds schema_json
+    publish.compact(spark, root, "t")
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert not entry.get("deltas") and not entry.get("schema_json")
+    got = publish.read_table(spark, root, "t")
+    assert got.columns == ["id", "name", "val", "region"]
+    assert (5, "e", 50.0, "APAC") in _rows(got)
+
+
+def test_mor_evolution_matches_cow_evolution(spark, tmp_path):
+    """MoR evolution and CoW merge_into(evolve_schema=True) must agree on
+    the final table state for the same inputs."""
+    from dataintegration_ecomprovider_spark.plans import publish as P
+
+    staging = None
+    results = {}
+    for mode in ("cow", "mor"):
+        root = str(tmp_path / mode)
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "id bigint, name string, val double"
+        )
+        P.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+        staging = spark.createDataFrame(
+            [(2, "b2", 25.0, 7), (3, "c", 30.0, 9)],
+            "id bigint, name string, val double, rank int",
+        )
+        if mode == "cow":
+            P.merge_into(spark, root, "t", staging, ["id"], evolve_schema=True)
+        else:
+            P.merge_into_mor(spark, root, "t", staging, evolve_schema=True)
+        df = P.read_table(spark, root, "t")
+        results[mode] = (df.columns, _rows(df))
+    assert results["cow"] == results["mor"]

@@ -684,3 +684,126 @@ def test_run_job_on_store_refreshes_declared_views(spark, store):
         ).collect()
     )
     assert got == want
+
+
+def test_stats_sidecar_checkpoints_to_parquet_past_inline_cap(
+    spark, tmp_path, monkeypatch
+):
+    """Past STATS_INLINE_MAX_FILES the per-file stats land in a parquet
+    checkpoint (the Delta-checkpoint role) and _STATS.json is a bounded
+    pointer — pruning semantics identical to the inline format."""
+    monkeypatch.setattr(publish, "STATS_INLINE_MAX_FILES", 4)
+    root = str(tmp_path / "store")
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    publish.publish_tables(spark, {"t": df}, root)
+    path = publish.current_manifest(root)["tables"]["t"]["path"]
+
+    sidecar = json.load(open(os.path.join(path, publish.STATS_FILE)))
+    assert sidecar["format"] == "parquet" and sidecar["num_files"] == 8
+    assert os.path.getsize(os.path.join(path, publish.STATS_FILE)) < 512
+    assert os.path.isdir(os.path.join(path, sidecar["dir"]))
+
+    kept, total = publish.prune_files(root, "t", [("k", "<", 100)])
+    assert total == 8 and 0 < len(kept) < total
+    got = publish.scan_table(spark, root, "t", where=[("k", "=", 500)])
+    assert [tuple(r) for r in got.collect()] == [(500, 1000)]
+    # the checkpoint parquet is metadata, not table data
+    assert len(publish._data_files(path)) == 8
+
+
+def test_metadata_reads_stay_fast_at_ten_thousand_files(spark, tmp_path):
+    """10k-file-table metadata probe: per-file stats entries at 10^4 scale
+    load + prune in well under a second, and no single json grows with
+    the file count (the parquet checkpoint holds the entries)."""
+    import time as _time
+
+    root = str(tmp_path / "store")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    publish.publish_tables(spark, {"t": df}, root)
+    path = publish.current_manifest(root)["tables"]["t"]["path"]
+
+    # fabricate a 10k-file stats checkpoint through the real writer format
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 10_000
+    entries = pa.table(
+        {
+            "file": [f"part-{i:05d}.parquet" for i in range(n)],
+            "rows": [100] * n,
+            "bytes": [4096] * n,
+            "stats": [
+                json.dumps({"k": [i * 100, i * 100 + 99, 0]}) for i in range(n)
+            ],
+        }
+    )
+    ckpt = os.path.join(path, "_stats-synthetic")
+    os.makedirs(ckpt, exist_ok=True)
+    pq.write_table(entries, os.path.join(ckpt, "part-00000.parquet"))
+    with open(os.path.join(path, publish.STATS_FILE), "w") as fh:
+        json.dump(
+            {"format": "parquet", "dir": "_stats-synthetic", "num_files": n},
+            fh,
+        )
+
+    t0 = _time.monotonic()
+    kept, total = publish.prune_files(
+        root, "t", [("k", ">=", 123_400), ("k", "<", 123_700)]
+    )
+    elapsed = _time.monotonic() - t0
+    assert total == n
+    assert len(kept) == 3  # files 1234-1236
+    assert elapsed < 1.0, f"10k-file prune took {elapsed:.2f}s"
+    assert os.path.getsize(os.path.join(path, publish.STATS_FILE)) < 512
+
+
+def test_manifest_history_spills_to_checkpoints(spark, tmp_path, monkeypatch):
+    """MANIFEST.json must not grow O(versions): past HISTORY_INLINE_MAX
+    the oldest entries spill to _history/ checkpoint files, while time
+    travel, rollback, describe_history and vacuum keep working across
+    the spill boundary."""
+    monkeypatch.setattr(publish, "HISTORY_INLINE_MAX", 6)
+    root = str(tmp_path / "store")
+    n_versions = 16
+    for i in range(1, n_versions + 1):
+        df = spark.createDataFrame([(i, f"v{i}")], "id bigint, tag string")
+        publish.publish_tables(spark, {"t": df}, root)
+
+    m = publish.current_manifest(root)
+    assert m["version"] == n_versions
+    assert len(m["history"]) <= 6
+    assert m.get("history_spills"), "expected spilled history checkpoints"
+    spilled_range = sum(
+        sp["to"] - sp["from"] + 1 for sp in m["history_spills"]
+    )
+    assert spilled_range + len(m["history"]) == n_versions - 1
+
+    # time travel into a SPILLED version
+    old = publish.read_table_at(spark, root, "t", 2)
+    assert [tuple(r) for r in old.collect()] == [(2, "v2")]
+    # full history enumeration spans the spill boundary
+    hist = publish.describe_history(root)
+    assert [h["version"] for h in hist] == list(range(1, n_versions + 1))
+
+    # rollback TO a spilled version
+    publish.rollback(root, 3)
+    assert [
+        tuple(r) for r in publish.read_table(spark, root, "t").collect()
+    ] == [(3, "v3")]
+
+    # vacuum across the spill boundary: keeps the newest window, removes
+    # the checkpoint files it pruned
+    res = publish.vacuum(spark, root, keep_versions=3)
+    assert res["removed_versions"][0] == 1
+    m2 = publish.current_manifest(root)
+    assert len(m2["history"]) == 2 and not m2.get("history_spills")
+    hist_dir = os.path.join(root, publish.HISTORY_DIR)
+    assert not os.path.isdir(hist_dir) or os.listdir(hist_dir) == []
+    with pytest.raises(KeyError):
+        publish.read_table_at(spark, root, "t", 2)
