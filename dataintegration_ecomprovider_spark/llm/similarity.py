@@ -179,6 +179,7 @@ def kmeans_refine(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_means: int | None = None,
 ) -> DataFrame:
     """Lloyd k-means refinement of an IVF centroid seed: each iteration
     assigns every vector to its nearest centroid (broadcast centroids,
@@ -195,7 +196,14 @@ def kmeans_refine(
     MLlib's KMeans uses — so the per-iteration plan stays flat instead of
     nesting k join-trees.  A cell that loses all members drops out
     (k shrinks), mirroring standard Lloyd behavior.  Deterministic: no RNG,
-    ties broken by cid."""
+    ties broken by cid.
+
+    `round_means=N` rounds each recomputed centroid component to N
+    decimals: engines sum floating-point means in different orders, so a
+    cross-engine value check (the `_portable` oracle twins) needs the
+    iteration's only data-dependent floats pinned — at N=9 the rounding
+    is far below any assignment decision yet above summation-order noise.
+    Default None preserves full-precision means."""
     spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col(id_col).alias("__vid"),
@@ -213,9 +221,14 @@ def kmeans_refine(
             .filter(F.col("crank") == 1)
             .select("cid", F.posexplode("vec").alias("dim", "x"))
         )
+        mean_col = (
+            F.round(F.avg("x"), round_means)
+            if round_means is not None
+            else F.avg("x")
+        )
         means = (
             assigned.groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_col.alias("m"))
             .groupBy("cid")
             .agg(
                 F.transform(
@@ -327,7 +340,11 @@ def ivf_index(
     )
     if refine_iters > 0:
         centroids = kmeans_refine(
-            embeddings, centroids, iters=refine_iters, id_col=id_col, vec_col=vec_col
+            embeddings, centroids, iters=refine_iters, id_col=id_col,
+            vec_col=vec_col,
+            # portable builds are oracle-checked cross-engine: pin the
+            # refined means against summation-order float noise
+            round_means=9 if portable else None,
         )
     cells = _assign_to_centroids(
         embeddings.select(F.col(id_col).alias("neighbor_id"),

@@ -821,13 +821,99 @@ def q_ivf_index_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with 2 Lloyd refinement iterations on the centroid seed —
-    rows-only (the iterative refinement is not SQL-expressible; recall and
-    determinism are pinned in tests/test_llm.py::test_ivf_kmeans_refinement)."""
+    xxhash64 fast path, rows-only; the md5-family `_portable` twin below
+    carries the DuckDB oracle for the full refinement (recall and
+    determinism additionally pinned in
+    tests/test_llm.py::test_ivf_kmeans_refinement)."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(
         emb, queries, k=5, n_centroids=16, n_probe=4, refine_iters=2
     )
+
+
+def q_ivf_topk_refined_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle twin of q_ivf_topk_refined on the md5 hash family: the SAME
+    2-iteration Lloyd refinement, value-checked against a DuckDB oracle
+    that unrolls both iterations in SQL.  The recomputed means are pinned
+    to 9 decimals on BOTH engines (kmeans_refine(round_means=9)) — the
+    only data-dependent floats whose summation order differs across
+    engines."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=4, portable=True,
+        refine_iters=2,
+    )
+
+
+def _lloyd_iter_sql(cent_in: str, cent_out: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: assign every vector
+    to its nearest `cent_in` centroid (rounded cosine, cid tie-break),
+    then per-(cid, dim) mean, rounded to 9 decimals like the Spark side.
+    Parallel UNNESTs zip, so dim indexes are 0-based like posexplode."""
+    cos = _COS.format(a="a.v", b="c.cv")
+    return f"""{cent_out}_a AS (
+  SELECT a.vec_id, a.v, c.cid, {cos} AS csim
+  FROM v a CROSS JOIN {cent_in} c
+),
+{cent_out}_r AS (
+  SELECT vec_id, v, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY csim DESC, cid ASC) AS rn
+  FROM {cent_out}_a
+),
+{cent_out}_m AS (
+  SELECT cid, dim, ROUND(AVG(x), 9) AS m
+  FROM (
+    SELECT cid, UNNEST(v) AS x, UNNEST(range(len(v))) AS dim
+    FROM {cent_out}_r WHERE rn = 1
+  )
+  GROUP BY cid, dim
+),
+{cent_out} AS (
+  SELECT cid, list(m ORDER BY dim ASC) AS cv FROM {cent_out}_m GROUP BY cid
+)"""
+
+
+ORACLE_IVF_TOPK_REFINED_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+{_lloyd_iter_sql("cent0", "cent1")},
+{_lloyd_iter_sql("cent1", "cent2")},
+ascore AS (
+  SELECT a.vec_id, a.v, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM v a CROSS JOIN cent2 c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+),
+cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM aranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM aranked
+           WHERE crank <= 4 AND vec_id < 10),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         {_COS.format(a="p.qv", b="c.nv")} AS similarity
+  FROM probes p JOIN cells c ON p.cid = c.cid AND p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
 
 
 ORACLE_IVF_TOPK_PORTABLE = f"""
@@ -1307,6 +1393,9 @@ QUERIES = {
         q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE
     ),
     "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
+    "llm_sim_ivf_topk_refined_portable": QueryDef(
+        q_ivf_topk_refined_portable, ORACLE_IVF_TOPK_REFINED_PORTABLE
+    ),
     "llm_quality_filter_quantile": QueryDef(
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER
     ),
