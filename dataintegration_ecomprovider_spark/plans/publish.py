@@ -1802,6 +1802,81 @@ def table_stats(root: str, name: str) -> dict | None:
     return None
 
 
+def clustering_overlap(root: str, name: str, column: str) -> float:
+    """Pure-metadata fragmentation metric for `column` on the CURRENT
+    version of `name`: the average number of data files whose recorded
+    [min, max] range contains another file's range START — 1.0 means
+    perfectly clustered (disjoint ranges: every selective scan opens ~1
+    file), ~num_files means append-ordered (every file spans the domain:
+    min/max skipping prunes nothing).  Delta's OPTIMIZE metrics and
+    clustering-depth play the same role.  Reads only the stats sidecar
+    (O(files) driver work, no Spark job); files without a usable stat for
+    `column` are ignored.  Returns 1.0 when fewer than two files have
+    stats (nothing to fragment)."""
+    import bisect
+
+    manifest = current_manifest(root)
+    if name not in manifest["tables"]:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    entry = manifest["tables"][name]
+    path = entry["path"] if isinstance(entry, dict) else entry
+    entries = _load_stats_entries(path) or []
+    iv = []
+    for e in entries:
+        s = e.get("stats", {}).get(column)
+        if s and s[0] is not None and s[1] is not None:
+            iv.append((s[0], s[1]))
+    if len(iv) < 2:
+        return 1.0
+    starts = sorted(x[0] for x in iv)
+    ends = sorted(x[1] for x in iv)
+    # active intervals at a point p = #(starts <= p) - #(ends < p);
+    # evaluated at every range start, O(n log n)
+    total = 0
+    for lo, _hi in iv:
+        total += bisect.bisect_right(starts, lo) - bisect.bisect_left(ends, lo)
+    return total / len(iv)
+
+
+def recluster(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    by: Sequence[str],
+    max_overlap: float = 4.0,
+    target_files: int | None = None,
+    force: bool = False,
+) -> dict:
+    """Metadata-DRIVEN re-clustering (the Delta OPTIMIZE-when-needed /
+    liquid-clustering role): measure clustering_overlap on the leading
+    `by` column, and only when it exceeds `max_overlap` rewrite the table
+    clustered — compact(sort_by=by) for one dimension, the Z-order
+    compact(cluster_by=by) for several.  The trigger costs a sidecar read
+    (no Spark job), so a nightly maintain_store can evaluate EVERY table
+    and pay the O(table) rewrite only for the ones whose layout has
+    actually degraded — a continuously-fed 100 TB fact table drifts back
+    toward append order between rewrites, and re-clustering on a schedule
+    (instead of on measured fragmentation) either thrashes or lags.
+
+    Returns {"table", "overlap", "reclustered", ["overlap_after"]}."""
+    by = list(by)
+    if not by:
+        raise ValueError("recluster needs at least one cluster column")
+    before = clustering_overlap(root, name, by[0])
+    if not force and before <= max_overlap:
+        return {"table": name, "overlap": before, "reclustered": False}
+    kw: dict = {"sort_by": by} if len(by) == 1 else {"cluster_by": by}
+    if target_files is not None:
+        kw["target_files"] = target_files
+    compact(spark, root, name, **kw)
+    return {
+        "table": name,
+        "overlap": before,
+        "overlap_after": clustering_overlap(root, name, by[0]),
+        "reclustered": True,
+    }
+
+
 def maintain_store(
     spark: SparkSession,
     root: str,
@@ -1812,6 +1887,7 @@ def maintain_store(
     keep_versions: int | None = None,
     orphan_min_age_seconds: float = 24 * 3600,
     refresh_views: Sequence[Mapping] | None = None,
+    recluster_specs: Mapping[str, Mapping] | None = None,
 ) -> dict:
     """One operational maintenance pass over the whole store — the
     scheduled job a 100 TB deployment runs nightly (Delta's OPTIMIZE +
@@ -1828,20 +1904,28 @@ def maintain_store(
     2. COMPACT every table whose merge-on-read delta log is deeper than
        `max_deltas`, or whose file count exceeds `max_files` (when set) —
        folding delta logs and small files back into target-size bases;
-    3. rebuild the Bloom index for compacted tables listed in
-       `bloom_columns` (a rewrite sheds the sidecar, so the index follows
-       the data);
-    4. VACUUM to `keep_versions` (when set) and collect aged orphans.
+    3. RECLUSTER tables listed in `recluster_specs` ({name: {"by":
+       [cols], "max_overlap": 4.0, ...}} — recluster kwargs) whose
+       measured clustering_overlap exceeds their threshold — the
+       metadata-gated OPTIMIZE;
+    4. rebuild the Bloom index for compacted/reclustered tables listed
+       in `bloom_columns` (a rewrite sheds the sidecar, so the index
+       follows the data);
+    5. VACUUM to `keep_versions` (when set) and collect aged orphans.
 
     Tables and views are processed independently; a failure on one is
     recorded and does not block the rest.  Returns
     {"views": {dst: result}, "compacted": {name: result},
-    "blooms": [names], "vacuum", "orphans", "errors": {name: str}}.
+    "reclustered": {name: result}, "blooms": [names], "vacuum",
+    "orphans", "errors": {name: str}}.
     """
     # local import: materialize imports this module
     from dataintegration_ecomprovider_spark.plans import materialize
 
-    report: dict = {"views": {}, "compacted": {}, "blooms": [], "errors": {}}
+    report: dict = {
+        "views": {}, "compacted": {}, "reclustered": {}, "blooms": [],
+        "errors": {},
+    }
     if refresh_views is None:
         declared = materialize.refresh_declared_views(spark, root)
         report["views"] = declared["views"]
@@ -1868,6 +1952,7 @@ def maintain_store(
             except Exception as e:  # noqa: BLE001 — per-view isolation
                 report["errors"][f"view:{dst}"] = f"{type(e).__name__}: {e}"
     manifest = current_manifest(root)
+    rewritten: set[str] = set()
     for name in sorted(manifest["tables"]):
         entry = manifest["tables"][name]
         deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
@@ -1883,13 +1968,27 @@ def maintain_store(
             report["compacted"][name] = compact(
                 spark, root, name, target_file_bytes=target_file_bytes
             )
-            if bloom_columns and name in bloom_columns:
-                write_bloom_sidecar(
-                    spark, root, name, list(bloom_columns[name])
-                )
-                report["blooms"].append(name)
+            rewritten.add(name)
         except Exception as e:  # noqa: BLE001 — per-table isolation
             report["errors"][name] = f"{type(e).__name__}: {e}"
+    if recluster_specs:
+        for name in sorted(recluster_specs):
+            try:
+                res = recluster(spark, root, name, **dict(recluster_specs[name]))
+                report["reclustered"][name] = res
+                if res.get("reclustered"):
+                    rewritten.add(name)
+            except Exception as e:  # noqa: BLE001 — per-table isolation
+                report["errors"][f"recluster:{name}"] = f"{type(e).__name__}: {e}"
+    # a rewrite sheds the data dir's bloom sidecar — rebuild AFTER both
+    # compaction and re-clustering so the index follows the final layout
+    if bloom_columns:
+        for name in sorted(rewritten & set(bloom_columns)):
+            try:
+                write_bloom_sidecar(spark, root, name, list(bloom_columns[name]))
+                report["blooms"].append(name)
+            except Exception as e:  # noqa: BLE001 — per-table isolation
+                report["errors"][f"bloom:{name}"] = f"{type(e).__name__}: {e}"
     if keep_versions is not None:
         report["vacuum"] = vacuum(spark, root, keep_versions=keep_versions)
     report["orphans"] = collect_orphans(

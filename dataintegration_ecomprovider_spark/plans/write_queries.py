@@ -1142,6 +1142,54 @@ FROM orders WHERE ROUND(o_totalprice, 2) < 50000.0
 """
 
 
+def q_auto_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-DRIVEN re-clustering (round 5, publish.recluster — the
+    Delta OPTIMIZE-when-needed / liquid-clustering role): orders lands
+    hash-scattered (clustering_overlap ≈ num_files, so min/max skipping
+    prunes nothing), then ONE maintain_store pass measures the
+    fragmentation from the stats sidecar alone (no Spark job for the
+    trigger) and rewrites the table ordered by o_custkey; the same range
+    scan afterwards opens a fraction of the files.  In-query assertions
+    pin the trigger firing and the layout improving; results stay exact
+    (residual Spark filter), so the oracle is a plain WHERE."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="recluster_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    publish.publish_tables(
+        spark, {"orders": base.repartition(8, "o_orderkey")}, root
+    )
+    before = publish.clustering_overlap(root, "orders", "o_custkey")
+    report = publish.maintain_store(
+        spark, root,
+        recluster_specs={
+            "orders": {"by": ["o_custkey"], "max_overlap": 2.0,
+                       "target_files": 8},
+        },
+    )
+    res = report["reclustered"]["orders"]
+    after = publish.clustering_overlap(root, "orders", "o_custkey")
+    if not (res["reclustered"] and after < before and after <= 2.0):
+        raise AssertionError(
+            f"recluster did not improve layout: {before:.1f} -> {after:.1f}"
+        )
+    where = [("o_custkey", "<", 150)]
+    kept, total = publish.prune_files(root, "orders", where)
+    if not 0 < len(kept) < total:  # the point of the operator IS the skip
+        raise AssertionError(f"expected post-recluster skipping, kept {len(kept)}/{total}")
+    return publish.scan_table(spark, root, "orders", where)
+
+
+ORACLE_AUTO_RECLUSTER = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders WHERE o_custkey < 150
+"""
+
+
 def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned publish + partition-pruned read (round 4): orders
     published partitioned by order year (publish_tables(partition_by=...));
@@ -1688,6 +1736,7 @@ QUERIES = {
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
+    "u12_auto_recluster": QueryDef(q_auto_recluster, ORACLE_AUTO_RECLUSTER),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(
         q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE

@@ -807,3 +807,70 @@ def test_manifest_history_spills_to_checkpoints(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(hist_dir) or os.listdir(hist_dir) == []
     with pytest.raises(KeyError):
         publish.read_table_at(spark, root, "t", 2)
+
+
+def test_clustering_overlap_and_metadata_driven_recluster(spark, tmp_path):
+    """clustering_overlap reads ONLY the stats sidecar: ~num_files on a
+    hash-scattered layout, ~1.0 after an ordered rewrite.  recluster()
+    is gated on the measured overlap — a no-op on a clustered table, a
+    sorted compact on a fragmented one — so a nightly maintain_store can
+    evaluate every table for free and rewrite only the degraded ones."""
+    root = str(tmp_path / "store")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") % 17).alias("v")
+    )
+    publish.publish_tables(
+        spark, {"t": df.repartition(8, "v")}, root  # k scattered per file
+    )
+    before = publish.clustering_overlap(root, "t", "k")
+    assert before > 4.0  # every file spans ~the whole k domain
+
+    # below-threshold: measured, not rewritten
+    res = publish.recluster(spark, root, "t", ["k"], max_overlap=before + 1)
+    assert res == {"table": "t", "overlap": before, "reclustered": False}
+
+    res = publish.recluster(spark, root, "t", ["k"], max_overlap=2.0,
+                            target_files=8)
+    assert res["reclustered"] and res["overlap_after"] <= 2.0
+
+    kept, total = publish.prune_files(root, "t", [("k", "<", 500)])
+    assert total == 8 and len(kept) < total
+    got = publish.scan_table(spark, root, "t", where=[("k", "=", 123)])
+    assert [tuple(r) for r in got.collect()] == [(123, 123 % 17)]
+
+    # already clustered → the next pass is a metadata-only no-op
+    res = publish.recluster(spark, root, "t", ["k"], max_overlap=2.0)
+    assert not res["reclustered"]
+
+
+def test_maintain_store_recluster_specs_and_bloom_follow(spark, tmp_path):
+    """maintain_store evaluates recluster_specs per table and rebuilds
+    the Bloom sidecar AFTER the rewrite (the rewrite sheds it), so the
+    index always describes the final layout."""
+    root = str(tmp_path / "store")
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    publish.publish_tables(
+        spark, {"t": df.repartition(6, "v")}, root, table_keys={"t": ["k"]}
+    )
+    report = publish.maintain_store(
+        spark, root,
+        recluster_specs={"t": {"by": ["k"], "max_overlap": 2.0,
+                               "target_files": 6}},
+        bloom_columns={"t": ["k"]},
+    )
+    assert report["reclustered"]["t"]["reclustered"]
+    assert report["blooms"] == ["t"] and not report["errors"]
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert os.path.exists(os.path.join(entry["path"], publish.BLOOM_FILE))
+    kept, total = publish.prune_files(root, "t", [("k", "=", 77)])
+    assert len(kept) == 1
+    # second pass: clustered already, no rewrite, no bloom churn
+    report = publish.maintain_store(
+        spark, root,
+        recluster_specs={"t": {"by": ["k"], "max_overlap": 2.0}},
+        bloom_columns={"t": ["k"]},
+    )
+    assert not report["reclustered"]["t"]["reclustered"]
+    assert report["blooms"] == []
