@@ -51,6 +51,7 @@ HEADLINE = [
     "u12_merge_on_read",            # MoR delta merges + lazy reconstruction (round 4)
     "u12_bloom_scan",               # Bloom-filter point-lookup skipping (round 4)
     "stream_interval_join",         # stream-stream interval join, batch form (round 4)
+    "u12_auto_recluster",           # metadata-gated OPTIMIZE + skipping (round 5)
 ]
 
 

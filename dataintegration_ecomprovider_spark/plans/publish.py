@@ -2531,7 +2531,7 @@ def read_table_asof(
 
     manifest = current_manifest(root)
     candidates = []
-    for h in _all_history(root, manifest):
+    for h in manifest.get("history", []):
         if h.get("committed_at_unix") is not None:
             candidates.append((h["committed_at_unix"], h["version"], h["tables"]))
     if manifest.get("committed_at_unix") is not None:
@@ -2539,6 +2539,20 @@ def read_table_asof(
             (manifest["committed_at_unix"], manifest["version"], manifest["tables"])
         )
     eligible = [c for c in candidates if c[0] <= cutoff]
+    if not eligible:
+        # older than everything inline: only now read the spilled
+        # checkpoints (any spilled version is older than every inline
+        # one, so an inline hit always dominates — the common "as of
+        # yesterday" lookup never touches a spill file)
+        for sp in manifest.get("history_spills", []):
+            for h in _spilled_entries(root, sp):
+                if (
+                    h.get("committed_at_unix") is not None
+                    and h["committed_at_unix"] <= cutoff
+                ):
+                    eligible.append(
+                        (h["committed_at_unix"], h["version"], h["tables"])
+                    )
     if not eligible:
         raise KeyError(
             f"no committed version of {root!r} at or before timestamp {timestamp!r}"

@@ -791,6 +791,13 @@ def test_manifest_history_spills_to_checkpoints(spark, tmp_path, monkeypatch):
     hist = publish.describe_history(root)
     assert [h["version"] for h in hist] == list(range(1, n_versions + 1))
 
+    # TIMESTAMP AS OF a spilled-out commit still resolves (the spill
+    # checkpoints are consulted only when no inline version is old
+    # enough — the common recent lookup never touches them)
+    ts2 = next(h["committed_at_unix"] for h in hist if h["version"] == 2)
+    asof = publish.read_table_asof(spark, root, "t", ts2)
+    assert [tuple(r) for r in asof.collect()] == [(2, "v2")]
+
     # rollback TO a spilled version
     publish.rollback(root, 3)
     assert [
