@@ -1010,6 +1010,7 @@ def read_changes(
     case_insensitive: bool = False,
     change_col: str = "change_type",
     include_old: bool = False,
+    where: Sequence[tuple] = (),
 ) -> DataFrame:
     """Version-diff (CDC) read: the rows that changed between two committed
     versions of `name`, tagged ``insert`` / ``update`` / ``delete``.
@@ -1037,6 +1038,15 @@ def read_changes(
     NEW version's schema; a column absent from the old version compares as
     null — after a schema widening, rows appear as updates exactly where
     the new column holds a non-null value.
+
+    `where` (scan_table's predicate algebra) scopes the diff to the
+    FILTERED VIEW of the table: both versions read through file-level
+    data skipping (scan_table_at), so CDC on a selective slice — one
+    shop, one key range, one language — prunes both snapshot scans
+    instead of reconstructing 100 TB twice.  Semantics are
+    diff(σ(old), σ(new)): a row UPDATED INTO the predicate set arrives
+    as an insert and one updated out of it as a delete — exactly what a
+    consumer maintaining the filtered view wants to apply.
     """
     if keys is None:
         keys = table_keys(root, name)
@@ -1047,12 +1057,16 @@ def read_changes(
     if not case_insensitive:
         fast = _mor_changes_fast(
             spark, root, name, from_version, to_version, list(keys),
-            change_col, include_old,
+            change_col, include_old, where,
         )
         if fast is not None:
             return fast
-    old = read_table_at(spark, root, name, from_version)
-    new = read_table_at(spark, root, name, to_version)
+    if where:
+        old = scan_table_at(spark, root, name, from_version, where)
+        new = scan_table_at(spark, root, name, to_version, where)
+    else:
+        old = read_table_at(spark, root, name, from_version)
+        new = read_table_at(spark, root, name, to_version)
     return diff_frames(
         old, new, keys,
         case_insensitive=case_insensitive, change_col=change_col,
@@ -1092,6 +1106,7 @@ def _mor_changes_fast(
     keys: list[str],
     change_col: str,
     include_old: bool,
+    where: Sequence[tuple] = (),
 ) -> DataFrame | None:
     """O(delta) CDC between two versions of a merge-on-read table.
 
@@ -1122,9 +1137,12 @@ def _mor_changes_fast(
     dkeys = deltas.select(*keys).distinct()
     if _deltas_bytes(suffix) <= MOR_BROADCAST_MAX_BYTES:
         dkeys = F.broadcast(dkeys)
-    old_scoped = _read_entry(spark, from_entry).join(
-        dkeys, on=keys, how="left_semi"
+    old_from = (
+        _scan_entry(spark, from_entry, where)  # pruned filtered-view read
+        if where
+        else _read_entry(spark, from_entry)
     )
+    old_scoped = old_from.join(dkeys, on=keys, how="left_semi")
     if isinstance(to_entry, dict) and to_entry.get("schema_json"):
         # schema evolved between the versions: diff in the TO-version's
         # widened schema (old rows null-fill the new columns, exactly as
@@ -1136,6 +1154,8 @@ def _mor_changes_fast(
     new_scoped = _conform_to_schema(
         latest.filter(F.col(MOR_CHANGE_COL) != "delete"), old_scoped.schema
     )
+    if where:
+        new_scoped = new_scoped.filter(_where_condition(where))
     return diff_frames(
         old_scoped, new_scoped, keys,
         change_col=change_col, include_old=include_old,
@@ -2102,7 +2122,11 @@ def prune_files(root: str, name: str, where: Sequence[tuple]) -> tuple[list[str]
     manifest = current_manifest(root)
     if name not in manifest["tables"]:
         raise KeyError(f"table {name!r} has no committed version under {root}")
-    entry = manifest["tables"][name]
+    return _prune_entry(manifest["tables"][name], where)
+
+
+def _prune_entry(entry, where: Sequence[tuple]) -> tuple[list[str], int]:
+    """prune_files for an already-resolved manifest entry (any version)."""
     path = entry["path"] if isinstance(entry, dict) else entry
     entries = _load_stats_entries(path)
     if entries is None:
@@ -2196,16 +2220,49 @@ def scan_table(
     bucketed co-location; scan_table targets selective analytics reads."""
     if not where:
         return read_table(spark, root, name)
-    cond = None
-    for pred in where:
-        c = _predicate_column(pred)
-        cond = c if cond is None else (cond & c)
     manifest = current_manifest(root)
     entry = manifest["tables"][name] if name in manifest["tables"] else None
     if entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
+    return _scan_entry(spark, entry, where)
+
+
+def scan_table_at(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int,
+    where: Sequence[tuple] = (),
+) -> DataFrame:
+    """scan_table against a HISTORICAL version: time travel with the same
+    file-level data skipping (the stats/bloom sidecars live inside the
+    immutable version directory, so they describe every version that
+    references it).  `read_table_at(...).filter(...)` semantics; at 100 TB
+    an audit query over last month's snapshot should open the dozen files
+    that matter, not relist the snapshot."""
+    tables = tables_at(root, version)
+    if name not in tables:
+        raise KeyError(f"table {name!r} absent at version {version}")
+    if not where:
+        return _read_entry(spark, tables[name])
+    return _scan_entry(spark, tables[name], where)
+
+
+def _where_condition(where: Sequence[tuple]):
+    """AND of the predicate triples as one Spark Column."""
+    cond = None
+    for pred in where:
+        c = _predicate_column(pred)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def _scan_entry(spark: SparkSession, entry, where: Sequence[tuple]) -> DataFrame:
+    """The pruned-read engine behind scan_table/scan_table_at, on an
+    already-resolved manifest entry."""
+    cond = _where_condition(where)
     path = entry["path"] if isinstance(entry, dict) else entry
-    kept, total = prune_files(root, name, where)
+    kept, total = _prune_entry(entry, where)
     if len(kept) == total:
         # nothing skipped (or no stats): the plain read keeps bucket/
         # partition metadata and still gets row-group skipping via the

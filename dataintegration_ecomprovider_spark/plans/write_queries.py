@@ -990,6 +990,37 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped CDC (round 5, read_changes(where=...)): the same
+    two-version orders store as u12_version_diff, diffed AS THE FILTERED
+    VIEW o_orderstatus = 'O' — both snapshot reads go through file-level
+    skipping (scan_table_at), and rows updated into/out of the predicate
+    set arrive as inserts/deletes.  At 100 TB this is CDC for one shop /
+    one key range without reconstructing the whole table twice."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="cdc_filtered_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v1}, root)
+    publish.publish_tables(spark, {"orders": v2}, root)
+    return publish.read_changes(
+        spark, root, "orders", from_version=1, to_version=2,
+        keys=["o_orderkey"], where=[("o_orderstatus", "=", "O")],
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The downstream half of the CDC loop: replay read_changes(v1 → v2)
     onto a replica of v1 (publish.apply_changes: upsert the insert/update
@@ -1528,6 +1559,35 @@ WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
 """
 
 
+ORACLE_CDC_FILTERED = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderstatus = 'O'
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+v2f AS (SELECT * FROM v2 WHERE o_orderstatus = 'O')
+SELECT
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_orderkey ELSE v2f.o_orderkey END AS o_orderkey,
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_custkey ELSE v2f.o_custkey END AS o_custkey,
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_orderstatus ELSE v2f.o_orderstatus END AS o_orderstatus,
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_totalprice ELSE v2f.o_totalprice END AS o_totalprice,
+  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+       WHEN v2f.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type
+FROM v1 FULL OUTER JOIN v2f ON v1.o_orderkey = v2f.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2f.o_orderkey IS NULL
+   OR v1.o_custkey IS DISTINCT FROM v2f.o_custkey
+   OR v1.o_orderstatus IS DISTINCT FROM v2f.o_orderstatus
+   OR v1.o_totalprice IS DISTINCT FROM v2f.o_totalprice
+"""
+
+
 def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read lifecycle over the U12 versioned store: publish an
     orders base, commit TWO O(delta) merges (merge_into_mor appends
@@ -1729,6 +1789,7 @@ QUERIES = {
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
+    "u12_cdc_filtered": QueryDef(q_cdc_filtered, ORACLE_CDC_FILTERED),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
     "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),

@@ -593,3 +593,98 @@ def test_diff_apply_roundtrip_property(spark, old_rows, new_rows):
             assert r.k in a_keys and r.k not in b_keys
         else:
             assert r.k in a_keys and r.k in b_keys
+
+
+def test_read_changes_with_predicate_scopes_both_versions(spark, tmp_path):
+    """read_changes(where=...) is CDC of the FILTERED view —
+    diff(filter(old), filter(new)) — with both snapshot scans going
+    through file-level skipping.  Rows updated INTO the predicate set
+    arrive as inserts, rows updated out of it as deletes."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    # id=2 leaves grp a; id=3 enters it; id=1 value-updates inside it;
+    # id=5 inserts inside it; id=4 changes outside it (invisible)
+    v2 = spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", 20.0), (3, "a", 30.0), (4, "b", 44.0),
+         (5, "a", 50.0)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+
+    got = publish.read_changes(
+        spark, root, "t", 1, 2, keys=["id"], where=[("grp", "=", "a")]
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted([
+        (1, "a", 11.0, "update"),
+        (2, "a", 20.0, "delete"),   # left the filtered view (old row)
+        (3, "a", 30.0, "insert"),   # entered the filtered view
+        (5, "a", 50.0, "insert"),
+    ])
+    # oracle: the generic diff of the two filtered snapshots
+    expected = publish.diff_frames(
+        publish.read_table_at(spark, root, "t", 1).filter("grp = 'a'"),
+        publish.read_table_at(spark, root, "t", 2).filter("grp = 'a'"),
+        ["id"],
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(
+        tuple(r) for r in expected.collect()
+    )
+
+
+def test_read_changes_with_predicate_on_mor_fast_path(spark, tmp_path):
+    """The O(delta) MoR fast path honors `where` identically to the
+    generic filtered diff."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(1, "b", 10.0), (3, "a", 33.0), (4, "a", 44.0)],
+            "id bigint, grp string, val double",
+        ),
+        deletes=spark.createDataFrame([(2,)], "id bigint"),
+    )
+    got = publish.read_changes(
+        spark, root, "t", 1, 2, keys=["id"], where=[("grp", "=", "a")]
+    )
+    expected = publish.diff_frames(
+        publish.read_table_at(spark, root, "t", 1).filter("grp = 'a'"),
+        publish.read_table_at(spark, root, "t", 2).filter("grp = 'a'"),
+        ["id"],
+    )
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == sorted(tuple(r) for r in expected.collect())
+    assert rows == sorted([
+        (1, "a", 10.0, "delete"),   # moved out of grp a
+        (2, "a", 20.0, "delete"),   # deleted outright
+        (3, "a", 33.0, "insert"),   # moved into grp a
+        (4, "a", 44.0, "insert"),
+    ])
+
+
+def test_scan_table_at_prunes_historical_version(spark, tmp_path):
+    """Time-travel scans skip files too: the stats sidecar lives in the
+    immutable version directory, so a historical selective read opens
+    only the covering files."""
+    root = str(tmp_path / "store")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    publish.publish_tables(
+        spark, {"t": df.repartitionByRange(8, "k")}, root
+    )
+    publish.publish_tables(
+        spark, {"t": df.filter("k < 100").repartitionByRange(2, "k")}, root
+    )
+    got = publish.scan_table_at(spark, root, "t", 1, where=[("k", "=", 1500)])
+    assert [tuple(r) for r in got.collect()] == [(1500, 3000)]
+    # version 2 no longer holds the row; the historical scan still does
+    assert publish.scan_table(spark, root, "t", [("k", "=", 1500)]).count() == 0

@@ -881,3 +881,65 @@ def test_maintain_store_recluster_specs_and_bloom_follow(spark, tmp_path):
     )
     assert not report["reclustered"]["t"]["reclustered"]
     assert report["blooms"] == []
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_HIST_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("publish"), st.integers(0, 99)),
+        st.tuples(st.just("rollback"), st.integers(1, 8)),  # versions back
+        st.tuples(st.just("vacuum"), st.integers(1, 4)),    # keep_versions
+    ),
+    min_size=4,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_HIST_OPS)
+def test_history_spill_model_property(spark, tmp_path_factory, ops, monkeypatch):
+    """Model-based check of the spilled-history commit log: any
+    interleaving of publishes, rollbacks and vacuums — with the inline
+    cap forced tiny so nearly every commit crosses the spill boundary —
+    must agree with a plain dict model of version → value on every
+    surviving version, and raise KeyError on every vacuumed one."""
+    monkeypatch.setattr(publish, "HISTORY_INLINE_MAX", 3)
+    root = str(tmp_path_factory.mktemp("histprop") / "store")
+    model: dict[int, int] = {}  # committed version -> value of t
+
+    def commit_value(v: int):
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame([(v,)], "val bigint")},
+            root,
+        )
+        model[publish.current_manifest(root)["version"]] = v
+
+    commit_value(0)
+    for op, arg in ops:
+        cur = publish.current_manifest(root)["version"]
+        if op == "publish":
+            commit_value(arg)
+        elif op == "rollback":
+            target = cur - arg
+            if target in model:
+                publish.rollback(root, target)
+                model[publish.current_manifest(root)["version"]] = model[target]
+        else:
+            res = publish.vacuum(spark, root, keep_versions=arg)
+            for v in res["removed_versions"]:
+                model.pop(v, None)
+
+    # every surviving version reads back its modeled value...
+    for version, val in model.items():
+        got = publish.read_table_at(spark, root, "t", version).collect()
+        assert [tuple(r) for r in got] == [(val,)], version
+    # ...and the commit log enumerates exactly the surviving versions
+    hist = publish.describe_history(root)
+    assert [h["version"] for h in hist] == sorted(model)
+    # vacuumed versions are KeyError, not a raw parquet failure
+    gone = set(range(1, max(model))) - set(model)
+    for version in sorted(gone)[:3]:
+        with pytest.raises(KeyError):
+            publish.read_table_at(spark, root, "t", version)
