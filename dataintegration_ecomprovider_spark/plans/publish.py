@@ -1478,13 +1478,36 @@ STATS_INLINE_MAX_FILES = 1000
 STATS_SHARD_ROWS = 100_000  # rows per stats-checkpoint parquet file
 
 
+# Parsed-stats cache: version directories are immutable (a rewrite lands
+# in a NEW dir), so per-path entries can be reused across prune calls —
+# repeated selective scans of a million-file table parse its checkpoint
+# once, not per query.  The sidecar mtime guards the one mutation that
+# exists (write_stats_sidecar re-running over the same dir, e.g. after a
+# MoR delta commit refreshes delta-dir stats).  Bounded LRU-ish: evict
+# oldest beyond _STATS_CACHE_MAX paths.
+_STATS_CACHE: dict[str, tuple[float, list[dict] | None]] = {}
+_STATS_CACHE_MAX = 64
+
+
 def _load_stats_entries(path: str) -> list[dict] | None:
     """The per-file stats entries recorded by write_stats_sidecar, inline
     or parquet-checkpointed; None when the table was published with
-    collect_stats=False."""
+    collect_stats=False.  Cached per immutable version directory."""
     sidecar = os.path.join(path, STATS_FILE)
     if not os.path.exists(sidecar):
         return None
+    mtime = os.path.getmtime(sidecar)
+    hit = _STATS_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    entries = _read_stats_entries(sidecar, path)
+    if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
+    _STATS_CACHE[path] = (mtime, entries)
+    return entries
+
+
+def _read_stats_entries(sidecar: str, path: str) -> list[dict]:
     with open(sidecar, encoding="utf-8") as fh:
         stats = json.load(fh)
     if stats.get("format") != "parquet":
@@ -2574,50 +2597,112 @@ def read_table_asof(
     the table say when that model trained?") is usually asked in time,
     not version numbers.  Raises KeyError when no version that old
     survives (vacuumed or store younger than the timestamp)."""
-    if isinstance(timestamp, str):
-        import datetime
-
-        ts = datetime.datetime.fromisoformat(
-            timestamp.replace("Z", "+00:00")
-        )
-        if ts.tzinfo is None:
-            ts = ts.replace(tzinfo=datetime.timezone.utc)
-        cutoff = ts.timestamp()
-    else:
-        cutoff = float(timestamp)
-
-    manifest = current_manifest(root)
-    candidates = []
-    for h in manifest.get("history", []):
-        if h.get("committed_at_unix") is not None:
-            candidates.append((h["committed_at_unix"], h["version"], h["tables"]))
-    if manifest.get("committed_at_unix") is not None:
-        candidates.append(
-            (manifest["committed_at_unix"], manifest["version"], manifest["tables"])
-        )
-    eligible = [c for c in candidates if c[0] <= cutoff]
-    if not eligible:
-        # older than everything inline: only now read the spilled
-        # checkpoints (any spilled version is older than every inline
-        # one, so an inline hit always dominates — the common "as of
-        # yesterday" lookup never touches a spill file)
-        for sp in manifest.get("history_spills", []):
-            for h in _spilled_entries(root, sp):
-                if (
-                    h.get("committed_at_unix") is not None
-                    and h["committed_at_unix"] <= cutoff
-                ):
-                    eligible.append(
-                        (h["committed_at_unix"], h["version"], h["tables"])
-                    )
-    if not eligible:
-        raise KeyError(
-            f"no committed version of {root!r} at or before timestamp {timestamp!r}"
-        )
-    _, version, tables = max(eligible, key=lambda c: (c[0], c[1]))
-    if name not in tables:
+    snap = snapshot(spark, root, timestamp=timestamp)
+    if name not in snap._tables:
         raise KeyError(f"table {name!r} absent as of timestamp {timestamp!r}")
-    return _read_entry(spark, tables[name])
+    return snap.table(name)
+
+
+class StoreSnapshot:
+    """A frozen, store-WIDE consistent view: every table read through one
+    snapshot resolves against the SAME committed manifest version.
+
+    This is the cross-TABLE guarantee single-table log formats (Delta,
+    Iceberg, Hudi) cannot give — their version history stops at the table
+    boundary, so "orders as of v12 with the customers those orders saw"
+    needs out-of-band bookkeeping.  Here the manifest commits all tables
+    together, so a snapshot is just a pinned table map: reads cost
+    nothing extra, concurrent publishes are invisible, and a training
+    run / audit / repro job can hold one snapshot for its whole lifetime
+    (keep `keep_versions` above the job horizon — vacuum is the one
+    thing that can pull data out from under a long-lived pin, same
+    contract as read_table_at)."""
+
+    def __init__(self, spark: SparkSession, root: str, version: int, tables: dict):
+        self._spark = spark
+        self.root = root
+        self.version = version
+        self._tables = tables
+
+    def table_names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(
+                f"table {name!r} absent at version {self.version} of {self.root}"
+            )
+        return _read_entry(self._spark, self._tables[name])
+
+    def scan(self, name: str, where: Sequence[tuple] = ()) -> DataFrame:
+        """scan_table's pruned selective read, against the pinned version."""
+        if name not in self._tables:
+            raise KeyError(
+                f"table {name!r} absent at version {self.version} of {self.root}"
+            )
+        if not where:
+            return _read_entry(self._spark, self._tables[name])
+        return _scan_entry(self._spark, self._tables[name], where)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"StoreSnapshot({self.root!r}, version={self.version})"
+
+
+def snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp: float | str | None = None,
+) -> StoreSnapshot:
+    """Pin a store-wide consistent view: the current version (default), a
+    specific committed `version`, or the newest version committed at or
+    before `timestamp` (read_table_asof's resolution)."""
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if timestamp is not None:
+        if isinstance(timestamp, str):
+            import datetime
+
+            ts = datetime.datetime.fromisoformat(
+                timestamp.replace("Z", "+00:00")
+            )
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            cutoff = ts.timestamp()
+        else:
+            cutoff = float(timestamp)
+        manifest = current_manifest(root)
+        candidates = [
+            (h["committed_at_unix"], h["version"], h["tables"])
+            for h in manifest.get("history", [])
+            if h.get("committed_at_unix") is not None
+        ]
+        if manifest.get("committed_at_unix") is not None:
+            candidates.append(
+                (manifest["committed_at_unix"], manifest["version"],
+                 manifest["tables"])
+            )
+        eligible = [c for c in candidates if c[0] <= cutoff]
+        if not eligible:
+            for sp in manifest.get("history_spills", []):
+                for h in _spilled_entries(root, sp):
+                    if (
+                        h.get("committed_at_unix") is not None
+                        and h["committed_at_unix"] <= cutoff
+                    ):
+                        eligible.append(
+                            (h["committed_at_unix"], h["version"], h["tables"])
+                        )
+        if not eligible:
+            raise KeyError(
+                f"no committed version of {root!r} at or before {timestamp!r}"
+            )
+        _, v, tables = max(eligible, key=lambda c: (c[0], c[1]))
+        return StoreSnapshot(spark, root, v, tables)
+    if version is None:
+        manifest = current_manifest(root)
+        return StoreSnapshot(spark, root, manifest["version"], manifest["tables"])
+    return StoreSnapshot(spark, root, version, tables_at(root, version))
 
 
 # --- declarative publish expectations --------------------------------------

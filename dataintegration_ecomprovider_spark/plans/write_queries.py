@@ -1559,6 +1559,50 @@ WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
 """
 
 
+def q_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-wide snapshot isolation (round 5, publish.snapshot): pin ONE
+    consistent version of a two-table store, then publish junk to BOTH
+    tables — the snapshot join still serves the pinned pair.  Per-table
+    log formats (Delta/Iceberg/Hudi) version tables independently and
+    cannot give this cross-table guarantee; this store's manifest commits
+    all tables together, so the pin is free metadata.  The oracle is the
+    pinned versions' join."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="snapshot_store_")
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    cust = cat.table("customer").select("c_custkey", "c_name", "c_nationkey")
+    publish.publish_tables(spark, {"orders": orders, "customer": cust}, root)
+    snap = publish.snapshot(spark, root)
+    # both tables move on after the pin
+    publish.publish_tables(
+        spark,
+        {"orders": orders.limit(1), "customer": cust.limit(1)},
+        root,
+    )
+    return (
+        snap.table("orders")
+        .join(
+            F.broadcast(snap.table("customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey")
+    )
+
+
+ORACLE_SNAPSHOT_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, ROUND(o.o_totalprice, 2) AS o_totalprice,
+       c.c_name, c.c_nationkey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderkey % 2 = 0
+"""
+
+
 ORACLE_CDC_FILTERED = """
 WITH v1 AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1790,6 +1834,7 @@ QUERIES = {
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
     "u12_cdc_filtered": QueryDef(q_cdc_filtered, ORACLE_CDC_FILTERED),
+    "u12_snapshot_join": QueryDef(q_snapshot_join, ORACLE_SNAPSHOT_JOIN),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
     "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),

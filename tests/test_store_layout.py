@@ -943,3 +943,57 @@ def test_history_spill_model_property(spark, tmp_path_factory, ops, monkeypatch)
     for version in sorted(gone)[:3]:
         with pytest.raises(KeyError):
             publish.read_table_at(spark, root, "t", version)
+
+
+def test_store_snapshot_is_cross_table_consistent(spark, store):
+    """One snapshot pins EVERY table to the same committed version —
+    publishes landing after the pin (to either table) are invisible
+    through it, which is the cross-table guarantee per-table log formats
+    can't give."""
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 20)], "o_id bigint, o_cust bigint"
+    )
+    cust = spark.createDataFrame([(10, "A"), (20, "B")], "c_id bigint, name string")
+    publish.publish_tables(spark, {"orders": orders, "cust": cust}, store)
+    snap = publish.snapshot(spark, store)
+    assert snap.version == 1
+    assert snap.table_names() == ["cust", "orders"]
+
+    # later commits touch BOTH tables
+    publish.publish_tables(
+        spark,
+        {"orders": spark.createDataFrame([(3, 30)], "o_id bigint, o_cust bigint"),
+         "cust": spark.createDataFrame([(30, "C")], "c_id bigint, name string")},
+        store,
+    )
+    joined = snap.table("orders").join(
+        snap.table("cust"), F.col("o_cust") == F.col("c_id")
+    )
+    assert joined.count() == 2  # the pinned pair, not the new state
+    assert {r["name"] for r in joined.collect()} == {"A", "B"}
+
+    # pin by explicit version and by timestamp resolve the same way
+    snap1 = publish.snapshot(spark, store, version=1)
+    assert _rows(snap1.table("orders")) == _rows(snap.table("orders"))
+    cur = publish.snapshot(spark, store)
+    assert cur.version == 2 and cur.table("cust").count() == 1
+
+    with pytest.raises(KeyError):
+        snap.table("nope")
+    with pytest.raises(ValueError):
+        publish.snapshot(spark, store, version=1, timestamp=0.0)
+
+
+def test_store_snapshot_scan_prunes(spark, store):
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    publish.publish_tables(spark, {"t": df.repartitionByRange(8, "k")}, store)
+    snap = publish.snapshot(spark, store)
+    # overwrite with junk; the snapshot scan still serves the pinned data
+    publish.publish_tables(
+        spark, {"t": spark.createDataFrame([(0, 0)], "k bigint, v bigint")}, store
+    )
+    got = snap.scan("t", where=[("k", "=", 777)])
+    assert len(got.inputFiles()) < 8  # pruned within the pinned version
+    assert [tuple(r) for r in got.collect()] == [(777, 2331)]
