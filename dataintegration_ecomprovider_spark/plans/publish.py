@@ -1713,11 +1713,23 @@ def _bloom_index_df(base, path: str, columns, params) -> DataFrame:
             import numpy as np
             import pandas as pd
 
+            # worker-memory guard: a partition of coalesced SMALL files
+            # can touch hundreds of files; flush partials past this many
+            # live buffers instead of holding files × m/8 bytes (the
+            # merge stage ORs duplicates anyway)
+            max_live = max(1, (256 << 20) // max(1, nbytes))
+
             bufs: dict[str, "np.ndarray"] = {}
             for pdf in batches:
                 for f, g in pdf.groupby("__file", sort=False):
                     buf = bufs.get(f)
                     if buf is None:
+                        if len(bufs) >= max_live:
+                            for ff, bb in bufs.items():
+                                yield pd.DataFrame(
+                                    {"__file": [ff], "__bm": [bb.tobytes()]}
+                                )
+                            bufs.clear()
                         buf = bufs[f] = np.zeros(nbytes, dtype=np.uint8)
                     h1 = g["__h1"].to_numpy(np.int64)
                     h2 = g["__h2"].to_numpy(np.int64)

@@ -277,12 +277,25 @@ class StoreChangesDataSource(DataSource):
         if table not in manifest["tables"]:
             raise KeyError(f"table {table!r} has no committed version under {root}")
         entry = manifest["tables"][table]
-        path = entry["path"] if isinstance(entry, dict) else entry
-        partitioning = (
-            "hive" if isinstance(entry, dict) and entry.get("partition_by") else None
-        )
-        arrow = ds.dataset(path, format="parquet", partitioning=partitioning).schema
-        base = from_arrow_schema(arrow)
+        if isinstance(entry, dict) and entry.get("schema_json"):
+            # merge_into_mor(evolve_schema=True) widened the LOGICAL
+            # schema past what the base parquet carries — the recorded
+            # entry schema is authoritative (new columns stream as nulls
+            # on pre-evolution rows)
+            import json as _json
+
+            base = StructType.fromJson(_json.loads(entry["schema_json"]))
+        else:
+            path = entry["path"] if isinstance(entry, dict) else entry
+            partitioning = (
+                "hive"
+                if isinstance(entry, dict) and entry.get("partition_by")
+                else None
+            )
+            arrow = ds.dataset(
+                path, format="parquet", partitioning=partitioning
+            ).schema
+            base = from_arrow_schema(arrow)
         fields = [f for f in base.fields if not f.name.startswith("__k_")]
         return StructType([*fields, StructField(CHANGE_COL, StringType(), True)])
 

@@ -250,3 +250,32 @@ def test_shard_reader_is_vectorized_and_partition_exhaustive(spark, tmp_path):
         ).collect()
     )
     assert got == expected
+
+
+def test_stream_over_schema_evolved_mor_table(spark, tmp_path):
+    """After merge_into_mor(evolve_schema=True) the stream's schema comes
+    from the entry's recorded (widened) schema, not the narrow base
+    parquet — pre-evolution rows tail with nulls in the new column."""
+    root = str(tmp_path / "evostore")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")},
+        root, table_keys={"t": ["id"]},
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(2, "b2", 22.0), (3, "c", 33.0)], "id bigint, name string, val double"
+        ),
+        evolve_schema=True,
+    )
+    got = _read_stream(spark, root, str(tmp_path / "cke"), startingVersion="1")
+    assert got.columns == ["id", "name", "val", "change_type"]
+    rows = _rows(got)
+    assert rows == sorted([
+        (2, "b2", 22.0, "update"),
+        (3, "c", 33.0, "insert"),
+    ])
+    # from version 0: pre-evolution rows arrive null-filled
+    got0 = _read_stream(spark, root, str(tmp_path / "cke0"), startingVersion="earliest")
+    assert (1, "a", None, "insert") in _rows(got0)
