@@ -442,6 +442,49 @@ def lsh_topk(
     )
 
 
+def cluster_assignments(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """Corpus topic clustering: deterministic-hash-seeded k-means (the
+    ivf_index picker + kmeans_refine Lloyd loop) and one final
+    nearest-centroid assignment — columns (vec_id, cid, csim).  The
+    pre-training-mix use case: cluster documents by embedding, then
+    balance/sample per topic (pair with sampling.temperature_mix on the
+    cid column).  Scale shape is IVF's: broadcast ≤n_clusters centroids,
+    partition-local scoring, one top-1 window per pass — the corpus
+    never self-joins.  `portable=True` seeds by md5 rank and pins
+    refined means at 9 decimals so a DuckDB oracle reproduces the exact
+    assignment (see kmeans_refine)."""
+    idx = ivf_index(
+        embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col,
+        portable=portable, refine_iters=iters,
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .crossJoin(F.broadcast(idx["centroids"]))
+        .select(
+            "vec_id", "cid",
+            F.round(cosine(F.col("__v"), F.col("cvec")), 6).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.3,

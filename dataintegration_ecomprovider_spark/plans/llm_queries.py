@@ -876,6 +876,23 @@ def _lloyd_iter_sql(cent_in: str, cent_out: str) -> str:
 )"""
 
 
+def q_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic clustering for mixture balancing (round 5,
+    similarity.cluster_assignments): hash-seeded k-means (2 Lloyd
+    iterations) + final nearest-centroid assignment — (vec_id, cid,
+    csim).  xxhash64 fast path, rows-only; the md5 twin below is
+    oracle-checked."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.cluster_assignments(emb, n_clusters=16, iters=2)
+
+
+def q_topic_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return similarity.cluster_assignments(
+        emb, n_clusters=16, iters=2, portable=True
+    )
+
+
 ORACLE_IVF_TOPK_REFINED_PORTABLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -913,6 +930,33 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+
+ORACLE_TOPIC_CLUSTERS_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+{_lloyd_iter_sql("cent0", "cent1")},
+{_lloyd_iter_sql("cent1", "cent2")},
+ascore AS (
+  SELECT a.vec_id, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM v a CROSS JOIN cent2 c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+)
+SELECT vec_id, cid, csim FROM aranked WHERE crank = 1
 """
 
 
@@ -1395,6 +1439,10 @@ QUERIES = {
     "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
     "llm_sim_ivf_topk_refined_portable": QueryDef(
         q_ivf_topk_refined_portable, ORACLE_IVF_TOPK_REFINED_PORTABLE
+    ),
+    "llm_topic_clusters": QueryDef(q_topic_clusters, None),
+    "llm_topic_clusters_portable": QueryDef(
+        q_topic_clusters_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
     ),
     "llm_quality_filter_quantile": QueryDef(
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER

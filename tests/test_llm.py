@@ -321,3 +321,28 @@ def test_quantized_topk_recall_vs_exact(spark):
         F.array_max("q").alias("hi"), F.array_min("q").alias("lo")
     ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
     assert bounds["hi"] <= 127 and bounds["lo"] >= -128
+
+
+def test_cluster_assignments_partition_corpus_deterministically(spark):
+    """Topic clustering (similarity.cluster_assignments): every vector
+    lands in exactly one cluster, assignments are deterministic, the
+    cluster count is bounded by n_clusters, and the cid column feeds
+    straight into per-topic mixture sampling."""
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    n = emb.count()
+    out = similarity.cluster_assignments(emb, n_clusters=8, iters=2)
+    rows = out.collect()
+    assert len(rows) == n  # exhaustive, one row per vector
+    assert len({r.vec_id for r in rows}) == n  # exactly one cid each
+    cids = {r.cid for r in rows}
+    assert 1 < len(cids) <= 8
+    assert all(-1.0 <= r.csim <= 1.0 for r in rows)
+    again = {(r.vec_id, r.cid) for r in similarity.cluster_assignments(
+        emb, n_clusters=8, iters=2
+    ).collect()}
+    assert {(r.vec_id, r.cid) for r in rows} == again
+    # portable twin clusters the same corpus (different seed family)
+    portable = similarity.cluster_assignments(
+        emb, n_clusters=8, iters=2, portable=True
+    )
+    assert portable.count() == n
