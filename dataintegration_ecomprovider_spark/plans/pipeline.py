@@ -430,8 +430,14 @@ def run_job_on_store(
             if stored:
                 keys_by_table[t] = stored
 
-    from_version = publish.current_manifest(root)["version"]
-    dest_tables = {t: publish.read_table(spark, root, t) for t in tables}
+    # pin ONE manifest version for every destination read: the CAS
+    # publish below would reject a mixed read set anyway, but the pinned
+    # snapshot makes the job's computation consistent by construction (a
+    # concurrent publish landing mid-read can no longer hand different
+    # tables different versions before the inevitable CAS failure)
+    snap = publish.snapshot(spark, root)
+    from_version = snap.version
+    dest_tables = {t: snap.table(t) for t in tables}
     state = run_job(
         catalog, dest_tables, mappings,
         dest_keys=keys_by_table or None, params=params, **run_job_kwargs,

@@ -1208,7 +1208,11 @@ def q_auto_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"recluster did not improve layout: {before:.1f} -> {after:.1f}"
         )
-    where = [("o_custkey", "<", 150)]
+    # SF-relative range: the bottom ~10% of the custkey domain always
+    # lands inside the first of 8 range-sorted files, at any scale
+    # factor (the max lookup is a bounded one-value driver action)
+    mx = base.agg(F.max("o_custkey")).collect()[0][0]
+    where = [("o_custkey", "<", mx // 10)]
     kept, total = publish.prune_files(root, "orders", where)
     if not 0 < len(kept) < total:  # the point of the operator IS the skip
         raise AssertionError(f"expected post-recluster skipping, kept {len(kept)}/{total}")
@@ -1217,7 +1221,7 @@ def q_auto_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_AUTO_RECLUSTER = """
 SELECT o_orderkey, o_custkey, o_orderstatus
-FROM orders WHERE o_custkey < 150
+FROM orders WHERE o_custkey < (SELECT MAX(o_custkey) // 10 FROM orders)
 """
 
 
