@@ -306,11 +306,22 @@ def maintain_aggregate(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
+    src_where: Sequence[tuple] = (),
 ) -> dict:
     """Bring the aggregate table `dst` current with source table `src`
     (same store root): first call seeds with a full aggregation; later
     calls consume only the CDC delta since the version last reflected
     (recorded in the store's sync-state file under ``agg:<dst>``).
+
+    `src_where` (scan_table's predicate algebra) maintains the aggregate
+    OVER THE FILTERED SLICE of the source — one shop, one key range —
+    composing the predicate-scoped CDC (read_changes(where=...)): the
+    seed prunes its snapshot scan, every delta refresh diffs only the
+    filtered view (a row updated into the slice arrives as an insert,
+    out of it as a delete — exactly the retraction algebra the refresh
+    already applies), and targeted MIN/MAX/distinct recomputes stay
+    slice-scoped.  At 100 TB a per-tenant aggregate view costs the
+    tenant's delta, never the table's.
 
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
     "seed" | "delta" | "noop"."""
@@ -329,7 +340,9 @@ def maintain_aggregate(
         # watermark says N — the next delta refresh would re-apply the
         # N→N+1 delta and silently double-count
         out = aggregate_table(
-            publish.read_table_at(spark, root, src, src_version),
+            publish.scan_table_at(spark, root, src, src_version, src_where)
+            if src_where
+            else publish.read_table_at(spark, root, src, src_version),
             group_cols, sum_cols,
             min_cols=min_cols, max_cols=max_cols, distinct_cols=distinct_cols,
         )
@@ -350,7 +363,7 @@ def maintain_aggregate(
         try:
             changes = publish.read_changes(
                 spark, root, src, from_version=last, to_version=src_version,
-                keys=keys, include_old=True,
+                keys=keys, include_old=True, where=src_where,
             )
         except KeyError:
             # the consumed-from version was vacuumed out of history: the
@@ -378,8 +391,15 @@ def maintain_aggregate(
                             min_cols=min_cols, max_cols=max_cols,
                             distinct_cols=distinct_cols,
                             source=(
-                                publish.read_table_at(
-                                    spark, root, src, src_version
+                                (
+                                    publish.scan_table_at(
+                                        spark, root, src, src_version,
+                                        src_where,
+                                    )
+                                    if src_where
+                                    else publish.read_table_at(
+                                        spark, root, src, src_version
+                                    )
                                 )
                                 if (min_cols or max_cols or distinct_cols)
                                 else None

@@ -1344,6 +1344,63 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_aggregate_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered-slice IVM (round 5): the same two-version orders store as
+    u12_incremental_aggregate, but the maintained aggregate covers ONLY
+    the slice o_orderstatus = 'O' (maintain_aggregate(src_where=...),
+    composing the predicate-scoped CDC) — the status flip moves rows OUT
+    of the slice between versions, so the refresh retracts them.  The
+    oracle is the direct aggregate of the filtered v2.  At 100 TB this
+    is the per-tenant maintained view costing the tenant's delta."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    root = tempfile.mkdtemp(prefix="ivm_filtered_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    spec = dict(
+        src="orders", dst="open_by_key_band",
+        group_cols=["o_orderstatus"], sum_cols=["o_totalprice"],
+        src_where=[("o_orderstatus", "=", "O")],
+    )
+    materialize.maintain_aggregate(spark, root, **spec)
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, root)
+    res = materialize.maintain_aggregate(spark, root, **spec)
+    if res["mode"] != "delta":
+        raise AssertionError(f"expected a delta refresh, got {res['mode']}")
+    out = publish.read_table(spark, root, "open_by_key_band")
+    return out.select(
+        "o_orderstatus", "cnt",
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+    )
+
+
+ORACLE_INCREMENTAL_AGGREGATE_FILTERED = """
+WITH v2 AS (
+  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS sum_total
+FROM v2 WHERE o_orderstatus = 'O'
+GROUP BY 1
+"""
+
+
 def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-view maintenance (plans/materialize.py::maintain_join): seed an
     orders-⋈-customer export view at v1, advance BOTH sides a version —
@@ -1850,6 +1907,9 @@ QUERIES = {
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(
         q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE
+    ),
+    "u12_incremental_aggregate_filtered": QueryDef(
+        q_incremental_aggregate_filtered, ORACLE_INCREMENTAL_AGGREGATE_FILTERED
     ),
     "u12_incremental_distinct": QueryDef(
         q_incremental_distinct, ORACLE_INCREMENTAL_DISTINCT

@@ -748,3 +748,58 @@ def test_declared_view_cycles_rejected_at_declare_time(spark, tmp_path):
             root, "aggregate", src="self", dst="self",
             group_cols=["g"], sum_cols=[],
         )
+
+
+def test_maintain_aggregate_over_filtered_slice(spark, tmp_path):
+    """src_where maintains the aggregate over a FILTERED source slice:
+    rows moving into/out of the predicate set retract/apply exactly
+    once, and every refresh equals the direct recompute of the filtered
+    view — the per-tenant aggregate at O(tenant delta)."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "s1", "a", 10.0), (2, "s1", "b", 20.0), (3, "s2", "a", 99.0),
+         (4, "s1", "a", 40.0)],
+        "id bigint, shop string, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    spec = dict(src="t", dst="t_s1_agg", group_cols=["grp"],
+                sum_cols=["val"], src_where=[("shop", "=", "s1")])
+
+    def recompute():
+        return materialize.aggregate_table(
+            publish.read_table(spark, root, "t").filter("shop = 's1'"),
+            ["grp"], ["val"],
+        )
+
+    res = materialize.maintain_aggregate(spark, root, **spec)
+    assert res["mode"] == "seed"
+    got = _rows(publish.read_table(spark, root, "t_s1_agg"))
+    assert got == _rows(recompute())
+    assert got == sorted([("a", 2, 50.0), ("b", 1, 20.0)])  # s2 invisible
+
+    # v2: id=3 moves INTO the slice, id=2 moves OUT of it, id=1 updates
+    # inside it, id=5 inserts outside it (must stay invisible)
+    v2 = spark.createDataFrame(
+        [(1, "s1", "a", 11.0), (2, "s2", "b", 20.0), (3, "s1", "a", 99.0),
+         (4, "s1", "a", 40.0), (5, "s2", "a", 500.0)],
+        "id bigint, shop string, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v2}, root)
+    res = materialize.maintain_aggregate(spark, root, **spec)
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "t_s1_agg"))
+    assert got == _rows(recompute())
+    assert got == sorted([("a", 3, 150.0)])  # grp b dropped with id=2
+
+    # declared-view round trip: the filtered spec persists through JSON
+    materialize.declare_view(root, "aggregate", **spec)
+    publish.publish_tables(
+        spark,
+        {"t": v2.filter(F.col("id") != 3)},  # id=3 leaves the table
+        root,
+    )
+    report = materialize.refresh_declared_views(spark, root)
+    assert not report["errors"]
+    assert _rows(publish.read_table(spark, root, "t_s1_agg")) == _rows(
+        recompute()
+    )
