@@ -615,12 +615,21 @@ def maintain_join(
     dim_cols: Sequence[str] | None = None,
     how: str = "left",
     fact_keys: Sequence[str] | None = None,
+    fact_where: Sequence[tuple] = (),
 ) -> dict:
     """Bring the join view `dst` = `fact ⋈ dim` current (same store root):
     first call seeds with the full join; later calls consume only the CDC
     deltas of BOTH sides since the version last reflected (recorded under
     ``join:<dst>`` in the store's sync-state file, the maintain_aggregate
     protocol).  A vacuumed-away delta range falls back to a full re-seed.
+
+    `fact_where` maintains the view over a FILTERED fact slice
+    (maintain_aggregate's src_where, on the fact side): the seed and
+    every FK-membership probe read the fact through pruned scans, and
+    the fact delta is the filtered view's CDC — rows entering/leaving
+    the slice join in/out exactly once.  Dim-side predicates are not
+    supported (a dim row's membership change would need the reverse FK
+    probe the delta rule doesn't carry).
 
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
     "seed" | "delta" | "noop" | "empty"."""
@@ -644,7 +653,9 @@ def maintain_join(
         # must not leak into the seed, or the next refresh re-applies its
         # delta on top
         out = join_view(
-            publish.read_table_at(spark, root, fact, src_version),
+            publish.scan_table_at(spark, root, fact, src_version, fact_where)
+            if fact_where
+            else publish.read_table_at(spark, root, fact, src_version),
             publish.read_table_at(spark, root, dim, src_version),
             fk, dim_key, dim_cols, how,
         )
@@ -662,7 +673,7 @@ def maintain_join(
         try:
             fact_changes = publish.read_changes(
                 spark, root, fact, from_version=last, to_version=src_version,
-                keys=fact_keys,
+                keys=fact_keys, where=fact_where,
             )
             dim_changes = publish.read_changes(
                 spark, root, dim, from_version=last, to_version=src_version,
@@ -694,7 +705,11 @@ def maintain_join(
                     else:
                         new_state = apply_join_delta(
                             publish.read_table(spark, root, dst),
-                            publish.read_table_at(
+                            publish.scan_table_at(
+                                spark, root, fact, src_version, fact_where
+                            )
+                            if fact_where
+                            else publish.read_table_at(
                                 spark, root, fact, src_version
                             ),
                             publish.read_table_at(

@@ -803,3 +803,45 @@ def test_maintain_aggregate_over_filtered_slice(spark, tmp_path):
     assert _rows(publish.read_table(spark, root, "t_s1_agg")) == _rows(
         recompute()
     )
+
+
+def test_maintain_join_over_filtered_fact_slice(spark, tmp_path):
+    """fact_where maintains the join view over a filtered fact slice:
+    rows entering/leaving the slice join in/out exactly once, dim
+    changes re-derive only sliced fact rows, every refresh equals the
+    direct filtered recompute."""
+    root = str(tmp_path / "store")
+    _seed_join_store(spark, root)  # fact ids 1-5, fk -> dim dk
+    spec = dict(fact="fact", dim="dim", dst="v_small", fk="fk",
+                dim_key="dk", fact_where=[("id", "<=", 3)])
+
+    def recompute():
+        return materialize.join_view(
+            publish.read_table(spark, root, "fact").filter("id <= 3"),
+            publish.read_table(spark, root, "dim"),
+            "fk", "dk", None, "left",
+        )
+
+    res = materialize.maintain_join(spark, root, **spec)
+    assert res["mode"] == "seed"
+    assert _rows(publish.read_table(spark, root, "v_small")) == _rows(
+        recompute()
+    )
+
+    # fact: id=2 leaves the slice surrogate (delete), id=1 FK-moves inside
+    # it, id=6 inserts outside (invisible); dim: rename dk=20
+    fact2 = spark.createDataFrame(
+        [(1, 20, 1.0), (3, 20, 3.0), (4, 99, 4.0), (5, None, 5.0),
+         (6, 10, 6.0)],
+        "id bigint, fk int, val double",
+    )
+    dim2 = spark.createDataFrame(
+        [(10, "ten"), (20, "TWENTY"), (30, "thirty")], "dk int, name string"
+    )
+    publish.publish_tables(spark, {"fact": fact2, "dim": dim2}, root)
+    res = materialize.maintain_join(spark, root, **spec)
+    assert res["mode"] == "delta"
+    got = _rows(publish.read_table(spark, root, "v_small"))
+    assert got == _rows(recompute())
+    assert all(r[0] <= 3 for r in got)
+    assert ("TWENTY" in {r[-1] for r in got})
