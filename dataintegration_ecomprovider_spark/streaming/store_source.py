@@ -47,6 +47,40 @@ CHANGE_COL = "change_type"
 _MOR_CHG = "__mor_chg"
 
 
+def _arrow_filter(where):
+    """The store's (col, op, value) predicate triples as a pyarrow
+    dataset expression — REAL pushdown: the scanner skips row groups via
+    parquet statistics and never materializes non-matching rows into
+    pandas.  Same algebra as publish.scan_table."""
+    import pyarrow.dataset as ds
+
+    expr = None
+    for pred in where:
+        col, op = pred[0], pred[1]
+        value = pred[2] if len(pred) > 2 else None
+        f = ds.field(col)
+        if op in ("=", "=="):
+            e = f == value
+        elif op == "<":
+            e = f < value
+        elif op == "<=":
+            e = f <= value
+        elif op == ">":
+            e = f > value
+        elif op == ">=":
+            e = f >= value
+        elif op == "in":
+            e = f.isin(list(value))
+        elif op == "is_null":
+            e = f.is_null()
+        elif op == "is_not_null":
+            e = ~f.is_null()
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def _shard_ids(pdf, keys: Sequence[str], num_shards: int):
     """Vectorized deterministic shard id per row: key columns are string-
     canonicalized, concatenated, and hashed with pandas' fixed-key row
@@ -62,6 +96,44 @@ def _shard_ids(pdf, keys: Sequence[str], num_shards: int):
     return h % num_shards
 
 
+def _pandas_mask(pdf, where):
+    """The predicate triples as a boolean mask over a replayed frame —
+    the post-MoR-replay residual filter (NA comparisons exclude, like
+    SQL)."""
+    import pandas as pd
+
+    mask = None
+    for pred in where:
+        col, op = pred[0], pred[1]
+        value = pred[2] if len(pred) > 2 else None
+        s = pdf[col]
+        if op in ("=", "=="):
+            m = s == value
+        elif op == "<":
+            m = s < value
+        elif op == "<=":
+            m = s <= value
+        elif op == ">":
+            m = s > value
+        elif op == ">=":
+            m = s >= value
+        elif op == "in":
+            m = s.isin(list(value))
+        elif op == "is_null":
+            m = s.isna()
+        elif op == "is_not_null":
+            m = ~s.isna()
+        else:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        try:
+            m = m.fillna(False)
+        except (TypeError, ValueError):
+            pass
+        m = m.astype(bool)
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
 def _version_frame(
     root: str,
     table: str,
@@ -70,12 +142,20 @@ def _version_frame(
     keys: Sequence[str],
     shard: int,
     num_shards: int,
+    where: Sequence[tuple] = (),
 ):
     """pandas DataFrame (Arrow-backed dtypes) holding THIS shard of one
     committed version, read via pyarrow (no SparkSession on executors).
     Files stream batch-at-a-time (memory O(batch + shard), never
     O(table)); merge-on-read deltas replay in commit order vectorized
-    (keyed keep-last + delete-marker drop).  Version 0 = empty."""
+    (keyed keep-last + delete-marker drop).  Version 0 = empty.
+
+    `where` restricts the frame to the FILTERED VIEW: the predicate is
+    pushed into the pyarrow scan of the BASE (row-group skipping via
+    parquet stats — a delta override or delete marker for a filtered-out
+    base row still replays, because delta files are never scan-filtered)
+    and re-applied as a residual mask AFTER the MoR replay, so the
+    result is exactly filter(reconstruct(version))."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.dataset as ds
@@ -93,10 +173,18 @@ def _version_frame(
         "hive" if isinstance(entry, dict) and entry.get("partition_by") else None
     )
 
-    def shard_frames(dpath, want_cols, part=None):
+    def shard_frames(dpath, want_cols, part=None, push_filter=False):
         dataset = ds.dataset(dpath, format="parquet", partitioning=part)
-        present = [c for c in want_cols if c in dataset.schema.names]
-        for batch in dataset.scanner(columns=present).to_batches():
+        names = set(dataset.schema.names)
+        present = [c for c in want_cols if c in names]
+        filt = (
+            _arrow_filter(where)
+            # a predicate column absent from this file set (schema
+            # evolution) void the pushdown; the residual mask covers it
+            if push_filter and where and all(p[0] in names for p in where)
+            else None
+        )
+        for batch in dataset.scanner(columns=present, filter=filt).to_batches():
             if batch.num_rows == 0:
                 continue
             pdf = pa.Table.from_batches([batch]).to_pandas(
@@ -113,7 +201,7 @@ def _version_frame(
 
     frames = [
         f.assign(**{_MOR_CHG: "upsert"})
-        for f in shard_frames(path, columns, partitioning)
+        for f in shard_frames(path, columns, partitioning, push_filter=True)
     ]
     # merge-on-read: replay the delta log in commit order (upserts
     # override, delete markers remove) — reading only the base would
@@ -129,6 +217,8 @@ def _version_frame(
     # concat order == commit order, so keep="last" is the MoR override
     merged = merged.drop_duplicates(subset=list(keys), keep="last")
     merged = merged.loc[merged[_MOR_CHG].astype(object) != "delete"]
+    if where and len(merged):
+        merged = merged.loc[_pandas_mask(merged, where)]
     return merged[columns]
 
 
@@ -186,11 +276,14 @@ def _diff_frames(old, new, columns: Sequence[str], keys: Sequence[str]):
     yield from rows(both, list(columns), "update")
 
 
-def _shard_partition(root, table, from_v, to_v, columns, keys, shard, num_shards):
+def _shard_partition(
+    root, table, from_v, to_v, columns, keys, shard, num_shards, where
+):
     """One key-hash shard of a version-range diff, carried as a plain
     InputPartition value (a tuple pickles everywhere)."""
     return InputPartition(
-        (root, table, from_v, to_v, list(columns), list(keys), shard, num_shards)
+        (root, table, from_v, to_v, list(columns), list(keys), shard,
+         num_shards, [list(p) for p in where])
     )
 
 
@@ -215,6 +308,13 @@ class StoreChangesStreamReader(DataSourceStreamReader):
                 "store_changes needs key columns: publish with table_keys= "
                 "or pass .option('keys', 'k1,k2')"
             )
+        where = options.get("where")
+        if where:
+            import json as _json
+
+            self.where = [tuple(p) for p in _json.loads(where)]
+        else:
+            self.where = []
         start = options.get("startingversion")
         if start is None:
             self._initial = publish.current_manifest(self.root)["version"]
@@ -235,15 +335,21 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         return [
             _shard_partition(
                 self.root, self.table, start["version"], end["version"],
-                self.columns, self.keys, shard, self.num_shards,
+                self.columns, self.keys, shard, self.num_shards, self.where,
             )
             for shard in range(self.num_shards)
         ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        root, table, from_v, to_v, columns, keys, shard, num_shards = partition.value
-        old = _version_frame(root, table, from_v, columns, keys, shard, num_shards)
-        new = _version_frame(root, table, to_v, columns, keys, shard, num_shards)
+        (root, table, from_v, to_v, columns, keys, shard, num_shards,
+         where) = partition.value
+        where = [tuple(p) for p in where]
+        old = _version_frame(
+            root, table, from_v, columns, keys, shard, num_shards, where
+        )
+        new = _version_frame(
+            root, table, to_v, columns, keys, shard, num_shards, where
+        )
         yield from _diff_frames(old, new, columns, keys)
 
     def commit(self, end: dict) -> None:
@@ -258,7 +364,11 @@ class StoreChangesDataSource(DataSource):
     (int | "earliest"; default = the version current when the stream
     starts, i.e. new changes only), partitions (key-hash shards per
     micro-batch, default 1 — each extra shard re-scans the version's
-    files, so raise it only when the diff compute itself dominates)."""
+    files, so raise it only when the diff compute itself dominates),
+    where (JSON list of scan_table predicate triples, e.g.
+    '[["grp","=","a"]]' — tail the FILTERED view's CDC with the
+    predicate pushed into the pyarrow base scans, the streaming twin of
+    read_changes(where=...))."""
 
     @classmethod
     def name(cls) -> str:

@@ -279,3 +279,60 @@ def test_stream_over_schema_evolved_mor_table(spark, tmp_path):
     # from version 0: pre-evolution rows arrive null-filled
     got0 = _read_stream(spark, root, str(tmp_path / "cke0"), startingVersion="earliest")
     assert (1, "a", None, "insert") in _rows(got0)
+
+
+def test_stream_filtered_view_changes(spark, store, tmp_path):
+    """The `where` option tails the FILTERED view's CDC — the streaming
+    twin of read_changes(where=...): both version frames filter through
+    the pushed-down predicate, so rows updated out of the slice arrive
+    as deletes."""
+    import json as _json
+
+    # store fixture: v2→v3 changes id=2 name b→B and inserts id=5
+    got = _read_stream(
+        spark, store, str(tmp_path / "ckw"), startingVersion="2",
+        where=_json.dumps([["name", "in", ["b", "e"]]]),
+    )
+    expected = publish.read_changes(
+        spark, store, "t", 2, 3, keys=["id"],
+        where=[("name", "in", ["b", "e"])],
+    )
+    assert _rows(got) == _rows(expected)
+    # id=2's rename to "B" leaves the filtered view -> delete of old row;
+    # id=5 ("e") enters it -> insert
+    assert _rows(got) == sorted(
+        [(2, "b", 25.0, "delete"), (5, "e", 50.0, "insert")]
+    )
+
+
+def test_stream_filtered_view_over_mor_markers(spark, tmp_path):
+    """Delta delete markers (null value columns) must still retract
+    filtered-in base rows: the predicate is pushed ONLY into the base
+    scan, never into delta files."""
+    import json as _json
+
+    root = str(tmp_path / "morwstore")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+            "id bigint, name string, val double",
+        )},
+        root, table_keys={"t": ["id"]},
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(3, "a", 33.0)], "id bigint, name string, val double"),
+        deletes=spark.createDataFrame([(1,)], "id bigint"),
+    )
+    got = _read_stream(
+        spark, root, str(tmp_path / "ckwm"), startingVersion="1",
+        where=_json.dumps([["name", "=", "a"]]),
+    )
+    expected = publish.read_changes(
+        spark, root, "t", 1, 2, keys=["id"], where=[("name", "=", "a")],
+    )
+    assert _rows(got) == _rows(expected)
+    assert _rows(got) == sorted(
+        [(1, "a", 10.0, "delete"), (3, "a", 33.0, "insert")]
+    )
