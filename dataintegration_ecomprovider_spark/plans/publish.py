@@ -643,7 +643,6 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     # — the pruned dirs are unreferenced the instant the commit lands.
     with _manifest_lock(root):
         manifest = current_manifest(root)
-        spills = list(manifest.get("history_spills", []))
         history = _all_history(root, manifest)  # spilled + inline, oldest first
         keep_hist = history[len(history) - (keep_versions - 1):] if keep_versions > 1 else []
         pruned = history[: len(history) - len(keep_hist)]
@@ -673,11 +672,26 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
         new_manifest.pop("history_spills", None)
         _commit(root, manifest.get("txid") or "vacuum", new_manifest)
 
-    for sp in spills:  # superseded checkpoint files, post-commit cleanup
-        try:
-            os.remove(os.path.join(root, HISTORY_DIR, sp["file"]))
-        except OSError:
-            pass
+    # post-commit cleanup: the superseded checkpoint files, plus any
+    # unreferenced _history residue (a spill written by a commit that
+    # then failed its manifest swap — harmless but permanent otherwise).
+    # Under the lock: spill files are always written inside a commit's
+    # critical section, so a locked sweep cannot delete a file an
+    # in-flight commit is about to reference.
+    hist_dir = os.path.join(root, HISTORY_DIR)
+    if os.path.isdir(hist_dir):
+        with _manifest_lock(root):
+            referenced = {
+                sp["file"]
+                for sp in current_manifest(root).get("history_spills", [])
+            }
+            for fname in os.listdir(hist_dir):
+                if fname in referenced:
+                    continue
+                try:
+                    os.remove(os.path.join(hist_dir, fname))
+                except OSError:
+                    pass
 
     removed_paths: list[str] = []
     for h in pruned:
