@@ -2222,6 +2222,70 @@ def _prune_entry(entry, where: Sequence[tuple]) -> tuple[list[str], int]:
     return kept, total
 
 
+def explain_skipping(
+    root: str, name: str, where: Sequence[tuple]
+) -> list[dict]:
+    """Per-file skip report for a selective scan — the operational
+    "why did/didn't this prune" question, answered from metadata alone
+    (no Spark job): one dict per data file with ``kept`` and, when
+    skipped, which mechanism proved absence (``minmax`` per failing
+    predicate, or ``bloom``).  Use it to decide whether a table needs
+    recluster()/write_bloom_sidecar before burning a 100 TB scan on a
+    predicate the layout can't serve."""
+    manifest = current_manifest(root)
+    if name not in manifest["tables"]:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    entry = manifest["tables"][name]
+    path = entry["path"] if isinstance(entry, dict) else entry
+    entries = _load_stats_entries(path)
+    if entries is None:
+        return [
+            {"file": os.path.relpath(f, path), "kept": True,
+             "reason": "no stats collected"}
+            for f in _data_files(path)
+        ]
+    report = []
+    survivors: dict[str, dict] = {}
+    for e in entries:
+        failing = [
+            list(p)
+            for p in where
+            if not _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
+        ]
+        if failing:
+            report.append(
+                {"file": e["file"], "kept": False, "pruned_by": "minmax",
+                 "predicates": failing}
+            )
+        else:
+            survivors[e["file"]] = {"file": e["file"], "kept": True}
+    bloom_path = os.path.join(path, BLOOM_FILE)
+    if survivors and os.path.exists(bloom_path):
+        with open(bloom_path, encoding="utf-8") as fh:
+            bloom = json.load(fh)
+        for p in where:
+            col, op, value = p[0], p[1], (p[2] if len(p) > 2 else None)
+            colmeta = bloom["columns"].get(col)
+            if colmeta is None or value is None or op not in ("=", "==", "in"):
+                continue
+            bitmaps = _load_bloom_bitmaps(path, bloom, col, set(survivors))
+            values = list(value) if op == "in" else [value]
+            for rel in list(survivors):
+                bm = bitmaps.get(rel)
+                if bm is not None and not any(
+                    _bitmap_may_contain(bm, colmeta["k"], colmeta["m"], v)
+                    for v in values
+                ):
+                    row = survivors.pop(rel)
+                    row.update(
+                        {"kept": False, "pruned_by": "bloom",
+                         "predicates": [list(p)]}
+                    )
+                    report.append(row)
+    report.extend(survivors.values())
+    return sorted(report, key=lambda r: r["file"])
+
+
 def _predicate_column(pred: tuple):
     col, op, *rest = pred
     if op not in _OPS:

@@ -214,3 +214,32 @@ def test_bloom_build_is_executor_side_and_metadata_sharded(spark, tmp_path):
     assert len(publish._data_files(path)) == 6
     got = publish.scan_table(spark, root, "t", where=[("uid", "=", 77)])
     assert _rows(got) == {(77, "u77")}
+
+
+def test_explain_skipping_reports_mechanism_per_file(spark, tmp_path):
+    """The metadata-only skip report agrees with prune_files and names
+    WHICH mechanism (min/max range vs Bloom) excluded each file."""
+    root = _seed(spark, tmp_path, n=2000)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"], fpp=0.001)
+
+    # in-domain point lookup: every hash-scattered file's [min, max]
+    # covers it (min/max prunes nothing), so every skip is Bloom's
+    where = [("uid", "=", 777)]
+    report = publish.explain_skipping(root, "t", where)
+    kept, total = publish.prune_files(root, "t", where)
+    assert len(report) == total
+    assert 1 <= sum(r["kept"] for r in report) == len(kept) < total
+    assert all(
+        r["kept"] or r["pruned_by"] == "bloom" for r in report
+    )
+
+    # after a sorted rewrite the range itself prunes
+    publish.recluster(spark, root, "t", ["uid"], max_overlap=1.5,
+                      target_files=8)
+    where = [("uid", "<", 200)]
+    report = publish.explain_skipping(root, "t", where)
+    kept, total = publish.prune_files(root, "t", where)
+    assert sum(r["kept"] for r in report) == len(kept) < total
+    assert any(
+        not r["kept"] and r["pruned_by"] == "minmax" for r in report
+    )
