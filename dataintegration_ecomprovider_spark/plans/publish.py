@@ -1076,7 +1076,7 @@ def read_changes(
         if fast is not None:
             return fast
     if where:
-        old = scan_table_at(spark, root, name, from_version, where)
+        old = _scan_version_conformed(spark, root, name, from_version, where)
         new = scan_table_at(spark, root, name, to_version, where)
     else:
         old = read_table_at(spark, root, name, from_version)
@@ -1151,11 +1151,17 @@ def _mor_changes_fast(
     dkeys = deltas.select(*keys).distinct()
     if _deltas_bytes(suffix) <= MOR_BROADCAST_MAX_BYTES:
         dkeys = F.broadcast(dkeys)
-    old_from = (
-        _scan_entry(spark, from_entry, where)  # pruned filtered-view read
-        if where
-        else _read_entry(spark, from_entry)
-    )
+    old_from = _read_entry(spark, from_entry)
+    if where:
+        missing = {p[0] for p in where} - set(old_from.columns)
+        if missing:
+            # predicate column postdates this version (schema evolution):
+            # absent reads as null → comparisons match nothing
+            for c in missing:
+                old_from = old_from.withColumn(c, F.lit(None))
+            old_from = old_from.filter(_where_condition(where))
+        else:
+            old_from = _scan_entry(spark, from_entry, where)  # pruned read
     old_scoped = old_from.join(dkeys, on=keys, how="left_semi")
     if isinstance(to_entry, dict) and to_entry.get("schema_json"):
         # schema evolved between the versions: diff in the TO-version's
@@ -2368,6 +2374,30 @@ def _where_condition(where: Sequence[tuple]):
         c = _predicate_column(pred)
         cond = c if cond is None else (cond & c)
     return cond
+
+
+def _scan_version_conformed(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int,
+    where: Sequence[tuple],
+) -> DataFrame:
+    """scan_table_at that tolerates predicate columns the OLD version
+    predates (filtered CDC across a schema evolution): an absent column
+    reads as null, so comparison predicates match nothing — the same
+    rows the widened diff would see."""
+    tables = tables_at(root, version)
+    if name not in tables:
+        raise KeyError(f"table {name!r} absent at version {version}")
+    entry = tables[name]
+    df = _read_entry(spark, entry)
+    missing = {p[0] for p in where} - set(df.columns)
+    if not missing:
+        return _scan_entry(spark, entry, where)
+    for c in missing:
+        df = df.withColumn(c, F.lit(None))
+    return df.filter(_where_condition(where))
 
 
 def _scan_entry(spark: SparkSession, entry, where: Sequence[tuple]) -> DataFrame:

@@ -688,3 +688,39 @@ def test_scan_table_at_prunes_historical_version(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [(1500, 3000)]
     # version 2 no longer holds the row; the historical scan still does
     assert publish.scan_table(spark, root, "t", [("k", "=", 1500)]).count() == 0
+
+
+def test_filtered_cdc_across_schema_evolution(spark, tmp_path):
+    """read_changes(where=...) on a column the OLD version predates: the
+    old side reads the column as null (matching nothing), so every
+    post-evolution row entering the slice arrives as an insert — both on
+    the generic path and the MoR fast path."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, name string"
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(2, "b2", "EU"), (3, "c", "US")],
+            "id bigint, name string, region string",
+        ),
+        evolve_schema=True,
+    )
+    got = publish.read_changes(
+        spark, root, "t", 1, 2, keys=["id"], where=[("region", "=", "EU")]
+    )
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (2, "b2", "EU", "insert")
+    ]
+    # generic path (bypass the MoR suffix): compact first, then diff
+    publish.compact(spark, root, "t")
+    got = publish.read_changes(
+        spark, root, "t", 1, 3, keys=["id"], where=[("region", "is_null")]
+    )
+    # v1 rows all had null region (absent); at v3 ids 2,3 have regions:
+    # id=2 leaves the null-region slice (delete of old image), id=1 stays
+    rows = sorted(tuple(r) for r in got.collect())
+    assert (2, "b", None, "delete") in rows
+    assert all(t[0] != 1 for t in rows)  # unchanged inside the slice
