@@ -845,3 +845,31 @@ def test_maintain_join_over_filtered_fact_slice(spark, tmp_path):
     assert got == _rows(recompute())
     assert all(r[0] <= 3 for r in got)
     assert ("TWENTY" in {r[-1] for r in got})
+
+
+def test_maintain_filtered_slice_with_min_max_recompute(spark, tmp_path):
+    """src_where composed with MIN/MAX maintenance: a retraction of the
+    slice's current extreme forces the targeted recompute, which must
+    read the SLICE-scoped source (not the full table) to find the next
+    extreme."""
+    root = str(tmp_path / "store")
+    v1 = spark.createDataFrame(
+        [(1, "s1", "a", 10.0), (2, "s1", "a", 99.0), (3, "s2", "a", 500.0)],
+        "id bigint, shop string, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": v1}, root, table_keys={"t": ["id"]})
+    spec = dict(src="t", dst="s1_minmax", group_cols=["grp"], sum_cols=[],
+                min_cols=["val"], max_cols=["val"],
+                src_where=[("shop", "=", "s1")])
+    materialize.maintain_aggregate(spark, root, **spec)
+    got = {tuple(r) for r in publish.read_table(spark, root, "s1_minmax").collect()}
+    assert got == {("a", 2, 10.0, 99.0)}  # s2's 500 must not be the max
+
+    # delete the slice's max holder: recompute must pick 10.0, not 500.0
+    publish.publish_tables(
+        spark, {"t": v1.filter(F.col("id") != 2)}, root
+    )
+    res = materialize.maintain_aggregate(spark, root, **spec)
+    assert res["mode"] == "delta"
+    got = {tuple(r) for r in publish.read_table(spark, root, "s1_minmax").collect()}
+    assert got == {("a", 1, 10.0, 10.0)}
