@@ -1679,18 +1679,17 @@ def write_bloom_sidecar(
 
     import pyarrow.dataset as _ds
 
-    counts = (
-        _ds.dataset(os.path.join(path, dirname), format="parquet")
-        .to_table(columns=["col"])
-        .column("col")
-        .to_pylist()
+    index_ds = _ds.dataset(os.path.join(path, dirname), format="parquet")
+    num_files = max(
+        (
+            index_ds.count_rows(filter=_ds.field("col") == c)
+            for c in columns
+        ),
+        default=0,
     )
-    from collections import Counter
-
-    per_col = Counter(counts)
     return {
         "columns": {c: {"m": m, "k": k} for c, (m, k) in params.items()},
-        "num_files": max(per_col.values(), default=0),
+        "num_files": num_files,
     }
 
 
