@@ -307,3 +307,16 @@ def test_join_ivm_refresh_broadcasts_delta_sized_keys(spark):
         ):
             raise AssertionError(f"affected-key join not broadcast: {ln}")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_assignments_broadcasts_centroids(spark):
+    """Topic clustering must keep IVF's scale shape: centroids broadcast
+    (BroadcastNestedLoopJoin over ≤k rows), the corpus side never
+    shuffles for the scoring join, and no SortMergeJoin appears."""
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    out = similarity.cluster_assignments(emb, n_clusters=8, iters=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
