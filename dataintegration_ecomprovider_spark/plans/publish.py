@@ -773,7 +773,58 @@ def collect_orphans(
                 removed.append(path)
             if not os.listdir(txdir):
                 os.rmdir(txdir)
+
+    # superseded sidecar checkpoints INSIDE referenced version dirs: a
+    # stats/bloom rebuild flips the sidecar JSON to a new _stats-*/
+    # _bloom-* dir and leaves the old one for this sweep (deleting at
+    # rebuild time could yank a checkpoint from under a reader that had
+    # already loaded the old JSON).  Same age gate as data orphans.
+    for path in sorted(referenced):
+        removed.extend(
+            _sweep_sidecar_checkpoints(path, min_age_seconds, now=now)
+        )
     return {"removed_paths": removed}
+
+
+def _sweep_sidecar_checkpoints(
+    path: str, min_age_seconds: float, now: float | None = None
+) -> list[str]:
+    """Delete _stats-*/_bloom-* checkpoint dirs under one version dir that
+    the CURRENT sidecar JSONs no longer reference and that are older than
+    `min_age_seconds`.  Runs regardless of the current sidecar's format
+    (an inline _STATS.json after a compact still sheds its previous
+    parquet checkpoint)."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return []
+    now = time.time() if now is None else now
+    live: set[str] = set()
+    for fname in (STATS_FILE, BLOOM_FILE):
+        try:
+            with open(os.path.join(path, fname), encoding="utf-8") as fh:
+                d = json.load(fh).get("dir")
+            if d:
+                live.add(d)
+        except (OSError, ValueError):
+            continue
+    removed: list[str] = []
+    for d in os.listdir(path):
+        if not (d.startswith("_stats-") or d.startswith("_bloom-")) or d in live:
+            continue
+        full = os.path.join(path, d)
+        if not os.path.isdir(full):
+            continue
+        newest = max(
+            (os.path.getmtime(os.path.join(dp, f))
+             for dp, _dn, fs in os.walk(full) for f in fs),
+            default=os.path.getmtime(full),
+        )
+        if now - newest < min_age_seconds:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
+    return removed
 
 
 def merge_into(
@@ -1477,12 +1528,13 @@ def write_stats_sidecar(path: str, columns: Sequence[str] | None = None) -> dict
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(sidecar, fh)
     os.replace(tmp, os.path.join(path, STATS_FILE))
-    if sidecar.get("format") == "parquet":
-        for d in os.listdir(path):  # superseded checkpoints, post-commit
-            if d.startswith("_stats-") and d != sidecar["dir"]:
-                import shutil
-
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # superseded _stats-* checkpoint dirs are NOT deleted here: a reader
+    # that already parsed the old sidecar JSON may still be mid-scan of
+    # the old dir (the version-dir immutability contract).  They are
+    # swept age-gated by collect_orphans/maintain_store — and that sweep
+    # runs regardless of the NEW sidecar's format, so a fallback to an
+    # inline sidecar after a compact doesn't strand the previous
+    # parquet checkpoint forever.
     return {
         "rows": total_rows,
         "bytes": sum(e["bytes"] for e in entries),
@@ -1501,11 +1553,14 @@ STATS_SHARD_ROWS = 100_000  # rows per stats-checkpoint parquet file
 # Parsed-stats cache: version directories are immutable (a rewrite lands
 # in a NEW dir), so per-path entries can be reused across prune calls —
 # repeated selective scans of a million-file table parse its checkpoint
-# once, not per query.  The sidecar mtime guards the one mutation that
-# exists (write_stats_sidecar re-running over the same dir, e.g. after a
-# MoR delta commit refreshes delta-dir stats).  Bounded LRU-ish: evict
-# oldest beyond _STATS_CACHE_MAX paths.
-_STATS_CACHE: dict[str, tuple[float, list[dict] | None]] = {}
+# once, not per query.  An (mtime_ns, size) stat pair guards the one
+# mutation that exists (write_stats_sidecar re-running over the same dir,
+# e.g. after a MoR delta commit refreshes delta-dir stats) — second-
+# granularity mtime alone can serve stale entries when a refresh lands
+# within the same clock second.  Bounded LRU-ish: evict oldest beyond
+# _STATS_CACHE_MAX paths; races on the plain dict are benign (worst case
+# a redundant parse).
+_STATS_CACHE: dict[str, tuple[tuple[int, int], list[dict] | None]] = {}
 _STATS_CACHE_MAX = 64
 
 
@@ -1514,16 +1569,18 @@ def _load_stats_entries(path: str) -> list[dict] | None:
     or parquet-checkpointed; None when the table was published with
     collect_stats=False.  Cached per immutable version directory."""
     sidecar = os.path.join(path, STATS_FILE)
-    if not os.path.exists(sidecar):
+    try:
+        st = os.stat(sidecar)
+    except FileNotFoundError:
         return None
-    mtime = os.path.getmtime(sidecar)
+    stamp = (st.st_mtime_ns, st.st_size)
     hit = _STATS_CACHE.get(path)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == stamp:
         return hit[1]
     entries = _read_stats_entries(sidecar, path)
     if len(_STATS_CACHE) >= _STATS_CACHE_MAX:
         _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
-    _STATS_CACHE[path] = (mtime, entries)
+    _STATS_CACHE[path] = (stamp, entries)
     return entries
 
 
@@ -1670,12 +1727,10 @@ def write_bloom_sidecar(
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(sidecar, fh)
     os.replace(tmp, os.path.join(path, BLOOM_FILE))
-    # the json flip is the commit point — superseded index dirs are garbage
-    import shutil
-
-    for d in os.listdir(path):
-        if d.startswith("_bloom-") and d != dirname:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    # the json flip is the commit point; superseded _bloom-* dirs become
+    # garbage but are swept age-gated by collect_orphans (a reader that
+    # loaded the old json may still be probing the old shards — deleting
+    # here would break the immutable-version-dir contract mid-scan)
 
     import pyarrow.dataset as _ds
 
@@ -1922,9 +1977,9 @@ def recluster(
     force: bool = False,
 ) -> dict:
     """Metadata-DRIVEN re-clustering (the Delta OPTIMIZE-when-needed /
-    liquid-clustering role): measure clustering_overlap on the leading
-    `by` column, and only when it exceeds `max_overlap` rewrite the table
-    clustered — compact(sort_by=by) for one dimension, the Z-order
+    liquid-clustering role): measure clustering_overlap on EACH `by`
+    column, and only when the worst exceeds `max_overlap` rewrite the
+    table clustered — compact(sort_by=by) for one dimension, the Z-order
     compact(cluster_by=by) for several.  The trigger costs a sidecar read
     (no Spark job), so a nightly maintain_store can evaluate EVERY table
     and pay the O(table) rewrite only for the ones whose layout has
@@ -1932,21 +1987,55 @@ def recluster(
     toward append order between rewrites, and re-clustering on a schedule
     (instead of on measured fragmentation) either thrashes or lags.
 
-    Returns {"table", "overlap", "reclustered", ["overlap_after"]}."""
+    The gate measures EVERY `by` column and triggers on the WORST one:
+    after appends, a Z-ordered table's secondary column typically
+    degrades first (the leading column's ranges stay narrow while the
+    secondary's widen to the domain), and a leading-column-only gate
+    would never fire while scans filtered on the secondary silently stop
+    pruning.  Per-column overlaps are returned so the caller can see
+    which dimension drifted.
+
+    Bucketed and hive-partitioned tables pin their file organization
+    (bucket hash / partition directories) — a clustering rewrite cannot
+    be honored, so recluster reports ``reclustered: False`` with a
+    ``reason`` instead of paying a full O(table) rewrite that would
+    change nothing (and compact() itself rejects sort_by/cluster_by on
+    such entries).
+
+    Returns {"table", "overlap", "overlaps", "reclustered",
+    ["overlap_after", "overlaps_after"] | ["reason"]}."""
     by = list(by)
     if not by:
         raise ValueError("recluster needs at least one cluster column")
-    before = clustering_overlap(root, name, by[0])
+    overlaps = {c: clustering_overlap(root, name, c) for c in by}
+    before = max(overlaps.values())
     if not force and before <= max_overlap:
-        return {"table": name, "overlap": before, "reclustered": False}
+        return {
+            "table": name, "overlap": before, "overlaps": overlaps,
+            "reclustered": False,
+        }
+    entry = current_manifest(root)["tables"].get(name)
+    if isinstance(entry, dict) and (
+        entry.get("bucket_keys") or entry.get("partition_by")
+    ):
+        pinned = "bucket_keys" if entry.get("bucket_keys") else "partition_by"
+        return {
+            "table": name, "overlap": before, "overlaps": overlaps,
+            "reclustered": False,
+            "reason": f"layout pinned by {pinned}; clustering rewrite "
+                      "cannot be honored",
+        }
     kw: dict = {"sort_by": by} if len(by) == 1 else {"cluster_by": by}
     if target_files is not None:
         kw["target_files"] = target_files
     compact(spark, root, name, **kw)
+    overlaps_after = {c: clustering_overlap(root, name, c) for c in by}
     return {
         "table": name,
         "overlap": before,
-        "overlap_after": clustering_overlap(root, name, by[0]),
+        "overlaps": overlaps,
+        "overlap_after": max(overlaps_after.values()),
+        "overlaps_after": overlaps_after,
         "reclustered": True,
     }
 
@@ -2539,6 +2628,23 @@ def compact(
         raise KeyError(f"table {name!r} has no committed version under {root}")
     entry = manifest["tables"][name]
     path = entry["path"] if isinstance(entry, dict) else entry
+    if (sort_by or cluster_by or target_files is not None) and isinstance(
+        entry, dict
+    ) and (entry.get("bucket_keys") or entry.get("partition_by")):
+        # bucketed rewrites are pinned to one-file-per-bucket on the
+        # bucket hash, hive-partitioned rewrites to their directory
+        # layout — silently ignoring the clustering request would report
+        # success while changing nothing (and a metadata-gated recluster
+        # loop would then pay a full rewrite every pass forever)
+        pinned = "bucket_keys" if entry.get("bucket_keys") else "partition_by"
+        asked = (
+            "sort_by" if sort_by
+            else "cluster_by" if cluster_by else "target_files"
+        )
+        raise ValueError(
+            f"table {name!r} layout is pinned by {pinned}; "
+            f"{asked} cannot be honored by compact"
+        )
     # count every referenced dir (base + merge-on-read deltas): compact
     # reads through _apply_deltas, so the rewrite folds deltas back into
     # a clean base and the new entry carries none

@@ -883,6 +883,20 @@ FROM membership m GROUP BY m.assortment_id
 
 
 # --- E15/E16/U1-U3 composed: the RunJob pipeline ---------------------------
+
+# Staging prefix for the bucketed pipeline query: stable WITHIN a process
+# (serial re-runs reuse/overwrite their own staging tables, and the
+# plan-shape assertions see deterministic table names) but UNIQUE ACROSS
+# processes — two engine sessions sharing one spark-warehouse/ must not
+# write the same `saveAsTable` staging paths concurrently (a fixed prefix
+# made concurrent bench + pytest runs clobber each other's _temporary
+# dirs with TASK_WRITE_FAILED).  drop_staging_tables("stage_q_u12") still
+# matches: the per-process suffix extends the shared prefix.
+import uuid as _uuid
+
+U12_STAGING_PREFIX = f"stage_q_u12_{_uuid.uuid4().hex[:8]}"
+
+
 def _pipeline_job(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
     from dataintegration_ecomprovider_spark.plans.pipeline import (
         ColumnRule, MappingSpec, run_job,
@@ -915,7 +929,7 @@ def _pipeline_job(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame
         ],
         dest_keys={"orders": ["o_orderkey"]},
         bucketed_staging=bucketed,
-        staging_prefix="stage_q_u12",
+        staging_prefix=U12_STAGING_PREFIX,
     )
     return _orders_fmt(state["orders"])
 

@@ -128,6 +128,22 @@ def test_run_job_bucketed_matches_default(spark):
     assert drop_staging_tables(spark, "stage_q_u12") > 0
 
 
+def test_u12_staging_prefix_is_process_unique():
+    """Two engine processes sharing one spark-warehouse/ must not collide
+    on the bucketed query's staging tables (a fixed prefix crashed
+    concurrent bench + pytest runs with TASK_WRITE_FAILED): the prefix
+    carries a per-process random suffix while still extending the shared
+    'stage_q_u12' stem drop_staging_tables sweeps."""
+    from dataintegration_ecomprovider_spark.plans import write_queries as wq
+
+    assert re.fullmatch(r"stage_q_u12_[0-9a-f]{8}", wq.U12_STAGING_PREFIX)
+    # a fresh derivation (= another process's import) yields a new name
+    import uuid
+
+    other = f"stage_q_u12_{uuid.uuid4().hex[:8]}"
+    assert other != wq.U12_STAGING_PREFIX
+
+
 def test_ci_keyed_publish_loop_stays_exchange_free(spark, tmp_path):
     """Case-insensitive STRING keys across job runs: run_job with
     keep_norm_columns=True -> publish bucketed on the __k_ norm column ->

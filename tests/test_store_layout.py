@@ -839,7 +839,8 @@ def test_clustering_overlap_and_metadata_driven_recluster(spark, tmp_path):
 
     # below-threshold: measured, not rewritten
     res = publish.recluster(spark, root, "t", ["k"], max_overlap=before + 1)
-    assert res == {"table": "t", "overlap": before, "reclustered": False}
+    assert res["table"] == "t" and res["overlap"] == before
+    assert res["overlaps"] == {"k": before} and not res["reclustered"]
 
     res = publish.recluster(spark, root, "t", ["k"], max_overlap=2.0,
                             target_files=8)
@@ -853,6 +854,120 @@ def test_clustering_overlap_and_metadata_driven_recluster(spark, tmp_path):
     # already clustered → the next pass is a metadata-only no-op
     res = publish.recluster(spark, root, "t", ["k"], max_overlap=2.0)
     assert not res["reclustered"]
+
+
+def test_recluster_gates_on_worst_of_all_cluster_columns(spark, tmp_path):
+    """Secondary-column drift (the common mode after appends: the leading
+    column stays clustered while the secondary's per-file ranges widen to
+    the domain) must trigger the rewrite — a leading-column-only gate
+    never fires while scans filtered on the secondary stop pruning."""
+    root = str(tmp_path / "store")
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        # b is a bit-reversal-flavored scramble of id: sorting by a leaves
+        # every file's b-range spanning ~the whole domain
+        ((F.col("id") * 2654435761) % n).alias("b"),
+    )
+    # leading column a perfectly clustered; b scattered per file
+    publish.publish_tables(
+        spark, {"t": df.repartitionByRange(8, "a")
+                .sortWithinPartitions("a")}, root
+    )
+    overlaps = {
+        c: publish.clustering_overlap(root, "t", c) for c in ("a", "b")
+    }
+    assert overlaps["a"] <= 2.0 < overlaps["b"]
+
+    res = publish.recluster(spark, root, "t", ["a", "b"], max_overlap=2.0,
+                            target_files=8)
+    assert res["reclustered"], res
+    assert res["overlaps"]["b"] == overlaps["b"]
+    # post-rewrite, the secondary column's layout serves skipping again
+    # (Z-order over 2 dims and 8 files lands near sqrt(8) ≈ 2.8 per dim)
+    assert res["overlaps_after"]["b"] <= 3.0 < overlaps["b"]
+    rep = publish.explain_skipping(root, "t", [("b", "<", n // 8)])
+    assert any(not r["kept"] for r in rep), "no pruning on b after rewrite"
+
+
+def test_recluster_and_compact_refuse_pinned_layouts(spark, tmp_path):
+    """A bucketed or hive-partitioned entry pins its file organization:
+    compact(sort_by=/cluster_by=/target_files=) must raise rather than
+    silently ignore the request, and recluster must report
+    reclustered=False with a reason instead of paying a no-op O(table)
+    rewrite every nightly pass."""
+    root = str(tmp_path / "store")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    publish.publish_tables(
+        spark, {"b": df}, root, bucket_keys={"b": ["k"]}, num_buckets=4
+    )
+    publish.publish_tables(spark, {"p": df}, root, partition_by={"p": ["v"]})
+
+    for name in ("b", "p"):
+        with pytest.raises(ValueError, match="pinned"):
+            publish.compact(spark, root, name, sort_by=["k"])
+        with pytest.raises(ValueError, match="pinned"):
+            publish.compact(spark, root, name, cluster_by=["k", "v"])
+        res = publish.recluster(spark, root, name, ["k"], max_overlap=0.0,
+                                force=True)
+        assert not res["reclustered"] and "pinned" in res["reason"]
+        # plain compaction (delta folding) still works on pinned layouts
+        assert publish.compact(spark, root, name)["version"] > 0
+    # maintain_store records the skip as a result, not an error
+    report = publish.maintain_store(
+        spark, root,
+        recluster_specs={"b": {"by": ["k"], "max_overlap": 0.0,
+                               "force": True}},
+    )
+    assert not report["reclustered"]["b"]["reclustered"]
+    assert "recluster:b" not in report["errors"]
+
+
+def test_superseded_sidecar_checkpoints_swept_age_gated(spark, tmp_path):
+    """A stats/bloom rebuild must NOT delete the previous _stats-*/
+    _bloom-* checkpoint dir at flip time (a reader holding the old JSON
+    may still be scanning it); collect_orphans sweeps superseded dirs
+    once aged — regardless of whether the NEW stats sidecar is inline or
+    parquet-format."""
+    root = str(tmp_path / "store")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    publish.publish_tables(spark, {"t": df}, root, table_keys={"t": ["k"]})
+    path = publish.current_manifest(root)["tables"]["t"]["path"]
+
+    # two bloom rebuilds: the first dir survives the second's JSON flip
+    publish.write_bloom_sidecar(spark, root, "t", ["k"])
+    first = json.load(open(os.path.join(path, publish.BLOOM_FILE)))["dir"]
+    publish.write_bloom_sidecar(spark, root, "t", ["k"])
+    second = json.load(open(os.path.join(path, publish.BLOOM_FILE)))["dir"]
+    assert first != second
+    assert os.path.isdir(os.path.join(path, first))
+
+    # a stale parquet stats checkpoint left behind while the CURRENT
+    # sidecar is inline-format (the post-compact fallback case)
+    stale_stats = os.path.join(path, "_stats-deadbeef")
+    os.makedirs(stale_stats, exist_ok=True)
+    with open(os.path.join(stale_stats, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"x")
+    assert json.load(
+        open(os.path.join(path, publish.STATS_FILE))
+    ).get("format") != "parquet"
+
+    # age gate: a young dir survives, an aged sweep removes both
+    res = publish.collect_orphans(spark, root, min_age_seconds=3600)
+    assert os.path.isdir(os.path.join(path, first))
+    assert os.path.isdir(stale_stats)
+    res = publish.collect_orphans(spark, root, min_age_seconds=0)
+    assert not os.path.isdir(os.path.join(path, first))
+    assert not os.path.isdir(stale_stats)
+    assert os.path.join(path, first) in res["removed_paths"]
+    # the live checkpoint and the point lookups it serves are untouched
+    assert os.path.isdir(os.path.join(path, second))
+    kept, total = publish.prune_files(root, "t", [("k", "=", 123)])
+    assert 0 < len(kept) <= total
 
 
 def test_maintain_store_recluster_specs_and_bloom_follow(spark, tmp_path):
