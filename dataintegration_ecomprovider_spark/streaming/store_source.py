@@ -19,18 +19,28 @@ semantics as ``publish.read_changes(root, table, v₁, v₂)``, proven
 equivalent in tests/test_store_source.py.
 
 Execution shape: `partitions()` fans the diff out over `partitions`
-key-hash shards (default 1); each executor-side `read()` streams both
-versions' files batch-at-a-time through pyarrow, assigns shards with a
-VECTORIZED deterministic row hash (no per-row Python in the scan), and
-diffs its shard with a keyed pandas merge — per-row Python exists only
-when yielding the O(changes) output tuples the DataSource API requires.
-Memory per task is O(scan batch + shard).  Note each shard re-scans the
-version's files (the predicate is a hash, not pushdownable), so
-`partitions=N` costs N× the I/O — leave it at 1 unless the diff itself
-is the bottleneck.  This is the convenience tail for the streaming glue
-layer; a 100 TB backfill diff belongs in `read_changes` (full JVM join)
-driven by ``foreachBatch`` — the source docstring of each is explicit
-about which side of that line it sits on.
+key-hash shards (default 1); each executor-side `read()` diffs with a
+keyed pandas merge over frames read batch-at-a-time through pyarrow —
+per-row Python exists only when yielding the O(changes) output tuples
+the DataSource API requires.
+
+MERGE-ON-READ FAST PATH (the batch `_mor_changes_fast` ported to the
+tail, plans/publish.py): when the to-version's entry is the
+from-version's entry plus appended delta files — the shape every
+merge_into_mor-fed table produces per commit — the changed keys are
+exactly the suffix deltas' keys, so the batch reads (a) the suffix delta
+files and (b) a KEY-SCOPED read of the from-version (key values pushed
+into the pyarrow scan as isin filters, files pruned through the _STATS
+sidecar when present).  Per micro-batch cost is then I/O ∝ delta +
+pruned-base and memory ∝ delta — NOT two full table reconstructions —
+which is what a 100 TB MoR-fed replica loop needs
+(tests/test_store_source.py pins both equivalence and the file-scoped
+base read).  Versions that are NOT base-sharing log extensions (a
+compact/rewrite landed in between) fall back to the generic full
+reconstruction of both versions, where memory per task is
+O(scan batch + shard) and each extra shard re-scans the files — a
+100 TB backfill diff still belongs in `read_changes` (full JVM join)
+driven by ``foreachBatch``.
 
 Reference analog: none — the reference re-runs jobs idempotently
 (IsFirstJobRun, /root/reference/src/EcomProvider.cs:25, :937-966); a
@@ -134,6 +144,151 @@ def _pandas_mask(pdf, where):
     return mask
 
 
+# Above this many changed keys the fast path stops pushing isin filters
+# into the pyarrow scans / consulting the stats sidecar (the filter-set
+# cost would rival the scan) — the batch stays exact via the per-batch
+# pandas key mask, it just reads more.
+TAIL_PUSHDOWN_MAX_KEYS = 100_000
+
+
+def _scope_sets(key_scope, keys: Sequence[str]):
+    """{key column: plain-python value list} for the changed-key scope;
+    a column is omitted (no pushdown, exact merge still applies) when it
+    holds nulls — arrow isin and null semantics don't mix."""
+    out = {}
+    for k in keys:
+        s = key_scope[k]
+        if s.isna().any():
+            continue
+        out[k] = s.tolist()
+    return out
+
+
+def _scope_arrow_filter(scope_sets, names):
+    """The changed-key scope as a pyarrow conjunction of per-column isin
+    filters — a SUPERSET of the exact key-tuple set (cross products of
+    composite keys survive; the exact inner merge after replay removes
+    them), which is all a pushdown needs to be."""
+    import pyarrow.dataset as ds
+
+    expr = None
+    for k, vals in scope_sets.items():
+        if k not in names:
+            return None  # schema evolution: can't push, mask covers it
+        e = ds.field(k).isin(vals)
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+def _scoped_base_files(entry, path: str, where, scope_sets):
+    """File-level skipping for the key-scoped base read, from the _STATS
+    sidecar alone: keep a file iff every `where` predicate may match
+    (publish's conservative min/max test) AND, per scoped key column,
+    at least one changed key value falls inside the file's [min, max]
+    (binary search, O(files × log keys)).  None = no stats / nothing
+    pruned / hive layout (a file list would drop the partition columns)
+    — scan the directory instead."""
+    import bisect
+    import os
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    entries = publish._load_stats_entries(path)
+    if entries is None:
+        return None
+    sorted_vals = {}
+    for k, vals in scope_sets.items():
+        try:
+            sorted_vals[k] = sorted(vals)
+        except TypeError:
+            continue  # mixed types: skip this column's range test
+
+    def keep(e) -> bool:
+        for p in where:
+            if not publish._file_may_match(
+                e, p[0], p[1], p[2] if len(p) > 2 else None
+            ):
+                return False
+        for k, vals in sorted_vals.items():
+            s = e.get("stats", {}).get(k)
+            if not s or s[0] is None or s[1] is None:
+                continue
+            try:
+                i = bisect.bisect_left(vals, s[0])
+                if i >= len(vals) or vals[i] > s[1]:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    kept = [os.path.join(path, e["file"]) for e in entries if keep(e)]
+    if len(kept) == len(entries):
+        return None
+    return kept
+
+
+def _scan_frames(
+    source,
+    want_cols: Sequence[str],
+    keys: Sequence[str],
+    shard: int,
+    num_shards: int,
+    partitioning=None,
+    where=(),
+    push_where: bool = False,
+    scope_sets=None,
+):
+    """Stream one parquet dir (or explicit file list) batch-at-a-time as
+    pandas frames (Arrow-backed dtypes): absent columns null-fill (schema
+    evolution), the where/key-scope filters push into the pyarrow scan
+    when eligible, and shard + key-scope masks apply per batch so task
+    memory never exceeds O(batch + surviving rows)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(source, format="parquet", partitioning=partitioning)
+    names = set(dataset.schema.names)
+    filt = (
+        _arrow_filter(where)
+        # a predicate column absent from this file set (schema
+        # evolution) voids the pushdown; the residual mask covers it
+        if push_where and where and all(p[0] in names for p in where)
+        else None
+    )
+    if scope_sets and all(
+        len(v) <= TAIL_PUSHDOWN_MAX_KEYS for v in scope_sets.values()
+    ):
+        scope_expr = _scope_arrow_filter(scope_sets, names)
+        if scope_expr is not None:
+            filt = scope_expr if filt is None else (filt & scope_expr)
+    scope_py = (
+        {k: set(v) for k, v in scope_sets.items()} if scope_sets else None
+    )
+    present = [c for c in want_cols if c in names]
+    for batch in dataset.scanner(columns=present, filter=filt).to_batches():
+        if batch.num_rows == 0:
+            continue
+        pdf = pa.Table.from_batches([batch]).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
+        for c in want_cols:
+            if c not in pdf.columns:
+                pdf[c] = None  # schema evolution: absent → null
+        pdf = pdf[list(want_cols)]
+        if scope_py:
+            mask = None
+            for k, vals in scope_py.items():
+                m = pdf[k].isin(vals)
+                mask = m if mask is None else (mask & m)
+            if mask is not None:
+                pdf = pdf.loc[mask]
+        if num_shards > 1 and len(pdf):
+            pdf = pdf.loc[_shard_ids(pdf, keys, num_shards) == shard]
+        if len(pdf):
+            yield pdf
+
+
 def _version_frame(
     root: str,
     table: str,
@@ -143,6 +298,7 @@ def _version_frame(
     shard: int,
     num_shards: int,
     where: Sequence[tuple] = (),
+    key_scope=None,
 ):
     """pandas DataFrame (Arrow-backed dtypes) holding THIS shard of one
     committed version, read via pyarrow (no SparkSession on executors).
@@ -155,15 +311,22 @@ def _version_frame(
     parquet stats — a delta override or delete marker for a filtered-out
     base row still replays, because delta files are never scan-filtered)
     and re-applied as a residual mask AFTER the MoR replay, so the
-    result is exactly filter(reconstruct(version))."""
+    result is exactly filter(reconstruct(version)).
+
+    `key_scope` (a deduplicated pandas frame of key tuples) restricts
+    reconstruction to JUST those keys — the O(delta) tail's from-side
+    read: key values push into every scan as isin filters, the _STATS
+    sidecar prunes base files whose ranges hold no scoped key, and an
+    exact inner merge on the key tuple finishes the job (the per-column
+    pushdown is a superset for composite keys).  Key columns are
+    immutable identifiers, so scoping the DELTA scans too is safe — a
+    delta row for an out-of-scope key cannot affect an in-scope one."""
     import pandas as pd
-    import pyarrow as pa
-    import pyarrow.dataset as ds
 
     from dataintegration_ecomprovider_spark.plans import publish
 
     columns = list(columns)
-    if version == 0:
+    if version == 0 or (key_scope is not None and len(key_scope) == 0):
         return pd.DataFrame(columns=columns)
     entry = publish.tables_at(root, version).get(table)
     if entry is None:
@@ -172,36 +335,22 @@ def _version_frame(
     partitioning = (
         "hive" if isinstance(entry, dict) and entry.get("partition_by") else None
     )
-
-    def shard_frames(dpath, want_cols, part=None, push_filter=False):
-        dataset = ds.dataset(dpath, format="parquet", partitioning=part)
-        names = set(dataset.schema.names)
-        present = [c for c in want_cols if c in names]
-        filt = (
-            _arrow_filter(where)
-            # a predicate column absent from this file set (schema
-            # evolution) void the pushdown; the residual mask covers it
-            if push_filter and where and all(p[0] in names for p in where)
-            else None
-        )
-        for batch in dataset.scanner(columns=present, filter=filt).to_batches():
-            if batch.num_rows == 0:
-                continue
-            pdf = pa.Table.from_batches([batch]).to_pandas(
-                types_mapper=pd.ArrowDtype
-            )
-            for c in want_cols:
-                if c not in pdf.columns:
-                    pdf[c] = None  # schema evolution: absent → null
-            pdf = pdf[want_cols]
-            if num_shards > 1:
-                pdf = pdf.loc[_shard_ids(pdf, keys, num_shards) == shard]
-            if len(pdf):
-                yield pdf
+    scope_sets = _scope_sets(key_scope, keys) if key_scope is not None else None
+    base_source = path
+    if scope_sets and partitioning is None and all(
+        len(v) <= TAIL_PUSHDOWN_MAX_KEYS for v in scope_sets.values()
+    ):
+        pruned = _scoped_base_files(entry, path, where, scope_sets)
+        if pruned is not None:
+            base_source = pruned
 
     frames = [
         f.assign(**{_MOR_CHG: "upsert"})
-        for f in shard_frames(path, columns, partitioning, push_filter=True)
+        for f in ([] if base_source == [] else _scan_frames(
+            base_source, columns, keys, shard, num_shards,
+            partitioning=partitioning if base_source is path else None,
+            where=where, push_where=True, scope_sets=scope_sets,
+        ))
     ]
     # merge-on-read: replay the delta log in commit order (upserts
     # override, delete markers remove) — reading only the base would
@@ -209,7 +358,10 @@ def _version_frame(
     deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
     change = publish.MOR_CHANGE_COL
     for d in deltas:
-        for f in shard_frames(d["path"], columns + [change]):
+        for f in _scan_frames(
+            d["path"], list(columns) + [change], keys, shard, num_shards,
+            scope_sets=scope_sets,
+        ):
             frames.append(f.rename(columns={change: _MOR_CHG}))
     if not frames:
         return pd.DataFrame(columns=columns)
@@ -217,9 +369,83 @@ def _version_frame(
     # concat order == commit order, so keep="last" is the MoR override
     merged = merged.drop_duplicates(subset=list(keys), keep="last")
     merged = merged.loc[merged[_MOR_CHG].astype(object) != "delete"]
+    if key_scope is not None and len(merged):
+        # exact key-tuple scoping (the per-column isin was a superset)
+        merged = merged.merge(key_scope, on=list(keys), how="inner")
     if where and len(merged):
         merged = merged.loc[_pandas_mask(merged, where)]
     return merged[columns]
+
+
+def _mor_tail_frames(
+    root: str,
+    table: str,
+    from_v: int,
+    to_v: int,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    shard: int,
+    num_shards: int,
+    where: Sequence[tuple] = (),
+):
+    """O(delta) (old, new) frames for one micro-batch of a merge-on-read
+    tail — the streaming port of publish._mor_changes_fast.  When the
+    to-version extends the from-version's delta log (same base, appended
+    delta files — what every merge_into_mor commit produces), the keys
+    that can differ are exactly the suffix deltas' keys:
+
+    - `new` = last-wins replay of ONLY the suffix delta rows (minus
+      delete markers), which IS those keys' to-version state;
+    - `old` = the from-version reconstructed for JUST those keys
+      (_version_frame key_scope: isin pushdown + stats-sidecar file
+      pruning on the base scan).
+
+    _diff_frames then classifies insert/update/delete and drops no-op
+    re-upserts exactly as the generic path would.  Returns None when the
+    versions don't share a base (compact/rewrite in between) — caller
+    falls back to full reconstruction.  Reference analog: the
+    incremental re-run model (IsFirstJobRun,
+    /root/reference/src/EcomProvider.cs:25, :937-966) — don't re-read
+    the world to apply a day's changes."""
+    import pandas as pd
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    if from_v <= 0:
+        return None  # first batch reconstructs the full state anyway
+    try:
+        from_entry = publish.tables_at(root, from_v).get(table)
+        to_entry = publish.tables_at(root, to_v).get(table)
+    except KeyError:
+        return None
+    suffix = publish._mor_delta_suffix(from_entry, to_entry)
+    if suffix is None:
+        return None
+    columns = list(columns)
+    change = publish.MOR_CHANGE_COL
+    frames = []
+    for d in suffix:
+        frames.extend(
+            _scan_frames(
+                d["path"], columns + [change], keys, shard, num_shards
+            )
+        )
+    if not frames:
+        empty = pd.DataFrame(columns=columns)
+        return empty, empty
+    deltas = pd.concat(frames, ignore_index=True)
+    # concat order == commit order → keep="last" is each key's final state
+    latest = deltas.drop_duplicates(subset=list(keys), keep="last")
+    key_scope = latest[list(keys)].drop_duplicates()
+    old = _version_frame(
+        root, table, from_v, columns, keys, shard, num_shards, where,
+        key_scope=key_scope,
+    )
+    new = latest.loc[latest[change].astype(object) != "delete"]
+    new = new[columns]
+    if where and len(new):
+        new = new.loc[_pandas_mask(new, where)]
+    return old, new
 
 
 def _py(v):
@@ -344,12 +570,21 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         (root, table, from_v, to_v, columns, keys, shard, num_shards,
          where) = partition.value
         where = [tuple(p) for p in where]
-        old = _version_frame(
-            root, table, from_v, columns, keys, shard, num_shards, where
+        # O(delta) merge-on-read fast path: suffix deltas + a key-scoped
+        # pruned base read, instead of reconstructing both versions
+        fast = _mor_tail_frames(
+            root, table, from_v, to_v, columns, keys, shard, num_shards,
+            where,
         )
-        new = _version_frame(
-            root, table, to_v, columns, keys, shard, num_shards, where
-        )
+        if fast is not None:
+            old, new = fast
+        else:
+            old = _version_frame(
+                root, table, from_v, columns, keys, shard, num_shards, where
+            )
+            new = _version_frame(
+                root, table, to_v, columns, keys, shard, num_shards, where
+            )
         yield from _diff_frames(old, new, columns, keys)
 
     def commit(self, end: dict) -> None:

@@ -281,6 +281,160 @@ def test_stream_over_schema_evolved_mor_table(spark, tmp_path):
     assert (1, "a", None, "insert") in _rows(got0)
 
 
+def test_mor_tail_reads_delta_suffix_not_both_versions(spark, tmp_path):
+    """The O(delta) fast path (the batch _mor_changes_fast ported to the
+    tail): for a base-sharing MoR version chain a micro-batch must read
+    (a) ONLY the suffix delta files and (b) a key-scoped, stats-pruned
+    subset of the base — never reconstruct both versions in full.  Pins
+    bytes-read ∝ delta via the actual scan sources, and byte-identical
+    output vs the JVM-side read_changes oracle."""
+    from pyspark.sql.datasource import InputPartition
+
+    from dataintegration_ecomprovider_spark.streaming import store_source
+
+    root = str(tmp_path / "morfast")
+    n = 4000
+    # base clustered on the key → per-file [min, max] key ranges are
+    # disjoint, so the scoped read can prove most files irrelevant
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+        F.col("id").cast("double").alias("val"),
+    ).repartitionByRange(8, "id").sortWithinPartitions("id")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    path = publish.current_manifest(root)["tables"]["t"]["path"]
+    base_files = {os.path.join(path, os.path.basename(f))
+                  for f in publish._data_files(path)}
+    assert len(base_files) == 8
+
+    # two MoR commits touching a handful of keys in ONE file's range
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(10, "upd10", 1.5), (11, "upd11", 2.5), (n + 7, "new", 7.0)],
+            "id bigint, name string, val double",
+        ),
+        deletes=spark.createDataFrame([(12,)], "id bigint"),
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(10, "upd10b", 1.75)], "id bigint, name string, val double"
+        ),
+    )
+
+    cols, keys = ["id", "name", "val"], ["id"]
+    scanned: list = []
+    orig = store_source._scan_frames
+
+    def spy(source, want_cols, *a, **kw):
+        scanned.append(source)
+        return orig(source, want_cols, *a, **kw)
+
+    try:
+        store_source._scan_frames = spy
+        part = store_source._shard_partition(
+            root, "t", 2, 3, cols, keys, 0, 1, ())
+        got = sorted(
+            store_source.StoreChangesStreamReader.read(_reader_stub(), part)
+        )
+    finally:
+        store_source._scan_frames = orig
+
+    expected = sorted(
+        tuple(r)
+        for r in publish.read_changes(spark, root, "t", 2, 3, keys=keys).collect()
+    )
+    assert got == expected == [(10, "upd10b", 1.75, "update")]
+
+    # scan sources: the v2→v3 batch may touch the ONE suffix delta dir,
+    # the from-version's own delta dir (key-scoped), and a PRUNED base
+    # file list — never the full base directory, never the to-version
+    # reconstructed
+    entry3 = publish.tables_at(root, 3)["t"]
+    suffix_dir = entry3["deltas"][-1]["path"]
+    prior_delta_dir = entry3["deltas"][0]["path"]
+    base_list_scans = [s for s in scanned if isinstance(s, list)]
+    assert base_list_scans, f"base scan was not file-pruned: {scanned}"
+    for files in base_list_scans:
+        assert len(files) < len(base_files)  # ∝ delta, not table
+        assert set(files) <= base_files
+    dir_scans = {s for s in scanned if isinstance(s, str)}
+    assert suffix_dir in dir_scans
+    assert path not in dir_scans, "full base directory was scanned"
+    assert dir_scans <= {suffix_dir, prior_delta_dir}
+
+
+def _reader_stub():
+    """A bare object exposing nothing — StoreChangesStreamReader.read is
+    effectively static (all state travels in the partition tuple), so the
+    fast-path test invokes it without building a reader/session."""
+    class _R:
+        pass
+
+    return _R()
+
+
+def test_mor_tail_fast_path_matches_generic_under_where_and_shards(
+    spark, tmp_path
+):
+    """Property pin: for a MoR chain the fast path must equal the full
+    two-version reconstruction row-for-row — across key shards, with a
+    filtered view, including no-op re-upserts (dropped), deletes of
+    absent keys (no row), and updates into/out of the predicate slice."""
+    from dataintegration_ecomprovider_spark.streaming import store_source
+
+    root = str(tmp_path / "morprop")
+    base = spark.createDataFrame(
+        [(i, "grp" + str(i % 3), float(i)) for i in range(60)],
+        "id bigint, grp string, val double",
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [
+                (1, "grp1", 1.0),     # no-op re-upsert → must NOT surface
+                (2, "grp0", 99.0),    # value update within slice
+                (3, "grp9", 3.0),     # grp update OUT of any slice
+                (70, "grp0", 70.0),   # insert
+            ],
+            "id bigint, grp string, val double",
+        ),
+        deletes=spark.createDataFrame([(5,), (500,)], "id bigint"),  # 500 absent
+    )
+
+    cols, keys = ["id", "grp", "val"], ["id"]
+    for where in ([], [("grp", "=", "grp0")]):
+        for num_shards in (1, 3):
+            fast_rows, generic_rows = [], []
+            for s in range(num_shards):
+                fast = store_source._mor_tail_frames(
+                    root, "t", 1, 2, cols, keys, s, num_shards, where)
+                assert fast is not None, "fast path not taken"
+                fast_rows.extend(
+                    store_source._diff_frames(fast[0], fast[1], cols, keys))
+                generic_rows.extend(store_source._diff_frames(
+                    store_source._version_frame(
+                        root, "t", 1, cols, keys, s, num_shards, where),
+                    store_source._version_frame(
+                        root, "t", 2, cols, keys, s, num_shards, where),
+                    cols, keys))
+            assert sorted(fast_rows) == sorted(generic_rows), (where, num_shards)
+    # a compact breaks the base-sharing chain → fast path declines
+    publish.compact(spark, root, "t")
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, "grp0", 100.0)],
+                              "id bigint, grp string, val double"),
+    )
+    assert store_source._mor_tail_frames(
+        root, "t", 2, 3, cols, keys, 0, 1, ()) is None  # across the rewrite
+    fast = store_source._mor_tail_frames(
+        root, "t", 3, 4, cols, keys, 0, 1, ())
+    assert fast is not None  # the new chain re-enables it
+
+
 def test_stream_filtered_view_changes(spark, store, tmp_path):
     """The `where` option tails the FILTERED view's CDC — the streaming
     twin of read_changes(where=...): both version frames filter through
