@@ -620,17 +620,98 @@ def clone_table(
         return _commit(dest_root, txid, new)
 
 
+READERS_FILE = "_READERS.json"
+READER_DEFAULT_TTL = 7 * 24 * 3600.0
+
+
+def _read_readers(root: str) -> dict:
+    path = os.path.join(root, READERS_FILE)
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh).get("readers", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_readers(root: str, readers: dict) -> None:
+    tmp = os.path.join(root, READERS_FILE + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"readers": readers}, fh)
+    os.replace(tmp, os.path.join(root, READERS_FILE))
+
+
+def register_reader(
+    root: str,
+    name: str,
+    version: int,
+    ttl_seconds: float = READER_DEFAULT_TTL,
+) -> dict:
+    """Record (or renew) a named consumer's minimum-retained-version
+    floor: vacuum will not prune version `version` or anything newer
+    while the lease is unexpired.  The store_changes streaming source
+    renews this at every epoch commit (`.option("reader", name)`) —
+    its NEXT offset is a store version, and a vacuum pruning past it
+    would kill the stream unrecoverably at restart; any external
+    incremental consumer (replicate_table schedulers, foreachBatch
+    loops) can hold a floor the same way.  Leases expire after
+    `ttl_seconds` (Delta-style operational guard: a consumer that died
+    without unregistering stops pinning history after the TTL).
+
+    Returns the recorded lease {"version", "expires_at_unix"}."""
+    if version < 0:
+        raise ValueError("reader floor version must be >= 0")
+    lease = {
+        "version": int(version),
+        "expires_at_unix": time.time() + float(ttl_seconds),
+    }
+    with _manifest_lock(root):
+        readers = _read_readers(root)
+        readers[name] = lease
+        _write_readers(root, readers)
+    return lease
+
+
+def unregister_reader(root: str, name: str) -> bool:
+    """Drop a consumer's retention floor (call when the stream/consumer
+    is decommissioned).  Returns True when a lease existed."""
+    with _manifest_lock(root):
+        readers = _read_readers(root)
+        existed = readers.pop(name, None) is not None
+        if existed:
+            _write_readers(root, readers)
+    return existed
+
+
+def active_reader_floors(root: str, now: float | None = None) -> dict:
+    """{name: lease} for every unexpired reader lease."""
+    now = time.time() if now is None else now
+    return {
+        name: lease
+        for name, lease in _read_readers(root).items()
+        if lease.get("expires_at_unix", 0) > now
+    }
+
+
 def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     """Prune history: keep the current version plus the newest
     `keep_versions - 1` historical versions; delete data directories (and
     drop bucketed-table catalog entries) referenced ONLY by pruned
     versions.  Time travel/rollback remain available within the kept
     window.  At 100 TB this is the storage-reclamation step a versioned
-    store needs — the same role as Delta VACUUM; like there, a reader
-    pinned to a pruned version loses it, so keep_versions is an
-    operational retention policy, not a correctness knob.
+    store needs — the same role as Delta VACUUM; like there, an
+    INTERACTIVE reader pinned to a pruned version loses it, so
+    keep_versions is an operational retention policy, not a correctness
+    knob.  Named consumers whose next read depends on a version
+    surviving — a store_changes stream's checkpointed offset IS a store
+    version — hold a retention floor via register_reader(): every
+    version at or above the lowest unexpired floor is kept regardless
+    of keep_versions (expired leases are ignored and garbage-collected
+    here).
 
-    Returns {"removed_versions": [...], "removed_paths": [...]}.
+    Returns {"removed_versions": [...], "removed_paths": [...],
+    "reader_floors": {name: version} (the active floors honored)}.
     """
     import shutil
 
@@ -644,10 +725,35 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     with _manifest_lock(root):
         manifest = current_manifest(root)
         history = _all_history(root, manifest)  # spilled + inline, oldest first
-        keep_hist = history[len(history) - (keep_versions - 1):] if keep_versions > 1 else []
-        pruned = history[: len(history) - len(keep_hist)]
+        cut = len(history) - (keep_versions - 1) if keep_versions > 1 else len(history)
+        # reader leases: nothing at or above the lowest active floor is
+        # pruned; expired leases drop out of the file while we hold the lock
+        readers = _read_readers(root)
+        now = time.time()
+        active = {
+            name: lease for name, lease in readers.items()
+            if lease.get("expires_at_unix", 0) > now
+        }
+        if active != readers:
+            _write_readers(root, active)
+        floors = {name: lease["version"] for name, lease in active.items()}
+        if floors:
+            floor = min(floors.values())
+            cut = min(
+                cut,
+                next(
+                    (i for i, h in enumerate(history) if h["version"] >= floor),
+                    len(history),
+                ),
+            )
+        cut = max(cut, 0)
+        keep_hist = history[cut:]
+        pruned = history[:cut]
         if not pruned:
-            return {"removed_versions": [], "removed_paths": []}
+            return {
+                "removed_versions": [], "removed_paths": [],
+                "reader_floors": floors,
+            }
 
         def paths_of(tables: dict) -> set[str]:
             out = set()
@@ -711,6 +817,7 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     return {
         "removed_versions": [h["version"] for h in pruned],
         "removed_paths": removed_paths,
+        "reader_floors": floors,
     }
 
 

@@ -548,6 +548,22 @@ class StoreChangesStreamReader(DataSourceStreamReader):
             self._initial = 0
         else:
             self._initial = int(start)
+        self.reader = options.get("reader")
+        self.reader_ttl = float(
+            options.get("readerttl", publish.READER_DEFAULT_TTL)
+        )
+        if self.reader and self.reader not in publish.active_reader_floors(
+            self.root
+        ):
+            # first start of a named stream: pin its initial offset (and
+            # everything newer) against vacuum before any batch plans.
+            # Only when NO active lease exists — Spark constructs reader
+            # instances freely, and re-registering _initial from a later
+            # instance would drag an advanced floor back to
+            # startingVersion; partitions()/commit() own renewals.
+            publish.register_reader(
+                self.root, self.reader, self._initial, self.reader_ttl
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self._initial}
@@ -558,6 +574,17 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         return {"version": publish.current_manifest(self.root)["version"]}
 
     def partitions(self, start: dict, end: dict):
+        if self.reader:
+            # renew the retention floor at batch-PLAN time with the
+            # from-version this batch (and any replay of it after a
+            # mid-batch crash) needs — commit() also renews, but Spark
+            # may stop an availableNow run before calling it, so the
+            # plan-time renewal is what keeps the floor current
+            from dataintegration_ecomprovider_spark.plans import publish
+
+            publish.register_reader(
+                self.root, self.reader, start["version"], self.reader_ttl
+            )
         return [
             _shard_partition(
                 self.root, self.table, start["version"], end["version"],
@@ -588,7 +615,16 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         yield from _diff_frames(old, new, columns, keys)
 
     def commit(self, end: dict) -> None:
-        pass  # versions are immutable until vacuum; nothing to release
+        # versions are immutable until vacuum; nothing to release — but a
+        # NAMED stream renews its vacuum-retention lease here: the next
+        # batch diffs FROM end["version"], so that version (and newer)
+        # must survive until a later commit advances the floor
+        if self.reader:
+            from dataintegration_ecomprovider_spark.plans import publish
+
+            publish.register_reader(
+                self.root, self.reader, end["version"], self.reader_ttl
+            )
 
 
 class StoreChangesDataSource(DataSource):
@@ -603,7 +639,11 @@ class StoreChangesDataSource(DataSource):
     where (JSON list of scan_table predicate triples, e.g.
     '[["grp","=","a"]]' — tail the FILTERED view's CDC with the
     predicate pushed into the pyarrow base scans, the streaming twin of
-    read_changes(where=...))."""
+    read_changes(where=...)), reader (a consumer name: the stream
+    registers and renews a vacuum-retention lease so its checkpointed
+    next offset — a store version — cannot be pruned out from under it;
+    see publish.register_reader), readerTtl (lease seconds, default 7
+    days)."""
 
     @classmethod
     def name(cls) -> str:

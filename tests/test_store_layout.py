@@ -970,6 +970,45 @@ def test_superseded_sidecar_checkpoints_swept_age_gated(spark, tmp_path):
     assert 0 < len(kept) <= total
 
 
+def test_vacuum_honors_active_reader_leases(spark, tmp_path):
+    """A registered reader floor pins its version (and everything newer)
+    against vacuum; expired leases prune normally and are garbage-
+    collected; unregistering releases the floor."""
+    root = str(tmp_path / "store")
+    for i in range(5):  # versions 1..5
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame([(i,)], "v bigint")},
+            root,
+        )
+
+    publish.register_reader(root, "tail-a", 2)
+    publish.register_reader(root, "expired-b", 1, ttl_seconds=-1.0)
+    res = publish.vacuum(spark, root, keep_versions=1)
+    # active floor at 2 keeps 2..5; only version 1 is prunable
+    assert res["removed_versions"] == [1]
+    assert res["reader_floors"] == {"tail-a": 2}
+    for v in (2, 3, 4, 5):
+        assert publish.read_table_at(spark, root, "t", v).count() == 1
+    with pytest.raises(KeyError):
+        publish.read_table_at(spark, root, "t", 1)
+    # the expired lease was swept from the file
+    assert set(publish.active_reader_floors(root)) == {"tail-a"}
+    assert "expired-b" not in publish._read_readers(root)
+
+    # renewing the lease forward releases older versions
+    publish.register_reader(root, "tail-a", 4)
+    res = publish.vacuum(spark, root, keep_versions=1)
+    assert res["removed_versions"] == [2, 3]
+
+    # unregister → plain retention applies again
+    assert publish.unregister_reader(root, "tail-a")
+    assert not publish.unregister_reader(root, "tail-a")
+    res = publish.vacuum(spark, root, keep_versions=1)
+    assert res["removed_versions"] == [4]
+    assert publish.read_table_at(spark, root, "t", 5).count() == 1
+
+
 def test_maintain_store_recluster_specs_and_bloom_follow(spark, tmp_path):
     """maintain_store evaluates recluster_specs per table and rebuilds
     the Bloom sidecar AFTER the rewrite (the rewrite sheds it), so the

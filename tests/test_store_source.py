@@ -435,6 +435,45 @@ def test_mor_tail_fast_path_matches_generic_under_where_and_shards(
     assert fast is not None  # the new chain re-enables it
 
 
+def test_named_stream_holds_vacuum_retention_lease(spark, store, tmp_path):
+    """A stream started with .option("reader", name) registers a
+    retention floor at its NEXT offset and renews it at every epoch
+    commit — vacuum then refuses to prune the version the checkpoint
+    will diff from, so a restart after vacuum keeps working; an
+    anonymous stream gets no lease (documented Delta-style hazard)."""
+    ck = str(tmp_path / "cklease")
+    got = _read_stream(
+        spark, store, ck, startingVersion="2", reader="repl-loop"
+    )
+    assert got.count() == 2  # v2→v3 diff
+    floors = publish.active_reader_floors(store)
+    # the floor tracks the last PLANNED batch's from-version (Spark may
+    # stop an availableNow run before commit() fires) — never higher
+    # than the checkpointed offset, so always protective
+    assert floors["repl-loop"]["version"] in (2, 3)
+
+    # four more versions land; vacuum hard to keep_versions=1
+    for i in range(4):
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame(
+                [(100 + i, "z", 1.0)], "id bigint, name string, val double"
+            )},
+            store,
+        )
+    res = publish.vacuum(spark, store, keep_versions=1)
+    assert res["reader_floors"]["repl-loop"] in (2, 3)
+    assert 3 not in res["removed_versions"]
+    # the checkpointed stream RESUMES across the vacuum: its from-version
+    # survived, so the next pass delivers the 3→7 diff exactly
+    got2 = _read_stream(spark, store, ck, startingVersion="2", reader="repl-loop")
+    expected = publish.read_changes(spark, store, "t", 3, 7, keys=["id"])
+    assert _rows(got2) == sorted(_rows(got) + _rows(expected))
+    # the restart re-planned from the checkpoint: the floor advanced past
+    # the vacuum-era version even though startingVersion still says 2
+    assert publish.active_reader_floors(store)["repl-loop"]["version"] >= 3
+
+
 def test_stream_filtered_view_changes(spark, store, tmp_path):
     """The `where` option tails the FILTERED view's CDC — the streaming
     twin of read_changes(where=...): both version frames filter through
