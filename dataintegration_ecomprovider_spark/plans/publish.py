@@ -3016,6 +3016,16 @@ def snapshot(
             )
         eligible = [c for c in candidates if c[0] <= cutoff]
         if not eligible:
+            # Spilled history is scanned ONLY when no inline candidate
+            # qualifies.  Sound because spilled entries are STRICTLY
+            # older than every inline one: _history_fields spills the
+            # oldest prefix, and vacuum re-inlines the kept (newest)
+            # tail while shedding all spill pointers — so re-spills
+            # again take the oldest prefix.  Pinned through the full
+            # spill → vacuum → re-spill cycle in
+            # test_store_layout.test_snapshot_timestamp_resolution_
+            # across_spill_inline_boundary; revisit if manifest surgery
+            # ever interleaves spilled and inline ranges.
             for sp in manifest.get("history_spills", []):
                 for h in _spilled_entries(root, sp):
                     if (

@@ -1104,6 +1104,69 @@ def test_history_spill_model_property(spark, tmp_path_factory, ops, monkeypatch)
             publish.read_table_at(spark, root, "t", version)
 
 
+def test_snapshot_timestamp_resolution_across_spill_inline_boundary(
+    spark, tmp_path, monkeypatch
+):
+    """snapshot(timestamp=) scans spilled history only when NO inline
+    candidate qualifies — a shortcut that is correct ONLY while every
+    spilled entry is strictly older than every inline one.  Pin that
+    invariant through the manifest surgery that could break it: spill →
+    vacuum (re-inlines the kept tail, sheds the spill pointers) →
+    publish past the cap again (re-spills).  At every stage, for a
+    cutoff at each surviving version's commit time, resolution must find
+    the true latest-at-or-before version — including cutoffs that land
+    INSIDE the spilled range while inline candidates exist above it."""
+    monkeypatch.setattr(publish, "HISTORY_INLINE_MAX", 3)
+    root = str(tmp_path / "store")
+
+    def commit(v: int):
+        publish.publish_tables(
+            spark, {"t": spark.createDataFrame([(v,)], "val bigint")}, root
+        )
+
+    def commit_times() -> dict[int, float]:
+        m = publish.current_manifest(root)
+        out = {m["version"]: m["committed_at_unix"]}
+        for h in publish._all_history(root, m):
+            out[h["version"]] = h["committed_at_unix"]
+        return out
+
+    def assert_resolution():
+        times = commit_times()
+        m = publish.current_manifest(root)
+        # spilled entries strictly precede inline history (the invariant
+        # the scan-order shortcut rides on)
+        inline_versions = [h["version"] for h in m.get("history", [])]
+        spilled_max = max(
+            (sp["to"] for sp in m.get("history_spills", [])), default=-1
+        )
+        if inline_versions:
+            assert spilled_max < min(inline_versions)
+        for v, ts in times.items():
+            snap = publish.snapshot(spark, root, timestamp=ts)
+            expect = max(w for w, t in times.items() if t <= ts)
+            assert snap.version == expect, (v, snap.version, expect)
+            assert snap.table("t").collect()[0]["val"] == expect - 1
+
+    for i in range(9):  # versions 1..9: 1..5 spill, 6..8 inline, 9 current
+        commit(i)
+    assert publish.current_manifest(root).get("history_spills")
+    assert_resolution()
+
+    # vacuum re-inlines the kept tail and sheds the spill checkpoints...
+    publish.vacuum(spark, root, keep_versions=4)
+    m = publish.current_manifest(root)
+    assert not m.get("history_spills")
+    assert_resolution()
+
+    # ...and committing past the cap again re-spills the re-inlined tail
+    for i in range(9, 15):  # versions 10..15
+        commit(i)
+    m = publish.current_manifest(root)
+    assert m.get("history_spills"), "expected a re-spill after the vacuum"
+    assert_resolution()
+
+
 def test_store_snapshot_is_cross_table_consistent(spark, store):
     """One snapshot pins EVERY table to the same committed version —
     publishes landing after the pin (to either table) are invisible
