@@ -1,11 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "iters": N}.
 
 Each query executes to completion through the noop sink (all columns
 materialized — count() alone would let Catalyst prune the work away).
-"""
+
+Per-query times are the MEDIAN of $SPARK_GRAFT_BENCH_ITERS (default 3)
+construction-inclusive iterations, and the suite total is the sum of
+medians: single-run numbers on a shared VM swing ±20% with scheduler
+noise, which had drowned per-query round-over-round comparisons.  The
+median basis makes a 1.2× per-query delta a signal again; BASELINE.md
+documents the basis change."""
 
 from __future__ import annotations
 
@@ -132,7 +138,10 @@ def _warmup(spark) -> None:
 
 
 def main() -> None:
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
@@ -140,19 +149,27 @@ def main() -> None:
 
     _warmup(spark)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        # time construction + execution: queries whose builders run eager
-        # work (bucketed staging writes in run_job) must pay it inside the
-        # measured window, same as the driver would
-        t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # free persisted intermediates so no query benefits from (or pays
-        # the memory of) a predecessor's caches
-        runtime.release_caches(spark)
+    # round-robin over iterations (1st pass of every query, then 2nd...)
+    # rather than back-to-back repeats, so a transient VM stall inflates
+    # one sample of MANY queries instead of all samples of one query —
+    # the median then discards it
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(iters):
+        for name in HEADLINE:
+            # time construction + execution: queries whose builders run
+            # eager work (bucketed staging writes in run_job) must pay it
+            # inside the measured window, same as the driver would
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+            # free persisted intermediates so no query benefits from (or
+            # pays the memory of) a predecessor's caches
+            runtime.release_caches(spark)
 
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -160,6 +177,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "iters": iters,
     }))
     spark.stop()
 

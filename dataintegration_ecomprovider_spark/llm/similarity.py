@@ -464,12 +464,36 @@ def cluster_assignments(
         embeddings, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col,
         portable=portable, refine_iters=iters,
     )
+    return assign_to_index(
+        embeddings, idx["centroids"], id_col=id_col, vec_col=vec_col
+    )
+
+
+def assign_to_index(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment of a batch against an EXISTING
+    centroid table — the incremental half of topic clustering: a
+    continuously-fed corpus assigns each NEW ingest batch in O(batch)
+    (broadcast ≤n_clusters centroids, partition-local scoring, one top-1
+    window over the batch alone) while every already-assigned document's
+    (vec_id, cid, csim) row stays byte-stable, because nothing is
+    recomputed.  Pair with a persisted `ivf_index` in the versioned
+    store (publish centroids once, `merge_into` the per-batch
+    assignments — the llm/incremental.py MinHash-index ingest pattern)
+    and recenter periodically by rebuilding the index in a maintenance
+    pass when drift warrants.  Columns: (vec_id, cid, csim), identical
+    to cluster_assignments — which is exactly this function applied to
+    the corpus that built the index."""
     scored = (
         embeddings.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).cast("array<double>").alias("__v"),
         )
-        .crossJoin(F.broadcast(idx["centroids"]))
+        .crossJoin(F.broadcast(centroids))
         .select(
             "vec_id", "cid",
             F.round(cosine(F.col("__v"), F.col("cvec")), 6).alias("csim"),

@@ -933,6 +933,95 @@ SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _topic_clusters_incremental(
+    spark: SparkSession, sf_dir: str, portable: bool
+) -> DataFrame:
+    """Two-batch incremental topic maintenance (round 6): build + refine
+    the centroid index on the FIRST ingest batch only, publish centroids
+    and the batch's assignments to a versioned store, then assign the
+    SECOND batch against the PERSISTED centroids (O(batch) broadcast
+    scoring — the corpus that built the index is never re-touched) and
+    merge the delta in.  Already-assigned rows stay byte-stable (pinned
+    in tests/test_llm_incremental.py); the continuously-fed corpus's
+    mixture-balancing loop, pairing with llm_dedup_incremental's
+    MinHash-index ingest pattern.  Recentering = periodic index rebuild
+    in a maintenance pass."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    batch2 = emb.filter(F.col("vec_id") % 2 != 0)
+
+    idx = similarity.ivf_index(
+        batch1, n_centroids=16, portable=portable, refine_iters=2
+    )
+    root = tempfile.mkdtemp(prefix="topic_incr_")
+    publish.publish_tables(
+        spark,
+        {
+            "topic_centroids": idx["centroids"],
+            "topic_assignments": similarity.assign_to_index(
+                batch1, idx["centroids"]
+            ),
+        },
+        root,
+        table_keys={"topic_assignments": ["vec_id"]},
+    )
+    # second ingest: score ONLY the new rows against the stored centroids
+    delta = similarity.assign_to_index(
+        batch2, publish.read_table(spark, root, "topic_centroids")
+    )
+    publish.merge_into(spark, root, "topic_assignments", delta)
+    return publish.read_table(spark, root, "topic_assignments")
+
+
+def q_topic_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topic_clusters_incremental(spark, sf_dir, portable=False)
+
+
+def q_topic_clusters_incremental_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _topic_clusters_incremental(spark, sf_dir, portable=True)
+
+
+# Centroids derive from batch 1 (vec_id % 2 = 0) alone — seed pick and
+# both Lloyd iterations run over `v` = batch 1 — while the final
+# assignment covers every document; the incremental two-batch ingest
+# must equal that single expression exactly.
+ORACLE_TOPIC_CLUSTERS_INCREMENTAL_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+{_lloyd_iter_sql("cent0", "cent1")},
+{_lloyd_iter_sql("cent1", "cent2")},
+vall AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ascore AS (
+  SELECT a.vec_id, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM vall a CROSS JOIN cent2 c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+)
+SELECT vec_id, cid, csim FROM aranked WHERE crank = 1
+"""
+
+
 ORACLE_TOPIC_CLUSTERS_PORTABLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1443,6 +1532,13 @@ QUERIES = {
     "llm_topic_clusters": QueryDef(q_topic_clusters, None),
     "llm_topic_clusters_portable": QueryDef(
         q_topic_clusters_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
+    ),
+    "llm_topic_clusters_incremental": QueryDef(
+        q_topic_clusters_incremental, None
+    ),
+    "llm_topic_clusters_incremental_portable": QueryDef(
+        q_topic_clusters_incremental_portable,
+        ORACLE_TOPIC_CLUSTERS_INCREMENTAL_PORTABLE,
     ),
     "llm_quality_filter_quantile": QueryDef(
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER

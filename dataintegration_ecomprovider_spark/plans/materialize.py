@@ -799,6 +799,61 @@ def declared_views(root: str) -> dict:
         return json.load(fh)
 
 
+VIEW_ERRORS_FILE = "_VIEW_ERRORS.json"
+VIEW_ERRORS_MAX = 100
+
+
+def record_view_errors(root: str, batch_id, errors: dict) -> None:
+    """Append one refresh-failure record to the store's queryable error
+    log (`_VIEW_ERRORS.json`, newest last, bounded to VIEW_ERRORS_MAX
+    entries).  stream_into_store's non-strict mode calls this so "views
+    are failing but ingest continues" is an OPERATIONAL SIGNAL an
+    operator/monitor can poll via view_refresh_errors(), not just a
+    WARNING line lost in driver logs."""
+    import time as _time
+
+    record = {
+        "batch_id": batch_id,
+        "at_unix": _time.time(),
+        "errors": {k: str(v) for k, v in errors.items()},
+    }
+    with publish._manifest_lock(root):
+        log = view_refresh_errors(root)
+        log.append(record)
+        log = log[-VIEW_ERRORS_MAX:]
+        tmp = os.path.join(root, VIEW_ERRORS_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(log, fh)
+        os.replace(tmp, os.path.join(root, VIEW_ERRORS_FILE))
+
+
+def view_refresh_errors(root: str) -> list[dict]:
+    """The recorded view-refresh failures, oldest first: [{"batch_id",
+    "at_unix", "errors": {dst: message}}].  Empty when refreshes are
+    healthy; a fixed declaration stops appending (the view catches up on
+    the next batch) but history stays until clear_view_errors."""
+    path = os.path.join(root, VIEW_ERRORS_FILE)
+    if not os.path.exists(path):
+        return []
+    try:
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return []
+
+
+def clear_view_errors(root: str) -> int:
+    """Drop the recorded failure history (after an operator has acted on
+    it).  Returns how many records were cleared."""
+    with publish._manifest_lock(root):
+        n = len(view_refresh_errors(root))
+        try:
+            os.remove(os.path.join(root, VIEW_ERRORS_FILE))
+        except FileNotFoundError:
+            pass
+    return n
+
+
 def _view_sources(spec: dict) -> list[str]:
     """The table names a declared view reads from."""
     if spec.get("kind") == "aggregate":

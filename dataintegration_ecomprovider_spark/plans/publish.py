@@ -1311,7 +1311,7 @@ def _mor_changes_fast(
         dkeys = F.broadcast(dkeys)
     old_from = _read_entry(spark, from_entry)
     if where:
-        missing = {p[0] for p in where} - set(old_from.columns)
+        missing = _where_columns(where) - set(old_from.columns)
         if missing:
             # predicate column postdates this version (schema evolution):
             # absent reads as null → comparisons match nothing
@@ -2331,6 +2331,171 @@ def _comparable(a, b):
     return None, None
 
 
+# --- boolean predicate trees ------------------------------------------------
+#
+# The `where` algebra is a sequence of NODES, AND-combined at the top
+# level (so the historical list-of-triples form is unchanged).  A node is
+# either a leaf triple (col, op[, value]) or a composite
+#     ("and", node, ...) | ("or", node, ...) | ("not", node)
+# — the reference's multi-shop scoping emits exactly such disjunctions
+# (OR of shop equality filters, src/EcomSourceReader.cs:175-183), which
+# AND-only triples could not express (a full read + client-side filter).
+# Every consumer — Spark Column, pyarrow pushdown, pandas residual mask,
+# min/max file skipping, Bloom probes — evaluates the same tree, so data
+# skipping still engages per disjunct.
+
+_BOOL_OPS = {"and", "or", "not"}
+
+
+def _is_composite(node) -> bool:
+    """Composite boolean node vs leaf triple: composites start with a
+    boolean-op string and every child is itself a node (list/tuple);
+    a leaf's second element is an op STRING, so the shapes can't
+    collide even for a column literally named "or"."""
+    return (
+        isinstance(node, (list, tuple))
+        and len(node) >= 2
+        and isinstance(node[0], str)
+        and node[0].lower() in _BOOL_OPS
+        and all(isinstance(c, (list, tuple)) for c in node[1:])
+    )
+
+
+def _norm_where(where) -> list:
+    """Deep-normalize a predicate tree to nested plain lists — JSON- and
+    pickle-friendly (the streaming source ships predicates through
+    DataSource options and InputPartition tuples)."""
+    out = []
+    for node in where:
+        if _is_composite(node):
+            out.append([node[0].lower(), *_norm_where(node[1:])])
+        else:
+            out.append(list(node))
+    return out
+
+
+def _where_columns(where) -> set[str]:
+    """Every column referenced anywhere in a predicate tree."""
+    cols: set[str] = set()
+    for node in where:
+        if _is_composite(node):
+            cols |= _where_columns(node[1:])
+        else:
+            cols.add(node[0])
+    return cols
+
+
+def _node_may_match(entry: dict, node) -> bool:
+    """Conservative three-valued evaluation of one predicate node against
+    a file's stats: False ONLY when the file provably holds no matching
+    row.  NOT flips to the dual question — "could any row fail the
+    inner predicate" — answered by _node_must_match."""
+    if _is_composite(node):
+        op = node[0].lower()
+        if op == "and":
+            return all(_node_may_match(entry, c) for c in node[1:])
+        if op == "or":
+            return any(_node_may_match(entry, c) for c in node[1:])
+        return not all(_node_must_match(entry, c) for c in node[1:])  # not
+    return _file_may_match(
+        entry, node[0], node[1], node[2] if len(node) > 2 else None
+    )
+
+
+def _node_must_match(entry: dict, node) -> bool:
+    """True ONLY when the stats prove EVERY row of the file matches the
+    node (the certainty NOT needs: ¬p may match a file unless p must).
+    False is always safe — it just keeps the file."""
+    if _is_composite(node):
+        op = node[0].lower()
+        if op == "and":
+            return all(_node_must_match(entry, c) for c in node[1:])
+        if op == "or":
+            return any(_node_must_match(entry, c) for c in node[1:])
+        # ("not", a, b, ...) reads as ¬(a ∧ b ∧ ...):
+        # must(¬x) = not may(x)
+        return not all(_node_may_match(entry, c) for c in node[1:])
+    col, op = node[0], node[1]
+    value = node[2] if len(node) > 2 else None
+    s = entry.get("stats", {}).get(col)
+    if s is None:
+        return False
+    mn, mx, nulls = s
+    rows = entry.get("rows")
+    if op == "is_null":
+        return nulls is not None and rows is not None and nulls == rows
+    if nulls is None or nulls > 0:
+        # any null row fails every other predicate form
+        return False
+    if op == "is_not_null":
+        return True  # nulls == 0
+    if mn is None or mx is None:
+        return False
+    if op == "in":
+        return any(_node_must_match(entry, (col, "=", v)) for v in value)
+    mn_c, v = _comparable(mn, value)
+    mx_c, _ = _comparable(mx, value)
+    if mn_c is None or mx_c is None:
+        return False
+    if op in ("=", "=="):
+        return mn_c == v == mx_c
+    if op == "<":
+        return mx_c < v
+    if op == "<=":
+        return mx_c <= v
+    if op == ">":
+        return mn_c > v
+    if op == ">=":
+        return mn_c >= v
+    return False
+
+
+def _node_bloom_may_match(node, columns_meta, bitmaps: dict, rel: str) -> bool:
+    """Bloom-filter evaluation of one node for one file: False only when
+    the index proves no row can match.  Handles = / in leaves on indexed
+    columns, descends through AND/OR (each disjunct probed separately),
+    and abstains (True) on NOT — a Bloom filter proves absence, never
+    the total presence ¬p would need."""
+    if _is_composite(node):
+        op = node[0].lower()
+        if op == "and":
+            return all(
+                _node_bloom_may_match(c, columns_meta, bitmaps, rel)
+                for c in node[1:]
+            )
+        if op == "or":
+            return any(
+                _node_bloom_may_match(c, columns_meta, bitmaps, rel)
+                for c in node[1:]
+            )
+        return True  # not
+    col, op = node[0], node[1]
+    value = node[2] if len(node) > 2 else None
+    colmeta = columns_meta.get(col)
+    if colmeta is None or value is None or op not in ("=", "==", "in"):
+        return True
+    bm = bitmaps.get(col, {}).get(rel)
+    if bm is None:
+        return True  # file unknown to the index (e.g. all-null column)
+    values = list(value) if op == "in" else [value]
+    return any(
+        _bitmap_may_contain(bm, colmeta["k"], colmeta["m"], v) for v in values
+    )
+
+
+def _bloom_probe_columns(where) -> set[str]:
+    """Indexable columns a Bloom pass could consult: = / in leaves,
+    excluding anything under NOT (bloom abstains there)."""
+    cols: set[str] = set()
+    for node in where:
+        if _is_composite(node):
+            if node[0].lower() in ("and", "or"):
+                cols |= _bloom_probe_columns(node[1:])
+        elif node[1] in ("=", "==", "in") and len(node) > 2:
+            cols.add(node[0])
+    return cols
+
+
 def _file_may_match(entry: dict, col: str, op: str, value) -> bool:
     """Conservative skip decision: False ONLY when the file provably holds
     no matching row."""
@@ -2387,37 +2552,30 @@ def _prune_entry(entry, where: Sequence[tuple]) -> tuple[list[str], int]:
         kept = [
             os.path.join(path, e["file"])
             for e in entries
-            if all(
-                _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
-                for p in where
-            )
+            if all(_node_may_match(e, p) for p in where)
         ]
         total = len(entries)
 
     # second pass: per-file Bloom filters (write_bloom_sidecar) prove
-    # absence for = / in predicates that min/max ranges can't
+    # absence for = / in predicates (also inside OR/AND subtrees — each
+    # disjunct is probed separately) that min/max ranges can't
     bloom_path = os.path.join(path, BLOOM_FILE)
     if kept and os.path.exists(bloom_path):
         with open(bloom_path, encoding="utf-8") as fh:
             bloom = json.load(fh)
-        for p in where:
-            col, op, value = p[0], p[1], (p[2] if len(p) > 2 else None)
-            colmeta = bloom["columns"].get(col)
-            if colmeta is None or value is None:
-                continue
-            if op not in ("=", "==", "in") or not kept:
-                continue
+        probe_cols = _bloom_probe_columns(where) & set(bloom["columns"])
+        if probe_cols:
             rels = {f: os.path.relpath(f, path) for f in kept}
-            bitmaps = _load_bloom_bitmaps(path, bloom, col, set(rels.values()))
-            values = list(value) if op == "in" else [value]
+            bitmaps = {
+                col: _load_bloom_bitmaps(path, bloom, col, set(rels.values()))
+                for col in probe_cols
+            }
             kept = [
                 f
                 for f in kept
-                # file unknown to the index (e.g. all-null column) → keep
-                if (bm := bitmaps.get(rels[f])) is None
-                or any(
-                    _bitmap_may_contain(bm, colmeta["k"], colmeta["m"], v)
-                    for v in values
+                if all(
+                    _node_bloom_may_match(p, bloom["columns"], bitmaps, rels[f])
+                    for p in where
                 )
             ]
     return kept, total
@@ -2448,11 +2606,7 @@ def explain_skipping(
     report = []
     survivors: dict[str, dict] = {}
     for e in entries:
-        failing = [
-            list(p)
-            for p in where
-            if not _file_may_match(e, p[0], p[1], p[2] if len(p) > 2 else None)
-        ]
+        failing = [list(p) for p in where if not _node_may_match(e, p)]
         if failing:
             report.append(
                 {"file": e["file"], "kept": False, "pruned_by": "minmax",
@@ -2464,30 +2618,45 @@ def explain_skipping(
     if survivors and os.path.exists(bloom_path):
         with open(bloom_path, encoding="utf-8") as fh:
             bloom = json.load(fh)
-        for p in where:
-            col, op, value = p[0], p[1], (p[2] if len(p) > 2 else None)
-            colmeta = bloom["columns"].get(col)
-            if colmeta is None or value is None or op not in ("=", "==", "in"):
-                continue
-            bitmaps = _load_bloom_bitmaps(path, bloom, col, set(survivors))
-            values = list(value) if op == "in" else [value]
-            for rel in list(survivors):
-                bm = bitmaps.get(rel)
-                if bm is not None and not any(
-                    _bitmap_may_contain(bm, colmeta["k"], colmeta["m"], v)
-                    for v in values
-                ):
-                    row = survivors.pop(rel)
-                    row.update(
-                        {"kept": False, "pruned_by": "bloom",
-                         "predicates": [list(p)]}
-                    )
-                    report.append(row)
+        probe_cols = _bloom_probe_columns(where) & set(bloom["columns"])
+        if probe_cols:
+            bitmaps = {
+                col: _load_bloom_bitmaps(path, bloom, col, set(survivors))
+                for col in probe_cols
+            }
+            for p in where:
+                for rel in list(survivors):
+                    if not _node_bloom_may_match(
+                        p, bloom["columns"], bitmaps, rel
+                    ):
+                        row = survivors.pop(rel)
+                        row.update(
+                            {"kept": False, "pruned_by": "bloom",
+                             "predicates": [list(p)]}
+                        )
+                        report.append(row)
     report.extend(survivors.values())
     return sorted(report, key=lambda r: r["file"])
 
 
 def _predicate_column(pred: tuple):
+    if _is_composite(pred):
+        op = pred[0].lower()
+        children = [_predicate_column(c) for c in pred[1:]]
+        if op == "and":
+            out = children[0]
+            for c in children[1:]:
+                out = out & c
+            return out
+        if op == "or":
+            out = children[0]
+            for c in children[1:]:
+                out = out | c
+            return out
+        out = children[0]  # ("not", a, b, ...) = ¬(a ∧ b ∧ ...)
+        for c in children[1:]:
+            out = out & c
+        return ~out
     col, op, *rest = pred
     if op not in _OPS:
         raise ValueError(f"unsupported predicate op {op!r} (one of {sorted(_OPS)})")
@@ -2520,10 +2689,16 @@ def scan_table(
     files whose recorded [min, max] ranges can satisfy every predicate —
     the rest are never listed, opened, or planned.
 
-    `where` is a sequence of ``(column, op, value)`` triples, AND-combined;
-    op ∈ {=, ==, <, <=, >, >=, in, is_null, is_not_null} — the same
-    skipping-friendly predicate algebra Delta evaluates against its file
-    stats.  The predicates are ALSO applied as a Spark filter (residual
+    `where` is a sequence of predicate NODES, AND-combined: each node is
+    a ``(column, op, value)`` triple with
+    op ∈ {=, ==, <, <=, >, >=, in, is_null, is_not_null}, or a nested
+    boolean tree ``("or", node, ...)`` / ``("and", node, ...)`` /
+    ``("not", node)`` — e.g. the reference's multi-shop scoping
+    ``("or", ("shop", "=", "a"), ("shop", "=", "b"))``
+    (src/EcomSourceReader.cs:175-183).  The same skipping-friendly
+    algebra Delta evaluates against its file stats; min/max (and Bloom)
+    skipping engages per disjunct, and NOT prunes a file only when the
+    stats prove every row matches the negated predicate.  The predicates are ALSO applied as a Spark filter (residual
     rows inside kept files are still filtered, and Catalyst pushes the
     filter into the parquet scan for row-group skipping), so results are
     exact regardless of how coarse the file stats are.
@@ -2587,7 +2762,7 @@ def _scan_version_conformed(
         raise KeyError(f"table {name!r} absent at version {version}")
     entry = tables[name]
     df = _read_entry(spark, entry)
-    missing = {p[0] for p in where} - set(df.columns)
+    missing = _where_columns(where) - set(df.columns)
     if not missing:
         return _scan_entry(spark, entry, where)
     for c in missing:

@@ -1035,6 +1035,90 @@ def q_cdc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_filtered_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean predicate TREES over the store (round 6): CDC of the view
+    (o_custkey in [100, 140) OR o_custkey in [1000, 1040)) AND NOT
+    (o_orderstatus = 'X') —
+    the reference's multi-shop scoping emits exactly such OR-of-equality
+    slices (src/EcomSourceReader.cs:175-183), which AND-only triples
+    could not express.  Both versions are range-layed-out on o_custkey,
+    and the query ASSERTS file skipping engages per disjunct (files
+    outside both custkey windows are pruned by min/max before Spark
+    lists them); v2 flips %5 keys to status X, so those rows leave the
+    NOT slice and arrive as deletes."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="cdc_or_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    for v in (v1, v2):
+        publish.publish_tables(
+            spark, {"orders": v.repartitionByRange(8, "o_custkey")}, root
+        )
+    where = [
+        ("or",
+         ("and", ("o_custkey", ">=", 100), ("o_custkey", "<", 140)),
+         ("and", ("o_custkey", ">=", 1000), ("o_custkey", "<", 1040))),
+        ("not", ("o_orderstatus", "=", "X")),
+    ]
+    kept, total = publish.prune_files(root, "orders", where)
+    if not (0 < len(kept) < total):  # skipping must engage per disjunct
+        raise AssertionError(f"expected file skipping, kept {len(kept)}/{total}")
+    return publish.read_changes(
+        spark, root, "orders", from_version=1, to_version=2,
+        keys=["o_orderkey"], where=where,
+    )
+
+
+ORACLE_CDC_FILTERED_OR = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 3 <> 0
+    AND ((o_custkey >= 100 AND o_custkey < 140)
+         OR (o_custkey >= 1000 AND o_custkey < 1040))
+    AND NOT (o_orderstatus = 'X')
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+v2f AS (
+  SELECT * FROM v2
+  WHERE ((o_custkey >= 100 AND o_custkey < 140)
+         OR (o_custkey >= 1000 AND o_custkey < 1040))
+    AND NOT (o_orderstatus = 'X')
+)
+SELECT
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_orderkey ELSE v2f.o_orderkey END AS o_orderkey,
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_custkey ELSE v2f.o_custkey END AS o_custkey,
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_orderstatus ELSE v2f.o_orderstatus END AS o_orderstatus,
+  CASE WHEN v2f.o_orderkey IS NULL THEN v1.o_totalprice ELSE v2f.o_totalprice END AS o_totalprice,
+  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+       WHEN v2f.o_orderkey IS NULL THEN 'delete'
+       ELSE 'update' END AS change_type
+FROM v1 FULL OUTER JOIN v2f ON v1.o_orderkey = v2f.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2f.o_orderkey IS NULL
+   OR v1.o_custkey IS DISTINCT FROM v2f.o_custkey
+   OR v1.o_orderstatus IS DISTINCT FROM v2f.o_orderstatus
+   OR v1.o_totalprice IS DISTINCT FROM v2f.o_totalprice
+"""
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The downstream half of the CDC loop: replay read_changes(v1 → v2)
     onto a replica of v1 (publish.apply_changes: upsert the insert/update
@@ -1909,6 +1993,7 @@ QUERIES = {
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
     "u12_cdc_filtered": QueryDef(q_cdc_filtered, ORACLE_CDC_FILTERED),
+    "u12_cdc_filtered_or": QueryDef(q_cdc_filtered_or, ORACLE_CDC_FILTERED_OR),
     "u12_snapshot_join": QueryDef(q_snapshot_join, ORACLE_SNAPSHOT_JOIN),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),

@@ -297,6 +297,12 @@ def stream_into_store(
                     )
                 import logging
 
+                # queryable signal, not just a log line: operators poll
+                # materialize.view_refresh_errors(root) (or alert on the
+                # file) to catch views silently going stale
+                materialize.record_view_errors(
+                    root, batch_id, report["errors"]
+                )
                 logging.getLogger(__name__).warning(
                     "declared-view refresh failed for batch %s "
                     "(ingest continues): %s", batch_id, report["errors"],

@@ -57,36 +57,52 @@ CHANGE_COL = "change_type"
 _MOR_CHG = "__mor_chg"
 
 
-def _arrow_filter(where):
-    """The store's (col, op, value) predicate triples as a pyarrow
-    dataset expression — REAL pushdown: the scanner skips row groups via
-    parquet statistics and never materializes non-matching rows into
-    pandas.  Same algebra as publish.scan_table."""
+def _arrow_node(node):
+    """One predicate node (leaf triple or and/or/not tree) as a pyarrow
+    dataset expression.  Arrow expressions use Kleene logic and the
+    dataset filter drops null results — the same SQL semantics Spark's
+    Column filter applies, so pushdown and residual agree under NOT."""
     import pyarrow.dataset as ds
 
+    from dataintegration_ecomprovider_spark.plans.publish import _is_composite
+
+    if _is_composite(node):
+        op = node[0].lower()
+        children = [_arrow_node(c) for c in node[1:]]
+        e = children[0]
+        for c in children[1:]:
+            e = (e | c) if op == "or" else (e & c)
+        return ~e if op == "not" else e  # ("not", a, b) = ¬(a ∧ b)
+    col, op = node[0], node[1]
+    value = node[2] if len(node) > 2 else None
+    f = ds.field(col)
+    if op in ("=", "=="):
+        return f == value
+    if op == "<":
+        return f < value
+    if op == "<=":
+        return f <= value
+    if op == ">":
+        return f > value
+    if op == ">=":
+        return f >= value
+    if op == "in":
+        return f.isin(list(value))
+    if op == "is_null":
+        return f.is_null()
+    if op == "is_not_null":
+        return ~f.is_null()
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
+def _arrow_filter(where):
+    """The store's predicate tree as a pyarrow dataset expression — REAL
+    pushdown: the scanner skips row groups via parquet statistics and
+    never materializes non-matching rows into pandas.  Same algebra as
+    publish.scan_table (triples AND-combined, nested and/or/not)."""
     expr = None
-    for pred in where:
-        col, op = pred[0], pred[1]
-        value = pred[2] if len(pred) > 2 else None
-        f = ds.field(col)
-        if op in ("=", "=="):
-            e = f == value
-        elif op == "<":
-            e = f < value
-        elif op == "<=":
-            e = f <= value
-        elif op == ">":
-            e = f > value
-        elif op == ">=":
-            e = f >= value
-        elif op == "in":
-            e = f.isin(list(value))
-        elif op == "is_null":
-            e = f.is_null()
-        elif op == "is_not_null":
-            e = ~f.is_null()
-        else:
-            raise ValueError(f"unsupported predicate op {op!r}")
+    for node in where:
+        e = _arrow_node(node)
         expr = e if expr is None else (expr & e)
     return expr
 
@@ -106,42 +122,60 @@ def _shard_ids(pdf, keys: Sequence[str], num_shards: int):
     return h % num_shards
 
 
-def _pandas_mask(pdf, where):
-    """The predicate triples as a boolean mask over a replayed frame —
-    the post-MoR-replay residual filter (NA comparisons exclude, like
-    SQL)."""
+def _node_mask(pdf, node):
+    """One predicate node as a NULLABLE boolean Series (pandas "boolean"
+    dtype implements Kleene three-valued logic for & | ~): a comparison
+    on a null value stays NA through NOT — so ¬(col = v) EXCLUDES null
+    rows exactly as Spark/SQL do — and the caller's final fillna(False)
+    turns unknown into excluded."""
     import pandas as pd
 
+    from dataintegration_ecomprovider_spark.plans.publish import _is_composite
+
+    if _is_composite(node):
+        op = node[0].lower()
+        masks = [_node_mask(pdf, c) for c in node[1:]]
+        m = masks[0]
+        for x in masks[1:]:
+            m = (m | x) if op == "or" else (m & x)
+        return ~m if op == "not" else m  # ("not", a, b) = ¬(a ∧ b)
+    col, op = node[0], node[1]
+    value = node[2] if len(node) > 2 else None
+    s = pdf[col]
+    if op == "is_null":
+        return s.isna().astype("boolean")
+    if op == "is_not_null":
+        return (~s.isna()).astype("boolean")
+    if op in ("=", "=="):
+        m = s == value
+    elif op == "<":
+        m = s < value
+    elif op == "<=":
+        m = s <= value
+    elif op == ">":
+        m = s > value
+    elif op == ">=":
+        m = s >= value
+    elif op == "in":
+        m = s.isin(list(value))
+    else:
+        raise ValueError(f"unsupported predicate op {op!r}")
+    m = m.astype("boolean")
+    na = s.isna().astype(bool)
+    if na.any():
+        m[na] = pd.NA  # SQL: null compares unknown (matters under NOT)
+    return m
+
+
+def _pandas_mask(pdf, where):
+    """The predicate tree as a boolean mask over a replayed frame — the
+    post-MoR-replay residual filter.  Kleene logic inside (see
+    _node_mask); unknown → excluded at the end, like SQL WHERE."""
     mask = None
-    for pred in where:
-        col, op = pred[0], pred[1]
-        value = pred[2] if len(pred) > 2 else None
-        s = pdf[col]
-        if op in ("=", "=="):
-            m = s == value
-        elif op == "<":
-            m = s < value
-        elif op == "<=":
-            m = s <= value
-        elif op == ">":
-            m = s > value
-        elif op == ">=":
-            m = s >= value
-        elif op == "in":
-            m = s.isin(list(value))
-        elif op == "is_null":
-            m = s.isna()
-        elif op == "is_not_null":
-            m = ~s.isna()
-        else:
-            raise ValueError(f"unsupported predicate op {op!r}")
-        try:
-            m = m.fillna(False)
-        except (TypeError, ValueError):
-            pass
-        m = m.astype(bool)
+    for node in where:
+        m = _node_mask(pdf, node)
         mask = m if mask is None else (mask & m)
-    return mask
+    return mask.fillna(False).astype(bool)
 
 
 # Above this many changed keys the fast path stops pushing isin filters
@@ -205,9 +239,7 @@ def _scoped_base_files(entry, path: str, where, scope_sets):
 
     def keep(e) -> bool:
         for p in where:
-            if not publish._file_may_match(
-                e, p[0], p[1], p[2] if len(p) > 2 else None
-            ):
+            if not publish._node_may_match(e, p):
                 return False
         for k, vals in sorted_vals.items():
             s = e.get("stats", {}).get(k)
@@ -249,11 +281,13 @@ def _scan_frames(
 
     dataset = ds.dataset(source, format="parquet", partitioning=partitioning)
     names = set(dataset.schema.names)
+    from dataintegration_ecomprovider_spark.plans.publish import _where_columns
+
     filt = (
         _arrow_filter(where)
         # a predicate column absent from this file set (schema
         # evolution) voids the pushdown; the residual mask covers it
-        if push_where and where and all(p[0] in names for p in where)
+        if push_where and where and _where_columns(where) <= names
         else None
     )
     if scope_sets and all(
@@ -507,9 +541,11 @@ def _shard_partition(
 ):
     """One key-hash shard of a version-range diff, carried as a plain
     InputPartition value (a tuple pickles everywhere)."""
+    from dataintegration_ecomprovider_spark.plans.publish import _norm_where
+
     return InputPartition(
         (root, table, from_v, to_v, list(columns), list(keys), shard,
-         num_shards, [list(p) for p in where])
+         num_shards, _norm_where(where))
     )
 
 
@@ -538,7 +574,11 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         if where:
             import json as _json
 
-            self.where = [tuple(p) for p in _json.loads(where)]
+            from dataintegration_ecomprovider_spark.plans.publish import (
+                _norm_where,
+            )
+
+            self.where = _norm_where(_json.loads(where))
         else:
             self.where = []
         start = options.get("startingversion")
@@ -596,7 +636,6 @@ class StoreChangesStreamReader(DataSourceStreamReader):
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         (root, table, from_v, to_v, columns, keys, shard, num_shards,
          where) = partition.value
-        where = [tuple(p) for p in where]
         # O(delta) merge-on-read fast path: suffix deltas + a key-scoped
         # pruned base read, instead of reconstructing both versions
         fast = _mor_tail_frames(

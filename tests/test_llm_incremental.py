@@ -297,3 +297,59 @@ def test_ivf_sq8_index_roundtrip_recall(spark, tmp_path):
         F.array_max("cand_vec").alias("hi"), F.array_min("cand_vec").alias("lo")
     ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
     assert codes["hi"] <= 127 and codes["lo"] >= -128
+
+
+def test_incremental_topic_assignment_is_stable_and_o_batch(spark, tmp_path):
+    """Incremental topic maintenance (similarity.assign_to_index): batch 2
+    assigns against the PERSISTED centroids without touching batch 1 —
+    batch 1's stored (vec_id, cid, csim) rows stay byte-stable through
+    the second ingest, the union equals clustering-then-assigning in one
+    shot, and the batch-2 plan touches only the batch and the broadcast
+    centroid table (no corpus scan, no corpus shuffle)."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    n, dims = 120, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.sin((F.col("id") + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    batch2 = emb.filter(F.col("vec_id") % 2 != 0)
+
+    idx = similarity.ivf_index(batch1, n_centroids=8, portable=True,
+                               refine_iters=2)
+    root = str(tmp_path / "topics")
+    seed = similarity.assign_to_index(batch1, idx["centroids"])
+    publish.publish_tables(
+        spark,
+        {"topic_centroids": idx["centroids"], "topic_assignments": seed},
+        root, table_keys={"topic_assignments": ["vec_id"]},
+    )
+    seed_rows = {r["vec_id"]: (r["cid"], r["csim"]) for r in seed.collect()}
+
+    cent = publish.read_table(spark, root, "topic_centroids")
+    delta = similarity.assign_to_index(batch2, cent)
+    publish.merge_into(spark, root, "topic_assignments", delta)
+
+    merged = publish.read_table(spark, root, "topic_assignments")
+    got = {r["vec_id"]: (r["cid"], r["csim"]) for r in merged.collect()}
+    assert len(got) == n
+    # batch-1 rows byte-stable through the second ingest
+    assert {v: got[v] for v in seed_rows} == seed_rows
+    # two-batch ingest == one-shot assignment of the full corpus against
+    # the same centroids
+    oneshot = {
+        r["vec_id"]: (r["cid"], r["csim"])
+        for r in similarity.assign_to_index(emb, cent).collect()
+    }
+    assert got == oneshot
+
+    # O(batch) plan shape: one broadcast join, no shuffle Exchange on the
+    # batch side beyond the top-1 window's own partitioning
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -970,6 +970,76 @@ def test_superseded_sidecar_checkpoints_swept_age_gated(spark, tmp_path):
     assert 0 < len(kept) <= total
 
 
+def test_boolean_predicate_trees_scan_and_prune(spark, tmp_path):
+    """OR / NOT / nested AND predicate trees (round 6): scan_table equals
+    read_table().filter(...) under SQL null semantics, min/max skipping
+    engages PER DISJUNCT, and NOT prunes a file exactly when the stats
+    prove every row matches the negated predicate."""
+    root = str(tmp_path / "store")
+    rows = [
+        # k clustered per file via repartitionByRange; grp has one
+        # all-'x' range and nulls sprinkled in
+        (i, "x" if 100 <= i < 200 else ("g" + str(i % 3) if i % 11 else None),
+         float(i))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, grp string, v double")
+    publish.publish_tables(
+        spark, {"t": df.repartitionByRange(4, "k").sortWithinPartitions("k")},
+        root,
+    )
+
+    cases = [
+        # OR of two disjoint key ranges — each disjunct prunes
+        [("or", ("k", "<", 50), ("k", ">=", 350))],
+        # nested: (k<50 OR k>=350) AND v >= 10
+        [("or", ("k", "<", 50), ("k", ">=", 350)), ("v", ">=", 10.0)],
+        # NOT over a range
+        [("not", ("k", "<", 200))],
+        # NOT over an equality on a column with an all-'x' file
+        [("not", ("grp", "=", "x"))],
+        # or-of-and trees
+        [("or", ("and", ("k", ">=", 100), ("k", "<", 120)),
+          ("and", ("k", ">=", 300), ("k", "<", 310)))],
+        # null semantics under NOT: grp null rows are excluded (SQL)
+        [("not", ("grp", "in", ["g0", "g1"]))],
+    ]
+    for where in cases:
+        got = _rows(publish.scan_table(spark, root, "t", where))
+        want = _rows(
+            publish.read_table(spark, root, "t").filter(
+                publish._where_condition(where)
+            )
+        )
+        assert got == want, where
+        assert got, f"degenerate case selects nothing: {where}"
+
+    # per-disjunct min/max skipping: two narrow ranges keep ≤ 2 of 4 files
+    kept, total = publish.prune_files(
+        root, "t", [("or", ("k", "<", 50), ("k", ">=", 350))]
+    )
+    assert total == 4 and 0 < len(kept) <= 2
+    # NOT prunes the all-'x' file (stats prove every row matches grp='x')
+    rep = publish.explain_skipping(root, "t", [("not", ("grp", "=", "x"))])
+    pruned = [r for r in rep if not r["kept"]]
+    assert pruned and all(r["pruned_by"] == "minmax" for r in pruned)
+    # ...but keeps files where only SOME rows are 'x'
+    got = _rows(publish.scan_table(spark, root, "t",
+                                   [("not", ("grp", "=", "x"))]))
+    assert all(r[1] != "x" and r[1] is not None for r in got)
+
+    # Bloom engages inside OR: point lookups on a scattered layout
+    publish.publish_tables(
+        spark, {"h": df.repartition(6, "v")}, root, table_keys={"h": ["k"]}
+    )
+    publish.write_bloom_sidecar(spark, root, "h", ["k"])
+    where = [("or", ("k", "=", 17), ("k", "=", 350))]
+    kept, total = publish.prune_files(root, "h", where)
+    assert total == 6 and len(kept) < total
+    got = _rows(publish.scan_table(spark, root, "h", where))
+    assert {r[0] for r in got} == {17, 350}
+
+
 def test_vacuum_honors_active_reader_leases(spark, tmp_path):
     """A registered reader floor pins its version (and everything newer)
     against vacuum; expired leases prune normally and are garbage-

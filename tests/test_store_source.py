@@ -435,6 +435,46 @@ def test_mor_tail_fast_path_matches_generic_under_where_and_shards(
     assert fast is not None  # the new chain re-enables it
 
 
+def test_stream_filtered_view_with_boolean_tree(spark, tmp_path):
+    """The `where` option accepts nested OR/NOT trees (round 6): the
+    pyarrow pushdown, the pandas Kleene-logic residual mask, and the JVM
+    read_changes oracle must agree — including null rows under NOT,
+    where SQL three-valued logic excludes them."""
+    import json as _json
+
+    root = str(tmp_path / "orstore")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0), (4, "c", 40.0)],
+            "id bigint, name string, val double",
+        )},
+        root, table_keys={"t": ["id"]},
+    )
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(
+            [(1, "a", 11.0), (2, "b", 20.0), (3, None, 33.0), (5, "b", 50.0)],
+            "id bigint, name string, val double",
+        )},
+        root,
+    )
+    where = [("or", ("name", "=", "a"), ("not", ("val", "<", 45.0)))]
+    got = _read_stream(
+        spark, root, str(tmp_path / "ckor"), startingVersion="1",
+        where=_json.dumps(where),
+    )
+    expected = publish.read_changes(
+        spark, root, "t", 1, 2, keys=["id"], where=where
+    )
+    assert _rows(got) == _rows(expected)
+    # id=3 (null name, val<45) is outside the view in BOTH versions under
+    # three-valued logic; id=1 updates in-slice; id=5 enters via NOT arm
+    assert _rows(got) == sorted(
+        [(1, "a", 11.0, "update"), (5, "b", 50.0, "insert")]
+    )
+
+
 def test_named_stream_holds_vacuum_retention_lease(spark, store, tmp_path):
     """A stream started with .option("reader", name) registers a
     retention floor at its NEXT offset and renews it at every epoch

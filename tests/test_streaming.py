@@ -606,3 +606,44 @@ def test_stream_into_store_refreshes_declared_views(spark, tmp_path):
     )
     assert got == want
     assert ("c", 1, 3.0) in got and ("a", 2, 23.0) in got
+
+
+def test_view_refresh_failures_are_queryable_not_just_logged(spark, tmp_path):
+    """Non-strict view-refresh failures must surface through a queryable
+    metric (materialize.view_refresh_errors — an operator/monitor polls
+    it to catch views silently going stale), not only a WARNING log
+    line; ingest itself keeps committing."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame([(1, "a", 1.0)], ["k", "grp", "val"])
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+    # a poisoned declaration: the source column does not exist
+    materialize.declare_view(
+        root, "aggregate", src="t", dst="t_bad",
+        group_cols=["no_such_col"], sum_cols=["val"],
+    )
+    assert materialize.view_refresh_errors(root) == []
+
+    batch = spark.createDataFrame([(2, "b", 2.0)], ["k", "grp", "val"])
+    batch.coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_store(
+        file_stream(spark, src, batch.schema, max_files_per_trigger=10),
+        root, "t", ["k"], ckpt, refresh_views=True,
+    )
+    q.awaitTermination(120)
+
+    # ingest committed despite the failing view...
+    assert publish.read_table(spark, root, "t").count() == 2
+    # ...and the failure is recorded queryably, with the view named
+    errs = materialize.view_refresh_errors(root)
+    assert errs and "t_bad" in errs[-1]["errors"]
+    assert errs[-1]["at_unix"] > 0
+    # operator acts, clears, and a healthy store reads empty again
+    assert materialize.clear_view_errors(root) == len(errs)
+    assert materialize.view_refresh_errors(root) == []
