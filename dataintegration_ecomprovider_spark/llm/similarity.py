@@ -509,6 +509,64 @@ def assign_to_index(
     )
 
 
+def recenter_topics(
+    spark,
+    root: str,
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    centroids_table: str = "topic_centroids",
+    assignments_table: str = "topic_assignments",
+    min_mean_csim: float | None = None,
+) -> dict:
+    """The PERIODIC half of incremental topic maintenance: rebuild the
+    centroid index over the CURRENT corpus and republish centroids +
+    full assignments in one atomic store commit — run from a nightly
+    maintenance job the way maintain_store runs compaction, after enough
+    assign_to_index ingests have drifted the mixture away from the
+    centroids that batch 1 seeded.
+
+    `min_mean_csim` gates the O(corpus) rebuild on MEASURED drift (the
+    recluster() pattern: evaluate cheap, rewrite only when degraded):
+    the stored assignments' mean cosine-to-centroid is one small
+    aggregation over the assignments table — no corpus scan — and the
+    rebuild runs only when it has fallen below the threshold.  Returns
+    {"recentered": bool, "mean_csim": float | None, ["version"]}."""
+    from pyspark.sql import functions as _F
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    mean = None
+    if min_mean_csim is not None:
+        cur = publish.read_table(spark, root, assignments_table)
+        mean = cur.agg(_F.avg("csim")).collect()[0][0]
+        if mean is not None and float(mean) >= min_mean_csim:
+            return {"recentered": False, "mean_csim": float(mean)}
+    idx = ivf_index(
+        corpus, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col,
+        portable=portable, refine_iters=iters,
+    )
+    manifest = publish.publish_tables(
+        spark,
+        {
+            centroids_table: idx["centroids"],
+            assignments_table: assign_to_index(
+                corpus, idx["centroids"], id_col=id_col, vec_col=vec_col
+            ),
+        },
+        root,
+        table_keys={assignments_table: ["vec_id"]},
+    )
+    return {
+        "recentered": True,
+        "mean_csim": float(mean) if mean is not None else None,
+        "version": manifest["version"],
+    }
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.3,

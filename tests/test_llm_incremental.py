@@ -4,6 +4,7 @@ lives in the versioned store, appended atomically per batch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from dataintegration_ecomprovider_spark.llm import dedup, incremental
@@ -353,3 +354,60 @@ def test_incremental_topic_assignment_is_stable_and_o_batch(spark, tmp_path):
     # batch side beyond the top-1 window's own partitioning
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_recenter_topics_is_drift_gated(spark, tmp_path):
+    """recenter_topics: the O(corpus) rebuild runs only when the stored
+    assignments' mean cosine-to-centroid has degraded below the
+    threshold (one small agg over assignments — the recluster() gating
+    pattern); after the rebuild the mean improves and the gate skips."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    n, dims = 100, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 10 + 1) * (i + 3)).cast("double"),
+        ).alias("embedding"),
+    )
+    # seed the loop from a tiny, unrepresentative first batch
+    batch1 = emb.filter(F.col("vec_id") < 8)
+    idx = similarity.ivf_index(batch1, n_centroids=4, refine_iters=1)
+    root = str(tmp_path / "topics")
+    publish.publish_tables(
+        spark,
+        {"topic_centroids": idx["centroids"],
+         "topic_assignments": similarity.assign_to_index(batch1, idx["centroids"])},
+        root, table_keys={"topic_assignments": ["vec_id"]},
+    )
+    # ingest the rest incrementally against the stale centroids
+    cent = publish.read_table(spark, root, "topic_centroids")
+    publish.merge_into(
+        spark, root, "topic_assignments",
+        similarity.assign_to_index(emb.filter(F.col("vec_id") >= 8), cent),
+    )
+    before = publish.read_table(spark, root, "topic_assignments")
+    mean_before = before.agg(F.avg("csim")).collect()[0][0]
+
+    # healthy threshold → skip (no rebuild, version unchanged)
+    v0 = publish.current_manifest(root)["version"]
+    res = similarity.recenter_topics(
+        spark, root, emb, n_clusters=8, iters=1,
+        min_mean_csim=mean_before - 0.01,
+    )
+    assert res == {"recentered": False, "mean_csim": pytest.approx(mean_before)}
+    assert publish.current_manifest(root)["version"] == v0
+
+    # degraded threshold → rebuild over the full corpus, atomically
+    res = similarity.recenter_topics(
+        spark, root, emb, n_clusters=8, iters=1,
+        min_mean_csim=min(0.999999, mean_before + 0.01),
+    )
+    assert res["recentered"] and res["version"] == v0 + 1
+    after = publish.read_table(spark, root, "topic_assignments")
+    assert after.count() == n
+    mean_after = after.agg(F.avg("csim")).collect()[0][0]
+    assert mean_after >= mean_before  # recentering can only tighten fit
