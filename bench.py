@@ -58,6 +58,7 @@ HEADLINE = [
     "u12_bloom_scan",               # Bloom-filter point-lookup skipping (round 4)
     "stream_interval_join",         # stream-stream interval join, batch form (round 4)
     "u12_auto_recluster",           # metadata-gated OPTIMIZE + skipping (round 5)
+    "llm_topic_clusters_incremental",  # O(batch) topic assignment vs persisted index (round 6)
 ]
 
 

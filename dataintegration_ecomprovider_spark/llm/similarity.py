@@ -533,16 +533,29 @@ def recenter_topics(
     recluster() pattern: evaluate cheap, rewrite only when degraded):
     the stored assignments' mean cosine-to-centroid is one small
     aggregation over the assignments table — no corpus scan — and the
-    rebuild runs only when it has fallen below the threshold.  Returns
-    {"recentered": bool, "mean_csim": float | None, ["version"]}."""
+    rebuild runs only when it has fallen below the threshold.
+
+    The republish is CAS-guarded on the store version observed at the
+    measure step: the rebuild REPLACES the assignments table, so a
+    concurrent assign_to_index ingest committing mid-rebuild would
+    otherwise be silently lost — instead the recenter aborts with
+    ConcurrentPublishError (the next maintenance pass retries; the
+    ingest, the latency-sensitive half of the loop, always wins).
+    Returns {"recentered": bool, "mean_csim": float | None,
+    ["version"]}."""
     from pyspark.sql import functions as _F
 
     from dataintegration_ecomprovider_spark.plans import publish
 
+    observed = publish.current_manifest(root)["version"]
     mean = None
     if min_mean_csim is not None:
-        cur = publish.read_table(spark, root, assignments_table)
-        mean = cur.agg(_F.avg("csim")).collect()[0][0]
+        try:
+            cur = publish.read_table(spark, root, assignments_table)
+        except KeyError:
+            cur = None  # no index yet — the first pass bootstraps it
+        if cur is not None:
+            mean = cur.agg(_F.avg("csim")).collect()[0][0]
         if mean is not None and float(mean) >= min_mean_csim:
             return {"recentered": False, "mean_csim": float(mean)}
     idx = ivf_index(
@@ -559,6 +572,7 @@ def recenter_topics(
         },
         root,
         table_keys={assignments_table: ["vec_id"]},
+        expected_version=observed,
     )
     return {
         "recentered": True,

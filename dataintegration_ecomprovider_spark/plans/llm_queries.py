@@ -987,6 +987,69 @@ def q_topic_clusters_incremental_portable(
     return _topic_clusters_incremental(spark, sf_dir, portable=True)
 
 
+def q_topic_recenter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-topic LIFECYCLE (round 6): seed the centroid
+    index on ingest batch 1, assign batch 2 against the stale persisted
+    centroids (assign_to_index, O(batch)), then run the nightly
+    maintenance gate — maintain_store(topic_specs=...) measures the
+    stored assignments' mean cosine-to-centroid (one small agg, no
+    corpus scan) and only below the threshold rebuilds the index over
+    the FULL store-resident corpus and republishes centroids +
+    assignments atomically (similarity.recenter_topics).  In-query
+    assertions pin the gate BOTH ways: an already-met threshold skips
+    without publishing, drift triggers the rebuild.  The recentered
+    table is value-identical to cluster_assignments over the whole
+    corpus, so the same DuckDB oracle checks it."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = similarity.ivf_index(
+        batch1, n_centroids=16, portable=True, refine_iters=2
+    )
+    root = tempfile.mkdtemp(prefix="topic_recenter_")
+    publish.publish_tables(
+        spark,
+        {
+            "embeddings": emb,
+            "topic_centroids": idx["centroids"],
+            "topic_assignments": similarity.assign_to_index(
+                batch1, idx["centroids"]
+            ),
+        },
+        root,
+        table_keys={"topic_assignments": ["vec_id"]},
+    )
+    publish.merge_into(
+        spark, root, "topic_assignments",
+        similarity.assign_to_index(
+            emb.filter(F.col("vec_id") % 2 != 0),
+            publish.read_table(spark, root, "topic_centroids"),
+        ),
+    )
+    spec = {"corpus_table": "embeddings", "n_clusters": 16, "iters": 2,
+            "portable": True}
+    # healthy threshold (cosine mean is always ≥ -1) → measured, skipped,
+    # and nothing published
+    v0 = publish.current_manifest(root)["version"]
+    rep = publish.maintain_store(
+        spark, root, topic_specs=[{**spec, "min_mean_csim": -1.1}]
+    )
+    res = rep["topics"]["topic_assignments"]
+    assert res["recentered"] is False and res["mean_csim"] is not None, rep
+    assert publish.current_manifest(root)["version"] == v0, \
+        "a skipped recenter must not publish"
+    # unreachable threshold → drift detected, full rebuild + atomic swap
+    rep = publish.maintain_store(
+        spark, root, topic_specs=[{**spec, "min_mean_csim": 1.01}]
+    )
+    assert rep["topics"]["topic_assignments"]["recentered"] is True, rep
+    assert publish.current_manifest(root)["version"] == v0 + 1, rep
+    return publish.read_table(spark, root, "topic_assignments")
+
+
 # Centroids derive from batch 1 (vec_id % 2 = 0) alone — seed pick and
 # both Lloyd iterations run over `v` = batch 1 — while the final
 # assignment covers every document; the incremental two-batch ingest
@@ -1429,6 +1492,103 @@ FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id
 """
 
 
+# --- end-to-end curation pipeline (round 6) --------------------------------
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline END-TO-END as ONE declarative
+    plan (round 6): per-language quality-quantile gate → exact dedup
+    (first-wins) → 3-gram decontamination against the benchmark slice →
+    deterministic shard assignment for export.  Every stage is an
+    already-oracle-checked component; composing them in one DataFrame
+    expression lets Catalyst optimize ACROSS stages — the corpus parquet
+    is scanned once per consuming subtree with column pruning, the
+    per-lang cutoffs and benchmark shingle set broadcast, and the only
+    wide exchanges are the quantile agg, the dedup groupBy, the overlap
+    count, and the final semi joins on doc_id.  Scale shape: nothing in
+    the plan materializes the corpus on the driver or self-joins it;
+    100 TB in, each stage's reduction feeds the next map-side.
+    Reference analog: chained transform scripting + dedup + integrity
+    filters feeding an export (SURVEY §2 P7/E13/J17 composed)."""
+    from dataintegration_ecomprovider_spark.llm.curation import decontaminate
+    from dataintegration_ecomprovider_spark.llm.export import shard_assign
+    from dataintegration_ecomprovider_spark.llm.sampling import (
+        quality_filter_by_quantile,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    # 1. drop each language's worst word-count quartile (cutoffs broadcast)
+    q = quality_filter_by_quantile(
+        corpus, text_ops.n_words(F.col("text")), "lang", quantile=0.25
+    )
+    # 2. exact dedup, first-wins: one md5 groupBy, survivors semi-joined
+    canon = q.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dd = q.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # 3. decontamination: benchmark shingle hashes broadcast, keep clean
+    clean = (
+        decontaminate(dd, bench, n=3, threshold=0.05)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept = dd.join(clean, "doc_id", "left_semi")
+    # 4. deterministic md5 shard assignment (stable across runs/engines)
+    return shard_assign(
+        kept.select(
+            "doc_id", "lang", text_ops.n_words(F.col("text")).alias("word_count")
+        ),
+        8,
+    ).select("doc_id", "lang", "word_count", "shard")
+
+
+_WC_SQL = """CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END"""
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text, {_WC_SQL} AS wc
+  FROM documents WHERE source <> 'src0'
+),
+cut AS (SELECT lang, quantile_cont(wc, 0.25) AS cutoff FROM corpus GROUP BY lang),
+q AS (SELECT c.* FROM corpus c JOIN cut USING (lang) WHERE wc >= cutoff),
+canon AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+dd AS (SELECT q.* FROM q JOIN canon USING (doc_id)),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> {md5_int60_sql("array_to_string(w[i:i+2], ' ')")})) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM dd)
+),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> {md5_int60_sql("array_to_string(w[i:i+2], ' ')")}))) AS h
+  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM documents WHERE source = 'src0')
+),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_ov
+  FROM (SELECT doc_id, unnest(shingles) AS h FROM sh)
+  WHERE h IN (SELECT h FROM bench)
+  GROUP BY doc_id
+),
+clean AS (
+  SELECT s.doc_id
+  FROM sh s LEFT JOIN overlap o USING (doc_id)
+  WHERE ROUND(COALESCE(o.n_ov, 0) / greatest(len(s.shingles), 1), 6) < 0.05
+)
+SELECT d.doc_id, d.lang, CAST(d.wc AS BIGINT) AS word_count,
+       CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 8
+         AS shard
+FROM dd d JOIN clean USING (doc_id)
+"""
+
+
 # --- PII scrub ------------------------------------------------------------
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count + redact synthetic PII.  The fixture corpus carries no PII,
@@ -1540,6 +1700,11 @@ QUERIES = {
         q_topic_clusters_incremental_portable,
         ORACLE_TOPIC_CLUSTERS_INCREMENTAL_PORTABLE,
     ),
+    # the recentered index over the full corpus IS cluster_assignments
+    # over the full corpus — same oracle, lifecycle asserted in-query
+    "llm_topic_recenter_portable": QueryDef(
+        q_topic_recenter_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
+    ),
     "llm_quality_filter_quantile": QueryDef(
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER
     ),
@@ -1547,6 +1712,9 @@ QUERIES = {
     "llm_chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "llm_repetition_metrics": QueryDef(q_repetition_metrics, ORACLE_REPETITION),
     "llm_decontaminate": QueryDef(q_decontaminate, ORACLE_DECONTAMINATE),
+    "llm_curation_pipeline": QueryDef(
+        q_curation_pipeline, ORACLE_CURATION_PIPELINE
+    ),
     "llm_decontaminate_exact": QueryDef(
         q_decontaminate_exact, ORACLE_DECONTAMINATE_EXACT
     ),

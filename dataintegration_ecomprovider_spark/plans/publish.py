@@ -2158,6 +2158,7 @@ def maintain_store(
     orphan_min_age_seconds: float = 24 * 3600,
     refresh_views: Sequence[Mapping] | None = None,
     recluster_specs: Mapping[str, Mapping] | None = None,
+    topic_specs: Sequence[Mapping] | None = None,
 ) -> dict:
     """One operational maintenance pass over the whole store — the
     scheduled job a 100 TB deployment runs nightly (Delta's OPTIMIZE +
@@ -2178,6 +2179,15 @@ def maintain_store(
        [cols], "max_overlap": 4.0, ...}} — recluster kwargs) whose
        measured clustering_overlap exceeds their threshold — the
        metadata-gated OPTIMIZE;
+    3b. RECENTER topic indexes listed in `topic_specs` (each
+       ``{"corpus_table": name, **similarity.recenter_topics kwargs}``,
+       normally including ``min_mean_csim``): the stored assignments'
+       mean cosine-to-centroid is one small aggregation — evaluated
+       every pass for free — and the O(corpus) k-means rebuild +
+       atomic centroid/assignment republish runs only below the
+       threshold, exactly the recluster gating applied to the
+       incremental topic-maintenance loop (similarity.assign_to_index
+       handles the per-ingest-batch half);
     4. rebuild the Bloom index for compacted/reclustered tables listed
        in `bloom_columns` (a rewrite sheds the sidecar, so the index
        follows the data);
@@ -2186,15 +2196,15 @@ def maintain_store(
     Tables and views are processed independently; a failure on one is
     recorded and does not block the rest.  Returns
     {"views": {dst: result}, "compacted": {name: result},
-    "reclustered": {name: result}, "blooms": [names], "vacuum",
-    "orphans", "errors": {name: str}}.
+    "reclustered": {name: result}, "topics": {assignments_table: result},
+    "blooms": [names], "vacuum", "orphans", "errors": {name: str}}.
     """
     # local import: materialize imports this module
     from dataintegration_ecomprovider_spark.plans import materialize
 
     report: dict = {
-        "views": {}, "compacted": {}, "reclustered": {}, "blooms": [],
-        "errors": {},
+        "views": {}, "compacted": {}, "reclustered": {}, "topics": {},
+        "blooms": [], "errors": {},
     }
     if refresh_views is None:
         declared = materialize.refresh_declared_views(spark, root)
@@ -2250,6 +2260,20 @@ def maintain_store(
                     rewritten.add(name)
             except Exception as e:  # noqa: BLE001 — per-table isolation
                 report["errors"][f"recluster:{name}"] = f"{type(e).__name__}: {e}"
+    if topic_specs:
+        # local import: llm.similarity imports this module at call time
+        from dataintegration_ecomprovider_spark.llm import similarity
+
+        for spec in topic_specs:
+            spec = dict(spec)
+            corpus_table = spec.pop("corpus_table")
+            key = spec.get("assignments_table", "topic_assignments")
+            try:
+                report["topics"][key] = similarity.recenter_topics(
+                    spark, root, read_table(spark, root, corpus_table), **spec
+                )
+            except Exception as e:  # noqa: BLE001 — per-index isolation
+                report["errors"][f"topics:{key}"] = f"{type(e).__name__}: {e}"
     # a rewrite sheds the data dir's bloom sidecar — rebuild AFTER both
     # compaction and re-clustering so the index follows the final layout
     if bloom_columns:
@@ -3120,16 +3144,48 @@ class StoreSnapshot:
     needs out-of-band bookkeeping.  Here the manifest commits all tables
     together, so a snapshot is just a pinned table map: reads cost
     nothing extra, concurrent publishes are invisible, and a training
-    run / audit / repro job can hold one snapshot for its whole lifetime
-    (keep `keep_versions` above the job horizon — vacuum is the one
-    thing that can pull data out from under a long-lived pin, same
-    contract as read_table_at)."""
+    run / audit / repro job can hold one snapshot for its whole lifetime.
+    Vacuum is the one thing that can pull data out from under a
+    long-lived pin (same contract as read_table_at) — `snapshot(...,
+    reader="job-name")` closes that hazard by holding a TTL'd
+    register_reader retention lease at the pinned version, released via
+    `release()` / the context-manager exit and renewable mid-job with
+    `renew()` for jobs outliving the default TTL."""
 
-    def __init__(self, spark: SparkSession, root: str, version: int, tables: dict):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        version: int,
+        tables: dict,
+        reader: str | None = None,
+    ):
         self._spark = spark
         self.root = root
         self.version = version
         self._tables = tables
+        self.reader = reader
+
+    def renew(self, ttl_seconds: float = READER_DEFAULT_TTL) -> dict:
+        """Re-lease the pin's retention floor (for jobs outliving the
+        original TTL)."""
+        if not self.reader:
+            raise ValueError("snapshot was not created with reader=")
+        return register_reader(self.root, self.reader, self.version, ttl_seconds)
+
+    def release(self) -> None:
+        """Drop the retention lease (idempotent); reads keep working as
+        long as vacuum hasn't pruned the version."""
+        if self.reader:
+            unregister_reader(self.root, self.reader)
+            self.reader = None
+
+    def __enter__(self) -> "StoreSnapshot":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
 
     def table_names(self) -> list[str]:
         return sorted(self._tables)
@@ -3160,12 +3216,22 @@ def snapshot(
     root: str,
     version: int | None = None,
     timestamp: float | str | None = None,
+    reader: str | None = None,
+    ttl_seconds: float = READER_DEFAULT_TTL,
 ) -> StoreSnapshot:
     """Pin a store-wide consistent view: the current version (default), a
     specific committed `version`, or the newest version committed at or
-    before `timestamp` (read_table_asof's resolution)."""
+    before `timestamp` (read_table_asof's resolution).  `reader=` names
+    the pin as a register_reader retention lease so vacuum keeps the
+    pinned version alive for the job's lifetime (use the snapshot as a
+    context manager, or call `.release()`, when done)."""
     if version is not None and timestamp is not None:
         raise ValueError("pass version OR timestamp, not both")
+
+    def _pinned(v: int, tables: dict) -> StoreSnapshot:
+        if reader:
+            register_reader(root, reader, v, ttl_seconds)
+        return StoreSnapshot(spark, root, v, tables, reader=reader)
     if timestamp is not None:
         if isinstance(timestamp, str):
             import datetime
@@ -3215,11 +3281,11 @@ def snapshot(
                 f"no committed version of {root!r} at or before {timestamp!r}"
             )
         _, v, tables = max(eligible, key=lambda c: (c[0], c[1]))
-        return StoreSnapshot(spark, root, v, tables)
+        return _pinned(v, tables)
     if version is None:
         manifest = current_manifest(root)
-        return StoreSnapshot(spark, root, manifest["version"], manifest["tables"])
-    return StoreSnapshot(spark, root, version, tables_at(root, version))
+        return _pinned(manifest["version"], manifest["tables"])
+    return _pinned(version, tables_at(root, version))
 
 
 # --- declarative publish expectations --------------------------------------

@@ -411,3 +411,149 @@ def test_recenter_topics_is_drift_gated(spark, tmp_path):
     assert after.count() == n
     mean_after = after.agg(F.avg("csim")).collect()[0][0]
     assert mean_after >= mean_before  # recentering can only tighten fit
+
+
+def test_maintain_store_recenters_topics_when_drifted(spark, tmp_path):
+    """maintain_store(topic_specs=...): the nightly pass evaluates topic
+    drift for free (one agg over the stored assignments) and rebuilds +
+    republishes the index only below the threshold — the recluster_specs
+    gating pattern applied to the incremental topic loop.  The corpus is
+    itself a store table, so the spec is pure JSON-able config."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    n, dims = 80, 8
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 8 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    batch1 = emb.filter(F.col("vec_id") < 6)
+    idx = similarity.ivf_index(batch1, n_centroids=3, refine_iters=1)
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"embeddings": emb,
+         "topic_centroids": idx["centroids"],
+         "topic_assignments": similarity.assign_to_index(batch1, idx["centroids"])},
+        root, table_keys={"topic_assignments": ["vec_id"]},
+    )
+    cent = publish.read_table(spark, root, "topic_centroids")
+    publish.merge_into(
+        spark, root, "topic_assignments",
+        similarity.assign_to_index(emb.filter(F.col("vec_id") >= 6), cent),
+    )
+    mean_before = (
+        publish.read_table(spark, root, "topic_assignments")
+        .agg(F.avg("csim")).collect()[0][0]
+    )
+
+    # healthy → the pass reports the measured mean and skips the rebuild
+    v0 = publish.current_manifest(root)["version"]
+    spec = {"corpus_table": "embeddings", "n_clusters": 6, "iters": 1}
+    report = publish.maintain_store(
+        spark, root,
+        topic_specs=[{**spec, "min_mean_csim": mean_before - 0.01}],
+    )
+    assert report["errors"] == {}
+    assert report["topics"]["topic_assignments"]["recentered"] is False
+    assert publish.current_manifest(root)["version"] == v0
+
+    # degraded → rebuilt from the store-resident corpus, atomically
+    report = publish.maintain_store(
+        spark, root,
+        topic_specs=[{**spec,
+                      "min_mean_csim": min(0.999999, mean_before + 0.01)}],
+    )
+    assert report["errors"] == {}
+    res = report["topics"]["topic_assignments"]
+    assert res["recentered"] is True
+    assert publish.read_table(spark, root, "topic_assignments").count() == n
+    mean_after = (
+        publish.read_table(spark, root, "topic_assignments")
+        .agg(F.avg("csim")).collect()[0][0]
+    )
+    assert mean_after >= mean_before
+
+
+def test_recenter_topics_aborts_on_concurrent_ingest(spark, tmp_path, monkeypatch):
+    """recenter_topics REPLACES the assignments table, so it CAS-guards
+    the republish on the version observed at the measure step: an
+    assign_to_index ingest committing mid-rebuild aborts the recenter
+    (ConcurrentPublishError) instead of being silently overwritten —
+    the ingest always wins, the next maintenance pass retries."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from dataintegration_ecomprovider_spark.plans.publish import (
+        ConcurrentPublishError,
+    )
+
+    n, dims = 40, 6
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 5 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    batch1 = emb.filter(F.col("vec_id") < 30)
+    late = emb.filter(F.col("vec_id") >= 30)
+    idx = similarity.ivf_index(batch1, n_centroids=3, refine_iters=1)
+    root = str(tmp_path / "topics")
+    publish.publish_tables(
+        spark,
+        {"topic_centroids": idx["centroids"],
+         "topic_assignments": similarity.assign_to_index(batch1, idx["centroids"])},
+        root, table_keys={"topic_assignments": ["vec_id"]},
+    )
+
+    real_ivf_index = similarity.ivf_index
+
+    def ivf_index_with_concurrent_ingest(*args, **kwargs):
+        # a second writer lands a new ingest batch while the rebuild runs
+        cent = publish.read_table(spark, root, "topic_centroids")
+        publish.merge_into(
+            spark, root, "topic_assignments",
+            similarity.assign_to_index(late, cent),
+        )
+        return real_ivf_index(*args, **kwargs)
+
+    monkeypatch.setattr(similarity, "ivf_index", ivf_index_with_concurrent_ingest)
+    with pytest.raises(ConcurrentPublishError):
+        similarity.recenter_topics(spark, root, batch1, n_clusters=3, iters=1)
+    # the concurrent ingest survived; nothing of the aborted rebuild shows
+    assert (
+        publish.read_table(spark, root, "topic_assignments").count() == n
+    )
+
+
+def test_maintain_store_bootstraps_missing_topic_index(spark, tmp_path):
+    """A topic_specs entry over a store that has the corpus but no index
+    yet bootstraps it on the first pass (the drift gate treats a missing
+    assignments table as maximally drifted) — so declaring the spec is
+    all a new deployment configures."""
+    from pyspark.sql import functions as F
+
+    n, dims = 30, 6
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 4 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "store")
+    publish.publish_tables(spark, {"embeddings": emb}, root)
+    report = publish.maintain_store(
+        spark, root,
+        topic_specs=[{"corpus_table": "embeddings", "n_clusters": 4,
+                      "iters": 1, "min_mean_csim": 0.95}],
+    )
+    assert report["errors"] == {}
+    assert report["topics"]["topic_assignments"]["recentered"] is True
+    assert publish.read_table(spark, root, "topic_assignments").count() == n
+    assert publish.read_table(spark, root, "topic_centroids").count() <= 4

@@ -1289,3 +1289,37 @@ def test_store_snapshot_scan_prunes(spark, store):
     got = snap.scan("t", where=[("k", "=", 777)])
     assert len(got.inputFiles()) < 8  # pruned within the pinned version
     assert [tuple(r) for r in got.collect()] == [(777, 2331)]
+
+
+def test_snapshot_reader_lease_survives_vacuum(spark, tmp_path):
+    """snapshot(reader=...) holds a retention lease at the pinned
+    version: a long training/audit job's pin survives an aggressive
+    vacuum, reads stay live for the snapshot's lifetime, and the
+    context-manager exit releases the floor so the next vacuum reclaims
+    normally."""
+    root = str(tmp_path / "store")
+    for i in range(4):  # versions 1..4
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame([(i, i * 10)], "k bigint, v bigint")},
+            root,
+        )
+
+    with publish.snapshot(spark, root, version=2, reader="train-job") as snap:
+        assert publish.active_reader_floors(root)["train-job"]["version"] == 2
+        res = publish.vacuum(spark, root, keep_versions=1)
+        assert res["removed_versions"] == [1]  # 2..4 pinned by the lease
+        # the pinned view still reads after vacuum
+        assert snap.table("t").collect()[0]["v"] == 10
+        # a job outliving the TTL renews in place
+        lease = snap.renew(ttl_seconds=3600)
+        assert lease["version"] == 2
+    # exit released the lease → plain retention applies
+    assert "train-job" not in publish.active_reader_floors(root)
+    res = publish.vacuum(spark, root, keep_versions=1)
+    assert res["removed_versions"] == [2, 3]
+    snap2 = publish.snapshot(spark, root)  # unleased pin, current version
+    assert snap2.reader is None
+    snap2.release()  # idempotent no-op without a lease
+    with pytest.raises(ValueError):
+        snap2.renew()
