@@ -22,6 +22,32 @@ from dataintegration_ecomprovider_spark.llm.portable import md5_int60_sql
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 
 
+# One REUSED scratch store root per (process, tag), emptied at the start of
+# each call: the lifecycle queries below publish full versioned stores, and
+# the returned DataFrame stays lazy until the driver collects it — so the
+# store must outlive the query function.  A fresh mkdtemp per call therefore
+# leaked one store per invocation (×3 under the median-of-3 bench loop);
+# reusing one root per query bounds scratch disk to a single store per query
+# per process, reclaimed at interpreter exit.
+_TMP_ROOTS: dict[str, str] = {}
+
+
+def _scratch_store_root(tag: str) -> str:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = _TMP_ROOTS.get(tag)
+    if root is None:
+        root = _TMP_ROOTS[tag] = tempfile.mkdtemp(prefix=f"{tag}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    else:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+    return root
+
+
 # --- sliding-window document chunking -------------------------------------
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (llm/chunking.py): 40-word windows, stride
@@ -784,14 +810,12 @@ def _ivf_index_roundtrip(spark: SparkSession, sf_dir: str, portable: bool) -> Da
     buckets), read it back, and serve the query batch from the stored
     index.  Must be result-identical to the inline ivf_topk, so the
     portable twin reuses ORACLE_IVF_TOPK_PORTABLE verbatim."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
     emb = Catalog(spark, sf_dir).table("embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     idx = similarity.ivf_index(emb, n_centroids=16, portable=portable)
-    root = tempfile.mkdtemp(prefix="ivf_index_")
+    root = _scratch_store_root(f"ivf_index_{int(portable)}")
     publish.publish_tables(
         spark,
         {"ivf_centroids": idx["centroids"], "ivf_cells": idx["cells"]},
@@ -946,8 +970,6 @@ def _topic_clusters_incremental(
     mixture-balancing loop, pairing with llm_dedup_incremental's
     MinHash-index ingest pattern.  Recentering = periodic index rebuild
     in a maintenance pass."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
     emb = Catalog(spark, sf_dir).table("embeddings")
@@ -957,7 +979,7 @@ def _topic_clusters_incremental(
     idx = similarity.ivf_index(
         batch1, n_centroids=16, portable=portable, refine_iters=2
     )
-    root = tempfile.mkdtemp(prefix="topic_incr_")
+    root = _scratch_store_root(f"topic_incr_{int(portable)}")
     publish.publish_tables(
         spark,
         {
@@ -1000,8 +1022,6 @@ def q_topic_recenter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     without publishing, drift triggers the rebuild.  The recentered
     table is value-identical to cluster_assignments over the whole
     corpus, so the same DuckDB oracle checks it."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
     emb = Catalog(spark, sf_dir).table("embeddings")
@@ -1009,7 +1029,7 @@ def q_topic_recenter_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = similarity.ivf_index(
         batch1, n_centroids=16, portable=True, refine_iters=2
     )
-    root = tempfile.mkdtemp(prefix="topic_recenter_")
+    root = _scratch_store_root("topic_recenter")
     publish.publish_tables(
         spark,
         {

@@ -818,7 +818,20 @@ def record_view_errors(root: str, batch_id, errors: dict) -> None:
         "errors": {k: str(v) for k, v in errors.items()},
     }
     with publish._manifest_lock(root):
-        log = view_refresh_errors(root)
+        path = os.path.join(root, VIEW_ERRORS_FILE)
+        try:
+            with open(path, encoding="utf-8") as fh:
+                log = json.load(fh)
+        except FileNotFoundError:
+            log = []
+        except ValueError:
+            # corrupt (e.g. partially written) log: PRESERVE it for the
+            # operator instead of silently resetting the error history
+            # this file exists to keep — view_refresh_errors() tolerates
+            # corruption by returning [], but an APPEND must not launder
+            # that into a truncated rewrite
+            os.replace(path, path + ".corrupt")
+            log = []
         log.append(record)
         log = log[-VIEW_ERRORS_MAX:]
         tmp = os.path.join(root, VIEW_ERRORS_FILE + ".tmp")

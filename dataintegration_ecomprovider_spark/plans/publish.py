@@ -2922,6 +2922,14 @@ def compact(
     a lexicographic sort_by=[a, b] leaves b's ranges as wide as the
     domain in every file.  Same single range shuffle as sort_by.
 
+    BEHAVIOR CHANGE (round 6): passing sort_by/cluster_by/target_files
+    against a BUCKETED or hive-PARTITIONED table now raises ValueError
+    where earlier releases proceeded and silently ignored the request
+    (the bucket hash / partition directories pin the layout).  Callers
+    that passed target_files against a pinned-layout table must drop
+    the argument; recluster() and maintain_store() pre-check and are
+    unaffected.
+
     Returns {"version", "files_before", "files_after", "bytes"}.
     """
     import math

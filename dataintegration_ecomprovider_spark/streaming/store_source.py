@@ -592,15 +592,23 @@ class StoreChangesStreamReader(DataSourceStreamReader):
         self.reader_ttl = float(
             options.get("readerttl", publish.READER_DEFAULT_TTL)
         )
-        if self.reader and self.reader not in publish.active_reader_floors(
-            self.root
-        ):
-            # first start of a named stream: pin its initial offset (and
-            # everything newer) against vacuum before any batch plans.
-            # Only when NO active lease exists — Spark constructs reader
-            # instances freely, and re-registering _initial from a later
-            # instance would drag an advanced floor back to
-            # startingVersion; partitions()/commit() own renewals.
+        if self.reader and self.reader not in publish._read_readers(self.root):
+            # first EVER start of a named stream: pin its initial offset
+            # (and everything newer) against vacuum before any batch
+            # plans.  Only when NO lease record exists at all — Spark
+            # constructs reader instances freely, and re-registering
+            # _initial from a later instance would drag an advanced floor
+            # back to startingVersion; partitions()/commit() own renewals.
+            # A lease that is present but EXPIRED (stream outage longer
+            # than the TTL) is deliberately NOT re-seeded here: _initial
+            # defaults to the CURRENT store version when startingVersion
+            # is unset, which may be far past the checkpointed offset —
+            # seeding it would assert a floor the restart doesn't hold.
+            # The floor is instead re-established at partitions() time
+            # from the REAL checkpointed batch offset; the residual gap
+            # (vacuum racing the restart in that window) is inherent to
+            # an expired lease — the TTL is the operator's declaration
+            # that a consumer silent this long may lose history.
             publish.register_reader(
                 self.root, self.reader, self._initial, self.reader_ttl
             )

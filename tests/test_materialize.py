@@ -873,3 +873,23 @@ def test_maintain_filtered_slice_with_min_max_recompute(spark, tmp_path):
     assert res["mode"] == "delta"
     got = {tuple(r) for r in publish.read_table(spark, root, "s1_minmax").collect()}
     assert got == {("a", 1, 10.0, 10.0)}
+
+
+def test_record_view_errors_preserves_corrupt_log(tmp_path):
+    """ADVICE r6: a corrupt/partially-written _VIEW_ERRORS.json must not
+    be silently replaced by a fresh log on the next append — the old
+    bytes are preserved as .corrupt for the operator, and the new log
+    starts clean."""
+    root = str(tmp_path / "store")
+    os.makedirs(root)
+    path = os.path.join(root, materialize.VIEW_ERRORS_FILE)
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write('[{"batch_id": 1, "at_unix"')  # torn write
+    materialize.record_view_errors(root, 2, {"v": RuntimeError("boom")})
+    log = materialize.view_refresh_errors(root)
+    assert [r["batch_id"] for r in log] == [2]
+    with open(path + ".corrupt", encoding="utf-8") as fh:
+        assert fh.read().startswith('[{"batch_id": 1')
+    # healthy appends keep appending
+    materialize.record_view_errors(root, 3, {"v": "still boom"})
+    assert [r["batch_id"] for r in materialize.view_refresh_errors(root)] == [2, 3]

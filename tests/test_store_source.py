@@ -569,3 +569,37 @@ def test_stream_filtered_view_over_mor_markers(spark, tmp_path):
     assert _rows(got) == sorted(
         [(1, "a", 10.0, "delete"), (3, "a", 33.0, "insert")]
     )
+
+
+def test_expired_lease_not_reseeded_at_init(spark, store):
+    """ADVICE r6: after an outage longer than the lease TTL, a reader
+    restart must NOT re-seed the floor at __init__-time _initial (which
+    defaults to the CURRENT version — far past the checkpointed offset);
+    the floor is only re-established at partitions() time from the real
+    batch offset.  __init__ seeds only when NO lease record exists."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dataintegration_ecomprovider_spark.streaming.store_source import (
+        StoreChangesStreamReader,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()), StructField("name", StringType()),
+        StructField("change_type", StringType()),
+    ])
+    # an EXPIRED lease at the checkpoint-era version survives __init__
+    publish.register_reader(store, "stale", 1, ttl_seconds=-1.0)
+    r = StoreChangesStreamReader(
+        schema, {"root": store, "table": "t", "reader": "stale"}
+    )
+    rec = publish._read_readers(store)["stale"]
+    assert rec["version"] == 1, "expired lease was re-seeded at _initial"
+    # partitions() re-establishes the floor from the REAL batch offset
+    r.partitions({"version": 2}, {"version": 3})
+    assert publish.active_reader_floors(store)["stale"]["version"] == 2
+
+    # a reader with NO record at all still seeds its initial offset
+    StoreChangesStreamReader(
+        schema, {"root": store, "table": "t", "reader": "fresh"}
+    )
+    assert publish.active_reader_floors(store)["fresh"]["version"] == 3
