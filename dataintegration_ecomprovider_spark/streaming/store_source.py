@@ -424,21 +424,26 @@ def _mor_tail_frames(
 ):
     """O(delta) (old, new) frames for one micro-batch of a merge-on-read
     tail — the streaming port of publish._mor_changes_fast.  When the
-    to-version extends the from-version's delta log (same base, appended
-    delta files — what every merge_into_mor commit produces), the keys
-    that can differ are exactly the suffix deltas' keys:
+    span is a chain of delta-log extensions and value-preserving
+    rewrites (publish._bridged_delta_suffix — merge_into_mor commits
+    plus compact/recluster commits carrying rewrite_of provenance), the
+    keys that can differ are exactly the composed suffix deltas' keys:
 
     - `new` = last-wins replay of ONLY the suffix delta rows (minus
-      delete markers), which IS those keys' to-version state;
+      delete markers), which IS those keys' to-version state (the
+      rewrites in between preserve values);
     - `old` = the from-version reconstructed for JUST those keys
       (_version_frame key_scope: isin pushdown + stats-sidecar file
       pruning on the base scan).
 
-    _diff_frames then classifies insert/update/delete and drops no-op
-    re-upserts exactly as the generic path would.  Returns None when the
-    versions don't share a base (compact/rewrite in between) — caller
-    falls back to full reconstruction.  Reference analog: the
-    incremental re-run model (IsFirstJobRun,
+    A change-free span (pure compaction / other tables' commits) yields
+    two empty frames without scanning anything — the micro-batch that
+    lands right after maintain_store's nightly compact costs metadata
+    only.  _diff_frames then classifies insert/update/delete and drops
+    no-op re-upserts exactly as the generic path would.  Returns None
+    when a step in the span is neither a log extension nor a provenance-
+    carrying rewrite — caller falls back to full reconstruction.
+    Reference analog: the incremental re-run model (IsFirstJobRun,
     /root/reference/src/EcomProvider.cs:25, :937-966) — don't re-read
     the world to apply a day's changes."""
     import pandas as pd
@@ -447,12 +452,7 @@ def _mor_tail_frames(
 
     if from_v <= 0:
         return None  # first batch reconstructs the full state anyway
-    try:
-        from_entry = publish.tables_at(root, from_v).get(table)
-        to_entry = publish.tables_at(root, to_v).get(table)
-    except KeyError:
-        return None
-    suffix = publish._mor_delta_suffix(from_entry, to_entry)
+    suffix = publish._bridged_delta_suffix(root, table, from_v, to_v)
     if suffix is None:
         return None
     columns = list(columns)

@@ -243,3 +243,88 @@ def test_explain_skipping_reports_mechanism_per_file(spark, tmp_path):
     assert any(
         not r["kept"] and r["pruned_by"] == "minmax" for r in report
     )
+
+
+def test_refresh_bloom_covers_appended_delta_files(spark, tmp_path):
+    """Round 7 incremental Bloom maintenance: after merge_into_mor
+    appends, refresh_bloom_sidecar packs bitmaps for ONLY the new delta
+    files (scan-source-pinned), point lookups on the KEY column then
+    prune untouched delta dirs, and a second refresh is a metadata noop."""
+    root = _seed(spark, tmp_path, n=4000, files=8)
+    publish.write_bloom_sidecar(spark, root, "t", ["uid"])
+
+    def _merge(uids):
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame(
+                [(u, f"upd{u}") for u in uids], "uid bigint, name string"
+            ),
+        )
+
+    _merge([10, 11])      # delta 1
+    _merge([5000, 5001])  # delta 2 (fresh keys)
+    _merge([20, 21])      # delta 3
+
+    scanned: list = []
+    orig = publish._bloom_index_df
+
+    def spy(base, path, columns, params):
+        scanned.extend(base.inputFiles())
+        return orig(base, path, columns, params)
+
+    entry = publish.current_manifest(root)["tables"]["t"]
+    delta_files = {
+        d["path"]: {os.path.abspath(f) for f in publish._data_files(d["path"])}
+        for d in entry["deltas"]
+    }
+    base_files = {os.path.abspath(f) for f in publish._data_files(entry["path"])}
+    try:
+        publish._bloom_index_df = spy
+        res = publish.refresh_bloom_sidecar(spark, root, "t", ["uid"])
+    finally:
+        publish._bloom_index_df = orig
+    assert res["mode"] == "refresh"
+    assert res["added_files"] == sum(len(v) for v in delta_files.values())
+    got_scanned = {os.path.abspath(f.removeprefix("file:")) for f in scanned}
+    # only NEW delta files are scanned — and empty part files not even
+    # those (they join the index as stats-derived zero bitmaps)
+    assert got_scanned
+    assert got_scanned <= set().union(*delta_files.values())
+    assert not (got_scanned & base_files), "base files were re-scanned"
+
+    # point lookup on the KEY column: result exact, and the plan opens
+    # ONLY the delta dir that can hold the key (plus the pruned base)
+    got = publish.scan_table(spark, root, "t", where=[("uid", "=", 5000)])
+    assert _rows(got) == {(5000, "upd5000")}
+    opened = {os.path.abspath(f.removeprefix("file:")) for f in got.inputFiles()}
+    d1, d2, d3 = (delta_files[d["path"]] for d in entry["deltas"])
+    assert opened & d2
+    assert not (opened & d1) and not (opened & d3), "untouched deltas opened"
+
+    # non-key probes must NOT prune delta dirs (a delta can rewrite
+    # non-key values) — correctness over freshly-updated rows holds
+    got = publish.scan_table(spark, root, "t", where=[("name", "=", "upd10")])
+    assert _rows(got) == {(10, "upd10")}
+
+    # idempotent: nothing new → noop, no Spark job
+    res2 = publish.refresh_bloom_sidecar(spark, root, "t", ["uid"])
+    assert res2 == {"mode": "noop", "added_files": 0, "columns": res["columns"]}
+
+    # maintain_store tops up non-rewritten tables incrementally
+    _merge([30, 31])  # delta 4
+    report = publish.maintain_store(
+        spark, root, max_deltas=100, bloom_columns={"t": ["uid"]}
+    )
+    assert report["bloom_refreshed"]["t"]["mode"] == "refresh"
+    assert report["blooms"] == []  # no rewrite happened
+
+
+def test_refresh_bloom_rebuilds_when_index_missing(spark, tmp_path):
+    """refresh on a table with no index (or a rewritten one) falls back
+    to the full build, so maintain_store(bloom_columns=...) is
+    self-sufficient."""
+    root = _seed(spark, tmp_path, n=2000, files=4)
+    res = publish.refresh_bloom_sidecar(spark, root, "t", ["uid"])
+    assert res["mode"] == "rebuild" and res["added_files"] == 4
+    kept, total = publish.prune_files(root, "t", [("uid", "=", 7)])
+    assert total == 4 and len(kept) <= 2

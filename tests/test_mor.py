@@ -311,10 +311,12 @@ def test_cdc_fast_path_matches_generic_diff(spark, tmp_path):
         ), (frm, to)
 
 
-def test_cdc_falls_back_to_generic_across_compact(spark, tmp_path):
-    """A compact between the versions breaks the shared-base condition;
-    read_changes must fall back to the generic diff and stay correct
-    (a pure layout rewrite diffs as empty)."""
+def test_cdc_bridges_across_compact(spark, tmp_path):
+    """Round 7: a compact between the versions no longer forces the
+    generic O(2×table) diff — the rewrite commit carries rewrite_of
+    provenance, _bridged_delta_suffix composes suffix deltas across it,
+    and the fast path stays live on every span.  A rewrites-only span is
+    provably change-free: empty CDC with no table scan at all."""
     root = _store(spark, tmp_path)
     publish.merge_into_mor(
         spark, root, "t",
@@ -323,10 +325,86 @@ def test_cdc_falls_back_to_generic_across_compact(spark, tmp_path):
     publish.compact(spark, root, "t")  # v3, new base path
     f_entry = publish.tables_at(root, 2)["t"]
     t_entry = publish.tables_at(root, 3)["t"]
+    # the one-step primitive still (correctly) refuses the base change…
     assert publish._mor_delta_suffix(f_entry, t_entry) is None
+    # …but the rewrite carries provenance and the walk bridges it
+    assert t_entry.get("rewrite_of") == 2
+    assert publish._bridged_delta_suffix(root, "t", 2, 3) == []
+    suffix13 = publish._bridged_delta_suffix(root, "t", 1, 3)
+    assert suffix13 is not None and len(suffix13) == 1
     assert publish.read_changes(spark, root, "t", 2, 3).count() == 0
     changes = publish.read_changes(spark, root, "t", 1, 3)
     assert _rows(changes) == {(9, "i", 90.0, "insert")}
+
+    # deltas on BOTH sides of the rewrite compose: merge → compact → merge
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(9, "i2", 91.0), (10, "j", 100.0)],
+                              "id bigint, name string, val double"),
+        deletes=spark.createDataFrame([(1,)], "id bigint"),
+    )  # v4
+    suffix14 = publish._bridged_delta_suffix(root, "t", 1, 4)
+    assert suffix14 is not None and len(suffix14) == 2
+    for frm, to in [(1, 4), (2, 4), (3, 4), (1, 3)]:
+        fast = publish.read_changes(spark, root, "t", frm, to, include_old=True)
+        generic = publish.diff_frames(
+            publish.read_table_at(spark, root, "t", frm),
+            publish.read_table_at(spark, root, "t", to),
+            ["id"], include_old=True,
+        )
+        assert _rows(fast.select(*sorted(fast.columns))) == _rows(
+            generic.select(*sorted(fast.columns))
+        ), (frm, to)
+
+
+def test_cdc_falls_back_on_non_preserving_base_change(spark, tmp_path):
+    """A copy-on-write republish (no rewrite_of provenance) is NOT
+    bridgeable — the walk must abort and read_changes take the honest
+    full diff."""
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(9, "i", 90.0)], "id bigint, name string, val double"),
+    )  # v2
+    # CoW republish with a DATA change (not value-preserving)
+    new_state = publish.read_table(spark, root, "t").filter(F.col("id") != 2)
+    publish.publish_tables(spark, {"t": new_state}, root)  # v3
+    assert publish._bridged_delta_suffix(root, "t", 1, 3) is None
+    assert publish._bridged_delta_suffix(root, "t", 2, 3) is None
+    changes = publish.read_changes(spark, root, "t", 2, 3)
+    assert _rows(changes) == {(2, "b", 20.0, "delete")}
+
+
+def test_replicate_table_ships_o_delta_across_compact(spark, tmp_path, monkeypatch):
+    """A replica sync whose span contains the source's nightly compact
+    must still ship O(changed rows): the bridged fast path serves the
+    diff, so the generic path's full two-version reconstruction
+    (read_table_at) is never invoked."""
+    src = _store(spark, tmp_path)
+    dst = str(tmp_path / "replica")
+    publish.replicate_table(spark, src, dst, "t")  # seed
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(2, "b2", 22.0)], "id bigint, name string, val double"),
+    )
+    publish.compact(spark, src, "t")
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(4, "d", 40.0)], "id bigint, name string, val double"),
+    )
+
+    def _no_full_reconstruction(*a, **kw):
+        raise AssertionError(
+            "generic full-diff path invoked across a bridgeable span"
+        )
+
+    monkeypatch.setattr(publish, "read_table_at", _no_full_reconstruction)
+    res = publish.replicate_table(spark, src, dst, "t")
+    monkeypatch.undo()
+    assert res["mode"] == "delta"
+    assert _rows(publish.read_table(spark, dst, "t")) == _rows(
+        publish.read_table(spark, src, "t")
+    )
 
 
 # --- hypothesis: arbitrary merge/delete/compact sequences vs a dict model --

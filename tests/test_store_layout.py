@@ -891,11 +891,13 @@ def test_recluster_gates_on_worst_of_all_cluster_columns(spark, tmp_path):
 
 
 def test_recluster_and_compact_refuse_pinned_layouts(spark, tmp_path):
-    """A bucketed or hive-partitioned entry pins its file organization:
-    compact(sort_by=/cluster_by=/target_files=) must raise rather than
-    silently ignore the request, and recluster must report
-    reclustered=False with a reason instead of paying a no-op O(table)
-    rewrite every nightly pass."""
+    """A bucketed entry pins its file organization: compact(sort_by=/
+    cluster_by=/target_files=) must raise rather than silently ignore
+    the request, and recluster must report reclustered=False with a
+    reason instead of paying a no-op O(table) rewrite every nightly
+    pass.  Hive-partitioned entries recluster WITHIN partitions as of
+    round 7 (compact still rejects the direct request — the rewrite
+    goes through recluster's partition-scoped path)."""
     root = str(tmp_path / "store")
     df = spark.range(2000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
@@ -910,9 +912,15 @@ def test_recluster_and_compact_refuse_pinned_layouts(spark, tmp_path):
             publish.compact(spark, root, name, sort_by=["k"])
         with pytest.raises(ValueError, match="pinned"):
             publish.compact(spark, root, name, cluster_by=["k", "v"])
-        res = publish.recluster(spark, root, name, ["k"], max_overlap=0.0,
-                                force=True)
-        assert not res["reclustered"] and "pinned" in res["reason"]
+    res = publish.recluster(spark, root, "b", ["k"], max_overlap=0.0,
+                            force=True)
+    assert not res["reclustered"] and "pinned" in res["reason"]
+    # partitioned: the request is honored within partitions instead
+    res = publish.recluster(spark, root, "p", ["k"], max_overlap=0.0,
+                            force=True)
+    assert res["reclustered"] is True
+    assert publish.current_manifest(root)["tables"]["p"]["partition_by"] == ["v"]
+    for name in ("b", "p"):
         # plain compaction (delta folding) still works on pinned layouts
         assert publish.compact(spark, root, name)["version"] > 0
     # maintain_store records the skip as a result, not an error
@@ -1323,3 +1331,195 @@ def test_snapshot_reader_lease_survives_vacuum(spark, tmp_path):
     snap2.release()  # idempotent no-op without a lease
     with pytest.raises(ValueError):
         snap2.renew()
+
+
+def test_string_stats_truncated_and_sound(spark, tmp_path):
+    """Round 7: string min/max stats are bounded at STATS_STRING_PREFIX
+    chars (Delta's convention) — _STATS stays O(files) even when a
+    document corpus's text column holds multi-KB values — and truncation
+    never causes a false skip: min is a prefix (lower bound), max gets
+    its last char incremented (strict upper bound)."""
+    root = str(tmp_path / "store")
+    long_a = "A" * 32 + "x" * 5000  # shares its 32-char prefix with long_b
+    long_b = "A" * 32 + "y" * 5000
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_b), (3, "short")], "id bigint, text string"
+    ).repartition(3, "id")
+    publish.publish_tables(spark, {"t": df}, root, table_keys={"t": ["id"]})
+    entry = publish.current_manifest(root)["tables"]["t"]
+
+    entries = publish._load_stats_entries(entry["path"])
+    assert entries
+    saw_truncated = False
+    for e in entries:
+        s = e["stats"].get("text")
+        if not s or s[0] is None:
+            continue
+        assert len(s[0]) <= publish.STATS_STRING_PREFIX
+        assert s[1] is None or len(s[1]) <= publish.STATS_STRING_PREFIX
+        if s[1] is not None and not s[1].startswith("A" * 32):
+            saw_truncated = saw_truncated or s[1].endswith("B")
+    # per-file metadata is O(1) despite 5 KB values: the whole sidecar
+    # stays far below one document's length
+    assert os.path.getsize(
+        os.path.join(entry["path"], publish.STATS_FILE)
+    ) < 4096
+
+    # soundness at the truncation boundary: equality on the FULL value —
+    # the probe shares the recorded 32-char prefix — must keep the file
+    got = publish.scan_table(spark, root, "t", where=[("text", "=", long_a)])
+    assert [r.id for r in got.collect()] == [1]
+    # NOT through the must-match dual: truncated stats can't prove
+    # every row matches, so nothing is skipped that shouldn't be
+    got = publish.scan_table(
+        spark, root, "t", where=[("not", ("text", "=", long_a))]
+    )
+    assert sorted(r.id for r in got.collect()) == [2, 3]
+    # range probe BELOW the shared prefix prunes the long-text files
+    kept, total = publish.prune_files(root, "t", [("text", "<", "A")])
+    assert total >= 2 and len(kept) < total
+
+
+def test_truncate_stat_max_bounds():
+    """_truncate_stat_max must return a STRICT upper bound of any string
+    sharing the truncated prefix, skipping the surrogate gap, and None
+    when no representable bound exists."""
+    t = publish._truncate_stat_max
+    assert t("short") == "short"
+    assert t("x" * 32) == "x" * 32  # exactly at the cap: exact
+    v = "abc" + "z" * 40
+    out = t(v)
+    assert len(out) == 32 and out > v
+    # carry: last char maximal → increment an earlier one
+    v2 = "a" * 31 + chr(0x10FFFF) + "tail"
+    out2 = t(v2)
+    assert out2 == "a" * 30 + "b" and out2 > v2
+    # surrogate gap skipped
+    v3 = "a" * 31 + chr(0xD7FF) + "tail"
+    out3 = t(v3)
+    assert out3 == "a" * 31 + chr(0xE000) and out3 > v3
+    # all-maximal prefix: no bound representable
+    assert t(chr(0x10FFFF) * 33) is None
+    # min side: plain prefix is always a lower bound
+    assert publish._truncate_stat_min(v) == v[:32] <= v
+
+
+def test_partition_scoped_recluster_rewrites_only_fragmented(spark, tmp_path):
+    """Round 7 OPTIMIZE WHERE: recluster on a hive-partitioned table
+    measures overlap PER PARTITION, rewrites only the fragmented one
+    (path-asserted), hard-links the untouched partition's files (zero
+    data copied — same inodes), preserves partition_by, prunes on the
+    clustered column afterwards, and carries rewrite_of so CDC bridges
+    across the rewrite."""
+    root = str(tmp_path / "store")
+    dfa = (
+        spark.range(800)
+        .select(F.lit("a").alias("grp"), F.col("id").alias("val"))
+        .repartition(4)  # hash scatter: every file spans the val domain
+    )
+    dfb = (
+        spark.range(800, 900)
+        .select(F.lit("b").alias("grp"), F.col("id").alias("val"))
+        .coalesce(1)
+    )
+    publish.publish_tables(
+        spark, {"t": dfa.unionByName(dfb)}, root,
+        partition_by={"t": ["grp"]}, table_keys={"t": ["val"]},
+    )
+    v0 = publish.current_manifest(root)["version"]
+    old_path = publish.current_manifest(root)["tables"]["t"]["path"]
+    old_b = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in publish._data_files(os.path.join(old_path, "grp=b"))
+    }
+    old_a_files = set(publish._data_files(os.path.join(old_path, "grp=a")))
+
+    # partition columns are rejected as cluster columns
+    with pytest.raises(ValueError, match="partition columns"):
+        publish.recluster(spark, root, "t", by=["grp"], force=True)
+
+    res = publish.recluster(
+        spark, root, "t", by=["val"], max_overlap=1.5, target_files=4
+    )
+    assert res["reclustered"] is True
+    assert res["partitions_rewritten"] == ["grp=a"]
+    assert res["partition_overlaps"]["grp=a"] > 1.5
+    assert res["partition_overlaps"]["grp=b"] == 1.0
+    assert res["files_linked"] == len(old_b)
+    assert res["overlap_after"] <= 1.5
+
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry["path"] != old_path
+    assert entry["partition_by"] == ["grp"]
+    assert entry["rewrite_of"] == v0
+    # grp=b files: SAME names, SAME inodes (hard links, not copies)
+    new_b = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in publish._data_files(os.path.join(entry["path"], "grp=b"))
+    }
+    assert new_b == old_b
+    # grp=a files: rewritten (none of the old files reused)
+    new_a = set(publish._data_files(os.path.join(entry["path"], "grp=a")))
+    assert not {os.path.basename(f) for f in new_a} & {
+        os.path.basename(f) for f in old_a_files
+    }
+
+    # post-rewrite skipping: a val probe prunes inside grp=a
+    rep = publish.explain_skipping(root, "t", [("val", "<", 100)])
+    a_rows = [r for r in rep if r["file"].startswith("grp=a")]
+    assert any(not r["kept"] for r in a_rows)
+    # content identical + partition pruning intact
+    got = publish.scan_table(spark, root, "t", where=[("val", "<", 100)])
+    assert got.count() == 100
+    kept, total = publish.prune_files(root, "t", [("grp", "=", "b")])
+    assert len(kept) == len(old_b) and total > len(kept)
+
+    # the rewrite is value-preserving and bridged: empty CDC, fast path
+    assert publish._bridged_delta_suffix(root, "t", v0, v0 + 1) == []
+    assert publish.read_changes(spark, root, "t", v0, v0 + 1).count() == 0
+
+    # a second pass finds nothing fragmented → no rewrite, no commit
+    v1 = publish.current_manifest(root)["version"]
+    res2 = publish.recluster(
+        spark, root, "t", by=["val"], max_overlap=1.5, target_files=4
+    )
+    assert res2["reclustered"] is False
+    assert publish.current_manifest(root)["version"] == v1
+
+
+def test_reader_lease_observability_and_stall_alarm(spark, tmp_path):
+    """Round 7: store_usage reports every active lease's floor, version
+    lag, and age; maintain_store alarms on a lease whose floor lags the
+    head past the threshold (a live-but-stuck consumer pins history
+    forever — TTL expiry only catches dead ones) while a renewing
+    consumer stays quiet."""
+    root = str(tmp_path / "store")
+    for i in range(6):
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame([(i, float(i))], "id bigint, v double")},
+            root, table_keys={"t": ["id"]},
+        )
+    head = publish.current_manifest(root)["version"]
+    publish.register_reader(root, "stuck", 1)
+    publish.register_reader(root, "healthy", head)
+    publish.register_reader(root, "dead", 1, ttl_seconds=-1.0)  # expired
+
+    usage = publish.store_usage(root)
+    assert set(usage["readers"]) == {"stuck", "healthy"}  # expired hidden
+    assert usage["readers"]["stuck"]["floor"] == 1
+    assert usage["readers"]["stuck"]["lag_versions"] == head - 1
+    assert usage["readers"]["healthy"]["lag_versions"] == 0
+    assert usage["readers"]["stuck"]["lease_age_seconds"] >= 0
+    assert usage["readers"]["stuck"]["expires_in_seconds"] > 0
+
+    report = publish.maintain_store(
+        spark, root, orphan_min_age_seconds=0, reader_lag_warn_versions=3
+    )
+    assert set(report["reader_warnings"]) == {"stuck"}
+    assert report["reader_warnings"]["stuck"]["lag_versions"] == head - 1
+    # threshold off → no check
+    report = publish.maintain_store(
+        spark, root, orphan_min_age_seconds=0, reader_lag_warn_versions=None
+    )
+    assert "reader_warnings" not in report

@@ -421,18 +421,26 @@ def test_mor_tail_fast_path_matches_generic_under_where_and_shards(
                         root, "t", 2, cols, keys, s, num_shards, where),
                     cols, keys))
             assert sorted(fast_rows) == sorted(generic_rows), (where, num_shards)
-    # a compact breaks the base-sharing chain → fast path declines
+    # a compact used to break the base-sharing chain; round 7 bridges it
+    # via rewrite_of provenance — a compact-only span is change-free
     publish.compact(spark, root, "t")
     publish.merge_into_mor(
         spark, root, "t",
         spark.createDataFrame([(2, "grp0", 100.0)],
                               "id bigint, grp string, val double"),
     )
-    assert store_source._mor_tail_frames(
-        root, "t", 2, 3, cols, keys, 0, 1, ()) is None  # across the rewrite
+    fast23 = store_source._mor_tail_frames(
+        root, "t", 2, 3, cols, keys, 0, 1, ())
+    assert fast23 is not None and len(fast23[0]) == len(fast23[1]) == 0
+    fast24 = store_source._mor_tail_frames(
+        root, "t", 2, 4, cols, keys, 0, 1, ())
+    assert fast24 is not None  # bridged ACROSS the rewrite
+    assert sorted(
+        store_source._diff_frames(fast24[0], fast24[1], cols, keys)
+    ) == [(2, "grp0", 100.0, "update")]
     fast = store_source._mor_tail_frames(
         root, "t", 3, 4, cols, keys, 0, 1, ())
-    assert fast is not None  # the new chain re-enables it
+    assert fast is not None  # the new chain works too
 
 
 def test_stream_filtered_view_with_boolean_tree(spark, tmp_path):
@@ -603,3 +611,99 @@ def test_expired_lease_not_reseeded_at_init(spark, store):
         schema, {"root": store, "table": "t", "reader": "fresh"}
     )
     assert publish.active_reader_floors(store)["fresh"]["version"] == 3
+
+
+def test_mor_tail_bridges_maintain_store_compaction(spark, tmp_path):
+    """Round 7: a micro-batch whose span contains maintain_store's
+    nightly compact still reads bytes ∝ delta.  The compact commit
+    carries rewrite_of provenance, the tail composes suffix deltas
+    across it, and the batch touches ONLY (a) the post-compact suffix
+    delta dir, (b) the from-version's own delta dir (key-scoped) and
+    (c) a PRUNED old-base file list — never the full old base, never
+    the compacted new base.  A compact-only span scans NOTHING."""
+    from dataintegration_ecomprovider_spark.streaming import store_source
+
+    root = str(tmp_path / "morbridge")
+    n = 4000
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("name"), F.col("id")).alias("name"),
+        F.col("id").cast("double").alias("val"),
+    ).repartitionByRange(8, "id").sortWithinPartitions("id")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    old_base = publish.current_manifest(root)["tables"]["t"]["path"]
+    old_base_files = {os.path.join(old_base, os.path.basename(f))
+                      for f in publish._data_files(old_base)}
+
+    publish.merge_into_mor(  # v2
+        spark, root, "t",
+        spark.createDataFrame(
+            [(10, "upd10", 1.5), (n + 7, "new", 7.0)],
+            "id bigint, name string, val double",
+        ),
+    )
+    report = publish.maintain_store(spark, root, max_deltas=0)  # v3: compact
+    assert "t" in report["compacted"], report
+    new_base = publish.current_manifest(root)["tables"]["t"]["path"]
+    assert new_base != old_base
+    publish.merge_into_mor(  # v4
+        spark, root, "t",
+        spark.createDataFrame(
+            [(10, "upd10b", 1.75), (12, "upd12", 3.0)],
+            "id bigint, name string, val double",
+        ),
+        deletes=spark.createDataFrame([(11,)], "id bigint"),
+    )
+
+    cols, keys = ["id", "name", "val"], ["id"]
+    scanned: list = []
+    orig = store_source._scan_frames
+
+    def spy(source, want_cols, *a, **kw):
+        scanned.append(source)
+        return orig(source, want_cols, *a, **kw)
+
+    try:
+        store_source._scan_frames = spy
+        part = store_source._shard_partition(root, "t", 2, 4, cols, keys, 0, 1, ())
+        got = sorted(
+            store_source.StoreChangesStreamReader.read(_reader_stub(), part)
+        )
+        scanned_24, scanned[:] = list(scanned), []
+        part23 = store_source._shard_partition(root, "t", 2, 3, cols, keys, 0, 1, ())
+        got23 = sorted(
+            store_source.StoreChangesStreamReader.read(_reader_stub(), part23)
+        )
+        scanned_23 = list(scanned)
+    finally:
+        store_source._scan_frames = orig
+
+    expected = sorted(
+        tuple(r)
+        for r in publish.read_changes(spark, root, "t", 2, 4, keys=keys).collect()
+    )
+    assert got == expected == sorted([
+        (10, "upd10b", 1.75, "update"),
+        (11, "name11", 11.0, "delete"),
+        (12, "upd12", 3.0, "update"),
+    ])
+
+    # compact-only span: provably change-free, zero rows, ZERO scans
+    assert got23 == []
+    assert scanned_23 == []
+
+    # bytes ∝ delta across the rewrite: pruned old-base file lists only,
+    # and the directories touched are exactly the two delta dirs
+    entry2 = publish.tables_at(root, 2)["t"]
+    entry4 = publish.tables_at(root, 4)["t"]
+    from_delta_dir = entry2["deltas"][0]["path"]
+    suffix_dir = entry4["deltas"][-1]["path"]
+    base_list_scans = [s for s in scanned_24 if isinstance(s, list)]
+    assert base_list_scans, f"old-base scan was not file-pruned: {scanned_24}"
+    for files in base_list_scans:
+        assert len(files) < len(old_base_files)
+        assert set(files) <= old_base_files
+    dir_scans = {s for s in scanned_24 if isinstance(s, str)}
+    assert suffix_dir in dir_scans
+    assert dir_scans <= {suffix_dir, from_delta_dir}
+    assert old_base not in dir_scans and new_base not in dir_scans
