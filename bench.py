@@ -59,6 +59,7 @@ HEADLINE = [
     "stream_interval_join",         # stream-stream interval join, batch form (round 4)
     "u12_auto_recluster",           # metadata-gated OPTIMIZE + skipping (round 5)
     "llm_topic_clusters_incremental",  # O(batch) topic assignment vs persisted index (round 6)
+    "llm_topic_assignments_cdc",    # CDC-maintained assignment view: updates re-score, deletes retract (round 7)
 ]
 
 

@@ -533,7 +533,16 @@ def recenter_topics(
     recluster() pattern: evaluate cheap, rewrite only when degraded):
     the stored assignments' mean cosine-to-centroid is one small
     aggregation over the assignments table — no corpus scan — and the
-    rebuild runs only when it has fallen below the threshold.
+    rebuild runs only when it has fallen below the threshold.  The
+    measurement itself is VERSION-GATED: the measured (version, mean)
+    pair is recorded in the store's sync-state file under
+    ``topics-measure:<assignments_table>``, and a later pass that finds
+    the store version unchanged reuses the recorded mean without
+    running ANY Spark job — an idle nightly maintain_store pass over a
+    quiet store is metadata-only for topics, matching the rest of
+    maintain_store's evaluate-cheap discipline (a store-version match
+    is sound because every table commit bumps the store version, so an
+    unchanged version implies byte-identical assignments).
 
     The republish is CAS-guarded on the store version observed at the
     measure step: the rebuild REPLACES the assignments table, so a
@@ -542,22 +551,38 @@ def recenter_topics(
     ConcurrentPublishError (the next maintenance pass retries; the
     ingest, the latency-sensitive half of the loop, always wins).
     Returns {"recentered": bool, "mean_csim": float | None,
-    ["version"]}."""
+    "measured": bool — False when the version gate reused a recorded
+    probe, ["version"]}."""
     from pyspark.sql import functions as _F
 
     from dataintegration_ecomprovider_spark.plans import publish
 
     observed = publish.current_manifest(root)["version"]
     mean = None
+    measured = False
     if min_mean_csim is not None:
-        try:
-            cur = publish.read_table(spark, root, assignments_table)
-        except KeyError:
-            cur = None  # no index yet — the first pass bootstraps it
-        if cur is not None:
-            mean = cur.agg(_F.avg("csim")).collect()[0][0]
+        probe_key = f"topics-measure:{assignments_table}"
+        rec = publish._sync_state(root).get(probe_key)
+        if isinstance(rec, dict) and rec.get("version") == observed:
+            # store version unchanged since the last measured pass →
+            # the assignments are byte-identical; reuse the recorded
+            # mean, zero Spark jobs (the idle-pass fast path)
+            mean = rec.get("mean")
+        else:
+            try:
+                cur = publish.read_table(spark, root, assignments_table)
+            except KeyError:
+                cur = None  # no index yet — the first pass bootstraps it
+            if cur is not None:
+                mean = cur.agg(_F.avg("csim")).collect()[0][0]
+                mean = float(mean) if mean is not None else None
+            measured = True
+            publish._set_sync_state(
+                root, probe_key, {"version": observed, "mean": mean}
+            )
         if mean is not None and float(mean) >= min_mean_csim:
-            return {"recentered": False, "mean_csim": float(mean)}
+            return {"recentered": False, "mean_csim": float(mean),
+                    "measured": measured, "measured_version": observed}
     idx = ivf_index(
         corpus, n_centroids=n_clusters, id_col=id_col, vec_col=vec_col,
         portable=portable, refine_iters=iters,
@@ -577,8 +602,130 @@ def recenter_topics(
     return {
         "recentered": True,
         "mean_csim": float(mean) if mean is not None else None,
+        "measured": measured,
         "version": manifest["version"],
     }
+
+
+def maintain_topic_assignments(
+    spark,
+    root: str,
+    src: str = "embeddings",
+    dst: str = "topic_assignments",
+    centroids_table: str = "topic_centroids",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain `dst` as a CDC-DRIVEN VIEW of the embeddings table:
+    assignments follow the source through inserts, updates AND deletes,
+    so dedup/curation removing documents retracts their topic rows
+    instead of leaving them stale (the gap a bare assign_to_index ingest
+    loop has — it only ever adds).
+
+    The maintenance rule is the per-row specialization of incremental
+    view maintenance: assignment is a PURE per-row function of
+    (vector, centroids), so a source change can only affect the rows
+    whose keys changed —
+
+    - insert/update → re-score JUST those rows against the persisted
+      centroids (broadcast ≤K centroids, O(batch)),
+    - delete → retract the assignment row,
+
+    committed as ONE merge-on-read delta (merge_into_mor upserts +
+    delete markers), so both the read side (CDC via read_changes —
+    O(delta) across compactions thanks to rewrite provenance) and the
+    write side are O(changed rows), never O(corpus).  First call seeds
+    with a full assignment of the source at the watermarked version;
+    the watermark lives in the store sync-state under
+    ``topics-view:<dst>`` (the maintain_aggregate pattern,
+    plans/materialize.py).  Centroid REBUILD stays recenter_topics's
+    job — this function keeps assignments consistent with the source
+    between recenters, against whatever centroids are currently
+    persisted.  Declarable as ``materialize.declare_view(root,
+    "topics", src=..., dst=...)`` so maintain_store refreshes it with
+    the rest of the view DAG.
+
+    The maintained state always equals
+    ``assign_to_index(current source, current centroids)`` whenever the
+    centroids predate the watermark — pinned against a full recompute
+    (and a DuckDB oracle on the portable hash family) in
+    tests/test_llm_incremental.py.  Reference analog: the incremental
+    re-run model (/root/reference/src/EcomProvider.cs:25, 937-966) —
+    derived state follows the feed without re-reading the world.
+
+    Returns {"dst", "from_version", "to_version", "mode"} — mode is
+    "seed" | "delta" | "empty" | "noop"."""
+    from pyspark.sql import functions as _F
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    state_key = f"topics-view:{dst}"
+    manifest = publish.current_manifest(root)
+    src_version = manifest["version"]
+    last = publish._sync_state(root).get(state_key)
+    centroids = publish.read_table(spark, root, centroids_table)
+
+    def _seed() -> str:
+        # read the source AT the watermarked version (not current): a
+        # publish landing between the manifest capture and this scan
+        # would desync the watermark and double-apply the next delta
+        out = assign_to_index(
+            publish.read_table_at(spark, root, src, src_version),
+            centroids, id_col=id_col, vec_col=vec_col,
+        )
+        publish.publish_tables(
+            spark, {dst: out}, root, table_keys={dst: ["vec_id"]}
+        )
+        return "seed"
+
+    if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif last == src_version:
+        return {"dst": dst, "from_version": last, "to_version": src_version,
+                "mode": "noop"}
+    else:
+        try:
+            changes = publish.read_changes(
+                spark, root, src, from_version=last, to_version=src_version,
+                keys=[id_col],
+            )
+        except KeyError:
+            # the consumed-from version was vacuumed out of history: the
+            # delta is unrecoverable, fall back to a full re-seed
+            mode = _seed()
+        else:
+            from dataintegration_ecomprovider_spark import runtime
+
+            # persist the delta-sized feed once: it is read three times
+            # (count, upsert scoring, delete keys), each of which would
+            # otherwise re-evaluate the version diff
+            with runtime.job_scope() as scope:
+                try:
+                    changes = runtime.track(changes.persist())
+                    if changes.count() == 0:
+                        # the store advanced but `src` didn't (e.g. our
+                        # own dst commits): advance watermark, no write
+                        mode = "empty"
+                    else:
+                        upserts = assign_to_index(
+                            changes.filter(
+                                _F.col("change_type") != "delete"
+                            ),
+                            centroids, id_col=id_col, vec_col=vec_col,
+                        )
+                        deletes = changes.filter(
+                            _F.col("change_type") == "delete"
+                        ).select(_F.col(id_col).alias("vec_id"))
+                        publish.merge_into_mor(
+                            spark, root, dst, upserts,
+                            keys=["vec_id"], deletes=deletes,
+                        )
+                        mode = "delta"
+                finally:
+                    scope.release(spark)
+    publish._set_sync_state(root, state_key, src_version)
+    return {"dst": dst, "from_version": last, "to_version": src_version,
+            "mode": mode}
 
 
 def semantic_dedup(

@@ -1105,6 +1105,109 @@ SELECT vec_id, cid, csim FROM aranked WHERE crank = 1
 """
 
 
+def _topic_assignments_cdc(
+    spark: SparkSession, sf_dir: str, portable: bool
+) -> DataFrame:
+    """Topic assignments as a CDC-MAINTAINED VIEW (round 7,
+    similarity.maintain_topic_assignments): the assignments table
+    follows the embeddings table through inserts, UPDATES and DELETES —
+    the stale-row gap a bare assign_to_index ingest loop leaves when a
+    dedup/curation pass removes documents.  Lifecycle: seed on ingest
+    batch 1 (centroids built there, portable md5 seeding for the
+    oracle), MoR-insert batch 2 and refresh (O(batch) against the
+    persisted centroids), then a curation pass — delete every vec_id ≡ 3
+    (mod 5), flip the vectors of vec_id ≡ 1 (mod 7) — lands as ONE MoR
+    commit whose CDC the next refresh consumes: re-score the updated
+    rows, retract the deleted ones, O(changed rows) read AND write.
+    The final table must equal a one-shot assignment of the CURRENT
+    corpus against the batch-1 centroids, which is exactly what the
+    DuckDB oracle computes."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = similarity.ivf_index(
+        batch1, n_centroids=16, portable=portable, refine_iters=2
+    )
+    root = _scratch_store_root(f"topic_cdc_{int(portable)}")
+    publish.publish_tables(
+        spark,
+        {"embeddings": batch1, "topic_centroids": idx["centroids"]},
+        root,
+        table_keys={"embeddings": ["vec_id"]},
+    )
+    res = similarity.maintain_topic_assignments(spark, root)
+    assert res["mode"] == "seed", res
+    # ingest batch 2 as a merge-on-read commit; the refresh consumes its
+    # CDC and scores ONLY the new rows
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.filter(F.col("vec_id") % 2 != 0)
+    )
+    res = similarity.maintain_topic_assignments(spark, root)
+    assert res["mode"] == "delta", res
+    # curation pass: drop every fifth document, re-embed (negate) every
+    # seventh — one MoR commit carrying updates + delete markers
+    cur = publish.read_table(spark, root, "embeddings")
+    updated = cur.filter(
+        (F.col("vec_id") % 7 == 1) & (F.col("vec_id") % 5 != 3)
+    ).withColumn("embedding", F.transform(F.col("embedding"), lambda x: -x))
+    deleted = cur.filter(F.col("vec_id") % 5 == 3).select("vec_id")
+    publish.merge_into_mor(spark, root, "embeddings", updated, deletes=deleted)
+    res = similarity.maintain_topic_assignments(spark, root)
+    assert res["mode"] == "delta", res
+    out = publish.read_table(spark, root, "topic_assignments")
+    return out
+
+
+def q_topic_assignments_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _topic_assignments_cdc(spark, sf_dir, portable=False)
+
+
+def q_topic_assignments_cdc_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _topic_assignments_cdc(spark, sf_dir, portable=True)
+
+
+# Centroids derive from batch 1 (vec_id % 2 = 0) alone; the maintained
+# view must equal assigning the POST-CURATION corpus (vec_id % 5 ≠ 3,
+# vectors negated where vec_id % 7 = 1) against those centroids — any
+# stale assignment row for a deleted document, or an un-rescored row for
+# an updated one, breaks the hash match.
+ORACLE_TOPIC_ASSIGNMENTS_CDC_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+cent0 AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+{_lloyd_iter_sql("cent0", "cent1")},
+{_lloyd_iter_sql("cent1", "cent2")},
+vall AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 1
+              THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+  FROM embeddings WHERE vec_id % 5 <> 3
+),
+ascore AS (
+  SELECT a.vec_id, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM vall a CROSS JOIN cent2 c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+)
+SELECT vec_id, cid, csim FROM aranked WHERE crank = 1
+"""
+
+
 ORACLE_TOPIC_CLUSTERS_PORTABLE = f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1724,6 +1827,11 @@ QUERIES = {
     # over the full corpus — same oracle, lifecycle asserted in-query
     "llm_topic_recenter_portable": QueryDef(
         q_topic_recenter_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
+    ),
+    "llm_topic_assignments_cdc": QueryDef(q_topic_assignments_cdc, None),
+    "llm_topic_assignments_cdc_portable": QueryDef(
+        q_topic_assignments_cdc_portable,
+        ORACLE_TOPIC_ASSIGNMENTS_CDC_PORTABLE,
     ),
     "llm_quality_filter_quantile": QueryDef(
         q_quality_filter_quantile, ORACLE_QUALITY_FILTER

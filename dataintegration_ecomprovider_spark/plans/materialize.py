@@ -413,13 +413,7 @@ def maintain_aggregate(
                     # every maintain pass (executor storage memory)
                     scope.release(spark)
 
-    with publish._manifest_lock(root):
-        state = publish._sync_state(root)
-        state[state_key] = src_version
-        tmp = os.path.join(root, publish.SYNC_FILE + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, os.path.join(root, publish.SYNC_FILE))
+    publish._set_sync_state(root, state_key, src_version)
     return {"dst": dst, "from_version": last, "to_version": src_version,
             "mode": mode}
 
@@ -729,13 +723,7 @@ def maintain_join(
                     # maintain_aggregate for the leak this prevents
                     scope.release(spark)
 
-    with publish._manifest_lock(root):
-        state = publish._sync_state(root)
-        state[state_key] = src_version
-        tmp = os.path.join(root, publish.SYNC_FILE + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, os.path.join(root, publish.SYNC_FILE))
+    publish._set_sync_state(root, state_key, src_version)
     return {"dst": dst, "from_version": last, "to_version": src_version,
             "mode": mode}
 
@@ -756,12 +744,16 @@ VIEWS_FILE = "_VIEWS.json"
 
 def declare_view(root: str, kind: str, **spec) -> dict:
     """Persist a view definition under the store root.  `kind` is
-    ``aggregate`` (maintain_aggregate kwargs) or ``join`` (maintain_join
-    kwargs); `spec` must include ``dst`` (the view's table name, also its
-    registry key).  Re-declaring a dst overwrites its spec.  Returns the
-    full declared-view registry."""
-    if kind not in ("aggregate", "join"):
-        raise ValueError(f"view kind must be 'aggregate' or 'join', got {kind!r}")
+    ``aggregate`` (maintain_aggregate kwargs), ``join`` (maintain_join
+    kwargs) or ``topics`` (similarity.maintain_topic_assignments
+    kwargs — the CDC-maintained topic-assignment view); `spec` must
+    include ``dst`` (the view's table name, also its registry key).
+    Re-declaring a dst overwrites its spec.  Returns the full
+    declared-view registry."""
+    if kind not in ("aggregate", "join", "topics"):
+        raise ValueError(
+            f"view kind must be 'aggregate', 'join' or 'topics', got {kind!r}"
+        )
     if "dst" not in spec:
         raise ValueError("a declared view needs a dst table name")
     with publish._manifest_lock(root):
@@ -871,6 +863,11 @@ def _view_sources(spec: dict) -> list[str]:
     """The table names a declared view reads from."""
     if spec.get("kind") == "aggregate":
         return [spec["src"]]
+    if spec.get("kind") == "topics":
+        return [
+            spec.get("src", "embeddings"),
+            spec.get("centroids_table", "topic_centroids"),
+        ]
     return [spec["fact"], spec["dim"]]
 
 
@@ -916,7 +913,13 @@ def refresh_declared_views(spark: SparkSession, root: str) -> dict:
     for dst in _view_refresh_order(views):
         spec = dict(views[dst])
         kind = spec.pop("kind")
-        fn = maintain_aggregate if kind == "aggregate" else maintain_join
+        if kind == "topics":
+            # local import: similarity imports publish, not this module
+            from dataintegration_ecomprovider_spark.llm.similarity import (
+                maintain_topic_assignments as fn,
+            )
+        else:
+            fn = maintain_aggregate if kind == "aggregate" else maintain_join
         try:
             report["views"][dst] = fn(spark, root, **spec)
         except Exception as e:  # noqa: BLE001 — per-view isolation

@@ -2766,8 +2766,8 @@ def maintain_store(
        omitted, every view DECLARED in the store
        (materialize.declare_view → `_VIEWS.json`) refreshes — the pass
        is self-contained, no caller-shipped specs; explicit specs of
-       ``{"kind": "aggregate"|"join", **maintain_* kwargs}`` override,
-       and ``refresh_views=()`` skips view refresh entirely;
+       ``{"kind": "aggregate"|"join"|"topics", **maintain_* kwargs}``
+       override, and ``refresh_views=()`` skips view refresh entirely;
     2. COMPACT every table whose merge-on-read delta log is deeper than
        `max_deltas`, or whose file count exceeds `max_files` (when set) —
        folding delta logs and small files back into target-size bases;
@@ -2829,9 +2829,20 @@ def maintain_store(
                     report["views"][dst] = materialize.maintain_join(
                         spark, root, **spec
                     )
+                elif kind == "topics":
+                    from dataintegration_ecomprovider_spark.llm import (
+                        similarity as _similarity,
+                    )
+
+                    report["views"][dst] = (
+                        _similarity.maintain_topic_assignments(
+                            spark, root, **spec
+                        )
+                    )
                 else:
                     raise ValueError(
-                        f"view kind must be 'aggregate' or 'join', got {kind!r}"
+                        "view kind must be 'aggregate', 'join' or "
+                        f"'topics', got {kind!r}"
                     )
             except Exception as e:  # noqa: BLE001 — per-view isolation
                 report["errors"][f"view:{dst}"] = f"{type(e).__name__}: {e}"
@@ -3720,6 +3731,20 @@ def _sync_state(root: str) -> dict:
         return json.load(fh)
 
 
+def _set_sync_state(root: str, key: str, value) -> None:
+    """Atomically record one entry in the store's sync-state file
+    (`_SYNC.json`) under the manifest lock — the shared watermark
+    registry for incremental consumers (replication cursors, maintained
+    views, topic indexes)."""
+    with _manifest_lock(root):
+        state = _sync_state(root)
+        state[key] = value
+        tmp = os.path.join(root, SYNC_FILE + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(root, SYNC_FILE))
+
+
 def replicate_table(
     spark: SparkSession,
     src_root: str,
@@ -3813,17 +3838,12 @@ def replicate_table(
             mode = "delta"
 
     os.makedirs(dst_root, exist_ok=True)
-    # sync-state update is a read-modify-write of a shared file: take the
-    # replica's commit lock so two concurrent replicate_table calls (for
-    # DIFFERENT tables of one store) don't lose each other's entries.
-    # The data publish above already released the same lock — no nesting.
-    with _manifest_lock(dst_root):
-        state = _sync_state(dst_root)
-        state[name] = src_version
-        tmp = os.path.join(dst_root, SYNC_FILE + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, os.path.join(dst_root, SYNC_FILE))
+    # sync-state update is a read-modify-write of a shared file; the
+    # helper takes the replica's commit lock so two concurrent
+    # replicate_table calls (for DIFFERENT tables of one store) don't
+    # lose each other's entries.  The data publish above already
+    # released the same lock — no nesting.
+    _set_sync_state(dst_root, name, src_version)
     return {
         "table": name, "from_version": last, "to_version": src_version,
         "mode": mode,

@@ -398,7 +398,9 @@ def test_recenter_topics_is_drift_gated(spark, tmp_path):
         spark, root, emb, n_clusters=8, iters=1,
         min_mean_csim=mean_before - 0.01,
     )
-    assert res == {"recentered": False, "mean_csim": pytest.approx(mean_before)}
+    assert res["recentered"] is False
+    assert res["mean_csim"] == pytest.approx(mean_before)
+    assert res["measured"] is True  # first probe at this version runs the agg
     assert publish.current_manifest(root)["version"] == v0
 
     # degraded threshold → rebuild over the full corpus, atomically
@@ -557,3 +559,194 @@ def test_maintain_store_bootstraps_missing_topic_index(spark, tmp_path):
     assert report["topics"]["topic_assignments"]["recentered"] is True
     assert publish.read_table(spark, root, "topic_assignments").count() == n
     assert publish.read_table(spark, root, "topic_centroids").count() <= 4
+
+def test_recenter_drift_probe_is_version_gated(spark, tmp_path, monkeypatch):
+    """The drift probe is VERSION-GATED (round 7): a maintenance pass
+    that finds the store version unchanged since the last measured pass
+    reuses the recorded (version, mean) pair from the sync-state file
+    and runs ZERO Spark jobs — proven by poisoning publish.read_table,
+    the only route recenter_topics has to the assignments table.  Any
+    commit (even to an unrelated table) re-arms the probe."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    n, dims = 40, 6
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 4 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    idx = similarity.ivf_index(emb, n_centroids=4, refine_iters=1)
+    root = str(tmp_path / "topics")
+    publish.publish_tables(
+        spark,
+        {"topic_centroids": idx["centroids"],
+         "topic_assignments": similarity.assign_to_index(emb, idx["centroids"])},
+        root, table_keys={"topic_assignments": ["vec_id"]},
+    )
+
+    # pass 1: first probe at this version measures (one small agg)
+    res1 = similarity.recenter_topics(
+        spark, root, emb, n_clusters=4, iters=1, min_mean_csim=-1.1
+    )
+    assert res1["recentered"] is False and res1["measured"] is True
+    assert res1["measured_version"] == publish.current_manifest(root)["version"]
+
+    # pass 2, store idle: the gate must not touch Spark at all
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("idle topic probe ran a Spark read")
+
+    real_read_table = publish.read_table
+    monkeypatch.setattr(publish, "read_table", boom)
+    res2 = similarity.recenter_topics(
+        spark, root, emb, n_clusters=4, iters=1, min_mean_csim=-1.1
+    )
+    monkeypatch.setattr(publish, "read_table", real_read_table)
+    assert res2["recentered"] is False and res2["measured"] is False
+    assert res2["mean_csim"] == pytest.approx(res1["mean_csim"])
+
+    # any commit bumps the store version and re-arms the probe
+    publish.publish_tables(
+        spark, {"unrelated": spark.range(3).withColumnRenamed("id", "k")}, root
+    )
+    res3 = similarity.recenter_topics(
+        spark, root, emb, n_clusters=4, iters=1, min_mean_csim=-1.1
+    )
+    assert res3["measured"] is True
+    assert res3["mean_csim"] == pytest.approx(res1["mean_csim"])
+
+
+def test_maintain_topic_assignments_follows_cdc(spark, tmp_path):
+    """maintain_topic_assignments: the assignments table is a
+    CDC-maintained view of the embeddings table — inserts assign,
+    updates re-assign, deletes RETRACT (no stale rows), each refresh an
+    O(changed rows) MoR commit — and the maintained state always equals
+    a one-shot assign_to_index of the current source against the
+    persisted centroids."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    n, dims = 90, 6
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.sin((F.col("id") % 9 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = similarity.ivf_index(batch1, n_centroids=4, refine_iters=1)
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"embeddings": batch1, "topic_centroids": idx["centroids"]},
+        root, table_keys={"embeddings": ["vec_id"]},
+    )
+    cent = publish.read_table(spark, root, "topic_centroids")
+
+    def expect_current():
+        src = publish.read_table(spark, root, "embeddings")
+        return {
+            r["vec_id"]: (r["cid"], r["csim"])
+            for r in similarity.assign_to_index(src, cent).collect()
+        }
+
+    def got():
+        return {
+            r["vec_id"]: (r["cid"], r["csim"])
+            for r in publish.read_table(
+                spark, root, "topic_assignments"
+            ).collect()
+        }
+
+    # seed, then noop while the source is quiet
+    assert similarity.maintain_topic_assignments(spark, root)["mode"] == "seed"
+    assert got() == expect_current()
+    assert similarity.maintain_topic_assignments(spark, root)["mode"] == "empty"
+    assert similarity.maintain_topic_assignments(spark, root)["mode"] == "noop"
+
+    # insert batch 2 (MoR commit) -> delta refresh scores only the batch
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.filter(F.col("vec_id") % 2 != 0)
+    )
+    assert similarity.maintain_topic_assignments(spark, root)["mode"] == "delta"
+    assert got() == expect_current()
+
+    # curation pass: delete every fifth doc, re-embed (negate) every
+    # seventh -- one MoR commit carrying updates + delete markers
+    cur = publish.read_table(spark, root, "embeddings")
+    updated = cur.filter(
+        (F.col("vec_id") % 7 == 1) & (F.col("vec_id") % 5 != 3)
+    ).withColumn("embedding", F.transform(F.col("embedding"), lambda x: -x))
+    deleted = cur.filter(F.col("vec_id") % 5 == 3).select("vec_id")
+    publish.merge_into_mor(
+        spark, root, "embeddings", updated, deletes=deleted
+    )
+    assert similarity.maintain_topic_assignments(spark, root)["mode"] == "delta"
+    final = got()
+    assert final == expect_current()
+    # deleted documents are RETRACTED, not left stale
+    live = {r["vec_id"] for r in publish.read_table(
+        spark, root, "embeddings").select("vec_id").collect()}
+    assert set(final) == live
+    assert not any(v % 5 == 3 for v in final)
+    # updated documents were genuinely re-scored (negation flips cosine)
+    flipped = [v for v in final if v % 7 == 1 and v % 5 != 3]
+    assert flipped, "test corpus must contain updated rows"
+
+    # the view write path is merge-on-read: refreshes append deltas to
+    # the assignments entry instead of rewriting the table
+    entry = publish.current_manifest(root)["tables"]["topic_assignments"]
+    assert entry.get("deltas"), "refresh should commit MoR deltas"
+
+
+def test_declared_topics_view_refreshes_with_store(spark, tmp_path):
+    """A 'topics' declaration makes the assignment view part of the
+    store's self-contained view DAG: maintain_store (no caller specs)
+    seeds it, and a later pass consumes the embeddings CDC — deletes
+    retract assignments with no per-call wiring."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    n, dims = 40, 6
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 5 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    idx = similarity.ivf_index(emb, n_centroids=4, refine_iters=1)
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"embeddings": emb, "topic_centroids": idx["centroids"]},
+        root, table_keys={"embeddings": ["vec_id"]},
+    )
+    materialize.declare_view(
+        root, "topics", src="embeddings", dst="topic_assignments"
+    )
+
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["topic_assignments"]["mode"] == "seed"
+    assert publish.read_table(spark, root, "topic_assignments").count() == n
+
+    publish.merge_into_mor(
+        spark, root, "embeddings",
+        emb.limit(0),
+        deletes=emb.filter(F.col("vec_id") < 10).select("vec_id"),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["topic_assignments"]["mode"] == "delta"
+    left = publish.read_table(spark, root, "topic_assignments")
+    assert {r["vec_id"] for r in left.select("vec_id").collect()} == set(
+        range(10, n)
+    )
