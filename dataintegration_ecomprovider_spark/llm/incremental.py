@@ -94,6 +94,132 @@ def match_against_index(
     )
 
 
+def maintain_dedup_index(
+    spark,
+    root: str,
+    src: str = "documents",
+    dst: str = "minhash_sigs",
+    bands_table: str = "minhash_bands",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> dict:
+    """Maintain the MinHash signature index (`dst` = (id, sig),
+    `bands_table` = (id, band, bucket)) as a CDC-DRIVEN VIEW of the
+    corpus table `src` — the retraction half the grow-only ingest loop
+    (dedup_batch_against_index) lacks: once curation DELETES or EDITS a
+    kept document, its stale signature keeps matching future batches,
+    silently dropping novel documents as "duplicates of" text that is
+    no longer in the corpus.
+
+    Signatures are a pure per-document function of the text, so the IVM
+    rule is per-key: inserts/updates re-shingle JUST the changed
+    documents (O(batch)); deletes — and updates whose new text yields
+    no shingles — retract the (id) signature row and all `bands` (id,
+    band) rows (the band-key set per id is fixed, so upserts replace in
+    place and delete markers enumerate range(bands) without reading the
+    index).  Each refresh is one merge-on-read commit per side table:
+    O(changed rows) read (CDC, bridged across compactions) and write.
+    The signature table commits FIRST: a reader between the two commits
+    sees stale band rows whose candidates die in the inner sig join
+    (deleted docs can't match) — never the reverse, where a deleted
+    document would still score.
+
+    First call seeds both tables from the corpus at the watermarked
+    version; the watermark lives in the store sync-state under
+    ``dedup-index:<dst>``.  The maintained index always equals a
+    from-scratch minhash_signatures/band_buckets over the current
+    corpus (pinned against a full rebuild and a DuckDB oracle on the
+    portable family — `llm_dedup_index_cdc_portable`).  Same maintainer
+    family as similarity.maintain_topic_assignments; reference analog:
+    the incremental re-run model
+    (/root/reference/src/EcomProvider.cs:25, 937-966).
+
+    Returns {"dst", "from_version", "to_version", "mode"} — mode is
+    "seed" | "delta" | "empty" | "noop"."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    state_key = f"dedup-index:{dst}"
+    manifest = publish.current_manifest(root)
+    src_version = manifest["version"]
+    last = publish._sync_state(root).get(state_key)
+
+    def _build(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sigs = dedup.minhash_signatures(
+            docs, id_col, text_col, num_hashes, shingle_n, portable
+        )
+        return sigs, dedup.band_buckets(sigs, num_hashes, bands, portable)
+
+    def _seed() -> str:
+        sigs, band_rows = _build(
+            publish.read_table_at(spark, root, src, src_version)
+        )
+        publish.publish_tables(
+            spark, {dst: sigs, bands_table: band_rows}, root,
+            table_keys={dst: ["id"], bands_table: ["id", "band"]},
+        )
+        return "seed"
+
+    if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif last == src_version:
+        return {"dst": dst, "from_version": last, "to_version": src_version,
+                "mode": "noop"}
+    else:
+        try:
+            changes = publish.read_changes(
+                spark, root, src, from_version=last, to_version=src_version,
+                keys=[id_col],
+            )
+        except KeyError:
+            # consumed-from version vacuumed — delta unrecoverable
+            mode = _seed()
+        else:
+            from dataintegration_ecomprovider_spark import runtime
+
+            with runtime.job_scope() as scope:
+                try:
+                    changes = runtime.track(changes.persist())
+                    if changes.count() == 0:
+                        mode = "empty"
+                    else:
+                        new_sigs, new_bands = _build(
+                            changes.filter(F.col("change_type") != "delete")
+                        )
+                        new_sigs = runtime.track(new_sigs.persist())
+                        # retract deletes AND changed docs whose new text
+                        # shingles to nothing (they have no sig row, so an
+                        # upsert alone would leave the old one standing)
+                        del_ids = (
+                            changes.select(F.col(id_col).alias("id"))
+                            .distinct()
+                            .join(new_sigs.select("id"), "id", "left_anti")
+                        )
+                        publish.merge_into_mor(
+                            spark, root, dst, new_sigs,
+                            keys=["id"], deletes=del_ids,
+                        )
+                        del_band_rows = del_ids.select(
+                            "id",
+                            F.explode(
+                                F.sequence(F.lit(0), F.lit(bands - 1))
+                            ).alias("band"),
+                        )
+                        publish.merge_into_mor(
+                            spark, root, bands_table, new_bands,
+                            keys=["id", "band"], deletes=del_band_rows,
+                        )
+                        mode = "delta"
+                finally:
+                    scope.release(spark)
+    publish._set_sync_state(root, state_key, src_version)
+    return {"dst": dst, "from_version": last, "to_version": src_version,
+            "mode": mode}
+
+
 def dedup_batch_against_index(
     batch_docs: DataFrame,
     index_sigs: DataFrame | None,

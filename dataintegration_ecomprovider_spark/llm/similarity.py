@@ -654,78 +654,78 @@ def maintain_topic_assignments(
     derived state follows the feed without re-reading the world.
 
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
-    "seed" | "delta" | "empty" | "noop"."""
-    from pyspark.sql import functions as _F
+    "seed" | "delta" | "empty" | "noop".  (Implemented on
+    materialize.maintain_rowwise_view — assignment is the canonical
+    per-row derivation, so the generic per-key IVM primitive carries
+    the seed/watermark/CDC/MoR mechanics.)"""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
 
-    from dataintegration_ecomprovider_spark.plans import publish
-
-    state_key = f"topics-view:{dst}"
-    manifest = publish.current_manifest(root)
-    src_version = manifest["version"]
-    last = publish._sync_state(root).get(state_key)
     centroids = publish.read_table(spark, root, centroids_table)
 
-    def _seed() -> str:
-        # read the source AT the watermarked version (not current): a
-        # publish landing between the manifest capture and this scan
-        # would desync the watermark and double-apply the next delta
-        out = assign_to_index(
-            publish.read_table_at(spark, root, src, src_version),
-            centroids, id_col=id_col, vec_col=vec_col,
-        )
-        publish.publish_tables(
-            spark, {dst: out}, root, table_keys={dst: ["vec_id"]}
-        )
-        return "seed"
+    def _build(rows):
+        return assign_to_index(rows, centroids, id_col=id_col, vec_col=vec_col)
 
-    if last is None or dst not in manifest["tables"]:
-        mode = _seed()
-    elif last == src_version:
-        return {"dst": dst, "from_version": last, "to_version": src_version,
-                "mode": "noop"}
-    else:
-        try:
-            changes = publish.read_changes(
-                spark, root, src, from_version=last, to_version=src_version,
-                keys=[id_col],
-            )
-        except KeyError:
-            # the consumed-from version was vacuumed out of history: the
-            # delta is unrecoverable, fall back to a full re-seed
-            mode = _seed()
-        else:
-            from dataintegration_ecomprovider_spark import runtime
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=["vec_id"], src_key=id_col, src_key_out="vec_id",
+        stable_keys=True, state_key=f"topics-view:{dst}",
+    )
 
-            # persist the delta-sized feed once: it is read three times
-            # (count, upsert scoring, delete keys), each of which would
-            # otherwise re-evaluate the version diff
-            with runtime.job_scope() as scope:
-                try:
-                    changes = runtime.track(changes.persist())
-                    if changes.count() == 0:
-                        # the store advanced but `src` didn't (e.g. our
-                        # own dst commits): advance watermark, no write
-                        mode = "empty"
-                    else:
-                        upserts = assign_to_index(
-                            changes.filter(
-                                _F.col("change_type") != "delete"
-                            ),
-                            centroids, id_col=id_col, vec_col=vec_col,
-                        )
-                        deletes = changes.filter(
-                            _F.col("change_type") == "delete"
-                        ).select(_F.col(id_col).alias("vec_id"))
-                        publish.merge_into_mor(
-                            spark, root, dst, upserts,
-                            keys=["vec_id"], deletes=deletes,
-                        )
-                        mode = "delta"
-                finally:
-                    scope.release(spark)
-    publish._set_sync_state(root, state_key, src_version)
-    return {"dst": dst, "from_version": last, "to_version": src_version,
-            "mode": mode}
+
+def maintain_ivf_cells(
+    spark,
+    root: str,
+    src: str = "embeddings",
+    dst: str = "ivf_cells",
+    centroids_table: str = "ivf_centroids",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quantized: bool = False,
+) -> dict:
+    """Maintain the persisted IVF `cells` table (the ANN-serving corpus
+    layout: (neighbor_id, cand_vec, cid), see ivf_index) as a
+    CDC-DRIVEN VIEW of the embeddings table — so similarity search
+    stops RETURNING documents curation already deleted, and re-embedded
+    documents move to their new cell, without ever re-assigning the
+    full corpus.
+
+    Cell membership is a pure per-row function of (vector, persisted
+    centroids): inserts/updates re-assign just the changed vectors
+    (broadcast ≤K centroids, O(batch)); deletes retract their cell
+    rows; each refresh is one merge-on-read commit (O(changed rows)
+    read and write).  `quantized=True` maintains an
+    ivf_index(quantized=True) layout — new cand_vecs are stored as
+    8-bit codes.  Centroid REBUILD (re-picking cells wholesale) stays a
+    maintenance-pass job, exactly like recenter_topics for the topics
+    view; serve reads (ivf_topk_from_index) see every refresh
+    atomically through the store.  Declarable as
+    ``materialize.declare_view(root, "ivf", src=..., dst=...)``.
+    Implemented on materialize.maintain_rowwise_view (stable single-key
+    fast path — one cell row per vector, no view scan on refresh).
+
+    Returns {"dst", "from_version", "to_version", "mode"} — mode is
+    "seed" | "delta" | "empty" | "noop"."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    centroids = publish.read_table(spark, root, centroids_table)
+
+    def _build(rows):
+        cells = _assign_to_centroids(
+            rows.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cand_vec"),
+            ),
+            centroids, "neighbor_id", "cand_vec", keep=1,
+        )
+        if quantized:
+            cells = cells.withColumn("cand_vec", quantize(F.col("cand_vec")))
+        return cells
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=["neighbor_id"], src_key=id_col, src_key_out="neighbor_id",
+        stable_keys=True, state_key=f"ivf-cells:{dst}",
+    )
 
 
 def semantic_dedup(

@@ -635,6 +635,115 @@ WHERE len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5
 )
 
 
+def _dedup_index_cdc(
+    spark: SparkSession, sf_dir: str, portable: bool
+) -> DataFrame:
+    """MinHash index as a CDC-MAINTAINED VIEW (round 7,
+    incremental.maintain_dedup_index): the signature/band side tables
+    follow the corpus through deletes and edits, so a curation pass
+    removing kept documents RETRACTS their index rows — without it,
+    future ingest batches keep "deduplicating" against text that is no
+    longer in the corpus and silently drop novel documents.  Lifecycle:
+    seed the index from the stored corpus (doc_id % 3 ≠ 0), curate —
+    delete every doc_id ≡ 1 (mod 5), append ' curated' to the text of
+    doc_id ≡ 2 (mod 7) — as one MoR commit whose CDC the refresh
+    consumes (re-shingle changed docs, retract deleted ones, O(changed
+    rows)), then match the ingest batch (doc_id % 3 = 0) against the
+    MAINTAINED index.  The matches must equal matching against an index
+    built from scratch over the post-curation corpus, which is exactly
+    what the DuckDB oracle computes."""
+    from dataintegration_ecomprovider_spark.llm import incremental
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    root = _scratch_store_root(f"dedup_idx_{int(portable)}")
+    publish.publish_tables(
+        spark, {"documents": corpus}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+    res = incremental.maintain_dedup_index(spark, root, portable=portable)
+    assert res["mode"] == "seed", res
+    # curation pass: drop every fifth kept doc, edit every seventh —
+    # one MoR commit carrying updates + delete markers
+    cur = publish.read_table(spark, root, "documents")
+    updated = cur.filter(
+        (F.col("doc_id") % 7 == 2) & (F.col("doc_id") % 5 != 1)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" curated")))
+    deleted = cur.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    publish.merge_into_mor(spark, root, "documents", updated, deletes=deleted)
+    res = incremental.maintain_dedup_index(spark, root, portable=portable)
+    assert res["mode"] == "delta", res
+    return incremental.match_against_index(
+        dedup.minhash_signatures(batch, portable=portable),
+        publish.read_table(spark, root, "minhash_sigs"),
+        publish.read_table(spark, root, "minhash_bands"),
+        threshold=0.5, portable=portable,
+    )
+
+
+def q_dedup_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_index_cdc(spark, sf_dir, portable=False)
+
+
+def q_dedup_index_cdc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup_index_cdc(spark, sf_dir, portable=True)
+
+
+# The index the batch matches against must reflect the POST-curation
+# corpus: doc_id % 5 = 1 documents deleted (their band rows retracted —
+# any candidate they'd produce breaks the hash match), % 7 = 2 documents
+# re-shingled over the edited text.  The batch keeps original text.
+ORACLE_DEDUP_INDEX_CDC_PORTABLE = (
+    """WITH curated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 = 2
+              THEN text || ' curated' ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 3 = 0 OR doc_id % 5 <> 1
+),"""
+    + _PORTABLE_SHINGLES.format(n=3, post="% 2147483647").replace(
+        "FROM documents", "FROM curated"
+    )
+    + ","
+    + """
+sig AS (
+  SELECT doc_id,
+         list_transform(range(32), j ->
+            list_min(list_transform(hs, h ->
+               (h * (((2*j + 1) * 2654435761) % 2147483647)
+                + (((j + 1) * 40503) % 2147483647)) % 2147483647))) AS sig
+  FROM hs WHERE len(hs) > 0
+),
+corpus_bands AS (
+  SELECT doc_id, t.band AS band,
+         array_to_string(sig[t.band*4 + 1 : t.band*4 + 4], ',') AS bucket
+  FROM sig, (SELECT unnest(range(8)) AS band) t
+  WHERE doc_id % 3 <> 0
+),
+batch_bands AS (
+  SELECT doc_id, t.band AS band,
+         array_to_string(sig[t.band*4 + 1 : t.band*4 + 4], ',') AS bucket
+  FROM sig, (SELECT unnest(range(8)) AS band) t
+  WHERE doc_id % 3 = 0
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM batch_bands b
+  JOIN corpus_bands c ON b.band = c.band AND b.bucket = c.bucket
+)
+SELECT cand.new_id, cand.corpus_id,
+       ROUND(len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0, 6)
+         AS est_jaccard
+FROM cand
+JOIN sig x ON x.doc_id = cand.new_id
+JOIN sig y ON y.doc_id = cand.corpus_id
+WHERE len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5
+"""
+)
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: portable-minhash candidate pairs (jaccard
     >= 0.5) grouped into connected components (llm/cluster.py — pointer-
@@ -1273,6 +1382,107 @@ SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _ann_index_cdc(
+    spark: SparkSession, sf_dir: str, portable: bool
+) -> DataFrame:
+    """Persisted ANN index as a CDC-MAINTAINED VIEW (round 7,
+    similarity.maintain_ivf_cells): the IVF cell table follows the
+    embeddings table, so similarity search stops returning vectors
+    curation deleted.  Lifecycle: build centroids on ingest batch 1
+    (vec_id % 2 = 0, md5 rank pick for the oracle), seed the cell
+    table, MoR-insert batch 2 and refresh (O(batch) re-assignment
+    against the broadcast persisted centroids), delete every vec_id ≡ 3
+    (mod 5) and refresh (cell rows RETRACTED), then serve top-k for the
+    live queries (vec_id < 10) from the maintained index.  The result
+    must equal IVF serving over the post-curation corpus with the
+    batch-1 centroids — exactly what the DuckDB oracle computes; a
+    stale cell row for a deleted vector would surface it as a neighbor
+    and break the hash match."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = similarity.ivf_index(batch1, n_centroids=16, portable=portable)
+    root = _scratch_store_root(f"ann_cdc_{int(portable)}")
+    publish.publish_tables(
+        spark,
+        {"embeddings": batch1, "ivf_centroids": idx["centroids"]},
+        root, table_keys={"embeddings": ["vec_id"]},
+    )
+    res = similarity.maintain_ivf_cells(spark, root)
+    assert res["mode"] == "seed", res
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.filter(F.col("vec_id") % 2 != 0)
+    )
+    res = similarity.maintain_ivf_cells(spark, root)
+    assert res["mode"] == "delta", res
+    cur = publish.read_table(spark, root, "embeddings")
+    publish.merge_into_mor(
+        spark, root, "embeddings", cur.limit(0),
+        deletes=cur.filter(F.col("vec_id") % 5 == 3).select("vec_id"),
+    )
+    res = similarity.maintain_ivf_cells(spark, root)
+    assert res["mode"] == "delta", res
+    live = publish.read_table(spark, root, "embeddings")
+    return similarity.ivf_topk_from_index(
+        live.filter(F.col("vec_id") < 10),
+        publish.read_table(spark, root, "ivf_centroids"),
+        publish.read_table(spark, root, "ivf_cells"),
+        k=5, n_probe=4,
+    )
+
+
+def q_ann_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_index_cdc(spark, sf_dir, portable=False)
+
+
+def q_ann_index_cdc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_index_cdc(spark, sf_dir, portable=True)
+
+
+# Centroids from batch 1 (md5 rank pick, no refine); cells and probes
+# over the POST-curation corpus (vec_id % 5 ≠ 3) — a deleted vector may
+# appear neither as a query nor as a neighbor.
+ORACLE_ANN_INDEX_CDC_PORTABLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, v AS cv FROM v
+  WHERE vec_id % 2 = 0
+  ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+           vec_id ASC
+  LIMIT 16
+),
+vlive AS (SELECT * FROM v WHERE vec_id % 5 <> 3),
+ascore AS (
+  SELECT a.vec_id, a.v, c.cid,
+         {_COS.format(a="a.v", b="c.cv")} AS csim
+  FROM vlive a CROSS JOIN cent c
+),
+aranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY csim DESC, cid ASC) AS crank
+  FROM ascore
+),
+cells AS (SELECT vec_id AS neighbor_id, v AS nv, cid FROM aranked WHERE crank = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cid FROM aranked
+           WHERE crank <= 4 AND vec_id < 10),
+scored AS (
+  SELECT p.query_id, c.neighbor_id,
+         {_COS.format(a="p.qv", b="c.nv")} AS similarity
+  FROM probes p JOIN cells c ON p.cid = c.cid AND p.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # --- cross-document repeated spans (boilerplate detection) ----------------
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width repeated-span detection across the corpus
@@ -1794,6 +2004,10 @@ QUERIES = {
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
     "llm_dedup_incremental": QueryDef(q_incremental_dedup, None),
+    "llm_dedup_index_cdc": QueryDef(q_dedup_index_cdc, None),
+    "llm_dedup_index_cdc_portable": QueryDef(
+        q_dedup_index_cdc_portable, ORACLE_DEDUP_INDEX_CDC_PORTABLE
+    ),
     "llm_dedup_incremental_portable": QueryDef(
         q_incremental_dedup_portable, ORACLE_INCREMENTAL_PORTABLE
     ),
@@ -1809,6 +2023,10 @@ QUERIES = {
         q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE
     ),
     "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
+    "llm_ann_index_cdc": QueryDef(q_ann_index_cdc, None),
+    "llm_ann_index_cdc_portable": QueryDef(
+        q_ann_index_cdc_portable, ORACLE_ANN_INDEX_CDC_PORTABLE
+    ),
     "llm_sim_ivf_topk_refined_portable": QueryDef(
         q_ivf_topk_refined_portable, ORACLE_IVF_TOPK_REFINED_PORTABLE
     ),

@@ -728,6 +728,135 @@ def maintain_join(
             "mode": mode}
 
 
+def maintain_rowwise_view(
+    spark: SparkSession,
+    root: str,
+    src: str,
+    dst: str,
+    build,
+    dst_keys: Sequence[str],
+    src_key: str | None = None,
+    src_key_out: str | None = None,
+    stable_keys: bool = False,
+    state_key: str | None = None,
+) -> dict:
+    """Maintain `dst` as a PER-ROW derived view of `src`: `build(rows)`
+    maps source rows to view rows (each output row derived from exactly
+    ONE input row, carrying that row's key in column `src_key`), and
+    this keeps dst current through the source's inserts, updates and
+    deletes — the generic primitive behind the topics / dedup-index /
+    IVF-cells maintainers, usable for any row-local derivation
+    (featurization, token counts, fingerprints, chunk tables).
+
+    Because the derivation is row-local, IVM collapses to per-key: a
+    refresh re-runs `build` over ONLY the changed source rows and
+    commits one merge-on-read delta — upserts for the new view rows,
+    delete markers for view rows whose source row vanished.  Two delete
+    strategies:
+
+    - ``stable_keys=True`` (requires ``dst_keys == [src_key]``, at most
+      one view row per source row): delete markers are the changed keys
+      that produced NO output row (source deleted, or build dropped the
+      row — e.g. text that shingles to nothing).  No view read at all.
+    - ``stable_keys=False`` (general: variable fan-out like doc→chunks,
+      composite dst_keys): old view keys for the changed source ids
+      come from ONE scan of dst (semi-join against the broadcast
+      delta-sized id set, data-skipping eligible), anti-joined against
+      the new rows' keys — so an update that SHRINKS its fan-out
+      retracts the excess rows a bare upsert would leave behind.
+
+    `build` must not read other rows (no windows over the corpus, no
+    joins between source rows); broadcast lookups against other tables
+    are fine (the topics maintainer scores against broadcast
+    centroids).  `src_key_out` names the build-output/dst column that
+    carries the source key when build renames it (default: same name).
+    First call seeds dst from the source at the watermarked version;
+    the watermark lives in the store sync-state under `state_key`
+    (default ``rowwise:<dst>``).  Returns {"dst", "from_version",
+    "to_version", "mode"} — "seed" | "delta" | "empty" | "noop"."""
+    if src_key is None:
+        keys = publish.table_keys(root, src)
+        if not keys or len(keys) != 1:
+            raise ValueError(
+                f"maintain_rowwise_view needs {src!r}'s single key column —"
+                " publish with table_keys= or pass src_key="
+            )
+        src_key = keys[0]
+    out_key = src_key_out or src_key
+    if stable_keys and list(dst_keys) != [out_key]:
+        raise ValueError(
+            "stable_keys=True requires dst_keys == [src_key_out] "
+            f"(got {list(dst_keys)!r} vs {out_key!r})"
+        )
+    state_key = state_key or f"rowwise:{dst}"
+    manifest = publish.current_manifest(root)
+    src_version = manifest["version"]
+    last = publish._sync_state(root).get(state_key)
+
+    def _seed() -> str:
+        out = build(publish.read_table_at(spark, root, src, src_version))
+        publish.publish_tables(
+            spark, {dst: out}, root, table_keys={dst: list(dst_keys)}
+        )
+        return "seed"
+
+    if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif last == src_version:
+        return {"dst": dst, "from_version": last, "to_version": src_version,
+                "mode": "noop"}
+    else:
+        try:
+            changes = publish.read_changes(
+                spark, root, src, from_version=last, to_version=src_version,
+                keys=[src_key],
+            )
+        except KeyError:
+            mode = _seed()  # consumed-from version vacuumed: re-seed
+        else:
+            from dataintegration_ecomprovider_spark import runtime
+
+            with runtime.job_scope() as scope:
+                try:
+                    changes = runtime.track(changes.persist())
+                    if changes.count() == 0:
+                        mode = "empty"
+                    else:
+                        new_rows = runtime.track(
+                            build(
+                                changes.filter(
+                                    F.col("change_type") != "delete"
+                                ).drop("change_type")
+                            ).persist()
+                        )
+                        changed_keys = changes.select(
+                            F.col(src_key).alias(out_key)
+                        ).distinct()
+                        if stable_keys:
+                            deletes = changed_keys.join(
+                                new_rows.select(out_key), out_key, "left_anti"
+                            )
+                        else:
+                            deletes = (
+                                publish.read_table(spark, root, dst)
+                                .join(F.broadcast(changed_keys), out_key,
+                                      "left_semi")
+                                .select(*dst_keys)
+                                .join(new_rows.select(*dst_keys),
+                                      list(dst_keys), "left_anti")
+                            )
+                        publish.merge_into_mor(
+                            spark, root, dst, new_rows,
+                            keys=list(dst_keys), deletes=deletes,
+                        )
+                        mode = "delta"
+                finally:
+                    scope.release(spark)
+    publish._set_sync_state(root, state_key, src_version)
+    return {"dst": dst, "from_version": last, "to_version": src_version,
+            "mode": mode}
+
+
 # --- declared views: view definitions persisted in the store ---------------
 #
 # The jobspec precedent (plans/jobspec.py — job definitions as files)
@@ -745,14 +874,18 @@ VIEWS_FILE = "_VIEWS.json"
 def declare_view(root: str, kind: str, **spec) -> dict:
     """Persist a view definition under the store root.  `kind` is
     ``aggregate`` (maintain_aggregate kwargs), ``join`` (maintain_join
-    kwargs) or ``topics`` (similarity.maintain_topic_assignments
-    kwargs — the CDC-maintained topic-assignment view); `spec` must
-    include ``dst`` (the view's table name, also its registry key).
-    Re-declaring a dst overwrites its spec.  Returns the full
-    declared-view registry."""
-    if kind not in ("aggregate", "join", "topics"):
+    kwargs), ``topics`` (similarity.maintain_topic_assignments kwargs —
+    the CDC-maintained topic-assignment view) or ``minhash``
+    (incremental.maintain_dedup_index kwargs — the CDC-maintained
+    MinHash signature index; its companion bands table follows dst in
+    the same refresh) or ``ivf`` (similarity.maintain_ivf_cells kwargs
+    — the CDC-maintained ANN cell table); `spec` must include ``dst``
+    (the view's table name, also its registry key).  Re-declaring a dst
+    overwrites its spec.  Returns the full declared-view registry."""
+    if kind not in ("aggregate", "join", "topics", "minhash", "ivf"):
         raise ValueError(
-            f"view kind must be 'aggregate', 'join' or 'topics', got {kind!r}"
+            "view kind must be 'aggregate', 'join', 'topics', 'minhash' "
+            f"or 'ivf', got {kind!r}"
         )
     if "dst" not in spec:
         raise ValueError("a declared view needs a dst table name")
@@ -868,6 +1001,13 @@ def _view_sources(spec: dict) -> list[str]:
             spec.get("src", "embeddings"),
             spec.get("centroids_table", "topic_centroids"),
         ]
+    if spec.get("kind") == "minhash":
+        return [spec.get("src", "documents")]
+    if spec.get("kind") == "ivf":
+        return [
+            spec.get("src", "embeddings"),
+            spec.get("centroids_table", "ivf_centroids"),
+        ]
     return [spec["fact"], spec["dim"]]
 
 
@@ -917,6 +1057,14 @@ def refresh_declared_views(spark: SparkSession, root: str) -> dict:
             # local import: similarity imports publish, not this module
             from dataintegration_ecomprovider_spark.llm.similarity import (
                 maintain_topic_assignments as fn,
+            )
+        elif kind == "minhash":
+            from dataintegration_ecomprovider_spark.llm.incremental import (
+                maintain_dedup_index as fn,
+            )
+        elif kind == "ivf":
+            from dataintegration_ecomprovider_spark.llm.similarity import (
+                maintain_ivf_cells as fn,
             )
         else:
             fn = maintain_aggregate if kind == "aggregate" else maintain_join

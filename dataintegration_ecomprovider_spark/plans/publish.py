@@ -2766,8 +2766,9 @@ def maintain_store(
        omitted, every view DECLARED in the store
        (materialize.declare_view → `_VIEWS.json`) refreshes — the pass
        is self-contained, no caller-shipped specs; explicit specs of
-       ``{"kind": "aggregate"|"join"|"topics", **maintain_* kwargs}``
-       override, and ``refresh_views=()`` skips view refresh entirely;
+       ``{"kind": "aggregate"|"join"|"topics"|"minhash"|"ivf",
+       **maintain_* kwargs}`` override, and ``refresh_views=()`` skips
+       view refresh entirely;
     2. COMPACT every table whose merge-on-read delta log is deeper than
        `max_deltas`, or whose file count exceeds `max_files` (when set) —
        folding delta logs and small files back into target-size bases;
@@ -2839,10 +2840,28 @@ def maintain_store(
                             spark, root, **spec
                         )
                     )
+                elif kind == "minhash":
+                    from dataintegration_ecomprovider_spark.llm import (
+                        incremental as _incremental,
+                    )
+
+                    report["views"][dst] = (
+                        _incremental.maintain_dedup_index(
+                            spark, root, **spec
+                        )
+                    )
+                elif kind == "ivf":
+                    from dataintegration_ecomprovider_spark.llm import (
+                        similarity as _similarity,
+                    )
+
+                    report["views"][dst] = _similarity.maintain_ivf_cells(
+                        spark, root, **spec
+                    )
                 else:
                     raise ValueError(
-                        "view kind must be 'aggregate', 'join' or "
-                        f"'topics', got {kind!r}"
+                        "view kind must be 'aggregate', 'join', 'topics', "
+                        f"'minhash' or 'ivf', got {kind!r}"
                     )
             except Exception as e:  # noqa: BLE001 — per-view isolation
                 report["errors"][f"view:{dst}"] = f"{type(e).__name__}: {e}"

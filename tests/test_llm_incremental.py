@@ -750,3 +750,214 @@ def test_declared_topics_view_refreshes_with_store(spark, tmp_path):
     assert {r["vec_id"] for r in left.select("vec_id").collect()} == set(
         range(10, n)
     )
+
+def test_maintain_dedup_index_follows_cdc(spark, tmp_path):
+    """maintain_dedup_index: the MinHash signature/band tables are a
+    CDC-maintained view of the corpus — edits re-shingle, deletes (and
+    edits that empty the text) RETRACT both side tables, and the
+    maintained index always equals a from-scratch rebuild over the
+    current corpus, so a batch matched against it can no longer dup
+    against removed documents."""
+    from dataintegration_ecomprovider_spark.llm import incremental
+
+    rows = [
+        (1, TEXTS["alpha"]), (2, TEXTS["beta"]), (3, TEXTS["gamma"]),
+        (4, TEXTS["alpha2"]), (5, "standalone utterly unique content here"),
+    ]
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"documents": _docs(spark, rows)}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+
+    def rebuilt():
+        cur = publish.read_table(spark, root, "documents")
+        sigs = dedup.minhash_signatures(cur)
+        return (
+            {r["id"]: tuple(r["sig"]) for r in sigs.collect()},
+            {(r["id"], r["band"]): r["bucket"]
+             for r in dedup.band_buckets(sigs).collect()},
+        )
+
+    def stored():
+        return (
+            {r["id"]: tuple(r["sig"]) for r in publish.read_table(
+                spark, root, "minhash_sigs").collect()},
+            {(r["id"], r["band"]): r["bucket"] for r in publish.read_table(
+                spark, root, "minhash_bands").collect()},
+        )
+
+    assert incremental.maintain_dedup_index(spark, root)["mode"] == "seed"
+    assert stored() == rebuilt()
+    assert incremental.maintain_dedup_index(spark, root)["mode"] == "empty"
+    assert incremental.maintain_dedup_index(spark, root)["mode"] == "noop"
+
+    # curation: delete doc 2, edit doc 3, blank doc 5 (shingles vanish),
+    # insert doc 6 — one MoR commit
+    publish.merge_into_mor(
+        spark, root, "documents",
+        _docs(spark, [(3, TEXTS["gamma"] + " curated"), (5, "  "),
+                      (6, TEXTS["beta"])]),
+        deletes=_docs(spark, [(2, "")]).select("doc_id"),
+    )
+    assert incremental.maintain_dedup_index(spark, root)["mode"] == "delta"
+    sigs, bands = stored()
+    assert (sigs, bands) == rebuilt()
+    # deleted AND blanked docs are fully retracted from BOTH tables
+    assert 2 not in sigs and 5 not in sigs
+    assert not any(k[0] in (2, 5) for k in bands)
+    # edited doc re-shingled, insert indexed
+    assert 3 in sigs and 6 in sigs
+
+    # a batch that duplicates the DELETED doc 2 is now novel; one that
+    # duplicates the still-present doc 1 still matches
+    batch = _docs(spark, [(20, TEXTS["beta"]), (21, TEXTS["alpha"])])
+    matches = incremental.match_against_index(
+        dedup.minhash_signatures(batch),
+        publish.read_table(spark, root, "minhash_sigs"),
+        publish.read_table(spark, root, "minhash_bands"),
+    )
+    got = {(r["new_id"], r["corpus_id"]) for r in matches.collect()}
+    assert (21, 1) in got
+    assert (20, 2) not in got
+    assert (20, 6) in got  # doc 6 carries beta's text now
+
+
+def test_declared_minhash_view_refreshes_with_store(spark, tmp_path):
+    """A 'minhash' declaration folds the dedup index into the store's
+    self-contained view DAG: maintain_store seeds it and a later pass
+    consumes the corpus CDC — no per-call wiring."""
+    from dataintegration_ecomprovider_spark.llm import incremental
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"documents": _docs(spark, [(1, TEXTS["alpha"]), (2, TEXTS["beta"])])},
+        root, table_keys={"documents": ["doc_id"]},
+    )
+    materialize.declare_view(root, "minhash", src="documents", dst="minhash_sigs")
+
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["minhash_sigs"]["mode"] == "seed"
+
+    publish.merge_into_mor(
+        spark, root, "documents", _docs(spark, []).limit(0),
+        deletes=_docs(spark, [(1, "")]).select("doc_id"),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["minhash_sigs"]["mode"] == "delta"
+    assert {r["id"] for r in publish.read_table(
+        spark, root, "minhash_sigs").collect()} == {2}
+
+def test_maintain_ivf_cells_follows_cdc(spark, tmp_path):
+    """maintain_ivf_cells: the persisted ANN cell table follows the
+    embeddings table through CDC — deleted vectors stop being served as
+    neighbors, re-embedded vectors move to their new cell — and serving
+    from the maintained index equals serving from an index whose cells
+    were rebuilt from scratch over the current corpus."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    n, dims = 60, 6
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.sin((F.col("id") % 12 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    idx = similarity.ivf_index(emb, n_centroids=4, refine_iters=1)
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"embeddings": emb, "ivf_centroids": idx["centroids"]},
+        root, table_keys={"embeddings": ["vec_id"]},
+    )
+    cent = publish.read_table(spark, root, "ivf_centroids")
+
+    assert similarity.maintain_ivf_cells(spark, root)["mode"] == "seed"
+    # the seeded cells equal ivf_index's own assignment pass
+    seeded = {
+        (r["neighbor_id"], r["cid"])
+        for r in publish.read_table(spark, root, "ivf_cells").collect()
+    }
+    assert seeded == {
+        (r["neighbor_id"], r["cid"]) for r in idx["cells"].collect()
+    }
+
+    # curation: delete vec_id % 4 == 1, negate (re-embed) vec_id % 9 == 2
+    cur = publish.read_table(spark, root, "embeddings")
+    publish.merge_into_mor(
+        spark, root, "embeddings",
+        cur.filter((F.col("vec_id") % 9 == 2) & (F.col("vec_id") % 4 != 1))
+           .withColumn("embedding",
+                       F.transform(F.col("embedding"), lambda x: -x)),
+        deletes=cur.filter(F.col("vec_id") % 4 == 1).select("vec_id"),
+    )
+    assert similarity.maintain_ivf_cells(spark, root)["mode"] == "delta"
+
+    cells = publish.read_table(spark, root, "ivf_cells")
+    live = publish.read_table(spark, root, "embeddings")
+    # retraction: no deleted vector remains in any cell
+    assert {r["neighbor_id"] for r in cells.collect()} == {
+        r["vec_id"] for r in live.collect()
+    }
+    # serving equality: maintained cells == cells rebuilt from scratch
+    queries = live.filter(F.col("vec_id") < 8)
+    serve = lambda c: {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk_from_index(
+            queries, cent, c, k=3, n_probe=2
+        ).collect()
+    }
+    rebuilt_cells = similarity._assign_to_centroids(
+        live.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").cast("array<double>").alias("cand_vec")),
+        cent, "neighbor_id", "cand_vec", keep=1,
+    )
+    assert serve(cells) == serve(rebuilt_cells)
+    assert similarity.maintain_ivf_cells(spark, root)["mode"] == "empty"
+
+
+def test_declared_ivf_view_refreshes_with_store(spark, tmp_path):
+    """An 'ivf' declaration folds ANN cell maintenance into the store's
+    view DAG — maintain_store seeds and then consumes embeddings CDC."""
+    from pyspark.sql import functions as F
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    n, dims = 30, 5
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.cos((F.col("id") % 6 + 1) * (i + 2)).cast("double"),
+        ).alias("embedding"),
+    )
+    idx = similarity.ivf_index(emb, n_centroids=3)
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"embeddings": emb, "ivf_centroids": idx["centroids"]},
+        root, table_keys={"embeddings": ["vec_id"]},
+    )
+    materialize.declare_view(root, "ivf", src="embeddings", dst="ivf_cells")
+
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["ivf_cells"]["mode"] == "seed"
+
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.limit(0),
+        deletes=emb.filter(F.col("vec_id") >= 20).select("vec_id"),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["ivf_cells"]["mode"] == "delta"
+    assert {r["neighbor_id"] for r in publish.read_table(
+        spark, root, "ivf_cells").collect()} == set(range(20))

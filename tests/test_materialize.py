@@ -893,3 +893,86 @@ def test_record_view_errors_preserves_corrupt_log(tmp_path):
     # healthy appends keep appending
     materialize.record_view_errors(root, 3, {"v": "still boom"})
     assert [r["batch_id"] for r in materialize.view_refresh_errors(root)] == [2, 3]
+
+def test_maintain_rowwise_view_variable_fanout(spark, tmp_path):
+    """maintain_rowwise_view (general path): a per-row derivation with
+    VARIABLE fan-out — doc → sliding-window chunks keyed (doc_id,
+    chunk_id) — follows the source through inserts, updates and
+    deletes; in particular an update that SHRINKS its fan-out retracts
+    the excess chunk rows a bare upsert would leave behind, and the
+    maintained table always equals a from-scratch rebuild."""
+    from dataintegration_ecomprovider_spark.llm.chunking import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(25))     # 3 chunks @ 10
+    short_text = " ".join(f"s{i}" for i in range(8))     # 1 chunk
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"documents": spark.createDataFrame(
+            [(1, long_text), (2, short_text), (3, long_text)],
+            "doc_id bigint, text string")},
+        root, table_keys={"documents": ["doc_id"]},
+    )
+
+    def build(docs):
+        return chunk_documents(docs, max_words=10)
+
+    def refresh():
+        return materialize.maintain_rowwise_view(
+            spark, root, "documents", "chunks", build,
+            dst_keys=["doc_id", "chunk_id"],
+        )
+
+    def stored():
+        return {
+            (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+            for r in publish.read_table(spark, root, "chunks").collect()
+        }
+
+    def rebuilt():
+        return {
+            (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+            for r in build(
+                publish.read_table(spark, root, "documents")
+            ).collect()
+        }
+
+    assert refresh()["mode"] == "seed"
+    assert stored() == rebuilt()
+    assert len({k[0] for k in stored()}) == 3
+    assert refresh()["mode"] == "empty"
+    assert refresh()["mode"] == "noop"
+
+    # doc 1 shrinks 3 chunks -> 1; doc 2 deleted; doc 4 inserted; doc 3
+    # blanked (fan-out drops to ZERO) — one MoR commit
+    publish.merge_into_mor(
+        spark, root, "documents",
+        spark.createDataFrame(
+            [(1, short_text), (3, "   "), (4, long_text)],
+            "doc_id bigint, text string"),
+        deletes=spark.createDataFrame([(2,)], "doc_id bigint"),
+    )
+    assert refresh()["mode"] == "delta"
+    got = stored()
+    assert got == rebuilt()
+    # shrink retracted chunk_ids 1,2 of doc 1; delete/blank fully retracted
+    assert {k for k in got if k[0] == 1} == {(1, 0)}
+    assert not any(k[0] in (2, 3) for k in got)
+    assert {k for k in got if k[0] == 4} == {(4, 0), (4, 1), (4, 2)}
+    # write path is merge-on-read (delta commit, not a table rewrite)
+    entry = publish.current_manifest(root)["tables"]["chunks"]
+    assert entry.get("deltas")
+
+
+def test_maintain_rowwise_view_rejects_bad_stable_keys(spark, tmp_path):
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(1, "a")], "k bigint, v string")},
+        root, table_keys={"t": ["k"]},
+    )
+    with pytest.raises(ValueError, match="stable_keys"):
+        materialize.maintain_rowwise_view(
+            spark, root, "t", "v", lambda df: df,
+            dst_keys=["k", "extra"], stable_keys=True,
+        )

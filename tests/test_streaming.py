@@ -647,3 +647,68 @@ def test_view_refresh_failures_are_queryable_not_just_logged(spark, tmp_path):
     # operator acts, clears, and a healthy store reads empty again
     assert materialize.clear_view_errors(root) == len(errs)
     assert materialize.view_refresh_errors(root) == []
+
+def test_stream_keeps_declared_minhash_index_current(spark, tmp_path):
+    """Streaming ingest + a declared 'minhash' view: every micro-batch's
+    merge is followed by a CDC-driven index refresh, so the MinHash
+    signature index tracks the streamed corpus batch by batch — declare
+    once, stream forever; an out-of-band curation delete then retracts
+    through the same declaration on the next maintenance pass."""
+    from dataintegration_ecomprovider_spark.llm import dedup
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        file_stream, stream_into_store,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "pack my box with five dozen liquor jugs right now",
+        3: "machine learning pipelines deduplicate corpora at scale",
+        4: "sphinx of black quartz judge my vow they said",
+    }
+    root = str(tmp_path / "store")
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    seed = spark.createDataFrame(
+        [(1, texts[1])], "doc_id bigint, text string"
+    )
+    publish.publish_tables(
+        spark, {"documents": seed}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+    materialize.declare_view(
+        root, "minhash", src="documents", dst="minhash_sigs"
+    )
+
+    spark.createDataFrame(
+        [(2, texts[2]), (3, texts[3])], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(4, texts[4])], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = stream_into_store(
+        file_stream(spark, src, seed.schema, max_files_per_trigger=1),
+        root, "documents", ["doc_id"], ckpt, refresh_views=True,
+    )
+    q.awaitTermination(120)
+
+    def rebuilt_ids():
+        cur = publish.read_table(spark, root, "documents")
+        return {r["id"] for r in dedup.minhash_signatures(cur).collect()}
+
+    stored = {r["id"] for r in publish.read_table(
+        spark, root, "minhash_sigs").collect()}
+    assert stored == rebuilt_ids() == {1, 2, 3, 4}
+    assert materialize.view_refresh_errors(root) == []
+
+    # out-of-band curation: the SAME declaration retracts on the next pass
+    publish.merge_into_mor(
+        spark, root, "documents", seed.limit(0),
+        deletes=spark.createDataFrame([(3,)], "doc_id bigint"),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    stored = {r["id"] for r in publish.read_table(
+        spark, root, "minhash_sigs").collect()}
+    assert stored == rebuilt_ids() == {1, 2, 4}
