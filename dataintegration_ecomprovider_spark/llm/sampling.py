@@ -200,3 +200,108 @@ def pack_sequences(
         )
         .withColumnRenamed("__tok", "n_tokens")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget: float,
+    weight_col: Column | None = None,
+) -> DataFrame:
+    """Token-budget mixture PLAN (the Llama/Dolma data-recipe step
+    temperature_mix can't express): given target mixture `weights` per
+    stratum and a total token `budget`, compute how much of each stratum
+    to take — including taking a stratum MORE than once (upsampling
+    epochs), which every published recipe does for small high-quality
+    sources (books, wiki) while large web crawls are downsampled.
+
+    Per stratum s with available mass ``avail_s`` (rows, or `weight_col`
+    sums — recipes are specified over tokens, not documents):
+    ``rate_s = budget * w_s / Σw / avail_s``; the plan materializes as
+    ``epochs_s = floor(rate_s)`` full passes plus a deterministic
+    fractional sample of ``rate_s - epochs_s`` (as a md5-bucket
+    threshold, see apply_mixture).  Strata absent from `weights` are
+    excluded (weight 0).
+
+    Scale shape: ONE tiny aggregate over the corpus (map-side combined,
+    O(strata) output) joined to the O(strata) weight table — the plan is
+    metadata-sized and broadcastable; nothing else touches the corpus.
+    Returns (strata_col, avail, weight, target, rate, epochs,
+    keep_below)."""
+    spark = docs.sparkSession
+    norm = 0.0
+    for v in weights.values():  # fixed iteration order = reproducible sum
+        norm += float(v)
+    if norm <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    w = weight_col if weight_col is not None else F.lit(1)
+    avail = docs.groupBy(strata_col).agg(F.sum(w).alias("avail"))
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"{strata_col} string, weight double",
+    )
+    rate = (
+        F.col("weight") / F.lit(norm) * F.lit(float(budget)) / F.col("avail")
+    )
+    return (
+        avail.join(F.broadcast(wdf), strata_col)
+        .withColumn("target", F.col("weight") / F.lit(norm) * F.lit(float(budget)))
+        .withColumn("rate", rate)
+        .withColumn("epochs", F.floor("rate").cast("int"))
+        .withColumn(
+            "keep_below",
+            F.floor(
+                (F.col("rate") - F.col("epochs")) * F.lit(float(BUCKETS))
+            ).cast("int"),
+        )
+    )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a mixture_plan: each doc in stratum s appears in
+    epochs 0..epochs_s-1 unconditionally, plus in the fractional epoch
+    ``epochs_s`` iff ``md5_bucket(id ':' epoch) < keep_below_s`` — so an
+    upsampled stratum repeats whole (every copy tagged with a distinct
+    `epoch`, the column trainers key shuffling on) and the fractional
+    remainder is a fresh deterministic subsample, decorrelated from the
+    full epochs and from split_assign's md5(id) rule by the ':epoch'
+    suffix.
+
+    Scale shape: broadcast the O(strata) plan, explode each row into its
+    ≤ epochs_s+1 candidate copies, filter map-side — row multiplication
+    happens at the scan with NO shuffle; output size is the budget, not
+    corpus × max-epochs.  Hash-deterministic like every sampler here:
+    re-runs, retries and resizes reproduce the same mixture, and the
+    DuckDB oracle replays it exactly."""
+    p = F.broadcast(plan.select(strata_col, "epochs", "keep_below"))
+    frac_bucket = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return (
+        docs.join(p, strata_col)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("epochs")))
+        )
+        .filter(
+            (F.col("epoch") < F.col("epochs")) | (frac_bucket < F.col("keep_below"))
+        )
+        .drop("epochs", "keep_below")
+    )

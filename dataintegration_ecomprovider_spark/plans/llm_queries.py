@@ -475,6 +475,76 @@ WHERE d.bucket < CAST(FLOOR(65536.0 * m.mn / c.cnt) AS INTEGER)
 """
 
 
+# Weights are exact binary fractions (0.5 + 0.25 + 0.125 + 0.0625 + 0.0625
+# = 1.0 with no rounding), so the Spark plan and the DuckDB oracle compute
+# bit-identical rates and the floor()-derived epoch counts / fractional
+# thresholds can't straddle an ulp.
+_MIXTURE_WEIGHTS = {
+    "en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.0625, "zh": 0.0625,
+}
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture with UPSAMPLING EPOCHS (llm/sampling.py
+    mixture_plan + apply_mixture): the Llama/Dolma recipe step — target
+    weights per language over a 2×-corpus character budget, so every
+    stratum's rate exceeds 1 and materializes as floor(rate) full passes
+    (each copy tagged with a distinct `epoch`) plus a deterministic
+    md5(id:epoch)-thresholded fractional sample.  temperature_mix can
+    only downsample; this is the operator that repeats small high-quality
+    sources.  Scale shape: one O(strata) aggregate + broadcast plan +
+    map-side explode/filter — no corpus shuffle."""
+    from dataintegration_ecomprovider_spark.llm.sampling import (
+        apply_mixture, mixture_plan,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]  # one bounded scalar
+    plan = mixture_plan(
+        docs, "lang", _MIXTURE_WEIGHTS, budget=2.0 * total,
+        weight_col=F.col("n_chars"),
+    )
+    return apply_mixture(docs, plan, "lang").select("doc_id", "lang", "epoch")
+
+
+ORACLE_MIXTURE_EPOCHS = """
+WITH total AS (
+  SELECT 2.0 * CAST(SUM(n_chars) AS DOUBLE) AS budget FROM documents
+),
+wts(lang, weight) AS (
+  VALUES ('en', 0.5), ('de', 0.25), ('fr', 0.125), ('es', 0.0625),
+         ('zh', 0.0625)
+),
+avail AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS avail
+  FROM documents GROUP BY lang
+),
+plan AS (
+  SELECT a.lang, w.weight / 1.0 * t.budget / a.avail AS rate
+  FROM avail a JOIN wts w USING (lang) CROSS JOIN total t
+),
+plan2 AS (
+  SELECT lang, CAST(FLOOR(rate) AS INTEGER) AS epochs,
+         CAST(FLOOR((rate - FLOOR(rate)) * 65536.0) AS INTEGER) AS keep_below
+  FROM plan
+),
+e AS (
+  SELECT d.doc_id, d.lang, CAST(t.epoch AS INTEGER) AS epoch,
+         p.epochs, p.keep_below
+  FROM documents d
+  JOIN plan2 p USING (lang)
+  CROSS JOIN LATERAL (SELECT unnest(range(p.epochs + 1)) AS epoch) t
+)
+SELECT doc_id, lang, epoch
+FROM e
+WHERE epoch < epochs
+   OR CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+            || CAST(epoch AS VARCHAR)), 1, 4)) AS INTEGER) < keep_below
+"""
+
+
 # --- portable-hash variants: the SAME algorithms, oracle-checkable --------
 # The fast paths hash with xxhash64 (rows-only driver checks); these
 # variants run the identical plans with the md5-derived hash family
@@ -1236,7 +1306,7 @@ def _topic_assignments_cdc(
     emb = Catalog(spark, sf_dir).table("embeddings")
     batch1 = emb.filter(F.col("vec_id") % 2 == 0)
     idx = similarity.ivf_index(
-        batch1, n_centroids=16, portable=portable, refine_iters=2
+        batch1, n_centroids=16, portable=portable, refine_iters=1
     )
     root = _scratch_store_root(f"topic_cdc_{int(portable)}")
     publish.publish_tables(
@@ -1295,7 +1365,6 @@ cent0 AS (
   LIMIT 16
 ),
 {_lloyd_iter_sql("cent0", "cent1")},
-{_lloyd_iter_sql("cent1", "cent2")},
 vall AS (
   SELECT vec_id,
          CASE WHEN vec_id % 7 = 1
@@ -1306,7 +1375,7 @@ vall AS (
 ascore AS (
   SELECT a.vec_id, c.cid,
          {_COS.format(a="a.v", b="c.cv")} AS csim
-  FROM vall a CROSS JOIN cent2 c
+  FROM vall a CROSS JOIN cent1 c
 ),
 aranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1981,6 +2050,7 @@ QUERIES = {
     "llm_sample_stratified": QueryDef(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "llm_rebalance_mix": QueryDef(q_rebalance_mix, ORACLE_REBALANCE_MIX),
     "llm_temperature_mix": QueryDef(q_temperature_mix, ORACLE_TEMPERATURE_MIX),
+    "llm_mixture_epochs": QueryDef(q_mixture_epochs, ORACLE_MIXTURE_EPOCHS),
     "llm_training_shards": QueryDef(q_training_shards, ORACLE_TRAINING_SHARDS),
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),

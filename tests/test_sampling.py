@@ -190,3 +190,66 @@ def test_write_training_shards_deterministic_manifest(spark, tmp_path):
     }
     got = {(r.doc_id, int(r.shard)) for r in back.collect()}
     assert got == expected
+
+
+def test_mixture_plan_budget_and_epochs(spark):
+    """mixture_plan: rates follow budget*w/Σw/avail; upsampled strata get
+    floor(rate) full epochs + a fractional threshold; a stratum missing
+    from the weights is excluded entirely."""
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    weights = {"en": 0.5, "de": 0.5}  # fr/es/zh get weight 0 → excluded
+    plan = sampling.mixture_plan(
+        docs, "lang", weights, budget=2.0 * total,
+        weight_col=F.col("n_chars"),
+    )
+    rows = {r["lang"]: r for r in plan.collect()}
+    assert set(rows) == {"en", "de"}
+    for lang, r in rows.items():
+        assert abs(r["rate"] - (total / r["avail"])) < 1e-9
+        assert r["epochs"] == int(r["rate"])
+        assert 0 <= r["keep_below"] < sampling.BUCKETS
+        assert r["rate"] >= 1  # budget 2× corpus over half the mass
+
+
+def test_apply_mixture_materializes_epochs_deterministically(spark):
+    """apply_mixture: every doc of an upsampled stratum appears exactly
+    floor(rate) times unconditionally (epochs 0..floor-1), the fractional
+    epoch is an id-hash subsample of the right size, and the mixture is
+    identical under repartitioning (hash-deterministic)."""
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    weights = {"en": 0.75, "zh": 0.25}
+    plan = sampling.mixture_plan(
+        docs, "lang", weights, budget=3.0 * total, weight_col=F.col("n_chars")
+    )
+    out = sampling.apply_mixture(docs, plan, "lang")
+    prows = {r["lang"]: r for r in plan.collect()}
+    per_doc = {
+        (r["lang"], r["doc_id"]): r["n"]
+        for r in out.groupBy("lang", "doc_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # every doc appears epochs or epochs+1 times, never less/more
+    for (lang, _doc), n in per_doc.items():
+        assert n in (prows[lang]["epochs"], prows[lang]["epochs"] + 1)
+    # fractional-epoch size ≈ keep_below/BUCKETS of the stratum
+    for lang, p in prows.items():
+        docs_n = docs.filter(F.col("lang") == lang).count()
+        frac_n = sum(
+            1 for (l, _d), n in per_doc.items()
+            if l == lang and n == p["epochs"] + 1
+        )
+        expected = docs_n * p["keep_below"] / sampling.BUCKETS
+        assert abs(frac_n - expected) <= max(6.0, 0.35 * docs_n)
+    # epoch tags are distinct per copy, so downstream shuffles can key on them
+    assert out.groupBy("lang", "doc_id", "epoch").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    # deterministic under repartition
+    again = sampling.apply_mixture(
+        docs.repartition(13), plan, "lang"
+    )
+    assert out.select("doc_id", "lang", "epoch").exceptAll(
+        again.select("doc_id", "lang", "epoch")
+    ).count() == 0
