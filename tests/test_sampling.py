@@ -253,3 +253,67 @@ def test_apply_mixture_materializes_epochs_deterministically(spark):
     assert out.select("doc_id", "lang", "epoch").exceptAll(
         again.select("doc_id", "lang", "epoch")
     ).count() == 0
+
+
+def test_training_shards_epoch_salt_and_seeded_order(spark, tmp_path):
+    """Epoch-mixed export: salt_cols=("epoch",) spreads an upsampled
+    doc's copies across shards instead of piling them into one, and
+    shuffle_seed writes each shard in the deterministic md5(seed:id:epoch)
+    order — byte-identical on re-export, different under another seed."""
+    import hashlib
+    import json
+    import os
+
+    from dataintegration_ecomprovider_spark.llm.export import (
+        write_training_shards,
+    )
+
+    docs = _docs(spark).select("doc_id", "lang", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    plan = sampling.mixture_plan(
+        docs, "lang", {"en": 0.5, "de": 0.5}, budget=4.0 * total,
+        weight_col=F.col("n_chars"),
+    )
+    mixed = sampling.apply_mixture(docs, plan, "lang")
+
+    def export(seed, sub):
+        out = str(tmp_path / sub)
+        write_training_shards(
+            mixed, out, num_shards=4, salt_cols=("epoch",),
+            shuffle_seed=seed,
+        )
+        orders = {}
+        for n in range(4):
+            d = os.path.join(out, f"shard={n}")
+            files = [f for f in os.listdir(d) if not f.startswith(("_", "."))]
+            rows = []
+            for f in sorted(files):
+                with open(os.path.join(d, f)) as fh:
+                    rows += [json.loads(line) for line in fh if line.strip()]
+            orders[n] = [(r["doc_id"], r["epoch"]) for r in rows]
+        return orders
+
+    first = export(7, "a")
+    # copies of at least one multi-epoch doc land in different shards
+    shard_of = {}
+    spread = False
+    for n, rows in first.items():
+        for doc, epoch in rows:
+            prev = shard_of.setdefault(doc, n)
+            if prev != n:
+                spread = True
+    assert spread
+    # each shard's file order IS the md5(seed:id:epoch) order
+    for n, rows in first.items():
+        keys = [
+            hashlib.md5(f"7:{doc}:{epoch}".encode()).hexdigest()
+            for doc, epoch in rows
+        ]
+        assert keys == sorted(keys), f"shard {n} not in seeded order"
+    # re-export reproduces the exact order; a new seed permutes it
+    assert export(7, "b") == first
+    other = export(8, "c")
+    assert sorted(v for rows in other.values() for v in rows) == sorted(
+        v for rows in first.values() for v in rows
+    )
+    assert other != first
