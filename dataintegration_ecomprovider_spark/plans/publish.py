@@ -243,6 +243,204 @@ def _deltas_bytes(deltas: Sequence[dict]) -> int:
     return sum(int(d.get("bytes", 0)) for d in deltas)
 
 
+# --- column mapping: metadata-only rename/drop --------------------------
+#
+# rename_column / drop_column commit a LOGICAL column map on the manifest
+# entry instead of rewriting data — Delta's column-mapping / Iceberg's
+# field-ID trade, because at 100 TB "rename a column" must not cost an
+# O(table) rewrite.  Invariants:
+#
+# - PHYSICAL names (what parquet files, delta logs, stats/bloom sidecars,
+#   recorded keys, partition dirs and bucket specs carry) are IMMUTABLE
+#   for the life of a base lineage.  compact/recluster read and rewrite
+#   in physical space and carry the map forward, so CDC's suffix
+#   composition and rewrite_of bridging stay valid across rewrites.
+# - LOGICAL names exist only at the public boundary: read_table/scan_*/
+#   snapshot reads apply the map last; merge_into_mor translates staging
+#   back to physical first; scan predicates and CDC keys translate on
+#   the way in, CDC output translates on the way out.
+# - A remap commit keeps the entry's path and delta log byte-identical
+#   (_entry_signature ignores the map), so version spans containing one
+#   bridge through the O(delta) CDC fast path with zero special cases —
+#   and contribute zero row changes, which is exactly a rename's CDC.
+
+def _column_map(entry) -> tuple[dict, list]:
+    """({physical: logical} renames, [dropped physical names])."""
+    if not isinstance(entry, dict):
+        return {}, []
+    return dict(entry.get("renames") or {}), list(entry.get("dropped") or [])
+
+
+def _logical_view(entry, df: DataFrame) -> DataFrame:
+    """Present a physically-read frame in the entry's logical schema:
+    dropped columns hidden, renamed columns aliased.  A plain projection
+    — Catalyst collapses it into the scan, so the map costs nothing."""
+    renames, dropped = _column_map(entry)
+    if not renames and not dropped:
+        return df
+    return df.select(
+        *[
+            F.col(c).alias(renames.get(c, c))
+            for c in df.columns
+            if c not in dropped
+        ]
+    )
+
+
+def _phys_name(entry, col: str) -> str:
+    """Logical column name → the physical name stored in the files."""
+    renames, _ = _column_map(entry)
+    for p, l in renames.items():
+        if l == col:
+            return p
+    return col
+
+
+def _logical_changes(entry, df: DataFrame, change_col: str) -> DataFrame:
+    """Map a PHYSICAL-space diff_frames output to the entry's logical
+    naming: value/key columns rename, their ``<col>__old`` twins follow,
+    the change-type column passes through.  Dropped columns were
+    excluded before the diff."""
+    renames, _ = _column_map(entry)
+    if not renames:
+        return df
+    out = []
+    for c in df.columns:
+        if c == change_col:
+            out.append(F.col(c))
+        elif c.endswith("__old") and c[:-5] in renames:
+            out.append(F.col(c).alias(renames[c[:-5]] + "__old"))
+        else:
+            out.append(F.col(c).alias(renames.get(c, c)))
+    return df.select(*out)
+
+
+def _phys_where(entry, where: Sequence[tuple]) -> list:
+    """Rewrite every column name in a predicate tree logical → physical
+    (physical names are what the stats/bloom sidecars and parquet files
+    carry)."""
+    renames, _ = _column_map(entry)
+    if not renames:
+        return list(where)
+    l2p = {l: p for p, l in renames.items()}
+
+    def walk(node):
+        if _is_composite(node):
+            return (node[0],) + tuple(walk(n) for n in node[1:])
+        col, rest = node[0], node[1:]
+        return (l2p.get(col, col),) + tuple(rest)
+
+    return [walk(n) for n in where]
+
+
+def _update_entry_meta(root: str, name: str, mutate) -> dict:
+    """Commit a metadata-only change to one table entry: `mutate(entry)`
+    edits the dict in place under the manifest lock; the data on disk is
+    untouched and a new version records the change.  Returns the new
+    manifest."""
+    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    with _manifest_lock(root):
+        prev = current_manifest(root)
+        if name not in prev["tables"]:
+            raise KeyError(f"table {name!r} has no committed version under {root}")
+        entry = prev["tables"][name]
+        entry = {"path": entry} if isinstance(entry, str) else dict(entry)
+        mutate(entry)
+        manifest = {
+            "version": prev["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
+            "tables": {**prev["tables"], name: entry},
+            **_history_fields(root, prev),
+        }
+        return _commit(root, txid, manifest)
+
+
+def rename_column(
+    spark: SparkSession, root: str, name: str, old: str, new: str
+) -> dict:
+    """Rename a column of `name` WITHOUT rewriting any data — an O(1)
+    metadata commit (Delta column mapping's trade; at 100 TB a rename
+    must not cost an O(table) rewrite).  Readers of the new version see
+    `new`; time travel to older versions still sees `old`; scans with
+    predicates on `new` keep full stats/bloom file-skipping (probes
+    translate to the physical name the sidecars carry); merge_into_mor
+    accepts staging in the new name; CDC across the rename commit emits
+    ZERO row changes and the O(delta) fast path bridges it.  The
+    physical files keep the old name until a copy-on-write merge_into
+    republishes the table (which folds the map into fresh files).
+
+    Renaming key, partition and bucket columns is allowed — those specs
+    are recorded in physical space and never move."""
+    entry = current_manifest(root)["tables"].get(name)
+    if entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    logical_cols = _logical_view(entry, _read_entry(spark, entry)).columns
+    if old not in logical_cols:
+        raise ValueError(f"{name!r} has no column {old!r}")
+    if new in logical_cols:
+        raise ValueError(f"{name!r} already has a column {new!r}")
+    phys = _phys_name(entry, old)
+
+    def mutate(e: dict) -> None:
+        renames, _ = _column_map(e)
+        if new == phys:
+            renames.pop(phys, None)  # renamed back to its physical name
+        else:
+            renames[phys] = new
+        if renames:
+            e["renames"] = renames
+        else:
+            e.pop("renames", None)
+
+    return _update_entry_meta(root, name, mutate)
+
+
+def drop_column(spark: SparkSession, root: str, name: str, col: str) -> dict:
+    """Drop a column of `name` WITHOUT rewriting any data — an O(1)
+    metadata commit.  Readers of the new version no longer see it; time
+    travel to older versions still does; CDC ignores changes confined to
+    it.  The bytes remain in the physical files until a copy-on-write
+    merge_into republishes the table — for a privacy-driven purge,
+    follow the drop with one.
+
+    Key, partition and bucket columns cannot be dropped (the table's
+    layout and identity depend on them); a dropped column's PHYSICAL
+    name cannot be reused by schema evolution until a rewrite purges it
+    (merge_into_mor refuses, to keep old file data from bleeding into
+    the new column)."""
+    entry = current_manifest(root)["tables"].get(name)
+    if entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    logical_cols = _logical_view(entry, _read_entry(spark, entry)).columns
+    if col not in logical_cols:
+        raise ValueError(f"{name!r} has no column {col!r}")
+    if len(logical_cols) == 1:
+        raise ValueError(f"cannot drop {name!r}'s only column")
+    phys = _phys_name(entry, col)
+    if isinstance(entry, dict):
+        protected = set(entry.get("keys") or [])
+        protected |= set(entry.get("partition_by") or [])
+        protected |= set(entry.get("bucket_keys") or [])
+        if phys in protected:
+            raise ValueError(
+                f"column {col!r} is a key/partition/bucket column of "
+                f"{name!r} and cannot be dropped"
+            )
+
+    def mutate(e: dict) -> None:
+        renames, dropped = _column_map(e)
+        renames.pop(phys, None)
+        if renames:
+            e["renames"] = renames
+        else:
+            e.pop("renames", None)
+        e["dropped"] = dropped + [phys]
+
+    return _update_entry_meta(root, name, mutate)
+
+
 def table_keys(root: str, name: str) -> list[str] | None:
     """The key columns recorded for `name` in the current manifest (the
     store-level analog of the reference's IsPrimaryKey schema flags,
@@ -256,8 +454,10 @@ def table_keys(root: str, name: str) -> list[str] | None:
         keys = entry.get("keys") or entry.get("bucket_keys")
         if keys:
             # bucket keys may be materialized __k_ norm columns; report
-            # the logical key names
-            return [k[4:] if k.startswith("__k_") else k for k in keys]
+            # the logical key names (column-map renames included)
+            renames, _ = _column_map(entry)
+            keys = [k[4:] if k.startswith("__k_") else k for k in keys]
+            return [renames.get(k, k) for k in keys]
     return None
 
 
@@ -267,7 +467,8 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     manifest = current_manifest(root)
     if name not in manifest["tables"]:
         raise KeyError(f"table {name!r} has no committed version under {root}")
-    return _read_entry(spark, manifest["tables"][name])
+    entry = manifest["tables"][name]
+    return _logical_view(entry, _read_entry(spark, entry))
 
 
 def publish_tables(
@@ -283,6 +484,7 @@ def publish_tables(
     collect_stats: bool = True,
     stats_columns: Mapping[str, Sequence[str]] | None = None,
     rewrite_of: Mapping[str, int] | None = None,
+    column_map: Mapping[str, dict] | None = None,
 ) -> dict:
     """Stage every output, validate, then commit with one manifest swap.
 
@@ -347,27 +549,40 @@ def publish_tables(
     store_changes stream / replica / maintained view into an O(2×table)
     full diff.  Callers other than the rewrite operators should leave it
     unset — stamping it on a data-changing publish would corrupt CDC.
+
+    `column_map[name]` (internal — compact/recluster) carries a
+    rename/drop column map (``{"renames": ..., "dropped": ...}``) onto
+    the staged entry verbatim: those rewrites read and write in PHYSICAL
+    column space, so the logical map must ride along.  Every other
+    publish writes the frame's own (logical) names physically, which
+    resets the map — and carried-forward keys/partition specs translate
+    to their logical names to match the fresh files.
     """
     os.makedirs(root, exist_ok=True)
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged_paths: dict[str, object] = {}
     prev = current_manifest(root)
 
+    def _carried(name: str, field: str) -> list[str] | None:
+        prev_entry = prev["tables"].get(name)
+        if not (isinstance(prev_entry, dict) and prev_entry.get(field)):
+            return None
+        vals = list(prev_entry[field])
+        if column_map and name in column_map:
+            return vals  # map rides along: stay physical
+        renames, _ = _column_map(prev_entry)
+        # fresh files carry logical names physically: translate
+        return [renames.get(v, v) for v in vals]
+
     def _keys_for(name: str) -> list[str] | None:
         if table_keys and name in table_keys:
             return list(table_keys[name])
-        prev_entry = prev["tables"].get(name)
-        if isinstance(prev_entry, dict) and prev_entry.get("keys"):
-            return list(prev_entry["keys"])
-        return None
+        return _carried(name, "keys")
 
     def _parts_for(name: str) -> list[str] | None:
         if partition_by and name in partition_by:
             return list(partition_by[name])
-        prev_entry = prev["tables"].get(name)
-        if isinstance(prev_entry, dict) and prev_entry.get("partition_by"):
-            return list(prev_entry["partition_by"])
-        return None
+        return _carried(name, "partition_by")
 
     for name, df in outputs.items():
         path = os.path.join(root, "data", txid, name)
@@ -428,6 +643,19 @@ def publish_tables(
             if not isinstance(entry, dict):
                 entry = {"path": entry}
             entry["rewrite_of"] = int(version)
+            staged_paths[name] = entry
+
+    if column_map:
+        for name, cmap in column_map.items():
+            if name not in staged_paths or not cmap:
+                continue
+            entry = staged_paths[name]
+            if not isinstance(entry, dict):
+                entry = {"path": entry}
+            if cmap.get("renames"):
+                entry["renames"] = dict(cmap["renames"])
+            if cmap.get("dropped"):
+                entry["dropped"] = list(cmap["dropped"])
             staged_paths[name] = entry
 
     for name, entry in staged_paths.items():
@@ -569,11 +797,13 @@ def tables_at(root: str, version: int) -> dict:
 
 
 def read_table_at(spark: SparkSession, root: str, name: str, version: int) -> DataFrame:
-    """Time travel: read `name` as of a committed version."""
+    """Time travel: read `name` as of a committed version (in THAT
+    version's logical schema — a later rename/drop doesn't rewrite
+    history)."""
     tables = tables_at(root, version)
     if name not in tables:
         raise KeyError(f"table {name!r} absent at version {version}")
-    return _read_entry(spark, tables[name])
+    return _logical_view(tables[name], _read_entry(spark, tables[name]))
 
 
 def rollback(root: str, version: int) -> dict:
@@ -1098,6 +1328,44 @@ def merge_into_mor(
     keys = list(keys)
     base_schema = _read_entry(spark, prev_entry).schema
     base_cols = [f.name for f in base_schema.fields]
+    _renames, _dropped = _column_map(prev_entry)
+    if _renames or _dropped:
+        # staging/deletes/keys arrive in LOGICAL names; the delta log is
+        # written in the physical names the base files carry.  A staged
+        # column reusing a DROPPED physical name is refused — the old
+        # file bytes would bleed into the "new" column at read time.
+        _l2p = {l: p for p, l in _renames.items()}
+        reused = [
+            c for c in staging.columns if _l2p.get(c, c) in _dropped
+        ]
+        if reused:
+            raise ValueError(
+                f"staging columns {reused} reuse dropped physical names of "
+                f"table {name!r}; compact/rewrite the table before reusing"
+            )
+        logical_base = {_renames.get(c, c) for c in base_cols}
+        shadowing = [
+            c
+            for c in staging.columns
+            if c not in logical_base and _l2p.get(c, c) in base_cols
+        ]
+        if shadowing:
+            # a NEW logical column whose name equals a renamed-away
+            # physical column would silently write into the old storage
+            raise ValueError(
+                f"staging columns {shadowing} shadow physical columns of "
+                f"table {name!r} that were renamed away; pick another name "
+                "or rewrite the table first"
+            )
+        keys = [_l2p.get(k, k) for k in keys]
+        staging = staging.select(
+            *[F.col(c).alias(_l2p.get(c, c)) for c in staging.columns]
+        )
+        if deletes is not None:
+            deletes = deletes.select(
+                *[F.col(c).alias(_l2p.get(c, c)) for c in deletes.columns]
+            )
+        base_cols = [c for c in base_cols if c not in _dropped]
     missing = [k for k in keys if k not in staging.columns]
     if missing:
         raise ValueError(f"staging is missing key columns {missing}")
@@ -1129,7 +1397,8 @@ def merge_into_mor(
         base_cols = [f.name for f in base_schema.fields]
 
     if not (insert_new and update_existing):
-        existing = read_table(spark, root, name).select(*keys)
+        # physical space: keys and staging were translated above
+        existing = _read_entry(spark, prev_entry).select(*keys)
         how = "left_semi" if not insert_new else "left_anti"
         staging = staging.join(existing, on=keys, how=how)
 
@@ -1270,17 +1539,37 @@ def read_changes(
         )
         if fast is not None:
             return fast
+    # the diff compares LOGICAL states in the TO-version's naming, but
+    # runs in PHYSICAL space: physical names are immutable within a base
+    # lineage, so one translation serves both sides, the FROM side needs
+    # no remap gymnastics, and a rename mid-span emits zero row changes
+    # instead of a whole-table update storm.  Columns the to-version
+    # DROPPED are excluded before comparing — churn confined to them is
+    # not a change.
+    to_entry = tables_at(root, to_version).get(name)
+    if to_entry is None:
+        raise KeyError(f"table {name!r} absent at version {to_version}")
+    pkeys = [_phys_name(to_entry, k) for k in keys]
+    pwhere = _phys_where(to_entry, where) if where else ()
     if where:
-        old = _scan_version_conformed(spark, root, name, from_version, where)
-        new = scan_table_at(spark, root, name, to_version, where)
+        old = _scan_version_conformed(spark, root, name, from_version, pwhere)
+        new = _scan_entry(spark, to_entry, pwhere)
     else:
-        old = read_table_at(spark, root, name, from_version)
-        new = read_table_at(spark, root, name, to_version)
-    return diff_frames(
-        old, new, keys,
+        from_tables = tables_at(root, from_version)
+        if name not in from_tables:
+            raise KeyError(f"table {name!r} absent at version {from_version}")
+        old = _read_entry(spark, from_tables[name])
+        new = _read_entry(spark, to_entry)
+    _, dropped = _column_map(to_entry)
+    if dropped:
+        old = old.drop(*[c for c in dropped if c in old.columns])
+        new = new.drop(*[c for c in dropped if c in new.columns])
+    out = diff_frames(
+        old, new, pkeys,
         case_insensitive=case_insensitive, change_col=change_col,
         include_old=include_old,
     )
+    return _logical_changes(to_entry, out, change_col)
 
 
 def _mor_delta_suffix(from_entry, to_entry) -> list[dict] | None:
@@ -1431,12 +1720,20 @@ def _mor_changes_fast(
         return None
     if not suffix:
         # provably change-free span: an empty diff in the to-version's
-        # schema, without scanning either version
-        empty = _read_entry(spark, to_entry).limit(0)
+        # LOGICAL schema, without scanning either version
+        empty = _logical_view(to_entry, _read_entry(spark, to_entry)).limit(0)
         return diff_frames(
             empty, empty, keys,
             change_col=change_col, include_old=include_old,
         )
+    # the suffix delta files, the from-version base and the sidecars all
+    # carry PHYSICAL column names (immutable within a base lineage, and
+    # remap commits extend neither the log nor the base — a span
+    # containing one composes here unchanged); run the whole fast path
+    # physically and map to the to-version's logical naming once, at the
+    # end
+    keys = [_phys_name(to_entry, k) for k in keys]
+    where = _phys_where(to_entry, where) if where else ()
     deltas = _read_delta_log(spark, suffix)
     latest = _latest_per_key(deltas, keys)
     dkeys = deltas.select(*keys).distinct()
@@ -1462,11 +1759,12 @@ def _mor_changes_fast(
     # diff would see them.
     from pyspark.sql.types import StructType
 
+    _, to_dropped = _column_map(to_entry)
     to_schema = StructType(
         [
             f
             for f in _read_entry(spark, to_entry).schema.fields
-            if not f.name.startswith("__k_")
+            if not f.name.startswith("__k_") and f.name not in to_dropped
         ]
     )
     # always conform: the old side may carry a NullType placeholder for a
@@ -1477,9 +1775,13 @@ def _mor_changes_fast(
     )
     if where:
         new_scoped = new_scoped.filter(_where_condition(where))
-    return diff_frames(
-        old_scoped, new_scoped, keys,
-        change_col=change_col, include_old=include_old,
+    return _logical_changes(
+        to_entry,
+        diff_frames(
+            old_scoped, new_scoped, keys,
+            change_col=change_col, include_old=include_old,
+        ),
+        change_col,
     )
 
 
@@ -1965,6 +2267,7 @@ def write_bloom_sidecar(
     if entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
     path = entry["path"] if isinstance(entry, dict) else entry
+    columns = [_phys_name(entry, c) for c in columns]
 
     # index merge-on-read DELTA files too (rel paths outside the base
     # dir): their bitmaps let key-column point lookups skip whole delta
@@ -2147,6 +2450,7 @@ def refresh_bloom_sidecar(
     if entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
     path = entry["path"] if isinstance(entry, dict) else entry
+    columns = [_phys_name(entry, c) for c in columns]
     bloom_path = os.path.join(path, BLOOM_FILE)
     existing = None
     if os.path.exists(bloom_path):
@@ -2463,7 +2767,9 @@ def clustering_overlap(root: str, name: str, column: str) -> float:
     entry = manifest["tables"][name]
     path = entry["path"] if isinstance(entry, dict) else entry
     entries = _load_stats_entries(path) or []
-    return _interval_overlap(_stat_intervals(entries, column))
+    return _interval_overlap(
+        _stat_intervals(entries, _phys_name(entry, column))
+    )
 
 
 def _stat_intervals(entries, column: str) -> list[tuple]:
@@ -2608,6 +2914,10 @@ def _recluster_partitions(
     entry = manifest["tables"][name]
     read_version = manifest["version"]
     path = entry["path"]
+    # physical space throughout: stats entries, partition dirs and the
+    # rewritten files all carry physical names; the logical map rides
+    # onto the new entry untouched
+    by = [_phys_name(entry, c) for c in by]
     part_cols = list(entry["partition_by"])
     bad = [c for c in by if c in part_cols]
     if bad:
@@ -2699,6 +3009,11 @@ def _recluster_partitions(
     }
     if entry.get("keys"):
         new_entry["keys"] = list(entry["keys"])
+    _ren, _drp = _column_map(entry)
+    if _ren:
+        new_entry["renames"] = _ren
+    if _drp:
+        new_entry["dropped"] = _drp
     with _manifest_lock(root):
         prev = current_manifest(root)
         if prev["version"] != read_version:
@@ -3236,7 +3551,8 @@ def prune_files(root: str, name: str, where: Sequence[tuple]) -> tuple[list[str]
     manifest = current_manifest(root)
     if name not in manifest["tables"]:
         raise KeyError(f"table {name!r} has no committed version under {root}")
-    return _prune_entry(manifest["tables"][name], where)
+    entry = manifest["tables"][name]
+    return _prune_entry(entry, _phys_where(entry, where))
 
 
 def _prune_entry(entry, where: Sequence[tuple]) -> tuple[list[str], int]:
@@ -3294,6 +3610,7 @@ def explain_skipping(
     if name not in manifest["tables"]:
         raise KeyError(f"table {name!r} has no committed version under {root}")
     entry = manifest["tables"][name]
+    where = _phys_where(entry, where)
     path = entry["path"] if isinstance(entry, dict) else entry
     entries = _load_stats_entries(path)
     if entries is None:
@@ -3412,7 +3729,11 @@ def scan_table(
     entry = manifest["tables"][name] if name in manifest["tables"] else None
     if entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
-    return _scan_entry(spark, entry, where)
+    # predicates arrive in logical names; the stats/bloom sidecars and
+    # the files carry physical ones
+    return _logical_view(
+        entry, _scan_entry(spark, entry, _phys_where(entry, where))
+    )
 
 
 def scan_table_at(
@@ -3431,9 +3752,12 @@ def scan_table_at(
     tables = tables_at(root, version)
     if name not in tables:
         raise KeyError(f"table {name!r} absent at version {version}")
+    entry = tables[name]
     if not where:
-        return _read_entry(spark, tables[name])
-    return _scan_entry(spark, tables[name], where)
+        return _logical_view(entry, _read_entry(spark, entry))
+    return _logical_view(
+        entry, _scan_entry(spark, entry, _phys_where(entry, where))
+    )
 
 
 def _where_condition(where: Sequence[tuple]):
@@ -3455,7 +3779,10 @@ def _scan_version_conformed(
     """scan_table_at that tolerates predicate columns the OLD version
     predates (filtered CDC across a schema evolution): an absent column
     reads as null, so comparison predicates match nothing — the same
-    rows the widened diff would see."""
+    rows the widened diff would see.  CDC-internal: operates in PHYSICAL
+    column space (`where` already translated by read_changes) and
+    returns the physical frame — the caller maps to logical once, after
+    the diff."""
     tables = tables_at(root, version)
     if name not in tables:
         raise KeyError(f"table {name!r} absent at version {version}")
@@ -3666,6 +3993,20 @@ def _compact_once(
     read_version = manifest["version"]
     entry = manifest["tables"][name]
     path = entry["path"] if isinstance(entry, dict) else entry
+    # compact reads and rewrites in PHYSICAL column space and carries the
+    # logical rename/drop map forward untouched — physical names stay
+    # immutable, which is what keeps CDC's suffix composition and
+    # rewrite_of bridging valid across the rewrite
+    renames, dropped = _column_map(entry)
+    cmap = None
+    if renames or dropped:
+        cmap = {name: {"renames": renames, "dropped": dropped}}
+        sort_by = [_phys_name(entry, c) for c in sort_by] if sort_by else sort_by
+        cluster_by = (
+            [_phys_name(entry, c) for c in cluster_by]
+            if cluster_by
+            else cluster_by
+        )
     if (sort_by or cluster_by or target_files is not None) and isinstance(
         entry, dict
     ) and (entry.get("bucket_keys") or entry.get("partition_by")):
@@ -3698,6 +4039,7 @@ def _compact_once(
             num_buckets=int(entry["num_buckets"]),
             expected_version=read_version,
             rewrite_of={name: read_version},
+            column_map=cmap,
         )
     elif isinstance(entry, dict) and entry.get("partition_by"):
         # hive-partitioned: co-locate each partition value's rows in one
@@ -3708,6 +4050,7 @@ def _compact_once(
             spark, {name: df.repartition(*parts)}, root,
             expected_version=read_version,
             rewrite_of={name: read_version},
+            column_map=cmap,
         )
     else:
         n = target_files or max(1, math.ceil(total_bytes / target_file_bytes))
@@ -3727,6 +4070,7 @@ def _compact_once(
             spark, {name: out}, root,
             expected_version=read_version,
             rewrite_of={name: read_version},
+            column_map=cmap,
         )
 
     new_entry = new_manifest["tables"][name]
@@ -3946,7 +4290,8 @@ class StoreSnapshot:
             raise KeyError(
                 f"table {name!r} absent at version {self.version} of {self.root}"
             )
-        return _read_entry(self._spark, self._tables[name])
+        entry = self._tables[name]
+        return _logical_view(entry, _read_entry(self._spark, entry))
 
     def scan(self, name: str, where: Sequence[tuple] = ()) -> DataFrame:
         """scan_table's pruned selective read, against the pinned version."""
@@ -3954,9 +4299,12 @@ class StoreSnapshot:
             raise KeyError(
                 f"table {name!r} absent at version {self.version} of {self.root}"
             )
+        entry = self._tables[name]
         if not where:
-            return _read_entry(self._spark, self._tables[name])
-        return _scan_entry(self._spark, self._tables[name], where)
+            return _logical_view(entry, _read_entry(self._spark, entry))
+        return _logical_view(
+            entry, _scan_entry(self._spark, entry, _phys_where(entry, where))
+        )
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         return f"StoreSnapshot({self.root!r}, version={self.version})"
@@ -4226,6 +4574,7 @@ def register_store(
     names = []
     for name in sorted(manifest["tables"]):
         view = f"{prefix}{name}"
-        _read_entry(spark, manifest["tables"][name]).createOrReplaceTempView(view)
+        entry = manifest["tables"][name]
+        _logical_view(entry, _read_entry(spark, entry)).createOrReplaceTempView(view)
         names.append(view)
     return names

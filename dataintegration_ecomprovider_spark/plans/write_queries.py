@@ -1191,6 +1191,70 @@ FROM orders WHERE o_custkey > 50 AND o_custkey <= 200
 """
 
 
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME/DROP over the versioned store
+    (round 7, publish.rename_column / drop_column — the Delta
+    column-mapping role): at 100 TB a rename must not cost an O(table)
+    rewrite, so both commit a logical column map on the manifest entry
+    while the physical files stay byte-identical (asserted in-query).
+    Lifecycle: publish orders range-layed-out, rename o_totalprice →
+    price and drop o_orderpriority (two O(1) metadata commits), merge-on-read
+    a price bump staged in the NEW name, then scan with a predicate
+    while file skipping still engages (asserted).  The result must equal
+    the plain-SQL oracle over the final logical schema — a stale
+    physical name or a resurrected dropped column breaks the match."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = tempfile.mkdtemp(prefix="cmap_store_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus", "o_orderpriority",
+    )
+    publish.publish_tables(
+        spark, {"orders": base.repartitionByRange(8, "o_custkey")}, root,
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    files = sorted(
+        publish._data_files(
+            publish.current_manifest(root)["tables"]["orders"]["path"]
+        )
+    )
+    publish.rename_column(spark, root, "orders", "o_totalprice", "price")
+    publish.drop_column(spark, root, "orders", "o_orderpriority")
+    after = sorted(
+        publish._data_files(
+            publish.current_manifest(root)["tables"]["orders"]["path"]
+        )
+    )
+    if after != files:  # the point of the operator IS zero data movement
+        raise AssertionError("rename/drop must not move data files")
+    cur = publish.read_table(spark, root, "orders")
+    publish.merge_into_mor(
+        spark, root, "orders",
+        cur.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("price", F.round(F.col("price") + 1.0, 2)),
+    )
+    kept, total = publish.prune_files(root, "orders", [("o_custkey", "<=", 100)])
+    if not (0 < len(kept) < total):  # skipping must survive the rename
+        raise AssertionError(f"expected file skipping, kept {len(kept)}/{total}")
+    return publish.scan_table(
+        spark, root, "orders", [("o_custkey", "<=", 100)]
+    )
+
+
+ORACLE_COLUMN_MAPPING = """
+SELECT o_orderkey, o_custkey,
+       ROUND(ROUND(o_totalprice, 2)
+             + CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END,
+             2) AS price,
+       o_orderstatus
+FROM orders WHERE o_custkey <= 100
+"""
+
+
 def q_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter data skipping (round 4): orders is published hash-
     scattered into 8 files (every file's o_orderkey [min, max] spans the
@@ -1999,6 +2063,7 @@ QUERIES = {
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
     "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
+    "u12_column_mapping": QueryDef(q_column_mapping, ORACLE_COLUMN_MAPPING),
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),

@@ -581,6 +581,19 @@ class StoreChangesStreamReader(DataSourceStreamReader):
             self.where = _norm_where(_json.loads(where))
         else:
             self.where = []
+        # translate columns/keys/predicates LOGICAL → PHYSICAL once, at
+        # init: the delta logs, historical bases and stats sidecars all
+        # carry physical names (immutable within a base lineage), while
+        # the declared stream schema keeps the logical names — the yield
+        # is positional, so the physical column order below IS the
+        # logical field order above.  A rename committed MID-STREAM needs
+        # a restart (the checkpointed logical schema can't follow it) —
+        # the standard Structured Streaming schema-change contract.
+        _entry = publish.current_manifest(self.root)["tables"].get(self.table)
+        if _entry is not None:
+            self.columns = [publish._phys_name(_entry, c) for c in self.columns]
+            self.keys = [publish._phys_name(_entry, k) for k in self.keys]
+            self.where = publish._phys_where(_entry, self.where)
         start = options.get("startingversion")
         if start is None:
             self._initial = publish.current_manifest(self.root)["version"]
@@ -728,7 +741,15 @@ class StoreChangesDataSource(DataSource):
                 path, format="parquet", partitioning=partitioning
             ).schema
             base = from_arrow_schema(arrow)
-        fields = [f for f in base.fields if not f.name.startswith("__k_")]
+        # present the entry's LOGICAL schema: rename/drop column maps
+        # (publish.rename_column / drop_column) are metadata the physical
+        # footers don't know about
+        renames, dropped = publish._column_map(entry)
+        fields = [
+            StructField(renames.get(f.name, f.name), f.dataType, f.nullable)
+            for f in base.fields
+            if not f.name.startswith("__k_") and f.name not in dropped
+        ]
         return StructType([*fields, StructField(CHANGE_COL, StringType(), True)])
 
     def streamReader(self, schema) -> StoreChangesStreamReader:

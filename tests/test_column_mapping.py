@@ -1,0 +1,268 @@
+"""Metadata-only column rename/drop (publish.rename_column /
+drop_column — the Delta column-mapping role): physical names stay
+immutable in the files while the logical schema moves, so a 100 TB
+table renames in O(1) metadata instead of an O(table) rewrite.
+
+Pinned here: boundary visibility (read/scan/snapshot/time travel),
+skipping on renamed predicates, MoR merges in the new names, CDC
+transparency (a rename emits ZERO row changes and the O(delta) fast
+path bridges it), compact carrying the map, drop semantics, and the
+refusal rules that keep old file bytes from bleeding into new columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.plans import publish
+
+
+def _t(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+    )
+
+
+def _store(spark, tmp_path, n=20, **pub_kw):
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark, n)}, root, table_keys={"t": ["k"]}, **pub_kw
+    )
+    return root
+
+
+def test_rename_is_metadata_only_and_visible_everywhere(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    files_before = sorted(
+        publish._data_files(publish.current_manifest(root)["tables"]["t"]["path"])
+    )
+    publish.rename_column(spark, root, "t", "v", "value")
+    entry = publish.current_manifest(root)["tables"]["t"]
+    # zero data movement: same base path, same files
+    assert sorted(publish._data_files(entry["path"])) == files_before
+    assert publish.read_table(spark, root, "t").columns == ["k", "value", "s"]
+    assert publish.table_keys(root, "t") == ["k"]
+    # time travel sees the old name; the new version the new one
+    assert publish.read_table_at(spark, root, "t", 1).columns == ["k", "v", "s"]
+    assert publish.snapshot(spark, root).table("t").columns == ["k", "value", "s"]
+    # logical values unchanged
+    got = {r["k"]: r["value"] for r in publish.read_table(spark, root, "t").collect()}
+    assert got == {i: 2 * i for i in range(20)}
+
+
+def test_renamed_predicate_keeps_file_skipping(spark, tmp_path):
+    root = str(tmp_path / "store")
+    # k-clustered files so a k-range predicate prunes
+    df = _t(spark, 100).repartitionByRange(10, "k").sortWithinPartitions("k")
+    publish.publish_tables(spark, {"t": df}, root, table_keys={"t": ["k"]})
+    publish.rename_column(spark, root, "t", "k", "key")
+    kept, total = publish.prune_files(root, "t", [("key", "<", 5)])
+    assert total >= 10 and len(kept) <= 2  # skipping engaged, not a full scan
+    out = publish.scan_table(spark, root, "t", [("key", "<", 5)])
+    assert out.columns == ["key", "v", "s"]
+    assert {r["key"] for r in out.collect()} == set(range(5))
+    rep = publish.explain_skipping(root, "t", [("key", "<", 5)])
+    assert any(not e["kept"] for e in rep)  # skip report translates too
+
+
+def test_mor_merge_and_cdc_in_renamed_names(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.rename_column(spark, root, "t", "v", "value")  # version 2
+    # staging arrives in the NEW name; deletes too
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(1, 111, "u1"), (99, 999, "n99")], "k long, value long, s string"),
+        deletes=spark.createDataFrame([(2,)], "k long"),
+    )  # version 3
+    cur = {r["k"]: r["value"] for r in publish.read_table(spark, root, "t").collect()}
+    assert cur[1] == 111 and cur[99] == 999 and 2 not in cur
+    # CDC across the rename commit: logical columns, only real changes
+    ch = publish.read_changes(spark, root, "t", from_version=1)
+    assert set(ch.columns) == {"k", "value", "s", "change_type"}
+    got = {(r["k"], r["change_type"]) for r in ch.collect()}
+    assert got == {(1, "update"), (99, "insert"), (2, "delete")}
+    # a rename-only span is provably change-free
+    assert publish.read_changes(spark, root, "t", 1, 2).count() == 0
+    # include_old twins follow the rename
+    ch2 = publish.read_changes(spark, root, "t", 1, include_old=True)
+    assert "value__old" in ch2.columns and "v__old" not in ch2.columns
+    old_vals = {r["k"]: r["value__old"] for r in ch2.collect()}
+    assert old_vals[1] == 2 and old_vals[2] == 4 and old_vals[99] is None
+
+
+def test_rename_bridges_the_odelta_fast_path(spark, tmp_path):
+    """A span containing a rename still rides the O(delta) CDC fast path
+    — the remap commit extends neither the base nor the delta log, so
+    suffix composition sees straight through it."""
+    root = _store(spark, tmp_path)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(0, 100, "x")], "k long, v long, s string"),
+    )  # v2
+    publish.rename_column(spark, root, "t", "v", "value")  # v3
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(1, 200, "y")], "k long, value long, s string"),
+    )  # v4
+    fast = publish._mor_changes_fast(
+        spark, root, "t", 1, 4, ["k"], "change_type", False,
+    )
+    assert fast is not None, "rename must not break the fast path"
+    got = {(r["k"], r["value"], r["change_type"]) for r in fast.collect()}
+    assert got == {(0, 100, "update"), (1, 200, "update")}
+    # byte-identical to the generic diff
+    generic = publish.read_changes(spark, root, "t", 1, 4)
+    assert {(r["k"], r["value"], r["change_type"]) for r in generic.collect()} == got
+
+
+def test_compact_carries_the_map_and_cdc_bridges_it(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.rename_column(spark, root, "t", "v", "value")  # v2
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(3, 333, "z")], "k long, value long, s string"),
+    )  # v3
+    publish.compact(spark, root, "t")  # v4: physical rewrite, map rides
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry.get("renames") == {"v": "value"}
+    assert publish.read_table(spark, root, "t").columns == ["k", "value", "s"]
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, 444, "w")], "k long, value long, s string"),
+    )  # v5
+    # the whole span — merge, rename, merge, compact, merge — bridges
+    fast = publish._mor_changes_fast(
+        spark, root, "t", 1, 5, ["k"], "change_type", False,
+    )
+    assert fast is not None, "compact with a column map must stay bridgeable"
+    got = {(r["k"], r["value"]) for r in fast.collect()}
+    assert got == {(3, 333), (4, 444)}
+
+
+def test_drop_column_semantics(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.drop_column(spark, root, "t", "s")
+    assert publish.read_table(spark, root, "t").columns == ["k", "v"]
+    assert publish.read_table_at(spark, root, "t", 1).columns == ["k", "v", "s"]
+    # CDC ignores churn confined to the dropped column: update s only
+    publish.merge_into_mor(
+        spark, root, "t",
+        publish.read_table_at(spark, root, "t", 1)
+        .filter(F.col("k") < 3)
+        .withColumn("s", F.lit("changed"))
+        .drop("s"),  # logical staging: k, v unchanged
+    )
+    # no visible column changed → zero changes
+    assert publish.read_changes(spark, root, "t", 2).count() == 0
+    # key/layout columns are protected
+    with pytest.raises(ValueError, match="key/partition/bucket"):
+        publish.drop_column(spark, root, "t", "k")
+    with pytest.raises(ValueError, match="no column"):
+        publish.drop_column(spark, root, "t", "nope")
+
+
+def test_dropped_physical_name_cannot_be_reused(spark, tmp_path):
+    """Re-evolving a dropped column's name would resurrect old file
+    bytes at read time — merge_into_mor refuses until a rewrite purges
+    the storage."""
+    root = _store(spark, tmp_path)
+    publish.drop_column(spark, root, "t", "s")
+    with pytest.raises(ValueError, match="dropped physical"):
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame([(1, 2, "boo")], "k long, v long, s string"),
+            evolve_schema=True,
+        )
+
+
+def test_rename_collision_and_shadowing_rules(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="already has"):
+        publish.rename_column(spark, root, "t", "v", "s")
+    with pytest.raises(ValueError, match="no column"):
+        publish.rename_column(spark, root, "t", "nope", "x")
+    publish.rename_column(spark, root, "t", "v", "value")
+    # a NEW evolved column may not shadow the renamed-away physical name
+    with pytest.raises(ValueError, match="shadow"):
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame([(1, "boo")], "k long, v string"),
+            evolve_schema=True,
+        )
+    # rename back to the physical name folds the map away entirely
+    publish.rename_column(spark, root, "t", "value", "v")
+    assert "renames" not in publish.current_manifest(root)["tables"]["t"]
+
+
+def test_cow_merge_resets_the_map_into_fresh_files(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    publish.rename_column(spark, root, "t", "v", "value")
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame([(1, 5, "u")], "k long, value long, s string"),
+        keys=["k"],
+    )
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert "renames" not in entry  # fresh files carry logical names
+    assert entry["keys"] == ["k"]
+    df = publish.read_table(spark, root, "t")
+    assert df.columns == ["k", "value", "s"]
+    assert df.filter(F.col("k") == 1).collect()[0]["value"] == 5
+    # physical files really carry the new name now
+    import pyarrow.parquet as pq
+
+    f = publish._data_files(entry["path"])[0]
+    assert "value" in pq.read_schema(f).names
+
+
+def test_rename_partition_column_keeps_pruning(spark, tmp_path):
+    root = str(tmp_path / "store")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("part"),
+        F.col("id").alias("v"),
+    )
+    publish.publish_tables(
+        spark, {"t": df}, root,
+        table_keys={"t": ["k"]}, partition_by={"t": ["part"]},
+    )
+    publish.rename_column(spark, root, "t", "part", "bucket_no")
+    out = publish.scan_table(spark, root, "t", [("bucket_no", "=", 2)])
+    assert "bucket_no" in out.columns
+    assert {r["k"] % 4 for r in out.collect()} == {2}
+    kept, total = publish.prune_files(root, "t", [("bucket_no", "=", 2)])
+    assert len(kept) < total  # directory stats still prune
+
+
+def test_streaming_source_serves_logical_names(spark, tmp_path):
+    """store_changes declares the LOGICAL schema and reads the physical
+    files underneath — a stream started after a rename follows the
+    renamed table."""
+    from dataintegration_ecomprovider_spark.streaming.store_source import (
+        StoreChangesDataSource,
+    )
+
+    root = _store(spark, tmp_path, n=5)
+    publish.rename_column(spark, root, "t", "v", "value")
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(9, 900, "n")], "k long, value long, s string"),
+    )
+    spark.dataSource.register(StoreChangesDataSource)
+    q = (
+        spark.readStream.format("store_changes")
+        .option("root", root).option("table", "t")
+        .option("startingVersion", 2)
+        .load()
+        .writeStream.format("memory").queryName("cmap_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cmap_stream").collect()
+    assert set(spark.sql("select * from cmap_stream").columns) >= {"k", "value", "s"}
+    assert {(r["k"], r["value"]) for r in rows} == {(9, 900)}
