@@ -22,30 +22,9 @@ from dataintegration_ecomprovider_spark.llm.portable import md5_int60_sql
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 
 
-# One REUSED scratch store root per (process, tag), emptied at the start of
-# each call: the lifecycle queries below publish full versioned stores, and
-# the returned DataFrame stays lazy until the driver collects it — so the
-# store must outlive the query function.  A fresh mkdtemp per call therefore
-# leaked one store per invocation (×3 under the median-of-3 bench loop);
-# reusing one root per query bounds scratch disk to a single store per query
-# per process, reclaimed at interpreter exit.
-_TMP_ROOTS: dict[str, str] = {}
-
-
-def _scratch_store_root(tag: str) -> str:
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    root = _TMP_ROOTS.get(tag)
-    if root is None:
-        root = _TMP_ROOTS[tag] = tempfile.mkdtemp(prefix=f"{tag}_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    else:
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-    return root
+from dataintegration_ecomprovider_spark.plans.scratch import (
+    scratch_store_root as _scratch_store_root,
+)
 
 
 # --- sliding-window document chunking -------------------------------------

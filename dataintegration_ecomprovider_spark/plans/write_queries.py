@@ -981,11 +981,9 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = orders with o_orderkey % 3 != 0; v2 = orders with % 4 != 0 and the
     status flipped to 'X' on % 5 == 0 rows — so the diff exercises all
     three change kinds deterministically."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="cdc_store_")
+    root = _scratch_store_root("cdc_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1011,11 +1009,9 @@ def q_cdc_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping (scan_table_at), and rows updated into/out of the predicate
     set arrive as inserts/deletes.  At 100 TB this is CDC for one shop /
     one key range without reconstructing the whole table twice."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="cdc_filtered_store_")
+    root = _scratch_store_root("cdc_filtered_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1046,11 +1042,9 @@ def q_cdc_filtered_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside both custkey windows are pruned by min/max before Spark
     lists them); v2 flips %5 keys to status X, so those rows leave the
     NOT slice and arrive as deletes."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="cdc_or_store_")
+    root = _scratch_store_root("cdc_or_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1126,11 +1120,9 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle IS v2's definition.  Proves an incremental consumer can
     follow the store without full re-reads (the reference's consumers
     re-run the whole job instead, src/EcomProvider.cs:937-966)."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="cdc_apply_")
+    root = _scratch_store_root("cdc_apply")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1162,11 +1154,9 @@ def q_data_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/EcomSourceReader.cs:151-226, which is the same
     prune-before-you-read idea).  Results are exact: the predicate is also
     applied as a residual Spark filter, so the oracle is a plain WHERE."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="skip_store_")
+    root = _scratch_store_root("skip_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1203,11 +1193,9 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     while file skipping still engages (asserted).  The result must equal
     the plain-SQL oracle over the final logical schema — a stale
     physical name or a resurrected dropped column breaks the match."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="cmap_store_")
+    root = _scratch_store_root("cmap_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1265,11 +1253,9 @@ def q_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-ordered files) — Delta's Bloom index / Parquet bloom pages
     role.  The query asserts pruning actually happened, then returns the
     exact rows; the oracle is a plain IN."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="bloom_store_")
+    root = _scratch_store_root("bloom_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1307,11 +1293,9 @@ def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     results stay exact (residual Spark filter), so the oracle is a plain
     WHERE.  At 100 TB this is how point/range lookups on two independent
     dimensions of one fact table both avoid scanning it."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="zorder_store_")
+    root = _scratch_store_root("zorder_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1345,11 +1329,9 @@ def q_auto_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan afterwards opens a fraction of the files.  In-query assertions
     pin the trigger firing and the layout improving; results stay exact
     (residual Spark filter), so the oracle is a plain WHERE."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="recluster_store_")
+    root = _scratch_store_root("recluster_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
@@ -1394,11 +1376,9 @@ def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters — asserted in tests/test_store_layout.py; here the
     oracle checks the value semantics).  Partitioning a 100 TB fact table
     by ingest date is THE baseline layout this enables."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="part_store_")
+    root = _scratch_store_root("part_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice",
         F.year("o_orderdate").alias("o_year"),
@@ -1431,12 +1411,10 @@ def q_store_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     After the seed, each sync moves O(changed rows), never the table —
     the cross-region story at 100 TB (the reference would re-run the full
     job against the second destination, src/EcomProvider.cs:937-966)."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    src = tempfile.mkdtemp(prefix="repl_src_")
-    dst = tempfile.mkdtemp(prefix="repl_dst_")
+    src = _scratch_store_root("repl_src")
+    dst = _scratch_store_root("repl_dst")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1469,11 +1447,9 @@ def q_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the direct aggregate of v2, which IS the oracle.  O(changed
     rows) per refresh where the reference re-runs the aggregation job
     (src/EcomProvider.cs:937-966)."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import materialize, publish
 
-    root = tempfile.mkdtemp(prefix="ivm_store_")
+    root = _scratch_store_root("ivm_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1514,11 +1490,9 @@ def q_incremental_aggregate_filtered(spark: SparkSession, sf_dir: str) -> DataFr
     of the slice between versions, so the refresh retracts them.  The
     oracle is the direct aggregate of the filtered v2.  At 100 TB this
     is the per-tenant maintained view costing the tenant's delta."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import materialize, publish
 
-    root = tempfile.mkdtemp(prefix="ivm_filtered_store_")
+    root = _scratch_store_root("ivm_filtered_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1573,11 +1547,9 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle.  Only affected fact keys are rebuilt (changed orders ∪ orders
     referencing changed customers) where the reference re-runs the whole
     export join per refresh (src/EcomProvider.cs:937-966)."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import materialize, publish
 
-    root = tempfile.mkdtemp(prefix="ivm_join_store_")
+    root = _scratch_store_root("ivm_join_store")
     cat = Catalog(spark, sf_dir)
     orders = cat.table("orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
@@ -1635,11 +1607,9 @@ def q_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle shape: exact columns ride with a BOOLEAN bounded-error
     assertion on the engine's own estimate (the sketch_hll_quantile
     contract), so the row hash is portable."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import materialize, publish
 
-    root = tempfile.mkdtemp(prefix="ivm_hll_store_")
+    root = _scratch_store_root("ivm_hll_store")
     base = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_orderstatus", "o_custkey"
     )
@@ -1790,11 +1760,9 @@ def q_snapshot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot give this cross-table guarantee; this store's manifest commits
     all tables together, so the pin is free metadata.  The oracle is the
     pinned versions' join."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="snapshot_store_")
+    root = _scratch_store_root("snapshot_store")
     cat = Catalog(spark, sf_dir)
     orders = cat.table("orders").select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
@@ -1866,11 +1834,9 @@ def q_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded from the base) and deletes %11 keys.  The read-side plan
     touches the base with ONE broadcast anti-join: no base shuffle, no
     sort (tests/test_mor.py::test_mor_base_side_has_no_shuffle)."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="mor_store_")
+    root = _scratch_store_root("mor_store")
     full = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -1932,11 +1898,9 @@ def q_maintain_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom index is rebuilt on the fresh base, history vacuumed), then
     return the final state — which must equal the plain upsert chain (the
     oracle), with in-query assertions that the policy actually fired."""
-    import tempfile
-
     from dataintegration_ecomprovider_spark.plans import publish
 
-    root = tempfile.mkdtemp(prefix="maint_store_")
+    root = _scratch_store_root("maint_store")
     full = Catalog(spark, sf_dir).table("orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
@@ -2048,7 +2012,10 @@ FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
 """
 
 
-from dataintegration_ecomprovider_spark.plans.registry import QueryDef  # noqa: E402
+from dataintegration_ecomprovider_spark.plans.registry import QueryDef
+from dataintegration_ecomprovider_spark.plans.scratch import (
+    scratch_store_root as _scratch_store_root,
+)  # noqa: E402
 
 QUERIES = {
     "e18_assortment_rebuild": QueryDef(q_assortment_rebuild, ORACLE_ASSORTMENT_REBUILD),
