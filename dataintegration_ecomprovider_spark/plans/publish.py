@@ -315,6 +315,14 @@ def _logical_changes(entry, df: DataFrame, change_col: str) -> DataFrame:
     return df.select(*out)
 
 
+def _rewrite_where_cols(node, fn):
+    """One predicate node with every column name passed through `fn`."""
+    if _is_composite(node):
+        return (node[0],) + tuple(_rewrite_where_cols(n, fn) for n in node[1:])
+    col, rest = node[0], node[1:]
+    return (fn(col),) + tuple(rest)
+
+
 def _phys_where(entry, where: Sequence[tuple]) -> list:
     """Rewrite every column name in a predicate tree logical → physical
     (physical names are what the stats/bloom sidecars and parquet files
@@ -323,14 +331,7 @@ def _phys_where(entry, where: Sequence[tuple]) -> list:
     if not renames:
         return list(where)
     l2p = {l: p for p, l in renames.items()}
-
-    def walk(node):
-        if _is_composite(node):
-            return (node[0],) + tuple(walk(n) for n in node[1:])
-        col, rest = node[0], node[1:]
-        return (l2p.get(col, col),) + tuple(rest)
-
-    return [walk(n) for n in where]
+    return [_rewrite_where_cols(n, lambda c: l2p.get(c, c)) for n in where]
 
 
 def _update_entry_meta(root: str, name: str, mutate) -> dict:
@@ -1539,37 +1540,70 @@ def read_changes(
         )
         if fast is not None:
             return fast
-    # the diff compares LOGICAL states in the TO-version's naming, but
-    # runs in PHYSICAL space: physical names are immutable within a base
-    # lineage, so one translation serves both sides, the FROM side needs
-    # no remap gymnastics, and a rename mid-span emits zero row changes
-    # instead of a whole-table update storm.  Columns the to-version
-    # DROPPED are excluded before comparing — churn confined to them is
-    # not a change.
+    # the diff compares LOGICAL states in the TO-version's naming.  The
+    # sides align per column by the strongest identity available:
+    # PHYSICAL names are immutable within a base lineage, so a from-side
+    # physical column still present in the to-version's physical schema
+    # maps through the TO-entry's renames (a rename mid-span emits zero
+    # row changes, not a whole-table update storm); a column the
+    # to-schema no longer carries physically (the lineage broke — e.g.
+    # compact(materialize_mapping=True) folded the map into fresh files)
+    # falls back to its OWN version's logical name, which a
+    # materialization preserves.  Columns the to-version DROPPED are
+    # excluded before comparing — churn confined to them is not a change.
     to_entry = tables_at(root, to_version).get(name)
     if to_entry is None:
         raise KeyError(f"table {name!r} absent at version {to_version}")
-    pkeys = [_phys_name(to_entry, k) for k in keys]
-    pwhere = _phys_where(to_entry, where) if where else ()
+    from_tables = tables_at(root, from_version)
+    if name not in from_tables:
+        raise KeyError(f"table {name!r} absent at version {from_version}")
+    from_entry = from_tables[name]
+    to_renames, to_dropped = _column_map(to_entry)
+    from_renames, from_dropped = _column_map(from_entry)
+    to_physical = {
+        f.name for f in _read_entry(spark, to_entry).schema.fields
+    }
+    from_physical = {
+        f.name for f in _read_entry(spark, from_entry).schema.fields
+    }
+
+    def _from_side_name(logical: str) -> str:
+        # the physical column holding `logical` at the FROM version
+        p_to = _phys_name(to_entry, logical)
+        if p_to in from_physical:
+            return p_to  # shared lineage
+        return _phys_name(from_entry, logical)
+
     if where:
-        old = _scan_version_conformed(spark, root, name, from_version, pwhere)
-        new = _scan_entry(spark, to_entry, pwhere)
+        pwhere_to = _phys_where(to_entry, where)
+        pwhere_from = [
+            _rewrite_where_cols(n, _from_side_name) for n in where
+        ]
+        old = _scan_version_conformed(
+            spark, root, name, from_version, pwhere_from
+        )
+        new = _scan_entry(spark, to_entry, pwhere_to)
     else:
-        from_tables = tables_at(root, from_version)
-        if name not in from_tables:
-            raise KeyError(f"table {name!r} absent at version {from_version}")
-        old = _read_entry(spark, from_tables[name])
+        old = _read_entry(spark, from_entry)
         new = _read_entry(spark, to_entry)
-    _, dropped = _column_map(to_entry)
-    if dropped:
-        old = old.drop(*[c for c in dropped if c in old.columns])
-        new = new.drop(*[c for c in dropped if c in new.columns])
-    out = diff_frames(
-        old, new, pkeys,
+    # present both sides in the TO version's LOGICAL naming
+    new = _logical_view(to_entry, new)
+    old_cols = []
+    for c in old.columns:
+        if c in from_dropped:
+            continue  # invisible before the span started
+        if c in to_physical:  # shared lineage
+            if c in to_dropped:
+                continue
+            old_cols.append(F.col(c).alias(to_renames.get(c, c)))
+        else:  # lineage broke: logical identity carries across
+            old_cols.append(F.col(c).alias(from_renames.get(c, c)))
+    old = old.select(*old_cols)
+    return diff_frames(
+        old, new, keys,
         case_insensitive=case_insensitive, change_col=change_col,
         include_old=include_old,
     )
-    return _logical_changes(to_entry, out, change_col)
 
 
 def _mor_delta_suffix(from_entry, to_entry) -> list[dict] | None:
@@ -3899,6 +3933,7 @@ def compact(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: Sequence[str] | None = None,
     cluster_by: Sequence[str] | None = None,
+    materialize_mapping: bool = False,
 ) -> dict:
     """Small-file compaction: rewrite `name`'s CURRENT version into
     target-size files and publish the rewrite atomically as a NEW version.
@@ -3957,6 +3992,16 @@ def compact(
     would silently revert the concurrent commit — a lost update); the
     abandoned staging directory is swept by collect_orphans.
 
+    `materialize_mapping=True` additionally folds a rename/drop column
+    map (publish.rename_column / drop_column) into the fresh files:
+    renamed columns are written under their logical names, dropped
+    columns' bytes are physically PURGED (the privacy path), and the
+    new entry carries no map.  Because the physical names change, this
+    one rewrite does NOT claim rewrite_of provenance — a CDC span
+    crossing it pays one honest full diff (correct: the states are
+    value-identical, so it emits zero changes); spans after it
+    fast-path again.  A no-op when the table has no map.
+
     Returns {"version", "files_before", "files_after", "bytes"}.
     """
     last_err: ConcurrentPublishError | None = None
@@ -3967,6 +4012,7 @@ def compact(
                 target_files=target_files,
                 target_file_bytes=target_file_bytes,
                 sort_by=sort_by, cluster_by=cluster_by,
+                materialize_mapping=materialize_mapping,
             )
         except ConcurrentPublishError as e:
             last_err = e  # re-read the advanced version and retry
@@ -3981,6 +4027,7 @@ def _compact_once(
     target_file_bytes: int,
     sort_by: Sequence[str] | None,
     cluster_by: Sequence[str] | None,
+    materialize_mapping: bool = False,
 ) -> dict:
     import math
 
@@ -3999,7 +4046,8 @@ def _compact_once(
     # rewrite_of bridging valid across the rewrite
     renames, dropped = _column_map(entry)
     cmap = None
-    if renames or dropped:
+    materialize = materialize_mapping and bool(renames or dropped)
+    if (renames or dropped) and not materialize:
         cmap = {name: {"renames": renames, "dropped": dropped}}
         sort_by = [_phys_name(entry, c) for c in sort_by] if sort_by else sort_by
         cluster_by = (
@@ -4007,6 +4055,12 @@ def _compact_once(
             if cluster_by
             else cluster_by
         )
+    # materialize: read LOGICAL and write the logical names physically —
+    # dropped bytes are purged, the map folds away.  The physical names
+    # change, so this rewrite must NOT claim rewrite_of (CDC's suffix
+    # composition unions physical delta files across a bridge and would
+    # mix old and new names); sort/cluster columns stay logical.
+    rw = None if materialize else {name: read_version}
     if (sort_by or cluster_by or target_files is not None) and isinstance(
         entry, dict
     ) and (entry.get("bucket_keys") or entry.get("partition_by")):
@@ -4031,14 +4085,19 @@ def _compact_once(
     total_bytes = sum(os.path.getsize(f) for f in files)
 
     df = _read_entry(spark, entry)
+    if materialize:
+        df = _logical_view(entry, df)
     if isinstance(entry, dict) and entry.get("bucket_keys"):
         # preserve the bucketed layout: same keys, same bucket count
+        bkeys = list(entry["bucket_keys"])
+        if materialize:
+            bkeys = [renames.get(k, k) for k in bkeys]
         new_manifest = publish_tables(
             spark, {name: df}, root,
-            bucket_keys={name: list(entry["bucket_keys"])},
+            bucket_keys={name: bkeys},
             num_buckets=int(entry["num_buckets"]),
             expected_version=read_version,
-            rewrite_of={name: read_version},
+            rewrite_of=rw,
             column_map=cmap,
         )
     elif isinstance(entry, dict) and entry.get("partition_by"):
@@ -4046,11 +4105,14 @@ def _compact_once(
         # task so every `col=val` directory compacts to ~one file; the
         # partition spec itself carries forward through publish_tables
         parts = list(entry["partition_by"])
+        if materialize:
+            parts = [renames.get(p, p) for p in parts]
         new_manifest = publish_tables(
             spark, {name: df.repartition(*parts)}, root,
             expected_version=read_version,
-            rewrite_of={name: read_version},
+            rewrite_of=rw,
             column_map=cmap,
+            partition_by={name: parts} if materialize else None,
         )
     else:
         n = target_files or max(1, math.ceil(total_bytes / target_file_bytes))
@@ -4069,7 +4131,7 @@ def _compact_once(
         new_manifest = publish_tables(
             spark, {name: out}, root,
             expected_version=read_version,
-            rewrite_of={name: read_version},
+            rewrite_of=rw,
             column_map=cmap,
         )
 

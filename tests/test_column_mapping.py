@@ -266,3 +266,44 @@ def test_streaming_source_serves_logical_names(spark, tmp_path):
     rows = spark.sql("select * from cmap_stream").collect()
     assert set(spark.sql("select * from cmap_stream").columns) >= {"k", "value", "s"}
     assert {(r["k"], r["value"]) for r in rows} == {(9, 900)}
+
+
+def test_compact_materialize_mapping_purges_and_resets(spark, tmp_path):
+    """compact(materialize_mapping=True): the rename folds into fresh
+    physical files and the dropped column's BYTES are purged (the
+    privacy path); the entry carries no map afterwards, logical reads
+    are unchanged, and CDC across the rewrite is an honest full diff
+    that emits zero changes."""
+    import pyarrow.parquet as pq
+
+    root = _store(spark, tmp_path)
+    publish.rename_column(spark, root, "t", "v", "value")  # v2
+    publish.drop_column(spark, root, "t", "s")             # v3
+    before = {r["k"]: r["value"] for r in publish.read_table(spark, root, "t").collect()}
+    publish.compact(spark, root, "t", materialize_mapping=True)  # v4
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert "renames" not in entry and "dropped" not in entry
+    assert "rewrite_of" not in entry  # physical names changed: no bridge claim
+    for f in publish._data_files(entry["path"]):
+        names = pq.read_schema(f).names
+        assert "value" in names and "v" not in names and "s" not in names
+    after = {r["k"]: r["value"] for r in publish.read_table(spark, root, "t").collect()}
+    assert after == before
+    # value-identical across the rewrite: the full diff emits nothing
+    assert publish.read_changes(spark, root, "t", 3, 4).count() == 0
+    # spans after the materialization fast-path again
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(7, 700)], "k long, value long"),
+    )  # v5
+    fast = publish._mor_changes_fast(spark, root, "t", 4, 5, ["k"], "change_type", False)
+    assert fast is not None
+    assert {(r["k"], r["value"]) for r in fast.collect()} == {(7, 700)}
+    # dropped physical name is reusable again after the purge
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(8, 800, "fresh")], "k long, value long, s string"),
+        evolve_schema=True,
+    )
+    got = publish.read_table(spark, root, "t").filter(F.col("k") == 8).collect()[0]
+    assert got["s"] == "fresh"
