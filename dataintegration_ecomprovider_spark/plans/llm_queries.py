@@ -793,6 +793,80 @@ WHERE len(list_filter(range(32), j -> x.sig[j+1] = y.sig[j+1])) / 32.0 >= 0.5
 )
 
 
+def q_text_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted text index as a CDC-MAINTAINED VIEW (round 7,
+    llm/search.py): token postings follow the corpus through deletes and
+    edits on materialize.maintain_rowwise_view's general variable-fan-out
+    path — an edit that REMOVES words retracts exactly those postings (a
+    bare upsert would strand them and keyword search would keep hitting
+    text that's gone).  Lifecycle: seed the index from the stored corpus
+    (doc_id % 3 ≠ 0), curate — delete doc_id ≡ 1 (mod 5), REPLACE the
+    text of doc_id ≡ 2 (mod 7) with a short marker string (fan-out
+    shrinks hard) — refresh from CDC (O(changed docs)), then return
+    every posting for a probe token set drawn from the corpus plus the
+    marker.  Must equal token_postings over the post-curation corpus —
+    the DuckDB oracle recomputes exactly that."""
+    from dataintegration_ecomprovider_spark.llm import search
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    root = _scratch_store_root("text_index")
+    publish.publish_tables(
+        spark, {"documents": corpus}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+    res = search.maintain_text_index(spark, root)
+    assert res["mode"] == "seed", res
+    cur = publish.read_table(spark, root, "documents")
+    updated = cur.filter(
+        (F.col("doc_id") % 7 == 2) & (F.col("doc_id") % 5 != 1)
+    ).withColumn("text", F.lit("curated marker text"))
+    deleted = cur.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    publish.merge_into_mor(spark, root, "documents", updated, deletes=deleted)
+    res = search.maintain_text_index(spark, root)
+    assert res["mode"] == "delta", res
+    postings = publish.read_table(spark, root, "token_postings")
+    probe = ["the", "and", "marker", "curated", "data"]
+    hits = search.search_postings(postings, probe)
+    return hits.join(
+        postings.filter(F.col("token").isin(probe)), "doc_id"
+    ).select("doc_id", "token", "tf", "matched", "total_tf")
+
+
+ORACLE_TEXT_INDEX_CDC = """
+WITH curated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN 'curated marker text' ELSE text END
+           AS text
+  FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 1
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) >= 2) AS toks
+  FROM curated
+),
+postings AS (
+  SELECT t.token, d.doc_id,
+         CAST(len(list_filter(d.toks, x -> x = t.token)) AS INTEGER) AS tf
+  FROM toks d, LATERAL (SELECT unnest(list_distinct(d.toks)) AS token) t
+),
+probe AS (
+  SELECT * FROM postings
+  WHERE token IN ('the', 'and', 'marker', 'curated', 'data')
+),
+hits AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT token) AS INTEGER) AS matched,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM probe GROUP BY doc_id
+)
+SELECT p.doc_id, p.token, p.tf, h.matched, h.total_tf
+FROM hits h JOIN probe p USING (doc_id)
+"""
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: portable-minhash candidate pairs (jaccard
     >= 0.5) grouped into connected components (llm/cluster.py — pointer-
@@ -2054,6 +2128,7 @@ QUERIES = {
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
     "llm_dedup_incremental": QueryDef(q_incremental_dedup, None),
     "llm_dedup_index_cdc": QueryDef(q_dedup_index_cdc, None),
+    "llm_text_index_cdc": QueryDef(q_text_index_cdc, ORACLE_TEXT_INDEX_CDC),
     "llm_dedup_index_cdc_portable": QueryDef(
         q_dedup_index_cdc_portable, ORACLE_DEDUP_INDEX_CDC_PORTABLE
     ),

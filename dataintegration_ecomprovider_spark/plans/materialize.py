@@ -878,14 +878,16 @@ def declare_view(root: str, kind: str, **spec) -> dict:
     the CDC-maintained topic-assignment view) or ``minhash``
     (incremental.maintain_dedup_index kwargs — the CDC-maintained
     MinHash signature index; its companion bands table follows dst in
-    the same refresh) or ``ivf`` (similarity.maintain_ivf_cells kwargs
-    — the CDC-maintained ANN cell table); `spec` must include ``dst``
+    the same refresh), ``ivf`` (similarity.maintain_ivf_cells kwargs
+    — the CDC-maintained ANN cell table) or ``postings``
+    (search.maintain_text_index kwargs — the CDC-maintained inverted
+    text index); `spec` must include ``dst``
     (the view's table name, also its registry key).  Re-declaring a dst
     overwrites its spec.  Returns the full declared-view registry."""
-    if kind not in ("aggregate", "join", "topics", "minhash", "ivf"):
+    if kind not in ("aggregate", "join", "topics", "minhash", "ivf", "postings"):
         raise ValueError(
-            "view kind must be 'aggregate', 'join', 'topics', 'minhash' "
-            f"or 'ivf', got {kind!r}"
+            "view kind must be 'aggregate', 'join', 'topics', 'minhash', "
+            f"'ivf' or 'postings', got {kind!r}"
         )
     if "dst" not in spec:
         raise ValueError("a declared view needs a dst table name")
@@ -1001,7 +1003,7 @@ def _view_sources(spec: dict) -> list[str]:
             spec.get("src", "embeddings"),
             spec.get("centroids_table", "topic_centroids"),
         ]
-    if spec.get("kind") == "minhash":
+    if spec.get("kind") in ("minhash", "postings"):
         return [spec.get("src", "documents")]
     if spec.get("kind") == "ivf":
         return [
@@ -1065,6 +1067,10 @@ def refresh_declared_views(spark: SparkSession, root: str) -> dict:
         elif kind == "ivf":
             from dataintegration_ecomprovider_spark.llm.similarity import (
                 maintain_ivf_cells as fn,
+            )
+        elif kind == "postings":
+            from dataintegration_ecomprovider_spark.llm.search import (
+                maintain_text_index as fn,
             )
         else:
             fn = maintain_aggregate if kind == "aggregate" else maintain_join

@@ -3115,7 +3115,7 @@ def maintain_store(
        omitted, every view DECLARED in the store
        (materialize.declare_view → `_VIEWS.json`) refreshes — the pass
        is self-contained, no caller-shipped specs; explicit specs of
-       ``{"kind": "aggregate"|"join"|"topics"|"minhash"|"ivf",
+       ``{"kind": "aggregate"|"join"|"topics"|"minhash"|"ivf"|"postings",
        **maintain_* kwargs}`` override, and ``refresh_views=()`` skips
        view refresh entirely;
     2. COMPACT every table whose merge-on-read delta log is deeper than
@@ -3207,10 +3207,18 @@ def maintain_store(
                     report["views"][dst] = _similarity.maintain_ivf_cells(
                         spark, root, **spec
                     )
+                elif kind == "postings":
+                    from dataintegration_ecomprovider_spark.llm import (
+                        search as _search,
+                    )
+
+                    report["views"][dst] = _search.maintain_text_index(
+                        spark, root, **spec
+                    )
                 else:
                     raise ValueError(
                         "view kind must be 'aggregate', 'join', 'topics', "
-                        f"'minhash' or 'ivf', got {kind!r}"
+                        f"'minhash', 'ivf' or 'postings', got {kind!r}"
                     )
             except Exception as e:  # noqa: BLE001 — per-view isolation
                 report["errors"][f"view:{dst}"] = f"{type(e).__name__}: {e}"

@@ -961,3 +961,95 @@ def test_declared_ivf_view_refreshes_with_store(spark, tmp_path):
     assert report["views"]["ivf_cells"]["mode"] == "delta"
     assert {r["neighbor_id"] for r in publish.read_table(
         spark, root, "ivf_cells").collect()} == set(range(20))
+
+def test_maintain_text_index_retracts_shrunken_fanout(spark, tmp_path):
+    """maintain_text_index: the inverted index follows the corpus —
+    deleting a doc retracts all its postings, REPLACING a doc's text
+    with fewer words retracts exactly the postings the new text no
+    longer produces (the stranded-row case a bare upsert gets wrong),
+    and the maintained table always equals a from-scratch
+    token_postings over the current corpus."""
+    from dataintegration_ecomprovider_spark.llm import search
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "beta gamma"),
+        (3, "unique words entirely here"),
+    ]
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"documents": _docs(spark, rows)}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+
+    def rebuilt():
+        cur = publish.read_table(spark, root, "documents")
+        return {
+            (r["token"], r["doc_id"], r["tf"])
+            for r in search.token_postings(cur).collect()
+        }
+
+    def stored():
+        return {
+            (r["token"], r["doc_id"], r["tf"])
+            for r in publish.read_table(spark, root, "token_postings").collect()
+        }
+
+    assert search.maintain_text_index(spark, root)["mode"] == "seed"
+    assert stored() == rebuilt()
+    assert ("alpha", 1, 1) in stored()
+
+    # curation: delete doc 2, shrink doc 1 to two words, insert doc 4
+    publish.merge_into_mor(
+        spark, root, "documents",
+        _docs(spark, [(1, "alpha alpha"), (4, "fresh content")]),
+        deletes=_docs(spark, [(2, "")]).select("doc_id"),
+    )
+    assert search.maintain_text_index(spark, root)["mode"] == "delta"
+    got = stored()
+    assert got == rebuilt()
+    # doc 2 fully retracted; doc 1's removed words retracted, tf updated
+    assert not any(d == 2 for _, d, _ in got)
+    assert ("beta", 1, 1) not in got and ("gamma", 1, 1) not in got
+    assert ("alpha", 1, 2) in got
+    assert ("fresh", 4, 1) in got
+
+    # search serves only live text
+    postings = publish.read_table(spark, root, "token_postings")
+    hits = {
+        r["doc_id"]: r["matched"]
+        for r in search.search_postings(postings, ["beta", "alpha"]).collect()
+    }
+    assert hits == {1: 1}
+    all_mode = search.search_postings(postings, ["unique", "words"], mode="all")
+    assert [r["doc_id"] for r in all_mode.collect()] == [3]
+
+
+def test_declared_postings_view_refreshes_with_store(spark, tmp_path):
+    """A 'postings' declaration folds the inverted index into the store's
+    self-contained view DAG — maintain_store seeds it and a later pass
+    consumes the corpus CDC."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"documents": _docs(spark, [(1, "hello world"), (2, "other text")])},
+        root, table_keys={"documents": ["doc_id"]},
+    )
+    materialize.declare_view(
+        root, "postings", src="documents", dst="token_postings"
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["token_postings"]["mode"] == "seed"
+
+    publish.merge_into_mor(
+        spark, root, "documents", _docs(spark, []).limit(0),
+        deletes=_docs(spark, [(1, "")]).select("doc_id"),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["token_postings"]["mode"] == "delta"
+    assert {r["doc_id"] for r in publish.read_table(
+        spark, root, "token_postings").collect()} == {2}
