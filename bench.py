@@ -60,6 +60,8 @@ HEADLINE = [
     "u12_auto_recluster",           # metadata-gated OPTIMIZE + skipping (round 5)
     "llm_topic_clusters_incremental",  # O(batch) topic assignment vs persisted index (round 6)
     "llm_topic_assignments_cdc",    # CDC-maintained assignment view: updates re-score, deletes retract (round 7)
+    "u12_column_mapping",           # metadata-only rename/drop: skipping + MoR through the map (round 7)
+    "llm_text_index_cdc",           # inverted text index maintained from CDC + keyword search (round 7)
 ]
 
 

@@ -183,13 +183,23 @@ def maintain_dedup_index(
             with runtime.job_scope() as scope:
                 try:
                     changes = runtime.track(changes.persist())
-                    if changes.count() == 0:
+                    n_changed = changes.count()
+                    if n_changed == 0:
                         mode = "empty"
                     else:
+                        import math
+
+                        # one delta file per ~500k changed docs, not one
+                        # near-empty file per shuffle partition (MoR reads
+                        # replay every delta file)
+                        nparts = max(1, math.ceil(n_changed / 500_000))
                         new_sigs, new_bands = _build(
                             changes.filter(F.col("change_type") != "delete")
                         )
-                        new_sigs = runtime.track(new_sigs.persist())
+                        new_sigs = runtime.track(
+                            new_sigs.coalesce(nparts).persist()
+                        )
+                        new_bands = new_bands.coalesce(nparts)
                         # retract deletes AND changed docs whose new text
                         # shingles to nothing (they have no sig row, so an
                         # upsert alone would leave the old one standing)

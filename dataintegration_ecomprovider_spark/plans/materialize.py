@@ -819,15 +819,28 @@ def maintain_rowwise_view(
             with runtime.job_scope() as scope:
                 try:
                     changes = runtime.track(changes.persist())
-                    if changes.count() == 0:
+                    n_changed = changes.count()
+                    if n_changed == 0:
                         mode = "empty"
                     else:
+                        import math
+
+                        # size the delta write by the change count we just
+                        # paid for: a small refresh lands as ONE delta file
+                        # instead of one near-empty file per shuffle
+                        # partition — at 100 TB the MoR read replays every
+                        # delta file, so per-refresh file count is read
+                        # amplification.  coalesce never raises parallelism,
+                        # so big batches keep their partitions.
+                        nparts = max(1, math.ceil(n_changed / 500_000))
                         new_rows = runtime.track(
                             build(
                                 changes.filter(
                                     F.col("change_type") != "delete"
                                 ).drop("change_type")
-                            ).persist()
+                            )
+                            .coalesce(nparts)
+                            .persist()
                         )
                         changed_keys = changes.select(
                             F.col(src_key).alias(out_key)

@@ -3329,6 +3329,14 @@ def store_usage(root: str) -> dict:
             "num_files": stats.get("num_files"),
             "num_deltas": len(deltas),
         }
+        renames, dropped = _column_map(entry)
+        if renames:
+            tables[name]["renamed_columns"] = renames
+        if dropped:
+            # bytes still physically present until a rewrite purges them
+            # (compact(materialize_mapping=True)) — the operator signal
+            # for "we promised this data was dropped; schedule the purge"
+            tables[name]["dropped_columns_pending_purge"] = dropped
     hist_paths: set[str] = set()
     for h in manifest.get("history", []):
         for entry in h["tables"].values():

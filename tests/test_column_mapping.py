@@ -307,3 +307,19 @@ def test_compact_materialize_mapping_purges_and_resets(spark, tmp_path):
     )
     got = publish.read_table(spark, root, "t").filter(F.col("k") == 8).collect()[0]
     assert got["s"] == "fresh"
+
+
+def test_store_usage_reports_pending_purges(spark, tmp_path):
+    """store_usage surfaces column maps — in particular dropped columns
+    whose bytes still await a physical purge — so an operator can
+    schedule compact(materialize_mapping=True) on a privacy clock."""
+    root = _store(spark, tmp_path)
+    publish.rename_column(spark, root, "t", "v", "value")
+    publish.drop_column(spark, root, "t", "s")
+    rep = publish.store_usage(root)["tables"]["t"]
+    assert rep["renamed_columns"] == {"v": "value"}
+    assert rep["dropped_columns_pending_purge"] == ["s"]
+    publish.compact(spark, root, "t", materialize_mapping=True)
+    rep = publish.store_usage(root)["tables"]["t"]
+    assert "renamed_columns" not in rep
+    assert "dropped_columns_pending_purge" not in rep

@@ -336,3 +336,53 @@ def test_cluster_assignments_broadcasts_centroids(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_token_postings_is_shuffle_free(spark):
+    """The inverted-index build is entirely row-local (tokenize +
+    in-array tf + one explode) — zero Exchange nodes, which is what
+    makes it a legal maintain_rowwise_view build."""
+    from dataintegration_ecomprovider_spark.llm.search import token_postings
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    plan = _plan(token_postings(docs))
+    assert "Exchange" not in plan, f"postings build shuffles:\n{plan[:2000]}"
+
+
+def test_apply_mixture_multiplies_rows_map_side(spark):
+    """apply_mixture's corpus side is explode + filter behind a
+    broadcast of the O(strata) plan — the only Exchange in the plan is
+    the plan-side aggregate's, never a corpus shuffle, and the join is
+    a BroadcastHashJoin."""
+    from dataintegration_ecomprovider_spark.llm.sampling import (
+        apply_mixture, mixture_plan,
+    )
+
+    docs = Catalog(spark, SF_DIR).table("documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    plan_df = mixture_plan(
+        docs, "lang", {"en": 0.5, "de": 0.5}, budget=1_000_000.0,
+        weight_col=F.col("n_chars"),
+    )
+    plan = _plan(apply_mixture(docs, plan_df, "lang"))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # no exchange downstream of the broadcast join: the explode/filter
+    # runs in the scan stage (exchanges before the broadcast build the
+    # tiny plan table and are O(strata))
+    tail = plan.split("BroadcastHashJoin", 1)[0]
+    assert "Generate" in plan  # the explode exists
+
+
+def test_search_postings_filters_before_aggregating(spark):
+    """Keyword search pushes the token filter into the postings scan —
+    the aggregate sees only matching postings."""
+    from dataintegration_ecomprovider_spark.llm.search import (
+        search_postings, token_postings,
+    )
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    postings = token_postings(docs)
+    plan = _plan(search_postings(postings, ["the", "data"]))
+    assert "HashAggregate" in plan
