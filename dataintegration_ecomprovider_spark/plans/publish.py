@@ -4186,6 +4186,55 @@ def _set_sync_state(root: str, key: str, value) -> None:
         os.replace(tmp, os.path.join(root, SYNC_FILE))
 
 
+def _mirror_column_map(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    name: str,
+    last: int,
+    src_version: int,
+) -> list[str]:
+    """Replay the source's logical rename/drop history between `last` and
+    `src_version` onto the replica — as the same O(1) metadata commits,
+    never a rewrite.  For each source physical column, its logical name
+    at `last` is what the replica calls it (the replica seeds/syncs from
+    logical reads); if the name moved, rename the replica's column; if
+    the source dropped it, drop the replica's.  A source that
+    materialized its map mid-span (fresh physical names) mirrors as a
+    no-op — logical names are stable across a materialization.  Returns
+    the operations applied (for tests/observability)."""
+    try:
+        src_now = tables_at(src_root, src_version).get(name)
+        src_last = tables_at(src_root, last).get(name)
+    except KeyError:
+        return []  # last-synced version vacuumed: the seed fallback handles it
+    dst_entry = current_manifest(dst_root)["tables"].get(name)
+    if src_now is None or src_last is None or dst_entry is None:
+        return []
+    ren_now, drop_now = _column_map(src_now)
+    ren_last, drop_last = _column_map(src_last)
+    dst_logical = set(
+        _logical_view(dst_entry, _read_entry(spark, dst_entry)).columns
+    )
+    applied: list[str] = []
+    for p, l_now in ren_now.items():
+        l_last = ren_last.get(p, p)
+        if l_last != l_now and l_last in dst_logical and l_now not in dst_logical:
+            rename_column(spark, dst_root, name, l_last, l_now)
+            dst_logical.discard(l_last)
+            dst_logical.add(l_now)
+            applied.append(f"rename:{l_last}->{l_now}")
+    for p in drop_now:
+        if p in drop_last:
+            continue
+        l_last = ren_last.get(p, p)
+        if l_last in dst_logical:
+            drop_column(spark, dst_root, name, l_last)
+            dst_logical.discard(l_last)
+            applied.append(f"drop:{l_last}")
+    return applied
+
+
 def replicate_table(
     spark: SparkSession,
     src_root: str,
@@ -4225,6 +4274,17 @@ def replicate_table(
         keys = table_keys(src_root, name)
     state = _sync_state(dst_root)
     last = state.get(name)
+
+    if last is not None and last != src_version:
+        # mirror metadata-only rename/drop commits (publish.rename_column
+        # / drop_column) the source took since the last sync: the CDC
+        # feed arrives in the source's NEW logical names, and without the
+        # mirror apply_changes would EVOLVE the replica into carrying
+        # both the old column (stale values) and the new one — or fail
+        # outright on a renamed key.  The replica knows each column by
+        # the source's logical name AT the last-synced version, which
+        # the version history still records.
+        _mirror_column_map(spark, src_root, dst_root, name, last, src_version)
 
     if last is None:
         # first sync: seed with a full copy of the current source version

@@ -323,3 +323,42 @@ def test_store_usage_reports_pending_purges(spark, tmp_path):
     rep = publish.store_usage(root)["tables"]["t"]
     assert "renamed_columns" not in rep
     assert "dropped_columns_pending_purge" not in rep
+
+
+def test_replicate_mirrors_renames_and_drops(spark, tmp_path):
+    """replicate_table replays the source's metadata rename/drop commits
+    onto the replica before applying the CDC delta — without the mirror
+    the feed's new column names would evolve the replica into carrying
+    the old column with stale values beside the new one."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark, {"t": _t(spark, 10)}, src, table_keys={"t": ["k"]}
+    )
+    assert publish.replicate_table(spark, src, dst, "t")["mode"] == "seed"
+    # source: rename v → value, drop s, and change data — one sync span
+    publish.rename_column(spark, src, "t", "v", "value")
+    publish.drop_column(spark, src, "t", "s")
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(1, 111), (77, 770)], "k long, value long"),
+        deletes=spark.createDataFrame([(3,)], "k long"),
+    )
+    res = publish.replicate_table(spark, src, dst, "t", mor=True)
+    assert res["mode"] == "delta_mor"
+    rep = publish.read_table(spark, dst, "t")
+    assert rep.columns == ["k", "value"]  # renamed, dropped — no stale twin
+    got = {r["k"]: r["value"] for r in rep.collect()}
+    assert got[1] == 111 and got[77] == 770 and 3 not in got
+    assert got[5] == 10  # untouched rows kept their values under the new name
+    # a later rename of the KEY column syncs too
+    publish.rename_column(spark, src, "t", "k", "key")
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(78, 780)], "key long, value long"),
+    )
+    res = publish.replicate_table(spark, src, dst, "t", mor=True)
+    assert res["mode"] == "delta_mor"
+    rep = publish.read_table(spark, dst, "t")
+    assert rep.columns == ["key", "value"]
+    assert {r["key"] for r in rep.filter(F.col("value") == 780).collect()} == {78}
