@@ -296,6 +296,34 @@ def _phys_name(entry, col: str) -> str:
     return col
 
 
+def _constraint_columns(spec) -> list[str]:
+    kind = spec[0]
+    if kind in ("not_null", "unique"):
+        return list(spec[1:])
+    if kind in ("values_in", "range"):
+        return [spec[1]]
+    return []
+
+
+def _phys_constraints(entry, specs):
+    """Constraint specs with LOGICAL column names translated to the
+    physical names a conformed staging frame carries."""
+    renames, _ = _column_map(entry)
+    if not renames:
+        return [list(s) for s in specs]
+    l2p = {l: p for p, l in renames.items()}
+    out = []
+    for s in specs:
+        kind = s[0]
+        if kind in ("not_null", "unique"):
+            out.append([kind, *[l2p.get(c, c) for c in s[1:]]])
+        elif kind in ("values_in", "range"):
+            out.append([kind, l2p.get(s[1], s[1]), *s[2:]])
+        else:
+            out.append(list(s))
+    return out
+
+
 def _logical_changes(entry, df: DataFrame, change_col: str) -> DataFrame:
     """Map a PHYSICAL-space diff_frames output to the entry's logical
     naming: value/key columns rename, their ``<col>__old`` twins follow,
@@ -394,6 +422,17 @@ def rename_column(
             e["renames"] = renames
         else:
             e.pop("renames", None)
+        if e.get("constraints"):
+            # constraints are declared in logical names: follow the rename
+            rewritten = []
+            for spec in e["constraints"]:
+                spec = list(spec)
+                if spec[0] in ("not_null", "unique"):
+                    spec[1:] = [new if c == old else c for c in spec[1:]]
+                elif spec[0] in ("values_in", "range") and spec[1] == old:
+                    spec[1] = new
+                rewritten.append(spec)
+            e["constraints"] = rewritten
 
     return _update_entry_meta(root, name, mutate)
 
@@ -428,6 +467,15 @@ def drop_column(spark: SparkSession, root: str, name: str, col: str) -> dict:
             raise ValueError(
                 f"column {col!r} is a key/partition/bucket column of "
                 f"{name!r} and cannot be dropped"
+            )
+        constrained = [
+            s for s in entry.get("constraints", [])
+            if col in _constraint_columns(s)
+        ]
+        if constrained:
+            raise ValueError(
+                f"column {col!r} is referenced by constraints "
+                f"{constrained}; clear them (set_constraints) first"
             )
 
     def mutate(e: dict) -> None:
@@ -659,12 +707,36 @@ def publish_tables(
                 entry["dropped"] = list(cmap["dropped"])
             staged_paths[name] = entry
 
+    # persisted constraints carry forward like keys, and gate the commit:
+    # the staged state must satisfy them (declare once — call sites can't
+    # forget).  Value-preserving rewrites skip the re-check: they cannot
+    # introduce a violation, and an O(table) re-validation per nightly
+    # compact would be pure waste.
+    for name in list(staged_paths):
+        prev_entry = prev["tables"].get(name)
+        if isinstance(prev_entry, dict) and prev_entry.get("constraints"):
+            entry = staged_paths[name]
+            if not isinstance(entry, dict):
+                entry = {"path": entry}
+            entry["constraints"] = [
+                list(s) for s in prev_entry["constraints"]
+            ]
+            staged_paths[name] = entry
+
     for name, entry in staged_paths.items():
         staged = _read_entry(spark, entry)
         if not staged.schema.fields:
             raise ValidationError(f"{name}: staged table has no columns")
         if validators and name in validators:
             validators[name](staged)
+        cons = entry.get("constraints") if isinstance(entry, dict) else None
+        if cons and not (rewrite_of and name in rewrite_of):
+            try:
+                _constraint_validator(cons)(staged)
+            except ValidationError as e:
+                raise ValidationError(
+                    f"{name}: persisted constraint violated: {e}"
+                ) from e
 
     # commit critical section: re-read the manifest as it stands NOW
     # (staging/validation may be long) and chain the swap off it, under
@@ -1426,6 +1498,25 @@ def merge_into_mor(
         n_parts.append("delete")
     else:
         delta_df = _conform(staging, "upsert")
+
+    cons = (
+        prev_entry.get("constraints") if isinstance(prev_entry, dict) else None
+    ) or []
+    row_local = [s for s in cons if s[0] in _ROW_LOCAL_CONSTRAINTS]
+    if row_local:
+        # validate the CONFORMED upsert rows (absent columns ride as
+        # nulls and DO replace the row's value at read time, so an
+        # omitted not_null column is a real violation) — O(staging),
+        # never the table; table-level checks (unique/row_count) run on
+        # the copy-on-write paths that stage full state
+        try:
+            _constraint_validator(_phys_constraints(prev_entry, row_local))(
+                _conform_to_schema(staging, base_schema)
+            )
+        except ValidationError as e:
+            raise ValidationError(
+                f"{name}: persisted constraint violated by merge staging: {e}"
+            ) from e
 
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     delta_path = os.path.join(root, "data", txid, f"{name}_delta")
@@ -3043,6 +3134,8 @@ def _recluster_partitions(
     }
     if entry.get("keys"):
         new_entry["keys"] = list(entry["keys"])
+    if entry.get("constraints"):
+        new_entry["constraints"] = [list(s) for s in entry["constraints"]]
     _ren, _drp = _column_map(entry)
     if _ren:
         new_entry["renames"] = _ren
@@ -4628,6 +4721,86 @@ def all_of(*validators: Callable[[DataFrame], None]) -> Callable[[DataFrame], No
             v(df)
 
     return check
+
+
+# --- persisted table constraints -----------------------------------------
+#
+# The expect_* validators above are per-call: the caller that forgets them
+# publishes bad data.  set_constraints records them ON the table (manifest
+# entry, like keys) so EVERY write path enforces them — publish_tables
+# validates the staged full state, merge_into_mor validates the
+# delta-sized staging — the Delta CHECK-constraint role: declare once,
+# never trust call sites.
+
+CONSTRAINT_KINDS = {"not_null", "unique", "values_in", "range", "row_count"}
+
+
+def _constraint_validator(specs: Sequence[Sequence]):
+    """Compose persisted constraint specs into one expect_*-backed
+    validator.  `row_local=True` keeps only the checks that are sound on
+    a DELTA (per-row properties); table-level checks (unique, row_count)
+    need the full state and run on publish/compact paths."""
+    checks = []
+    for spec in specs:
+        kind, args = spec[0], list(spec[1:])
+        if kind == "not_null":
+            checks.append(expect_not_null(*args))
+        elif kind == "unique":
+            checks.append(expect_unique(*args))
+        elif kind == "values_in":
+            checks.append(expect_values_in(args[0], args[1]))
+        elif kind == "range":
+            checks.append(expect_range(args[0], *args[1:]))
+        elif kind == "row_count":
+            checks.append(expect_row_count(*args))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    return all_of(*checks)
+
+
+_ROW_LOCAL_CONSTRAINTS = {"not_null", "values_in", "range"}
+
+
+def set_constraints(
+    root: str, name: str, constraints: Sequence[Sequence]
+) -> dict:
+    """Record declarative constraints on `name` — an O(1) metadata
+    commit.  Each spec is a JSON-serializable list:
+    ``["not_null", col, ...]``, ``["unique", key, ...]``,
+    ``["values_in", col, [allowed...]]``, ``["range", col, lo, hi]``,
+    ``["row_count", min, max]``.  Column names are LOGICAL (they follow
+    rename_column automatically; dropping a constrained column is
+    refused).  From this commit on, every publish_tables of the table
+    validates the staged state and every merge_into_mor validates its
+    delta-sized staging against the row-local subset (not_null /
+    values_in / range) — a violating write aborts before anything
+    becomes visible.  Value-preserving rewrites (compact/recluster)
+    skip re-validation: they cannot introduce a violation and an
+    O(table) re-check per nightly pass would be pure waste.  Pass an
+    empty list to clear.  Returns the new manifest."""
+    for spec in constraints:
+        if not spec or spec[0] not in CONSTRAINT_KINDS:
+            raise ValueError(
+                f"constraint {spec!r}: kind must be one of "
+                f"{sorted(CONSTRAINT_KINDS)}"
+            )
+    _constraint_validator(constraints)  # arg shapes fail fast, not at write
+
+    def mutate(e: dict) -> None:
+        if constraints:
+            e["constraints"] = [list(s) for s in constraints]
+        else:
+            e.pop("constraints", None)
+
+    return _update_entry_meta(root, name, mutate)
+
+
+def table_constraints(root: str, name: str) -> list:
+    """The constraint specs recorded for `name` (empty if none)."""
+    entry = current_manifest(root)["tables"].get(name)
+    if isinstance(entry, dict):
+        return [list(s) for s in entry.get("constraints", [])]
+    return []
 
 
 def replicate_store(
