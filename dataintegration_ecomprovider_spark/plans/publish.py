@@ -1469,6 +1469,52 @@ def merge_into_mor(
         )
         base_cols = [f.name for f in base_schema.fields]
 
+    cons = (
+        prev_entry.get("constraints") if isinstance(prev_entry, dict) else None
+    ) or []
+    row_local = [s for s in cons if s[0] in _ROW_LOCAL_CONSTRAINTS]
+    quarantined = None
+    if row_local:
+        pcons = _phys_constraints(prev_entry, row_local)
+        conformed = _conform_to_schema(staging, base_schema)
+        if (
+            isinstance(prev_entry, dict)
+            and prev_entry.get("on_violation") == "quarantine"
+        ):
+            # S7 row-skipping at the store level: divert violating rows
+            # to <name>__quarantine (tagged with the failed specs) and
+            # merge only the clean ones — the feed keeps flowing.  Both
+            # splits evaluate on the CONFORMED frame (absent columns DO
+            # replace values with null at read time).
+            clean_cond = _constraint_condition(pcons)
+            bad = conformed.filter(
+                ~F.coalesce(clean_cond, F.lit(False))
+            ).withColumn("__violations", _violation_labels(pcons))
+            if bad.limit(1).count():
+                quarantined = bad
+            staging = conformed.filter(clean_cond)
+        else:
+            # validate the CONFORMED upsert rows — O(staging), never the
+            # table; table-level checks (unique/row_count) run on the
+            # copy-on-write paths that stage full state
+            try:
+                _constraint_validator(pcons)(conformed)
+            except ValidationError as e:
+                raise ValidationError(
+                    f"{name}: persisted constraint violated by merge "
+                    f"staging: {e}"
+                ) from e
+    if quarantined is not None:
+        qname = f"{name}__quarantine"
+        if qname in current_manifest(root)["tables"]:
+            merge_into_mor(spark, root, qname, quarantined, keys=keys)
+        else:
+            publish_tables(
+                spark, {qname: quarantined}, root,
+                table_keys={qname: list(keys)},
+            )
+
+
     if not (insert_new and update_existing):
         # physical space: keys and staging were translated above
         existing = _read_entry(spark, prev_entry).select(*keys)
@@ -1498,25 +1544,6 @@ def merge_into_mor(
         n_parts.append("delete")
     else:
         delta_df = _conform(staging, "upsert")
-
-    cons = (
-        prev_entry.get("constraints") if isinstance(prev_entry, dict) else None
-    ) or []
-    row_local = [s for s in cons if s[0] in _ROW_LOCAL_CONSTRAINTS]
-    if row_local:
-        # validate the CONFORMED upsert rows (absent columns ride as
-        # nulls and DO replace the row's value at read time, so an
-        # omitted not_null column is a real violation) — O(staging),
-        # never the table; table-level checks (unique/row_count) run on
-        # the copy-on-write paths that stage full state
-        try:
-            _constraint_validator(_phys_constraints(prev_entry, row_local))(
-                _conform_to_schema(staging, base_schema)
-            )
-        except ValidationError as e:
-            raise ValidationError(
-                f"{name}: persisted constraint violated by merge staging: {e}"
-            ) from e
 
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     delta_path = os.path.join(root, "data", txid, f"{name}_delta")
@@ -4762,7 +4789,8 @@ _ROW_LOCAL_CONSTRAINTS = {"not_null", "values_in", "range"}
 
 
 def set_constraints(
-    root: str, name: str, constraints: Sequence[Sequence]
+    root: str, name: str, constraints: Sequence[Sequence],
+    on_violation: str = "fail",
 ) -> dict:
     """Record declarative constraints on `name` — an O(1) metadata
     commit.  Each spec is a JSON-serializable list:
@@ -4777,7 +4805,20 @@ def set_constraints(
     becomes visible.  Value-preserving rewrites (compact/recluster)
     skip re-validation: they cannot introduce a violation and an
     O(table) re-check per nightly pass would be pure waste.  Pass an
-    empty list to clear.  Returns the new manifest."""
+    empty list to clear.  Returns the new manifest.
+
+    ``on_violation="quarantine"`` changes merge_into_mor's response to a
+    ROW-LOCAL violation from abort to DIVERT: violating staging rows
+    land in ``<name>__quarantine`` (same keys, plus a ``__violations``
+    column naming the failed specs) and the clean rows merge normally —
+    the store-level form of the reference's row-skipping sink
+    (src/.../S7: skip bad rows, keep the feed flowing).  Table-level
+    checks (unique / row_count) and full publishes still fail hard —
+    there is no "row" to divert."""
+    if on_violation not in ("fail", "quarantine"):
+        raise ValueError(
+            f"on_violation must be 'fail' or 'quarantine', got {on_violation!r}"
+        )
     for spec in constraints:
         if not spec or spec[0] not in CONSTRAINT_KINDS:
             raise ValueError(
@@ -4789,10 +4830,52 @@ def set_constraints(
     def mutate(e: dict) -> None:
         if constraints:
             e["constraints"] = [list(s) for s in constraints]
+            if on_violation == "quarantine":
+                e["on_violation"] = "quarantine"
+            else:
+                e.pop("on_violation", None)
         else:
             e.pop("constraints", None)
+            e.pop("on_violation", None)
 
     return _update_entry_meta(root, name, mutate)
+
+
+def _constraint_condition(specs: Sequence[Sequence]):
+    """One Spark Column: row satisfies every ROW-LOCAL spec.  The
+    filterable twin of _constraint_validator, for quarantine splits."""
+    cond = F.lit(True)
+    for spec in specs:
+        kind = spec[0]
+        if kind == "not_null":
+            for c in spec[1:]:
+                cond = cond & F.col(c).isNotNull()
+        elif kind == "values_in":
+            # SQL CHECK semantics (and expect_values_in's): null passes
+            cond = cond & F.coalesce(
+                F.col(spec[1]).isin(list(spec[2])), F.lit(True)
+            )
+        elif kind == "range":
+            c = F.col(spec[1])
+            lo = spec[2] if len(spec) > 2 else None
+            hi = spec[3] if len(spec) > 3 else None
+            if lo is not None:
+                cond = cond & F.coalesce(c >= F.lit(lo), F.lit(True))
+            if hi is not None:
+                cond = cond & F.coalesce(c <= F.lit(hi), F.lit(True))
+    return cond
+
+
+def _violation_labels(specs: Sequence[Sequence]):
+    """Column: comma-joined labels of the row-local specs a row fails
+    (for the quarantine table's __violations column)."""
+    parts = []
+    for spec in specs:
+        label = ":".join(str(a) for a in spec[:2])
+        parts.append(
+            F.when(~_constraint_condition([spec]), F.lit(label))
+        )
+    return F.concat_ws(",", *parts)
 
 
 def table_constraints(root: str, name: str) -> list:

@@ -117,3 +117,49 @@ def test_set_constraints_rejects_unknown_kinds(spark, tmp_path):
     publish.publish_tables(spark, {"t": _t(spark)}, root)
     with pytest.raises(ValueError, match="kind must be one of"):
         publish.set_constraints(root, "t", [["no_such_kind", "v"]])
+
+
+def test_quarantine_mode_diverts_violating_rows(spark, tmp_path):
+    """on_violation='quarantine': the store-level S7 row-skipping sink —
+    violating staging rows land in <name>__quarantine tagged with the
+    failed specs, clean rows merge normally, the feed keeps flowing."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark)}, root, table_keys={"t": ["k"]}
+    )
+    publish.set_constraints(
+        root, "t",
+        [["not_null", "v"], ["values_in", "status", ["ok", "hold"]]],
+        on_violation="quarantine",
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(1, 11, "ok"), (2, None, "ok"), (3, 33, "BAD"), (50, 55, "hold")],
+            "k long, v long, status string",
+        ),
+    )
+    cur = {r["k"]: (r["v"], r["status"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert cur[1] == (11, "ok") and cur[50] == (55, "hold")
+    assert cur[2] == (4, "ok") and cur[3] == (6, "ok")  # bad rows skipped
+    q = {r["k"]: r["__violations"]
+         for r in publish.read_table(spark, root, "t__quarantine").collect()}
+    assert set(q) == {2, 3}
+    assert "not_null:v" in q[2] and "values_in:status" in q[3]
+    # a later batch re-offending the same key updates its quarantine row
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, -1, "NOPE")], "k long, v long, status string"),
+    )
+    q = {r["k"]: r["__violations"]
+         for r in publish.read_table(spark, root, "t__quarantine").collect()}
+    assert q[2] == "values_in:status"  # v=-1 is fine (no range spec); status bad
+    # nulls satisfy values_in (SQL CHECK semantics) — only not_null flags them
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(60, 6, None)], "k long, v long, status string"),
+    )
+    assert publish.read_table(spark, root, "t").filter(
+        F.col("k") == 60
+    ).count() == 1
