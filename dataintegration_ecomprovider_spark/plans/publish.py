@@ -386,6 +386,34 @@ def _update_entry_meta(root: str, name: str, mutate) -> dict:
         return _commit(root, txid, manifest)
 
 
+def drop_table(root: str, name: str) -> dict:
+    """Remove `name` from the store's CURRENT version — an O(1) metadata
+    commit.  Past versions still carry it (time travel keeps working;
+    rollback resurrects it) until vacuum's retention window rolls past
+    them and reclaims the data directories — the standard
+    versioned-store DROP.  A declared view reading the dropped table
+    fails at its next refresh with a per-view isolated, queryable error
+    (materialize.view_refresh_errors); re-declare or undeclare it.
+    Returns the new manifest."""
+    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    with _manifest_lock(root):
+        prev = current_manifest(root)
+        if name not in prev["tables"]:
+            raise KeyError(
+                f"table {name!r} has no committed version under {root}"
+            )
+        tables = {k: v for k, v in prev["tables"].items() if k != name}
+        manifest = {
+            "version": prev["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
+            "tables": tables,
+            **_history_fields(root, prev),
+        }
+        return _commit(root, txid, manifest)
+
+
 def rename_column(
     spark: SparkSession, root: str, name: str, old: str, new: str
 ) -> dict:

@@ -362,3 +362,31 @@ def test_replicate_mirrors_renames_and_drops(spark, tmp_path):
     rep = publish.read_table(spark, dst, "t")
     assert rep.columns == ["key", "value"]
     assert {r["key"] for r in rep.filter(F.col("value") == 780).collect()} == {78}
+
+
+def test_drop_table_is_versioned(spark, tmp_path):
+    """drop_table removes the table from the current version in O(1)
+    metadata; history still reads it, rollback resurrects it, vacuum
+    eventually reclaims its bytes, and the name is reusable."""
+    root = _store(spark, tmp_path)  # version 1
+    publish.publish_tables(spark, {"u": _t(spark, 5)}, root)  # version 2
+    publish.drop_table(root, "t")  # version 3
+    with pytest.raises(KeyError):
+        publish.read_table(spark, root, "t")
+    assert publish.read_table(spark, root, "u").count() == 5  # others untouched
+    assert publish.read_table_at(spark, root, "t", 2).count() == 20
+    # the name is immediately reusable with a fresh schema
+    publish.publish_tables(
+        spark, {"t": spark.range(3).select(F.col("id").alias("x"))}, root
+    )
+    assert publish.read_table(spark, root, "t").columns == ["x"]
+    # rollback to before the drop resurrects the original
+    publish.rollback(root, 2)
+    assert publish.read_table(spark, root, "t").columns == ["k", "v", "s"]
+    # once retention rolls past, vacuum reclaims the dropped data
+    publish.drop_table(root, "t")
+    for i in range(4):
+        publish.publish_tables(spark, {"u": _t(spark, 5 + i)}, root)
+    rep = publish.vacuum(spark, root, keep_versions=2)
+    with pytest.raises(KeyError):
+        publish.read_table_at(spark, root, "t", 2)
