@@ -4842,7 +4842,11 @@ def set_constraints(
     the store-level form of the reference's row-skipping sink
     (src/.../S7: skip bad rows, keep the feed flowing).  Table-level
     checks (unique / row_count) and full publishes still fail hard —
-    there is no "row" to divert."""
+    there is no "row" to divert.  The quarantine commit lands as its
+    own version immediately BEFORE the clean merge's — a crash between
+    the two leaves the quarantine rows recorded and the clean rows
+    unapplied; the retry re-merges both idempotently (key-based
+    upserts)."""
     if on_violation not in ("fail", "quarantine"):
         raise ValueError(
             f"on_violation must be 'fail' or 'quarantine', got {on_violation!r}"

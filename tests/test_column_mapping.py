@@ -390,3 +390,30 @@ def test_drop_table_is_versioned(spark, tmp_path):
     rep = publish.vacuum(spark, root, keep_versions=2)
     with pytest.raises(KeyError):
         publish.read_table_at(spark, root, "t", 2)
+
+
+def test_rename_on_bucketed_table_keeps_merge_loop(spark, tmp_path):
+    """Renaming a column of a BUCKETED table: reads present the logical
+    schema over the catalog-backed bucketed scan, and the next
+    copy-on-write bucketed merge folds the map into fresh files while
+    preserving the bucketed layout."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark, 40)}, root,
+        bucket_keys={"t": ["k"]}, num_buckets=4, table_keys={"t": ["k"]},
+    )
+    publish.rename_column(spark, root, "t", "v", "value")
+    df = publish.read_table(spark, root, "t")
+    assert df.columns == ["k", "value", "s"]
+    assert df.count() == 40
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame([(1, 111, "u")], "k long, value long, s string"),
+        keys=["k"], bucketed=True, num_buckets=4,
+    )
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert "renames" not in entry          # CoW folded the map away
+    assert entry["bucket_keys"] == ["k"]   # layout preserved
+    got = publish.read_table(spark, root, "t")
+    assert got.columns == ["k", "value", "s"]
+    assert got.filter(F.col("k") == 1).collect()[0]["value"] == 111
