@@ -3448,6 +3448,17 @@ def maintain_store(
             for name, row in store_usage(root)["readers"].items()
             if row["lag_versions"] > reader_lag_warn_versions
         }
+    # non-empty quarantine tables (constraint on_violation="quarantine")
+    # are diverted-but-unresolved feed rows: surface their row counts so
+    # the nightly pass is where an operator notices them piling up
+    quarantines = {}
+    for tname in current_manifest(root)["tables"]:
+        if tname.endswith("__quarantine"):
+            stats = table_stats(root, tname) or {}
+            if stats.get("rows"):
+                quarantines[tname] = stats["rows"]
+    if quarantines:
+        report["quarantines"] = quarantines
     return report
 
 

@@ -163,3 +163,24 @@ def test_quarantine_mode_diverts_violating_rows(spark, tmp_path):
     assert publish.read_table(spark, root, "t").filter(
         F.col("k") == 60
     ).count() == 1
+
+
+def test_maintain_store_surfaces_quarantine_backlog(spark, tmp_path):
+    """The nightly pass reports non-empty quarantine tables — diverted
+    rows are easy to forget; the maintenance report is where an
+    operator looks."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark)}, root, table_keys={"t": ["k"]}
+    )
+    publish.set_constraints(
+        root, "t", [["not_null", "v"]], on_violation="quarantine"
+    )
+    report = publish.maintain_store(spark, root)
+    assert "quarantines" not in report  # nothing diverted yet
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, None, "ok")], "k long, v long, status string"),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["quarantines"] == {"t__quarantine": 1}
