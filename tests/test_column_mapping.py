@@ -417,3 +417,66 @@ def test_rename_on_bucketed_table_keeps_merge_loop(spark, tmp_path):
     got = publish.read_table(spark, root, "t")
     assert got.columns == ["k", "value", "s"]
     assert got.filter(F.col("k") == 1).collect()[0]["value"] == 111
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# random interleavings of the column-mapping lifecycle, checked against a
+# plain Python model: whatever order renames / MoR merges / drops /
+# rewrites arrive in, the logical read-back must equal the model.
+_OPS = st.lists(
+    st.sampled_from(["rename", "rename_back", "merge", "drop_s", "compact",
+                     "materialize"]),
+    min_size=2, max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_OPS)
+def test_mapping_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("prop") / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark, 8)}, root, table_keys={"t": ["k"]}
+    )
+    # model: {k: {col: value}} in LOGICAL names
+    model = {i: {"v": 2 * i, "s": f"s{i}"} for i in range(8)}
+    v_name, s_alive, merge_i = "v", True, 0
+    for op in ops:
+        if op == "rename" and v_name == "v":
+            publish.rename_column(spark, root, "t", "v", "value")
+            for row in model.values():
+                row["value"] = row.pop("v")
+            v_name = "value"
+        elif op == "rename_back" and v_name == "value":
+            publish.rename_column(spark, root, "t", "value", "v")
+            for row in model.values():
+                row["v"] = row.pop("value")
+            v_name = "v"
+        elif op == "merge":
+            merge_i += 1
+            k = merge_i % 8
+            cols = [("k", "long"), (v_name, "long")] + (
+                [("s", "string")] if s_alive else []
+            )
+            schema = ", ".join(f"{c} {t}" for c, t in cols)
+            vals = (k, 100 + merge_i) + (("upd",) if s_alive else ())
+            publish.merge_into_mor(
+                spark, root, "t", spark.createDataFrame([vals], schema)
+            )
+            model[k][v_name] = 100 + merge_i
+            if s_alive:
+                model[k]["s"] = "upd"
+        elif op == "drop_s" and s_alive:
+            publish.drop_column(spark, root, "t", "s")
+            for row in model.values():
+                row.pop("s", None)
+            s_alive = False
+        elif op == "compact":
+            publish.compact(spark, root, "t")
+        elif op == "materialize":
+            publish.compact(spark, root, "t", materialize_mapping=True)
+    got = {
+        r["k"]: {c: r[c] for c in r.asDict() if c != "k"}
+        for r in publish.read_table(spark, root, "t").collect()
+    }
+    assert got == model
