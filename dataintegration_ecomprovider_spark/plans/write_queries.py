@@ -1243,6 +1243,101 @@ FROM orders WHERE o_custkey <= 100
 """
 
 
+def q_constraints_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted constraints with QUARANTINE routing (round 7,
+    publish.set_constraints — Delta CHECK constraints + the reference's
+    S7 row-skipping sink at store level): not_null(price) and
+    values_in(o_orderstatus) are declared ONCE on the manifest entry
+    with on_violation='quarantine'; a merge batch carrying injected
+    nulls (o_orderkey ≡ 0 mod 10) and bad statuses (≡ 0 mod 6) then
+    lands WITHOUT caller-side validation wiring — clean rows upsert,
+    violating rows divert to orders__quarantine tagged with the failed
+    specs.  Returns main ∪ quarantine; the oracle replays the split and
+    the upsert in SQL — a diverted row leaking into main (or vice
+    versa), a wrong violation label, or a missed upsert breaks the
+    hash."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("cq_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 4 != 0)}, root,
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    publish.set_constraints(
+        root, "orders",
+        [["not_null", "price"], ["values_in", "o_orderstatus", ["O", "F", "P"]]],
+        on_violation="quarantine",
+    )
+    staged = (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 6 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "price",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+            .otherwise(F.round(F.col("price") + 1.0, 2)),
+        )
+    )
+    publish.merge_into_mor(spark, root, "orders", staged)
+    main = publish.read_table(spark, root, "orders").withColumn(
+        "__violations", F.lit(None).cast("string")
+    ).withColumn("tbl", F.lit("main"))
+    quar = publish.read_table(spark, root, "orders__quarantine").withColumn(
+        "tbl", F.lit("quarantine")
+    )
+    return main.unionByName(quar)
+
+
+ORACLE_CONSTRAINTS_QUARANTINE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+staged AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL
+              ELSE ROUND(ROUND(o_totalprice, 2) + 1.0, 2) END AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+clean AS (
+  SELECT * FROM staged
+  WHERE price IS NOT NULL AND o_orderstatus IN ('O', 'F', 'P')
+),
+quar AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, price,
+         concat_ws(',',
+           CASE WHEN price IS NULL THEN 'not_null:price' END,
+           CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 'values_in:o_orderstatus' END) AS __violations
+  FROM staged
+  WHERE price IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')
+),
+main AS (
+  SELECT b.* FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM clean)
+  UNION ALL
+  SELECT * FROM clean
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, price,
+       CAST(NULL AS VARCHAR) AS __violations, 'main' AS tbl
+FROM main
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, price, __violations,
+       'quarantine' AS tbl
+FROM quar
+"""
+
+
 def q_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter data skipping (round 4): orders is published hash-
     scattered into 8 files (every file's o_orderkey [min, max] spans the
@@ -2031,6 +2126,9 @@ QUERIES = {
     "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_column_mapping": QueryDef(q_column_mapping, ORACLE_COLUMN_MAPPING),
+    "u12_constraints_quarantine": QueryDef(
+        q_constraints_quarantine, ORACLE_CONSTRAINTS_QUARANTINE
+    ),
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
