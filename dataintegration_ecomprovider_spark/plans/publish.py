@@ -386,6 +386,118 @@ def _update_entry_meta(root: str, name: str, mutate) -> dict:
         return _commit(root, txid, manifest)
 
 
+def schema_changes(
+    root: str, name: str, from_version: int, to_version: int | None = None
+) -> list[dict]:
+    """The SCHEMA side of CDC: every rename / drop / added-column /
+    rewrite / recreate event `name` took in (from_version, to_version] —
+    what a row-level change feed cannot carry (a rename emits ZERO rows
+    by design).  Incremental consumers poll it beside read_changes to
+    follow the table's shape: replicate_table applies the same walk
+    internally (_mirror_column_map); an external consumer uses it to
+    ALTER its own sink before applying the span's rows.
+
+    Pure metadata — a manifest-history walk, no Spark job, O(span).
+    Events: ``{"version", "change": "rename", "from", "to"}``,
+    ``{"change": "drop", "column"}`` (logical name),
+    ``{"change": "add", "column"}`` (merge_into_mor(evolve_schema=True)
+    widenings recorded in schema_json),
+    ``{"change": "rewrite"}`` (value-preserving compact/recluster),
+    ``{"change": "rewritten"}`` (a rewrite that changed physical names —
+    CoW merge, materialized mapping — same logical schema),
+    ``{"change": "dropped_table"}`` / ``{"change": "created_table"}``."""
+    if to_version is None:
+        to_version = current_manifest(root)["version"]
+
+    def _json_fields(entry) -> set[str] | None:
+        if isinstance(entry, dict) and entry.get("schema_json"):
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            return {
+                f.name
+                for f in StructType.fromJson(
+                    _json.loads(entry["schema_json"])
+                ).fields
+            }
+        return None
+
+    def _fields(entry) -> set[str] | None:
+        # effective physical fields: the recorded widened schema, or one
+        # parquet footer read of the base (pre-evolution entries)
+        j = _json_fields(entry)
+        if j is not None:
+            return j
+        try:
+            import pyarrow.parquet as pq
+
+            path = entry["path"] if isinstance(entry, dict) else entry
+            files = _data_files(path)
+            if not files:
+                return None
+            return set(pq.read_schema(files[0]).names)
+        except Exception:  # noqa: BLE001 — a missing footer just mutes adds
+            return None
+
+    out: list[dict] = []
+    prev = tables_at(root, from_version).get(name)
+    for v in range(from_version + 1, to_version + 1):
+        cur = tables_at(root, v).get(name)
+        if cur is None:
+            if prev is not None:
+                out.append({"version": v, "change": "dropped_table"})
+            prev = cur
+            continue
+        if prev is None:
+            out.append({"version": v, "change": "created_table"})
+            prev = cur
+            continue
+        p_path = prev["path"] if isinstance(prev, dict) else prev
+        c_path = cur["path"] if isinstance(cur, dict) else cur
+        same_lineage = p_path == c_path or (
+            isinstance(cur, dict) and cur.get("rewrite_of") is not None
+        )
+        if same_lineage:
+            # physical names stable: map diffs ARE the schema events
+            ren_p, drop_p = _column_map(prev)
+            ren_c, drop_c = _column_map(cur)
+            for p in set(ren_p) | set(ren_c):
+                if p in drop_c:
+                    continue  # reported as a drop below
+                old_l, new_l = ren_p.get(p, p), ren_c.get(p, p)
+                if old_l != new_l:
+                    out.append(
+                        {"version": v, "change": "rename",
+                         "from": old_l, "to": new_l}
+                    )
+            for p in drop_c:
+                if p not in drop_p:
+                    out.append(
+                        {"version": v, "change": "drop",
+                         "column": ren_p.get(p, p)}
+                    )
+            jc = _json_fields(cur)
+            if jc is not None:
+                jp = _fields(prev)
+                if jp is not None:
+                    ren_all, _ = _column_map(cur)
+                    for added in sorted(jc - jp):
+                        out.append(
+                            {"version": v, "change": "add",
+                             "column": ren_all.get(added, added)}
+                        )
+            if p_path != c_path:
+                out.append({"version": v, "change": "rewrite"})
+        else:
+            # fresh physical lineage (CoW merge, materialized mapping,
+            # recreate): logical schema may be unchanged, but the map
+            # comparison is meaningless across it
+            out.append({"version": v, "change": "rewritten"})
+        prev = cur
+    return out
+
+
 def drop_table(root: str, name: str) -> dict:
     """Remove `name` from the store's CURRENT version — an O(1) metadata
     commit.  Past versions still carry it (time travel keeps working;

@@ -480,3 +480,33 @@ def test_mapping_lifecycle_matches_model(spark, tmp_path_factory, ops):
         for r in publish.read_table(spark, root, "t").collect()
     }
     assert got == model
+
+
+def test_schema_changes_feed(spark, tmp_path):
+    """schema_changes: the schema side of CDC — renames, drops, evolved
+    columns, rewrites and recreates enumerate per version, with NO false
+    rename events across a materialized mapping (the trap: after the
+    purge the map is empty but the logical schema never moved)."""
+    root = _store(spark, tmp_path)                      # v1 create
+    publish.rename_column(spark, root, "t", "v", "value")   # v2
+    publish.merge_into_mor(                                 # v3: add col
+        spark, root, "t",
+        spark.createDataFrame([(1, 5, "x", 9)], "k long, value long, s string, extra long"),
+        evolve_schema=True,
+    )
+    publish.drop_column(spark, root, "t", "s")              # v4
+    publish.compact(spark, root, "t")                       # v5 rewrite
+    publish.compact(spark, root, "t", materialize_mapping=True)  # v6
+    publish.drop_table(root, "t")                           # v7
+
+    ev = publish.schema_changes(root, "t", 1, 7)
+    by_v = {e["version"]: e for e in ev}
+    assert by_v[2] == {"version": 2, "change": "rename", "from": "v", "to": "value"}
+    assert by_v[3] == {"version": 3, "change": "add", "column": "extra"}
+    assert by_v[4] == {"version": 4, "change": "drop", "column": "s"}
+    assert by_v[5]["change"] == "rewrite"
+    assert by_v[6]["change"] == "rewritten"   # NOT a spurious rename
+    assert by_v[7]["change"] == "dropped_table"
+    assert len(ev) == 6
+    # an untouched span reports nothing
+    assert publish.schema_changes(root, "t", 1, 1) == []
