@@ -62,6 +62,8 @@ HEADLINE = [
     "llm_topic_assignments_cdc",    # CDC-maintained assignment view: updates re-score, deletes retract (round 7)
     "u12_column_mapping",           # metadata-only rename/drop: skipping + MoR through the map (round 7)
     "llm_text_index_cdc",           # inverted text index maintained from CDC + keyword search (round 7)
+    "llm_mixture_epochs",           # token-budget mixture with upsampling epochs (round 7)
+    "u12_constraints_quarantine",   # persisted constraints + quarantine routing (round 7)
 ]
 
 
