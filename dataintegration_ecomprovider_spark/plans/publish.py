@@ -436,7 +436,13 @@ def schema_changes(
             files = _data_files(path)
             if not files:
                 return None
-            return set(pq.read_schema(files[0]).names)
+            names = set(pq.read_schema(files[0]).names)
+            # hive partition columns live in directory names, not footers —
+            # without them the first schema_json version would emit
+            # spurious {'change': 'add'} events for every partition column
+            if isinstance(entry, dict):
+                names |= set(entry.get("partition_by") or [])
+            return names
         except Exception:  # noqa: BLE001 — a missing footer just mutes adds
             return None
 
@@ -603,6 +609,10 @@ def drop_column(spark: SparkSession, root: str, name: str, col: str) -> dict:
         protected = set(entry.get("keys") or [])
         protected |= set(entry.get("partition_by") or [])
         protected |= set(entry.get("bucket_keys") or [])
+        # bucketed merge tables record NORMALIZED '__k_<col>' bucket keys;
+        # the underlying source column is equally load-bearing (mirror
+        # table_keys' normalization, publish.py:648)
+        protected |= {k[4:] for k in list(protected) if k.startswith("__k_")}
         if phys in protected:
             raise ValueError(
                 f"column {col!r} is a key/partition/bucket column of "
@@ -1539,6 +1549,7 @@ def merge_into_mor(
                 "publish with publish_tables(table_keys=...)"
             )
     keys = list(keys)
+    logical_keys = list(keys)  # pre-translation names, for the quarantine
     base_schema = _read_entry(spark, prev_entry).schema
     base_cols = [f.name for f in base_schema.fields]
     _renames, _dropped = _column_map(prev_entry)
@@ -1629,7 +1640,7 @@ def merge_into_mor(
             clean_cond = _constraint_condition(pcons)
             bad = conformed.filter(
                 ~F.coalesce(clean_cond, F.lit(False))
-            ).withColumn("__violations", _violation_labels(pcons))
+            ).withColumn("__violations", _violation_labels(pcons, row_local))
             if bad.limit(1).count():
                 quarantined = bad
             staging = conformed.filter(clean_cond)
@@ -1646,12 +1657,23 @@ def merge_into_mor(
                 ) from e
     if quarantined is not None:
         qname = f"{name}__quarantine"
+        # present quarantined rows under LOGICAL names — the schema the
+        # caller declared constraints in — not the base's physical file
+        # names (a no-op when the table carries no rename map)
+        quarantined = _logical_view(prev_entry, quarantined)
         if qname in current_manifest(root)["tables"]:
-            merge_into_mor(spark, root, qname, quarantined, keys=keys)
+            # evolve: the main merge may be widening the schema this very
+            # call while the existing quarantine table is still narrow;
+            # hard-failing here would abort the feed the quarantine mode
+            # exists to keep flowing
+            merge_into_mor(
+                spark, root, qname, quarantined, keys=logical_keys,
+                evolve_schema=True,
+            )
         else:
             publish_tables(
                 spark, {qname: quarantined}, root,
-                table_keys={qname: list(keys)},
+                table_keys={qname: list(logical_keys)},
             )
 
 
@@ -4457,6 +4479,11 @@ def _set_sync_state(root: str, key: str, value) -> None:
         os.replace(tmp, os.path.join(root, SYNC_FILE))
 
 
+class _MirrorConflict(ValueError):
+    """Replica column layout can't be reconciled by metadata renames —
+    replicate_table falls back to a full re-seed."""
+
+
 def _mirror_column_map(
     spark: SparkSession,
     src_root: str,
@@ -4488,13 +4515,60 @@ def _mirror_column_map(
         _logical_view(dst_entry, _read_entry(spark, dst_entry)).columns
     )
     applied: list[str] = []
-    for p, l_now in ren_now.items():
-        l_last = ren_last.get(p, p)
-        if l_last != l_now and l_last in dst_logical and l_now not in dst_logical:
-            rename_column(spark, dst_root, name, l_last, l_now)
-            dst_logical.discard(l_last)
-            dst_logical.add(l_now)
-            applied.append(f"rename:{l_last}->{l_now}")
+    # Pending logical renames for the span: replica-name-at-`last` → name
+    # now.  Applied to a FIXPOINT, not one pass: a rename whose target is
+    # still occupied waits for the occupant's own rename to free the name
+    # (chains a→b→c applied in dependency order).  When no rename can
+    # progress but some are pending (a swap cycle a↔b, which the source
+    # realized through its own temp names within the span), route one leg
+    # through a replica-side temp name and continue — a single pass would
+    # silently apply ZERO renames and let the next CDC sync upsert values
+    # into the swapped columns.
+    pending = [
+        (ren_last.get(p, p), l_now)
+        for p, l_now in ren_now.items()
+        if ren_last.get(p, p) != l_now and ren_last.get(p, p) in dst_logical
+    ]
+    tmp_n = 0
+    while pending:
+        progressed = False
+        for i, (src_name, dst_name) in enumerate(pending):
+            if dst_name not in dst_logical:
+                rename_column(spark, dst_root, name, src_name, dst_name)
+                dst_logical.discard(src_name)
+                dst_logical.add(dst_name)
+                applied.append(f"rename:{src_name}->{dst_name}")
+                pending.pop(i)
+                progressed = True
+                break
+        if progressed:
+            continue
+        cyclic = [
+            i for i, (_, dst_name) in enumerate(pending)
+            if any(s == dst_name for s, _ in pending)
+        ]
+        if not cyclic:
+            # target occupied by a column NOT renamed away in this span —
+            # the replica diverged from the source's history; a metadata
+            # mirror cannot reconcile it.  Signal the caller to re-seed
+            # rather than silently skipping (which would let CDC corrupt
+            # the occupied column).
+            raise _MirrorConflict(
+                f"cannot mirror renames onto replica table {name!r}: "
+                f"target name(s) {sorted(d for _, d in pending)} occupied"
+            )
+        i = cyclic[0]
+        src_name, dst_name = pending[i]
+        tmp = f"__mirror_tmp_{tmp_n}"
+        while tmp in dst_logical:
+            tmp_n += 1
+            tmp = f"__mirror_tmp_{tmp_n}"
+        tmp_n += 1
+        rename_column(spark, dst_root, name, src_name, tmp)
+        dst_logical.discard(src_name)
+        dst_logical.add(tmp)
+        applied.append(f"rename:{src_name}->{tmp}")
+        pending[i] = (tmp, dst_name)
     for p in drop_now:
         if p in drop_last:
             continue
@@ -4555,7 +4629,14 @@ def replicate_table(
         # outright on a renamed key.  The replica knows each column by
         # the source's logical name AT the last-synced version, which
         # the version history still records.
-        _mirror_column_map(spark, src_root, dst_root, name, last, src_version)
+        try:
+            _mirror_column_map(
+                spark, src_root, dst_root, name, last, src_version
+            )
+        except _MirrorConflict:
+            # layout divergence a metadata mirror can't fix: re-seed from
+            # the source's current state instead of silently skipping
+            last = None
 
     if last is None:
         # first sync: seed with a full copy of the current source version
@@ -5021,12 +5102,17 @@ def _constraint_condition(specs: Sequence[Sequence]):
     return cond
 
 
-def _violation_labels(specs: Sequence[Sequence]):
+def _violation_labels(
+    specs: Sequence[Sequence], label_specs: Sequence[Sequence] | None = None
+):
     """Column: comma-joined labels of the row-local specs a row fails
-    (for the quarantine table's __violations column)."""
+    (for the quarantine table's __violations column).  `label_specs`:
+    parallel specs (same order) whose first two elements name each label —
+    lets a PHYSICAL-space frame be evaluated while labels cite the
+    LOGICAL column names the caller declared constraints in."""
     parts = []
-    for spec in specs:
-        label = ":".join(str(a) for a in spec[:2])
+    for spec, lab in zip(specs, label_specs or specs):
+        label = ":".join(str(a) for a in lab[:2])
         parts.append(
             F.when(~_constraint_condition([spec]), F.lit(label))
         )

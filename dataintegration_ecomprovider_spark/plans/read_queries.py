@@ -265,9 +265,12 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_quoted_list(collect_ordered(F.col("c_name"), [F.col("c_name")])).alias("members"),
         F.count(F.lit(1)).cast("bigint").alias("member_count"),
     )
+    # Broadcast the BUILD side (the post-aggregation frame): Spark drops a
+    # broadcast hint on the preserved side of a left-outer join, so hinting
+    # `nation` would silently plan a shuffle join (HintErrorLogger warning).
     return (
-        F.broadcast(nation)
-        .join(agg, nation.n_nationkey == agg.c_nationkey, "left")
+        nation
+        .join(F.broadcast(agg), nation.n_nationkey == agg.c_nationkey, "left")
         .select(
             F.col("n_name").alias("nation_name"),
             F.coalesce("members", F.lit("")).alias("members"),
@@ -300,9 +303,10 @@ def q_distinct_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = customer.groupBy("c_nationkey").agg(
         F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments")
     )
+    # Broadcast the build side, not the preserved side (see q_string_agg).
     return (
-        F.broadcast(nation)
-        .join(agg, nation.n_nationkey == agg.c_nationkey, "left")
+        nation
+        .join(F.broadcast(agg), nation.n_nationkey == agg.c_nationkey, "left")
         .select(
             F.col("n_name").alias("nation_name"),
             F.coalesce("segments", F.lit("")).alias("segments"),

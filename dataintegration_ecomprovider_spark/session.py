@@ -10,9 +10,10 @@ the master URL:
 - Arrow enabled for the few pandas_udf operators (llm/*).
 - Session timezone pinned to UTC so timestamp semantics match the DuckDB
   oracle (DuckDB timestamps are UTC-naive).
-- Broadcast threshold left at default (10 MB) but every known-small
-  dimension join in this codebase also hints `F.broadcast` explicitly, so
-  plans stay broadcast-hash-join even if statistics are missing.
+- Broadcast threshold raised to 32 MB (from the 10 MB default) so
+  medium dimensions auto-broadcast; every known-small dimension join in
+  this codebase also hints `F.broadcast` explicitly, so plans stay
+  broadcast-hash-join even if statistics are missing.
 """
 
 from __future__ import annotations

@@ -510,3 +510,133 @@ def test_schema_changes_feed(spark, tmp_path):
     assert len(ev) == 6
     # an untouched span reports nothing
     assert publish.schema_changes(root, "t", 1, 1) == []
+
+
+def test_replicate_mirrors_column_swap_in_one_span(spark, tmp_path):
+    """A source that SWAPPED two column names within one sync span (via
+    its own temp name: v→tmp, s→v, tmp→s) must mirror onto the replica —
+    a single-pass mirror would find every target name occupied, apply
+    zero renames, and let the next CDC delta upsert values into the
+    swapped columns (silent divergence)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark, {"t": _t(spark, 10)}, src, table_keys={"t": ["k"]}
+    )
+    assert publish.replicate_table(spark, src, dst, "t")["mode"] == "seed"
+    # swap v and s through a temp name — one sync span
+    publish.rename_column(spark, src, "t", "v", "__tmp")
+    publish.rename_column(spark, src, "t", "s", "v")
+    publish.rename_column(spark, src, "t", "__tmp", "s")
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(1, "swapped", 111)], "k long, v string, s long"),
+    )
+    res = publish.replicate_table(spark, src, dst, "t", mor=True)
+    assert res["mode"] == "delta_mor"
+    rep = publish.read_table(spark, dst, "t")
+    assert set(rep.columns) == {"k", "v", "s"}
+    got = {r["k"]: (r["v"], r["s"]) for r in rep.collect()}
+    src_now = {r["k"]: (r["v"], r["s"])
+               for r in publish.read_table(spark, src, "t").collect()}
+    assert got == src_now
+    assert got[1] == ("swapped", 111)
+    assert got[5] == ("s5", 10)  # untouched row: values live under swapped names
+
+
+def test_replicate_mirror_chain_applies_in_dependency_order(spark, tmp_path):
+    """A rename chain within one span (s→s2 freeing 's', then v→s taking
+    it) mirrors regardless of map iteration order — the fixpoint waits
+    for the occupant to move first."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark, {"t": _t(spark, 8)}, src, table_keys={"t": ["k"]}
+    )
+    publish.replicate_table(spark, src, dst, "t")
+    publish.rename_column(spark, src, "t", "s", "s2")
+    publish.rename_column(spark, src, "t", "v", "s")
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(2, 222, "x2")], "k long, s long, s2 string"),
+    )
+    publish.replicate_table(spark, src, dst, "t", mor=True)
+    rep = publish.read_table(spark, dst, "t")
+    assert set(rep.columns) == {"k", "s", "s2"}
+    got = {r["k"]: (r["s"], r["s2"]) for r in rep.collect()}
+    assert got[2] == (222, "x2")
+    assert got[3] == (6, "s3")
+
+
+def test_replicate_mirror_conflict_falls_back_to_reseed(spark, tmp_path):
+    """When a mirrored rename's target is occupied by a replica column
+    NOT renamed away in the span (the replica diverged — e.g. someone
+    renamed a replica column by hand), metadata mirroring cannot
+    reconcile; replicate_table re-seeds from the source's current state
+    instead of silently skipping the rename."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark, {"t": _t(spark, 6)}, src, table_keys={"t": ["k"]}
+    )
+    publish.replicate_table(spark, src, dst, "t")
+    # replica diverges by hand: s → z
+    publish.rename_column(spark, dst, "t", "s", "z")
+    # source renames v → z in the same span (z unused at the source)
+    publish.rename_column(spark, src, "t", "v", "z")
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(1, 11, "sX")], "k long, z long, s string"),
+    )
+    res = publish.replicate_table(spark, src, dst, "t")
+    assert res["mode"] == "seed"  # conflict → full re-seed, not divergence
+    rep = publish.read_table(spark, dst, "t")
+    assert set(rep.columns) == {"k", "z", "s"}
+    got = {r["k"]: (r["z"], r["s"]) for r in rep.collect()}
+    assert got[1] == (11, "sX") and got[2] == (4, "s2")
+
+
+def test_drop_column_refuses_bucket_source_column(spark, tmp_path):
+    """Bucketed merge tables record NORMALIZED '__k_<col>' bucket keys;
+    dropping the underlying source column must be refused like any other
+    layout column — allowing it leaves table_keys reporting a dropped
+    column and breaks every later merge."""
+    from dataintegration_ecomprovider_spark.functions.text import ci
+
+    root = str(tmp_path / "store")
+    df = spark.range(10).select(
+        F.concat(F.lit("Name"), F.col("id")).alias("name"),
+        F.col("id").alias("v"),
+    ).withColumn("__k_name", ci(F.col("name")))
+    publish.publish_tables(
+        spark, {"t": df}, root,
+        bucket_keys={"t": ["__k_name"]}, num_buckets=4,
+    )
+    assert publish.table_keys(root, "t") == ["name"]
+    with pytest.raises(ValueError, match="key/partition/bucket"):
+        publish.drop_column(spark, root, "t", "name")
+    assert publish.table_keys(root, "t") == ["name"]  # still intact
+    publish.drop_column(spark, root, "t", "v")  # non-layout columns still drop
+
+
+def test_schema_changes_no_spurious_partition_adds(spark, tmp_path):
+    """Hive partition columns live in directory names, not parquet
+    footers; the first version that records schema_json (first
+    evolve_schema merge) must NOT report them as newly-added columns."""
+    root = str(tmp_path / "store")
+    df = spark.range(12).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    publish.publish_tables(
+        spark, {"t": df}, root,
+        table_keys={"t": ["k"]}, partition_by={"t": ["part"]},
+    )                                                       # v1
+    publish.merge_into_mor(                                 # v2: add col
+        spark, root, "t",
+        spark.createDataFrame([(1, 0, 2, 9)], "k long, part long, v long, extra long"),
+        evolve_schema=True,
+    )
+    ev = publish.schema_changes(root, "t", 1, 2)
+    assert ev == [{"version": 2, "change": "add", "column": "extra"}]

@@ -184,3 +184,69 @@ def test_maintain_store_surfaces_quarantine_backlog(spark, tmp_path):
     )
     report = publish.maintain_store(spark, root)
     assert report["quarantines"] == {"t__quarantine": 1}
+
+
+def test_quarantine_uses_logical_names_after_rename(spark, tmp_path):
+    """When the main table carries a column-rename map, quarantined rows
+    and their __violations labels must cite the LOGICAL names the caller
+    declared constraints in — not the physical file names."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark)}, root, table_keys={"t": ["k"]}
+    )
+    publish.set_constraints(
+        root, "t", [["not_null", "v"]], on_violation="quarantine"
+    )
+    publish.rename_column(spark, root, "t", "v", "value")
+    # constraints followed the rename
+    assert publish.table_constraints(root, "t") == [["not_null", "value"]]
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(1, 11, "ok"), (2, None, "ok")], "k long, value long, status string"
+        ),
+    )
+    q = publish.read_table(spark, root, "t__quarantine")
+    assert q.columns == ["k", "value", "status", "__violations"]
+    rows = {r["k"]: r["__violations"] for r in q.collect()}
+    assert rows == {2: "not_null:value"}
+    # the clean row merged under the logical name
+    cur = {r["k"]: r["value"] for r in publish.read_table(spark, root, "t").collect()}
+    assert cur[1] == 11 and cur[2] == 4
+
+
+def test_quarantine_merge_evolves_with_main_schema(spark, tmp_path):
+    """A main merge that widens the schema (evolve_schema=True) while
+    diverting violators must not abort on the pre-existing NARROWER
+    quarantine table — the quarantine merge evolves alongside, keeping
+    the feed flowing (the whole point of quarantine mode)."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark)}, root, table_keys={"t": ["k"]}
+    )
+    publish.set_constraints(
+        root, "t", [["not_null", "v"]], on_violation="quarantine"
+    )
+    # first batch creates the quarantine table with the narrow schema
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, None, "ok")], "k long, v long, status string"),
+    )
+    assert publish.read_table(spark, root, "t__quarantine").count() == 1
+    # second batch widens the main table AND carries a violator
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(3, 33, "ok", "x3"), (4, None, "ok", "x4")],
+            "k long, v long, status string, extra string",
+        ),
+        evolve_schema=True,
+    )
+    main = {r["k"]: r["extra"]
+            for r in publish.read_table(spark, root, "t").collect()}
+    assert main[3] == "x3"
+    assert main[4] is None  # k=4's update was diverted, not applied
+    q = {r["k"]: (r["v"], r["extra"])
+         for r in publish.read_table(spark, root, "t__quarantine").collect()}
+    assert q[4] == (None, "x4")       # widened quarantine carries the new col
+    assert q[2] == (None, None)       # pre-evolution row null-fills it
