@@ -21,7 +21,6 @@ pattern Delta/Iceberg use for their commit step.
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
 import time
@@ -30,6 +29,11 @@ from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.plans.commit_protocol import (
+    CommitConflict,
+    protocol_for,
+)
 
 MANIFEST = "MANIFEST.json"
 STATS_FILE = "_STATS.json"
@@ -48,54 +52,24 @@ class ConcurrentPublishError(RuntimeError):
     another writer committed first.  Re-read and retry (merge_into does)."""
 
 
-def _manifest_path(root: str) -> str:
-    return os.path.join(root, MANIFEST)
-
-
-@contextlib.contextmanager
 def _manifest_lock(root: str, timeout: float = 60.0, stale: float = 300.0):
     """Advisory commit lock: serializes the read-manifest → build → swap
-    critical section across processes on the same store root (O_CREAT|
-    O_EXCL is atomic on POSIX and most shared filesystems).  Only the
-    COMMIT is serialized — staging writes and validation run fully
-    concurrently outside it, so the lock is held for milliseconds.  A lock
-    older than `stale` seconds is presumed abandoned (crashed writer) and
-    taken over."""
-    path = os.path.join(root, ".MANIFEST.lock")
-    deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.path.getmtime(path) > stale:
-                    os.unlink(path)
-                    continue
-            except OSError:
-                continue  # holder released between the existence check and stat
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"could not acquire manifest lock {path} within {timeout}s"
-                )
-            time.sleep(0.02)
-    try:
-        yield
-    finally:
-        try:
-            os.unlink(path)
-        except OSError:
-            pass
+    critical section across writers of one store root.  Only the COMMIT
+    is serialized — staging writes and validation run fully concurrently
+    outside it, so the lock is held for milliseconds.  A lock older than
+    `stale` seconds is presumed abandoned (crashed writer) and taken over
+    with a token-guarded reap that cannot remove a live waiter's
+    freshly-acquired lock.  Delegates to the store's registered
+    CommitProtocol (POSIX O_EXCL by default; object-store deployments
+    register a CAS backend — see plans/commit_protocol.py)."""
+    return protocol_for(root).lock(root, timeout=timeout, stale=stale)
 
 
 def current_manifest(root: str) -> dict:
-    path = _manifest_path(root)
-    if not os.path.exists(path):
+    manifest = protocol_for(root).read_manifest(root)
+    if manifest is None:
         return {"version": 0, "txid": None, "tables": {}}
-    with open(path, encoding="utf-8") as fh:
-        return json.load(fh)
+    return manifest
 
 
 def _read_entry(spark: SparkSession, entry) -> DataFrame:
@@ -383,7 +357,7 @@ def _update_entry_meta(root: str, name: str, mutate) -> dict:
             "tables": {**prev["tables"], name: entry},
             **_history_fields(root, prev),
         }
-        return _commit(root, txid, manifest)
+        return _commit(root, txid, manifest, based_on=prev["version"])
 
 
 def schema_changes(
@@ -529,7 +503,7 @@ def drop_table(root: str, name: str) -> dict:
             "tables": tables,
             **_history_fields(root, prev),
         }
-        return _commit(root, txid, manifest)
+        return _commit(root, txid, manifest, based_on=prev["version"])
 
 
 def rename_column(
@@ -914,14 +888,22 @@ def publish_tables(
             # live in spilled checkpoint files (see _history_fields)
             **_history_fields(root, prev),
         }
-        return _commit(root, txid, manifest)
+        return _commit(root, txid, manifest, based_on=prev["version"])
 
 
-def _commit(root: str, txid: str, manifest: dict) -> dict:
-    tmp = _manifest_path(root) + f".tmp-{txid}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, indent=2)
-    os.replace(tmp, _manifest_path(root))  # the atomic commit point
+def _commit(
+    root: str, txid: str, manifest: dict, based_on: int | None = None
+) -> dict:
+    """Atomically publish `manifest` through the store's CommitProtocol.
+    `based_on` = the version this writer's critical section read; CAS
+    backends reject a swap whose based_on the live version moved past
+    (→ ConcurrentPublishError, re-read and retry)."""
+    try:
+        protocol_for(root).swap_manifest(
+            root, txid, manifest, based_on=based_on
+        )
+    except CommitConflict as e:
+        raise ConcurrentPublishError(str(e)) from e
     return manifest
 
 
@@ -1047,7 +1029,7 @@ def rollback(root: str, version: int) -> dict:
             "tables": match["tables"],
             **_history_fields(root, manifest),
         }
-        return _commit(root, txid, new)
+        return _commit(root, txid, new, based_on=manifest["version"])
 
 
 def clone_table(
@@ -1103,7 +1085,7 @@ def clone_table(
             "tables": {**manifest["tables"], dest: entry},
             **_history_fields(dest_root, manifest),
         }
-        return _commit(dest_root, txid, new)
+        return _commit(dest_root, txid, new, based_on=manifest["version"])
 
 
 READERS_FILE = "_READERS.json"
@@ -1111,21 +1093,15 @@ READER_DEFAULT_TTL = 7 * 24 * 3600.0
 
 
 def _read_readers(root: str) -> dict:
-    path = os.path.join(root, READERS_FILE)
-    if not os.path.exists(path):
-        return {}
     try:
-        with open(path, encoding="utf-8") as fh:
-            return json.load(fh).get("readers", {})
+        doc = protocol_for(root).read_aux(root, READERS_FILE)
     except (OSError, ValueError):
         return {}
+    return (doc or {}).get("readers", {})
 
 
 def _write_readers(root: str, readers: dict) -> None:
-    tmp = os.path.join(root, READERS_FILE + ".tmp")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"readers": readers}, fh)
-    os.replace(tmp, os.path.join(root, READERS_FILE))
+    protocol_for(root).write_aux(root, READERS_FILE, {"readers": readers})
 
 
 def register_reader(
@@ -1266,7 +1242,8 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
         new_manifest = dict(manifest)
         new_manifest["history"] = keep_hist
         new_manifest.pop("history_spills", None)
-        _commit(root, manifest.get("txid") or "vacuum", new_manifest)
+        _commit(root, manifest.get("txid") or "vacuum", new_manifest,
+                based_on=manifest["version"])
 
     # post-commit cleanup: the superseded checkpoint files, plus any
     # unreferenced _history residue (a spill written by a commit that
@@ -1756,7 +1733,7 @@ def merge_into_mor(
             "tables": {**prev["tables"], name: entry},
             **_history_fields(root, prev),
         }
-        return _commit(root, txid, manifest)
+        return _commit(root, txid, manifest, based_on=prev["version"])
 
 
 def read_changes(
@@ -3348,7 +3325,7 @@ def _recluster_partitions(
             "tables": {**prev["tables"], name: new_entry},
             **_history_fields(root, prev),
         }
-        _commit(root, txid, new_manifest)
+        _commit(root, txid, new_manifest, based_on=prev["version"])
     after_groups: dict[str, list] = {}
     for e in _load_stats_entries(staged) or []:
         after_groups.setdefault(os.path.dirname(e["file"]), []).append(e)
@@ -4458,11 +4435,7 @@ SYNC_FILE = "_SYNC.json"
 
 
 def _sync_state(root: str) -> dict:
-    path = os.path.join(root, SYNC_FILE)
-    if not os.path.exists(path):
-        return {}
-    with open(path, encoding="utf-8") as fh:
-        return json.load(fh)
+    return protocol_for(root).read_aux(root, SYNC_FILE) or {}
 
 
 def _set_sync_state(root: str, key: str, value) -> None:
@@ -4473,10 +4446,7 @@ def _set_sync_state(root: str, key: str, value) -> None:
     with _manifest_lock(root):
         state = _sync_state(root)
         state[key] = value
-        tmp = os.path.join(root, SYNC_FILE + ".tmp")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump(state, fh)
-        os.replace(tmp, os.path.join(root, SYNC_FILE))
+        protocol_for(root).write_aux(root, SYNC_FILE, state)
 
 
 class _MirrorConflict(ValueError):
