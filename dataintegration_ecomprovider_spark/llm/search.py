@@ -95,6 +95,143 @@ def search_postings(
     return hits
 
 
+def doc_lengths(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 2,
+) -> DataFrame:
+    """(doc_id, dl) — total token count per document (the BM25 length
+    normalizer).  Row-local (tokenize + size at the scan, zero shuffles),
+    so it satisfies maintain_rowwise_view's build contract with a stable
+    1:1 key."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col), min_len)).cast("int").alias("dl"),
+    )
+
+
+def maintain_doc_lengths(
+    spark: SparkSession,
+    root: str,
+    src: str = "documents",
+    dst: str = "doc_lengths",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 2,
+) -> dict:
+    """Maintain `dst` as the CDC-driven (doc_id, dl) table of corpus
+    `src` — the per-doc half of the BM25 statistics, kept beside the
+    postings by the same maintain-from-CDC pattern (stable 1:1 keys, so
+    a refresh is a pure O(changed docs) MoR upsert/delete)."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    def _build(rows: DataFrame) -> DataFrame:
+        return doc_lengths(
+            rows, id_col=id_col, text_col=text_col, min_len=min_len
+        )
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=["doc_id"], src_key=id_col, src_key_out="doc_id",
+        stable_keys=True, state_key=f"doc-lengths:{dst}",
+    )
+
+
+def maintain_term_df(
+    spark: SparkSession,
+    root: str,
+    postings: str = "token_postings",
+    dst: str = "term_df",
+) -> dict:
+    """Maintain `dst` as the per-term DOCUMENT FREQUENCY aggregate of the
+    maintained postings table — a chained incremental view (documents →
+    token_postings → term_df): each refresh consumes the POSTINGS
+    table's own CDC feed, and COUNT is self-maintainable, so the cost is
+    O(changed postings) with no recompute path.  Output: (token, cnt)
+    where cnt = number of documents containing the token (postings are
+    distinct per (token, doc))."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    return materialize.maintain_aggregate(
+        spark, root, src=postings, dst=dst,
+        group_cols=["token"], keys=["token", "doc_id"],
+    )
+
+
+def bm25_scores(
+    postings: DataFrame,
+    lengths: DataFrame,
+    term_df: DataFrame,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 scores of every document matching any of `terms`, served
+    entirely from the three maintained tables: (doc_id, matched, score).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  — the Robertson/Sparck
+    Jones formulation with Lucene's +1 floor (never negative).
+
+    Scale shape: the postings filter touches O(matching postings) (file
+    skipping prunes on leading `token` stats when the index is compacted
+    sorted); df arrives from the ≤|terms|-row slice of term_df and the
+    corpus constants (N, avgdl) from one tiny aggregate over the lengths
+    table — both broadcast; the only shuffle is the final per-doc sum.
+    `score` is rounded to 6 places for cross-engine comparability."""
+    terms = [t.lower() for t in terms]
+    # corpus constants: one aggregate over the (doc_id, dl) table,
+    # broadcast to every posting row
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+    )
+    dfs = term_df.filter(F.col("token").isin(terms)).select(
+        "token", F.col("cnt").cast("double").alias("__df")
+    )
+    hits = (
+        postings.filter(F.col("token").isin(terms))
+        .join(F.broadcast(dfs), "token")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / norm
+    return (
+        hits.withColumn("__s", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").cast("int").alias("matched"),
+            F.round(F.sum("__s"), 6).alias("score"),
+        )
+    )
+
+
+def bm25_topk(
+    postings: DataFrame,
+    lengths: DataFrame,
+    term_df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25 ranked search — orderBy+limit plans as a distributed
+    TakeOrderedAndProject (per-partition heaps, no global sort), ties
+    broken by doc_id for determinism."""
+    scores = bm25_scores(postings, lengths, term_df, terms, k1=k1, b=b)
+    return scores.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
 def maintain_text_index(
     spark: SparkSession,
     root: str,

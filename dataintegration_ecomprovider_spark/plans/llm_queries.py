@@ -867,6 +867,101 @@ FROM hits h JOIN probe p USING (doc_id)
 """
 
 
+def q_text_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-RANKED search served entirely from CDC-maintained statistics
+    (round 8, llm/search.py): postings + per-doc lengths + per-term
+    document frequency are three chained incremental views (documents →
+    token_postings → term_df is aggregate-over-a-maintained-view), each
+    refreshed O(changed rows).  Lifecycle mirrors llm_text_index_cdc's
+    curation pass (delete doc_id ≡ 1 mod 5, replace text of doc_id ≡ 2
+    mod 7), refreshes all three from CDC, then returns the top-25 BM25
+    docs for a mixed probe — scores must equal a from-scratch BM25 over
+    the post-curation corpus, which the oracle recomputes."""
+    from dataintegration_ecomprovider_spark.llm import search
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    root = _scratch_store_root("bm25")
+    publish.publish_tables(
+        spark, {"documents": corpus}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+    for fn in (search.maintain_text_index, search.maintain_doc_lengths,
+               search.maintain_term_df):
+        res = fn(spark, root)
+        assert res["mode"] == "seed", res
+    cur = publish.read_table(spark, root, "documents")
+    updated = cur.filter(
+        (F.col("doc_id") % 7 == 2) & (F.col("doc_id") % 5 != 1)
+    ).withColumn("text", F.lit("curated marker text"))
+    deleted = cur.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    publish.merge_into_mor(spark, root, "documents", updated, deletes=deleted)
+    for fn in (search.maintain_text_index, search.maintain_doc_lengths,
+               search.maintain_term_df):
+        res = fn(spark, root)
+        assert res["mode"] == "delta", res
+    return search.bm25_topk(
+        publish.read_table(spark, root, "token_postings"),
+        publish.read_table(spark, root, "doc_lengths"),
+        publish.read_table(spark, root, "term_df"),
+        ["data", "spark", "marker"], k=25,
+    )
+
+
+ORACLE_TEXT_SEARCH_RANKED = """
+WITH curated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN 'curated marker text' ELSE text END
+           AS text
+  FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 1
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) >= 2) AS toks
+  FROM curated
+),
+postings AS (
+  SELECT t.token, d.doc_id,
+         CAST(len(list_filter(d.toks, x -> x = t.token)) AS INTEGER) AS tf
+  FROM toks d, LATERAL (SELECT unnest(list_distinct(d.toks)) AS token) t
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS dl FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(dl AS DOUBLE)) AS avgdl
+  FROM dl
+),
+tdf AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM postings GROUP BY token
+),
+probe AS (
+  SELECT * FROM postings WHERE token IN ('data', 'spark', 'marker')
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(COUNT(DISTINCT p.token) AS INTEGER) AS matched,
+         ROUND(SUM(
+           ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+           * CAST(p.tf AS DOUBLE) * 2.2
+           / (CAST(p.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+         ), 6) AS score
+  FROM probe p
+  JOIN tdf t USING (token)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+SELECT doc_id, matched, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 25
+"""
+
+
 def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: portable-minhash candidate pairs (jaccard
     >= 0.5) grouped into connected components (llm/cluster.py — pointer-
@@ -2129,6 +2224,9 @@ QUERIES = {
     "llm_dedup_incremental": QueryDef(q_incremental_dedup, None),
     "llm_dedup_index_cdc": QueryDef(q_dedup_index_cdc, None),
     "llm_text_index_cdc": QueryDef(q_text_index_cdc, ORACLE_TEXT_INDEX_CDC),
+    "llm_text_search_ranked": QueryDef(
+        q_text_search_ranked, ORACLE_TEXT_SEARCH_RANKED
+    ),
     "llm_dedup_index_cdc_portable": QueryDef(
         q_dedup_index_cdc_portable, ORACLE_DEDUP_INDEX_CDC_PORTABLE
     ),

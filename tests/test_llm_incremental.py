@@ -1053,3 +1053,82 @@ def test_declared_postings_view_refreshes_with_store(spark, tmp_path):
     assert report["views"]["token_postings"]["mode"] == "delta"
     assert {r["doc_id"] for r in publish.read_table(
         spark, root, "token_postings").collect()} == {2}
+
+
+def test_bm25_incremental_matches_recompute(spark, tmp_path):
+    """BM25 statistics (postings, doc lengths, per-term df) maintained
+    incrementally through inserts, edits and deletes must yield EXACTLY
+    the ranking a from-scratch recompute over the current corpus gives —
+    including the chained view (term_df consumes token_postings' own
+    CDC feed, documents → postings → df)."""
+    from dataintegration_ecomprovider_spark.llm import search
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    rows = [
+        (1, "spark shuffles data between stages and spills data to disk"),
+        (2, "broadcast joins keep small data on every executor"),
+        (3, "bm25 ranks documents by term frequency and length"),
+        (4, "spark spark spark data data ranking"),
+    ]
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"documents": _docs(spark, rows)}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+    maintainers = (
+        search.maintain_text_index,
+        search.maintain_doc_lengths,
+        search.maintain_term_df,
+    )
+    for fn in maintainers:
+        assert fn(spark, root)["mode"] == "seed"
+
+    def ranked_from_index(terms):
+        return [
+            (r["doc_id"], r["matched"], r["score"])
+            for r in search.bm25_topk(
+                publish.read_table(spark, root, "token_postings"),
+                publish.read_table(spark, root, "doc_lengths"),
+                publish.read_table(spark, root, "term_df"),
+                terms, k=10,
+            ).collect()
+        ]
+
+    def ranked_recomputed(terms):
+        cur = publish.read_table(spark, root, "documents")
+        postings = search.token_postings(cur)
+        return [
+            (r["doc_id"], r["matched"], r["score"])
+            for r in search.bm25_topk(
+                postings,
+                search.doc_lengths(cur),
+                materialize.aggregate_table(postings, ["token"], []),
+                terms, k=10,
+            ).collect()
+        ]
+
+    terms = ["spark", "data", "ranking"]
+    assert ranked_from_index(terms) == ranked_recomputed(terms)
+
+    # edit (shrinks doc 4's fan-out AND its length), delete doc 2,
+    # insert doc 5 — every statistic must follow
+    publish.merge_into_mor(
+        spark, root, "documents",
+        _docs(spark, [(4, "plain text now"), (5, "fresh data about spark")]),
+        deletes=_docs(spark, [(2, "")]).select("doc_id"),
+    )
+    for fn in maintainers:
+        assert fn(spark, root)["mode"] == "delta"
+    got = ranked_from_index(terms)
+    assert got == ranked_recomputed(terms)
+    ids = [g[0] for g in got]
+    assert 2 not in ids and 5 in ids and 4 not in ids  # 4 no longer matches
+    # df followed the postings' own CDC: 'data' lost docs 2 and 4,
+    # gained doc 5
+    df_now = {
+        r["token"]: r["cnt"]
+        for r in publish.read_table(spark, root, "term_df")
+        .filter(F.col("token").isin(terms)).collect()
+    }
+    assert df_now["data"] == 2 and df_now["spark"] == 2
+    assert "ranking" not in df_now  # retracted to zero and dropped out
