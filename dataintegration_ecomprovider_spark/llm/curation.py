@@ -260,6 +260,222 @@ def decontaminate_exact(
     )
 
 
+def shingle_rows(
+    docs: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(h, <id_col>) — one row per DISTINCT word-n-gram hash per doc.
+    Row-local (shingle + explode at the scan, zero shuffles), so it
+    satisfies maintain_rowwise_view's build contract — the substrate of
+    the persisted decontamination index."""
+    return docs.select(
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("h"),
+        F.col(id_col),
+    )
+
+
+def maintain_corpus_shingles(
+    spark,
+    root: str,
+    src: str = "documents",
+    dst: str = "corpus_shingles",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> dict:
+    """Maintain `dst` as the corpus's (h, doc_id) shingle-hash index,
+    CDC-driven: each refresh re-shingles ONLY changed docs and retracts
+    rows of deleted/shrunken docs (variable fan-out).  This is what lets
+    a NEW benchmark re-check the existing corpus with one indexed join
+    instead of re-shingling 100 TB of text — compact the table sorted on
+    `h` so benchmark-hash probes prune files on the leading stats."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    def _build(rows: DataFrame) -> DataFrame:
+        return shingle_rows(rows, id_col, text_col, n)
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=["h", id_col], src_key=id_col, src_key_out=id_col,
+        stable_keys=False, state_key=f"corpus-shingles:{dst}",
+    )
+
+
+def maintain_benchmark_shingles(
+    spark,
+    root: str,
+    src: str = "benchmarks",
+    dst: str = "benchmark_shingles",
+    id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> dict:
+    """Maintain `dst` as the benchmark set's (h, bench_id) shingle-hash
+    index from CDC — adding or retiring an eval set moves O(that set)'s
+    shingles, and the contamination maintainer re-scores only the corpus
+    docs those hashes touch."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    def _build(rows: DataFrame) -> DataFrame:
+        return shingle_rows(rows, id_col, text_col, n)
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=["h", id_col], src_key=id_col, src_key_out=id_col,
+        stable_keys=False, state_key=f"bench-shingles:{dst}",
+    )
+
+
+def _contamination_scores(
+    cs: DataFrame, bench_hashes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Score a (h, id) corpus-shingle slice against the distinct benchmark
+    hash set: (id, n_shingles, n_overlap, overlap_ratio, contaminated).
+    Same algebra as decontaminate(), served from the index tables instead
+    of re-shingling text."""
+    per_doc = cs.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    ov = (
+        cs.join(bench_hashes, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    joined = per_doc.join(ov, id_col, "left").na.fill({"n_overlap": 0})
+    ratio = F.round(
+        F.col("n_overlap") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+    )
+    return joined.select(
+        id_col,
+        "n_shingles",
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        ratio.alias("overlap_ratio"),
+        (ratio >= threshold).alias("contaminated"),
+    )
+
+
+def maintain_contamination(
+    spark,
+    root: str,
+    corpus_shingles: str = "corpus_shingles",
+    benchmark_shingles: str = "benchmark_shingles",
+    dst: str = "contamination",
+    id_col: str = "doc_id",
+    threshold: float = 0.05,
+) -> dict:
+    """Maintain `dst` = per-doc contamination stats (doc_id, n_shingles,
+    n_overlap, overlap_ratio, contaminated) incrementally over BOTH CDC
+    feeds — the persisted-index answer to decontaminate()'s
+    re-broadcast-the-benchmark-per-call shape:
+
+    - corpus side: docs whose shingle rows changed are re-scored —
+      O(changed docs);
+    - benchmark side: changed benchmark HASHES (a new eval set, or a
+      retired one) probe the corpus-shingle index with one broadcast
+      semi-join, and only the docs CONTAINING those hashes re-score —
+      adding a benchmark costs O(its shingles' postings), never a corpus
+      re-scan of text.
+
+    Affected docs re-score against the CURRENT benchmark hash set and
+    commit as one MoR upsert (+ delete markers for docs with no shingle
+    rows left).  Docs with zero shingles have no row (trivially clean).
+    Refresh AFTER maintain_corpus_shingles / maintain_benchmark_shingles
+    — the maintainer consumes the index tables' own change feeds (the
+    same chained-view pattern as search.maintain_term_df)."""
+    from dataintegration_ecomprovider_spark import runtime
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    state_key = f"contamination:{dst}"
+    manifest = publish.current_manifest(root)
+    src_version = manifest["version"]
+    last = publish._sync_state(root).get(state_key)
+
+    def _bench_hashes():
+        return (
+            publish.read_table(spark, root, benchmark_shingles)
+            .select("h").distinct()
+        )
+
+    def _seed() -> str:
+        scored = _contamination_scores(
+            publish.read_table_at(spark, root, corpus_shingles, src_version),
+            _bench_hashes(), id_col, threshold,
+        )
+        publish.publish_tables(
+            spark, {dst: scored}, root, table_keys={dst: [id_col]}
+        )
+        return "seed"
+
+    if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif last == src_version:
+        return {"dst": dst, "from_version": last, "to_version": src_version,
+                "mode": "noop"}
+    else:
+        try:
+            cs_changes = publish.read_changes(
+                spark, root, corpus_shingles,
+                from_version=last, to_version=src_version,
+                keys=["h", id_col],
+            )
+            bs_changes = publish.read_changes(
+                spark, root, benchmark_shingles,
+                from_version=last, to_version=src_version,
+            )  # keys resolve from the table's recorded (h, bench_id)
+        except KeyError:
+            mode = _seed()
+        else:
+            with runtime.job_scope() as scope:
+                try:
+                    cs_now = publish.read_table_at(
+                        spark, root, corpus_shingles, src_version
+                    )
+                    changed_hashes = runtime.track(
+                        bs_changes.select("h").distinct().persist()
+                    )
+                    touched = runtime.track(
+                        cs_changes.select(id_col).distinct().persist()
+                    )
+                    if (
+                        changed_hashes.limit(1).count() == 0
+                        and touched.limit(1).count() == 0
+                    ):
+                        mode = "empty"
+                    else:
+                        # docs holding a changed benchmark hash: one
+                        # semi-join probe of the shingle index.  Both
+                        # probe sides are left UNHINTED — AQE broadcasts
+                        # the (usually tiny) hash/id sets and falls back
+                        # to a shuffle join instead of blowing the limit
+                        # when a mass benchmark retirement or a stopword
+                        # shingle fans the sets out.
+                        probed = (
+                            cs_now.join(changed_hashes, "h", "left_semi")
+                            .select(id_col).distinct()
+                        )
+                        affected = runtime.track(
+                            touched.unionByName(probed).distinct().persist()
+                        )
+                        cs_slice = cs_now.join(affected, id_col, "left_semi")
+                        scored = runtime.track(
+                            _contamination_scores(
+                                cs_slice, _bench_hashes(), id_col, threshold
+                            ).persist()
+                        )
+                        gone = affected.join(
+                            scored.select(id_col), id_col, "left_anti"
+                        )
+                        publish.merge_into_mor(
+                            spark, root, dst, scored,
+                            keys=[id_col], deletes=gone,
+                        )
+                        mode = "delta"
+                finally:
+                    scope.release(spark)
+    publish._set_sync_state(root, state_key, src_version)
+    return {"dst": dst, "from_version": last, "to_version": src_version,
+            "mode": mode}
+
+
 def line_dedup(
     corpus: DataFrame,
     *,

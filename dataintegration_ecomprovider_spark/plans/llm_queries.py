@@ -2042,6 +2042,115 @@ FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id
 """
 
 
+def q_decontaminate_incremental_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination as a PERSISTED, CDC-MAINTAINED index (round 8,
+    llm/curation.py): corpus shingles and benchmark shingles are two
+    maintained (h, id) tables; `contamination` is a chained view over
+    BOTH change feeds, so adding a NEW benchmark re-scores only the docs
+    holding its shingles (one index probe) and corpus churn re-scores
+    only changed docs — never a per-call benchmark re-broadcast over
+    re-shingled text.  Lifecycle: seed (corpus = doc_id % 3 ≠ 0,
+    benchmarks = src0 ∩ doc_id % 3 = 0) → ADD benchmarks copying the
+    original text of corpus docs ≡ 1 (mod 11) → corpus churn (delete
+    ≡ 3 mod 13, rewrite ≡ 4 mod 17 to a clean marker) → refresh →
+    return the contamination table, which must equal a from-scratch
+    decontaminate() over the final state (the oracle recomputes it with
+    the portable md5 shingle family)."""
+    from dataintegration_ecomprovider_spark.llm import curation
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    bench = (
+        docs.filter((F.col("source") == "src0") & (F.col("doc_id") % 3 == 0))
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    root = _scratch_store_root("decon")
+    publish.publish_tables(
+        spark, {"documents": corpus, "benchmarks": bench}, root,
+        table_keys={"documents": ["doc_id"], "benchmarks": ["bench_id"]},
+    )
+    maintainers = (
+        curation.maintain_corpus_shingles,
+        curation.maintain_benchmark_shingles,
+        curation.maintain_contamination,
+    )
+    for fn in maintainers:
+        res = fn(spark, root)
+        assert res["mode"] == "seed", res
+    # new eval set: verbatim corpus texts — the index probe must re-flag
+    # exactly the docs containing these shingles
+    new_bench = corpus.filter(F.col("doc_id") % 11 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("bench_id"), "text"
+    )
+    publish.merge_into_mor(spark, root, "benchmarks", new_bench)
+    # corpus churn in the same span
+    cur = publish.read_table(spark, root, "documents")
+    updated = cur.filter(
+        (F.col("doc_id") % 17 == 4) & (F.col("doc_id") % 13 != 3)
+    ).withColumn("text", F.lit("fresh unseen vocabulary entirely clean"))
+    deleted = cur.filter(F.col("doc_id") % 13 == 3).select("doc_id")
+    publish.merge_into_mor(spark, root, "documents", updated, deletes=deleted)
+    for fn in maintainers:
+        res = fn(spark, root)
+        assert res["mode"] == "delta", res
+    return publish.read_table(spark, root, "contamination")
+
+
+ORACLE_DECONTAMINATE_INCREMENTAL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 4
+              THEN 'fresh unseen vocabulary entirely clean'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 3 <> 0 AND doc_id % 13 <> 3
+),
+bench_docs AS (
+  SELECT text FROM documents WHERE source = 'src0' AND doc_id % 3 = 0
+  UNION ALL
+  SELECT text FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 11 = 1
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> {md5_int60_sql("array_to_string(w[i:i+2], ' ')")})) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM corpus)
+),
+bsh AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 0) + 1),
+           i -> {md5_int60_sql("array_to_string(w[i:i+2], ' ')")}))) AS h
+  FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS w
+        FROM bench_docs)
+),
+totals AS (
+  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles
+  FROM csh WHERE len(shingles) >= 1
+),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(shingles) AS h FROM csh)
+  WHERE h IN (SELECT h FROM bsh)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(o.n_overlap, 0) / greatest(t.n_shingles, 1), 6)
+         AS overlap_ratio,
+       (ROUND(COALESCE(o.n_overlap, 0) / greatest(t.n_shingles, 1), 6) >= 0.05)
+         AS contaminated
+FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+"""
+
+
 # --- end-to-end curation pipeline (round 6) --------------------------------
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data curation pipeline END-TO-END as ONE declarative
@@ -2280,6 +2389,9 @@ QUERIES = {
     "llm_chunk_documents": QueryDef(q_chunk_documents, ORACLE_CHUNK_DOCUMENTS),
     "llm_repetition_metrics": QueryDef(q_repetition_metrics, ORACLE_REPETITION),
     "llm_decontaminate": QueryDef(q_decontaminate, ORACLE_DECONTAMINATE),
+    "llm_decontaminate_incremental_portable": QueryDef(
+        q_decontaminate_incremental_portable, ORACLE_DECONTAMINATE_INCREMENTAL
+    ),
     "llm_curation_pipeline": QueryDef(
         q_curation_pipeline, ORACLE_CURATION_PIPELINE
     ),

@@ -128,3 +128,112 @@ def test_line_dedup_removes_global_boilerplate(spark):
     assert got[3] == ("third doc distinct content line", 1)
     assert got[4] == ("", 1)
     # short lines ("ok") are never candidates even though repeated
+
+
+def _bench(spark, rows):
+    return spark.createDataFrame(rows, "bench_id long, text string")
+
+
+def test_incremental_contamination_matches_recompute(spark, tmp_path):
+    """The persisted decontamination index (corpus shingles + benchmark
+    shingles + contamination, all CDC-maintained) must equal a
+    from-scratch decontaminate() over the current corpus/benchmark state
+    at every step — and adding a NEW benchmark must re-flag exactly the
+    docs containing its shingles, via the index probe, not a corpus
+    re-scan."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    corpus0 = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "machine learning models train on deduplicated corpora daily"),
+        (3, "completely unrelated words about gardening and cooking herbs"),
+        (4, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    bench0 = [(100, "machine learning models train on clean data")]
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {
+            "documents": spark.createDataFrame(corpus0, "doc_id long, text string"),
+            "benchmarks": _bench(spark, bench0),
+        },
+        root,
+        table_keys={"documents": ["doc_id"], "benchmarks": ["bench_id"]},
+    )
+    maintainers = (
+        curation.maintain_corpus_shingles,
+        curation.maintain_benchmark_shingles,
+        curation.maintain_contamination,
+    )
+    for fn in maintainers:
+        assert fn(spark, root)["mode"] == "seed"
+
+    def stored():
+        return {
+            r["doc_id"]: (
+                r["n_shingles"], r["n_overlap"],
+                r["overlap_ratio"], r["contaminated"],
+            )
+            for r in publish.read_table(spark, root, "contamination").collect()
+        }
+
+    def recomputed():
+        docs = publish.read_table(spark, root, "documents")
+        bench = publish.read_table(spark, root, "benchmarks")
+        return {
+            r["doc_id"]: (
+                r["n_shingles"], r["n_overlap"],
+                r["overlap_ratio"], r["contaminated"],
+            )
+            for r in curation.decontaminate(
+                docs, bench, id_col="doc_id", n=3, threshold=0.05
+            ).collect()
+            if r["n_shingles"] > 0
+        }
+
+    assert stored() == recomputed()
+    assert stored()[2][3] is True   # overlaps bench 100
+    assert stored()[1][3] is False
+
+    # NEW benchmark = doc 1's exact text → docs 1 and 4 (shared prefix)
+    # must re-flag; doc 2's row must NOT change identity
+    publish.merge_into_mor(
+        spark, root, "benchmarks",
+        _bench(spark, [(101, corpus0[0][1])]),
+    )
+    assert curation.maintain_corpus_shingles(spark, root)["mode"] == "empty"
+    assert curation.maintain_benchmark_shingles(spark, root)["mode"] == "delta"
+    assert curation.maintain_contamination(spark, root)["mode"] == "delta"
+    assert stored() == recomputed()
+    assert stored()[1][3] is True and stored()[4][3] is True
+
+    # corpus churn: delete doc 3, rewrite doc 4 clean, insert doc 5
+    # copying benchmark 100's text
+    publish.merge_into_mor(
+        spark, root, "documents",
+        spark.createDataFrame(
+            [(4, "totally fresh vocabulary nothing shared here"),
+             (5, bench0[0][1])],
+            "doc_id long, text string",
+        ),
+        deletes=spark.createDataFrame([(3,)], "doc_id long"),
+    )
+    assert curation.maintain_corpus_shingles(spark, root)["mode"] == "delta"
+    assert curation.maintain_benchmark_shingles(spark, root)["mode"] == "empty"
+    assert curation.maintain_contamination(spark, root)["mode"] == "delta"
+    got = stored()
+    assert got == recomputed()
+    assert 3 not in got              # retracted with its shingle rows
+    assert got[5][3] is True and got[5][1] == got[5][0]  # full overlap
+    assert got[4][3] is False
+
+    # retire benchmark 101: docs 1 and 4 lose their overlap
+    publish.merge_into_mor(
+        spark, root, "benchmarks",
+        _bench(spark, []).limit(0),
+        deletes=spark.createDataFrame([(101,)], "bench_id long"),
+    )
+    assert curation.maintain_benchmark_shingles(spark, root)["mode"] == "delta"
+    assert curation.maintain_contamination(spark, root)["mode"] == "delta"
+    assert stored() == recomputed()
+    assert stored()[1][3] is False
