@@ -582,6 +582,7 @@ def drop_column(spark: SparkSession, root: str, name: str, col: str) -> dict:
     if isinstance(entry, dict):
         protected = set(entry.get("keys") or [])
         protected |= set(entry.get("partition_by") or [])
+        protected |= set(entry.get("partition_spec") or [])
         protected |= set(entry.get("bucket_keys") or [])
         # bucketed merge tables record NORMALIZED '__k_<col>' bucket keys;
         # the underlying source column is equally load-bearing (mirror
@@ -610,6 +611,50 @@ def drop_column(spark: SparkSession, root: str, name: str, col: str) -> dict:
         else:
             e.pop("renames", None)
         e["dropped"] = dropped + [phys]
+
+    return _update_entry_meta(root, name, mutate)
+
+
+def set_partition_spec(
+    spark: SparkSession, root: str, name: str, partition_by: Sequence[str]
+) -> dict:
+    """Declare a NEW hive-partition spec for `name` WITHOUT rewriting any
+    data — an O(1) metadata commit (the Iceberg partition-spec-evolution
+    role: at 100 TB "repartition the table by (year, tenant)" must not
+    cost an up-front O(table) rewrite).
+
+    The committed base keeps its recorded layout, and every reader —
+    current, time-traveled, CDC — keeps pruning each version's files
+    under the spec they were WRITTEN under; merge-on-read merges continue
+    unchanged.  The declared spec takes effect at the table's next FULL
+    rewrite: compact() (the lazy migration point), a copy-on-write
+    merge_into, or any full publish — after which the fresh files lie in
+    the new directories and the declaration folds away.  Declaring the
+    table's current layout cancels a pending declaration; an empty spec
+    declares the table unpartitioned.  Bucketed tables refuse (the
+    bucket hash pins their layout).
+
+    CDC across the declaration emits ZERO row changes (the entry's data
+    signature is untouched) and the O(delta) fast paths bridge it."""
+    entry = current_manifest(root)["tables"].get(name)
+    if entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    if isinstance(entry, dict) and entry.get("bucket_keys"):
+        raise ValueError(
+            f"table {name!r} is bucketed; partition evolution does not "
+            "apply to bucket layouts"
+        )
+    logical_cols = _logical_view(entry, _read_entry(spark, entry)).columns
+    missing = [c for c in partition_by if c not in logical_cols]
+    if missing:
+        raise ValueError(f"{name!r} has no column(s) {missing}")
+    phys = [_phys_name(entry, c) for c in partition_by]
+
+    def mutate(e: dict) -> None:
+        if phys == list(e.get("partition_by") or []):
+            e.pop("partition_spec", None)
+        else:
+            e["partition_spec"] = phys
 
     return _update_entry_meta(root, name, mutate)
 
@@ -755,6 +800,18 @@ def publish_tables(
     def _parts_for(name: str) -> list[str] | None:
         if partition_by and name in partition_by:
             return list(partition_by[name])
+        prev_entry = prev["tables"].get(name)
+        if isinstance(prev_entry, dict) and "partition_spec" in prev_entry:
+            # a declared spec evolution (set_partition_spec): any FULL
+            # write of the table is the migration point — fresh files
+            # land under the declared layout and the declaration folds
+            # away (the new entry records it as its partition_by).  An
+            # empty declared spec migrates to unpartitioned.
+            spec = list(prev_entry["partition_spec"])
+            if not (column_map and name in column_map):
+                renames, _ = _column_map(prev_entry)
+                spec = [renames.get(v, v) for v in spec]
+            return spec or None
         return _carried(name, "partition_by")
 
     for name, df in outputs.items():
@@ -3302,6 +3359,10 @@ def _recluster_partitions(
         new_entry["keys"] = list(entry["keys"])
     if entry.get("constraints"):
         new_entry["constraints"] = [list(s) for s in entry["constraints"]]
+    if "partition_spec" in entry:
+        # recluster rewrites WITHIN the current directories; a pending
+        # spec declaration stays pending until a full rewrite migrates
+        new_entry["partition_spec"] = list(entry["partition_spec"])
     _ren, _drp = _column_map(entry)
     if _ren:
         new_entry["renames"] = _ren
@@ -4347,15 +4408,28 @@ def _compact_once(
     # composition unions physical delta files across a bridge and would
     # mix old and new names); sort/cluster columns stay logical.
     rw = None if materialize else {name: read_version}
+    # the layout this compact will WRITE: a pending set_partition_spec
+    # declaration wins over the base's recorded layout (compact is the
+    # lazy migration point; a pending [] migrates to unpartitioned)
+    if isinstance(entry, dict) and "partition_spec" in entry:
+        parts_target = list(entry["partition_spec"])
+    elif isinstance(entry, dict):
+        parts_target = list(entry.get("partition_by") or [])
+    else:
+        parts_target = []
     if (sort_by or cluster_by or target_files is not None) and isinstance(
         entry, dict
-    ) and (entry.get("bucket_keys") or entry.get("partition_by")):
+    ) and (entry.get("bucket_keys") or parts_target):
         # bucketed rewrites are pinned to one-file-per-bucket on the
         # bucket hash, hive-partitioned rewrites to their directory
         # layout — silently ignoring the clustering request would report
         # success while changing nothing (and a metadata-gated recluster
         # loop would then pay a full rewrite every pass forever)
-        pinned = "bucket_keys" if entry.get("bucket_keys") else "partition_by"
+        pinned = (
+            "bucket_keys" if entry.get("bucket_keys")
+            else "partition_spec" if "partition_spec" in entry
+            else "partition_by"
+        )
         asked = (
             "sort_by" if sort_by
             else "cluster_by" if cluster_by else "target_files"
@@ -4386,11 +4460,13 @@ def _compact_once(
             rewrite_of=rw,
             column_map=cmap,
         )
-    elif isinstance(entry, dict) and entry.get("partition_by"):
-        # hive-partitioned: co-locate each partition value's rows in one
-        # task so every `col=val` directory compacts to ~one file; the
-        # partition spec itself carries forward through publish_tables
-        parts = list(entry["partition_by"])
+    elif parts_target:
+        # hive-partitioned (including a pending spec evolution): co-locate
+        # each TARGET partition value's rows in one task so every
+        # `col=val` directory compacts to ~one file; the spec itself
+        # carries forward through publish_tables (_parts_for prefers a
+        # pending declaration, which this rewrite folds away)
+        parts = list(parts_target)
         if materialize:
             parts = [renames.get(p, p) for p in parts]
         new_manifest = publish_tables(

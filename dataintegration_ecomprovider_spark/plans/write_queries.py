@@ -1243,6 +1243,72 @@ FROM orders WHERE o_custkey <= 100
 """
 
 
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION over the versioned store (round 8,
+    publish.set_partition_spec — the Iceberg spec-evolution role): at
+    100 TB "repartition by a different column" must not cost an O(table)
+    rewrite up front.  Lifecycle: publish orders hive-partitioned by
+    o_year → declare o_orderstatus as the new spec (O(1) metadata —
+    asserted zero file movement) → merge-on-read a price bump against
+    the OLD-era base (which still prunes under the spec its files were
+    written under — asserted) → compact, the lazy migration point, after
+    which the fresh files lie under o_orderstatus= directories and prune
+    on the NEW spec (asserted) while time travel keeps serving the old
+    era under o_year.  Returns a pruned scan on the new partition
+    column; the oracle replays price bump + filter in plain SQL."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("pevo_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+        F.year("o_orderdate").alias("o_year"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base}, root,
+        partition_by={"orders": ["o_year"]},
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    files = sorted(publish._data_files(entry["path"]))
+    publish.set_partition_spec(spark, root, "orders", ["o_orderstatus"])
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    if sorted(publish._data_files(entry["path"])) != files:
+        raise AssertionError("spec declaration must not move data files")
+    cur = publish.read_table(spark, root, "orders")
+    publish.merge_into_mor(
+        spark, root, "orders",
+        cur.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("price", F.round(F.col("price") + 1.0, 2)),
+    )
+    # old era still prunes under the spec it was written under
+    kept, total = publish.prune_files(root, "orders", [("o_year", "=", 1995)])
+    if not (0 < len(kept) < total):
+        raise AssertionError(f"old-spec pruning lost: kept {len(kept)}/{total}")
+    publish.compact(spark, root, "orders")
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    if entry.get("partition_by") != ["o_orderstatus"] or "partition_spec" in entry:
+        raise AssertionError(f"migration did not fold the spec: {entry.keys()}")
+    kept, total = publish.prune_files(
+        root, "orders", [("o_orderstatus", "=", "O")]
+    )
+    if not (0 < len(kept) < total):
+        raise AssertionError(f"new-spec pruning lost: kept {len(kept)}/{total}")
+    return publish.scan_table(
+        spark, root, "orders", [("o_orderstatus", "=", "O")]
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "price", "o_year")
+
+
+ORACLE_PARTITION_EVOLUTION = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       ROUND(ROUND(o_totalprice, 2)
+             + CASE WHEN o_orderkey % 10 = 0 THEN 1.0 ELSE 0.0 END,
+             2) AS price,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
 def q_constraints_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted constraints with QUARANTINE routing (round 7,
     publish.set_constraints — Delta CHECK constraints + the reference's
@@ -2126,6 +2192,9 @@ QUERIES = {
     "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),
     "u12_data_skipping_scan": QueryDef(q_data_skipping_scan, ORACLE_DATA_SKIPPING_SCAN),
     "u12_column_mapping": QueryDef(q_column_mapping, ORACLE_COLUMN_MAPPING),
+    "u12_partition_evolution": QueryDef(
+        q_partition_evolution, ORACLE_PARTITION_EVOLUTION
+    ),
     "u12_constraints_quarantine": QueryDef(
         q_constraints_quarantine, ORACLE_CONSTRAINTS_QUARANTINE
     ),

@@ -1523,3 +1523,117 @@ def test_reader_lease_observability_and_stall_alarm(spark, tmp_path):
         spark, root, orphan_min_age_seconds=0, reader_lag_warn_versions=None
     )
     assert "reader_warnings" not in report
+
+
+def test_partition_spec_evolution_is_metadata_then_lazy_migration(spark, store):
+    """set_partition_spec (Iceberg spec-evolution role): declaring a new
+    partition layout is O(1) metadata — zero data movement, old files
+    stay readable AND pruned under the spec they were written under —
+    and the next full rewrite (compact, the lazy migration point)
+    adopts the new layout while time travel keeps serving the old era
+    under its own spec."""
+    df = _orders(spark).withColumn("o_year", F.year("o_orderdate"))
+    publish.publish_tables(
+        spark, {"orders": df}, store, partition_by={"orders": ["o_year"]},
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    entry = publish.current_manifest(store)["tables"]["orders"]
+    files_before = sorted(publish._data_files(entry["path"]))
+    v1 = publish.current_manifest(store)["version"]
+
+    publish.set_partition_spec(spark, store, "orders", ["o_orderstatus"])
+    entry = publish.current_manifest(store)["tables"]["orders"]
+    # pure metadata: same base path, same files, old layout still recorded
+    assert sorted(publish._data_files(entry["path"])) == files_before
+    assert entry["partition_by"] == ["o_year"]
+    assert entry["partition_spec"] == ["o_orderstatus"]
+    # the old era still PRUNES under its written spec
+    years = [r[0] for r in publish.read_table(spark, store, "orders")
+             .select("o_year").distinct().collect()]
+    kept, total = publish.prune_files(
+        store, "orders", [("o_year", "=", years[0])]
+    )
+    assert len(kept) < total
+    # CDC across the declaration: zero row changes
+    assert publish.read_changes(
+        spark, store, "orders", from_version=v1
+    ).count() == 0
+
+    # MoR writes continue unchanged against the old base
+    publish.merge_into_mor(
+        spark, store, "orders",
+        publish.read_table(spark, store, "orders").limit(10)
+        .withColumn("o_totalprice", F.lit(9.99)),
+    )
+    assert publish.read_table(spark, store, "orders").filter(
+        F.col("o_totalprice") == 9.99
+    ).count() == 10
+
+    # lazy migration: compact folds deltas AND adopts the declared spec
+    cols = sorted(publish.read_table(spark, store, "orders").columns)
+    before = _rows(publish.read_table(spark, store, "orders").select(*cols))
+    publish.compact(spark, store, "orders")
+    entry = publish.current_manifest(store)["tables"]["orders"]
+    assert entry["partition_by"] == ["o_orderstatus"]
+    assert "partition_spec" not in entry
+    assert any("o_orderstatus=" in p for p in publish._data_files(entry["path"]))
+    assert not any("o_year=" in p for p in publish._data_files(entry["path"]))
+    # values identical (the hive write moves the new partition column to
+    # the end of the schema, as any partitioned publish does)
+    assert _rows(publish.read_table(spark, store, "orders").select(*cols)) == before
+    # the NEW era prunes under the new spec...
+    kept, total = publish.prune_files(
+        store, "orders", [("o_orderstatus", "=", "O")]
+    )
+    assert len(kept) < total
+    # ...and time travel prunes the OLD era under the spec it was
+    # written under (both eras answer pruned scans, no extra rewrite)
+    old = publish.scan_table_at(
+        spark, store, "orders", v1, [("o_year", "=", years[0])]
+    )
+    assert old.count() == df.filter(F.col("o_year") == years[0]).count()
+
+
+def test_partition_spec_declare_current_cancels_and_empty_unpartitions(
+    spark, store
+):
+    df = _orders(spark).withColumn("o_year", F.year("o_orderdate"))
+    publish.publish_tables(
+        spark, {"orders": df}, store, partition_by={"orders": ["o_year"]},
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    publish.set_partition_spec(spark, store, "orders", ["o_orderstatus"])
+    assert "partition_spec" in publish.current_manifest(store)["tables"]["orders"]
+    # re-declaring the CURRENT layout cancels the pending evolution
+    publish.set_partition_spec(spark, store, "orders", ["o_year"])
+    entry = publish.current_manifest(store)["tables"]["orders"]
+    assert "partition_spec" not in entry
+    assert entry["partition_by"] == ["o_year"]
+    # an empty spec migrates to UNPARTITIONED at the next rewrite —
+    # and a sort_by compact is then legitimate in the same pass
+    publish.set_partition_spec(spark, store, "orders", [])
+    publish.compact(spark, store, "orders", sort_by=["o_custkey"], target_files=4)
+    entry = publish.current_manifest(store)["tables"]["orders"]
+    assert "partition_by" not in entry and "partition_spec" not in entry
+    assert not any("o_year=" in p for p in publish._data_files(entry["path"]))
+    kept, total = publish.prune_files(
+        store, "orders", [("o_custkey", "<=", 50)]
+    )
+    assert len(kept) < total  # sorted rewrite skips on the sort column
+    # a dropped guard: spec columns can't be dropped while declared
+    publish.set_partition_spec(spark, store, "orders", ["o_orderstatus"])
+    with pytest.raises(ValueError, match="key/partition/bucket"):
+        publish.drop_column(spark, store, "orders", "o_orderstatus")
+
+
+def test_partition_spec_refuses_bucketed_and_unknown_columns(spark, store):
+    df = _orders(spark)
+    publish.publish_tables(
+        spark, {"orders": df}, store,
+        bucket_keys={"orders": ["o_orderkey"]}, num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        publish.set_partition_spec(spark, store, "orders", ["o_orderstatus"])
+    publish.publish_tables(spark, {"plain": df.limit(10)}, store)
+    with pytest.raises(ValueError, match="no column"):
+        publish.set_partition_spec(spark, store, "plain", ["nope"])
