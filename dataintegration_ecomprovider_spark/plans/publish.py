@@ -902,6 +902,11 @@ def publish_tables(
             entry["constraints"] = [
                 list(s) for s in prev_entry["constraints"]
             ]
+            if prev_entry.get("on_violation"):
+                # the violation MODE travels with the specs — dropping it
+                # here would silently flip a quarantine-mode table back
+                # to hard-fail at its first copy-on-write rewrite
+                entry["on_violation"] = prev_entry["on_violation"]
             staged_paths[name] = entry
 
     for name, entry in staged_paths.items():
@@ -1499,6 +1504,45 @@ def merge_into(
                 f"table {name!r} has no recorded keys — pass keys= or "
                 "publish with publish_tables(table_keys=...)"
             )
+    prev_entry = current_manifest(root)["tables"].get(name)
+    if (
+        isinstance(prev_entry, dict)
+        and prev_entry.get("on_violation") == "quarantine"
+        and prev_entry.get("constraints")
+    ):
+        # S7 row-skipping on the COPY-ON-WRITE path too: the staging rows
+        # ARE the row provenance, so split them exactly like merge_into_mor
+        # does — violators divert to <name>__quarantine, clean rows merge,
+        # the feed keeps flowing.  The CoW path runs in LOGICAL column
+        # space throughout (read_table → upsert → publish resets any map),
+        # and so do the stored constraint specs, so no translation is
+        # needed.  Specs referencing columns the staging doesn't carry
+        # fall through to the publish-time full-state validation (a row
+        # that doesn't set a column can't newly violate it); table-level
+        # checks (unique / row_count) likewise stay publish-time.
+        row_local = [
+            s for s in prev_entry["constraints"]
+            if s[0] in _ROW_LOCAL_CONSTRAINTS
+            and set(_constraint_columns(s)) <= set(staging.columns)
+        ]
+        if row_local:
+            cond = _constraint_condition(row_local)
+            bad = staging.filter(
+                ~F.coalesce(cond, F.lit(False))
+            ).withColumn("__violations", _violation_labels(row_local))
+            if bad.limit(1).count():
+                qname = f"{name}__quarantine"
+                if qname in current_manifest(root)["tables"]:
+                    merge_into_mor(
+                        spark, root, qname, bad, keys=list(keys),
+                        evolve_schema=True,
+                    )
+                else:
+                    publish_tables(
+                        spark, {qname: bad}, root,
+                        table_keys={qname: list(keys)},
+                    )
+                staging = staging.filter(cond)
     last_err: ConcurrentPublishError | None = None
     for _attempt in range(5):
         base_version = current_manifest(root)["version"]
@@ -5085,14 +5129,15 @@ def set_constraints(
     O(table) re-check per nightly pass would be pure waste.  Pass an
     empty list to clear.  Returns the new manifest.
 
-    ``on_violation="quarantine"`` changes merge_into_mor's response to a
+    ``on_violation="quarantine"`` changes the response of BOTH merge
+    paths — merge_into_mor and the copy-on-write merge_into — to a
     ROW-LOCAL violation from abort to DIVERT: violating staging rows
     land in ``<name>__quarantine`` (same keys, plus a ``__violations``
     column naming the failed specs) and the clean rows merge normally —
     the store-level form of the reference's row-skipping sink
     (src/.../S7: skip bad rows, keep the feed flowing).  Table-level
-    checks (unique / row_count) and full publishes still fail hard —
-    there is no "row" to divert.  The quarantine commit lands as its
+    checks (unique / row_count) and plain full publish_tables still
+    fail hard — there is no per-row provenance to divert there.  The quarantine commit lands as its
     own version immediately BEFORE the clean merge's — a crash between
     the two leaves the quarantine rows recorded and the clean rows
     unapplied; the retry re-merges both idempotently (key-based

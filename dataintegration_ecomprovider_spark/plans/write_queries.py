@@ -1404,6 +1404,53 @@ FROM quar
 """
 
 
+def q_constraints_quarantine_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing on the COPY-ON-WRITE merge path (round 8):
+    identical lifecycle to u12_constraints_quarantine, but the violating
+    batch lands via merge_into (full-rewrite upsert) instead of
+    merge_into_mor — the staging rows are the row provenance, so the
+    same split applies: clean rows merge, violators divert to
+    orders__quarantine with their violation labels.  Same oracle — both
+    merge paths must produce the identical main ∪ quarantine state."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("cqc_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 4 != 0)}, root,
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    publish.set_constraints(
+        root, "orders",
+        [["not_null", "price"], ["values_in", "o_orderstatus", ["O", "F", "P"]]],
+        on_violation="quarantine",
+    )
+    staged = (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 6 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "price",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+            .otherwise(F.round(F.col("price") + 1.0, 2)),
+        )
+    )
+    publish.merge_into(spark, root, "orders", staged)
+    main = publish.read_table(spark, root, "orders").withColumn(
+        "__violations", F.lit(None).cast("string")
+    ).withColumn("tbl", F.lit("main"))
+    quar = publish.read_table(spark, root, "orders__quarantine").withColumn(
+        "tbl", F.lit("quarantine")
+    )
+    return main.unionByName(quar)
+
+
 def q_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter data skipping (round 4): orders is published hash-
     scattered into 8 files (every file's o_orderkey [min, max] spans the
@@ -2197,6 +2244,9 @@ QUERIES = {
     ),
     "u12_constraints_quarantine": QueryDef(
         q_constraints_quarantine, ORACLE_CONSTRAINTS_QUARANTINE
+    ),
+    "u12_constraints_quarantine_cow": QueryDef(
+        q_constraints_quarantine_cow, ORACLE_CONSTRAINTS_QUARANTINE
     ),
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),

@@ -250,3 +250,52 @@ def test_quarantine_merge_evolves_with_main_schema(spark, tmp_path):
          for r in publish.read_table(spark, root, "t__quarantine").collect()}
     assert q[4] == (None, "x4")       # widened quarantine carries the new col
     assert q[2] == (None, None)       # pre-evolution row null-fills it
+
+
+def test_cow_merge_quarantines_violating_staging(spark, tmp_path):
+    """on_violation='quarantine' applies to the copy-on-write merge path
+    too: merge_into splits its staging exactly like merge_into_mor —
+    violators divert, clean rows merge, maintain_store still reports the
+    backlog — and a later MoR merge shares the same quarantine table."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark)}, root, table_keys={"t": ["k"]}
+    )
+    publish.set_constraints(
+        root, "t",
+        [["not_null", "v"], ["values_in", "status", ["ok", "hold"]]],
+        on_violation="quarantine",
+    )
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(1, 11, "ok"), (2, None, "ok"), (3, 33, "BAD"), (50, 55, "hold")],
+            "k long, v long, status string",
+        ),
+    )
+    cur = {r["k"]: (r["v"], r["status"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert cur[1] == (11, "ok") and cur[50] == (55, "hold")
+    assert cur[2] == (4, "ok") and cur[3] == (6, "ok")  # bad rows skipped
+    q = {r["k"]: r["__violations"]
+         for r in publish.read_table(spark, root, "t__quarantine").collect()}
+    assert set(q) == {2, 3}
+    assert "not_null:v" in q[2] and "values_in:status" in q[3]
+    report = publish.maintain_store(spark, root)
+    assert report["quarantines"] == {"t__quarantine": 2}
+    # the MoR path upserts into the SAME quarantine table
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, -1, "NOPE")], "k long, v long, status string"),
+    )
+    q = {r["k"]: r["__violations"]
+         for r in publish.read_table(spark, root, "t__quarantine").collect()}
+    assert q[2] == "values_in:status"
+    # a fully-clean CoW batch after quarantine mode: no diversion, merges
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame([(60, 6, "ok")], "k long, v long, status string"),
+    )
+    assert publish.read_table(spark, root, "t").filter(
+        F.col("k") == 60
+    ).count() == 1
