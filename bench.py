@@ -64,6 +64,10 @@ HEADLINE = [
     "llm_text_index_cdc",           # inverted text index maintained from CDC + keyword search (round 7)
     "llm_mixture_epochs",           # token-budget mixture with upsampling epochs (round 7)
     "u12_constraints_quarantine",   # persisted constraints + quarantine routing (round 7)
+    "u12_partition_evolution",      # O(1) spec change + lazy migration at compact (round 8)
+    "llm_text_search_ranked",       # BM25 top-k from three CDC-maintained tables (round 8)
+    "llm_decontaminate_incremental_portable",  # persisted decon index over two CDC feeds (round 8)
+    "u12_sql_merge",                # SQL MERGE front-end → same merge engine (round 8)
 ]
 
 

@@ -1,0 +1,207 @@
+"""SQL DML front-end for the versioned store — MERGE / DELETE / INSERT
+statements translating to the store's merge family, so pure-SQL tooling
+can WRITE the store (register_store already covers reads).
+
+The reference's callers speak SQL to SQL Server; this store's write
+surface was Python-only (merge_into / merge_into_mor), which walls off
+every SQL-speaking orchestrator.  ``store_sql(spark, root).sql(...)``
+accepts the Delta-Lake-shaped canonical DML forms and routes them to the
+same engine paths the Python API uses — identical semantics by
+construction (the round-trip parity suite in tests/test_store_sql.py
+pins the U1-U3 mode matrix plus delete-incoming against the Python API):
+
+    MERGE INTO t USING s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *        -- U1/U2 full upsert
+    MERGE INTO t USING s ON ... WHEN NOT MATCHED THEN INSERT *   -- U3 insert-only
+    MERGE INTO t USING s ON ... WHEN MATCHED THEN UPDATE SET *   -- U3 update-only
+    MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE         -- U4 delete-incoming
+    DELETE FROM t WHERE <predicate>
+    INSERT INTO t <SELECT ...>
+
+`s` (the source) may be a session temp view, another table of the same
+store, or a parenthesized SELECT (run against the store's registered
+views plus any session views).  The ON clause must be an AND-conjunction
+of target=source column equalities — the store's merges are key-based,
+exactly like its Python API (arbitrary ON predicates are SQL Server's
+generality, not MERGE-on-keys semantics).
+
+``mor=True`` routes through merge_into_mor (O(staging) delta commits);
+the default is the copy-on-write merge_into.  DELETE FROM always
+rewrites (it has no per-row staging); at 100 TB prefer a keyed MERGE
+... WHEN MATCHED THEN DELETE with mor=True.
+
+Deliberately NOT a general SQL engine: everything inside a SELECT is
+handed to Spark SQL untouched; this module only parses the thin DML
+shell Spark SQL itself lacks for external stores.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataintegration_ecomprovider_spark.plans import publish
+
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"\s+USING\s+(?:(?P<subquery>\(.*\))|(?P<source>\w+))"
+    r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
+    r"\s+ON\s+(?P<on>.*?)"
+    r"(?P<clauses>(?:\s+WHEN\s+.*)?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+(?:THEN\s+)?"
+    r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.IGNORECASE,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>\w+)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s+(?P<select>(?:\(\s*)?SELECT\s+.+?(?:\s*\))?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
+
+
+class StoreSQL:
+    """One store root's SQL DML session.  Statements run against the
+    store's CURRENT version; each DML lands as one atomic commit through
+    the same merge/publish paths as the Python API."""
+
+    def __init__(self, spark: SparkSession, root: str, mor: bool = False,
+                 prefix: str = "store_"):
+        self.spark = spark
+        self.root = root
+        self.mor = mor
+        self.prefix = prefix
+
+    # -- source resolution -------------------------------------------------
+    def _frame(self, ref: str | None, subquery: str | None) -> DataFrame:
+        if subquery:
+            publish.register_store(self.spark, self.root, prefix=self.prefix)
+            return self.spark.sql(subquery.strip().strip("()"))
+        assert ref is not None
+        try:
+            return self.spark.table(ref)  # session temp view wins
+        except Exception:  # noqa: BLE001 — fall through to store tables
+            return publish.read_table(self.spark, self.root, ref)
+
+    def _keys_from_on(self, on: str, target: str, talias: str | None,
+                      source: str | None, salias: str | None) -> list[str]:
+        t_names = {n.lower() for n in (target, talias) if n}
+        s_names = {n.lower() for n in (source, salias) if n}
+        keys: list[str] = []
+        for part in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
+            m = _EQ_RE.match(part)
+            if not m:
+                raise ValueError(
+                    f"MERGE ON clause must be AND-ed column equalities; "
+                    f"got {part.strip()!r}"
+                )
+            lq, lc, rq, rc = m.groups()
+            # orient each equality target-side → key column
+            if lq and lq.lower() in s_names or rq and rq.lower() in t_names:
+                lc, rc = rc, lc
+            if lc.lower() != rc.lower():
+                raise ValueError(
+                    f"MERGE keys must pair the same column on both sides "
+                    f"(key-based merge); got {part.strip()!r}"
+                )
+            keys.append(lc)
+        return keys
+
+    # -- statements --------------------------------------------------------
+    def sql(self, statement: str) -> dict:
+        """Execute one DML statement; returns the engine call's result
+        manifest/summary dict."""
+        m = _MERGE_RE.match(statement)
+        if m:
+            return self._merge(m)
+        m = _DELETE_RE.match(statement)
+        if m:
+            return self._delete(m.group("target"), m.group("where"))
+        m = _INSERT_RE.match(statement)
+        if m:
+            return self._insert(m.group("target"), m.group("select"))
+        raise ValueError(
+            "unsupported statement (MERGE INTO / DELETE FROM / INSERT "
+            f"INTO): {statement[:120]!r}"
+        )
+
+    def _merge(self, m: re.Match) -> dict:
+        target = m.group("target")
+        staging = self._frame(m.group("source"), m.group("subquery"))
+        keys = self._keys_from_on(
+            m.group("on"), target, m.group("talias"),
+            m.group("source"), m.group("salias"),
+        )
+        clauses = [
+            ("not" if w.group("not") else "matched",
+             re.sub(r"\s+", " ", w.group("action").upper()))
+            for w in _WHEN_RE.finditer(m.group("clauses") or "")
+        ]
+        if not clauses:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        update = ("matched", "UPDATE SET *") in clauses
+        insert = ("not", "INSERT *") in clauses
+        delete = ("matched", "DELETE") in clauses
+        if delete and (update or insert):
+            raise ValueError(
+                "WHEN MATCHED THEN DELETE cannot combine with "
+                "UPDATE/INSERT clauses (key-based merge modes)"
+            )
+        if delete:
+            # U4 delete-incoming: source keys mark rows to remove
+            if self.mor:
+                return publish.merge_into_mor(
+                    self.spark, self.root, target,
+                    staging.select(*keys).limit(0),
+                    keys=keys, deletes=staging.select(*keys),
+                )
+            from dataintegration_ecomprovider_spark.operators import merge
+
+            dest = publish.read_table(self.spark, self.root, target)
+            new_state = merge.delete_incoming(dest, staging, keys)
+            return publish.publish_tables(
+                self.spark, {target: new_state}, self.root,
+                table_keys={target: keys},
+            )
+        fn = publish.merge_into_mor if self.mor else publish.merge_into
+        return fn(
+            self.spark, self.root, target, staging, keys=keys,
+            insert_new=insert, update_existing=update,
+        )
+
+    def _delete(self, target: str, where: str) -> dict:
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        keep = self.spark.sql(
+            f"SELECT * FROM {self.prefix}{target} WHERE NOT ({where}) "
+            f"OR ({where}) IS NULL"
+        )
+        return publish.publish_tables(self.spark, {target: keep}, self.root)
+
+    def _insert(self, target: str, select: str) -> dict:
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        rows = self.spark.sql(select.strip().strip("()"))
+        keys = publish.table_keys(self.root, target)
+        if not keys:
+            raise ValueError(
+                f"INSERT INTO {target!r} needs recorded keys "
+                "(publish with table_keys=)"
+            )
+        fn = publish.merge_into_mor if self.mor else publish.merge_into
+        return fn(
+            self.spark, self.root, target, rows, keys=list(keys),
+            insert_new=True, update_existing=False,
+        )
+
+
+def store_sql(spark: SparkSession, root: str, mor: bool = False,
+              prefix: str = "store_") -> StoreSQL:
+    """The store's SQL DML session — see module docstring."""
+    return StoreSQL(spark, root, mor=mor, prefix=prefix)

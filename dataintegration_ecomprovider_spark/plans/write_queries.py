@@ -1451,6 +1451,70 @@ def q_constraints_quarantine_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return main.unionByName(quar)
 
 
+def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML front-end over the store (round 8, plans/store_sql.py):
+    `MERGE INTO ... USING ... ON ... WHEN MATCHED/NOT MATCHED` statements
+    route to the same merge engine the Python API uses, opening the
+    store's write surface to pure-SQL tooling (the reference's callers
+    speak SQL to SQL Server; src/EcomProvider.cs:1018-1036 is the
+    transaction envelope this rides).  Lifecycle: seed orders (keys
+    recorded), MERGE a price-bump-plus-new-rows batch from a temp view
+    (full upsert), then a second MERGE ... WHEN MATCHED THEN DELETE
+    prunes a slice — the oracle replays both statements in plain SQL."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("sqlm_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 4 != 0)}, root,
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("price", F.round(F.col("price") + 1.0, 2))
+        .createOrReplaceTempView("sqlm_staging")
+    )
+    s = store_sql(spark, root)
+    s.sql(
+        "MERGE INTO orders USING sqlm_staging ON orders.o_orderkey = "
+        "sqlm_staging.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    base.filter(F.col("o_orderkey") % 9 == 0).createOrReplaceTempView(
+        "sqlm_doomed"
+    )
+    s.sql(
+        "MERGE INTO orders USING sqlm_doomed ON orders.o_orderkey = "
+        "sqlm_doomed.o_orderkey WHEN MATCHED THEN DELETE"
+    )
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_SQL_MERGE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+staged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(ROUND(o_totalprice, 2) + 1.0, 2) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT b.* FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+  UNION ALL
+  SELECT * FROM staged
+)
+SELECT * FROM merged WHERE o_orderkey % 9 <> 0
+"""
+
+
 def q_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter data skipping (round 4): orders is published hash-
     scattered into 8 files (every file's o_orderkey [min, max] spans the
@@ -2242,6 +2306,7 @@ QUERIES = {
     "u12_partition_evolution": QueryDef(
         q_partition_evolution, ORACLE_PARTITION_EVOLUTION
     ),
+    "u12_sql_merge": QueryDef(q_sql_merge, ORACLE_SQL_MERGE),
     "u12_constraints_quarantine": QueryDef(
         q_constraints_quarantine, ORACLE_CONSTRAINTS_QUARANTINE
     ),

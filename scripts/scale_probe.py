@@ -1,6 +1,9 @@
 """10x scale probe (local[32]): synthesize ~sf1 from sf0.1 by shifted-key
 union, persist it as parquet, and time the heavy surfaces — records the
-scale-up behavior SCALE.md cites.  Usage: python scripts/scale_probe.py
+scale-up behavior SCALE.md cites.  Usage:
+``python scripts/scale_probe.py [substring ...]`` — extra args restrict
+the run to queries whose name contains any substring (the full suite
+exceeds a 10-minute window; run it in slices).
 
 Shifted copies make every duplicated document a TRUE near-dup of its
 original, so the minhash number is adversarial (candidate pairs grow far
@@ -85,7 +88,20 @@ def main() -> None:
         "u12_merge_on_read",       # MoR delta merges + reconstruction at 10x
         "u12_bloom_scan",          # bloom build + pruned point lookup at 10x
         "stream_interval_join",    # interval-join state shape at 10x
+        # round-7 surfaces
+        "u12_column_mapping",      # rename/drop metadata + MoR in new names
+        "u12_constraints_quarantine",      # constraint-gated MoR merge at 10x
+        "u12_constraints_quarantine_cow",  # same split on the CoW path
+        "llm_text_index_cdc",      # inverted-index seed + CDC refresh at 10x
+        "llm_mixture_epochs",      # token-budget mixture + epoch spread
+        # round-8 surfaces
+        "u12_partition_evolution",  # spec declaration + lazy migration
+        "llm_text_search_ranked",   # BM25 from three maintained tables
+        "llm_decontaminate_incremental_portable",  # persisted decon index
     ]
+    wanted = sys.argv[1:]
+    if wanted:
+        names = [n for n in names if any(w in n for w in wanted)]
     timings = {}
     for name in names:
         t0 = time.perf_counter()
@@ -99,6 +115,14 @@ def main() -> None:
     import tempfile
 
     from dataintegration_ecomprovider_spark.plans import publish
+
+    if wanted and not any(w in "merge_cow merge_mor schema_changes"
+                          for w in wanted):
+        print(json.dumps(
+            {"probe": "10x_sf0.1", "copies": COPIES, "queries": timings}
+        ))
+        spark.stop()
+        return
 
     base = spark.read.parquet(f"{OUT}/lineitem.parquet").select(
         F.concat_ws("#", "l_orderkey", "l_linenumber").alias("k"),
@@ -124,6 +148,23 @@ def main() -> None:
         timings[label + "_read"] = round(time.perf_counter() - t0, 2)
         shutil.rmtree(root, ignore_errors=True)
     staging.unpersist()
+
+    # schema_changes is a pure manifest-history walk (no Spark job):
+    # probe its metadata cost over a 60-commit span
+    root = tempfile.mkdtemp(prefix="probe_schemaev_")
+    publish.publish_tables(
+        spark,
+        {"t": spark.range(100).select(
+            F.col("id").alias("k"), F.col("id").alias("c0"))},
+        root, table_keys={"t": ["k"]},
+    )
+    for i in range(30):
+        publish.rename_column(spark, root, "t", f"c{i}", f"c{i + 1}")
+    t0 = time.perf_counter()
+    n_events = len(publish.schema_changes(root, "t", 1, 31))
+    timings["schema_changes_walk_30"] = round(time.perf_counter() - t0, 3)
+    assert n_events == 30, n_events
+    shutil.rmtree(root, ignore_errors=True)
 
     print(json.dumps({"probe": "10x_sf0.1", "copies": COPIES, "queries": timings}))
     spark.stop()

@@ -1,0 +1,171 @@
+"""SQL DML front-end (plans/store_sql.py): MERGE / DELETE / INSERT
+statements must round-trip to EXACTLY the state the Python merge API
+produces — the U1-U3 mode matrix, delete-incoming, and both engines
+(copy-on-write and merge-on-read)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.plans import publish
+from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+
+def _dest(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("old").alias("tag"),
+    )
+
+
+def _staging(spark):
+    # overlaps keys 15..19, new keys 20..24
+    return spark.range(15, 25).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 100).alias("v"),
+        F.lit("new").alias("tag"),
+    )
+
+
+def _rows(spark, root, name="t"):
+    return sorted(
+        tuple(r) for r in publish.read_table(spark, root, name).collect()
+    )
+
+
+def _seed(spark, tmp_path, sub):
+    root = str(tmp_path / sub)
+    publish.publish_tables(
+        spark, {"t": _dest(spark)}, root, table_keys={"t": ["k"]}
+    )
+    return root
+
+
+MODES = [
+    # (sql WHEN clauses, insert_new, update_existing)
+    ("WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+     True, True),
+    ("WHEN NOT MATCHED THEN INSERT *", True, False),
+    ("WHEN MATCHED THEN UPDATE SET *", False, True),
+]
+
+
+@pytest.mark.parametrize("mor", [False, True], ids=["cow", "mor"])
+@pytest.mark.parametrize(
+    "clauses,insert_new,update_existing", MODES,
+    ids=["upsert", "insert_only", "update_only"],
+)
+def test_merge_mode_matrix_matches_python_api(
+    spark, tmp_path, mor, clauses, insert_new, update_existing
+):
+    sql_root = _seed(spark, tmp_path, "sql")
+    py_root = _seed(spark, tmp_path, "py")
+    _staging(spark).createOrReplaceTempView("stg")
+
+    store_sql(spark, sql_root, mor=mor).sql(
+        f"MERGE INTO t USING stg ON t.k = stg.k {clauses}"
+    )
+    fn = publish.merge_into_mor if mor else publish.merge_into
+    fn(
+        spark, py_root, "t", _staging(spark), keys=["k"],
+        insert_new=insert_new, update_existing=update_existing,
+    )
+    assert _rows(spark, sql_root) == _rows(spark, py_root)
+
+
+@pytest.mark.parametrize("mor", [False, True], ids=["cow", "mor"])
+def test_merge_delete_incoming_matches_python_api(spark, tmp_path, mor):
+    sql_root = _seed(spark, tmp_path, "sql")
+    py_root = _seed(spark, tmp_path, "py")
+    _staging(spark).createOrReplaceTempView("stg")
+
+    store_sql(spark, sql_root, mor=mor).sql(
+        "MERGE INTO t USING stg ON t.k = stg.k WHEN MATCHED THEN DELETE"
+    )
+    if mor:
+        publish.merge_into_mor(
+            spark, py_root, "t", _staging(spark).select("k").limit(0),
+            keys=["k"], deletes=_staging(spark).select("k"),
+        )
+    else:
+        from dataintegration_ecomprovider_spark.operators import merge
+
+        dest = publish.read_table(spark, py_root, "t")
+        publish.publish_tables(
+            spark,
+            {"t": merge.delete_incoming(dest, _staging(spark), ["k"])},
+            py_root,
+        )
+    got = _rows(spark, sql_root)
+    assert got == _rows(spark, py_root)
+    assert {r[0] for r in got} == set(range(15))  # 15..19 removed
+
+
+def test_merge_source_forms_and_on_orientations(spark, tmp_path):
+    """Source as a subquery over the store's own views; ON written
+    source-first; aliases on both sides."""
+    root = _seed(spark, tmp_path, "s")
+    publish.publish_tables(
+        spark, {"extra": _staging(spark)}, root,
+        table_keys={"extra": ["k"]},
+    )
+    store_sql(spark, root).sql(
+        "MERGE INTO t AS d USING (SELECT k, v, 'sub' AS tag "
+        "FROM store_extra WHERE k < 22) s "
+        "ON s.k = d.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[16] == (1600, "sub") and got[21] == (2100, "sub")
+    assert got[5] == (10, "old") and 23 not in got
+    # another STORE TABLE as the bare source
+    store_sql(spark, root).sql(
+        "MERGE INTO t USING extra ON t.k = extra.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["tag"]
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[23] == "new" and got[16] == "sub"  # insert-only kept 16
+
+
+def test_delete_from_and_insert_into(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    store_sql(spark, root).sql("DELETE FROM t WHERE v >= 30 AND tag = 'old'")
+    assert {r["k"] for r in publish.read_table(spark, root, "t").collect()} \
+        == set(range(15))
+    store_sql(spark, root).sql(
+        "INSERT INTO t SELECT k + 100 AS k, v, 'ins' AS tag FROM store_t"
+    )
+    got = publish.read_table(spark, root, "t")
+    assert got.count() == 30
+    assert got.filter(F.col("tag") == "ins").count() == 15
+    # INSERT is insert-only: re-running it cannot clobber existing keys
+    store_sql(spark, root).sql(
+        "INSERT INTO t SELECT k + 100 AS k, v + 1 AS v, 'dup' AS tag "
+        "FROM store_t WHERE k < 15"
+    )
+    assert publish.read_table(spark, root, "t").filter(
+        F.col("tag") == "dup"
+    ).count() == 0
+
+
+def test_rejections(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    _staging(spark).createOrReplaceTempView("stg")
+    s = store_sql(spark, root)
+    with pytest.raises(ValueError, match="AND-ed column equalities"):
+        s.sql("MERGE INTO t USING stg ON t.k > stg.k "
+              "WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="same column on both sides"):
+        s.sql("MERGE INTO t USING stg ON t.k = stg.v "
+              "WHEN MATCHED THEN UPDATE SET *")
+    with pytest.raises(ValueError, match="WHEN clause"):
+        s.sql("MERGE INTO t USING stg ON t.k = stg.k")
+    with pytest.raises(ValueError, match="cannot combine"):
+        s.sql("MERGE INTO t USING stg ON t.k = stg.k "
+              "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+    with pytest.raises(ValueError, match="unsupported statement"):
+        s.sql("UPDATE t SET v = 1")
