@@ -894,13 +894,24 @@ def declare_view(root: str, kind: str, **spec) -> dict:
     the same refresh), ``ivf`` (similarity.maintain_ivf_cells kwargs
     — the CDC-maintained ANN cell table) or ``postings``
     (search.maintain_text_index kwargs — the CDC-maintained inverted
-    text index); `spec` must include ``dst``
+    text index), ``doc_lengths`` / ``term_df`` (the other two BM25
+    statistics — search.maintain_doc_lengths / maintain_term_df; term_df
+    chains off the postings table, so declaring all three gives the full
+    ranked-search stack one dependency-ordered refresh), ``shingles``
+    (curation.maintain_corpus_shingles kwargs — a (hash, id) shingle
+    index of any text table; used for both the corpus and benchmark
+    sides) or ``contamination`` (curation.maintain_contamination kwargs
+    — the per-doc decontamination view over BOTH shingle indexes);
+    `spec` must include ``dst``
     (the view's table name, also its registry key).  Re-declaring a dst
     overwrites its spec.  Returns the full declared-view registry."""
-    if kind not in ("aggregate", "join", "topics", "minhash", "ivf", "postings"):
+    kinds = (
+        "aggregate", "join", "topics", "minhash", "ivf", "postings",
+        "doc_lengths", "term_df", "shingles", "contamination",
+    )
+    if kind not in kinds:
         raise ValueError(
-            "view kind must be 'aggregate', 'join', 'topics', 'minhash', "
-            f"'ivf' or 'postings', got {kind!r}"
+            f"view kind must be one of {kinds}, got {kind!r}"
         )
     if "dst" not in spec:
         raise ValueError("a declared view needs a dst table name")
@@ -1016,8 +1027,15 @@ def _view_sources(spec: dict) -> list[str]:
             spec.get("src", "embeddings"),
             spec.get("centroids_table", "topic_centroids"),
         ]
-    if spec.get("kind") in ("minhash", "postings"):
+    if spec.get("kind") in ("minhash", "postings", "doc_lengths", "shingles"):
         return [spec.get("src", "documents")]
+    if spec.get("kind") == "term_df":
+        return [spec.get("postings", "token_postings")]
+    if spec.get("kind") == "contamination":
+        return [
+            spec.get("corpus_shingles", "corpus_shingles"),
+            spec.get("benchmark_shingles", "benchmark_shingles"),
+        ]
     if spec.get("kind") == "ivf":
         return [
             spec.get("src", "embeddings"),
@@ -1084,6 +1102,22 @@ def refresh_declared_views(spark: SparkSession, root: str) -> dict:
         elif kind == "postings":
             from dataintegration_ecomprovider_spark.llm.search import (
                 maintain_text_index as fn,
+            )
+        elif kind == "doc_lengths":
+            from dataintegration_ecomprovider_spark.llm.search import (
+                maintain_doc_lengths as fn,
+            )
+        elif kind == "term_df":
+            from dataintegration_ecomprovider_spark.llm.search import (
+                maintain_term_df as fn,
+            )
+        elif kind == "shingles":
+            from dataintegration_ecomprovider_spark.llm.curation import (
+                maintain_corpus_shingles as fn,
+            )
+        elif kind == "contamination":
+            from dataintegration_ecomprovider_spark.llm.curation import (
+                maintain_contamination as fn,
             )
         else:
             fn = maintain_aggregate if kind == "aggregate" else maintain_join

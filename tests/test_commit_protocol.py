@@ -289,3 +289,51 @@ def test_lock_timeout_still_raises(tmp_path):
     # the foreign lock was not disturbed
     with open(os.path.join(root, LOCK_FILE), encoding="utf-8") as fh:
         assert fh.read() == "live"
+
+
+def _lock_worker(args):
+    """Module-level so multiprocessing can pickle it: acquire the lock,
+    record enter/exit in an O_APPEND log (atomic per write), hold
+    briefly."""
+    root, idx = args
+    import os as _os
+    import time as _time
+
+    from dataintegration_ecomprovider_spark.plans.commit_protocol import (
+        PosixCommitProtocol,
+    )
+
+    proto = PosixCommitProtocol()
+    log = _os.path.join(root, "events.log")
+    with proto.lock(root, timeout=60.0, stale=300.0):
+        fd = _os.open(log, _os.O_WRONLY | _os.O_APPEND | _os.O_CREAT)
+        _os.write(fd, f"enter {idx}\n".encode())
+        _os.close(fd)
+        _time.sleep(0.02)
+        fd = _os.open(log, _os.O_WRONLY | _os.O_APPEND)
+        _os.write(fd, f"exit {idx}\n".encode())
+        _os.close(fd)
+    return idx
+
+
+def test_stale_lock_takeover_across_processes(tmp_path):
+    """REAL processes (not GIL-sharing threads) race over a crashed
+    writer's stale lock: every worker eventually enters, and the
+    enter/exit log shows zero overlapping critical sections — the
+    cross-process form of the token-guarded reap guarantee."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "store")
+    _plant_stale_lock(root)
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(6) as pool:
+        done = pool.map(_lock_worker, [(root, i) for i in range(6)])
+    assert sorted(done) == list(range(6))
+    events = open(os.path.join(root, "events.log"), encoding="utf-8").read().split()
+    pairs = list(zip(events[::2], events[1::2]))
+    depth = 0
+    for kind, _idx in pairs:
+        depth += 1 if kind == "enter" else -1
+        assert 0 <= depth <= 1, f"overlapping critical sections: {pairs}"
+    assert depth == 0 and len(pairs) == 12
+    assert not os.path.exists(os.path.join(root, LOCK_FILE))

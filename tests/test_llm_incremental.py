@@ -1132,3 +1132,78 @@ def test_bm25_incremental_matches_recompute(spark, tmp_path):
     }
     assert df_now["data"] == 2 and df_now["spark"] == 2
     assert "ranking" not in df_now  # retracted to zero and dropped out
+
+
+def test_declared_bm25_and_decon_stacks_refresh_in_order(spark, tmp_path):
+    """Declaring the full ranked-search stack (postings → term_df,
+    doc_lengths) and the decontamination stack (two shingle indexes →
+    contamination) folds them into the store's view DAG: one
+    maintain_store pass seeds everything in dependency order, a later
+    pass consumes the corpus/benchmark CDC — no caller-shipped specs."""
+    from dataintegration_ecomprovider_spark.llm import search
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {
+            "documents": _docs(spark, [
+                (1, "spark data pipelines shuffle data"),
+                (2, "benchmark eval sentences live here"),
+            ]),
+            "benchmarks": spark.createDataFrame(
+                [(100, "benchmark eval sentences live here")],
+                "bench_id long, text string",
+            ),
+        },
+        root,
+        table_keys={"documents": ["doc_id"], "benchmarks": ["bench_id"]},
+    )
+    materialize.declare_view(
+        root, "postings", src="documents", dst="token_postings"
+    )
+    materialize.declare_view(root, "doc_lengths", src="documents",
+                             dst="doc_lengths")
+    materialize.declare_view(root, "term_df", dst="term_df")
+    materialize.declare_view(
+        root, "shingles", src="documents", dst="corpus_shingles",
+        id_col="doc_id",
+    )
+    materialize.declare_view(
+        root, "shingles", src="benchmarks", dst="benchmark_shingles",
+        id_col="bench_id",
+    )
+    materialize.declare_view(root, "contamination", dst="contamination")
+    # dependency order: term_df after token_postings; contamination
+    # after both shingle indexes
+    order = materialize._view_refresh_order(materialize.declared_views(root))
+    assert order.index("term_df") > order.index("token_postings")
+    assert order.index("contamination") > order.index("corpus_shingles")
+    assert order.index("contamination") > order.index("benchmark_shingles")
+
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert all(v["mode"] == "seed" for v in report["views"].values())
+    got = {r["doc_id"]: r["contaminated"]
+           for r in publish.read_table(spark, root, "contamination").collect()}
+    assert got == {1: False, 2: True}
+
+    # corpus churn: new doc copying the benchmark; BM25 stats follow too
+    publish.merge_into_mor(
+        spark, root, "documents",
+        _docs(spark, [(3, "benchmark eval sentences live here today")]),
+    )
+    report = publish.maintain_store(spark, root)
+    assert report["errors"] == {}
+    assert report["views"]["contamination"]["mode"] == "delta"
+    assert report["views"]["term_df"]["mode"] == "delta"
+    got = {r["doc_id"]: r["contaminated"]
+           for r in publish.read_table(spark, root, "contamination").collect()}
+    assert got[3] is True and got[1] is False
+    top = search.bm25_topk(
+        publish.read_table(spark, root, "token_postings"),
+        publish.read_table(spark, root, "doc_lengths"),
+        publish.read_table(spark, root, "term_df"),
+        ["benchmark", "eval"], k=2,
+    ).collect()
+    assert {r["doc_id"] for r in top} == {2, 3}

@@ -386,3 +386,20 @@ def test_search_postings_filters_before_aggregating(spark):
     postings = token_postings(docs)
     plan = _plan(search_postings(postings, ["the", "data"]))
     assert "HashAggregate" in plan
+
+
+def test_string_agg_broadcasts_the_build_side(spark):
+    """A1/A2: the post-aggregation frame is the BUILD side of the
+    left-outer dimension join and must plan as a BroadcastHashJoin —
+    hinting the PRESERVED side instead is unsupported for left-outer
+    joins, so Spark silently discards it (HintErrorLogger) and plans a
+    shuffle join; this pins the corrected orientation."""
+    from dataintegration_ecomprovider_spark.plans.read_queries import (
+        q_distinct_string_agg,
+        q_string_agg,
+    )
+
+    for q in (q_string_agg, q_distinct_string_agg):
+        plan = _plan(q(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "SortMergeJoin" not in plan, plan[:2000]
