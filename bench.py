@@ -68,6 +68,7 @@ HEADLINE = [
     "llm_text_search_ranked",       # BM25 top-k from three CDC-maintained tables (round 8)
     "llm_decontaminate_incremental_portable",  # persisted decon index over two CDC feeds (round 8)
     "u12_sql_merge",                # SQL MERGE front-end → same merge engine (round 8)
+    "stream_store_to_store",        # exactly-once store→store CDC pipeline + replay no-op (round 8)
 ]
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from collections.abc import Callable, Mapping, Sequence
@@ -703,8 +704,20 @@ def publish_tables(
     stats_columns: Mapping[str, Sequence[str]] | None = None,
     rewrite_of: Mapping[str, int] | None = None,
     column_map: Mapping[str, dict] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Stage every output, validate, then commit with one manifest swap.
+
+    `txn=(app_id, batch_id)` makes the commit IDEMPOTENT per application
+    (Delta's `txn` action): if a commit from `app_id` with an id >=
+    `batch_id` already landed, this call stages nothing new — it cleans
+    up its staging, returns the CURRENT manifest annotated with
+    ``txn_skipped=True``, and the store version does not move.  This is
+    the exactly-once primitive for foreachBatch sinks: a checkpoint
+    replay of an already-committed micro-batch becomes a no-op instead
+    of a duplicate version (see streaming/incremental.stream_into_store).
+    The watermark map survives unrelated commits (renames, compaction,
+    vacuum) because every manifest constructor carries it forward.
 
     Concurrency: the commit (read-latest-manifest → chain → swap) runs
     under an advisory lock, so concurrent publishers to the SAME root
@@ -780,6 +793,10 @@ def publish_tables(
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged_paths: dict[str, object] = {}
     prev = current_manifest(root)
+    if _txn_gate(prev, txn):
+        # already applied (cheap pre-stage check; the authoritative gate
+        # re-runs under the commit lock) — skip the whole staging pass
+        return {**prev, "txn_skipped": True}
 
     def _carried(name: str, field: str) -> list[str] | None:
         prev_entry = prev["tables"].get(name)
@@ -929,6 +946,13 @@ def publish_tables(
     # the advisory lock so concurrent publishers serialize
     with _manifest_lock(root):
         prev = current_manifest(root)
+        if _txn_gate(prev, txn):
+            # a concurrent/earlier commit from this app already applied
+            # this batch: drop our staging and leave the store untouched
+            shutil.rmtree(
+                os.path.join(root, "data", txid), ignore_errors=True
+            )
+            return {**prev, "txn_skipped": True}
         if expected_version is not None and prev["version"] != expected_version:
             raise ConcurrentPublishError(
                 f"store at version {prev['version']}, expected "
@@ -949,6 +973,9 @@ def publish_tables(
             # rollback) until a vacuum prunes them; the oldest entries
             # live in spilled checkpoint files (see _history_fields)
             **_history_fields(root, prev),
+            # after _history_fields: the new watermark overrides the
+            # carried-forward txns map
+            **_txn_fields(prev, txn),
         }
         return _commit(root, txid, manifest, based_on=prev["version"])
 
@@ -980,12 +1007,15 @@ HISTORY_DIR = "_history"
 
 
 def _history_fields(root: str, prev: dict) -> dict:
-    """The history fields for a manifest that supersedes `prev`: prev's
-    snapshot appended inline, oldest entries spilled once the inline list
-    exceeds HISTORY_INLINE_MAX.  Spill files are written BEFORE the commit
-    point — a crashed commit leaves an orphaned spill file (harmless,
-    overwritten by name on retry), never a manifest pointing at a missing
-    file."""
+    """The carry-forward fields for a manifest that supersedes `prev`:
+    prev's snapshot appended inline to the history, oldest entries spilled
+    once the inline list exceeds HISTORY_INLINE_MAX, plus the
+    transaction-watermark map (see `last_txn`) — every commit path spreads
+    this, so a rename/compact/vacuum between two stream batches never
+    erases an application's idempotence watermark.  Spill files are
+    written BEFORE the commit point — a crashed commit leaves an orphaned
+    spill file (harmless, overwritten by name on retry), never a manifest
+    pointing at a missing file."""
     hist = list(prev.get("history", []))
     if prev["version"]:
         hist.append(
@@ -1015,7 +1045,41 @@ def _history_fields(root: str, prev: dict) -> dict:
     out = {"history": hist}
     if spills:
         out["history_spills"] = spills
+    if prev.get("txns"):
+        out["txns"] = dict(prev["txns"])
     return out
+
+
+def last_txn(root: str, app_id: str) -> int | None:
+    """The highest transaction id committed under `app_id` (Delta's `txn`
+    action role): writers that stamp commits with ``txn=(app_id, n)`` can
+    ask "did my batch n land?" after a crash and resume from the answer
+    instead of re-applying.  None = no commit from this application."""
+    v = current_manifest(root).get("txns", {}).get(app_id)
+    return None if v is None else int(v)
+
+
+def _txn_gate(prev: dict, txn: tuple[str, int] | None) -> bool:
+    """True = this commit was already applied (watermark at or past the
+    batch id) and must be skipped.  Runs under the commit lock, so the
+    answer is authoritative — the exactly-once primitive foreachBatch
+    sinks need for checkpoint replays of non-idempotent modes."""
+    if txn is None:
+        return False
+    app_id, batch_id = txn
+    seen = prev.get("txns", {}).get(app_id)
+    return seen is not None and int(seen) >= int(batch_id)
+
+
+def _txn_fields(prev: dict, txn: tuple[str, int] | None) -> dict:
+    """The txns map for the NEW manifest: prev's map plus this commit's
+    watermark (monotone per app — a lower replayed id never lowers it)."""
+    if txn is None:
+        return {}
+    app_id, batch_id = txn
+    txns = dict(prev.get("txns", {}))
+    txns[app_id] = max(int(batch_id), int(txns.get(app_id, -(2 ** 63))))
+    return {"txns": txns}
 
 
 def _spilled_entries(root: str, spill: dict) -> list[dict]:
@@ -1474,11 +1538,17 @@ def merge_into(
     bucketed: bool = False,
     num_buckets: int = 32,
     evolve_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Incremental MERGE against the published store: read the current
     committed version, apply the U1-U3 upsert, publish the new state as the
     next version.  One call = one reference job run; crash-safe because the
     publish is all-or-nothing.
+
+    `txn=(app_id, batch_id)` makes the merge idempotent per application
+    (see publish_tables): a replayed batch skips before even reading the
+    destination — for a copy-on-write merge that saves the WHOLE
+    table rewrite, not just a duplicate version.
 
     `bucketed=True` keeps the destination bucketed on `keys` across
     versions: each merge reads a bucketed dest (its join side needs no
@@ -1545,7 +1615,11 @@ def merge_into(
                 staging = staging.filter(cond)
     last_err: ConcurrentPublishError | None = None
     for _attempt in range(5):
-        base_version = current_manifest(root)["version"]
+        base = current_manifest(root)
+        if _txn_gate(base, txn):
+            # replayed batch: skip before the O(|table|) read-merge-write
+            return {**base, "txn_skipped": True}
+        base_version = base["version"]
         dest = read_table(spark, root, name)
         new_state = merge_ops.upsert(
             dest, staging, list(keys),
@@ -1559,6 +1633,7 @@ def merge_into(
                 num_buckets=num_buckets,
                 table_keys={name: list(keys)},
                 expected_version=base_version,
+                txn=txn,
             )
         except ConcurrentPublishError as e:
             last_err = e  # rebuild against the advanced version and retry
@@ -1575,10 +1650,19 @@ def merge_into_mor(
     insert_new: bool = True,
     update_existing: bool = True,
     evolve_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Merge-on-read MERGE: commit the U1-U3 upsert (plus optional U4
     delete-incoming) as an appended DELTA file instead of rewriting the
     table — the write costs O(|staging|), never O(|table|).
+
+    `txn=(app_id, batch_id)` makes the commit idempotent per application
+    (see publish_tables): a replayed batch appends NOTHING — no duplicate
+    delta file, no new version — so CDC consumers downstream of this
+    table see each batch's changes exactly once even across foreachBatch
+    checkpoint replays.  Without it a replay appends an identical delta:
+    harmless to last-wins reconstruction, but a duplicate event for the
+    change feed and a wasted version.
 
     ``merge_into`` is copy-on-write: every call re-reads and re-writes the
     full destination, so a 100 TB table fed hourly pays 100 TB of write
@@ -1616,7 +1700,12 @@ def merge_into_mor(
     LATEST entry under the commit lock, so concurrent writers serialize
     without retries (append order = commit order).  Returns the new
     manifest."""
-    prev_entry = current_manifest(root)["tables"].get(name)
+    pre = current_manifest(root)
+    if _txn_gate(pre, txn):
+        # already applied — skip before staging anything (authoritative
+        # re-check under the commit lock below)
+        return {**pre, "txn_skipped": True}
+    prev_entry = pre["tables"].get(name)
     if prev_entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
     if keys is None:
@@ -1792,6 +1881,11 @@ def merge_into_mor(
 
     with _manifest_lock(root):
         prev = current_manifest(root)
+        if _txn_gate(prev, txn):
+            shutil.rmtree(
+                os.path.join(root, "data", txid), ignore_errors=True
+            )
+            return {**prev, "txn_skipped": True}
         if name not in prev["tables"]:
             raise KeyError(f"table {name!r} vanished from {root}")
         entry = prev["tables"][name]
@@ -1833,6 +1927,7 @@ def merge_into_mor(
             "committed_at_unix": time.time(),
             "tables": {**prev["tables"], name: entry},
             **_history_fields(root, prev),
+            **_txn_fields(prev, txn),
         }
         return _commit(root, txid, manifest, based_on=prev["version"])
 
@@ -2365,6 +2460,13 @@ def _stat_value(v):
     if isinstance(v, decimal.Decimal):
         return float(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
+        # naive-UTC ISO: pyarrow yields tz-AWARE datetimes for
+        # isAdjustedToUTC timestamps, but predicate operands are naive
+        # (session pins UTC) — a "+00:00" suffix would lexicographically
+        # exceed the bare ISO of the SAME instant and falsely skip
+        # boundary-equality probes
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return v.isoformat()  # ISO order == chronological order
     return None  # bytes & exotic types: no pruning
 
@@ -3142,6 +3244,164 @@ def table_stats(root: str, name: str) -> dict | None:
     return None
 
 
+def metadata_aggregate(
+    root: str,
+    name: str,
+    aggs: Sequence[Sequence[str]],
+    version: int | None = None,
+) -> dict | None:
+    """Answer COUNT / MIN / MAX / NULL_COUNT aggregates from the stats
+    sidecar alone — zero Spark jobs, zero data files opened: O(1) manifest
+    reads plus one (cached) sidecar parse.  The Delta/Iceberg
+    metadata-only-query role: ``SELECT COUNT(*) FROM t`` on a 100 TB table
+    is a driver-side sum of per-file row counts, not a cluster scan.
+
+    `aggs` is a list of specs: ``("count",)``, ``("min", col)``,
+    ``("max", col)``, ``("null_count", col)`` with LOGICAL column names.
+    Returns ``{"count": n, "min_<col>": v, ...}`` — or **None whenever the
+    metadata cannot answer EXACTLY**, in which case the caller must scan
+    (see aggregate_table).  Unanswerable cases, each deliberate:
+
+    - the entry carries MoR deltas (updates/deletes make file stats
+      upper/lower bounds, not values) — compact() restores answerability;
+    - no stats sidecar (collect_stats=False) or an untracked column;
+    - a file whose footer had no usable stat for the column;
+    - min/max on a string whose recorded bound reaches the 32-char
+      truncation cap (a prefix orders correctly for pruning but is not
+      the true value; shorter strings are provably untruncated — see
+      _truncate_stat_min/_truncate_stat_max);
+    - min/max on a hive-partition column (path values are strings, so a
+      numeric partition column would compare lexicographically);
+    - min/max on floats when any file holds NaN (parquet writers order
+      NaN inconsistently; footer bounds are then not trustworthy as
+      values) — guarded upstream: _stat_value drops NaN bounds, which
+      lands in the no-usable-stat case.
+
+    Timestamps/dates answer as their ISO-8601 strings (the sidecar's
+    order-preserving encoding).  NULL_COUNT and COUNT also work on
+    strings and partition columns.  Columns are logical: renamed tables
+    translate through the manifest column map; dropped columns refuse."""
+    tables = (
+        tables_at(root, version) if version is not None
+        else current_manifest(root)["tables"]
+    )
+    if name not in tables:
+        raise KeyError(f"table {name!r} absent under {root}")
+    entry = tables[name]
+    entry = {"path": entry} if isinstance(entry, str) else entry
+    if entry.get("deltas"):
+        return None
+    stats_entries = _load_stats_entries(entry["path"])
+    if stats_entries is None:
+        return None
+    renames, dropped = _column_map(entry)  # {physical: logical}
+    to_physical = {v: k for k, v in renames.items()}
+    part_cols = set(entry.get("partition_by") or [])
+    out: dict = {}
+    for spec in aggs:
+        op = spec[0]
+        if op == "count":
+            out["count"] = sum(e["rows"] for e in stats_entries)
+            continue
+        if op not in ("min", "max", "null_count") or len(spec) != 2:
+            raise ValueError(f"unsupported aggregate spec {tuple(spec)!r}")
+        col = spec[1]
+        pcol = to_physical.get(col, col)
+        if pcol in dropped:
+            raise KeyError(f"column {col!r} was dropped from {name!r}")
+        if op in ("min", "max") and pcol in part_cols:
+            return None  # path-derived values are strings; order unsafe
+        acc = None
+        nulls = 0
+        for e in stats_entries:
+            st = e["stats"].get(pcol)
+            if st is None:
+                return None  # untracked column in at least one file
+            mn, mx, nc = st
+            if op == "null_count":
+                if nc is None:
+                    return None
+                nulls += nc
+                continue
+            if mn is None or mx is None:
+                # an all-null file legitimately has no min/max; anything
+                # else is an unusable footer stat
+                if nc is not None and nc == e["rows"]:
+                    continue
+                return None
+            v = mn if op == "min" else mx
+            if isinstance(v, str) and len(v) >= STATS_STRING_PREFIX:
+                return None  # possibly a truncated bound, not a value
+            if acc is None or (v < acc if op == "min" else v > acc):
+                acc = v
+        out[f"{op}_{col}"] = nulls if op == "null_count" else acc
+    return out
+
+
+def aggregate_table(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    aggs: Sequence[Sequence[str]],
+    version: int | None = None,
+) -> tuple[dict, str]:
+    """`metadata_aggregate` with a transparent scan fallback: returns
+    (results, source) where source is ``"metadata"`` (no Spark job ran)
+    or ``"scan"`` (the exact same aggregates computed by Spark over the
+    table — MoR deltas, missing stats and truncated strings all land
+    here).  Scan-side date/timestamp results format to ISO strings so the
+    two sources agree on types."""
+    md = metadata_aggregate(root, name, aggs, version=version)
+    if md is not None:
+        return md, "metadata"
+    from pyspark.sql.types import DateType, TimestampType
+
+    df = (
+        read_table_at(spark, root, name, version) if version is not None
+        else read_table(spark, root, name)
+    )
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def _iso(col: str):
+        t = types.get(col)
+        if isinstance(t, TimestampType):
+            def fmt(c):
+                # python isoformat parity: fraction only when nonzero,
+                # and then always 6 digits
+                sec = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+                frac = F.date_format(c, "SSSSSS")
+                return F.when(c.isNull(), F.lit(None)).when(
+                    frac != F.lit("000000"), F.concat(sec, F.lit("."), frac)
+                ).otherwise(sec)
+            return fmt
+        if isinstance(t, DateType):
+            return lambda c: F.date_format(c, "yyyy-MM-dd")
+        return lambda c: c
+
+    exprs = []
+    for spec in aggs:
+        op = spec[0]
+        if op == "count":
+            exprs.append(F.count(F.lit(1)).alias("count"))
+            continue
+        col = spec[1]
+        wrap = _iso(col)
+        if op == "min":
+            exprs.append(wrap(F.min(col)).alias(f"min_{col}"))
+        elif op == "max":
+            exprs.append(wrap(F.max(col)).alias(f"max_{col}"))
+        elif op == "null_count":
+            exprs.append(
+                F.sum(
+                    F.when(F.col(col).isNull(), 1).otherwise(0)
+                ).cast("long").alias(f"null_count_{col}")
+            )
+        else:
+            raise ValueError(f"unsupported aggregate spec {tuple(spec)!r}")
+    row = df.agg(*exprs).collect()[0]
+    return row.asDict(), "scan"
+
+
 def clustering_overlap(root: str, name: str, column: str) -> float:
     """Pure-metadata fragmentation metric for `column` on the CURRENT
     version of `name`: the average number of data files whose recorded
@@ -3757,6 +4017,9 @@ def _comparable(a, b):
         import datetime
 
         if isinstance(b, (datetime.datetime, datetime.date)):
+            # mirror _stat_value's naive-UTC normalization
+            if isinstance(b, datetime.datetime) and b.tzinfo is not None:
+                b = b.astimezone(datetime.timezone.utc).replace(tzinfo=None)
             return a, b.isoformat()  # stats store temporals as ISO strings
         if isinstance(b, str):
             return a, b

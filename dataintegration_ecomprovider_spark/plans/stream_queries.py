@@ -212,6 +212,79 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_store_to_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once change propagation
+    (streaming/incremental.stream_store_to_store): an upstream store table
+    goes through seed → MoR merge (inserts + updates + deletes); a
+    store_changes-tailing stream transforms each batch and lands it
+    downstream via txn-stamped MoR merges.  The query then re-runs the
+    whole pipeline with a FRESH checkpoint — the worst-case replay, every
+    batch re-delivered — and asserts the downstream version did not move
+    (the txn watermark absorbed it) before returning the downstream
+    table.  The oracle restates the composed semantics: downstream =
+    transform(final upstream snapshot)."""
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        stream_store_to_store,
+    )
+
+    src_root = tempfile.mkdtemp(prefix="s2s_src_")
+    dst_root = tempfile.mkdtemp(prefix="s2s_dst_")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    publish.publish_tables(
+        spark, {"t": base.filter(F.col("o_orderkey") % 5 < 2)}, src_root,
+        table_keys={"t": ["o_orderkey"]},
+    )
+    publish.merge_into_mor(
+        spark, src_root, "t",
+        base.filter(F.col("o_orderkey") % 5 == 2).unionByName(
+            base.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_orderstatus", F.lit("X")
+            )
+        ),
+        deletes=base.filter(F.col("o_orderkey") % 5 == 1),
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.lower("o_orderstatus").alias("status"),
+            F.round(F.col("o_totalprice") * 2, 2).alias("double_price"),
+        )
+
+    for ck_tag in ("run", "replay"):
+        q = stream_store_to_store(
+            spark, src_root, "t", dst_root, "d",
+            tempfile.mkdtemp(prefix=f"s2s_ck_{ck_tag}_"), "hop1",
+            transform=transform,
+        )
+        q.awaitTermination(180)
+        if ck_tag == "run":
+            v_after = publish.current_manifest(dst_root)["version"]
+    v_replay = publish.current_manifest(dst_root)["version"]
+    if v_replay != v_after:
+        raise AssertionError(
+            f"fresh-checkpoint replay moved the downstream store "
+            f"{v_after} -> {v_replay}: txn watermark failed"
+        )
+    return publish.read_table(spark, dst_root, "d")
+
+
+ORACLE_STORE_TO_STORE = """
+SELECT o_orderkey,
+       LOWER(CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END)
+         AS status,
+       ROUND(ROUND(o_totalprice, 2) * 2, 2) AS double_price
+FROM orders
+WHERE o_orderkey % 5 IN (0, 2)
+"""
+
+
 QUERIES = {
     "stream_tumbling_window_agg": QueryDef(q_tumbling_window_agg, ORACLE_TUMBLING),
     "stream_interval_join": QueryDef(q_interval_join, ORACLE_INTERVAL_JOIN),
@@ -220,4 +293,5 @@ QUERIES = {
     "stream_store_changes_source": QueryDef(
         q_store_changes_source, ORACLE_STORE_CHANGES_SOURCE
     ),
+    "stream_store_to_store": QueryDef(q_store_to_store, ORACLE_STORE_TO_STORE),
 }

@@ -2284,6 +2284,102 @@ FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
 """
 
 
+def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (publish.metadata_aggregate — the
+    Delta/Iceberg answer-COUNT-from-the-log role): COUNT / MIN / MAX /
+    NULL_COUNT served from the stats sidecar with ZERO Spark jobs and
+    zero data files opened.  The lifecycle pins the answerability
+    boundary: a clean publish answers from metadata; a MoR delta commit
+    makes file stats bounds-not-values, so aggregate_table transparently
+    falls back to a scan; compact() folds the deltas and metadata answers
+    again — and the in-query assertion requires the scan-phase and
+    post-compact-metadata answers to be IDENTICAL (same dict), which is
+    the correctness claim.  String min/max participate because
+    o_orderstatus is provably under the 32-char truncation cap.  At 100 TB
+    this is `SELECT COUNT(*)` as a driver-side sum over the manifest
+    instead of a thousand-executor scan."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("mdagg_store")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    base = Catalog(spark, sf_dir).table("orders").select(*cols)
+    publish.publish_tables(
+        spark, {"t": base.filter(F.col("o_orderkey") % 7 == 0).repartition(4)},
+        root,
+        table_keys={"t": ["o_orderkey"]},
+        stats_columns={"t": cols},
+    )
+    aggs = [
+        ("count",),
+        ("min", "o_custkey"), ("max", "o_custkey"),
+        ("min", "o_totalprice"), ("max", "o_totalprice"),
+        ("min", "o_orderstatus"), ("max", "o_orderstatus"),
+        ("null_count", "o_orderstatus"),
+    ]
+    phases = []
+    r1, src1 = publish.aggregate_table(spark, root, "t", aggs)
+    phases.append(("clean", src1, r1))
+    publish.merge_into_mor(
+        spark, root, "t", base.filter(F.col("o_orderkey") % 7 == 3)
+    )
+    r2, src2 = publish.aggregate_table(spark, root, "t", aggs)
+    phases.append(("after_mor", src2, r2))
+    publish.compact(spark, root, "t")
+    r3, src3 = publish.aggregate_table(spark, root, "t", aggs)
+    phases.append(("after_compact", src3, r3))
+    if (src1, src2, src3) != ("metadata", "scan", "metadata"):
+        raise AssertionError(f"wrong answer sources: {(src1, src2, src3)}")
+    if r2 != r3:  # the scan and the folded metadata must agree exactly
+        raise AssertionError(f"scan/metadata divergence: {r2} vs {r3}")
+    rows = [
+        (
+            phase, src, int(r["count"]),
+            int(r["min_o_custkey"]), int(r["max_o_custkey"]),
+            float(r["min_o_totalprice"]), float(r["max_o_totalprice"]),
+            r["min_o_orderstatus"], r["max_o_orderstatus"],
+            int(r["null_count_o_orderstatus"]),
+        )
+        for phase, src, r in phases
+    ]
+    return spark.createDataFrame(
+        rows,
+        "phase string, source string, cnt long, min_ck long, "
+        "max_ck long, min_price double, max_price double, "
+        "min_st string, max_st string, null_st long",
+    )
+
+
+ORACLE_METADATA_AGG = """
+WITH s0 AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+     s1 AS (SELECT * FROM orders WHERE o_orderkey % 7 IN (0, 3)),
+     a0 AS (
+       SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+              MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+              MIN(o_totalprice) AS min_price,
+              MAX(o_totalprice) AS max_price,
+              MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st,
+              CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_st
+       FROM s0
+     ),
+     a1 AS (
+       SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+              MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+              MIN(o_totalprice) AS min_price,
+              MAX(o_totalprice) AS max_price,
+              MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st,
+              CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS null_st
+       FROM s1
+     )
+SELECT 'clean' AS phase, 'metadata' AS source, * FROM a0
+UNION ALL
+SELECT 'after_mor' AS phase, 'scan' AS source, * FROM a1
+UNION ALL
+SELECT 'after_compact' AS phase, 'metadata' AS source, * FROM a1
+"""
+
+
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 from dataintegration_ecomprovider_spark.plans.scratch import (
     scratch_store_root as _scratch_store_root,
@@ -2316,6 +2412,7 @@ QUERIES = {
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
+    "u12_metadata_agg": QueryDef(q_metadata_agg, ORACLE_METADATA_AGG),
     "u12_auto_recluster": QueryDef(q_auto_recluster, ORACLE_AUTO_RECLUSTER),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(

@@ -37,5 +37,10 @@ def get_spark(app_name: str = "dataintegration-ecomprovider-spark") -> SparkSess
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # INT64 micros instead of Spark's legacy INT96: INT96 carries NO
+        # parquet column statistics, so timestamp predicates could never
+        # file-skip and metadata_aggregate could never answer them; micros
+        # is also what every other engine (DuckDB, Trino, Arrow) expects
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     return builder.getOrCreate()

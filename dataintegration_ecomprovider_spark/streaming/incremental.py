@@ -200,6 +200,7 @@ def stream_into_store(
     mor: bool = False,
     refresh_views: bool = False,
     strict_views: bool = False,
+    exactly_once_app: str | None = None,
 ) -> StreamingQuery:
     """Stream → versioned store: every micro-batch becomes one crash-safe
     VERSION via publish.merge_into — streaming and batch share one write
@@ -208,6 +209,16 @@ def stream_into_store(
     a batch re-merges into the current version: the upsert is idempotent
     on its keys, so the DATA is exactly-once while version numbers are
     at-least-once (a replayed batch can add an identical version).
+
+    `exactly_once_app="name"` upgrades that to exactly-once COMMITS: each
+    micro-batch stamps its merge with ``txn=(name, batch_id)`` (Delta's
+    `txn` action, publish.last_txn), so a checkpoint replay of an
+    already-committed batch is a manifest-level no-op — no duplicate
+    version, no duplicate MoR delta, and CDC consumers downstream see
+    each change exactly once.  The name identifies the (stream,
+    checkpoint) pair; two different streams feeding one table need two
+    names, and restarting a stream with a FRESH checkpoint (batch ids
+    reset to 0) needs a fresh name.
     `bucketed=True` keeps the destination bucketed across versions
     (merge_into): a continuously-fed 100 TB table never re-shuffles its
     accumulated side, only each (small) incoming batch.
@@ -249,6 +260,7 @@ def stream_into_store(
     def process(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
+        txn = (exactly_once_app, batch_id) if exactly_once_app else None
         order = list(dedup_order_by) if dedup_order_by is not None else [
             F.col(c) for c in batch.columns if c not in keys
         ]
@@ -261,18 +273,19 @@ def stream_into_store(
                 publish.merge_into_mor(
                     batch.sparkSession, root, name, deduped, keys,
                     insert_new=insert_new, update_existing=update_existing,
+                    txn=txn,
                 )
             else:
                 # first batch seeds the base the delta log hangs off
                 publish.publish_tables(
                     batch.sparkSession, {name: deduped}, root,
-                    table_keys={name: list(keys)},
+                    table_keys={name: list(keys)}, txn=txn,
                 )
         else:
             publish.merge_into(
                 batch.sparkSession, root, name, deduped, keys,
                 insert_new=insert_new, update_existing=update_existing,
-                bucketed=bucketed, num_buckets=num_buckets,
+                bucketed=bucketed, num_buckets=num_buckets, txn=txn,
             )
         if auto_compact_files is not None:
             stats = publish.table_stats(root, name)
@@ -307,6 +320,113 @@ def stream_into_store(
                     "declared-view refresh failed for batch %s "
                     "(ingest continues): %s", batch_id, report["errors"],
                 )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_store_to_store(
+    spark: SparkSession,
+    src_root: str,
+    src_table: str,
+    dst_root: str,
+    dst_table: str,
+    checkpoint_dir: str,
+    app_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    keys: Sequence[str] | None = None,
+    starting_version: str = "earliest",
+    partitions: int = 1,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """A DERIVED store table that follows another store table exactly-once
+    through inserts, updates AND deletes — the full streaming loop closed:
+    ``store_changes`` (streaming/store_source.py) tails the upstream CDC
+    feed, `transform` reshapes each batch's changed rows, and the result
+    lands downstream via ``merge_into_mor`` stamped with
+    ``txn=(app_id, batch_id)``.
+
+    Exactly-once end to end, from the two halves' guarantees composed:
+    the SOURCE's offsets are store versions (replayable, exact — a
+    micro-batch is the key-wise diff of two committed versions), and the
+    SINK's txn watermark makes a replayed batch a manifest-level no-op
+    (publish.last_txn).  A crash anywhere — mid-batch, between sink
+    commit and checkpoint commit, during restart — converges to the same
+    downstream state with no duplicate versions and no duplicate CDC
+    events for ANYONE tailing the downstream table.  Chains compose:
+    downstream can itself be tailed by another hop.
+
+    `transform` sees the batch's VALUE rows (upserts — no change_type
+    column) and must preserve the key columns; row-local projections,
+    casts, filters and enrich-joins against broadcast dims all qualify.
+    A row the transform FILTERS OUT is simply absent downstream (its
+    later delete is a no-op delete marker).  Deletes replicate by key,
+    untransformed.
+
+    Scale shape: per micro-batch cost is O(changed rows) on both halves
+    — the source's MoR fast path reads suffix deltas + a key-scoped base
+    probe, the sink appends an O(batch) delta.  The reference analog is
+    chained incremental jobs (each destination re-derived by re-running
+    its job, /root/reference/src/EcomProvider.cs:937-966); the versioned
+    store turns that into an exact change-propagation pipeline."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.store_source import (
+        CHANGE_COL,
+        StoreChangesDataSource,
+    )
+
+    if keys is None:
+        keys = publish.table_keys(src_root, src_table)
+        if not keys:
+            raise ValueError(
+                f"source table {src_table!r} has no recorded keys — pass "
+                "keys= or publish with publish_tables(table_keys=...)"
+            )
+    keys = list(keys)
+    spark.dataSource.register(StoreChangesDataSource)
+    stream = (
+        spark.readStream.format("store_changes")
+        .option("root", src_root)
+        .option("table", src_table)
+        .option("startingVersion", starting_version)
+        .option("partitions", str(partitions))
+        .load()
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns:
+            return
+        txn = (app_id, batch_id)
+        upserts = batch.filter(
+            F.col(CHANGE_COL).isin("insert", "update")
+        ).drop(CHANGE_COL)
+        deletes = batch.filter(F.col(CHANGE_COL) == "delete").select(*keys)
+        if transform is not None:
+            upserts = transform(upserts)
+            missing = [k for k in keys if k not in upserts.columns]
+            if missing:
+                raise ValueError(
+                    f"transform must preserve the key columns; lost {missing}"
+                )
+        sess = batch.sparkSession
+        if dst_table in publish.current_manifest(dst_root)["tables"]:
+            publish.merge_into_mor(
+                sess, dst_root, dst_table, upserts, keys,
+                deletes=deletes, txn=txn,
+            )
+        else:
+            # first batch seeds the downstream base (an empty table has
+            # nothing to delete, so the delete markers can be dropped)
+            publish.publish_tables(
+                sess, {dst_table: upserts}, dst_root,
+                table_keys={dst_table: keys}, txn=txn,
+            )
 
     writer = (
         stream.writeStream.foreachBatch(process)
