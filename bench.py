@@ -69,6 +69,7 @@ HEADLINE = [
     "llm_decontaminate_incremental_portable",  # persisted decon index over two CDC feeds (round 8)
     "u12_sql_merge",                # SQL MERGE front-end → same merge engine (round 8)
     "stream_store_to_store",        # exactly-once store→store CDC pipeline + replay no-op (round 8)
+    "u12_metadata_agg",             # zero-job COUNT/MIN/MAX from the stats sidecar (round 8)
 ]
 
 

@@ -48,6 +48,14 @@ class ValidationError(RuntimeError):
     pass
 
 
+# CAS-retry budget for read-modify-write operators (merge_into, compact,
+# recluster): each failed attempt means ANOTHER writer committed (the lock
+# serializes swaps), so the system always progresses and a writer needs at
+# most one attempt per concurrent peer — 20 covers any plausible
+# single-store writer fan-in without risking livelock.
+COMMIT_RETRIES = 20
+
+
 class ConcurrentPublishError(RuntimeError):
     """The manifest advanced past the version a CAS publish expected —
     another writer committed first.  Re-read and retry (merge_into does)."""
@@ -1614,7 +1622,7 @@ def merge_into(
                     )
                 staging = staging.filter(cond)
     last_err: ConcurrentPublishError | None = None
-    for _attempt in range(5):
+    for _attempt in range(COMMIT_RETRIES):
         base = current_manifest(root)
         if _txn_gate(base, txn):
             # replayed batch: skip before the O(|table|) read-merge-write
@@ -3249,6 +3257,7 @@ def metadata_aggregate(
     name: str,
     aggs: Sequence[Sequence[str]],
     version: int | None = None,
+    where: Sequence[tuple] = (),
 ) -> dict | None:
     """Answer COUNT / MIN / MAX / NULL_COUNT aggregates from the stats
     sidecar alone — zero Spark jobs, zero data files opened: O(1) manifest
@@ -3280,7 +3289,17 @@ def metadata_aggregate(
     Timestamps/dates answer as their ISO-8601 strings (the sidecar's
     order-preserving encoding).  NULL_COUNT and COUNT also work on
     strings and partition columns.  Columns are logical: renamed tables
-    translate through the manifest column map; dropped columns refuse."""
+    translate through the manifest column map; dropped columns refuse.
+
+    `where` (scan_table's predicate algebra) scopes the aggregates to a
+    FILTERED view using the same three-valued file logic the pruner runs:
+    a file that provably CANNOT match contributes nothing, a file whose
+    EVERY row provably matches (_node_must_match) contributes its full
+    stats, and any file in between makes the question unanswerable (None
+    — the caller scans).  ``SELECT COUNT(*) WHERE ingest_date = X`` on a
+    date-partitioned table is then pure metadata — the partition-pruned
+    count Delta/Iceberg answer from their logs — while a predicate that
+    genuinely straddles file boundaries falls back honestly."""
     tables = (
         tables_at(root, version) if version is not None
         else current_manifest(root)["tables"]
@@ -3297,6 +3316,19 @@ def metadata_aggregate(
     renames, dropped = _column_map(entry)  # {physical: logical}
     to_physical = {v: k for k, v in renames.items()}
     part_cols = set(entry.get("partition_by") or [])
+    if where:
+        # three-valued file triage under the predicate: cannot-match
+        # files drop out, must-match files contribute fully, anything
+        # in between defeats exactness
+        pwhere = _phys_where(entry, where)
+        kept = []
+        for e in stats_entries:
+            if not all(_node_may_match(e, p) for p in pwhere):
+                continue
+            if not all(_node_must_match(e, p) for p in pwhere):
+                return None
+            kept.append(e)
+        stats_entries = kept
     out: dict = {}
     for spec in aggs:
         op = spec[0]
@@ -3344,22 +3376,31 @@ def aggregate_table(
     name: str,
     aggs: Sequence[Sequence[str]],
     version: int | None = None,
+    where: Sequence[tuple] = (),
 ) -> tuple[dict, str]:
     """`metadata_aggregate` with a transparent scan fallback: returns
     (results, source) where source is ``"metadata"`` (no Spark job ran)
     or ``"scan"`` (the exact same aggregates computed by Spark over the
-    table — MoR deltas, missing stats and truncated strings all land
-    here).  Scan-side date/timestamp results format to ISO strings so the
-    two sources agree on types."""
-    md = metadata_aggregate(root, name, aggs, version=version)
+    table — MoR deltas, missing stats, truncated strings and predicates
+    that straddle file boundaries all land here; the scan goes through
+    scan_table, so file skipping still prunes it).  Scan-side
+    date/timestamp results format to ISO strings so the two sources
+    agree on types."""
+    md = metadata_aggregate(root, name, aggs, version=version, where=where)
     if md is not None:
         return md, "metadata"
     from pyspark.sql.types import DateType, TimestampType
 
-    df = (
-        read_table_at(spark, root, name, version) if version is not None
-        else read_table(spark, root, name)
-    )
+    if where:
+        df = (
+            scan_table_at(spark, root, name, version, where)
+            if version is not None else scan_table(spark, root, name, where)
+        )
+    else:
+        df = (
+            read_table_at(spark, root, name, version)
+            if version is not None else read_table(spark, root, name)
+        )
     types = {f.name: f.dataType for f in df.schema.fields}
 
     def _iso(col: str):
@@ -3400,6 +3441,94 @@ def aggregate_table(
             raise ValueError(f"unsupported aggregate spec {tuple(spec)!r}")
     row = df.agg(*exprs).collect()[0]
     return row.asDict(), "scan"
+
+
+def profile_table(root: str, name: str, version: int | None = None) -> dict:
+    """Zero-job data profile from the manifest + stats sidecar: per-column
+    null fraction, [min, max] BOUNDS (exact for numerics/temporals; for
+    long strings the recorded truncated bounds, flagged), per-file row
+    spread, and the delta-log footprint — the first look an operator
+    wants at an unfamiliar 100 TB table, for the cost of one JSON parse.
+
+    Unlike metadata_aggregate this never refuses: it reports what the
+    metadata KNOWS with per-column ``exact`` flags instead of demanding
+    exactness, because a profile is reconnaissance, not an answer.
+    MoR deltas are reported (rows/files pending compaction) but their
+    contents are not folded in — the profile describes the BASE."""
+    tables = (
+        tables_at(root, version) if version is not None
+        else current_manifest(root)["tables"]
+    )
+    if name not in tables:
+        raise KeyError(f"table {name!r} absent under {root}")
+    entry = tables[name]
+    entry = {"path": entry} if isinstance(entry, str) else entry
+    out: dict = {
+        "table": name,
+        "version": version,
+        "keys": entry.get("keys"),
+        "partition_by": entry.get("partition_by"),
+        "deltas_pending": {
+            "count": len(entry.get("deltas") or []),
+            "rows": sum(int(d.get("rows", 0)) for d in entry.get("deltas") or []),
+        },
+    }
+    stats_entries = _load_stats_entries(entry["path"])
+    if stats_entries is None:
+        out["files"] = None
+        out["columns"] = {}
+        return out
+    rows = [e["rows"] for e in stats_entries]
+    total = sum(rows)
+    out["files"] = {
+        "count": len(stats_entries),
+        "rows": total,
+        "bytes": sum(e["bytes"] for e in stats_entries),
+        "rows_min": min(rows) if rows else 0,
+        "rows_max": max(rows) if rows else 0,
+    }
+    renames, dropped = _column_map(entry)
+    cols: dict[str, dict] = {}
+    tracked = set()
+    for e in stats_entries:
+        tracked.update(e["stats"].keys())
+    for pcol in sorted(tracked):
+        if pcol in dropped:
+            continue
+        mn = mx = None
+        nulls: int | None = 0
+        exact = True
+        for e in stats_entries:
+            st = e["stats"].get(pcol)
+            if st is None:
+                exact = False
+                continue
+            lo, hi, nc = st
+            if nc is None:
+                nulls = None
+            elif nulls is not None:
+                nulls += nc
+            if lo is None or hi is None:
+                if not (nc is not None and nc == e["rows"]):
+                    exact = False
+                continue
+            if isinstance(lo, str) and (
+                len(lo) >= STATS_STRING_PREFIX or len(hi) >= STATS_STRING_PREFIX
+            ):
+                exact = False  # truncated bounds: still bounds, not values
+            mn = lo if mn is None or lo < mn else mn
+            mx = hi if mx is None or hi > mx else mx
+        cols[renames.get(pcol, pcol)] = {
+            "min": mn,
+            "max": mx,
+            "null_fraction": (
+                round(nulls / total, 6) if nulls is not None and total else
+                (0.0 if nulls is not None else None)
+            ),
+            "exact": exact,
+        }
+    out["columns"] = cols
+    return out
 
 
 def clustering_overlap(root: str, name: str, column: str) -> float:
@@ -3502,7 +3631,7 @@ def recluster(
         raise KeyError(f"table {name!r} has no committed version under {root}")
     if isinstance(entry, dict) and entry.get("partition_by"):
         last_err: ConcurrentPublishError | None = None
-        for _attempt in range(5):
+        for _attempt in range(COMMIT_RETRIES):
             try:
                 return _recluster_partitions(
                     spark, root, name, by,
@@ -4659,7 +4788,7 @@ def compact(
     Returns {"version", "files_before", "files_after", "bytes"}.
     """
     last_err: ConcurrentPublishError | None = None
-    for _attempt in range(5):
+    for _attempt in range(COMMIT_RETRIES):
         try:
             return _compact_once(
                 spark, root, name,

@@ -18,6 +18,11 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE         -- U4 delete-incoming
     DELETE FROM t WHERE <predicate>
     INSERT INTO t <SELECT ...>
+    SELECT ... FROM store_t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+    OPTIMIZE t [ZORDER BY (c1, c2)]       -- compact / clustered rewrite
+    VACUUM [RETAIN n VERSIONS]            -- prune old versions
+    DESCRIBE HISTORY [t]                  -- committed versions, newest first
+    RESTORE VERSION AS OF n               -- store-wide rollback
 
 `s` (the source) may be a session temp view, another table of the same
 store, or a parenthesized SELECT (run against the store's registered
@@ -66,6 +71,28 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
+_SELECT_RE = re.compile(r"^\s*(?:SELECT|WITH)\b", re.IGNORECASE)
+_ASOF_RE = re.compile(
+    r"(?P<table>\w+)\s+(?:(?:VERSION\s+AS\s+OF\s+(?P<version>\d+))|"
+    r"(?:TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'))",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>\w+)"
+    r"(?:\s+ZORDER\s+BY\s+\(?(?P<cols>[\w\s,]+?)\)?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS?)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY(?:\s+(?P<target>\w+))?\s*;?\s*$", re.IGNORECASE
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 class StoreSQL:
@@ -116,9 +143,10 @@ class StoreSQL:
         return keys
 
     # -- statements --------------------------------------------------------
-    def sql(self, statement: str) -> dict:
-        """Execute one DML statement; returns the engine call's result
-        manifest/summary dict."""
+    def sql(self, statement: str) -> dict | DataFrame:
+        """Execute one statement.  DML / maintenance statements return the
+        engine call's result manifest/summary dict; SELECT (including
+        time travel) and DESCRIBE HISTORY return a DataFrame."""
         m = _MERGE_RE.match(statement)
         if m:
             return self._merge(m)
@@ -128,9 +156,79 @@ class StoreSQL:
         m = _INSERT_RE.match(statement)
         if m:
             return self._insert(m.group("target"), m.group("select"))
+        if _SELECT_RE.match(statement):
+            return self._select(statement)
+        m = _OPTIMIZE_RE.match(statement)
+        if m:
+            cols = m.group("cols")
+            return publish.compact(
+                self.spark, self.root, m.group("target"),
+                cluster_by=(
+                    [c.strip() for c in cols.split(",")] if cols else None
+                ),
+            )
+        m = _VACUUM_RE.match(statement)
+        if m:
+            return publish.vacuum(
+                self.spark, self.root,
+                keep_versions=int(m.group("keep") or 2),
+            )
+        m = _HISTORY_RE.match(statement)
+        if m:
+            return self._history(m.group("target"))
+        m = _RESTORE_RE.match(statement)
+        if m:
+            return publish.rollback(self.root, int(m.group("version")))
         raise ValueError(
-            "unsupported statement (MERGE INTO / DELETE FROM / INSERT "
-            f"INTO): {statement[:120]!r}"
+            "unsupported statement (MERGE INTO / DELETE FROM / INSERT INTO "
+            "/ SELECT [VERSION|TIMESTAMP AS OF] / OPTIMIZE [ZORDER BY] / "
+            f"VACUUM / DESCRIBE HISTORY / RESTORE): {statement[:120]!r}"
+        )
+
+    def _select(self, statement: str) -> DataFrame:
+        """SELECT over the store's registered views, with Delta-shaped
+        time travel: `FROM <prefix><table> VERSION AS OF <n>` /
+        `TIMESTAMP AS OF '<ts>'` clauses resolve through
+        read_table_at/read_table_asof into per-statement temp views and
+        the rewritten text is handed to Spark SQL untouched."""
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+
+        def rewrite(m: re.Match) -> str:
+            ref = m.group("table")
+            name = ref[len(self.prefix):] if ref.startswith(self.prefix) else ref
+            if m.group("version") is not None:
+                version = int(m.group("version"))
+                df = publish.read_table_at(self.spark, self.root, name, version)
+                view = f"{self.prefix}{name}__v{version}"
+            else:
+                df = publish.read_table_asof(
+                    self.spark, self.root, name, m.group("ts")
+                )
+                view = f"{self.prefix}{name}__asof_{abs(hash(m.group('ts')))}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self.spark.sql(_ASOF_RE.sub(rewrite, statement))
+
+    def _history(self, target: str | None) -> DataFrame:
+        """DESCRIBE HISTORY [<table>]: one row per committed store version
+        (newest first) — version, txid, commit time, and whether the
+        table existed there (when a table is named, versions it is absent
+        from are filtered out)."""
+        manifest = publish.current_manifest(self.root)
+        snaps = publish._all_history(self.root, manifest) + [manifest]
+        rows = []
+        for h in snaps:
+            if target is not None and target not in h.get("tables", {}):
+                continue
+            rows.append((
+                int(h["version"]), h.get("txid"),
+                float(h["committed_at_unix"])
+                if h.get("committed_at_unix") is not None else None,
+            ))
+        rows.sort(key=lambda r: -r[0])
+        return self.spark.createDataFrame(
+            rows, "version long, txid string, committed_at_unix double"
         )
 
     def _merge(self, m: re.Match) -> dict:

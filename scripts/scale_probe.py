@@ -98,6 +98,9 @@ def main() -> None:
         "u12_partition_evolution",  # spec declaration + lazy migration
         "llm_text_search_ranked",   # BM25 from three maintained tables
         "llm_decontaminate_incremental_portable",  # persisted decon index
+        "u12_sql_merge",            # SQL MERGE front-end
+        "u12_metadata_agg",         # metadata-only aggregates lifecycle
+        "stream_store_to_store",    # exactly-once CDC pipeline + replay
     ]
     wanted = sys.argv[1:]
     if wanted:

@@ -202,6 +202,45 @@ def test_version_time_travel(spark, tmp_path):
     ) == {"count": 2, "max_x": 9.0}
 
 
+def test_where_scoped_count_on_partitioned_table(spark, tmp_path):
+    """COUNT(*) WHERE p = <partition value> is pure metadata: every kept
+    file must-matches the predicate (partition min == max == value)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, "x"), (1, 20.0, "y"), (2, 30.0, "z")],
+        "p long, v double, s string",
+    )
+    root = _store(spark, tmp_path, df, partition_by={"t": ["p"]})
+    got = publish.metadata_aggregate(
+        root, "t", [("count",), ("min", "v"), ("max", "v")],
+        where=[("p", "=", 1)],
+    )
+    assert got == {"count": 2, "min_v": 10.0, "max_v": 20.0}
+    # a predicate matching nothing answers 0, not None
+    assert publish.metadata_aggregate(
+        root, "t", [("count",)], where=[("p", "=", 99)]
+    ) == {"count": 0}
+
+
+def test_where_straddling_files_falls_back(spark, tmp_path):
+    # one file holds v in [1, 10]: "v > 5" neither must- nor cannot-match
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 10.0)], "k long, v double"
+    ).coalesce(1)
+    root = _store(spark, tmp_path, df, table_keys={"t": ["k"]})
+    assert publish.metadata_aggregate(
+        root, "t", [("count",)], where=[("v", ">", 5.0)]
+    ) is None
+    got, src = publish.aggregate_table(
+        spark, root, "t", [("count",), ("max", "v")], where=[("v", ">", 5.0)]
+    )
+    assert src == "scan" and got == {"count": 1, "max_v": 10.0}
+    # whereas a predicate every row satisfies stays metadata-only
+    got, src = publish.aggregate_table(
+        spark, root, "t", [("count",)], where=[("v", ">=", 1.0)]
+    )
+    assert src == "metadata" and got == {"count": 2}
+
+
 def test_zero_spark_jobs_on_metadata_path(spark, tmp_path):
     """The headline claim: the metadata path never touches the cluster."""
     df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "k long, x double")
@@ -213,3 +252,27 @@ def test_zero_spark_jobs_on_metadata_path(spark, tmp_path):
     )
     assert src == "metadata" and got["count"] == 2
     assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_profile_table_reports_without_refusing(spark, tmp_path):
+    long_s = "m" * 40
+    df = spark.createDataFrame(
+        [(1, 2.5, long_s), (2, None, "zz"), (3, 9.0, None)],
+        "k long, x double, s string",
+    )
+    root = _store(spark, tmp_path, df.coalesce(1), table_keys={"t": ["k"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, 1.0, "a")], "k long, x double, s string"),
+    )
+    p = publish.profile_table(root, "t")
+    assert p["keys"] == ["k"] and p["files"]["rows"] == 3
+    assert p["deltas_pending"] == {"count": 1, "rows": 1}
+    assert p["columns"]["k"] == {
+        "min": 1, "max": 3, "null_fraction": 0.0, "exact": True,
+    }
+    assert p["columns"]["x"]["null_fraction"] == round(1 / 3, 6)
+    assert p["columns"]["x"]["exact"] is True
+    s_col = p["columns"]["s"]
+    assert s_col["exact"] is False  # truncated bounds, flagged not refused
+    assert s_col["min"] == long_s[:32] and s_col["null_fraction"] == round(1 / 3, 6)

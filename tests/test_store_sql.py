@@ -169,3 +169,78 @@ def test_rejections(spark, tmp_path):
               "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
     with pytest.raises(ValueError, match="unsupported statement"):
         s.sql("UPDATE t SET v = 1")
+
+
+def test_select_version_and_timestamp_as_of(spark, tmp_path):
+    """Read-side time travel through the SQL session: VERSION AS OF joins
+    two different versions of one table in a single statement."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": spark.createDataFrame([(1, "a")], "k long, v string")},
+        root, table_keys={"t": ["k"]},
+    )
+    ts_between = publish.current_manifest(root)["committed_at_unix"] + 0.001
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame([(1, "a2"), (2, "b")], "k long, v string"),
+    )
+    s = store_sql(spark, root)
+    now = {(r["k"], r["v"]) for r in s.sql("SELECT * FROM store_t").collect()}
+    assert now == {(1, "a2"), (2, "b")}
+    old = {(r["k"], r["v"]) for r in s.sql(
+        "SELECT * FROM store_t VERSION AS OF 1"
+    ).collect()}
+    assert old == {(1, "a")}
+    import datetime as _dt
+
+    iso = _dt.datetime.fromtimestamp(
+        ts_between, tz=_dt.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    asof = {(r["k"], r["v"]) for r in s.sql(
+        f"SELECT * FROM store_t TIMESTAMP AS OF '{iso}'"
+    ).collect()}
+    assert asof == {(1, "a")}
+    # both versions joined in ONE statement
+    diff = s.sql(
+        "SELECT cur.k FROM store_t cur LEFT ANTI JOIN "
+        "(SELECT * FROM store_t VERSION AS OF 1) prev ON cur.k = prev.k"
+    ).collect()
+    assert [r["k"] for r in diff] == [2]
+
+
+def test_optimize_vacuum_history_restore(spark, tmp_path):
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(
+            [(i, float(i)) for i in range(100)], "k long, x double"
+        ).repartition(8)},
+        root, table_keys={"t": ["k"]},
+    )
+    publish.merge_into(
+        spark, root, "t",
+        spark.createDataFrame([(1, 999.0)], "k long, x double"),
+    )
+    s = store_sql(spark, root)
+    hist = s.sql("DESCRIBE HISTORY t").collect()
+    assert [r["version"] for r in hist] == [2, 1]
+
+    m = s.sql("OPTIMIZE t ZORDER BY (k, x)")
+    assert publish.current_manifest(root)["version"] == 3
+    assert m["version"] == 3 and m["files_after"] <= m["files_before"]
+    assert (
+        publish.current_manifest(root)["tables"]["t"].get("rewrite_of") == 2
+    )
+
+    s.sql("RESTORE VERSION AS OF 2")
+    got = {r["k"] for r in s.sql(
+        "SELECT k FROM store_t WHERE x = 999.0"
+    ).collect()}
+    assert got == {1}
+
+    rep = s.sql("VACUUM RETAIN 1 VERSIONS")
+    assert isinstance(rep, dict)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        s.sql("SELECT * FROM store_t VERSION AS OF 1").collect()
