@@ -74,10 +74,31 @@ def _manifest_lock(root: str, timeout: float = 60.0, stale: float = 300.0):
     return protocol_for(root).lock(root, timeout=timeout, stale=stale)
 
 
+# Format protocol gate (Delta's minReaderVersion/minWriterVersion role):
+# every commit stamps the format versions this codebase speaks; a reader
+# opening a manifest stamped with a HIGHER reader requirement refuses
+# loudly instead of silently mis-reading features it doesn't understand
+# (the failure mode of versionless formats).  Bump READER when a change
+# makes old readers return WRONG data (not merely miss an optimization);
+# bump WRITER when old writers would corrupt state written by new ones.
+READER_VERSION = 1
+WRITER_VERSION = 1
+
+
+class FormatVersionError(RuntimeError):
+    """The store requires a newer engine version than this codebase."""
+
+
 def current_manifest(root: str) -> dict:
     manifest = protocol_for(root).read_manifest(root)
     if manifest is None:
         return {"version": 0, "txid": None, "tables": {}}
+    fmt = manifest.get("format") or {}
+    if int(fmt.get("reader", 1)) > READER_VERSION:
+        raise FormatVersionError(
+            f"store at {root} requires reader version {fmt['reader']}; "
+            f"this engine speaks {READER_VERSION} — upgrade before reading"
+        )
     return manifest
 
 
@@ -1050,7 +1071,20 @@ def _history_fields(root: str, prev: dict) -> dict:
             {"file": fname, "from": chunk[0]["version"],
              "to": chunk[-1]["version"]}
         )
-    out = {"history": hist}
+    fmt = prev.get("format") or {}
+    if int(fmt.get("writer", 1)) > WRITER_VERSION:
+        raise FormatVersionError(
+            f"store requires writer version {fmt['writer']}; this engine "
+            f"writes {WRITER_VERSION} — reading is allowed, writing is not"
+        )
+    out = {
+        "history": hist,
+        # never downgrade a store's declared requirements
+        "format": {
+            "reader": max(READER_VERSION, int(fmt.get("reader", 1))),
+            "writer": max(WRITER_VERSION, int(fmt.get("writer", 1))),
+        },
+    }
     if spills:
         out["history_spills"] = spills
     if prev.get("txns"):
@@ -1294,7 +1328,12 @@ def active_reader_floors(root: str, now: float | None = None) -> dict:
     }
 
 
-def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
+def vacuum(
+    spark: SparkSession,
+    root: str,
+    keep_versions: int = 2,
+    keep_seconds: float | None = None,
+) -> dict:
     """Prune history: keep the current version plus the newest
     `keep_versions - 1` historical versions; delete data directories (and
     drop bucketed-table catalog entries) referenced ONLY by pruned
@@ -1309,6 +1348,16 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
     version at or above the lowest unexpired floor is kept regardless
     of keep_versions (expired leases are ignored and garbage-collected
     here).
+
+    `keep_seconds` adds TIME-based retention (Delta's
+    `RETAIN <n> HOURS` / deletedFileRetentionDuration role): any version
+    committed within the last `keep_seconds` survives regardless of
+    count, because operational SLAs ("time travel must reach back 7
+    days") are stated in time while count-based retention silently
+    shrinks the window whenever commit frequency spikes — a streaming
+    sink committing per minute turns keep_versions=48 from two days into
+    under an hour.  The two knobs compose: a version is pruned only when
+    it is BOTH beyond the count window AND older than the time window.
 
     Returns {"removed_versions": [...], "removed_paths": [...],
     "reader_floors": {name: version} (the active floors honored)}.
@@ -1343,6 +1392,22 @@ def vacuum(spark: SparkSession, root: str, keep_versions: int = 2) -> dict:
                 cut,
                 next(
                     (i for i, h in enumerate(history) if h["version"] >= floor),
+                    len(history),
+                ),
+            )
+        if keep_seconds is not None:
+            # time window: the first version still inside it (and
+            # everything newer) survives; versions missing a commit
+            # stamp (pre-stamp stores) are conservatively KEPT
+            horizon = now - keep_seconds
+            cut = min(
+                cut,
+                next(
+                    (
+                        i for i, h in enumerate(history)
+                        if h.get("committed_at_unix") is None
+                        or h["committed_at_unix"] >= horizon
+                    ),
                     len(history),
                 ),
             )

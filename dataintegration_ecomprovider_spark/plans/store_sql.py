@@ -19,9 +19,12 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     DELETE FROM t WHERE <predicate>
     INSERT INTO t <SELECT ...>
     SELECT ... FROM store_t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
+    CREATE TABLE t [KEYED BY (k1, k2)] AS SELECT ...
+    DROP TABLE t                          -- O(1) metadata commit
     OPTIMIZE t [ZORDER BY (c1, c2)]       -- compact / clustered rewrite
-    VACUUM [RETAIN n VERSIONS]            -- prune old versions
+    VACUUM [RETAIN n VERSIONS|HOURS|DAYS] -- count- or time-based retention
     DESCRIBE HISTORY [t]                  -- committed versions, newest first
+    DESCRIBE DETAIL t                     -- zero-job profile (profile_table)
     RESTORE VERSION AS OF n               -- store-wide rollback
 
 `s` (the source) may be a session temp view, another table of the same
@@ -83,8 +86,21 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM(?:\s+RETAIN\s+(?P<keep>\d+)\s+VERSIONS?)?\s*;?\s*$",
+    r"^\s*VACUUM(?:\s+RETAIN\s+(?P<keep>\d+)\s+"
+    r"(?P<unit>VERSIONS?|HOURS?|DAYS?))?\s*;?\s*$",
     re.IGNORECASE,
+)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<target>\w+)"
+    r"(?:\s+KEYED\s+BY\s+\(?(?P<keys>[\w\s,]+?)\)?)?"
+    r"\s+AS\s+(?P<select>SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE
+)
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>\w+)\s*;?\s*$", re.IGNORECASE
 )
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY(?:\s+(?P<target>\w+))?\s*;?\s*$", re.IGNORECASE
@@ -169,9 +185,48 @@ class StoreSQL:
             )
         m = _VACUUM_RE.match(statement)
         if m:
+            unit = (m.group("unit") or "VERSIONS").upper()
+            keep = int(m.group("keep") or 2)
+            if unit.startswith("VERSION"):
+                return publish.vacuum(self.spark, self.root, keep_versions=keep)
+            secs = keep * 3600 * (24 if unit.startswith("DAY") else 1)
             return publish.vacuum(
-                self.spark, self.root,
-                keep_versions=int(m.group("keep") or 2),
+                self.spark, self.root, keep_versions=1, keep_seconds=secs
+            )
+        m = _CTAS_RE.match(statement)
+        if m:
+            publish.register_store(self.spark, self.root, prefix=self.prefix)
+            target = m.group("target")
+            if target in publish.current_manifest(self.root)["tables"]:
+                raise ValueError(f"table {target!r} already exists")
+            keys = m.group("keys")
+            return publish.publish_tables(
+                self.spark, {target: self.spark.sql(m.group("select"))},
+                self.root,
+                table_keys=(
+                    {target: [k.strip() for k in keys.split(",")]}
+                    if keys else None
+                ),
+            )
+        m = _DROP_RE.match(statement)
+        if m:
+            return publish.drop_table(self.root, m.group("target"))
+        m = _DETAIL_RE.match(statement)
+        if m:
+            import json as _json
+
+            p = publish.profile_table(self.root, m.group("target"))
+            return self.spark.createDataFrame(
+                [(p["table"], _json.dumps(p["keys"]),
+                  _json.dumps(p["partition_by"]),
+                  int(p["files"]["count"]) if p["files"] else None,
+                  int(p["files"]["rows"]) if p["files"] else None,
+                  int(p["files"]["bytes"]) if p["files"] else None,
+                  int(p["deltas_pending"]["count"]),
+                  _json.dumps(p["columns"], sort_keys=True))],
+                "table string, keys string, partition_by string, "
+                "num_files long, rows long, bytes long, "
+                "deltas_pending long, columns string",
             )
         m = _HISTORY_RE.match(statement)
         if m:
@@ -181,8 +236,9 @@ class StoreSQL:
             return publish.rollback(self.root, int(m.group("version")))
         raise ValueError(
             "unsupported statement (MERGE INTO / DELETE FROM / INSERT INTO "
-            "/ SELECT [VERSION|TIMESTAMP AS OF] / OPTIMIZE [ZORDER BY] / "
-            f"VACUUM / DESCRIBE HISTORY / RESTORE): {statement[:120]!r}"
+            "/ SELECT [VERSION|TIMESTAMP AS OF] / CREATE TABLE ... AS "
+            "SELECT / DROP TABLE / OPTIMIZE [ZORDER BY] / VACUUM / "
+            f"DESCRIBE HISTORY|DETAIL / RESTORE): {statement[:120]!r}"
         )
 
     def _select(self, statement: str) -> DataFrame:

@@ -244,3 +244,44 @@ def test_optimize_vacuum_history_restore(spark, tmp_path):
 
     with _pytest.raises(Exception):
         s.sql("SELECT * FROM store_t VERSION AS OF 1").collect()
+
+
+def test_ctas_drop_detail_and_time_vacuum(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    s = store_sql(spark, root)
+    s.sql(
+        "CREATE TABLE big KEYED BY (k) AS "
+        "SELECT k, v * 10 AS v FROM store_t WHERE k < 5"
+    )
+    assert publish.table_keys(root, "big") == ["k"]
+    got = {(r["k"], r["v"]) for r in s.sql("SELECT * FROM store_big").collect()}
+    assert got == {(i, i * 20) for i in range(5)}
+    with pytest.raises(ValueError, match="already exists"):
+        s.sql("CREATE TABLE big AS SELECT 1 AS x")
+
+    detail = s.sql("DESCRIBE DETAIL big").collect()[0]
+    assert detail["rows"] == 5 and detail["deltas_pending"] == 0
+    assert '"min": 0' in detail["columns"]
+
+    s.sql("DROP TABLE big")
+    assert "big" not in publish.current_manifest(root)["tables"]
+
+    # time-based retention keeps everything younger than the window
+    rep = s.sql("VACUUM RETAIN 1 HOURS")
+    assert rep["removed_versions"] == []
+
+
+def test_vacuum_keep_seconds_window(spark, tmp_path):
+    """Count window says prune, time window says keep — time wins; a
+    zero-second window lets the count window rule."""
+    root = str(tmp_path / "store")
+    for i in range(4):
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame([(i,)], "k long")},
+            root, table_keys={"t": ["k"]},
+        )
+    rep = publish.vacuum(spark, root, keep_versions=1, keep_seconds=3600)
+    assert rep["removed_versions"] == []
+    rep = publish.vacuum(spark, root, keep_versions=1, keep_seconds=0)
+    assert rep["removed_versions"] == [1, 2, 3]
