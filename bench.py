@@ -70,6 +70,7 @@ HEADLINE = [
     "u12_sql_merge",                # SQL MERGE front-end → same merge engine (round 8)
     "stream_store_to_store",        # exactly-once store→store CDC pipeline + replay no-op (round 8)
     "u12_metadata_agg",             # zero-job COUNT/MIN/MAX from the stats sidecar (round 8)
+    "llm_training_shards_incremental",  # CDC-maintained shard export: O(affected shards) refresh (round 8)
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -122,3 +123,208 @@ def write_training_shards(
         json.dump(manifest, fh, indent=2)
     os.replace(tmp, os.path.join(path, SHARDS_FILE))
     return manifest
+
+
+def _restore_interrupted_swaps(path: str) -> None:
+    """Crash recovery for maintain_training_shards' per-shard swap: a
+    refresh renames `shard=N` → `shard=N.old-<txid>` before installing
+    the rewrite; a crash in between leaves the `.old` with no `shard=N`.
+    Restore it — the interrupted refresh re-runs idempotently after."""
+    for d in os.listdir(path):
+        if ".old-" not in d:
+            continue
+        live = os.path.join(path, d.split(".old-")[0])
+        stale = os.path.join(path, d)
+        if os.path.exists(live):
+            # swap completed; the leftover is droppable
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
+        else:
+            os.rename(stale, live)
+
+
+def maintain_training_shards(
+    spark,
+    root: str,
+    path: str,
+    src: str = "documents",
+    num_shards: int = 64,
+    id_col: str = "doc_id",
+    columns: tuple[str, ...] | None = None,
+) -> dict:
+    """CDC-MAINTAINED training export: the shard directory under `path`
+    mirrors store table `src` and each refresh rewrites ONLY the shards
+    holding changed documents — O(delta + affected shard bytes), never a
+    corpus re-export and never even a corpus re-SCAN (the rewrite derives
+    from the existing shard files themselves: old shard content minus
+    changed ids plus upserted rows).
+
+    This closes the last gap between a curated corpus and the trainer:
+    every other index in this layer (dedup, ANN, topics, postings,
+    contamination) already follows the corpus incrementally; the export
+    was one-shot.  A 100 TB corpus taking a 0.01% daily delta now
+    refreshes its training files in minutes — the Delta-to-dataloader
+    role WebDataset re-sharding pipelines hand-roll.
+
+    Parquet shards only (the incremental rewrite re-reads shard files;
+    JSONL round-trips types lossily).  Epoch salting / seeded shuffles
+    (write_training_shards) are one-shot concerns — a maintained mirror
+    has no stable notion of "this export's epoch copies".
+
+    Crash contract: per-shard installs are rename-swaps; an interrupted
+    refresh is detected (orphaned `shard=N.old-*`) and restored on the
+    next call, and the rewrite is idempotent from any half-applied state
+    because changed ids are REMOVED from old content before re-adding.
+    The source-version watermark advances only after every affected
+    shard is installed.
+
+    Returns {"mode": "seed"|"delta"|"noop", "from_version",
+    "to_version", "affected_shards", "rows"}.
+    """
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    cur_version = publish.current_manifest(root)["version"]
+    sfile = os.path.join(path, SHARDS_FILE)
+    if not os.path.exists(sfile):
+        df = publish.read_table(spark, root, src)
+        if columns:
+            df = df.select(*columns)
+        manifest = write_training_shards(
+            df, path, num_shards, id_col=id_col, fmt="parquet"
+        )
+        manifest["source"] = src
+        manifest["source_version"] = cur_version
+        manifest["id_col"] = id_col
+        if columns:
+            manifest["columns"] = list(columns)
+        tmp = sfile + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, sfile)
+        return {
+            "mode": "seed", "from_version": 0, "to_version": cur_version,
+            "affected_shards": sorted(manifest["shards"]),
+            "rows": manifest["rows"],
+        }
+
+    with open(sfile, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    if manifest.get("format") != "parquet":
+        raise ValueError(
+            "incremental maintenance needs parquet shards; this export "
+            f"was written as {manifest.get('format')!r}"
+        )
+    last = int(manifest["source_version"])
+    if cur_version == last:
+        return {
+            "mode": "noop", "from_version": last, "to_version": cur_version,
+            "affected_shards": [], "rows": manifest["rows"],
+        }
+    _restore_interrupted_swaps(path)
+
+    changes = publish.read_changes(
+        spark, root, src, last, cur_version, keys=[id_col]
+    )
+    changes = shard_assign(changes, manifest["num_shards"], id_col=id_col)
+    changes.persist()
+    try:
+        affected = sorted(
+            int(r["shard"])
+            for r in changes.select("shard").distinct().collect()
+        )
+        if not affected:
+            manifest["source_version"] = cur_version
+            tmp = sfile + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(manifest, fh, indent=2)
+            os.replace(tmp, sfile)
+            return {
+                "mode": "delta", "from_version": last,
+                "to_version": cur_version, "affected_shards": [],
+                "rows": manifest["rows"],
+            }
+        cols = manifest.get("columns")
+        upserts = changes.filter(
+            F.col("change_type").isin("insert", "update")
+        ).select(*(list(cols) + ["shard"] if cols else
+                   [c for c in changes.columns if c != "change_type"]))
+        changed_ids = changes.select(id_col, "shard")
+
+        def _has_data(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                not f.startswith(("_", ".")) for f in os.listdir(d)
+            )
+
+        # skip empty dirs (a fully-deleted shard installs one): reading
+        # them would fail schema inference, and they hold no survivors
+        old_dirs = [
+            os.path.join(path, f"shard={n}")
+            for n in affected
+            if _has_data(os.path.join(path, f"shard={n}"))
+        ]
+        if old_dirs:
+            old = spark.read.parquet(*old_dirs)
+            # shard is a partition directory column, not in the files:
+            # recompute it (deterministic md5 of the id)
+            old = shard_assign(
+                old.drop("shard"), manifest["num_shards"], id_col=id_col
+            )
+            survivors = old.join(
+                changed_ids.select(id_col), id_col, "left_anti"
+            )
+            new_content = survivors.unionByName(upserts)
+        else:
+            new_content = upserts
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in new_content.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        txid = uuid.uuid4().hex[:8]
+        staging = os.path.join(path, f".staging-{txid}")
+        (
+            new_content.repartition(len(affected), "shard")
+            .write.mode("errorifexists").partitionBy("shard")
+            .parquet(staging)
+        )
+        import shutil
+
+        for n in affected:
+            live = os.path.join(path, f"shard={n}")
+            built = os.path.join(staging, f"shard={n}")
+            if not os.path.exists(built):
+                # every row of this shard was deleted: install empty
+                os.makedirs(built, exist_ok=True)
+            retired = f"{live}.old-{txid}"
+            if os.path.exists(live):
+                os.rename(live, retired)
+            os.rename(built, live)
+            shutil.rmtree(retired, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        for n in affected:
+            d = os.path.join(path, f"shard={n}")
+            size = sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d)
+                if not f.startswith(("_", "."))
+            )
+            rows = counts.get(n, 0)
+            if rows:
+                manifest["shards"][str(n)] = {"rows": rows, "bytes": size}
+            else:
+                manifest["shards"].pop(str(n), None)
+        manifest["rows"] = sum(s["rows"] for s in manifest["shards"].values())
+        manifest["source_version"] = cur_version
+        tmp = sfile + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=2)
+        os.replace(tmp, sfile)
+        return {
+            "mode": "delta", "from_version": last, "to_version": cur_version,
+            "affected_shards": affected, "rows": manifest["rows"],
+        }
+    finally:
+        changes.unpersist()

@@ -2301,8 +2301,80 @@ FROM aug
 """
 
 
+def q_training_shards_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC-MAINTAINED training export (round 8, llm/export.py::
+    maintain_training_shards): the parquet shard directory mirrors a
+    store table; a churn commit (updates + inserts + deletes) refreshes
+    ONLY the shards holding changed docs — the rewrite derives from the
+    existing shard files (old content − changed ids + upserts), never a
+    corpus re-scan.  The query runs the lifecycle (seed export → churn →
+    delta refresh, modes asserted in-query) and returns the export's
+    content with its shard assignment; the oracle recomputes the final
+    corpus state and the portable md5 shard formula from scratch."""
+    import os as _os
+
+    from dataintegration_ecomprovider_spark.llm import export
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    root = _scratch_store_root("shardx_store")
+    path = _os.path.join(root, "export")
+    publish.publish_tables(
+        spark, {"documents": corpus}, root,
+        table_keys={"documents": ["doc_id"]},
+    )
+    rep = export.maintain_training_shards(spark, root, path, num_shards=8)
+    if rep["mode"] != "seed":
+        raise AssertionError(rep)
+    updated = corpus.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "text", F.concat(F.lit("u:"), F.col("text"))
+    )
+    inserts = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 0)
+    )
+    deletes = corpus.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    publish.merge_into_mor(
+        spark, root, "documents", updated.unionByName(inserts),
+        deletes=deletes,
+    )
+    rep = export.maintain_training_shards(spark, root, path, num_shards=8)
+    if rep["mode"] != "delta" or not rep["affected_shards"]:
+        raise AssertionError(rep)
+    shard_dirs = [
+        _os.path.join(path, d)
+        for d in _os.listdir(path)
+        if d.startswith("shard=") and ".old-" not in d
+        and any(not f.startswith(("_", "."))
+                for f in _os.listdir(_os.path.join(path, d)))
+    ]
+    return export.shard_assign(spark.read.parquet(*shard_dirs), 8)
+
+
+ORACLE_TRAINING_SHARDS_INCREMENTAL = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN 'u:' || text ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id % 7 <> 3
+  UNION ALL
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id % 5 = 0
+)
+SELECT doc_id, text,
+       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            AS INTEGER) % 8 AS shard
+FROM final
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "llm_training_shards_incremental": QueryDef(
+        q_training_shards_incremental, ORACLE_TRAINING_SHARDS_INCREMENTAL
+    ),
     "llm_split_hash": QueryDef(q_split_hash, ORACLE_SPLIT_HASH),
     "llm_sample_stratified": QueryDef(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED),
     "llm_rebalance_mix": QueryDef(q_rebalance_mix, ORACLE_REBALANCE_MIX),

@@ -101,6 +101,7 @@ def main() -> None:
         "u12_sql_merge",            # SQL MERGE front-end
         "u12_metadata_agg",         # metadata-only aggregates lifecycle
         "stream_store_to_store",    # exactly-once CDC pipeline + replay
+        "llm_training_shards_incremental",  # O(affected shards) export refresh
     ]
     wanted = sys.argv[1:]
     if wanted:
