@@ -129,8 +129,15 @@ def _restore_interrupted_swaps(path: str) -> None:
     """Crash recovery for maintain_training_shards' per-shard swap: a
     refresh renames `shard=N` → `shard=N.old-<txid>` before installing
     the rewrite; a crash in between leaves the `.old` with no `shard=N`.
-    Restore it — the interrupted refresh re-runs idempotently after."""
+    Restore it — the interrupted refresh re-runs idempotently after.
+    Also sweeps `.staging-*` left by a crash BEFORE any swap began
+    (never referenced again; the re-run builds a fresh one)."""
     for d in os.listdir(path):
+        if d.startswith(".staging-"):
+            import shutil
+
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            continue
         if ".old-" not in d:
             continue
         live = os.path.join(path, d.split(".old-")[0])

@@ -138,12 +138,14 @@ def test_full_shard_deletion_and_revival(spark, seeded):
 
 def test_interrupted_swap_recovers(spark, seeded):
     root, path = seeded
-    # simulate a crash between retire and install: shard dir renamed away
+    # simulate a crash between retire and install: shard dir renamed away,
+    # plus an abandoned staging build from before any swap began
     live = next(
         os.path.join(path, d) for d in sorted(os.listdir(path))
         if d.startswith("shard=")
     )
     os.rename(live, live + ".old-deadbeef")
+    os.makedirs(os.path.join(path, ".staging-deadbeef", "shard=0"))
     publish.merge_into_mor(
         spark, root, "documents", _docs(spark, [(300, "post-crash")])
     )
@@ -151,7 +153,10 @@ def test_interrupted_swap_recovers(spark, seeded):
         spark, root, path, num_shards=N_SHARDS
     )
     assert rep["mode"] == "delta"
-    assert not [d for d in os.listdir(path) if ".old-" in d]
+    assert not [
+        d for d in os.listdir(path)
+        if ".old-" in d or d.startswith(".staging-deadbeef")
+    ]
     assert _read_export(spark, path) == _expected(spark, root)
 
 
