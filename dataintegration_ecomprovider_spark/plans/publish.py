@@ -5744,6 +5744,38 @@ def describe_history(root: str) -> list[dict]:
     return out
 
 
+def requeue_quarantine(spark: SparkSession, root: str, name: str) -> dict:
+    """Re-ingest ``<name>__quarantine`` through the standard merge path —
+    the operational second half of quarantine routing: fix the data
+    upstream or RELAX the constraint (set_constraints), then requeue.
+    Rows that now satisfy the constraints merge into `name`; rows that
+    still violate divert straight back to a FRESH quarantine (standard
+    routing), so a partial fix drains exactly the rows it fixed and the
+    backlog `maintain_store` reports shrinks truthfully.
+
+    Crash contract: the quarantine frame is pinned (localCheckpoint)
+    BEFORE the drop commit, so the drop → re-merge sequence is
+    replay-safe — a crash in between leaves the rows recoverable by
+    rollback, and a re-run after the merge is an idempotent key-based
+    upsert.
+
+    Returns {"requeued": n, "still_quarantined": m}."""
+    qname = f"{name}__quarantine"
+    manifest = current_manifest(root)
+    if qname not in manifest["tables"]:
+        return {"requeued": 0, "still_quarantined": 0}
+    rows = read_table(spark, root, qname).drop("__violations")
+    rows = rows.localCheckpoint(eager=True)  # pin content pre-drop
+    n = rows.count()
+    keys = table_keys(root, qname) or table_keys(root, name)
+    drop_table(root, qname)
+    merge_into_mor(spark, root, name, rows, keys=keys)
+    still = 0
+    if qname in current_manifest(root)["tables"]:
+        still = read_table(spark, root, qname).count()
+    return {"requeued": n - still, "still_quarantined": still}
+
+
 def register_store(
     spark: SparkSession, root: str, prefix: str = "store_"
 ) -> list[str]:

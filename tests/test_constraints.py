@@ -299,3 +299,51 @@ def test_cow_merge_quarantines_violating_staging(spark, tmp_path):
     assert publish.read_table(spark, root, "t").filter(
         F.col("k") == 60
     ).count() == 1
+
+
+def test_requeue_quarantine_after_relaxing(spark, tmp_path):
+    """The drain path: quarantine rows re-merge once the constraint is
+    relaxed; a partial relax re-quarantines exactly the still-bad rows."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")},
+        root, table_keys={"t": ["k"]},
+    )
+    publish.set_constraints(
+        root, "t", [["range", "v", 0, 100]], on_violation="quarantine"
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame(
+            [(3, 150), (4, 950), (5, 50)], "k long, v long"
+        ),
+    )
+    qname = "t__quarantine"
+    assert publish.read_table(spark, root, qname).count() == 2
+
+    # partial relax: 150 becomes legal, 950 stays out
+    publish.set_constraints(
+        root, "t", [["range", "v", 0, 500]], on_violation="quarantine"
+    )
+    rep = publish.requeue_quarantine(spark, root, "t")
+    assert rep == {"requeued": 1, "still_quarantined": 1}
+    got = {r["k"]: r["v"]
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got == {1: 10, 2: 20, 3: 150, 5: 50}
+    assert {r["k"] for r in publish.read_table(spark, root, qname).collect()} \
+        == {4}
+
+    # full relax drains everything and leaves no quarantine table
+    publish.set_constraints(
+        root, "t", [["range", "v", 0, 1000]], on_violation="quarantine"
+    )
+    rep = publish.requeue_quarantine(spark, root, "t")
+    assert rep == {"requeued": 1, "still_quarantined": 0}
+    assert qname not in publish.current_manifest(root)["tables"]
+    assert publish.read_table(spark, root, "t").count() == 5
+
+    # idempotent on an empty/absent quarantine
+    assert publish.requeue_quarantine(spark, root, "t") == {
+        "requeued": 0, "still_quarantined": 0,
+    }
