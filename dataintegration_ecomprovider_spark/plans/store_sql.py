@@ -126,8 +126,9 @@ class StoreSQL:
     # -- source resolution -------------------------------------------------
     def _frame(self, ref: str | None, subquery: str | None) -> DataFrame:
         if subquery:
-            publish.register_store(self.spark, self.root, prefix=self.prefix)
-            return self.spark.sql(subquery.strip().strip("()"))
+            # route through _select so a MERGE source subquery can also
+            # time-travel (USING (SELECT ... VERSION AS OF n) s)
+            return self._select(subquery.strip().strip("()"))
         assert ref is not None
         try:
             return self.spark.table(ref)  # session temp view wins

@@ -285,3 +285,18 @@ def test_vacuum_keep_seconds_window(spark, tmp_path):
     assert rep["removed_versions"] == []
     rep = publish.vacuum(spark, root, keep_versions=1, keep_seconds=0)
     assert rep["removed_versions"] == [1, 2, 3]
+
+
+def test_merge_source_can_time_travel(spark, tmp_path):
+    """USING a time-traveled subquery: restore old rows selectively —
+    the SQL form of a partial rollback."""
+    root = _seed(spark, tmp_path, "s")
+    store_sql(spark, root).sql("DELETE FROM t WHERE k >= 10")
+    assert publish.read_table(spark, root, "t").count() == 10
+    store_sql(spark, root).sql(
+        "MERGE INTO t USING "
+        "(SELECT * FROM store_t VERSION AS OF 1 WHERE k >= 15) s "
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {r["k"] for r in publish.read_table(spark, root, "t").collect()} \
+        == set(range(10)) | set(range(15, 20))
