@@ -26,6 +26,7 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     DESCRIBE HISTORY [t]                  -- committed versions, newest first
     DESCRIBE DETAIL t                     -- zero-job profile (profile_table)
     RESTORE VERSION AS OF n               -- store-wide rollback
+    EXPORT TABLE t TO '<dir>' [SHARDS n]  -- CDC-maintained shard export
 
 `s` (the source) may be a session temp view, another table of the same
 store, or a parenthesized SELECT (run against the store's registered
@@ -107,6 +108,11 @@ _HISTORY_RE = re.compile(
 )
 _RESTORE_RE = re.compile(
     r"^\s*RESTORE\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_EXPORT_RE = re.compile(
+    r"^\s*EXPORT\s+TABLE\s+(?P<target>\w+)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+SHARDS\s+(?P<shards>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -235,11 +241,31 @@ class StoreSQL:
         m = _RESTORE_RE.match(statement)
         if m:
             return publish.rollback(self.root, int(m.group("version")))
+        m = _EXPORT_RE.match(statement)
+        if m:
+            from dataintegration_ecomprovider_spark.llm.export import (
+                maintain_training_shards,
+            )
+
+            target = m.group("target")
+            keys = publish.table_keys(self.root, target)
+            if not keys:
+                raise ValueError(
+                    f"EXPORT TABLE {target!r} needs recorded keys "
+                    "(publish with table_keys=)"
+                )
+            # CDC-maintained: the first EXPORT seeds the shard mirror,
+            # re-running the same statement refreshes only the shards
+            # holding changed rows
+            return maintain_training_shards(
+                self.spark, self.root, m.group("path"), src=target,
+                num_shards=int(m.group("shards") or 64), id_col=keys[0],
+            )
         raise ValueError(
             "unsupported statement (MERGE INTO / DELETE FROM / INSERT INTO "
             "/ SELECT [VERSION|TIMESTAMP AS OF] / CREATE TABLE ... AS "
             "SELECT / DROP TABLE / OPTIMIZE [ZORDER BY] / VACUUM / "
-            f"DESCRIBE HISTORY|DETAIL / RESTORE): {statement[:120]!r}"
+            f"DESCRIBE HISTORY|DETAIL / RESTORE / EXPORT TABLE): {statement[:120]!r}"
         )
 
     def _select(self, statement: str) -> DataFrame:

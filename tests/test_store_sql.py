@@ -300,3 +300,24 @@ def test_merge_source_can_time_travel(spark, tmp_path):
     )
     assert {r["k"] for r in publish.read_table(spark, root, "t").collect()} \
         == set(range(10)) | set(range(15, 20))
+
+
+def test_export_table_statement_is_cdc_maintained(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    out = str(tmp_path / "exp")
+    s = store_sql(spark, root)
+    rep = s.sql(f"EXPORT TABLE t TO '{out}' SHARDS 4")
+    assert rep["mode"] == "seed" and rep["rows"] == 20
+    s.sql("DELETE FROM t WHERE k >= 18")
+    rep = s.sql(f"EXPORT TABLE t TO '{out}' SHARDS 4")
+    assert rep["mode"] == "delta" and rep["rows"] == 18
+    import os as _os
+
+    shard_dirs = [
+        _os.path.join(out, d) for d in _os.listdir(out)
+        if d.startswith("shard=") and any(
+            not f.startswith(("_", "."))
+            for f in _os.listdir(_os.path.join(out, d)))
+    ]
+    got = {r["k"] for r in spark.read.parquet(*shard_dirs).collect()}
+    assert got == set(range(18))
