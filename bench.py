@@ -71,6 +71,7 @@ HEADLINE = [
     "stream_store_to_store",        # exactly-once store→store CDC pipeline + replay no-op (round 8)
     "u12_metadata_agg",             # zero-job COUNT/MIN/MAX from the stats sidecar (round 8)
     "llm_training_shards_incremental",  # CDC-maintained shard export: O(affected shards) refresh (round 8)
+    "u12_multi_table_txn",          # multi-table atomic MERGE: one version for N tables (round 8)
 ]
 
 

@@ -1778,6 +1778,135 @@ def merge_into_mor(
         # already applied — skip before staging anything (authoritative
         # re-check under the commit lock below)
         return {**pre, "txn_skipped": True}
+    (
+        delta_df, keys, base_schema, unknown, n_parts,
+    ) = _prepare_mor_delta(
+        spark, root, pre, name, staging, keys, deletes,
+        insert_new, update_existing, evolve_schema,
+    )
+    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    staged = _write_mor_delta(
+        root, txid, name, delta_df, keys, base_schema, bool(unknown), n_parts
+    )
+
+    with _manifest_lock(root):
+        prev = current_manifest(root)
+        if _txn_gate(prev, txn):
+            shutil.rmtree(
+                os.path.join(root, "data", txid), ignore_errors=True
+            )
+            return {**prev, "txn_skipped": True}
+        manifest = {
+            "version": prev["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
+            "tables": {
+                **prev["tables"],
+                name: _append_mor_entry(prev, name, staged),
+            },
+            **_history_fields(root, prev),
+            **_txn_fields(prev, txn),
+        }
+        return _commit(root, txid, manifest, based_on=prev["version"])
+
+
+def merge_many_mor(
+    spark: SparkSession,
+    root: str,
+    merges: Mapping[str, Mapping],
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """MULTI-TABLE atomic MERGE: apply a merge-on-read merge to several
+    tables and commit them as ONE version — one manifest swap, so readers
+    (and every snapshot/CDC consumer) see either all of the batch or none
+    of it.  This is the write-side form of the store's cross-table
+    guarantee: StoreSnapshot already gives consistent multi-table READS
+    because the manifest versions all tables together; single-table log
+    formats (Delta, Iceberg, Hudi) can do neither.  The reference's job
+    transaction spans every destination table of a job for exactly this
+    reason (a crashed half-applied orders/order-lines import is worse
+    than none).
+
+    ``merges[name]`` is a spec dict: {"staging": DataFrame, optional
+    "deletes": DataFrame, "keys": [...], "insert_new": bool,
+    "update_existing": bool, "evolve_schema": bool} — the merge_into_mor
+    parameters per table; staging/constraint semantics are IDENTICAL by
+    construction (shared implementation).  Quarantine routing still
+    commits its diversions as separate versions immediately before the
+    atomic one (same contract as merge_into_mor's crash note).
+
+    Scale shape: all deltas stage OUTSIDE the lock (the expensive Spark
+    work runs unserialized, one job per table); the critical section
+    appends N manifest entries — O(N) metadata.  `txn` covers the WHOLE
+    batch: a replayed multi-table batch skips atomically too.  Returns
+    the new manifest."""
+    pre = current_manifest(root)
+    if _txn_gate(pre, txn):
+        return {**pre, "txn_skipped": True}
+    if not merges:
+        raise ValueError("merge_many_mor needs at least one table")
+    prepared = {}
+    for name, spec in merges.items():
+        prepared[name] = _prepare_mor_delta(
+            spark, root, pre, name,
+            spec["staging"],
+            spec.get("keys"),
+            spec.get("deletes"),
+            spec.get("insert_new", True),
+            spec.get("update_existing", True),
+            spec.get("evolve_schema", False),
+        )
+    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    staged = {
+        name: _write_mor_delta(
+            root, txid, name, delta_df, keys, base_schema,
+            bool(unknown), n_parts,
+        )
+        for name, (delta_df, keys, base_schema, unknown, n_parts)
+        in prepared.items()
+    }
+    with _manifest_lock(root):
+        prev = current_manifest(root)
+        if _txn_gate(prev, txn):
+            shutil.rmtree(
+                os.path.join(root, "data", txid), ignore_errors=True
+            )
+            return {**prev, "txn_skipped": True}
+        tables = dict(prev["tables"])
+        for name, st in staged.items():
+            tables[name] = _append_mor_entry(prev, name, st)
+        manifest = {
+            "version": prev["version"] + 1,
+            "txid": txid,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "committed_at_unix": time.time(),
+            "tables": tables,
+            **_history_fields(root, prev),
+            **_txn_fields(prev, txn),
+        }
+        return _commit(root, txid, manifest, based_on=prev["version"])
+
+
+def _prepare_mor_delta(
+    spark: SparkSession,
+    root: str,
+    pre: dict,
+    name: str,
+    staging: DataFrame,
+    keys: Sequence[str] | None,
+    deletes: DataFrame | None,
+    insert_new: bool,
+    update_existing: bool,
+    evolve_schema: bool,
+):
+    """The staging half of a merge-on-read merge, factored out so
+    merge_into_mor and merge_many_mor share one implementation: column-map
+    translation, mode restriction, constraint evaluation (incl. the
+    quarantine split, which commits its own version), delete-wins and
+    schema conformance.  Returns (delta_df, keys, base_schema, unknown,
+    n_parts) ready for _write_mor_delta; runs entirely OUTSIDE the commit
+    lock."""
     prev_entry = pre["tables"].get(name)
     if prev_entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
@@ -1947,62 +2076,76 @@ def merge_into_mor(
     else:
         delta_df = _conform(staging, "upsert")
 
-    txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
+    return delta_df, keys, base_schema, unknown, n_parts
+
+
+def _write_mor_delta(
+    root: str,
+    txid: str,
+    name: str,
+    delta_df: DataFrame,
+    keys: Sequence[str],
+    base_schema,
+    widen: bool,
+    kinds: list,
+) -> dict:
+    """Write one staged MoR delta under data/<txid>/ and return the
+    commit-time payload _append_mor_entry consumes."""
     delta_path = os.path.join(root, "data", txid, f"{name}_delta")
     delta_df.write.mode("errorifexists").parquet(delta_path)
     summary = write_stats_sidecar(delta_path)
+    return {
+        "delta_path": delta_path,
+        "summary": summary,
+        "keys": list(keys),
+        "schema_json": json.dumps(base_schema.jsonValue()),
+        "widen": widen,
+        "txid": txid,
+        "kinds": list(kinds),
+    }
 
-    with _manifest_lock(root):
-        prev = current_manifest(root)
-        if _txn_gate(prev, txn):
-            shutil.rmtree(
-                os.path.join(root, "data", txid), ignore_errors=True
-            )
-            return {**prev, "txn_skipped": True}
-        if name not in prev["tables"]:
-            raise KeyError(f"table {name!r} vanished from {root}")
-        entry = prev["tables"][name]
-        entry = {"path": entry} if isinstance(entry, str) else dict(entry)
-        entry["keys"] = entry.get("keys") or keys
-        if unknown or entry.get("schema_json"):
-            # record the widened logical schema, merged UNDER the lock
-            # with whatever a concurrent writer may have evolved — column
-            # sets union; readers null-fill whichever columns any given
-            # delta file predates
-            from pyspark.sql.types import StructType
 
-            fields, names = [], set()
-            if entry.get("schema_json"):
-                for f in StructType.fromJson(
-                    json.loads(entry["schema_json"])
-                ).fields:
-                    fields.append(f)
-                    names.add(f.name)
-            for f in base_schema.fields:
-                if f.name not in names:
-                    fields.append(f)
-                    names.add(f.name)
-            entry["schema_json"] = json.dumps(StructType(fields).jsonValue())
-        entry["deltas"] = list(entry.get("deltas", [])) + [
-            {
-                "path": delta_path,
-                "rows": summary["rows"],
-                "bytes": summary["bytes"],
-                "num_files": summary["num_files"],
-                "txid": txid,
-                "kinds": n_parts,
-            }
-        ]
-        manifest = {
-            "version": prev["version"] + 1,
-            "txid": txid,
-            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            "committed_at_unix": time.time(),
-            "tables": {**prev["tables"], name: entry},
-            **_history_fields(root, prev),
-            **_txn_fields(prev, txn),
+def _append_mor_entry(prev: dict, name: str, staged: dict) -> dict:
+    """Build table `name`'s NEW manifest entry with `staged`'s delta
+    appended — runs UNDER the commit lock, chaining off whatever entry is
+    latest (concurrent writers' deltas and schema widenings merge)."""
+    if name not in prev["tables"]:
+        raise KeyError(f"table {name!r} vanished from the store")
+    entry = prev["tables"][name]
+    entry = {"path": entry} if isinstance(entry, str) else dict(entry)
+    entry["keys"] = entry.get("keys") or staged["keys"]
+    if staged["widen"] or entry.get("schema_json"):
+        # record the widened logical schema, merged UNDER the lock with
+        # whatever a concurrent writer may have evolved — column sets
+        # union; readers null-fill whichever columns any given delta
+        # file predates
+        from pyspark.sql.types import StructType
+
+        fields, names = [], set()
+        if entry.get("schema_json"):
+            for f in StructType.fromJson(
+                json.loads(entry["schema_json"])
+            ).fields:
+                fields.append(f)
+                names.add(f.name)
+        for f in StructType.fromJson(json.loads(staged["schema_json"])).fields:
+            if f.name not in names:
+                fields.append(f)
+                names.add(f.name)
+        entry["schema_json"] = json.dumps(StructType(fields).jsonValue())
+    summary = staged["summary"]
+    entry["deltas"] = list(entry.get("deltas", [])) + [
+        {
+            "path": staged["delta_path"],
+            "rows": summary["rows"],
+            "bytes": summary["bytes"],
+            "num_files": summary["num_files"],
+            "txid": staged["txid"],
+            "kinds": staged["kinds"],
         }
-        return _commit(root, txid, manifest, based_on=prev["version"])
+    ]
+    return entry
+
 
 
 def read_changes(

@@ -2284,6 +2284,71 @@ FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
 """
 
 
+def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE atomic MERGE (publish.merge_many_mor — the write-side
+    form of the store's cross-table snapshot guarantee, which single-table
+    log formats cannot give): one commit applies upserts AND deletes to
+    TWO tables; the in-query assertion pins that exactly ONE version was
+    created for the whole batch, so no reader can ever observe orders
+    moved without customers.  The oracle recomputes both tables' final
+    states independently."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("mttxn_store")
+    orders = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    cust = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    publish.publish_tables(
+        spark,
+        {"orders": orders.filter(F.col("o_orderkey") % 4 == 0),
+         "customer": cust.filter(F.col("c_custkey") % 4 == 0)},
+        root,
+        table_keys={"orders": ["o_orderkey"], "customer": ["c_custkey"]},
+    )
+    v0 = publish.current_manifest(root)["version"]
+    m = publish.merge_many_mor(
+        spark, root,
+        {
+            "orders": {
+                "staging": orders.filter(F.col("o_orderkey") % 4 == 2),
+                "deletes": orders.filter(F.col("o_orderkey") % 8 == 0),
+            },
+            "customer": {
+                "staging": cust.filter(F.col("c_custkey") % 4 == 2),
+                "deletes": cust.filter(F.col("c_custkey") % 8 == 4),
+            },
+        },
+        txn=("import-job", 1),
+    )
+    if m["version"] != v0 + 1:  # the point: ONE commit for the batch
+        raise AssertionError(f"expected one atomic version, got {m['version']}")
+    o = publish.read_table(spark, root, "orders").select(
+        F.lit("orders").alias("tbl"),
+        F.col("o_orderkey").alias("id"),
+        F.col("price").alias("val"),
+    )
+    c = publish.read_table(spark, root, "customer").select(
+        F.lit("customer").alias("tbl"),
+        F.col("c_custkey").alias("id"),
+        F.col("bal").alias("val"),
+    )
+    return o.unionByName(c)
+
+
+ORACLE_MULTI_TABLE_TXN = """
+SELECT 'orders' AS tbl, o_orderkey AS id, ROUND(o_totalprice, 2) AS val
+FROM orders
+WHERE (o_orderkey % 4 = 0 OR o_orderkey % 4 = 2) AND o_orderkey % 8 <> 0
+UNION ALL
+SELECT 'customer' AS tbl, c_custkey AS id, ROUND(c_acctbal, 2) AS val
+FROM customer
+WHERE (c_custkey % 4 = 0 OR c_custkey % 4 = 2) AND c_custkey % 8 <> 4
+"""
+
+
 def q_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregates (publish.metadata_aggregate — the
     Delta/Iceberg answer-COUNT-from-the-log role): COUNT / MIN / MAX /
@@ -2413,6 +2478,7 @@ QUERIES = {
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
     "u12_metadata_agg": QueryDef(q_metadata_agg, ORACLE_METADATA_AGG),
+    "u12_multi_table_txn": QueryDef(q_multi_table_txn, ORACLE_MULTI_TABLE_TXN),
     "u12_auto_recluster": QueryDef(q_auto_recluster, ORACLE_AUTO_RECLUSTER),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(

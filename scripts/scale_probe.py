@@ -102,6 +102,7 @@ def main() -> None:
         "u12_metadata_agg",         # metadata-only aggregates lifecycle
         "stream_store_to_store",    # exactly-once CDC pipeline + replay
         "llm_training_shards_incremental",  # O(affected shards) export refresh
+        "u12_multi_table_txn",      # N staged deltas, one manifest swap
     ]
     wanted = sys.argv[1:]
     if wanted:

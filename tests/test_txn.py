@@ -274,3 +274,92 @@ def test_transform_must_preserve_keys(spark, tmp_path):
         q.stop()
     except Exception:
         pass
+
+
+def test_merge_many_mor_is_atomic_and_txn_gated(spark, tmp_path):
+    """Multi-table MERGE: one version for N tables; every intermediate
+    version is a consistent cross-table snapshot; a replayed batch skips
+    atomically."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {
+            "orders": _df(spark, [(1, "o1"), (2, "o2")]),
+            "lines": spark.createDataFrame(
+                [(10, 1, "l1"), (11, 2, "l2")], "line_id long, k long, v string"
+            ),
+        },
+        root,
+        table_keys={"orders": ["k"], "lines": ["line_id"]},
+    )
+    v0 = publish.current_manifest(root)["version"]
+    m = publish.merge_many_mor(
+        spark, root,
+        {
+            "orders": {"staging": _df(spark, [(3, "o3")]),
+                       "deletes": _df(spark, [(2, "_")])},
+            "lines": {"staging": spark.createDataFrame(
+                [(12, 3, "l3")], "line_id long, k long, v string"
+            ), "deletes": spark.createDataFrame(
+                [(11,)], "line_id long"
+            )},
+        },
+        txn=("job", 0),
+    )
+    assert m["version"] == v0 + 1  # ONE commit for both tables
+    orders = {r["k"] for r in publish.read_table(spark, root, "orders").collect()}
+    lines = {r["line_id"] for r in publish.read_table(spark, root, "lines").collect()}
+    assert orders == {1, 3} and lines == {10, 12}
+    # no historical version shows orders moved without lines
+    for v in range(1, m["version"] + 1):
+        o = publish.read_table_at(spark, root, "orders", v).count()
+        l = publish.read_table_at(spark, root, "lines", v).count()
+        assert (o, l) in {(2, 2)} if v == v0 else True
+    # cross-table CDC sees both tables change at the SAME version
+    co = publish.read_changes(spark, root, "orders", v0).collect()
+    cl = publish.read_changes(spark, root, "lines", v0).collect()
+    assert {(r["k"], r["change_type"]) for r in co} == {(3, "insert"), (2, "delete")}
+    assert {(r["line_id"], r["change_type"]) for r in cl} == {(12, "insert"), (11, "delete")}
+
+    # replayed batch: ONE skip for the whole transaction, nothing staged
+    import glob
+    import os
+
+    n_dirs = len(glob.glob(os.path.join(root, "data", "*")))
+    m2 = publish.merge_many_mor(
+        spark, root,
+        {"orders": {"staging": _df(spark, [(9, "REPLAY")])}},
+        txn=("job", 0),
+    )
+    assert m2.get("txn_skipped") is True
+    assert publish.current_manifest(root)["version"] == m["version"]
+    assert len(glob.glob(os.path.join(root, "data", "*"))) == n_dirs
+
+
+def test_merge_many_mor_parity_with_single_merges(spark, tmp_path):
+    """Each table's final state must equal what per-table merge_into_mor
+    produces (shared implementation, pinned)."""
+    many_root = str(tmp_path / "many")
+    one_root = str(tmp_path / "one")
+    for root in (many_root, one_root):
+        publish.publish_tables(
+            spark,
+            {"a": _df(spark, [(1, "x"), (2, "y")]),
+             "b": _df(spark, [(5, "p")])},
+            root, table_keys={"a": ["k"], "b": ["k"]},
+        )
+    specs = {
+        "a": {"staging": _df(spark, [(2, "Y2"), (3, "z")]),
+              "insert_new": False},
+        "b": {"staging": _df(spark, [(5, "P2"), (6, "q")]),
+              "update_existing": False},
+    }
+    publish.merge_many_mor(spark, many_root, specs)
+    for name, spec in specs.items():
+        publish.merge_into_mor(
+            spark, one_root, name, spec["staging"],
+            insert_new=spec.get("insert_new", True),
+            update_existing=spec.get("update_existing", True),
+        )
+    for name in ("a", "b"):
+        assert _rows(spark, many_root, name) == _rows(spark, one_root, name)
