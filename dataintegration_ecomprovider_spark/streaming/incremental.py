@@ -101,6 +101,8 @@ def stream_dedup_into_store(
     shingle_n: int = 3,
     threshold: float = 0.5,
     available_now: bool = True,
+    mor: bool = False,
+    exactly_once_app: str | None = None,
 ) -> StreamingQuery:
     """Streaming ingest dedup: each micro-batch of documents is deduped
     against the corpus's persistent MinHash signature index
@@ -114,11 +116,15 @@ def stream_dedup_into_store(
     before the index match, so a batch that self-duplicates doesn't seed
     the corpus with its own copies.
 
-    Scale note: publishing is copy-on-write per version — the corpus
-    table rewrite is the versioned store's durability cost, identical to
-    stream_into_store's per-batch merge; vacuum/compact bound the
-    accumulation.  The index side tables are small (a few hundred bytes
-    per document)."""
+    Scale note: the default publish is copy-on-write per version — the
+    corpus table rewrite is the versioned store's durability cost.
+    `mor=True` switches post-seed batches to ONE multi-table
+    merge-on-read commit (publish.merge_many_mor): the corpus, signature
+    and band tables take O(|batch|) delta appends in a single atomic
+    version — per-batch cost stops scaling with the accumulated corpus,
+    which is what a 100 TB ingest loop needs; compact() folds the logs.
+    `exactly_once_app` stamps each batch's commit with a txn watermark
+    (see stream_into_store) so checkpoint replays are manifest no-ops."""
     from dataintegration_ecomprovider_spark.llm import cluster as llm_cluster
     from dataintegration_ecomprovider_spark.llm import dedup as llm_dedup
     from dataintegration_ecomprovider_spark.llm import incremental as llm_inc
@@ -141,6 +147,7 @@ def stream_dedup_into_store(
             clustered.filter(F.col("is_canonical")).select(id_col), id_col, "left_semi"
         )
 
+        txn = (exactly_once_app, batch_id) if exactly_once_app else None
         have_index = bool(
             publish.current_manifest(root)["tables"].get(sigs_table)
         )
@@ -151,6 +158,25 @@ def stream_dedup_into_store(
                 publish.read_table(spark, root, bands_table),
                 id_col, text_col, num_hashes, bands, shingle_n, threshold,
             )
+            if mor:
+                # one ATOMIC multi-table delta commit: O(|batch|) appends,
+                # never a corpus rewrite
+                publish.merge_many_mor(
+                    spark, root,
+                    {
+                        corpus_table: {"staging": step["kept"],
+                                       "keys": [id_col]},
+                        sigs_table: {"staging": step["sigs"],
+                                     "keys": ["id"]},
+                        bands_table: {"staging": step["bands"],
+                                      "keys": ["id", "band"]},
+                    },
+                    txn=txn,
+                )
+                from dataintegration_ecomprovider_spark import runtime
+
+                runtime.release_caches(spark)
+                return
             corpus = publish.read_table(spark, root, corpus_table).unionByName(
                 step["kept"]
             )
@@ -169,6 +195,7 @@ def stream_dedup_into_store(
             {corpus_table: corpus, sigs_table: sigs, bands_table: band_rows},
             root,
             table_keys={corpus_table: [id_col], sigs_table: ["id"]},
+            txn=txn,
         )
         from dataintegration_ecomprovider_spark import runtime
 
