@@ -28,6 +28,13 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     RESTORE VERSION AS OF n               -- store-wide rollback
     EXPORT TABLE t TO '<dir>' [SHARDS n]  -- CDC-maintained shard export
 
+and multi-statement ATOMIC blocks — several MERGEs committed as ONE
+store version (publish.merge_many_mor)::
+
+    with store_sql(spark, root).transaction(txn=("job", 7)) as tx:
+        tx.sql("MERGE INTO orders USING s1 ON ... WHEN ...")
+        tx.sql("MERGE INTO lines  USING s2 ON ... WHEN ...")
+
 `s` (the source) may be a session temp view, another table of the same
 store, or a parenthesized SELECT (run against the store's registered
 views plus any session views).  The ON clause must be an AND-conjunction
@@ -128,6 +135,43 @@ class StoreSQL:
         self.root = root
         self.mor = mor
         self.prefix = prefix
+        self._tx_merges: dict | None = None
+
+    def transaction(self, txn: tuple[str, int] | None = None):
+        """Multi-statement ATOMIC transaction block: every ``MERGE INTO``
+        issued inside the `with` body is parsed and staged immediately but
+        committed TOGETHER as one store version on exit
+        (publish.merge_many_mor) — the SQL face of the multi-table write
+        guarantee::
+
+            with store_sql(spark, root).transaction(txn=("job", 7)) as tx:
+                tx.sql("MERGE INTO orders USING s1 ON ... WHEN ...")
+                tx.sql("MERGE INTO lines  USING s2 ON ... WHEN ...")
+
+        Only MERGE statements may appear inside a block (other statements
+        commit independently, which would break the atomicity the block
+        promises — they raise instead).  One MERGE per target table per
+        block (two merges into one table have an ordering no single
+        version can express).  An exception inside the body commits
+        NOTHING.  `txn` gates the whole block's replay."""
+        outer = self
+
+        class _Tx:
+            def __enter__(tx):
+                outer._tx_merges = {}
+                return outer
+
+            def __exit__(tx, exc_type, exc, tb):
+                merges, outer._tx_merges = outer._tx_merges, None
+                if exc_type is not None:
+                    return False  # nothing committed
+                if merges:
+                    publish.merge_many_mor(
+                        outer.spark, outer.root, merges, txn=txn
+                    )
+                return False
+
+        return _Tx()
 
     # -- source resolution -------------------------------------------------
     def _frame(self, ref: str | None, subquery: str | None) -> DataFrame:
@@ -173,6 +217,12 @@ class StoreSQL:
         m = _MERGE_RE.match(statement)
         if m:
             return self._merge(m)
+        if self._tx_merges is not None:
+            raise ValueError(
+                "only MERGE INTO statements may run inside a "
+                "transaction() block — anything else commits its own "
+                f"version: {statement[:80]!r}"
+            )
         m = _DELETE_RE.match(statement)
         if m:
             return self._delete(m.group("target"), m.group("where"))
@@ -336,6 +386,25 @@ class StoreSQL:
                 "WHEN MATCHED THEN DELETE cannot combine with "
                 "UPDATE/INSERT clauses (key-based merge modes)"
             )
+        if self._tx_merges is not None:
+            # inside a transaction() block: stage the spec, commit on exit
+            if target in self._tx_merges:
+                raise ValueError(
+                    f"transaction block already merges into {target!r} — "
+                    "one MERGE per table per block"
+                )
+            if delete:
+                self._tx_merges[target] = {
+                    "staging": staging.select(*keys).limit(0),
+                    "deletes": staging.select(*keys),
+                    "keys": keys,
+                }
+            else:
+                self._tx_merges[target] = {
+                    "staging": staging, "keys": keys,
+                    "insert_new": insert, "update_existing": update,
+                }
+            return {"deferred": target}
         if delete:
             # U4 delete-incoming: source keys mark rows to remove
             if self.mor:

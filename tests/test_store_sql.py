@@ -321,3 +321,51 @@ def test_export_table_statement_is_cdc_maintained(spark, tmp_path):
     ]
     got = {r["k"] for r in spark.read.parquet(*shard_dirs).collect()}
     assert got == set(range(18))
+
+
+def test_transaction_block_commits_atomically(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    publish.publish_tables(
+        spark, {"u": _dest(spark, 5)}, root, table_keys={"u": ["k"]}
+    )
+    _staging(spark).createOrReplaceTempView("stg")
+    v0 = publish.current_manifest(root)["version"]
+    s = store_sql(spark, root)
+    with s.transaction(txn=("job", 1)) as tx:
+        r = tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+                   "WHEN MATCHED THEN UPDATE SET * "
+                   "WHEN NOT MATCHED THEN INSERT *")
+        assert r == {"deferred": "t"}
+        tx.sql("MERGE INTO u USING stg ON u.k = stg.k "
+               "WHEN MATCHED THEN DELETE")
+        with pytest.raises(ValueError, match="only MERGE"):
+            tx.sql("DELETE FROM t WHERE k = 1")
+        with pytest.raises(ValueError, match="one MERGE per table"):
+            tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+                   "WHEN NOT MATCHED THEN INSERT *")
+    m = publish.current_manifest(root)
+    assert m["version"] == v0 + 1  # ONE version for both tables
+    assert {r["k"] for r in publish.read_table(spark, root, "t").collect()} \
+        == set(range(25))
+    assert {r["k"] for r in publish.read_table(spark, root, "u").collect()} \
+        == set(range(5))  # staging keys 15..24 matched nothing in u
+
+    # replay of the whole block is one atomic skip
+    with s.transaction(txn=("job", 1)) as tx:
+        tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+               "WHEN MATCHED THEN UPDATE SET *")
+    assert publish.current_manifest(root)["version"] == m["version"]
+
+
+def test_transaction_block_aborts_on_error(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    _staging(spark).createOrReplaceTempView("stg")
+    v0 = publish.current_manifest(root)["version"]
+    s = store_sql(spark, root)
+    with pytest.raises(RuntimeError, match="boom"):
+        with s.transaction() as tx:
+            tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+                   "WHEN NOT MATCHED THEN INSERT *")
+            raise RuntimeError("boom")
+    assert publish.current_manifest(root)["version"] == v0
+    assert s._tx_merges is None  # block state cleaned up
