@@ -2284,6 +2284,65 @@ FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-job table profiling (publish.profile_table): per-column
+    bounds, null fractions and exactness flags read from the stats
+    sidecar alone — reconnaissance on an unfamiliar 100 TB table for the
+    cost of one JSON parse.  The oracle recomputes every reported number
+    from the data; the in-query assertion pins that no Spark job ran."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("profile_store")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    base = Catalog(spark, sf_dir).table("orders").select(*cols)
+    publish.publish_tables(
+        spark, {"t": base.filter(F.col("o_orderkey") % 3 == 0).repartition(4)},
+        root, table_keys={"t": ["o_orderkey"]}, stats_columns={"t": cols},
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    p = publish.profile_table(root, "t")
+    if tracker.getJobIdsForGroup(None) != before:
+        raise AssertionError("profile_table ran a Spark job")
+    rows = [
+        (
+            c, str(p["columns"][c]["min"]), str(p["columns"][c]["max"]),
+            float(p["columns"][c]["null_fraction"]),
+            bool(p["columns"][c]["exact"]),
+            int(p["files"]["rows"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, mn string, mx string, null_frac double, "
+        "exact boolean, rows long",
+    )
+
+
+ORACLE_PROFILE_TABLE = """
+WITH s AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+SELECT 'o_orderkey' AS col,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS mn,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS mx,
+       ROUND(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS null_frac,
+       TRUE AS exact, CAST(COUNT(*) AS BIGINT) AS rows FROM s
+UNION ALL
+SELECT 'o_custkey',
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+       ROUND(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 6),
+       TRUE, CAST(COUNT(*) AS BIGINT) FROM s
+UNION ALL
+SELECT 'o_orderstatus',
+       MIN(o_orderstatus), MAX(o_orderstatus),
+       ROUND(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             / COUNT(*), 6),
+       TRUE, CAST(COUNT(*) AS BIGINT) FROM s
+"""
+
+
 def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE atomic MERGE (publish.merge_many_mor — the write-side
     form of the store's cross-table snapshot guarantee, which single-table
@@ -2479,6 +2538,7 @@ QUERIES = {
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
     "u12_metadata_agg": QueryDef(q_metadata_agg, ORACLE_METADATA_AGG),
     "u12_multi_table_txn": QueryDef(q_multi_table_txn, ORACLE_MULTI_TABLE_TXN),
+    "u12_profile_table": QueryDef(q_profile_table, ORACLE_PROFILE_TABLE),
     "u12_auto_recluster": QueryDef(q_auto_recluster, ORACLE_AUTO_RECLUSTER),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     "u12_incremental_aggregate": QueryDef(
