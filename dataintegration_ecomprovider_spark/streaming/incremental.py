@@ -371,6 +371,7 @@ def stream_store_to_store(
     starting_version: str = "earliest",
     partitions: int = 1,
     available_now: bool = True,
+    evolve_schema: bool = False,
 ) -> StreamingQuery:
     """A DERIVED store table that follows another store table exactly-once
     through inserts, updates AND deletes — the full streaming loop closed:
@@ -395,6 +396,12 @@ def stream_store_to_store(
     A row the transform FILTERS OUT is simply absent downstream (its
     later delete is a no-op delete marker).  Deletes replicate by key,
     untransformed.
+
+    `evolve_schema=True` lets the downstream table WIDEN when the
+    upstream gains columns: a store_changes stream pins its schema at
+    start, so the new columns flow after the stream restarts — without
+    this flag that first post-restart batch fails the downstream merge
+    (the default, so a widening is an explicit decision at both hops).
 
     Scale shape: per micro-batch cost is O(changed rows) on both halves
     — the source's MoR fast path reads suffix deltas + a key-scoped base
@@ -445,7 +452,7 @@ def stream_store_to_store(
         if dst_table in publish.current_manifest(dst_root)["tables"]:
             publish.merge_into_mor(
                 sess, dst_root, dst_table, upserts, keys,
-                deletes=deletes, txn=txn,
+                deletes=deletes, txn=txn, evolve_schema=evolve_schema,
             )
         else:
             # first batch seeds the downstream base (an empty table has

@@ -363,3 +363,46 @@ def test_merge_many_mor_parity_with_single_merges(spark, tmp_path):
         )
     for name in ("a", "b"):
         assert _rows(spark, many_root, name) == _rows(spark, one_root, name)
+
+
+def test_stream_store_to_store_schema_evolution_across_restart(spark, tmp_path):
+    """Upstream widens mid-pipeline: the restarted stream (new schema
+    pinned at start) carries the new column downstream when
+    evolve_schema=True; pre-evolution downstream rows read as nulls."""
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        stream_store_to_store,
+    )
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark, {"t": _df(spark, [(1, "a"), (2, "b")])},
+        src_root, table_keys={"t": ["k"]},
+    )
+    ck = _ck("evo")
+    q = stream_store_to_store(
+        spark, src_root, "t", dst_root, "d", ck, "hop",
+        evolve_schema=True,
+    )
+    q.awaitTermination(120)
+
+    # upstream widens and updates one row
+    publish.merge_into_mor(
+        spark, src_root, "t",
+        spark.createDataFrame(
+            [(2, "B2", 42), (3, "c", 7)], "k long, v string, extra long"
+        ),
+        evolve_schema=True,
+    )
+    # restart the stream: the new schema is pinned now, the resumed
+    # checkpoint replays only the widened version's changes
+    q = stream_store_to_store(
+        spark, src_root, "t", dst_root, "d", ck, "hop",
+        evolve_schema=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["v"], r["extra"])
+        for r in publish.read_table(spark, dst_root, "d").collect()
+    }
+    assert got == {(1, "a", None), (2, "B2", 42), (3, "c", 7)}
