@@ -218,9 +218,34 @@ class StoreSQL:
         if m:
             return self._merge(m)
         if self._tx_merges is not None:
+            m = _INSERT_RE.match(statement)
+            if m:
+                # INSERT INTO is merge-engine-backed (insert-only), so it
+                # may join the atomic block like any other MERGE
+                target = m.group("target")
+                if target in self._tx_merges:
+                    raise ValueError(
+                        f"transaction block already merges into {target!r} "
+                        "— one statement per table per block"
+                    )
+                publish.register_store(
+                    self.spark, self.root, prefix=self.prefix
+                )
+                keys = publish.table_keys(self.root, target)
+                if not keys:
+                    raise ValueError(
+                        f"INSERT INTO {target!r} needs recorded keys "
+                        "(publish with table_keys=)"
+                    )
+                self._tx_merges[target] = {
+                    "staging": self._select(m.group("select").strip().strip("()")),
+                    "keys": list(keys),
+                    "insert_new": True, "update_existing": False,
+                }
+                return {"deferred": target}
             raise ValueError(
-                "only MERGE INTO statements may run inside a "
-                "transaction() block — anything else commits its own "
+                "only MERGE INTO / INSERT INTO statements may run inside "
+                "a transaction() block — anything else commits its own "
                 f"version: {statement[:80]!r}"
             )
         m = _DELETE_RE.match(statement)

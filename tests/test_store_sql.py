@@ -369,3 +369,24 @@ def test_transaction_block_aborts_on_error(spark, tmp_path):
             raise RuntimeError("boom")
     assert publish.current_manifest(root)["version"] == v0
     assert s._tx_merges is None  # block state cleaned up
+
+
+def test_transaction_block_accepts_insert(spark, tmp_path):
+    root = _seed(spark, tmp_path, "s")
+    publish.publish_tables(
+        spark, {"u": _dest(spark, 3)}, root, table_keys={"u": ["k"]}
+    )
+    _staging(spark).createOrReplaceTempView("stg")
+    v0 = publish.current_manifest(root)["version"]
+    s = store_sql(spark, root)
+    with s.transaction() as tx:
+        tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+               "WHEN NOT MATCHED THEN INSERT *")
+        tx.sql("INSERT INTO u SELECT k + 50 AS k, v, tag FROM stg")
+        with pytest.raises(ValueError, match="only MERGE INTO / INSERT"):
+            tx.sql("VACUUM")
+    m = publish.current_manifest(root)
+    assert m["version"] == v0 + 1
+    assert publish.read_table(spark, root, "t").count() == 25
+    assert {r["k"] for r in publish.read_table(spark, root, "u").collect()} \
+        == set(range(3)) | set(range(65, 75))

@@ -406,3 +406,33 @@ def test_stream_store_to_store_schema_evolution_across_restart(spark, tmp_path):
         for r in publish.read_table(spark, dst_root, "d").collect()
     }
     assert got == {(1, "a", None), (2, "B2", 42), (3, "c", 7)}
+
+
+def test_stream_store_to_store_partitioned_source(spark, tmp_path):
+    """partitions=4 fans the CDC diff over key-hash shards; the composed
+    pipeline result is identical to the single-shard run."""
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        stream_store_to_store,
+    )
+
+    src_root = str(tmp_path / "src")
+    publish.publish_tables(
+        spark, {"t": _df(spark, [(i, f"v{i}") for i in range(40)])},
+        src_root, table_keys={"t": ["k"]},
+    )
+    publish.merge_into_mor(
+        spark, src_root, "t",
+        _df(spark, [(i, f"V{i}") for i in range(0, 40, 5)] + [(100, "new")]),
+        deletes=_df(spark, [(7, "_"), (13, "_")]),
+    )
+    results = {}
+    for nparts in (1, 4):
+        dst_root = str(tmp_path / f"dst{nparts}")
+        q = stream_store_to_store(
+            spark, src_root, "t", dst_root, "d", _ck(f"p{nparts}"),
+            f"hop{nparts}", partitions=nparts,
+        )
+        q.awaitTermination(120)
+        results[nparts] = _rows(spark, dst_root, "d")
+    assert results[1] == results[4]
+    assert (100, "new") in results[1] and (7, "v7") not in results[1]
