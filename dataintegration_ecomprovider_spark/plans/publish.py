@@ -1647,7 +1647,15 @@ def merge_into(
                 f"table {name!r} has no recorded keys — pass keys= or "
                 "publish with publish_tables(table_keys=...)"
             )
-    prev_entry = current_manifest(root)["tables"].get(name)
+    pre = current_manifest(root)
+    if _txn_gate(pre, txn):
+        # replayed batch: skip BEFORE the quarantine routing too — its
+        # diversion commits its own version, so gating only the main
+        # merge would still land duplicate quarantine rows + CDC events
+        # on replay (merge_into_mor gates before staging for the same
+        # reason)
+        return {**pre, "txn_skipped": True}
+    prev_entry = pre["tables"].get(name)
     if (
         isinstance(prev_entry, dict)
         and prev_entry.get("on_violation") == "quarantine"

@@ -16,8 +16,13 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     MERGE INTO t USING s ON ... WHEN NOT MATCHED THEN INSERT *   -- U3 insert-only
     MERGE INTO t USING s ON ... WHEN MATCHED THEN UPDATE SET *   -- U3 update-only
     MERGE INTO t USING s ON ... WHEN MATCHED THEN DELETE         -- U4 delete-incoming
+    MERGE INTO t USING s ON ...
+      WHEN NOT MATCHED BY SOURCE THEN DELETE                     -- U5 remove-missing
+    MERGE INTO t USING s ON ...
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = <literal>   -- U7 deactivate-missing
+    UPDATE t SET c1 = expr [, c2 = expr] WHERE <predicate>
     DELETE FROM t WHERE <predicate>
-    INSERT INTO t <SELECT ...>
+    INSERT [OR IGNORE] INTO t <SELECT ...>
     SELECT ... FROM store_t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
     CREATE TABLE t [KEYED BY (k1, k2)] AS SELECT ...
     DROP TABLE t                          -- O(1) metadata commit
@@ -28,12 +33,22 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     RESTORE VERSION AS OF n               -- store-wide rollback
     EXPORT TABLE t TO '<dir>' [SHARDS n]  -- CDC-maintained shard export
 
-and multi-statement ATOMIC blocks — several MERGEs committed as ONE
-store version (publish.merge_many_mor)::
+and multi-statement ATOMIC blocks — MERGE / INSERT INTO / DELETE FROM /
+UPDATE statements over KEYED tables committed as ONE store version
+(publish.merge_many_mor)::
 
     with store_sql(spark, root).transaction(txn=("job", 7)) as tx:
         tx.sql("MERGE INTO orders USING s1 ON ... WHEN ...")
-        tx.sql("MERGE INTO lines  USING s2 ON ... WHEN ...")
+        tx.sql("DELETE FROM lines WHERE status = 'void'")
+        tx.sql("UPDATE customers SET tier = 'gold' WHERE spend > 100")
+
+INSERT INTO semantics — READ THIS: the store's tables are KEYED, so a
+plain SQL append could silently break key uniqueness.  ``INSERT INTO``
+therefore FAILS LOUDLY when any incoming key already exists in the
+target (the remedy is ``MERGE INTO ... WHEN MATCHED THEN UPDATE SET *``
+to overwrite, or ``INSERT OR IGNORE INTO`` to skip existing keys
+silently — the Delta/standard-SQL unconditional append is deliberately
+not offered).
 
 `s` (the source) may be a session temp view, another table of the same
 store, or a parenthesized SELECT (run against the store's registered
@@ -54,11 +69,78 @@ shell Spark SQL itself lacks for external stores.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataintegration_ecomprovider_spark.plans import publish
+
+
+def _unwrap_parens(s: str) -> str:
+    """Strip one (or more nested) BALANCED outer paren pair wrapping the
+    whole text — ``str.strip("()")`` would also eat a subquery's own
+    closing paren (``(SELECT ... IN (1,2))`` → unbalanced SQL)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth = 0
+        wraps = True
+        for i, ch in enumerate(s):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i < len(s) - 1:
+                    wraps = False  # outer '(' closes before the end
+                    break
+        if not wraps or depth != 0:
+            return s
+        s = s[1:-1].strip()
+    return s
+
+
+def _split_depth0(text: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at paren depth 0 (assignment lists whose exprs may
+    themselves contain commas, e.g. ``SET a = coalesce(x, y), b = 1``)."""
+    parts, depth, buf = [], 0, []
+    quote = None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_ASSIGN_RE = re.compile(r"^\s*(?:\w+\.)?(\w+)\s*=\s*(.+?)\s*$", re.DOTALL)
+
+
+def _parse_assignments(sets: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for part in _split_depth0(sets):
+        m = _ASSIGN_RE.match(part)
+        if not m:
+            raise ValueError(f"cannot parse SET assignment {part!r}")
+        col, expr = m.group(1), m.group(2)
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice in SET")
+        out[col] = expr
+    return out
+
 
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
@@ -69,16 +151,23 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s+(?:THEN\s+)?"
-    r"(?P<action>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
-    re.IGNORECASE,
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysource>\s+BY\s+SOURCE)?\s+(?:THEN\s+)?"
+    r"(?P<action>UPDATE\s+SET\s+.+?|INSERT\s+\*|DELETE)"
+    r"(?=\s+WHEN\s+|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>\w+)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
+    r"\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s+(?P<select>(?:\(\s*)?SELECT\s+.+?(?:\s*\))?)\s*;?\s*$",
+    r"^\s*INSERT\s+(?:(?P<ignore>OR\s+IGNORE)\s+)?INTO\s+(?P<target>\w+)"
+    r"\s+(?P<select>(?:\(\s*)?SELECT\s+.+?(?:\s*\))?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
@@ -138,7 +227,7 @@ class StoreSQL:
         self._tx_merges: dict | None = None
 
     def transaction(self, txn: tuple[str, int] | None = None):
-        """Multi-statement ATOMIC transaction block: every ``MERGE INTO``
+        """Multi-statement ATOMIC transaction block: every DML statement
         issued inside the `with` body is parsed and staged immediately but
         committed TOGETHER as one store version on exit
         (publish.merge_many_mor) — the SQL face of the multi-table write
@@ -146,14 +235,18 @@ class StoreSQL:
 
             with store_sql(spark, root).transaction(txn=("job", 7)) as tx:
                 tx.sql("MERGE INTO orders USING s1 ON ... WHEN ...")
-                tx.sql("MERGE INTO lines  USING s2 ON ... WHEN ...")
+                tx.sql("DELETE FROM lines WHERE status = 'void'")
+                tx.sql("UPDATE customers SET tier = 'x' WHERE spend > 9")
 
-        Only MERGE statements may appear inside a block (other statements
-        commit independently, which would break the atomicity the block
-        promises — they raise instead).  One MERGE per target table per
-        block (two merges into one table have an ordering no single
-        version can express).  An exception inside the body commits
-        NOTHING.  `txn` gates the whole block's replay."""
+        Allowed inside a block: MERGE INTO, INSERT [OR IGNORE] INTO,
+        DELETE FROM, and UPDATE — each compiles to a merge-on-read spec
+        (DELETE's matched keys become delete markers, UPDATE's matched
+        rows become an update-only staging), so DELETE/UPDATE need the
+        target's keys recorded.  Statements that commit independently
+        (VACUUM, OPTIMIZE, CTAS, ...) raise.  One statement per target
+        table per block (two writes to one table have an ordering no
+        single version can express).  An exception inside the body
+        commits NOTHING.  `txn` gates the whole block's replay."""
         outer = self
 
         class _Tx:
@@ -178,7 +271,7 @@ class StoreSQL:
         if subquery:
             # route through _select so a MERGE source subquery can also
             # time-travel (USING (SELECT ... VERSION AS OF n) s)
-            return self._select(subquery.strip().strip("()"))
+            return self._select(_unwrap_parens(subquery))
         assert ref is not None
         try:
             return self.spark.table(ref)  # session temp view wins
@@ -209,6 +302,74 @@ class StoreSQL:
             keys.append(lc)
         return keys
 
+    # -- shared guards -----------------------------------------------------
+    def _keyed(self, target: str, what: str) -> list[str]:
+        keys = publish.table_keys(self.root, target)
+        if not keys:
+            raise ValueError(
+                f"{what} needs {target!r}'s keys recorded "
+                "(publish with table_keys=)"
+            )
+        return list(keys)
+
+    def _tx_stage(self, target: str, spec: dict) -> None:
+        if target in self._tx_merges:
+            raise ValueError(
+                f"transaction block already writes {target!r} — one "
+                "statement per table per block"
+            )
+        self._tx_merges[target] = spec
+
+    def _insert_guard(
+        self, target: str, rows: DataFrame, ignore: bool
+    ) -> tuple[str, list[str]]:
+        """INSERT INTO fails loudly when an incoming key already exists
+        (see module docstring); OR IGNORE restores the silent skip."""
+        keys = self._keyed(target, f"INSERT INTO {target!r}")
+        if not ignore:
+            dup = (
+                rows.select(*keys)
+                .join(
+                    publish.read_table(self.spark, self.root, target)
+                    .select(*keys),
+                    keys, "left_semi",
+                )
+                .limit(1)
+            )
+            if dup.count():
+                sample = dup.collect()[0].asDict()
+                raise ValueError(
+                    f"INSERT INTO {target!r}: source contains keys that "
+                    f"already exist (e.g. {sample}) — the store's tables "
+                    "are keyed, so a plain append would break uniqueness. "
+                    "Use MERGE INTO ... WHEN MATCHED THEN UPDATE SET * to "
+                    "overwrite, or INSERT OR IGNORE INTO to skip them."
+                )
+        return target, keys
+
+    def _update_staging(
+        self, target: str, sets: str, where: str
+    ) -> DataFrame:
+        """The UPDATE's matched rows with SET expressions applied — all
+        expressions evaluate against the PRE-update row (standard SQL),
+        via one select over the filtered table."""
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        assigns = _parse_assignments(sets)
+        matched = self.spark.sql(
+            f"SELECT * FROM {self.prefix}{target} WHERE ({where})"
+        )
+        unknown = set(assigns) - set(matched.columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE {target!r} SET references unknown column(s) "
+                f"{sorted(unknown)}"
+            )
+        return matched.select(*[
+            F.expr(assigns[c]).cast(matched.schema[c].dataType).alias(c)
+            if c in assigns else F.col(c)
+            for c in matched.columns
+        ])
+
     # -- statements --------------------------------------------------------
     def sql(self, statement: str) -> dict | DataFrame:
         """Execute one statement.  DML / maintenance statements return the
@@ -222,38 +383,64 @@ class StoreSQL:
             if m:
                 # INSERT INTO is merge-engine-backed (insert-only), so it
                 # may join the atomic block like any other MERGE
-                target = m.group("target")
-                if target in self._tx_merges:
-                    raise ValueError(
-                        f"transaction block already merges into {target!r} "
-                        "— one statement per table per block"
-                    )
-                publish.register_store(
-                    self.spark, self.root, prefix=self.prefix
+                rows = self._select(_unwrap_parens(m.group("select")))
+                target, keys = self._insert_guard(
+                    m.group("target"), rows, ignore=bool(m.group("ignore"))
                 )
-                keys = publish.table_keys(self.root, target)
-                if not keys:
-                    raise ValueError(
-                        f"INSERT INTO {target!r} needs recorded keys "
-                        "(publish with table_keys=)"
-                    )
-                self._tx_merges[target] = {
-                    "staging": self._select(m.group("select").strip().strip("()")),
-                    "keys": list(keys),
+                self._tx_stage(target, {
+                    "staging": rows, "keys": keys,
                     "insert_new": True, "update_existing": False,
-                }
+                })
+                return {"deferred": target}
+            m = _DELETE_RE.match(statement)
+            if m:
+                # matched keys become MoR delete markers in the block's
+                # single atomic version
+                target = m.group("target")
+                keys = self._keyed(target, "DELETE FROM inside transaction()")
+                publish.register_store(self.spark, self.root,
+                                       prefix=self.prefix)
+                doomed = self.spark.sql(
+                    f"SELECT * FROM {self.prefix}{target} "
+                    f"WHERE ({m.group('where')})"
+                ).select(*keys)
+                self._tx_stage(target, {
+                    "staging": doomed.limit(0), "deletes": doomed,
+                    "keys": keys,
+                })
+                return {"deferred": target}
+            m = _UPDATE_RE.match(statement)
+            if m:
+                target = m.group("target")
+                keys = self._keyed(target, "UPDATE inside transaction()")
+                self._tx_stage(target, {
+                    "staging": self._update_staging(
+                        target, m.group("sets"), m.group("where")
+                    ),
+                    "keys": keys,
+                    "insert_new": False, "update_existing": True,
+                })
                 return {"deferred": target}
             raise ValueError(
-                "only MERGE INTO / INSERT INTO statements may run inside "
-                "a transaction() block — anything else commits its own "
-                f"version: {statement[:80]!r}"
+                "only MERGE INTO / INSERT INTO / DELETE FROM / UPDATE "
+                "statements may run inside a transaction() block — "
+                "anything else commits its own version: "
+                f"{statement[:80]!r}"
             )
         m = _DELETE_RE.match(statement)
         if m:
             return self._delete(m.group("target"), m.group("where"))
+        m = _UPDATE_RE.match(statement)
+        if m:
+            return self._update(
+                m.group("target"), m.group("sets"), m.group("where")
+            )
         m = _INSERT_RE.match(statement)
         if m:
-            return self._insert(m.group("target"), m.group("select"))
+            return self._insert(
+                m.group("target"), m.group("select"),
+                ignore=bool(m.group("ignore")),
+            )
         if _SELECT_RE.match(statement):
             return self._select(statement)
         m = _OPTIMIZE_RE.match(statement)
@@ -362,7 +549,10 @@ class StoreSQL:
                 df = publish.read_table_asof(
                     self.spark, self.root, name, m.group("ts")
                 )
-                view = f"{self.prefix}{name}__asof_{abs(hash(m.group('ts')))}"
+                digest = hashlib.md5(
+                    m.group("ts").encode("utf-8")
+                ).hexdigest()[:12]
+                view = f"{self.prefix}{name}__asof_{digest}"
             df.createOrReplaceTempView(view)
             return view
 
@@ -396,40 +586,85 @@ class StoreSQL:
             m.group("on"), target, m.group("talias"),
             m.group("source"), m.group("salias"),
         )
-        clauses = [
-            ("not" if w.group("not") else "matched",
-             re.sub(r"\s+", " ", w.group("action").upper()))
-            for w in _WHEN_RE.finditer(m.group("clauses") or "")
-        ]
-        if not clauses:
+        update = insert = delete = False
+        by_source: tuple[str, str] | None = None  # ("delete"|"update", sets)
+        matches = list(_WHEN_RE.finditer(m.group("clauses") or ""))
+        if not matches:
             raise ValueError("MERGE needs at least one WHEN clause")
-        update = ("matched", "UPDATE SET *") in clauses
-        insert = ("not", "INSERT *") in clauses
-        delete = ("matched", "DELETE") in clauses
-        if delete and (update or insert):
+        for w in matches:
+            action = re.sub(r"\s+", " ", w.group("action").strip())
+            if w.group("bysource"):
+                # WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET ...
+                # → U5 remove-missing / U7 deactivate-missing
+                if not w.group("not"):
+                    raise ValueError(
+                        "BY SOURCE clauses take the form WHEN NOT MATCHED "
+                        "BY SOURCE THEN DELETE | UPDATE SET ..."
+                    )
+                if by_source is not None:
+                    raise ValueError(
+                        "at most one WHEN NOT MATCHED BY SOURCE clause"
+                    )
+                if action.upper() == "DELETE":
+                    by_source = ("delete", "")
+                elif action.upper().startswith("UPDATE SET "):
+                    by_source = ("update", action[len("UPDATE SET "):])
+                else:
+                    raise ValueError(
+                        f"unsupported BY SOURCE action {action!r}"
+                    )
+            elif action.upper() == "UPDATE SET *" and not w.group("not"):
+                update = True
+            elif action.upper() == "INSERT *" and w.group("not"):
+                insert = True
+            elif action.upper() == "DELETE" and not w.group("not"):
+                delete = True
+            else:
+                raise ValueError(
+                    f"unsupported WHEN clause action {action!r} (matched "
+                    "actions: UPDATE SET * | DELETE; not-matched: INSERT *)"
+                )
+        if delete and (update or insert or by_source):
             raise ValueError(
                 "WHEN MATCHED THEN DELETE cannot combine with "
                 "UPDATE/INSERT clauses (key-based merge modes)"
             )
         if self._tx_merges is not None:
             # inside a transaction() block: stage the spec, commit on exit
-            if target in self._tx_merges:
+            if by_source is not None and by_source[0] == "update":
                 raise ValueError(
-                    f"transaction block already merges into {target!r} — "
-                    "one MERGE per table per block"
+                    "WHEN NOT MATCHED BY SOURCE THEN UPDATE cannot join a "
+                    "transaction() block (two row populations with "
+                    "different update semantics) — run it standalone"
                 )
             if delete:
-                self._tx_merges[target] = {
+                self._tx_stage(target, {
                     "staging": staging.select(*keys).limit(0),
                     "deletes": staging.select(*keys),
                     "keys": keys,
-                }
+                })
+            elif by_source is not None:
+                # full-sync form: upsert the staging, delete-markers for
+                # dest keys absent from the source — one MoR spec
+                missing = (
+                    publish.read_table(self.spark, self.root, target)
+                    .select(*keys)
+                    .join(staging.select(*keys), keys, "left_anti")
+                )
+                self._tx_stage(target, {
+                    "staging": staging, "deletes": missing, "keys": keys,
+                    "insert_new": insert, "update_existing": update,
+                })
             else:
-                self._tx_merges[target] = {
+                self._tx_stage(target, {
                     "staging": staging, "keys": keys,
                     "insert_new": insert, "update_existing": update,
-                }
+                })
             return {"deferred": target}
+        if by_source is not None:
+            return self._merge_by_source(
+                target, staging, keys, update, insert, by_source
+            )
         if delete:
             # U4 delete-incoming: source keys mark rows to remove
             if self.mor:
@@ -452,6 +687,49 @@ class StoreSQL:
             insert_new=insert, update_existing=update,
         )
 
+    def _merge_by_source(
+        self, target: str, staging: DataFrame, keys: list[str],
+        update: bool, insert: bool, by_source: tuple[str, str],
+    ) -> dict:
+        """MERGE with a WHEN NOT MATCHED BY SOURCE clause — the SQL face
+        of U5 remove-missing (THEN DELETE) / U7 deactivate-missing (THEN
+        UPDATE SET flag = expr), composed with the ordinary matched /
+        not-matched clauses in ONE committed version.  Copy-on-write
+        (publish_tables full rewrite): the by-source population is
+        defined against the whole destination, so the base scan is
+        inherent; at 100 TB prefer feeding remove-missing through
+        merge-on-read delete markers (transaction() stages exactly
+        that)."""
+        from dataintegration_ecomprovider_spark.operators import merge
+
+        dest = publish.read_table(self.spark, self.root, target)
+        state = (
+            merge.upsert(dest, staging, keys,
+                         insert_new=insert, update_existing=update)
+            if (insert or update) else dest
+        )
+        if by_source[0] == "delete":
+            state = merge.remove_missing(state, staging, keys)
+        else:
+            assigns = _parse_assignments(by_source[1])
+            unknown = set(assigns) - set(dest.columns)
+            if unknown:
+                raise ValueError(
+                    f"BY SOURCE UPDATE SET references unknown column(s) "
+                    f"{sorted(unknown)}"
+                )
+            state = merge.deactivate_missing(
+                state, staging, keys,
+                flags={
+                    c: F.expr(e).cast(dest.schema[c].dataType)
+                    for c, e in assigns.items()
+                },
+            )
+        return publish.publish_tables(
+            self.spark, {target: state}, self.root,
+            table_keys={target: keys},
+        )
+
     def _delete(self, target: str, where: str) -> dict:
         publish.register_store(self.spark, self.root, prefix=self.prefix)
         keep = self.spark.sql(
@@ -460,18 +738,45 @@ class StoreSQL:
         )
         return publish.publish_tables(self.spark, {target: keep}, self.root)
 
-    def _insert(self, target: str, select: str) -> dict:
-        publish.register_store(self.spark, self.root, prefix=self.prefix)
-        rows = self.spark.sql(select.strip().strip("()"))
-        keys = publish.table_keys(self.root, target)
-        if not keys:
-            raise ValueError(
-                f"INSERT INTO {target!r} needs recorded keys "
-                "(publish with table_keys=)"
+    def _update(self, target: str, sets: str, where: str) -> dict:
+        """UPDATE t SET ... WHERE ...: with recorded keys under mor=True
+        the matched rows commit as an O(matched) update-only delta;
+        otherwise a copy-on-write rewrite of the whole table (the
+        predicate may touch any row, so the base read is inherent)."""
+        if self.mor and publish.table_keys(self.root, target):
+            return publish.merge_into_mor(
+                self.spark, self.root, target,
+                self._update_staging(target, sets, where),
+                keys=self._keyed(target, "UPDATE (mor)"),
+                insert_new=False, update_existing=True,
             )
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        assigns = _parse_assignments(sets)
+        dest = self.spark.table(f"{self.prefix}{target}")
+        unknown = set(assigns) - set(dest.columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE {target!r} SET references unknown column(s) "
+                f"{sorted(unknown)}"
+            )
+        hit = F.coalesce(F.expr(where), F.lit(False))
+        new_state = dest.select(*[
+            F.when(hit, F.expr(assigns[c]).cast(dest.schema[c].dataType))
+            .otherwise(F.col(c)).alias(c)
+            if c in assigns else F.col(c)
+            for c in dest.columns
+        ])
+        return publish.publish_tables(
+            self.spark, {target: new_state}, self.root
+        )
+
+    def _insert(self, target: str, select: str, ignore: bool = False) -> dict:
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        rows = self.spark.sql(_unwrap_parens(select))
+        _, keys = self._insert_guard(target, rows, ignore=ignore)
         fn = publish.merge_into_mor if self.mor else publish.merge_into
         return fn(
-            self.spark, self.root, target, rows, keys=list(keys),
+            self.spark, self.root, target, rows, keys=keys,
             insert_new=True, update_existing=False,
         )
 

@@ -121,8 +121,8 @@ def main() -> None:
 
     from dataintegration_ecomprovider_spark.plans import publish
 
-    if wanted and not any(w in "merge_cow merge_mor schema_changes"
-                          for w in wanted):
+    store_probes = ("merge_cow", "merge_mor", "schema_changes")
+    if wanted and not any(any(w in n for n in store_probes) for w in wanted):
         print(json.dumps(
             {"probe": "10x_sf0.1", "copies": COPIES, "queries": timings}
         ))

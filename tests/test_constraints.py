@@ -347,3 +347,30 @@ def test_requeue_quarantine_after_relaxing(spark, tmp_path):
     assert publish.requeue_quarantine(spark, root, "t") == {
         "requeued": 0, "still_quarantined": 0,
     }
+
+
+def test_cow_quarantine_replay_is_fully_idempotent(spark, tmp_path):
+    """A txn-stamped CoW merge whose staging triggers quarantine routing
+    must be a COMPLETE no-op on replay: the txn gate runs BEFORE the
+    quarantine diversion, so a foreachBatch checkpoint replay lands
+    neither a duplicate main version nor a duplicate quarantine version
+    (merge_into_mor gates before staging for the same reason)."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark, {"t": _t(spark)}, root, table_keys={"t": ["k"]}
+    )
+    publish.set_constraints(
+        root, "t", [["not_null", "v"]], on_violation="quarantine"
+    )
+    batch = spark.createDataFrame(
+        [(1, 11, "ok"), (2, None, "ok"), (90, 9, "ok")],
+        "k long, v long, status string",
+    )
+    publish.merge_into(spark, root, "t", batch, txn=("app", 7))
+    v1 = publish.current_manifest(root)["version"]
+    assert publish.read_table(spark, root, "t__quarantine").count() == 1
+
+    replay = publish.merge_into(spark, root, "t", batch, txn=("app", 7))
+    assert replay.get("txn_skipped") is True
+    assert publish.current_manifest(root)["version"] == v1  # NO new version
+    assert publish.read_table(spark, root, "t__quarantine").count() == 1

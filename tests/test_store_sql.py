@@ -142,10 +142,17 @@ def test_delete_from_and_insert_into(spark, tmp_path):
     got = publish.read_table(spark, root, "t")
     assert got.count() == 30
     assert got.filter(F.col("tag") == "ins").count() == 15
-    # INSERT is insert-only: re-running it cannot clobber existing keys
+    # INSERT fails LOUDLY on existing keys (keyed table — a silent skip
+    # loses refreshed rows, a silent append breaks uniqueness)...
+    with pytest.raises(ValueError, match="already exist"):
+        store_sql(spark, root).sql(
+            "INSERT INTO t SELECT k + 100 AS k, v + 1 AS v, 'dup' AS tag "
+            "FROM store_t WHERE k < 15"
+        )
+    # ...and INSERT OR IGNORE restores the skip-existing form
     store_sql(spark, root).sql(
-        "INSERT INTO t SELECT k + 100 AS k, v + 1 AS v, 'dup' AS tag "
-        "FROM store_t WHERE k < 15"
+        "INSERT OR IGNORE INTO t SELECT k + 100 AS k, v + 1 AS v, "
+        "'dup' AS tag FROM store_t WHERE k < 15"
     )
     assert publish.read_table(spark, root, "t").filter(
         F.col("tag") == "dup"
@@ -339,8 +346,8 @@ def test_transaction_block_commits_atomically(spark, tmp_path):
         tx.sql("MERGE INTO u USING stg ON u.k = stg.k "
                "WHEN MATCHED THEN DELETE")
         with pytest.raises(ValueError, match="only MERGE"):
-            tx.sql("DELETE FROM t WHERE k = 1")
-        with pytest.raises(ValueError, match="one MERGE per table"):
+            tx.sql("OPTIMIZE t")
+        with pytest.raises(ValueError, match="one statement per table"):
             tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
                    "WHEN NOT MATCHED THEN INSERT *")
     m = publish.current_manifest(root)
@@ -390,3 +397,152 @@ def test_transaction_block_accepts_insert(spark, tmp_path):
     assert publish.read_table(spark, root, "t").count() == 25
     assert {r["k"] for r in publish.read_table(spark, root, "u").collect()} \
         == set(range(3)) | set(range(65, 75))
+
+
+# ---- round 9: UPDATE / BY SOURCE / mixed blocks / paren unwrap ----------
+
+@pytest.mark.parametrize("mor", [False, True], ids=["cow", "mor"])
+def test_update_statement_matches_python_semantics(spark, tmp_path, mor):
+    root = _seed(spark, tmp_path, f"upd_{mor}")
+    store_sql(spark, root, mor=mor).sql(
+        "UPDATE t SET v = v + k, tag = concat(tag, '!') WHERE k >= 15"
+    )
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    for k in range(20):
+        if k >= 15:
+            # SET exprs see PRE-update values (v was k*2)
+            assert got[k] == (k * 2 + k, "old!")
+        else:
+            assert got[k] == (k * 2, "old")
+
+
+def test_update_rejections(spark, tmp_path):
+    root = _seed(spark, tmp_path, "updrej")
+    s = store_sql(spark, root)
+    with pytest.raises(ValueError, match="unknown column"):
+        s.sql("UPDATE t SET nope = 1 WHERE k = 0")
+    with pytest.raises(ValueError, match="assigned twice"):
+        s.sql("UPDATE t SET v = 1, v = 2 WHERE k = 0")
+
+
+def test_update_null_predicate_rows_untouched(spark, tmp_path):
+    root = str(tmp_path / "updnull")
+    dest = spark.createDataFrame(
+        [(0, None, "a"), (1, 5, "b"), (2, 50, "c")], "k long, v long, tag string"
+    )
+    publish.publish_tables(spark, {"t": dest}, root, table_keys={"t": ["k"]})
+    store_sql(spark, root).sql("UPDATE t SET tag = 'big' WHERE v > 10")
+    got = {r["k"]: r["tag"]
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got == {0: "a", 1: "b", 2: "big"}  # NULL predicate = no match
+
+
+def test_merge_not_matched_by_source_delete(spark, tmp_path):
+    from dataintegration_ecomprovider_spark.operators import merge as m_ops
+
+    root = _seed(spark, tmp_path, "bsd")
+    stg = _staging(spark)
+    stg.createOrReplaceTempView("stg")
+    expect = sorted(tuple(r) for r in m_ops.remove_missing(
+        m_ops.upsert(_dest(spark), stg, ["k"]), stg, ["k"]
+    ).collect())
+    store_sql(spark, root).sql(
+        "MERGE INTO t USING stg ON t.k = stg.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert _rows(spark, root) == expect
+    # full sync: dest == staging exactly
+    assert {r["k"] for r in publish.read_table(spark, root, "t").collect()} \
+        == set(range(15, 25))
+
+
+def test_merge_not_matched_by_source_update(spark, tmp_path):
+    root = _seed(spark, tmp_path, "bsu")
+    _staging(spark).createOrReplaceTempView("stg")
+    store_sql(spark, root).sql(
+        "MERGE INTO t USING stg ON t.k = stg.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+    )
+    got = {r["k"]: r["tag"]
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert all(got[k] == "stale" for k in range(15))       # U7 soft delete
+    assert all(got[k] == "new" for k in range(15, 20))     # matched updated
+    assert 20 not in got                                   # no INSERT clause
+
+
+def test_mixed_transaction_block_one_version(spark, tmp_path):
+    root = _seed(spark, tmp_path, "mix")
+    publish.publish_tables(
+        spark, {"u": _dest(spark, 10), "w": _dest(spark, 8)}, root,
+        table_keys={"u": ["k"], "w": ["k"]},
+    )
+    _staging(spark).createOrReplaceTempView("stg")
+    v0 = publish.current_manifest(root)["version"]
+    with store_sql(spark, root).transaction(txn=("mix", 1)) as tx:
+        tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+               "WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT *")
+        tx.sql("DELETE FROM u WHERE k >= 5")
+        tx.sql("UPDATE w SET v = v + 1000 WHERE k < 3")
+    m = publish.current_manifest(root)
+    assert m["version"] == v0 + 1  # ONE version for all three tables
+    assert publish.read_table(spark, root, "t").count() == 25
+    assert {r["k"] for r in publish.read_table(spark, root, "u").collect()} \
+        == set(range(5))
+    got_w = {r["k"]: r["v"]
+             for r in publish.read_table(spark, root, "w").collect()}
+    assert got_w == {k: k * 2 + (1000 if k < 3 else 0) for k in range(8)}
+    # replay of the whole mixed block is one atomic skip
+    with store_sql(spark, root).transaction(txn=("mix", 1)) as tx:
+        tx.sql("DELETE FROM u WHERE k >= 0")
+    assert publish.current_manifest(root)["version"] == m["version"]
+    assert publish.read_table(spark, root, "u").count() == 5
+
+
+def test_transaction_full_sync_merge(spark, tmp_path):
+    root = _seed(spark, tmp_path, "txsync")
+    _staging(spark).createOrReplaceTempView("stg")
+    with store_sql(spark, root).transaction() as tx:
+        tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+               "WHEN MATCHED THEN UPDATE SET * "
+               "WHEN NOT MATCHED THEN INSERT * "
+               "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        with pytest.raises(ValueError, match="standalone"):
+            tx.sql("MERGE INTO t USING stg ON t.k = stg.k "
+                   "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'x'")
+    assert {r["k"] for r in publish.read_table(spark, root, "t").collect()} \
+        == set(range(15, 25))
+
+
+def test_nested_paren_subquery_source(spark, tmp_path):
+    # a USING subquery whose text ENDS with a nested ')' must survive
+    # unwrapping (str.strip("()") would eat the inner paren too)
+    root = _seed(spark, tmp_path, "paren")
+    _staging(spark).createOrReplaceTempView("stg")
+    store_sql(spark, root).sql(
+        "MERGE INTO t USING (SELECT * FROM stg WHERE k IN (16, 21)) s "
+        "ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: r["tag"]
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[16] == "new" and got[21] == "new"
+    assert got[17] == "old" and 22 not in got
+
+
+def test_unwrap_parens_unit():
+    from dataintegration_ecomprovider_spark.plans.store_sql import (
+        _unwrap_parens,
+    )
+
+    assert _unwrap_parens("(SELECT a FROM t)") == "SELECT a FROM t"
+    assert _unwrap_parens("((SELECT a))") == "SELECT a"
+    assert _unwrap_parens("(SELECT 1 WHERE k IN (1,2))") \
+        == "SELECT 1 WHERE k IN (1,2)"
+    # (a) UNION (b): outer parens do NOT wrap the whole text
+    assert _unwrap_parens("(SELECT 1) UNION (SELECT 2)") \
+        == "(SELECT 1) UNION (SELECT 2)"
