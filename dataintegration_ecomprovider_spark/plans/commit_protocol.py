@@ -20,12 +20,22 @@ deployments live.  On an object store (S3/GCS — where a 100 TB store
 actually lives) neither primitive exists; there the protocol must be a
 conditional-PUT/compare-and-swap backend (S3 If-None-Match/If-Match, GCS
 generation preconditions, or a DynamoDB-style lock service — the problem
-Delta solves with LogStore).  ``InMemoryCasProtocol`` is the reference
-CAS implementation: no advisory lock at all for correctness — writers
-race to an atomic version CAS and losers get ``CommitConflict`` — which
-is exactly the object-store shape, so it doubles as the seam's
-conformance test double (tests/test_commit_protocol.py runs full store
-lifecycles through it, proving nothing in the store bypasses the seam).
+Delta solves with LogStore).  Two CAS backends implement that shape:
+
+- ``InMemoryCasProtocol`` — the reference CAS implementation: no
+  advisory lock at all for correctness — writers race to an atomic
+  version CAS and losers get ``CommitConflict`` — so it doubles as the
+  seam's conformance test double (tests/test_commit_protocol.py runs
+  full store lifecycles through it, proving nothing in the store
+  bypasses the seam).
+- ``ConditionalCommitProtocol`` — the DURABLE object-store backend:
+  everything (manifest swap, commit lease, aux docs) is built from the
+  conditional-write primitives real object stores offer (see
+  ``ObjectStoreClient`` — each method maps 1:1 onto S3 conditional PUT
+  / GCS ``ifGenerationMatch``), emulated durably on disk by
+  ``DirectoryObjectStore``.  Select it per store root with
+  ``set_protocol`` (session) or ``persist_protocol`` (writes
+  ``_PROTOCOL.json``, honored by every future session).
 
 Every swap carries ``based_on`` — the manifest version the writer read at
 the start of its critical section.  CAS backends reject a swap whose
@@ -38,7 +48,10 @@ whole critical section to microseconds.
 
 from __future__ import annotations
 
+import base64
 import contextlib
+import fcntl
+import hashlib
 import json
 import os
 import threading
@@ -47,6 +60,7 @@ import uuid
 
 MANIFEST = "MANIFEST.json"
 LOCK_FILE = ".MANIFEST.lock"
+PROTOCOL_CONFIG = "_PROTOCOL.json"
 
 
 class CommitConflict(RuntimeError):
@@ -282,20 +296,297 @@ class InMemoryCasProtocol(CommitProtocol):
             self._aux[(root, filename)] = json.loads(json.dumps(doc))
 
 
+class PreconditionFailed(RuntimeError):
+    """A conditional write's If-Match / If-None-Match precondition did
+    not hold — the object changed (or appeared) since it was read."""
+
+
+class ObjectStoreClient:
+    """The EXACT conditional-write surface a cloud object store offers —
+    each method maps 1:1 onto the real APIs, so a production backend is
+    a mechanical substitution:
+
+    - ``get`` → S3 GetObject (body + ETag) / GCS objects.get (generation)
+    - ``put(if_match=etag)`` → S3 PutObject If-Match / GCS
+      ``ifGenerationMatch=<gen>`` — succeeds only if the live object
+      still carries that etag;
+    - ``put(if_none_match=True)`` → S3 If-None-Match:* / GCS
+      ``ifGenerationMatch=0`` — succeeds only if the key does not exist;
+    - ``delete(if_match=etag)`` → conditional delete.
+
+    No list/rename/lock primitives are used anywhere above this line —
+    precisely the primitives object stores lack."""
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        """(body, etag) or None when the key does not exist."""
+        raise NotImplementedError
+
+    def put(self, key: str, body: bytes, if_match: str | None = None,
+            if_none_match: bool = False) -> str:
+        """Write `body`; returns the new etag.  Raises PreconditionFailed
+        when the condition does not hold."""
+        raise NotImplementedError
+
+    def delete(self, key: str, if_match: str | None = None) -> bool:
+        """Remove the key (conditionally).  Returns False if absent."""
+        raise NotImplementedError
+
+
+class DirectoryObjectStore(ObjectStoreClient):
+    """Directory-emulated object store with REAL durability: each key is
+    one envelope file (etag + base64 body) replaced by atomic rename, and
+    each key's read-check-write is serialized by a per-key ``fcntl``
+    flock — the stand-in for the store service's internal per-object
+    serialization, valid across PROCESSES, not just threads.  Nothing
+    above the ObjectStoreClient surface can see the flock, so the
+    protocol layer exercises exactly the semantics a real S3/GCS client
+    would."""
+
+    def __init__(self, base: str) -> None:
+        self.base = base
+
+    def _path(self, key: str) -> str:
+        safe = hashlib.sha1(key.encode("utf-8")).hexdigest()
+        return os.path.join(self.base, f"{safe}.obj")
+
+    @contextlib.contextmanager
+    def _key_lock(self, key: str):
+        os.makedirs(self.base, exist_ok=True)
+        fd = os.open(self._path(key) + ".lk", os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # closing releases the flock
+
+    def _read(self, key: str) -> tuple[bytes, str] | None:
+        try:
+            with open(self._path(key), encoding="utf-8") as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        return base64.b64decode(doc["b64"]), doc["etag"]
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        return self._read(key)
+
+    def put(self, key: str, body: bytes, if_match: str | None = None,
+            if_none_match: bool = False) -> str:
+        with self._key_lock(key):
+            cur = self._read(key)
+            if if_none_match and cur is not None:
+                raise PreconditionFailed(f"{key}: already exists")
+            if if_match is not None and (cur is None or cur[1] != if_match):
+                raise PreconditionFailed(
+                    f"{key}: etag moved past {if_match}"
+                )
+            etag = uuid.uuid4().hex
+            path = self._path(key)
+            tmp = path + f".tmp-{etag}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(
+                    {"etag": etag,
+                     "b64": base64.b64encode(body).decode("ascii")}, fh
+                )
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
+            return etag
+
+    def delete(self, key: str, if_match: str | None = None) -> bool:
+        with self._key_lock(key):
+            cur = self._read(key)
+            if cur is None:
+                return False
+            if if_match is not None and cur[1] != if_match:
+                raise PreconditionFailed(
+                    f"{key}: etag moved past {if_match}"
+                )
+            os.unlink(self._path(key))
+            return True
+
+
+LEASE_KEY = "COMMIT.lease"
+
+
+class ConditionalCommitProtocol(CommitProtocol):
+    """The object-store commit backend: every primitive is built from
+    conditional writes ONLY (see ObjectStoreClient), so the protocol
+    ports unchanged to S3 conditional PUT / GCS generation preconditions.
+
+    - ``swap_manifest`` is an etag CAS: read (body, etag) → verify
+      ``based_on`` → put-if-match.  Losing the race raises
+      CommitConflict, exactly like InMemoryCasProtocol — the store's
+      retry loops handle it.
+    - ``lock`` is a LEASE, not an advisory lock: acquisition is a
+      conditional put of {token, expires_at}; a crashed holder's lease
+      simply expires and the takeover is itself a put-if-match on the
+      expired lease's etag, so exactly ONE of N waiters wins (the CAS
+      arbitrates — no reap-intent machinery needed).  A holder that
+      stalls past its lease and is taken over fails its eventual swap on
+      the based_on/etag CAS instead of corrupting anything; release is
+      token-guarded by construction (delete-if-match on the lease it
+      wrote).  Correctness never rests on the lease — it only bounds
+      wasted double-staging, the same division of labor Delta's S3
+      LogStore draws.
+    - aux documents ride plain puts (their read-modify-writes happen
+      under the lease).
+
+    `client_factory(root)` supplies the ObjectStoreClient per store root;
+    the default emulates one durably under ``<root>/_objects/``."""
+
+    def __init__(self, client_factory=None) -> None:
+        self._factory = client_factory or (
+            lambda root: DirectoryObjectStore(os.path.join(root, "_objects"))
+        )
+        self._clients: dict[str, ObjectStoreClient] = {}
+        self._mu = threading.Lock()
+
+    def _client(self, root: str) -> ObjectStoreClient:
+        with self._mu:
+            c = self._clients.get(root)
+            if c is None:
+                c = self._clients[root] = self._factory(root)
+            return c
+
+    @contextlib.contextmanager
+    def lock(self, root: str, timeout: float = 60.0, stale: float = 300.0):
+        client = self._client(root)
+        token = uuid.uuid4().hex
+        deadline = time.monotonic() + timeout
+        while True:
+            body = json.dumps(
+                {"token": token, "expires_at": time.time() + stale}
+            ).encode("utf-8")
+            try:
+                cur = client.get(LEASE_KEY)
+                if cur is None:
+                    client.put(LEASE_KEY, body, if_none_match=True)
+                    break
+                doc = json.loads(cur[0])
+                if doc.get("expires_at", 0) > time.time():
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire commit lease for {root} "
+                            f"within {timeout}s"
+                        )
+                    time.sleep(0.02)
+                    continue
+                # expired lease: CAS takeover — at most one winner
+                client.put(LEASE_KEY, body, if_match=cur[1])
+                break
+            except PreconditionFailed:
+                continue  # lost a race; observe the new state and retry
+        try:
+            yield
+        finally:
+            try:
+                cur = client.get(LEASE_KEY)
+                if cur is not None and \
+                        json.loads(cur[0]).get("token") == token:
+                    client.delete(LEASE_KEY, if_match=cur[1])
+            except (PreconditionFailed, OSError, ValueError):
+                pass  # taken over while stalled — leave the new lease be
+
+    def read_manifest(self, root: str) -> dict | None:
+        cur = self._client(root).get(MANIFEST)
+        return json.loads(cur[0]) if cur is not None else None
+
+    def swap_manifest(
+        self, root: str, txid: str, manifest: dict,
+        based_on: int | None = None,
+    ) -> None:
+        client = self._client(root)
+        body = json.dumps(manifest, indent=2).encode("utf-8")
+        while True:
+            cur = client.get(MANIFEST)
+            cur_version = json.loads(cur[0])["version"] if cur else 0
+            if based_on is not None and cur_version != based_on:
+                raise CommitConflict(
+                    f"manifest at {root} moved past version {based_on}"
+                )
+            try:
+                if cur is None:
+                    client.put(MANIFEST, body, if_none_match=True)
+                else:
+                    client.put(MANIFEST, body, if_match=cur[1])
+                return
+            except PreconditionFailed as e:
+                if based_on is not None:
+                    # the CAS itself caught a racing writer that landed
+                    # between our read and put — same contract
+                    raise CommitConflict(
+                        f"manifest at {root} moved past version {based_on}"
+                    ) from e
+                # unconditioned swap: last-write-wins, re-read and retry
+
+    def read_aux(self, root: str, filename: str) -> dict | None:
+        cur = self._client(root).get(filename)
+        return json.loads(cur[0]) if cur is not None else None
+
+    def write_aux(self, root: str, filename: str, doc: dict) -> None:
+        self._client(root).put(
+            filename, json.dumps(doc).encode("utf-8")
+        )
+
+
 _DEFAULT = PosixCommitProtocol()
 _REGISTRY: dict[str, CommitProtocol] = {}
+_PROTOCOLS = {
+    "posix": PosixCommitProtocol,
+    "conditional": ConditionalCommitProtocol,
+}
 
 
 def protocol_for(root: str) -> CommitProtocol:
-    """The commit protocol governing `root` (the POSIX backend unless one
-    was registered)."""
-    return _REGISTRY.get(root, _DEFAULT)
+    """The commit protocol governing `root`: an explicitly registered one
+    wins; else a persisted ``<root>/_PROTOCOL.json`` selects by name
+    (``{"protocol": "conditional"}`` — how a store root opts into the
+    object-store backend durably, for every future session); else the
+    POSIX default."""
+    proto = _REGISTRY.get(root)
+    if proto is not None:
+        return proto
+    cfg = os.path.join(root, PROTOCOL_CONFIG)
+    try:
+        with open(cfg, encoding="utf-8") as fh:
+            name = json.load(fh)["protocol"]
+    except (OSError, ValueError, KeyError):
+        return _DEFAULT
+    proto = _PROTOCOLS[name]()
+    _REGISTRY[root] = proto  # cache: one instance per root per session
+    return proto
 
 
 def set_protocol(root: str, protocol: CommitProtocol | None) -> None:
     """Register (or, with None, clear) the commit protocol for a store
-    root — how an object-store CAS backend is dropped in."""
+    root — how an object-store CAS backend is dropped in for one
+    session.  ``persist_protocol`` makes the choice durable."""
     if protocol is None:
         _REGISTRY.pop(root, None)
     else:
         _REGISTRY[root] = protocol
+
+
+def persist_protocol(root: str, name: str) -> None:
+    """Durably select `root`'s commit backend by writing
+    ``_PROTOCOL.json`` (and register it in-session).  Must be chosen at
+    store creation: switching an existing store's backend mid-life would
+    leave the manifest under the OLD backend's keys."""
+    if name not in _PROTOCOLS:
+        raise ValueError(
+            f"unknown protocol {name!r} (one of {sorted(_PROTOCOLS)})"
+        )
+    os.makedirs(root, exist_ok=True)
+    cfg = os.path.join(root, PROTOCOL_CONFIG)
+    if os.path.exists(os.path.join(root, MANIFEST)) or (
+        os.path.exists(cfg)
+        and json.load(open(cfg, encoding="utf-8")).get("protocol") != name
+    ):
+        raise ValueError(
+            f"store at {root} already committed under another backend — "
+            "the protocol must be selected before the first publish"
+        )
+    with open(cfg, "w", encoding="utf-8") as fh:
+        json.dump({"protocol": name}, fh)
+    _REGISTRY[root] = _PROTOCOLS[name]()

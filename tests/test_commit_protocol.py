@@ -29,9 +29,14 @@ from pyspark.sql import functions as F
 from dataintegration_ecomprovider_spark.plans import publish
 from dataintegration_ecomprovider_spark.plans.commit_protocol import (
     CommitConflict,
+    ConditionalCommitProtocol,
+    DirectoryObjectStore,
     InMemoryCasProtocol,
+    LEASE_KEY,
     LOCK_FILE,
     PosixCommitProtocol,
+    PreconditionFailed,
+    persist_protocol,
     protocol_for,
     set_protocol,
 )
@@ -212,14 +217,16 @@ def test_based_on_cas_rejects_moved_manifest(tmp_path):
     assert [f for f in os.listdir(root) if f.startswith("MANIFEST.json.tmp")] == []
 
 
-def test_inmemory_cas_runs_full_store_lifecycle(spark, tmp_path):
-    """The object-store-shaped CAS backend carries a full store
+@pytest.mark.parametrize("backend", ["inmemory_cas", "conditional"])
+def test_cas_backends_run_full_store_lifecycle(spark, tmp_path, backend):
+    """BOTH object-store-shaped CAS backends carry a full store
     lifecycle — publish, MoR merge, CDC read, time travel, constraints,
     sync state — proving every store code path commits and reads through
     the CommitProtocol seam (raw MANIFEST.json access would diverge:
-    the in-memory backend never writes one)."""
+    neither backend writes one at the root)."""
     root = str(tmp_path / "store")
-    proto = InMemoryCasProtocol()
+    proto = (InMemoryCasProtocol() if backend == "inmemory_cas"
+             else ConditionalCommitProtocol())
     set_protocol(root, proto)
     try:
         df = spark.range(20).select(
@@ -337,3 +344,249 @@ def test_stale_lock_takeover_across_processes(tmp_path):
         assert 0 <= depth <= 1, f"overlapping critical sections: {pairs}"
     assert depth == 0 and len(pairs) == 12
     assert not os.path.exists(os.path.join(root, LOCK_FILE))
+
+
+# ---- round 9: the durable conditional-write (object-store) backend ------
+
+def test_object_store_conditional_put_semantics(tmp_path):
+    """DirectoryObjectStore honors the exact S3/GCS precondition
+    contract: If-None-Match creation, If-Match replacement, conditional
+    delete — each failing loudly when the etag moved."""
+    store = DirectoryObjectStore(str(tmp_path / "obj"))
+    assert store.get("k") is None
+    e1 = store.put("k", b"v1", if_none_match=True)
+    with pytest.raises(PreconditionFailed):
+        store.put("k", b"v2", if_none_match=True)  # already exists
+    body, etag = store.get("k")
+    assert body == b"v1" and etag == e1
+    e2 = store.put("k", b"v2", if_match=e1)
+    with pytest.raises(PreconditionFailed):
+        store.put("k", b"v3", if_match=e1)  # stale etag
+    assert store.get("k")[0] == b"v2"
+    with pytest.raises(PreconditionFailed):
+        store.delete("k", if_match=e1)
+    assert store.delete("k", if_match=e2) is True
+    assert store.get("k") is None
+    assert store.delete("k") is False
+
+
+def test_object_store_etag_cas_serializes_racing_writers(tmp_path):
+    """16 threads hammer one key with read→put-if-match increments,
+    retrying on PreconditionFailed: every increment lands exactly once —
+    the per-object serialization real stores guarantee."""
+    store = DirectoryObjectStore(str(tmp_path / "obj"))
+    store.put("ctr", b"0", if_none_match=True)
+    N, PER = 16, 25
+
+    def bump():
+        for _ in range(PER):
+            while True:
+                body, etag = store.get("ctr")
+                try:
+                    store.put("ctr", str(int(body) + 1).encode(),
+                              if_match=etag)
+                    break
+                except PreconditionFailed:
+                    continue
+
+    threads = [threading.Thread(target=bump) for _ in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert int(store.get("ctr")[0]) == N * PER
+
+
+def test_conditional_swap_cas_rejects_moved_manifest(tmp_path):
+    """The same lost-update contract the other backends pin: a swap
+    based on a version the store moved past raises CommitConflict."""
+    root = str(tmp_path / "store")
+    proto = ConditionalCommitProtocol()
+    proto.swap_manifest(root, "t1", {"version": 1, "tables": {}}, based_on=0)
+    proto.swap_manifest(root, "t2", {"version": 2, "tables": {}}, based_on=1)
+    with pytest.raises(CommitConflict):
+        proto.swap_manifest(
+            root, "t3", {"version": 2, "tables": {"x": "p"}}, based_on=1
+        )
+    assert proto.read_manifest(root)["version"] == 2
+    # and the root holds NO MANIFEST.json — metadata lives in _objects/
+    assert not os.path.exists(os.path.join(root, "MANIFEST.json"))
+
+
+def test_conditional_lease_contention_single_holder(tmp_path):
+    """An EXPIRED lease + N simultaneous waiters: the CAS takeover admits
+    exactly one at a time, everyone eventually enters — the conditional
+    backend's analogue of the POSIX token-guarded reap test."""
+    root = str(tmp_path / "store")
+    proto = ConditionalCommitProtocol()
+    # plant a crashed writer's expired lease
+    proto._client(root).put(
+        LEASE_KEY,
+        b'{"token": "dead", "expires_at": 1}', if_none_match=True,
+    )
+    holders, max_holders, errors = [], [], []
+    mu = threading.Lock()
+
+    def worker(i):
+        try:
+            with proto.lock(root, timeout=30.0, stale=300.0):
+                with mu:
+                    holders.append(i)
+                    max_holders.append(len(holders))
+                time.sleep(0.01)
+                with mu:
+                    holders.remove(i)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert max(max_holders) == 1
+    assert len(max_holders) == 8
+    assert proto._client(root).get(LEASE_KEY) is None  # last release clean
+
+
+def test_conditional_stalled_holder_release_leaves_new_lease(tmp_path):
+    """A holder taken over while stalled must not delete the NEW
+    holder's lease at release time (token-guarded by etag CAS)."""
+    root = str(tmp_path / "store")
+    proto = ConditionalCommitProtocol()
+    client = proto._client(root)
+    with proto.lock(root, stale=300.0):
+        # while "stalled": the lease is replaced by another writer
+        _, etag = client.get(LEASE_KEY)
+        client.put(
+            LEASE_KEY,
+            b'{"token": "newholder", "expires_at": 9999999999}',
+            if_match=etag,
+        )
+    doc = client.get(LEASE_KEY)
+    assert doc is not None and b"newholder" in doc[0]
+
+
+def test_conditional_crash_between_stage_and_swap(spark, tmp_path):
+    """Crash at the commit point on the conditional backend: the prior
+    version stays fully readable through the backend, and a retry
+    commits cleanly."""
+    root = str(tmp_path / "store")
+    proto = ConditionalCommitProtocol()
+    set_protocol(root, proto)
+    try:
+        df1 = spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1).alias("v")
+        )
+        publish.publish_tables(spark, {"t": df1}, root,
+                               table_keys={"t": ["k"]})
+        v1 = publish.current_manifest(root)["version"]
+
+        real_swap = proto.swap_manifest
+        calls = {"n": 0}
+
+        def crashing_swap(r, txid, manifest, based_on=None):
+            calls["n"] += 1
+            raise OSError("simulated crash at the commit point")
+
+        proto.swap_manifest = crashing_swap
+        df2 = spark.range(5).select(
+            F.col("id").alias("k"), F.lit(2).alias("v")
+        )
+        with pytest.raises(OSError, match="simulated crash"):
+            publish.publish_tables(spark, {"t": df2}, root)
+        proto.swap_manifest = real_swap
+        assert calls["n"] == 1
+        assert publish.current_manifest(root)["version"] == v1
+        got = {r["k"]: r["v"]
+               for r in publish.read_table(spark, root, "t").collect()}
+        assert got == {i: 1 for i in range(10)}
+        # the crashed writer's lease expires rather than deadlocking the
+        # store: acquisition with a short staleness window still works
+        with proto.lock(root, timeout=5.0, stale=300.0):
+            pass
+        publish.publish_tables(spark, {"t": df2}, root)
+        assert publish.read_table(spark, root, "t").count() == 5
+    finally:
+        set_protocol(root, None)
+
+
+def test_persist_protocol_survives_sessions(spark, tmp_path):
+    """persist_protocol writes _PROTOCOL.json; a FRESH registry (a new
+    session) re-resolves the conditional backend from the config and
+    reads the store it committed — durability of the choice itself."""
+    from dataintegration_ecomprovider_spark.plans import commit_protocol as cp
+
+    root = str(tmp_path / "store")
+    persist_protocol(root, "conditional")
+    try:
+        assert isinstance(protocol_for(root), ConditionalCommitProtocol)
+        df = spark.range(7).select(F.col("id").alias("k"))
+        publish.publish_tables(spark, {"t": df}, root,
+                               table_keys={"t": ["k"]})
+        # simulate a new session: clear the in-process registry
+        cp._REGISTRY.pop(root, None)
+        assert isinstance(protocol_for(root), ConditionalCommitProtocol)
+        assert publish.read_table(spark, root, "t").count() == 7
+        # idempotent re-selection is fine; switching backends is not
+        persist_protocol(root, "conditional")
+        with pytest.raises(ValueError, match="another backend"):
+            persist_protocol(root, "posix")
+        with pytest.raises(ValueError, match="unknown protocol"):
+            persist_protocol(str(tmp_path / "other"), "s3")
+    finally:
+        cp._REGISTRY.pop(root, None)
+
+
+def _lease_worker(args):
+    """Cross-process lease contention worker (module-level for pickling):
+    same enter/exit log contract as _lock_worker, but through the
+    conditional backend's CAS lease."""
+    root, idx = args
+    import os as _os
+    import time as _time
+
+    from dataintegration_ecomprovider_spark.plans.commit_protocol import (
+        ConditionalCommitProtocol,
+    )
+
+    proto = ConditionalCommitProtocol()
+    log = _os.path.join(root, "events.log")
+    with proto.lock(root, timeout=60.0, stale=300.0):
+        fd = _os.open(log, _os.O_WRONLY | _os.O_APPEND | _os.O_CREAT)
+        _os.write(fd, f"enter {idx}\n".encode())
+        _os.close(fd)
+        _time.sleep(0.02)
+        fd = _os.open(log, _os.O_WRONLY | _os.O_APPEND)
+        _os.write(fd, f"exit {idx}\n".encode())
+        _os.close(fd)
+    return idx
+
+
+def test_conditional_lease_across_processes(tmp_path):
+    """REAL processes race for the conditional backend's lease over an
+    expired crashed-writer lease: zero overlapping critical sections —
+    the flock-backed conditional put arbitrates across process
+    boundaries, exactly like the store service would."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "store")
+    os.makedirs(root, exist_ok=True)
+    ConditionalCommitProtocol()._client(root).put(
+        LEASE_KEY, b'{"token": "dead", "expires_at": 1}',
+        if_none_match=True,
+    )
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(6) as pool:
+        done = pool.map(_lease_worker, [(root, i) for i in range(6)])
+    assert sorted(done) == list(range(6))
+    events = open(
+        os.path.join(root, "events.log"), encoding="utf-8"
+    ).read().split()
+    pairs = list(zip(events[::2], events[1::2]))
+    depth = 0
+    for kind, _idx in pairs:
+        depth += 1 if kind == "enter" else -1
+        assert 0 <= depth <= 1, f"overlapping critical sections: {pairs}"
+    assert depth == 0 and len(pairs) == 12
