@@ -217,6 +217,32 @@ def _read_delta_log(spark: SparkSession, deltas: Sequence[dict]) -> DataFrame:
     return out
 
 
+# lossless widenings the MoR evolve path accepts as metadata-only type
+# changes (Delta/Iceberg's type-widening set, minus date→timestamp):
+# every value of the FROM type is exactly representable in the TO type,
+# so readers casting old files up can never corrupt data.  int→double is
+# included (2^31 < 2^53); long→double is NOT (would round large values).
+_TYPE_WIDENINGS = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("float", "double"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+}
+
+
+def _is_type_widening(frm, to) -> bool:
+    """True when `to` losslessly widens `frm` (strictly — equal types are
+    not a widening)."""
+    from pyspark.sql.types import DecimalType
+
+    if frm == to:
+        return False
+    if isinstance(frm, DecimalType) and isinstance(to, DecimalType):
+        return to.scale == frm.scale and to.precision > frm.precision
+    return (frm.typeName(), to.typeName()) in _TYPE_WIDENINGS
+
+
 def _conform_to_schema(df: DataFrame, schema) -> DataFrame:
     """Project `df` onto `schema` exactly: present columns cast, absent
     columns ride as typed nulls."""
@@ -406,6 +432,8 @@ def schema_changes(
     ``{"change": "drop", "column"}`` (logical name),
     ``{"change": "add", "column"}`` (merge_into_mor(evolve_schema=True)
     widenings recorded in schema_json),
+    ``{"change": "widen", "column", "from", "to"}`` (lossless type
+    widening — metadata or staging-driven),
     ``{"change": "rewrite"}`` (value-preserving compact/recluster),
     ``{"change": "rewritten"}`` (a rewrite that changed physical names —
     CoW merge, materialized mapping — same logical schema),
@@ -450,6 +478,56 @@ def schema_changes(
         except Exception:  # noqa: BLE001 — a missing footer just mutes adds
             return None
 
+    def _field_types(entry) -> dict[str, str] | None:
+        # physical name -> simpleString type, from schema_json or one
+        # footer read (pre-widening entries) — primitives only; columns
+        # whose footer type has no Spark primitive mapping are omitted
+        # (they just can't emit widen events)
+        if isinstance(entry, dict) and entry.get("schema_json"):
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            return {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    _json.loads(entry["schema_json"])
+                ).fields
+            }
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            path = entry["path"] if isinstance(entry, dict) else entry
+            files = _data_files(path)
+            if not files:
+                return None
+            out_types: dict[str, str] = {}
+            for field in pq.read_schema(files[0]):
+                t = field.type
+                if pa.types.is_int8(t):
+                    s = "tinyint"
+                elif pa.types.is_int16(t):
+                    s = "smallint"
+                elif pa.types.is_int32(t):
+                    s = "int"
+                elif pa.types.is_int64(t):
+                    s = "bigint"
+                elif pa.types.is_float32(t):
+                    s = "float"
+                elif pa.types.is_float64(t):
+                    s = "double"
+                elif pa.types.is_decimal(t):
+                    s = f"decimal({t.precision},{t.scale})"
+                elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                    s = "string"
+                else:
+                    continue
+                out_types[field.name] = s
+            return out_types
+        except Exception:  # noqa: BLE001 — missing footer mutes widen
+            return None
+
     out: list[dict] = []
     prev = tables_at(root, from_version).get(name)
     for v in range(from_version + 1, to_version + 1):
@@ -490,13 +568,26 @@ def schema_changes(
             jc = _json_fields(cur)
             if jc is not None:
                 jp = _fields(prev)
+                ren_all, _ = _column_map(cur)
                 if jp is not None:
-                    ren_all, _ = _column_map(cur)
                     for added in sorted(jc - jp):
                         out.append(
                             {"version": v, "change": "add",
                              "column": ren_all.get(added, added)}
                         )
+                # type widenings (round 9) — same-name fields whose
+                # recorded type changed; an external replica ALTERs its
+                # column before applying the span's rows
+                tc = _field_types(cur)
+                tp = _field_types(prev)
+                if tc and tp:
+                    for col in sorted(set(tc) & set(tp)):
+                        if tc[col] != tp[col]:
+                            out.append(
+                                {"version": v, "change": "widen",
+                                 "column": ren_all.get(col, col),
+                                 "from": tp[col], "to": tc[col]}
+                            )
             if p_path != c_path:
                 out.append({"version": v, "change": "rewrite"})
         else:
@@ -641,6 +732,55 @@ def drop_column(spark: SparkSession, root: str, name: str, col: str) -> dict:
         else:
             e.pop("renames", None)
         e["dropped"] = dropped + [phys]
+
+    return _update_entry_meta(root, name, mutate)
+
+
+def widen_column_type(
+    spark: SparkSession, root: str, name: str, col: str, new_type
+) -> dict:
+    """Widen one column's type WITHOUT a write batch — the pure-metadata
+    ALTER COLUMN TYPE (round 9; the staging-driven form is
+    merge_into_mor(evolve_schema=True) with a wider-typed batch).  Only
+    LOSSLESS widenings are accepted (_TYPE_WIDENINGS: int→long,
+    float→double, decimal precision growth), so no reader can ever see
+    corrupted values: the widened logical schema lands in the entry's
+    schema_json, old files cast up at read time, compact materializes.
+
+    `new_type` is a Spark DataType or DDL string ("bigint",
+    "decimal(12,2)").  Works on plain and merge-on-read tables alike;
+    time travel keeps the narrow type at old versions; CDC across the
+    commit emits zero row changes (the data signature is untouched)."""
+    from pyspark.sql.types import DataType, StructType
+
+    if not isinstance(new_type, DataType):
+        new_type = spark.createDataFrame([], f"__x {new_type}") \
+            .schema[0].dataType
+    entry = current_manifest(root)["tables"].get(name)
+    if entry is None:
+        raise KeyError(f"table {name!r} has no committed version under {root}")
+    logical = _logical_view(entry, _read_entry(spark, entry))
+    if col not in logical.columns:
+        raise ValueError(f"{name!r} has no column {col!r}")
+    cur_type = logical.schema[col].dataType
+    if not _is_type_widening(cur_type, new_type):
+        raise ValueError(
+            f"{cur_type.simpleString()} → {new_type.simpleString()} is not "
+            f"a lossless widening for {name!r}.{col} (allowed: int chain "
+            "→ long, float→double, int→double, decimal precision growth); "
+            "lossy changes need a copy-on-write rewrite"
+        )
+    phys = _phys_name(entry, col)
+    # schema_json lives in PHYSICAL name space (the base files' columns)
+    raw = _read_entry(spark, entry).schema
+    wide = StructType([
+        type(f)(f.name, new_type if f.name == phys else f.dataType,
+                True) for f in raw.fields
+    ])
+    wide_json = json.dumps(wide.jsonValue())
+
+    def mutate(e: dict) -> None:
+        e["schema_json"] = wide_json
 
     return _update_entry_meta(root, name, mutate)
 
@@ -1767,7 +1907,12 @@ def merge_into_mor(
     staging carries new columns — the widened schema is recorded on the
     manifest entry, the base is never rewritten (readers null-fill the
     new columns on pre-evolution rows), and compact() folds everything to
-    the new schema.  New columns only; a type change still needs the CoW
+    the new schema.  LOSSLESS TYPE WIDENINGS ride the same metadata path
+    (round 9): staging an int column as long (or float→double, decimal
+    precision growth — _TYPE_WIDENINGS) records the widened type in
+    schema_json; readers cast the narrow base and pre-widening deltas up
+    at reconstruction, the CDC fast path diffs in the widened type, and
+    compact materializes it.  Lossy type changes still need the CoW
     `merge_into(evolve_schema=True)`.  Unsupported here (use merge_into):
     case-insensitive keys.  `staging` must be key-unique (the standard
     MERGE precondition —
@@ -1978,13 +2123,39 @@ def _prepare_mor_delta(
             f"staging carries columns {unknown} not in table {name!r}; "
             "pass evolve_schema=True to widen the table in place"
         )
+    widened: list[str] = []
+    if evolve_schema:
+        # metadata TYPE WIDENING (round 9): staging carrying a LOSSLESSLY
+        # wider type for an existing column (int→long, float→double,
+        # decimal precision growth) widens the recorded logical schema in
+        # place — readers cast the narrow base/early deltas up at
+        # reconstruction (_conform_to_schema / union coercion), compact
+        # materializes the wide type, and the CDC fast path diffs in the
+        # to-version schema.  At 100 TB this is exactly the rewrite MoR
+        # exists to avoid; Delta/Iceberg treat widening as metadata too.
+        # A NON-widening type change still silently conforms to the base
+        # type like before (cast-down), preserving pre-round-9 behavior.
+        from pyspark.sql.types import StructField, StructType
+
+        staged_types = {f.name: f.dataType for f in staging.schema.fields}
+        new_fields = []
+        for f in base_schema.fields:
+            st = staged_types.get(f.name)
+            if st is not None and _is_type_widening(f.dataType, st):
+                new_fields.append(StructField(f.name, st, True))
+                widened.append(f.name)
+            else:
+                new_fields.append(f)
+        if widened:
+            base_schema = StructType(new_fields)
     if unknown:
         # widen the LOGICAL schema in place: the new columns are recorded
         # on the manifest entry (schema_json) and materialize at read time
         # as typed nulls on the un-rewritten base — O(1) metadata, where a
         # CoW merge_into(evolve_schema=True) pays an O(table) rewrite on
-        # exactly the table class MoR was bought for.  New columns only;
-        # type changes still require the CoW path.
+        # exactly the table class MoR was bought for.  New columns plus
+        # lossless type widenings (above); anything else still requires
+        # the CoW path.
         from pyspark.sql.types import StructField, StructType
 
         staged_fields = {f.name: f for f in staging.schema.fields}
@@ -2084,7 +2255,7 @@ def _prepare_mor_delta(
     else:
         delta_df = _conform(staging, "upsert")
 
-    return delta_df, keys, base_schema, unknown, n_parts
+    return delta_df, keys, base_schema, unknown + widened, n_parts
 
 
 def _write_mor_delta(
@@ -2125,21 +2296,26 @@ def _append_mor_entry(prev: dict, name: str, staged: dict) -> dict:
     if staged["widen"] or entry.get("schema_json"):
         # record the widened logical schema, merged UNDER the lock with
         # whatever a concurrent writer may have evolved — column sets
-        # union; readers null-fill whichever columns any given delta
-        # file predates
+        # union, and a field both sides carry takes the WIDER type
+        # (lossless widenings compose; two concurrent int→long widenings
+        # merge idempotently); readers null-fill/cast-up whichever
+        # columns any given delta file predates
         from pyspark.sql.types import StructType
 
-        fields, names = [], set()
+        fields, index = [], {}
         if entry.get("schema_json"):
             for f in StructType.fromJson(
                 json.loads(entry["schema_json"])
             ).fields:
+                index[f.name] = len(fields)
                 fields.append(f)
-                names.add(f.name)
         for f in StructType.fromJson(json.loads(staged["schema_json"])).fields:
-            if f.name not in names:
+            i = index.get(f.name)
+            if i is None:
+                index[f.name] = len(fields)
                 fields.append(f)
-                names.add(f.name)
+            elif _is_type_widening(fields[i].dataType, f.dataType):
+                fields[i] = f
         entry["schema_json"] = json.dumps(StructType(fields).jsonValue())
     summary = staged["summary"]
     entry["deltas"] = list(entry.get("deltas", [])) + [
@@ -2315,6 +2491,28 @@ def _entry_signature(entry) -> tuple | None:
     if isinstance(entry, str):
         return (entry, ())
     return (entry["path"], tuple(d["path"] for d in entry.get("deltas", [])))
+
+
+def _entry_last_changed_unix(root: str, name: str) -> float | None:
+    """Commit time of the NEWEST version whose entry for `name` differs
+    from its predecessor's — "how old is this table's current content"
+    (maintain_store's age-gated quarantine requeue).  Walks the retained
+    manifest history (bounded metadata, no Spark job); with history
+    pruned past the change, the oldest retained snapshot bounds the
+    answer from below.  None when the table is absent."""
+    manifest = current_manifest(root)
+    snaps = sorted(
+        _all_history(root, manifest) + [manifest],
+        key=lambda h: int(h["version"]),
+    )
+    changed_at: float | None = None
+    prev_sig: tuple | None = None
+    for h in snaps:
+        sig = _entry_signature(h.get("tables", {}).get(name))
+        if sig is not None and sig != prev_sig:
+            changed_at = h.get("committed_at_unix")
+        prev_sig = sig
+    return changed_at
 
 
 def _bridged_delta_suffix(
@@ -2721,7 +2919,10 @@ def _footer_stats(md, tracked: Sequence[str]) -> dict[str, list]:
         usable = True
         nulls_known = True
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(i).statistics
+            try:
+                st = md.row_group(rg).column(i).statistics
+            except Exception:  # noqa: BLE001 — e.g. pyarrow cannot cast
+                st = None      # decimal stats; file just stays unprunable
             if st is None:
                 usable = False
                 nulls_known = False
@@ -2736,7 +2937,10 @@ def _footer_stats(md, tracked: Sequence[str]) -> dict[str, list]:
                     continue
                 usable = False
                 continue
-            lo, hi = _stat_value(st.min), _stat_value(st.max)
+            try:
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+            except Exception:  # noqa: BLE001 — pyarrow cannot decode the
+                lo = hi = None  # stat (e.g. some decimal encodings)
             if lo is None or hi is None:
                 usable = False
                 continue
@@ -4073,6 +4277,7 @@ def maintain_store(
     recluster_specs: Mapping[str, Mapping] | None = None,
     topic_specs: Sequence[Mapping] | None = None,
     reader_lag_warn_versions: int | None = 1000,
+    requeue_quarantine_policy: Mapping[str, Mapping] | None = None,
 ) -> dict:
     """One operational maintenance pass over the whole store — the
     scheduled job a 100 TB deployment runs nightly (Delta's OPTIMIZE +
@@ -4112,7 +4317,18 @@ def maintain_store(
        `reader_lag_warn_versions` is reported under
        ``reader_warnings`` — a live-but-stuck consumer renews its lease
        forever and pins unbounded history, which TTL expiry (built for
-       DEAD consumers) never catches.  ``None`` disables the check.
+       DEAD consumers) never catches.  ``None`` disables the check;
+    7. AUTO-REQUEUE quarantines (round 9): `requeue_quarantine_policy`
+       maps MAIN table names to gates ``{"min_rows": 1,
+       "min_age_seconds": 0.0}`` — when ``<name>__quarantine`` holds at
+       least `min_rows` rows AND its last commit is at least
+       `min_age_seconds` old (age-gating leaves a window for the
+       constraint fix to land first), the pass runs requeue_quarantine:
+       rows that now satisfy the constraints drain into the main table,
+       still-bad rows re-divert, and the result lands under
+       ``report["requeued"]`` — drained quarantines stop needing
+       operator action.  Same per-table error isolation as every other
+       step.
 
     Tables and views are processed independently; a failure on one is
     recorded and does not block the rest.  Returns
@@ -4269,6 +4485,31 @@ def maintain_store(
             for name, row in store_usage(root)["readers"].items()
             if row["lag_versions"] > reader_lag_warn_versions
         }
+    if requeue_quarantine_policy:
+        report["requeued"] = {}
+        now = time.time()
+        for name in sorted(requeue_quarantine_policy):
+            spec = dict(requeue_quarantine_policy[name] or {})
+            min_rows = int(spec.get("min_rows", 1))
+            min_age = float(spec.get("min_age_seconds", 0.0))
+            qname = f"{name}__quarantine"
+            try:
+                if qname not in current_manifest(root)["tables"]:
+                    continue
+                backlog = (table_stats(root, qname) or {}).get("rows") or 0
+                if backlog < min_rows:
+                    continue
+                if min_age > 0.0:
+                    changed = _entry_last_changed_unix(root, qname)
+                    if changed is not None and now - changed < min_age:
+                        continue  # too fresh — give the fix time to land
+                report["requeued"][name] = requeue_quarantine(
+                    spark, root, name
+                )
+            except Exception as e:  # noqa: BLE001 — per-table isolation
+                report["errors"][f"requeue:{name}"] = (
+                    f"{type(e).__name__}: {e}"
+                )
     # non-empty quarantine tables (constraint on_violation="quarantine")
     # are diverted-but-unresolved feed rows: surface their row counts so
     # the nightly pass is where an operator notices them piling up
@@ -5371,6 +5612,12 @@ def replicate_table(
                 c for c in delta.columns
                 if c != "change_type" and not c.endswith("__old")
             ]
+            # evolve: the span may have widened a column type or added
+            # one at the source — the delta arrives in the source's NEW
+            # schema, and conforming it DOWN to the narrow replica would
+            # silently corrupt values past the narrow range (round 9:
+            # type widening made this reachable).  The replica follows
+            # the source's schema like every other aspect of the mirror.
             merge_into_mor(
                 spark, dst_root, name,
                 staging=delta.filter(F.col("change_type") != "delete")
@@ -5378,6 +5625,7 @@ def replicate_table(
                 keys=keys,
                 deletes=delta.filter(F.col("change_type") == "delete")
                 .select(*keys),
+                evolve_schema=True,
             )
             mode = "delta_mor"
         else:

@@ -695,3 +695,197 @@ def test_mor_evolution_matches_cow_evolution(spark, tmp_path):
         df = P.read_table(spark, root, "t")
         results[mode] = (df.columns, _rows(df))
     assert results["cow"] == results["mor"]
+
+
+def test_mor_type_widening_is_metadata_only(spark, tmp_path):
+    """Round 9: a LOSSLESS type change (int→long, float→double) rides the
+    same metadata path as add-column evolution — recorded in schema_json,
+    base never rewritten, narrow pre-widening deltas cast up at read,
+    CDC diffs in the widened type, compact materializes it.  At 100 TB
+    the CoW rewrite this replaces is exactly what MoR exists to avoid."""
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "id bigint, cnt int, ratio float"
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    base_path = publish.current_manifest(root)["tables"]["t"]["path"]
+    base_files_before = sorted(publish._data_files(base_path))
+
+    # a narrow delta BEFORE the widening (the log must replay across it)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, 21, 2.75)], "id bigint, cnt int, ratio float"),
+    )
+    wide = spark.createDataFrame(
+        [(3, 5_000_000_000, 3.5), (1, 11, 1.25)],
+        "id bigint, cnt long, ratio double",
+    )
+    publish.merge_into_mor(spark, root, "t", wide, evolve_schema=True)
+
+    got = publish.read_table(spark, root, "t")
+    assert dict(got.dtypes) == {"id": "bigint", "cnt": "bigint",
+                                "ratio": "double"}
+    assert _rows(got) == {
+        (1, 11, 1.25),
+        (2, 21, 2.75),             # narrow delta row, cast up exactly
+        (3, 5_000_000_000, 3.5),   # needs the widened type
+    }
+    # metadata-only: base untouched, widened schema recorded
+    assert sorted(publish._data_files(base_path)) == base_files_before
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert entry.get("deltas") and entry.get("schema_json")
+
+    # time travel: the pre-widening version still reads narrow
+    assert dict(publish.read_table_at(spark, root, "t", 2).dtypes)["cnt"] \
+        == "int"
+    # CDC across the widening diffs in the WIDENED type
+    changes = publish.read_changes(spark, root, "t", 2, 3, keys=["id"])
+    assert dict(changes.drop("change_type").dtypes)["cnt"] == "bigint"
+    assert _rows(changes) == {
+        (1, 11, 1.25, "update"), (3, 5_000_000_000, 3.5, "insert"),
+    }
+
+    # a LATER narrow staging still merges (cast up on read)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, 40, 4.5)], "id bigint, cnt int, ratio float"),
+    )
+    # compact materializes the wide type and sheds the marker
+    publish.compact(spark, root, "t")
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert not entry.get("deltas") and not entry.get("schema_json")
+    got = publish.read_table(spark, root, "t")
+    assert dict(got.dtypes)["cnt"] == "bigint"
+    assert (4, 40, 4.5) in _rows(got)
+
+
+def test_mor_type_widening_requires_evolve_flag_only_for_new_cols(
+    spark, tmp_path
+):
+    """Without evolve_schema, a wider-typed staging keeps the pre-round-9
+    contract: values conform (cast) to the base type — no silent schema
+    change ever happens without the flag."""
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, 10)], "id bigint, cnt int")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, 20)], "id bigint, cnt long"),
+    )
+    assert dict(publish.read_table(spark, root, "t").dtypes)["cnt"] == "int"
+
+
+def test_mor_decimal_precision_widening(spark, tmp_path):
+    """decimal(p,s) → decimal(p+k,s) is lossless and rides the metadata
+    path; a SCALE change is not a widening and conforms to the base."""
+    root = str(tmp_path / "store")
+    base = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, CAST(12.34 AS DECIMAL(6,2)) AS amt"
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.sql("SELECT CAST(2 AS BIGINT) AS id, "
+                  "CAST(123456789.01 AS DECIMAL(12,2)) AS amt"),
+        evolve_schema=True,
+    )
+    got = publish.read_table(spark, root, "t")
+    assert dict(got.dtypes)["amt"] == "decimal(12,2)"
+    assert {(r["id"], str(r["amt"])) for r in got.collect()} == {
+        (1, "12.34"), (2, "123456789.01"),
+    }
+    # scale change: NOT a widening — conforms to the recorded 12,2
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.sql("SELECT CAST(3 AS BIGINT) AS id, "
+                  "CAST(7.777 AS DECIMAL(13,3)) AS amt"),
+        evolve_schema=True,
+    )
+    got = publish.read_table(spark, root, "t")
+    assert dict(got.dtypes)["amt"] == "decimal(12,2)"
+
+
+def test_mor_type_widening_matches_cow(spark, tmp_path):
+    """MoR metadata widening and the CoW rewrite must agree on the final
+    state AND types for the same inputs (the round-5 evolution-parity
+    pattern)."""
+    from dataintegration_ecomprovider_spark.plans import publish as P
+
+    results = {}
+    for mode in ("cow", "mor"):
+        root = str(tmp_path / mode)
+        base = spark.createDataFrame(
+            [(1, 10, 1.5), (2, 20, 2.5)], "id bigint, cnt int, ratio float"
+        )
+        P.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+        staging = spark.createDataFrame(
+            [(2, 9_000_000_000, 2.25), (3, 30, 3.5)],
+            "id bigint, cnt long, ratio double",
+        )
+        if mode == "cow":
+            P.merge_into(spark, root, "t", staging, ["id"],
+                         evolve_schema=True)
+        else:
+            P.merge_into_mor(spark, root, "t", staging, evolve_schema=True)
+        df = P.read_table(spark, root, "t")
+        results[mode] = (dict(df.dtypes), _rows(df))
+    assert results["cow"] == results["mor"]
+
+
+def test_widen_column_type_metadata_api(spark, tmp_path):
+    """Round 9: publish.widen_column_type — ALTER COLUMN TYPE as a pure
+    manifest commit (no staging batch, no Spark job on data): readers
+    cast up immediately, a subsequent WIDE MoR batch needs no evolve
+    flag, schema_changes emits a 'widen' event, and lossy changes
+    refuse."""
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, cnt int")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    v1 = publish.current_manifest(root)["version"]
+    publish.widen_column_type(spark, root, "t", "cnt", "bigint")
+    got = publish.read_table(spark, root, "t")
+    assert dict(got.dtypes)["cnt"] == "bigint"
+    assert _rows(got) == {(1, 10), (2, 20)}
+    # the wide batch now merges WITHOUT evolve_schema
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(3, 7_000_000_000)], "id bigint, cnt long"),
+    )
+    assert (3, 7_000_000_000) in _rows(publish.read_table(spark, root, "t"))
+    # schema CDC reports the widening to external replicas
+    events = publish.schema_changes(root, "t", v1)
+    assert {"version": v1 + 1, "change": "widen", "column": "cnt",
+            "from": "int", "to": "bigint"} in events
+    # time travel keeps the narrow type
+    assert dict(publish.read_table_at(spark, root, "t", v1).dtypes)["cnt"] \
+        == "int"
+    # lossy changes refuse
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        publish.widen_column_type(spark, root, "t", "cnt", "int")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        publish.widen_column_type(spark, root, "t", "id", "string")
+    with pytest.raises(ValueError, match="no column"):
+        publish.widen_column_type(spark, root, "t", "nope", "bigint")
+
+
+def test_replicate_across_type_widening(spark, tmp_path):
+    """A MoR replica follows a source type widening: the delta arrives in
+    the widened type and must not conform DOWN to the narrow replica
+    (values past int range would silently corrupt)."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(1, 10)], "id bigint, cnt int")},
+        src, table_keys={"t": ["id"]},
+    )
+    publish.replicate_table(spark, src, dst, "t", mor=True)  # seed
+    publish.merge_into_mor(
+        spark, src, "t",
+        spark.createDataFrame([(2, 8_000_000_000)], "id bigint, cnt long"),
+        evolve_schema=True,
+    )
+    publish.replicate_table(spark, src, dst, "t", mor=True)
+    got = publish.read_table(spark, dst, "t")
+    assert dict(got.dtypes)["cnt"] == "bigint"
+    assert _rows(got) == {(1, 10), (2, 8_000_000_000)}
