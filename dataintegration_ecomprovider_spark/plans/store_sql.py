@@ -20,7 +20,7 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
       WHEN NOT MATCHED BY SOURCE THEN DELETE                     -- U5 remove-missing
     MERGE INTO t USING s ON ...
       WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c = <literal>   -- U7 deactivate-missing
-    UPDATE t SET c1 = expr [, c2 = expr] WHERE <predicate>
+    UPDATE t SET c1 = expr [, c2 = expr] [WHERE <predicate>]
     DELETE FROM t WHERE <predicate>
     INSERT [OR IGNORE] INTO t <SELECT ...>
     SELECT ... FROM store_t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
@@ -32,6 +32,10 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     DESCRIBE DETAIL t                     -- zero-job profile (profile_table)
     RESTORE VERSION AS OF n               -- store-wide rollback
     EXPORT TABLE t TO '<dir>' [SHARDS n]  -- CDC-maintained shard export
+    ALTER TABLE t RENAME COLUMN a TO b    -- O(1) metadata rename
+    ALTER TABLE t DROP COLUMN c           -- O(1) metadata drop
+    ALTER TABLE t ALTER COLUMN c TYPE bigint  -- O(1) lossless widening
+    BEGIN [TRANSACTION] [AS 'app' BATCH n]; ...; COMMIT | ROLLBACK
 
 and multi-statement ATOMIC blocks — MERGE / INSERT INTO / DELETE FROM /
 UPDATE statements over KEYED tables committed as ONE store version
@@ -162,7 +166,7 @@ _DELETE_RE = re.compile(
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<target>\w+)\s+SET\s+(?P<sets>.+?)"
-    r"\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
@@ -211,6 +215,27 @@ _EXPORT_RE = re.compile(
     r"(?:\s+SHARDS\s+(?P<shards>\d+))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>\w+)\s+(?P<body>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_RENAME_RE = re.compile(
+    r"^RENAME\s+COLUMN\s+(?P<frm>\w+)\s+TO\s+(?P<to>\w+)$", re.IGNORECASE
+)
+_ALTER_DROP_RE = re.compile(
+    r"^DROP\s+COLUMN\s+(?P<col>\w+)$", re.IGNORECASE
+)
+_ALTER_TYPE_RE = re.compile(
+    r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+(?P<type>[\w(),\s]+?)$",
+    re.IGNORECASE,
+)
+_BEGIN_RE = re.compile(
+    r"^\s*BEGIN(?:\s+TRANSACTION)?"
+    r"(?:\s+AS\s+'(?P<app>[^']+)'\s+BATCH\s+(?P<batch>\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_COMMIT_RE = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
 
 
 class StoreSQL:
@@ -225,6 +250,7 @@ class StoreSQL:
         self.mor = mor
         self.prefix = prefix
         self._tx_merges: dict | None = None
+        self._tx_txn: tuple[str, int] | None = None
 
     def transaction(self, txn: tuple[str, int] | None = None):
         """Multi-statement ATOMIC transaction block: every DML statement
@@ -375,6 +401,35 @@ class StoreSQL:
         """Execute one statement.  DML / maintenance statements return the
         engine call's result manifest/summary dict; SELECT (including
         time travel) and DESCRIBE HISTORY return a DataFrame."""
+        # pure-SQL transaction blocks (round 9): the statement trio a
+        # SQL-only orchestrator uses instead of the Python transaction()
+        # context manager — same staging/commit machinery underneath
+        m = _BEGIN_RE.match(statement)
+        if m:
+            if self._tx_merges is not None:
+                raise ValueError("already inside a transaction block")
+            self._tx_merges = {}
+            self._tx_txn = (
+                (m.group("app"), int(m.group("batch")))
+                if m.group("app") else None
+            )
+            return {"transaction": "open"}
+        if _COMMIT_RE.match(statement):
+            if self._tx_merges is None:
+                raise ValueError("COMMIT outside a transaction block")
+            merges, self._tx_merges = self._tx_merges, None
+            txn, self._tx_txn = self._tx_txn, None
+            if merges:
+                return publish.merge_many_mor(
+                    self.spark, self.root, merges, txn=txn
+                )
+            return {"transaction": "empty"}
+        if _ROLLBACK_RE.match(statement):
+            if self._tx_merges is None:
+                raise ValueError("ROLLBACK outside a transaction block")
+            self._tx_merges = None
+            self._tx_txn = None
+            return {"transaction": "rolled_back"}
         m = _MERGE_RE.match(statement)
         if m:
             return self._merge(m)
@@ -415,7 +470,8 @@ class StoreSQL:
                 keys = self._keyed(target, "UPDATE inside transaction()")
                 self._tx_stage(target, {
                     "staging": self._update_staging(
-                        target, m.group("sets"), m.group("where")
+                        target, m.group("sets"),
+                        m.group("where") or "true"
                     ),
                     "keys": keys,
                     "insert_new": False, "update_existing": True,
@@ -433,7 +489,8 @@ class StoreSQL:
         m = _UPDATE_RE.match(statement)
         if m:
             return self._update(
-                m.group("target"), m.group("sets"), m.group("where")
+                m.group("target"), m.group("sets"),
+                m.group("where") or "true"
             )
         m = _INSERT_RE.match(statement)
         if m:
@@ -443,6 +500,33 @@ class StoreSQL:
             )
         if _SELECT_RE.match(statement):
             return self._select(statement)
+        m = _ALTER_RE.match(statement)
+        if m:
+            target, body = m.group("target"), m.group("body").strip()
+            b = _ALTER_RENAME_RE.match(body)
+            if b:
+                return publish.rename_column(
+                    self.spark, self.root, target,
+                    b.group("frm"), b.group("to"),
+                )
+            b = _ALTER_DROP_RE.match(body)
+            if b:
+                return publish.drop_column(
+                    self.spark, self.root, target, b.group("col")
+                )
+            b = _ALTER_TYPE_RE.match(body)
+            if b:
+                # lossless widening only — widen_column_type refuses the
+                # rest (a lossy change needs a CoW rewrite)
+                return publish.widen_column_type(
+                    self.spark, self.root, target,
+                    b.group("col"), b.group("type").strip(),
+                )
+            raise ValueError(
+                "unsupported ALTER TABLE form (RENAME COLUMN a TO b / "
+                "DROP COLUMN c / ALTER COLUMN c TYPE <wider type>): "
+                f"{body[:80]!r}"
+            )
         m = _OPTIMIZE_RE.match(statement)
         if m:
             cols = m.group("cols")

@@ -374,3 +374,57 @@ def test_cow_quarantine_replay_is_fully_idempotent(spark, tmp_path):
     assert replay.get("txn_skipped") is True
     assert publish.current_manifest(root)["version"] == v1  # NO new version
     assert publish.read_table(spark, root, "t__quarantine").count() == 1
+
+
+def test_maintain_store_auto_requeue_policy(spark, tmp_path):
+    """Round 9: maintain_store drains quarantines by policy — count- and
+    age-gated — so a relaxed constraint no longer needs a manual
+    requeue_quarantine call; still-bad rows re-divert truthfully."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")},
+        root, table_keys={"t": ["k"]},
+    )
+    publish.set_constraints(
+        root, "t", [["range", "v", 0, 100]], on_violation="quarantine"
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(3, 150), (4, 950)], "k long, v long"),
+    )
+    assert publish.read_table(spark, root, "t__quarantine").count() == 2
+
+    # count gate: backlog (2) below min_rows → untouched
+    rep = publish.maintain_store(
+        spark, root, requeue_quarantine_policy={"t": {"min_rows": 5}}
+    )
+    assert rep.get("requeued") == {}
+    assert rep["quarantines"] == {"t__quarantine": 2}
+
+    # age gate: too fresh → untouched
+    rep = publish.maintain_store(
+        spark, root,
+        requeue_quarantine_policy={"t": {"min_age_seconds": 3600}},
+    )
+    assert rep.get("requeued") == {}
+
+    # partial relax + permissive policy: the fixed row drains, the
+    # still-bad one re-diverts, the report says exactly that
+    publish.set_constraints(
+        root, "t", [["range", "v", 0, 500]], on_violation="quarantine"
+    )
+    rep = publish.maintain_store(
+        spark, root, requeue_quarantine_policy={"t": {}}
+    )
+    assert rep["requeued"]["t"] == {"requeued": 1, "still_quarantined": 1}
+    assert rep["quarantines"] == {"t__quarantine": 1}
+    got = {r["k"]: r["v"] for r in publish.read_table(spark, root, "t").collect()}
+    assert got[3] == 150 and 4 not in got
+
+    # a table with NO quarantine is a clean no-op under the policy
+    rep = publish.maintain_store(
+        spark, root, requeue_quarantine_policy={"nope": {}}
+    )
+    assert rep.get("requeued") == {} and "errors" in rep and \
+        not any(k.startswith("requeue:") for k in rep["errors"])

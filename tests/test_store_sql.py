@@ -175,7 +175,7 @@ def test_rejections(spark, tmp_path):
         s.sql("MERGE INTO t USING stg ON t.k = stg.k "
               "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *")
     with pytest.raises(ValueError, match="unsupported statement"):
-        s.sql("UPDATE t SET v = 1")
+        s.sql("TRUNCATE TABLE t")
 
 
 def test_select_version_and_timestamp_as_of(spark, tmp_path):
@@ -546,3 +546,81 @@ def test_unwrap_parens_unit():
     # (a) UNION (b): outer parens do NOT wrap the whole text
     assert _unwrap_parens("(SELECT 1) UNION (SELECT 2)") \
         == "(SELECT 1) UNION (SELECT 2)"
+
+
+def test_alter_table_statements(spark, tmp_path):
+    root = str(tmp_path / "alt")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b")], "k long, v int, tag string"
+        )},
+        root, table_keys={"t": ["k"]},
+    )
+    s = store_sql(spark, root)
+    s.sql("ALTER TABLE t RENAME COLUMN tag TO label")
+    assert "label" in publish.read_table(spark, root, "t").columns
+    s.sql("ALTER TABLE t ALTER COLUMN v TYPE bigint")
+    assert dict(publish.read_table(spark, root, "t").dtypes)["v"] == "bigint"
+    s.sql("ALTER TABLE t DROP COLUMN label")
+    assert "label" not in publish.read_table(spark, root, "t").columns
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        s.sql("ALTER TABLE t ALTER COLUMN v TYPE int")
+    with pytest.raises(ValueError, match="unsupported ALTER"):
+        s.sql("ALTER TABLE t ADD CONSTRAINT x CHECK (v > 0)")
+
+
+def test_begin_commit_rollback_statements(spark, tmp_path):
+    """The pure-SQL transaction trio: BEGIN stages, COMMIT lands ONE
+    atomic version, ROLLBACK discards; txn watermark via AS/BATCH."""
+    root = _seed(spark, tmp_path, "bcr")
+    publish.publish_tables(
+        spark, {"u": _dest(spark, 5)}, root, table_keys={"u": ["k"]}
+    )
+    _staging(spark).createOrReplaceTempView("stg")
+    s = store_sql(spark, root)
+    v0 = publish.current_manifest(root)["version"]
+
+    # ROLLBACK discards everything
+    s.sql("BEGIN TRANSACTION")
+    s.sql("MERGE INTO t USING stg ON t.k = stg.k "
+          "WHEN NOT MATCHED THEN INSERT *")
+    assert s.sql("ROLLBACK") == {"transaction": "rolled_back"}
+    assert publish.current_manifest(root)["version"] == v0
+    assert publish.read_table(spark, root, "t").count() == 20
+
+    # COMMIT lands one version for two tables, replay-gated by the txn
+    s.sql("BEGIN TRANSACTION AS 'job' BATCH 3")
+    s.sql("MERGE INTO t USING stg ON t.k = stg.k "
+          "WHEN NOT MATCHED THEN INSERT *")
+    s.sql("DELETE FROM u WHERE k >= 3")
+    s.sql("COMMIT")
+    m = publish.current_manifest(root)
+    assert m["version"] == v0 + 1
+    assert publish.read_table(spark, root, "t").count() == 25
+    assert publish.read_table(spark, root, "u").count() == 3
+
+    # replaying the same BATCH is an atomic no-op
+    s.sql("BEGIN TRANSACTION AS 'job' BATCH 3")
+    s.sql("DELETE FROM u WHERE k >= 0")
+    s.sql("COMMIT")
+    assert publish.current_manifest(root)["version"] == m["version"]
+    assert publish.read_table(spark, root, "u").count() == 3
+
+    # guards
+    with pytest.raises(ValueError, match="outside a transaction"):
+        s.sql("COMMIT")
+    with pytest.raises(ValueError, match="outside a transaction"):
+        s.sql("ROLLBACK")
+    s.sql("BEGIN")
+    with pytest.raises(ValueError, match="already inside"):
+        s.sql("BEGIN TRANSACTION")
+    assert s.sql("ROLLBACK") == {"transaction": "rolled_back"}
+
+
+def test_update_without_where_hits_every_row(spark, tmp_path):
+    root = _seed(spark, tmp_path, "updall")
+    store_sql(spark, root).sql("UPDATE t SET tag = 'all'")
+    assert publish.read_table(spark, root, "t").filter(
+        F.col("tag") != "all"
+    ).count() == 0
