@@ -368,3 +368,88 @@ def repeated_spans(
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def _positional_spans(
+    with_words: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """(id, pos, span): every word n-gram WITH its 0-based start position
+    (posexplode, not distinct — maximality needs occurrences)."""
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("w")) - n),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+    )
+    return (
+        with_words.filter(F.size(F.col("w")) >= n)
+        .select(id_col, F.posexplode(spans).alias("pos", "span"))
+    )
+
+
+def repeated_spans_maximal(
+    docs: DataFrame,
+    span_words: int = 4,
+    levels: int = 3,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL repeated spans via length doubling — the round-9 upgrade of
+    ``repeated_spans`` toward suffix-array substring dedup (Lee et al.
+    2022 removes maximal repeats, not fixed-width ones): widths n, 2n,
+    ..., n·2^(levels-1); a width-w span is reported only when some
+    occurrence of it is NOT covered by a repeated span of width 2w — so
+    a 16-word license block surfaces once as (close to) its full extent
+    instead of as dozens of overlapping 4-word fragments.  The doubling
+    schedule bounds the approximation: true maximal extents are captured
+    to within the next power-of-two width, and ``levels`` caps the work
+    (suffix automata would find exact extents but don't decompose into
+    shuffles).
+
+    Scale shape per level: positional spans explode partition-locally;
+    repetition is the same two-phase (span → count distinct id) aggregate
+    as repeated_spans; the coverage check anti-joins each level's
+    REPEATED occurrences (already a small candidate set) against the next
+    level's on the document key with a position-range predicate — the
+    join keys on the document, so work is bounded by repeats per doc,
+    not corpus size.  Higher levels shrink fast (a 2w-repeat requires a
+    w-repeat at both halves), which is what makes doubling cheaper than
+    scanning all widths.
+
+    Returns (span, width, n_docs) — one row per distinct maximal span,
+    n_docs counted at its own width over the whole corpus."""
+    with_words = docs.select(
+        F.col(id_col).alias("__id"), words_of(F.col(text_col)).alias("w")
+    )
+    repeated_occ = []
+    for k in range(levels):
+        width = span_words * (2 ** k)
+        occ = _positional_spans(with_words, width, "__id")
+        rep = (
+            occ.groupBy("span")
+            .agg(F.countDistinct("__id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+        )
+        repeated_occ.append(occ.join(rep, "span"))
+    out = None
+    for k in range(levels):
+        width = span_words * (2 ** k)
+        level = repeated_occ[k]
+        if k + 1 < levels:
+            cover = repeated_occ[k + 1].select(
+                F.col("__id").alias("__cid"), F.col("pos").alias("__cpos")
+            )
+            level = level.join(
+                cover,
+                (F.col("__id") == F.col("__cid"))
+                & (F.col("__cpos") <= F.col("pos"))
+                & (F.col("pos") + width <= F.col("__cpos") + 2 * width),
+                "left_anti",
+            )
+        survived = (
+            level.select("span", "n_docs")
+            .distinct()
+            .withColumn("width", F.lit(width))
+            .select("span", "width", "n_docs")
+        )
+        out = survived if out is None else out.unionByName(survived)
+    return out

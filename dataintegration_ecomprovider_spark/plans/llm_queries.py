@@ -1727,6 +1727,74 @@ FROM e GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+def q_repeated_spans_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL repeated spans by length doubling (round 9,
+    llm/dedup.py::repeated_spans_maximal): widths 4/8/16 words; a span
+    survives only where no double-width repeated span covers one of its
+    occurrences — the shuffle-decomposable approximation of suffix-array
+    maximal-repeat dedup (Lee et al. 2022).  The oracle unrolls the three
+    levels in plain SQL (positional n-grams + anti-join coverage)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dedup.repeated_spans_maximal(
+        docs, span_words=4, levels=3, min_docs=2
+    )
+
+
+ORACLE_REPEATED_SPANS_MAXIMAL = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+  FROM documents
+),
+o1 AS (
+  SELECT doc_id, p AS pos, array_to_string(ws[p+1:p+4], ' ') AS span
+  FROM w, UNNEST(range(0, len(ws) - 3)) AS t(p) WHERE len(ws) >= 4
+),
+r1 AS (
+  SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM o1 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ro1 AS (SELECT o.doc_id, o.pos, o.span, r.n_docs FROM o1 o JOIN r1 r USING (span)),
+o2 AS (
+  SELECT doc_id, p AS pos, array_to_string(ws[p+1:p+8], ' ') AS span
+  FROM w, UNNEST(range(0, len(ws) - 7)) AS t(p) WHERE len(ws) >= 8
+),
+r2 AS (
+  SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM o2 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ro2 AS (SELECT o.doc_id, o.pos, o.span, r.n_docs FROM o2 o JOIN r2 r USING (span)),
+o3 AS (
+  SELECT doc_id, p AS pos, array_to_string(ws[p+1:p+16], ' ') AS span
+  FROM w, UNNEST(range(0, len(ws) - 15)) AS t(p) WHERE len(ws) >= 16
+),
+r3 AS (
+  SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM o3 GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+),
+ro3 AS (SELECT o.doc_id, o.pos, o.span, r.n_docs FROM o3 o JOIN r3 r USING (span)),
+m1 AS (
+  SELECT DISTINCT a.span, 4 AS width, a.n_docs FROM ro1 a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ro2 c
+    WHERE c.doc_id = a.doc_id AND c.pos <= a.pos AND a.pos + 4 <= c.pos + 8
+  )
+),
+m2 AS (
+  SELECT DISTINCT a.span, 8 AS width, a.n_docs FROM ro2 a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ro3 c
+    WHERE c.doc_id = a.doc_id AND c.pos <= a.pos AND a.pos + 8 <= c.pos + 16
+  )
+),
+m3 AS (SELECT DISTINCT span, 16 AS width, n_docs FROM ro3)
+SELECT span, CAST(width AS INTEGER) AS width, n_docs FROM m1
+UNION ALL
+SELECT span, CAST(width AS INTEGER) AS width, n_docs FROM m2
+UNION ALL
+SELECT span, CAST(width AS INTEGER) AS width, n_docs FROM m3
+"""
+
+
 # --- SemDeDup: cluster-scoped semantic deduplication ----------------------
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cluster
@@ -2383,27 +2451,30 @@ QUERIES = {
     "llm_training_shards": QueryDef(q_training_shards, ORACLE_TRAINING_SHARDS),
     "llm_multimodal_frames": QueryDef(q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "llm_near_dup_embedding": QueryDef(q_near_dup_embedding, ORACLE_NEAR_DUP_EMBEDDING),
-    "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None),
+    "llm_near_dup_embedding_lsh": QueryDef(q_near_dup_embedding_lsh, None, retired=True),
     "llm_repeated_spans": QueryDef(q_repeated_spans, ORACLE_REPEATED_SPANS),
-    "llm_semantic_dedup": QueryDef(q_semantic_dedup, None),
+    "llm_repeated_spans_maximal": QueryDef(
+        q_repeated_spans_maximal, ORACLE_REPEATED_SPANS_MAXIMAL
+    ),
+    "llm_semantic_dedup": QueryDef(q_semantic_dedup, None, retired=True),
     "llm_semantic_dedup_portable": QueryDef(
         q_semantic_dedup_portable, ORACLE_SEMANTIC_DEDUP_PORTABLE
     ),
-    "llm_sim_ivf_topk": QueryDef(q_ivf_topk, None),
-    "llm_dedup_minhash_lsh": QueryDef(q_minhash_candidates, None),
-    "llm_dedup_simhash": QueryDef(q_simhash, None),
+    "llm_sim_ivf_topk": QueryDef(q_ivf_topk, None, retired=True),
+    "llm_dedup_minhash_lsh": QueryDef(q_minhash_candidates, None, retired=True),
+    "llm_dedup_simhash": QueryDef(q_simhash, None, retired=True),
     "llm_ngram_jaccard": QueryDef(q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
     "llm_sim_topk_quantized": QueryDef(q_topk_quantized, ORACLE_TOPK_QUANTIZED),
-    "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None),
+    "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None, retired=True),
     "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),
     "llm_lang_id": QueryDef(q_lang_id, ORACLE_LANG_ID),
     "llm_token_counts": QueryDef(q_token_counts, ORACLE_TOKEN_COUNTS),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
-    "llm_dedup_incremental": QueryDef(q_incremental_dedup, None),
-    "llm_dedup_index_cdc": QueryDef(q_dedup_index_cdc, None),
+    "llm_dedup_incremental": QueryDef(q_incremental_dedup, None, retired=True),
+    "llm_dedup_index_cdc": QueryDef(q_dedup_index_cdc, None, retired=True),
     "llm_text_index_cdc": QueryDef(q_text_index_cdc, ORACLE_TEXT_INDEX_CDC),
     "llm_text_search_ranked": QueryDef(
         q_text_search_ranked, ORACLE_TEXT_SEARCH_RANKED
@@ -2421,24 +2492,24 @@ QUERIES = {
     ),
     "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
     "llm_sim_ivf_topk_portable": QueryDef(q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE),
-    "llm_sim_ivf_index_topk": QueryDef(q_ivf_index_topk, None),
+    "llm_sim_ivf_index_topk": QueryDef(q_ivf_index_topk, None, retired=True),
     "llm_sim_ivf_index_topk_portable": QueryDef(
         q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE
     ),
-    "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None),
-    "llm_ann_index_cdc": QueryDef(q_ann_index_cdc, None),
+    "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None, retired=True),
+    "llm_ann_index_cdc": QueryDef(q_ann_index_cdc, None, retired=True),
     "llm_ann_index_cdc_portable": QueryDef(
         q_ann_index_cdc_portable, ORACLE_ANN_INDEX_CDC_PORTABLE
     ),
     "llm_sim_ivf_topk_refined_portable": QueryDef(
         q_ivf_topk_refined_portable, ORACLE_IVF_TOPK_REFINED_PORTABLE
     ),
-    "llm_topic_clusters": QueryDef(q_topic_clusters, None),
+    "llm_topic_clusters": QueryDef(q_topic_clusters, None, retired=True),
     "llm_topic_clusters_portable": QueryDef(
         q_topic_clusters_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
     ),
     "llm_topic_clusters_incremental": QueryDef(
-        q_topic_clusters_incremental, None
+        q_topic_clusters_incremental, None, retired=True
     ),
     "llm_topic_clusters_incremental_portable": QueryDef(
         q_topic_clusters_incremental_portable,
@@ -2449,7 +2520,7 @@ QUERIES = {
     "llm_topic_recenter_portable": QueryDef(
         q_topic_recenter_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
     ),
-    "llm_topic_assignments_cdc": QueryDef(q_topic_assignments_cdc, None),
+    "llm_topic_assignments_cdc": QueryDef(q_topic_assignments_cdc, None, retired=True),
     "llm_topic_assignments_cdc_portable": QueryDef(
         q_topic_assignments_cdc_portable,
         ORACLE_TOPIC_ASSIGNMENTS_CDC_PORTABLE,

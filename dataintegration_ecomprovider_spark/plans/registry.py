@@ -18,9 +18,17 @@ from pyspark.sql import DataFrame, SparkSession
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
+    # retired=True keeps the query runnable (tests, scale probes) but off
+    # the driver-facing surface: every retired entry is a hash-seeded
+    # fast path whose `_portable` twin carries the SAME algorithm under
+    # an oracle-checkable hash family — grading both wasted rotation
+    # slots on rows-only checks the twin already covers with a full
+    # value-hash MATCH (tests/test_retired_fastpaths.py pins the
+    # twin contract: same schema, fast path still runs)
+    retired: bool = False
 
 
-def all_queries() -> dict[str, QueryDef]:
+def all_queries(include_retired: bool = False) -> dict[str, QueryDef]:
     from dataintegration_ecomprovider_spark.plans import (
         read_queries, write_queries, llm_queries, stream_queries, temporal_queries,
     )
@@ -31,4 +39,6 @@ def all_queries() -> dict[str, QueryDef]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
+    if not include_retired:
+        out = {n: qd for n, qd in out.items() if not qd.retired}
     return out

@@ -1459,8 +1459,11 @@ def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     speak SQL to SQL Server; src/EcomProvider.cs:1018-1036 is the
     transaction envelope this rides).  Lifecycle: seed orders (keys
     recorded), MERGE a price-bump-plus-new-rows batch from a temp view
-    (full upsert), then a second MERGE ... WHEN MATCHED THEN DELETE
-    prunes a slice — the oracle replays both statements in plain SQL."""
+    (full upsert), a second MERGE ... WHEN MATCHED THEN DELETE prunes a
+    slice, then a third MERGE with WHEN NOT MATCHED BY SOURCE THEN
+    UPDATE (round 9 — U7 deactivate-missing in SQL: rows absent from the
+    sync source get flagged, matched rows take the source row) — the
+    oracle replays all three statements in plain SQL."""
     from dataintegration_ecomprovider_spark.plans import publish
     from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
 
@@ -1491,6 +1494,17 @@ def q_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MERGE INTO orders USING sqlm_doomed ON orders.o_orderkey = "
         "sqlm_doomed.o_orderkey WHEN MATCHED THEN DELETE"
     )
+    (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("price", F.round(F.col("price") + 2.0, 2))
+        .createOrReplaceTempView("sqlm_sync")
+    )
+    s.sql(
+        "MERGE INTO orders USING sqlm_sync ON orders.o_orderkey = "
+        "sqlm_sync.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'Z'"
+    )
     return publish.read_table(spark, root, "orders")
 
 
@@ -1510,8 +1524,328 @@ merged AS (
   WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM staged)
   UNION ALL
   SELECT * FROM staged
+),
+pruned AS (
+  SELECT * FROM merged WHERE o_orderkey % 9 <> 0
 )
-SELECT * FROM merged WHERE o_orderkey % 9 <> 0
+SELECT p.o_orderkey, p.o_custkey,
+       CASE WHEN p.o_orderkey % 5 <> 0 THEN 'Z'
+            ELSE p.o_orderstatus END AS o_orderstatus,
+       CASE WHEN p.o_orderkey % 5 = 0
+            THEN (SELECT ROUND(ROUND(o.o_totalprice, 2) + 2.0, 2)
+                  FROM orders o WHERE o.o_orderkey = p.o_orderkey)
+            ELSE p.price END AS price
+FROM pruned p
+"""
+
+
+def q_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UPDATE front-end (round 9, plans/store_sql.py): ``UPDATE t SET
+    c = expr WHERE pred`` — the reference's callers issue exactly this
+    shape against SQL Server (src/EcomProvider.cs price/status fixups).
+    Two engines in one lifecycle: the first UPDATE rides the default
+    copy-on-write rewrite; the second runs under ``mor=True`` and must
+    land as an O(matched) update-only DELTA (asserted in-query from the
+    manifest entry — the 100 TB path: a predicate fixup on a huge table
+    should never rewrite the base).  SET expressions see PRE-update
+    values."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("squ_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    store_sql(spark, root).sql(
+        "UPDATE orders SET price = price + o_custkey, "
+        "o_orderstatus = 'D' WHERE o_custkey % 10 = 0"
+    )
+    store_sql(spark, root, mor=True).sql(
+        "UPDATE orders SET price = price + 5.0 WHERE o_orderkey % 13 = 0"
+    )
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    if not (isinstance(entry, dict) and entry.get("deltas")):
+        raise AssertionError(
+            "mor=True UPDATE must commit an update-only delta, not "
+            f"rewrite the base: {entry!r}"
+        )
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_SQL_UPDATE = """
+WITH step1 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_custkey % 10 = 0 THEN 'D'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_custkey % 10 = 0
+              THEN ROUND(o_totalprice, 2) + o_custkey
+              ELSE ROUND(o_totalprice, 2) END AS price
+  FROM orders
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 13 = 0 THEN price + 5.0
+            ELSE price END AS price
+FROM step1
+"""
+
+
+def q_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata type widening on the merge-on-read path (round 9,
+    publish._prepare_mor_delta / _TYPE_WIDENINGS): a staging batch
+    carrying int→long and float→double columns widens the table's
+    recorded schema WITHOUT rewriting the base — readers cast old files
+    up at reconstruction; Delta/Iceberg treat widening as metadata for
+    the same reason (at 100 TB the CoW rewrite is exactly what MoR
+    exists to avoid).  The query runs the SAME lifecycle through BOTH
+    engines (MoR metadata widening vs CoW rewrite) and returns both
+    states tagged, so the oracle's single replay pins engine parity by
+    value hash.  In-query asserts: the MoR base was not rewritten (entry
+    still carries deltas + schema_json) and both engines land
+    bigint/double."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 100).cast("int").alias("qty"),
+        F.round("o_totalprice", 2).cast("float").alias("price"),
+    )
+    narrow = (
+        Catalog(spark, sf_dir).table("orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            ((F.col("o_custkey") % 100) + 1).cast("int").alias("qty"),
+            (F.round("o_totalprice", 2).cast("float") + F.lit(1.0))
+            .cast("float").alias("price"),
+        )
+    )
+    wide = (
+        Catalog(spark, sf_dir).table("orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            ((F.col("o_custkey") % 100).cast("long") + F.lit(5_000_000_000))
+            .alias("qty"),
+            (F.round("o_totalprice", 2) + F.lit(0.5)).alias("price"),
+        )
+    )
+    out = {}
+    for mode in ("mor", "cow"):
+        root = _scratch_store_root(f"twide_{mode}")
+        publish.publish_tables(
+            spark, {"orders": base}, root,
+            table_keys={"orders": ["o_orderkey"]},
+        )
+        if mode == "mor":
+            publish.merge_into_mor(spark, root, "orders", narrow)
+            publish.merge_into_mor(
+                spark, root, "orders", wide, evolve_schema=True
+            )
+            entry = publish.current_manifest(root)["tables"]["orders"]
+            if not (entry.get("deltas") and entry.get("schema_json")):
+                raise AssertionError(
+                    "widening must be metadata-only on MoR: "
+                    f"{ {k: entry.get(k) for k in ('deltas', 'schema_json')} }"
+                )
+        else:
+            publish.merge_into(spark, root, "orders", narrow)
+            publish.merge_into(
+                spark, root, "orders", wide, evolve_schema=True
+            )
+        df = publish.read_table(spark, root, "orders")
+        if dict(df.dtypes)["qty"] != "bigint" or \
+                dict(df.dtypes)["price"] != "double":
+            raise AssertionError(f"{mode} did not widen: {df.dtypes}")
+        out[mode] = df.withColumn("engine", F.lit(mode))
+    return out["mor"].unionByName(out["cow"])
+
+
+ORACLE_TYPE_WIDENING = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_custkey % 100 AS INTEGER) AS qty,
+         CAST(ROUND(o_totalprice, 2) AS REAL) AS price
+  FROM orders
+),
+narrow AS (
+  SELECT o_orderkey, CAST(o_custkey % 100 + 1 AS INTEGER) AS qty,
+         CAST(CAST(ROUND(o_totalprice, 2) AS REAL) + 1.0 AS REAL) AS price
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+m1 AS (
+  SELECT b.* FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM narrow)
+  UNION ALL SELECT * FROM narrow
+),
+wide AS (
+  SELECT o_orderkey, CAST(o_custkey % 100 AS BIGINT) + 5000000000 AS qty,
+         ROUND(o_totalprice, 2) + 0.5 AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+m2 AS (
+  SELECT m.o_orderkey, CAST(m.qty AS BIGINT) AS qty,
+         CAST(m.price AS DOUBLE) AS price
+  FROM m1 m WHERE m.o_orderkey NOT IN (SELECT o_orderkey FROM wide)
+  UNION ALL SELECT * FROM wide
+)
+SELECT 'mor' AS engine, * FROM m2
+UNION ALL
+SELECT 'cow' AS engine, * FROM m2
+"""
+
+
+def q_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL transaction trio (round 9, plans/store_sql.py): BEGIN /
+    COMMIT / ROLLBACK — the statement form of transaction() for SQL-only
+    orchestrators.  Lifecycle: a rolled-back block leaves NOTHING (the
+    version is asserted unchanged in-query), then a committed block lands
+    a MERGE + a DELETE FROM on two tables as ONE atomic version; the
+    oracle replays only the committed block."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("sqltx_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark,
+        {"orders": base.filter(F.col("o_orderkey") % 4 != 0),
+         "audit": base.filter(F.col("o_orderkey") % 4 == 0)},
+        root,
+        table_keys={"orders": ["o_orderkey"], "audit": ["o_orderkey"]},
+    )
+    (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("price", F.round(F.col("price") + 1.0, 2))
+        .createOrReplaceTempView("sqltx_staging")
+    )
+    s = store_sql(spark, root)
+    v0 = publish.current_manifest(root)["version"]
+    s.sql("BEGIN TRANSACTION")
+    s.sql("MERGE INTO orders USING sqltx_staging ON orders.o_orderkey = "
+          "sqltx_staging.o_orderkey "
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    s.sql("ROLLBACK")
+    if publish.current_manifest(root)["version"] != v0:
+        raise AssertionError("ROLLBACK must commit nothing")
+    s.sql("BEGIN TRANSACTION AS 'sqltx' BATCH 1")
+    s.sql("MERGE INTO orders USING sqltx_staging ON orders.o_orderkey = "
+          "sqltx_staging.o_orderkey "
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    s.sql("DELETE FROM audit WHERE o_orderkey % 3 = 0")
+    s.sql("COMMIT")
+    if publish.current_manifest(root)["version"] != v0 + 1:
+        raise AssertionError("the block must land as ONE version")
+    # replay of the whole block (same app/batch) is an atomic no-op
+    s.sql("BEGIN TRANSACTION AS 'sqltx' BATCH 1")
+    s.sql("DELETE FROM audit WHERE o_orderkey >= 0")
+    s.sql("COMMIT")
+    if publish.current_manifest(root)["version"] != v0 + 1:
+        raise AssertionError("a replayed block must be a no-op")
+    return (
+        publish.read_table(spark, root, "orders")
+        .withColumn("src", F.lit("orders"))
+        .unionByName(
+            publish.read_table(spark, root, "audit")
+            .withColumn("src", F.lit("audit"))
+        )
+    )
+
+
+ORACLE_SQL_TRANSACTION = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders
+),
+staged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(ROUND(o_totalprice, 2) + 1.0, 2) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT b.* FROM base b
+  WHERE b.o_orderkey % 4 <> 0
+    AND b.o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+  UNION ALL
+  SELECT * FROM staged
+)
+SELECT *, 'orders' AS src FROM merged
+UNION ALL
+SELECT *, 'audit' AS src FROM base
+WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0
+"""
+
+
+def q_object_store_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned store on the CONDITIONAL-WRITE commit backend
+    (round 9, plans/commit_protocol.py ConditionalCommitProtocol): the
+    store root durably opts in via ``persist_protocol`` (_PROTOCOL.json),
+    after which every commit — publish, MoR merge, delete markers —
+    rides etag-CAS conditional puts against a (directory-emulated)
+    object store instead of POSIX rename/O_EXCL; the API maps 1:1 onto
+    S3 conditional PUT / GCS ifGenerationMatch, which is where a 100 TB
+    store's manifest actually lives.  Asserted in-query: the root holds
+    NO MANIFEST.json (nothing bypassed the seam) and the lifecycle's
+    versions all resolve through the backend (time travel reads v1).
+    The reference semantic is the transaction envelope at
+    src/EcomProvider.cs:1018-1036."""
+    import os as _os
+
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.commit_protocol import (
+        persist_protocol,
+    )
+
+    root = _scratch_store_root("objstore_store")
+    persist_protocol(root, "conditional")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base.filter(F.col("o_orderkey") % 3 != 0)}, root,
+        table_keys={"orders": ["o_orderkey"]},
+    )
+    publish.merge_into_mor(
+        spark, root, "orders",
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("price", F.round(F.col("price") + 1.0, 2)),
+        deletes=base.filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey"),
+    )
+    if _os.path.exists(_os.path.join(root, "MANIFEST.json")):
+        raise AssertionError(
+            "conditional backend must not write a root MANIFEST.json"
+        )
+    if publish.read_table_at(spark, root, "orders", 1).limit(1).count() != 1:
+        raise AssertionError("time travel through the backend failed")
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_OBJECT_STORE_COMMIT = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+staged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(ROUND(o_totalprice, 2) + 1.0, 2) AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+merged AS (
+  SELECT b.* FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM staged)
+  UNION ALL
+  SELECT * FROM staged
+)
+SELECT * FROM merged WHERE o_orderkey % 11 <> 0
 """
 
 
@@ -2527,6 +2861,12 @@ QUERIES = {
         q_partition_evolution, ORACLE_PARTITION_EVOLUTION
     ),
     "u12_sql_merge": QueryDef(q_sql_merge, ORACLE_SQL_MERGE),
+    "u12_sql_update": QueryDef(q_sql_update, ORACLE_SQL_UPDATE),
+    "u12_type_widening": QueryDef(q_type_widening, ORACLE_TYPE_WIDENING),
+    "u12_sql_transaction": QueryDef(q_sql_transaction, ORACLE_SQL_TRANSACTION),
+    "u12_object_store_commit": QueryDef(
+        q_object_store_commit, ORACLE_OBJECT_STORE_COMMIT
+    ),
     "u12_constraints_quarantine": QueryDef(
         q_constraints_quarantine, ORACLE_CONSTRAINTS_QUARANTINE
     ),
