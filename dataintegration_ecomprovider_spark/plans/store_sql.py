@@ -23,6 +23,7 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     UPDATE t SET c1 = expr [, c2 = expr] [WHERE <predicate>]
     DELETE FROM t WHERE <predicate>
     INSERT [OR IGNORE] INTO t <SELECT ...>
+    INSERT [OR IGNORE] INTO t [(c1, c2)] VALUES (...), (...)
     SELECT ... FROM store_t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
     CREATE TABLE t [KEYED BY (k1, k2)] AS SELECT ...
     DROP TABLE t                          -- O(1) metadata commit
@@ -172,6 +173,11 @@ _UPDATE_RE = re.compile(
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+(?:(?P<ignore>OR\s+IGNORE)\s+)?INTO\s+(?P<target>\w+)"
     r"\s+(?P<select>(?:\(\s*)?SELECT\s+.+?(?:\s*\))?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_VALUES_RE = re.compile(
+    r"^\s*INSERT\s+(?:(?P<ignore>OR\s+IGNORE)\s+)?INTO\s+(?P<target>\w+)"
+    r"(?:\s*\((?P<cols>[\w\s,]+?)\))?\s+VALUES\s+(?P<values>\(.+?\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
@@ -373,6 +379,20 @@ class StoreSQL:
                 )
         return target, keys
 
+    def _values_frame(
+        self, target: str, cols: str | None, values: str
+    ) -> DataFrame:
+        """INSERT ... VALUES rows as a frame: Spark SQL's VALUES table
+        constructor, columns named from the statement's list (or the
+        target's full column order when omitted)."""
+        names = (
+            [c.strip() for c in cols.split(",")] if cols
+            else publish.read_table(self.spark, self.root, target).columns
+        )
+        return self.spark.sql(
+            f"SELECT * FROM (VALUES {values}) AS __v({', '.join(names)})"
+        )
+
     def _update_staging(
         self, target: str, sets: str, where: str
     ) -> DataFrame:
@@ -434,11 +454,20 @@ class StoreSQL:
         if m:
             return self._merge(m)
         if self._tx_merges is not None:
-            m = _INSERT_RE.match(statement)
+            m = _INSERT_RE.match(statement) or _INSERT_VALUES_RE.match(
+                statement
+            )
             if m:
                 # INSERT INTO is merge-engine-backed (insert-only), so it
                 # may join the atomic block like any other MERGE
-                rows = self._select(_unwrap_parens(m.group("select")))
+                groups = m.groupdict()
+                rows = (
+                    self._select(_unwrap_parens(groups["select"]))
+                    if "select" in groups
+                    else self._values_frame(
+                        groups["target"], groups["cols"], groups["values"]
+                    )
+                )
                 target, keys = self._insert_guard(
                     m.group("target"), rows, ignore=bool(m.group("ignore"))
                 )
@@ -497,6 +526,19 @@ class StoreSQL:
             return self._insert(
                 m.group("target"), m.group("select"),
                 ignore=bool(m.group("ignore")),
+            )
+        m = _INSERT_VALUES_RE.match(statement)
+        if m:
+            rows = self._values_frame(
+                m.group("target"), m.group("cols"), m.group("values")
+            )
+            _, keys = self._insert_guard(
+                m.group("target"), rows, ignore=bool(m.group("ignore"))
+            )
+            fn = publish.merge_into_mor if self.mor else publish.merge_into
+            return fn(
+                self.spark, self.root, m.group("target"), rows, keys=keys,
+                insert_new=True, update_existing=False,
             )
         if _SELECT_RE.match(statement):
             return self._select(statement)

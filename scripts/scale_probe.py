@@ -107,6 +107,12 @@ def main() -> None:
         "stream_store_to_store",    # exactly-once CDC pipeline + replay
         "llm_training_shards_incremental",  # O(affected shards) export refresh
         "u12_multi_table_txn",      # N staged deltas, one manifest swap
+        # round-9 surfaces
+        "u12_object_store_commit",  # etag-CAS commit backend lifecycle
+        "u12_type_widening",        # metadata widening, MoR + CoW engines
+        "u12_sql_update",           # CoW rewrite + O(matched) MoR delta
+        "u12_sql_transaction",      # BEGIN/COMMIT/ROLLBACK atomic block
+        "llm_repeated_spans_maximal",  # 3-level doubling + coverage joins
     ]
     wanted = sys.argv[1:]
     if wanted:

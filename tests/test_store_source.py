@@ -707,3 +707,42 @@ def test_mor_tail_bridges_maintain_store_compaction(spark, tmp_path):
     assert suffix_dir in dir_scans
     assert dir_scans <= {suffix_dir, from_delta_dir}
     assert old_base not in dir_scans and new_base not in dir_scans
+
+
+def test_stream_over_conditional_backend_store(spark, tmp_path):
+    """Round 9: a store durably opted into the conditional-write commit
+    backend (_PROTOCOL.json) streams its CDC tail correctly — the Python
+    DataSource's WORKER PROCESSES re-resolve the backend from the config
+    file (a session-only set_protocol could never reach them), proving
+    the streaming path reads manifests through the seam, not from a root
+    MANIFEST.json (which this store does not have)."""
+    from dataintegration_ecomprovider_spark.plans import (
+        commit_protocol as cp,
+    )
+
+    root = str(tmp_path / "condstore")
+    cp.persist_protocol(root, "conditional")
+    try:
+        v1 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)],
+            "id bigint, name string, val double",
+        )
+        publish.publish_tables(spark, {"t": v1}, root,
+                               table_keys={"t": ["id"]})
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame([(2, "B", 25.0), (3, "c", 30.0)],
+                                  "id bigint, name string, val double"),
+            deletes=spark.createDataFrame([(1,)], "id bigint"),
+        )
+        assert not os.path.exists(os.path.join(root, "MANIFEST.json"))
+        got = _read_stream(spark, root, str(tmp_path / "ckc"),
+                           startingVersion="1")
+        expected = publish.read_changes(spark, root, "t", 1, 2, keys=["id"])
+        assert _rows(got) == _rows(expected)
+        assert _rows(got) == sorted([
+            (1, "a", 10.0, "delete"), (2, "B", 25.0, "update"),
+            (3, "c", 30.0, "insert"),
+        ])
+    finally:
+        cp._REGISTRY.pop(root, None)

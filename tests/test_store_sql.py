@@ -624,3 +624,39 @@ def test_update_without_where_hits_every_row(spark, tmp_path):
     assert publish.read_table(spark, root, "t").filter(
         F.col("tag") != "all"
     ).count() == 0
+
+
+@pytest.mark.parametrize("mor", [False, True], ids=["cow", "mor"])
+def test_insert_values_statement(spark, tmp_path, mor):
+    root = _seed(spark, tmp_path, f"vals_{mor}")
+    s = store_sql(spark, root, mor=mor)
+    s.sql("INSERT INTO t VALUES (100, 1, 'v'), (101, 2, 'v')")
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[100] == (1, "v") and got[101] == (2, "v")
+    # explicit column list: unnamed columns null-fill
+    s.sql("INSERT INTO t (k, tag) VALUES (102, 'partial')")
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[102] == (None, "partial")
+    # the loud-duplicate contract applies to VALUES too
+    with pytest.raises(ValueError, match="already exist"):
+        s.sql("INSERT INTO t VALUES (100, 9, 'dup')")
+    s.sql("INSERT OR IGNORE INTO t VALUES (100, 9, 'dup'), (103, 3, 'v')")
+    got = {r["k"]: r["tag"]
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[100] == "v" and got[103] == "v"
+
+
+def test_insert_values_in_transaction_block(spark, tmp_path):
+    root = _seed(spark, tmp_path, "valstx")
+    _staging(spark).createOrReplaceTempView("stg")
+    v0 = publish.current_manifest(root)["version"]
+    s = store_sql(spark, root)
+    s.sql("BEGIN TRANSACTION")
+    s.sql("INSERT INTO t (k, v, tag) VALUES (200, 1, 'tx')")
+    s.sql("COMMIT")
+    assert publish.current_manifest(root)["version"] == v0 + 1
+    assert publish.read_table(spark, root, "t").filter(
+        F.col("k") == 200
+    ).count() == 1
