@@ -77,6 +77,7 @@ HEADLINE = [
     "u12_sql_update",               # SQL UPDATE: CoW rewrite + O(matched) MoR delta (round 9)
     "u12_sql_transaction",          # BEGIN/COMMIT/ROLLBACK multi-table atomic block (round 9)
     "llm_repeated_spans_maximal",   # length-doubling maximal repeated spans (round 9)
+    "u12_partial_update",           # partial-column MoR deltas: keys + set cols only (round 9)
 ]
 
 

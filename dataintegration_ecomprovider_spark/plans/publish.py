@@ -189,6 +189,8 @@ def _apply_deltas(spark: SparkSession, base: DataFrame, entry: dict) -> DataFram
             base, StructType.fromJson(json.loads(entry["schema_json"]))
         )
     cols = base.columns
+    if any(_is_partial_delta(d) for d in entry["deltas"]):
+        return _apply_deltas_partial(spark, base, entry, list(keys), cols)
     deltas = _read_delta_log(spark, entry["deltas"])
     latest = _latest_per_key(deltas, keys)
     # anti-join semantics don't need a distinct right side — feeding the
@@ -202,13 +204,121 @@ def _apply_deltas(spark: SparkSession, base: DataFrame, entry: dict) -> DataFram
     return survivors.unionByName(upserts)
 
 
-def _read_delta_log(spark: SparkSession, deltas: Sequence[dict]) -> DataFrame:
+def _is_partial_delta(d: dict) -> bool:
+    return "partial" in (d.get("kinds") or [])
+
+
+def _apply_deltas_partial(
+    spark: SparkSession, base: DataFrame, entry: dict,
+    keys: list[str], cols: list[str],
+) -> DataFrame:
+    """Merge-on-read reconstruction when the log contains PARTIAL-column
+    deltas (merge_into_mor(partial_update=True)).  Later wins PER COLUMN:
+
+    1. resolve the full-row state exactly as the plain path does, but
+       carrying each winning row's commit position (base rows = -1);
+    2. fold every partial file into one per-key overlay row — for each
+       set column, the value from the LATEST file that SETS it (files
+       record ``set_cols``, so an explicitly staged NULL is still a
+       set); one groupBy over only the partial rows;
+    3. left-join the overlay onto the state and apply a column wherever
+       its setting position is newer than the row's full-state position
+       (a full-row upsert committed AFTER a partial resets the column; a
+       partial after it overlays).
+
+    Scale shape: the base still never shuffles or sorts — its only
+    contact is the same anti-join against full-delta keys plus one
+    broadcast-sized left join against the overlay (both gated by the
+    recorded delta bytes); partial rows aggregate once on the keys.
+    Partial overlays never create rows, so keys deleted by a later
+    marker (absent from the state) drop their stale overlays for free.
+    """
+    deltas = entry["deltas"]
+    full = [(i, d) for i, d in enumerate(deltas) if not _is_partial_delta(d)]
+    partial = [(i, d) for i, d in enumerate(deltas) if _is_partial_delta(d)]
+    small = _deltas_bytes(deltas) <= MOR_BROADCAST_MAX_BYTES
+    WSEQ = "__mor_wseq"
+
+    if full:
+        fdf = _read_delta_log(spark, [d for _, d in full],
+                              seqs=[i for i, _ in full])
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(MOR_SEQ_COL).desc())
+        latest = (
+            fdf.withColumn("__mor_rn", F.row_number().over(w))
+            .filter(F.col("__mor_rn") == 1)
+        )
+        fkeys = fdf.select(*keys)
+        if small:
+            fkeys = F.broadcast(fkeys)
+        state = base.join(fkeys, on=keys, how="left_anti").withColumn(
+            WSEQ, F.lit(-1)
+        ).unionByName(
+            latest.filter(F.col(MOR_CHANGE_COL) != "delete")
+            .select(*cols, F.col(MOR_SEQ_COL).alias(WSEQ))
+        )
+    else:
+        state = base.withColumn(WSEQ, F.lit(-1))
+
+    types = {f.name: f.dataType for f in base.schema.fields}
+    pcols = [
+        c for c in cols
+        if any(c in (d.get("set_cols") or []) for _, d in partial)
+    ]
+    parts = []
+    for i, d in partial:
+        df = spark.read.parquet(d["path"])
+        sets = set(d.get("set_cols") or [])
+        parts.append(df.select(
+            *keys,
+            *[
+                (F.col(c) if c in sets
+                 else F.lit(None).cast(types[c])).alias(c)
+                for c in pcols
+            ],
+            *[F.lit(c in sets).alias(f"__set_{c}") for c in pcols],
+            F.lit(i).alias(MOR_SEQ_COL),
+        ))
+    pu = parts[0]
+    for p in parts[1:]:
+        pu = pu.unionByName(p)
+    aggs = []
+    for c in pcols:
+        ord_c = F.when(F.col(f"__set_{c}"), F.col(MOR_SEQ_COL))
+        # max_by ignores rows whose ordering expression is null, so only
+        # files that SET c compete — an explicit staged NULL still wins
+        aggs.append(F.max_by(F.col(c), ord_c).alias(f"__v_{c}"))
+        aggs.append(F.max(ord_c).alias(f"__s_{c}"))
+    overlay = pu.groupBy(*keys).agg(*aggs)
+    if small:
+        overlay = F.broadcast(overlay)
+    joined = state.join(overlay, on=keys, how="left")
+    return joined.select(*[
+        F.when(
+            F.col(f"__s_{c}").isNotNull()
+            & (F.col(f"__s_{c}") > F.col(WSEQ)),
+            F.col(f"__v_{c}"),
+        ).otherwise(F.col(c)).alias(c)
+        if c in pcols else F.col(c)
+        for c in cols
+    ])
+
+
+def _read_delta_log(
+    spark: SparkSession, deltas: Sequence[dict],
+    seqs: Sequence[int] | None = None,
+) -> DataFrame:
     """Union of the given delta files, each tagged with its position in
     the log (MOR_SEQ_COL) so later files win per-key resolution.  Files
     written before a schema evolution are narrower than later ones —
-    allowMissingColumns fills the gap with nulls."""
+    allowMissingColumns fills the gap with nulls.  `seqs` overrides the
+    positional tags (the partial-overlay path numbers full and partial
+    files on ONE shared axis)."""
     parts = [
-        spark.read.parquet(d["path"]).withColumn(MOR_SEQ_COL, F.lit(i))
+        spark.read.parquet(d["path"]).withColumn(
+            MOR_SEQ_COL, F.lit(seqs[i] if seqs is not None else i)
+        )
         for i, d in enumerate(deltas)
     ]
     out = parts[0]
@@ -1872,6 +1982,7 @@ def merge_into_mor(
     update_existing: bool = True,
     evolve_schema: bool = False,
     txn: tuple[str, int] | None = None,
+    partial_update: bool = False,
 ) -> dict:
     """Merge-on-read MERGE: commit the U1-U3 upsert (plus optional U4
     delete-incoming) as an appended DELTA file instead of rewriting the
@@ -1922,6 +2033,27 @@ def merge_into_mor(
     versions are immutable, each commit's entry just carries a longer
     delta list.
 
+    PARTIAL-COLUMN updates (round 9, Hudi's partial-update / Delta's
+    UPDATE-SET-subset trade): `partial_update=True` takes a staging of
+    (key columns + the columns the batch SETS) and commits a delta that
+    overlays ONLY those columns onto whatever each row's other columns
+    hold at read time — the delta file is as narrow as the update, the
+    base is never read OR rewritten, and a feature-store-style pipeline
+    updating one column of a 500-column table writes 1/250th the bytes
+    of a full-row upsert.  Set columns are recorded per delta file
+    (``set_cols``), so an explicitly staged NULL is distinguishable from
+    "not set".  Semantics: later wins PER COLUMN (a full-row upsert
+    committed after a partial resets every column; a partial after it
+    overlays its columns); partial rows never create rows (keys absent
+    from the table — or deleted by a later delete marker — drop), so
+    `partial_update=True` requires update_existing=True, insert_new=
+    False, deletes=None, evolve_schema=False.  CDC across a partial span
+    uses the generic two-version diff (the O(delta) fast path composes
+    only full-row suffixes — detected and bypassed); compact folds
+    partials away, restoring every fast path.  Row-local constraints are
+    enforced for specs whose columns the batch sets (same
+    can't-newly-violate contract as the CoW path's partial staging).
+
     Concurrency: the delta is staged outside the lock and appended to the
     LATEST entry under the commit lock, so concurrent writers serialize
     without retries (append order = commit order).  Returns the new
@@ -1932,14 +2064,15 @@ def merge_into_mor(
         # re-check under the commit lock below)
         return {**pre, "txn_skipped": True}
     (
-        delta_df, keys, base_schema, unknown, n_parts,
+        delta_df, keys, base_schema, unknown, n_parts, set_cols,
     ) = _prepare_mor_delta(
         spark, root, pre, name, staging, keys, deletes,
-        insert_new, update_existing, evolve_schema,
+        insert_new, update_existing, evolve_schema, partial_update,
     )
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged = _write_mor_delta(
-        root, txid, name, delta_df, keys, base_schema, bool(unknown), n_parts
+        root, txid, name, delta_df, keys, base_schema, bool(unknown),
+        n_parts, set_cols,
     )
 
     with _manifest_lock(root):
@@ -2009,14 +2142,15 @@ def merge_many_mor(
             spec.get("insert_new", True),
             spec.get("update_existing", True),
             spec.get("evolve_schema", False),
+            spec.get("partial_update", False),
         )
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged = {
         name: _write_mor_delta(
             root, txid, name, delta_df, keys, base_schema,
-            bool(unknown), n_parts,
+            bool(unknown), n_parts, set_cols,
         )
-        for name, (delta_df, keys, base_schema, unknown, n_parts)
+        for name, (delta_df, keys, base_schema, unknown, n_parts, set_cols)
         in prepared.items()
     }
     with _manifest_lock(root):
@@ -2052,17 +2186,51 @@ def _prepare_mor_delta(
     insert_new: bool,
     update_existing: bool,
     evolve_schema: bool,
+    partial_update: bool = False,
 ):
     """The staging half of a merge-on-read merge, factored out so
     merge_into_mor and merge_many_mor share one implementation: column-map
     translation, mode restriction, constraint evaluation (incl. the
     quarantine split, which commits its own version), delete-wins and
     schema conformance.  Returns (delta_df, keys, base_schema, unknown,
-    n_parts) ready for _write_mor_delta; runs entirely OUTSIDE the commit
-    lock."""
+    n_parts, set_cols) ready for _write_mor_delta; runs entirely OUTSIDE
+    the commit lock."""
     prev_entry = pre["tables"].get(name)
     if prev_entry is None:
         raise KeyError(f"table {name!r} has no committed version under {root}")
+    if partial_update:
+        # partial deltas overlay columns onto EXISTING rows — the only
+        # coherent mode (see merge_into_mor docstring)
+        if insert_new or not update_existing:
+            raise ValueError(
+                "partial_update=True is update-only: pass "
+                "insert_new=False, update_existing=True"
+            )
+        if deletes is not None:
+            raise ValueError(
+                "partial_update cannot combine with deletes — commit the "
+                "delete markers as their own merge"
+            )
+        if evolve_schema:
+            raise ValueError(
+                "partial_update cannot evolve the schema (a new column on "
+                "existing rows is a full-column write — use "
+                "evolve_schema=True without partial_update)"
+            )
+        if (
+            isinstance(prev_entry, dict)
+            and prev_entry.get("on_violation") == "quarantine"
+        ):
+            # a quarantined PARTIAL row holds only its set columns, so
+            # requeue_quarantine would re-merge it as a full row and
+            # null out everything it never set — refuse up front rather
+            # than corrupt on the drain path
+            raise ValueError(
+                f"table {name!r} is in quarantine mode "
+                "(on_violation='quarantine'): partial_update rows cannot "
+                "be quarantined losslessly — use full-row staging or "
+                "abort-mode constraints"
+            )
     if keys is None:
         keys = table_keys(root, name)
         if not keys:
@@ -2072,6 +2240,7 @@ def _prepare_mor_delta(
             )
     keys = list(keys)
     logical_keys = list(keys)  # pre-translation names, for the quarantine
+    logical_staged = set(staging.columns)  # pre-translation, for specs
     base_schema = _read_entry(spark, prev_entry).schema
     base_cols = [f.name for f in base_schema.fields]
     _renames, _dropped = _column_map(prev_entry)
@@ -2168,14 +2337,43 @@ def _prepare_mor_delta(
         )
         base_cols = [f.name for f in base_schema.fields]
 
+    set_cols: list[str] | None = None
+    eval_schema = base_schema
+    if partial_update:
+        set_cols = [
+            c for c in base_cols if c in staging.columns and c not in keys
+        ]
+        if not set_cols:
+            raise ValueError(
+                "partial_update staging must set at least one non-key "
+                f"column of {name!r}"
+            )
+        from pyspark.sql.types import StructType
+
+        # the delta carries ONLY keys + set columns (that narrowness IS
+        # the feature); constraints and conformance evaluate against it
+        eval_schema = StructType([
+            f for f in base_schema.fields
+            if f.name in keys or f.name in set_cols
+        ])
+
     cons = (
         prev_entry.get("constraints") if isinstance(prev_entry, dict) else None
     ) or []
     row_local = [s for s in cons if s[0] in _ROW_LOCAL_CONSTRAINTS]
+    if partial_update:
+        # only specs fully covered by the staged columns are evaluable on
+        # partial rows (unset columns keep their base values — the same
+        # can't-newly-violate contract the CoW path applies to partial
+        # stagings)
+        row_local = [
+            s for s in row_local
+            if set(_constraint_columns(s)) <= logical_staged
+        ]
     quarantined = None
     if row_local:
         pcons = _phys_constraints(prev_entry, row_local)
-        conformed = _conform_to_schema(staging, base_schema)
+        conformed = _conform_to_schema(staging, eval_schema)
         if (
             isinstance(prev_entry, dict)
             and prev_entry.get("on_violation") == "quarantine"
@@ -2225,6 +2423,18 @@ def _prepare_mor_delta(
             )
 
 
+    if partial_update:
+        # no base read at all: missing keys simply find nothing to
+        # overlay at reconstruction — the write stays O(|staging|) in
+        # BOTH rows and columns
+        delta_df = _conform_to_schema(staging, eval_schema).withColumn(
+            MOR_CHANGE_COL, F.lit("partial")
+        )
+        return (
+            delta_df, keys, base_schema, unknown + widened, ["partial"],
+            set_cols,
+        )
+
     if not (insert_new and update_existing):
         # physical space: keys and staging were translated above
         existing = _read_entry(spark, prev_entry).select(*keys)
@@ -2255,7 +2465,7 @@ def _prepare_mor_delta(
     else:
         delta_df = _conform(staging, "upsert")
 
-    return delta_df, keys, base_schema, unknown + widened, n_parts
+    return delta_df, keys, base_schema, unknown + widened, n_parts, None
 
 
 def _write_mor_delta(
@@ -2267,6 +2477,7 @@ def _write_mor_delta(
     base_schema,
     widen: bool,
     kinds: list,
+    set_cols: Sequence[str] | None = None,
 ) -> dict:
     """Write one staged MoR delta under data/<txid>/ and return the
     commit-time payload _append_mor_entry consumes."""
@@ -2281,6 +2492,7 @@ def _write_mor_delta(
         "widen": widen,
         "txid": txid,
         "kinds": list(kinds),
+        "set_cols": list(set_cols) if set_cols is not None else None,
     }
 
 
@@ -2326,6 +2538,10 @@ def _append_mor_entry(prev: dict, name: str, staged: dict) -> dict:
             "num_files": summary["num_files"],
             "txid": staged["txid"],
             "kinds": staged["kinds"],
+            **(
+                {"set_cols": staged["set_cols"]}
+                if staged.get("set_cols") is not None else {}
+            ),
         }
     ]
     return entry
@@ -2480,7 +2696,15 @@ def _mor_delta_suffix(from_entry, to_entry) -> list[dict] | None:
         d["path"] for d in from_deltas
     ]:
         return None
-    return to_deltas[len(from_deltas):]
+    suffix = to_deltas[len(from_deltas):]
+    if any(_is_partial_delta(d) for d in suffix):
+        # a partial suffix row is NOT the key's to-version state (unset
+        # columns come from the base / earlier deltas) — the last-wins
+        # composition doesn't hold; fall back to the generic two-version
+        # diff, which reconstructs through the partial-aware reader.
+        # Compact folds partials away and restores the fast path.
+        return None
+    return suffix
 
 
 def _entry_signature(entry) -> tuple | None:
@@ -5084,6 +5308,18 @@ def _scan_entry(spark: SparkSession, entry, where: Sequence[tuple]) -> DataFrame
         # none of a KEY-column point probe's keys (_prune_delta_dirs;
         # refresh_bloom_sidecar keeps the index covering fresh deltas) —
         # the 100 TB needle lookup stops paying one open per delta commit.
+        if any(
+            _is_partial_delta(d)
+            and set(d.get("set_cols") or []) & _where_columns(where)
+            for d in entry["deltas"]
+        ):
+            # PARTIAL deltas overlaying a predicate column break the
+            # base-pruning argument: a base row failing `cond` on its
+            # stored values may PASS after the overlay, and its
+            # non-overlaid columns exist only in the pruned file.  Read
+            # the base unpruned (the final filter still applies); delta-
+            # dir pruning stays safe (keys are never overlaid).
+            kept, total = [], 0  # len(kept) == total → the no-skip path
         kept_deltas = _prune_delta_dirs(entry, path, where)
         if len(kept_deltas) != len(entry["deltas"]):
             entry = {**entry, "deltas": kept_deltas}

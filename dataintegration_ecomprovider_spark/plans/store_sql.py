@@ -394,11 +394,13 @@ class StoreSQL:
         )
 
     def _update_staging(
-        self, target: str, sets: str, where: str
+        self, target: str, sets: str, where: str, keys: list[str]
     ) -> DataFrame:
-        """The UPDATE's matched rows with SET expressions applied — all
-        expressions evaluate against the PRE-update row (standard SQL),
-        via one select over the filtered table."""
+        """The UPDATE's matched rows as a PARTIAL staging — keys plus the
+        SET columns only (merge_into_mor(partial_update=True) writes a
+        delta as narrow as the update); all expressions evaluate against
+        the PRE-update row (standard SQL), via one select over the
+        filtered table."""
         publish.register_store(self.spark, self.root, prefix=self.prefix)
         assigns = _parse_assignments(sets)
         matched = self.spark.sql(
@@ -410,11 +412,18 @@ class StoreSQL:
                 f"UPDATE {target!r} SET references unknown column(s) "
                 f"{sorted(unknown)}"
             )
-        return matched.select(*[
-            F.expr(assigns[c]).cast(matched.schema[c].dataType).alias(c)
-            if c in assigns else F.col(c)
-            for c in matched.columns
-        ])
+        overlap = [k for k in keys if k in assigns]
+        if overlap:
+            raise ValueError(
+                f"UPDATE {target!r} cannot assign key column(s) {overlap}"
+            )
+        return matched.select(
+            *keys,
+            *[
+                F.expr(assigns[c]).cast(matched.schema[c].dataType).alias(c)
+                for c in matched.columns if c in assigns
+            ],
+        )
 
     # -- statements --------------------------------------------------------
     def sql(self, statement: str) -> dict | DataFrame:
@@ -500,10 +509,11 @@ class StoreSQL:
                 self._tx_stage(target, {
                     "staging": self._update_staging(
                         target, m.group("sets"),
-                        m.group("where") or "true"
+                        m.group("where") or "true", keys
                     ),
                     "keys": keys,
                     "insert_new": False, "update_existing": True,
+                    "partial_update": True,
                 })
                 return {"deferred": target}
             raise ValueError(
@@ -866,15 +876,19 @@ class StoreSQL:
 
     def _update(self, target: str, sets: str, where: str) -> dict:
         """UPDATE t SET ... WHERE ...: with recorded keys under mor=True
-        the matched rows commit as an O(matched) update-only delta;
-        otherwise a copy-on-write rewrite of the whole table (the
-        predicate may touch any row, so the base read is inherent)."""
+        the matched rows commit as an O(matched rows × SET columns)
+        PARTIAL delta (merge_into_mor(partial_update=True) — the file
+        carries keys + assigned columns only); otherwise a copy-on-write
+        rewrite of the whole table (the predicate may touch any row, so
+        the base read is inherent)."""
         if self.mor and publish.table_keys(self.root, target):
+            keys = self._keyed(target, "UPDATE (mor)")
             return publish.merge_into_mor(
                 self.spark, self.root, target,
-                self._update_staging(target, sets, where),
-                keys=self._keyed(target, "UPDATE (mor)"),
+                self._update_staging(target, sets, where, keys),
+                keys=keys,
                 insert_new=False, update_existing=True,
+                partial_update=True,
             )
         publish.register_store(self.spark, self.root, prefix=self.prefix)
         assigns = _parse_assignments(sets)

@@ -1697,6 +1697,90 @@ SELECT 'cow' AS engine, * FROM m2
 """
 
 
+def q_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-COLUMN merge-on-read updates (round 9,
+    publish.merge_into_mor(partial_update=True) — Hudi partial-update /
+    Delta UPDATE-SET-subset trade): a staging of (key + the columns the
+    batch sets) commits a delta as NARROW as the update; unset columns
+    keep whatever the row holds at read time, later wins PER COLUMN.
+    Lifecycle: seed orders → full-row MoR upsert (price bump on evens) →
+    partial price+10 on %3 keys (key+price only) → partial status='P' on
+    %5 keys (key+status only) → read.  In-query asserts: both partial
+    deltas carry kinds=["partial"] with their set_cols recorded, and the
+    partial delta FILES physically hold only key+set columns (the
+    narrowness IS the 100 TB feature — a one-column fixup on a
+    500-column table writes 1/250th the bytes)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = _scratch_store_root("partial_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    publish.merge_into_mor(
+        spark, root, "orders",
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("price", F.round(F.col("price") + 1.0, 2)),
+    )
+    publish.merge_into_mor(
+        spark, root, "orders",
+        publish.read_table(spark, root, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", (F.col("price") + 10.0).alias("price")),
+        partial_update=True, insert_new=False,
+    )
+    publish.merge_into_mor(
+        spark, root, "orders",
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", F.lit("P").alias("o_orderstatus")),
+        partial_update=True, insert_new=False,
+    )
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    partials = [d for d in entry["deltas"] if d.get("kinds") == ["partial"]]
+    if [d.get("set_cols") for d in partials] != [["price"], ["o_orderstatus"]]:
+        raise AssertionError(f"partial deltas malformed: {entry['deltas']}")
+    import pyarrow.parquet as pq
+
+    for d, want in zip(partials, (["o_orderkey", "price"],
+                                  ["o_orderkey", "o_orderstatus"])):
+        fields = [
+            n for n in pq.read_schema(publish._data_files(d["path"])[0]).names
+            if not n.startswith("__")
+        ]
+        if fields != want:
+            raise AssertionError(f"partial delta not narrow: {fields}")
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_PARTIAL_UPDATE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders
+),
+m1 AS (  -- full-row upsert: evens take the bumped price
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 2 = 0 THEN ROUND(price + 1.0, 2)
+              ELSE price END AS price
+  FROM base
+),
+m2 AS (  -- partial: price overlay on %3 keys, other columns untouched
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN price + 10.0
+              ELSE price END AS price
+  FROM m1
+)
+SELECT o_orderkey, o_custkey,  -- partial: status overlay on %5 keys
+       CASE WHEN o_orderkey % 5 = 0 THEN 'P' ELSE o_orderstatus END
+         AS o_orderstatus,
+       price
+FROM m2
+"""
+
+
 def q_sql_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL transaction trio (round 9, plans/store_sql.py): BEGIN /
     COMMIT / ROLLBACK — the statement form of transaction() for SQL-only
@@ -2864,6 +2948,7 @@ QUERIES = {
     "u12_sql_update": QueryDef(q_sql_update, ORACLE_SQL_UPDATE),
     "u12_type_widening": QueryDef(q_type_widening, ORACLE_TYPE_WIDENING),
     "u12_sql_transaction": QueryDef(q_sql_transaction, ORACLE_SQL_TRANSACTION),
+    "u12_partial_update": QueryDef(q_partial_update, ORACLE_PARTIAL_UPDATE),
     "u12_object_store_commit": QueryDef(
         q_object_store_commit, ORACLE_OBJECT_STORE_COMMIT
     ),

@@ -387,21 +387,60 @@ def _version_frame(
         ))
     ]
     # merge-on-read: replay the delta log in commit order (upserts
-    # override, delete markers remove) — reading only the base would
-    # silently serve stale rows for a MoR table
+    # override, delete markers remove, PARTIAL deltas overlay only their
+    # recorded set_cols) — reading only the base would silently serve
+    # stale rows for a MoR table
     deltas = entry.get("deltas", []) if isinstance(entry, dict) else []
     change = publish.MOR_CHANGE_COL
+    merged = (
+        pd.concat(frames, ignore_index=True)
+        if frames else pd.DataFrame(columns=list(columns) + [_MOR_CHG])
+    )
     for d in deltas:
-        for f in _scan_frames(
-            d["path"], list(columns) + [change], keys, shard, num_shards,
-            scope_sets=scope_sets,
-        ):
-            frames.append(f.rename(columns={change: _MOR_CHG}))
-    if not frames:
+        set_cols = d.get("set_cols") if "partial" in (
+            d.get("kinds") or []
+        ) else None
+        if set_cols is None:
+            for f in _scan_frames(
+                d["path"], list(columns) + [change], keys, shard,
+                num_shards, scope_sets=scope_sets,
+            ):
+                merged = pd.concat(
+                    [merged, f.rename(columns={change: _MOR_CHG})],
+                    ignore_index=True,
+                )
+            # concat order == commit order: keep="last" is the override
+            merged = merged.drop_duplicates(subset=list(keys), keep="last")
+        else:
+            # partial overlay: update ONLY the file's set columns on rows
+            # that exist (incl. delete markers, which stay deletes —
+            # partials never resurrect); requested columns the file
+            # doesn't set are untouched, keys never overlaid
+            touch = [c for c in columns if c in set_cols and c not in keys]
+            if not touch:
+                continue
+            pf = [
+                f for f in _scan_frames(
+                    d["path"], list(keys) + touch, keys, shard,
+                    num_shards, scope_sets=scope_sets,
+                )
+            ]
+            if not pf or not len(merged):
+                continue
+            pdf = pd.concat(pf, ignore_index=True)
+            pdf = pdf.drop_duplicates(subset=list(keys), keep="last")
+            pdf["__hit"] = True
+            merged = merged.merge(
+                pdf, on=list(keys), how="left", suffixes=("", "__p")
+            )
+            hit = merged["__hit"].fillna(False).astype(bool)
+            for c in touch:
+                merged[c] = merged[f"{c}__p"].where(hit, merged[c])
+            merged = merged.drop(
+                columns=["__hit"] + [f"{c}__p" for c in touch]
+            )
+    if not len(merged):
         return pd.DataFrame(columns=columns)
-    merged = pd.concat(frames, ignore_index=True)
-    # concat order == commit order, so keep="last" is the MoR override
-    merged = merged.drop_duplicates(subset=list(keys), keep="last")
     merged = merged.loc[merged[_MOR_CHG].astype(object) != "delete"]
     if key_scope is not None and len(merged):
         # exact key-tuple scoping (the per-column isin was a superset)

@@ -113,6 +113,7 @@ def main() -> None:
         "u12_sql_update",           # CoW rewrite + O(matched) MoR delta
         "u12_sql_transaction",      # BEGIN/COMMIT/ROLLBACK atomic block
         "llm_repeated_spans_maximal",  # 3-level doubling + coverage joins
+        "u12_partial_update",       # narrow partial deltas + overlay read
     ]
     wanted = sys.argv[1:]
     if wanted:

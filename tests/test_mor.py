@@ -889,3 +889,227 @@ def test_replicate_across_type_widening(spark, tmp_path):
     got = publish.read_table(spark, dst, "t")
     assert dict(got.dtypes)["cnt"] == "bigint"
     assert _rows(got) == {(1, 10), (2, 8_000_000_000)}
+
+
+def test_partial_update_overlays_only_set_columns(spark, tmp_path):
+    """Round 9 partial-column updates: later wins PER COLUMN, explicit
+    staged NULLs apply, unset columns ride through, partials never
+    create rows, delete markers win, compact folds everything away."""
+    root = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, 10, "a", 1.0), (2, 20, "b", 2.0), (3, 30, "c", 3.0)],
+        "k long, v long, tag string, score double",
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+    publish.merge_into_mor(  # full upsert first
+        spark, root, "t",
+        spark.createDataFrame([(2, 21, "B", 2.5), (4, 40, "d", 4.0)],
+                              "k long, v long, tag string, score double"),
+    )
+    publish.merge_into_mor(  # partial: v only; key 9 does not exist
+        spark, root, "t",
+        spark.createDataFrame([(1, 100), (2, 200), (9, 900)],
+                              "k long, v long"),
+        partial_update=True, insert_new=False,
+    )
+    got = {r["k"]: (r["v"], r["tag"], r["score"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got == {
+        1: (100, "a", 1.0), 2: (200, "B", 2.5),
+        3: (30, "c", 3.0), 4: (40, "d", 4.0),
+    }
+    # the delta FILE is as narrow as the update (keys + set col only)
+    entry = publish.current_manifest(root)["tables"]["t"]
+    d = entry["deltas"][-1]
+    assert d["kinds"] == ["partial"] and d["set_cols"] == ["v"]
+    import pyarrow.parquet as pq
+
+    names = [n for n in pq.read_schema(
+        publish._data_files(d["path"])[0]
+    ).names if not n.startswith("__")]
+    assert names == ["k", "v"]
+
+    # a FULL row committed after the partial resets every column
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(1, 11, "A", 1.5)],
+                              "k long, v long, tag string, score double"),
+    )
+    # an explicitly staged NULL is a SET (distinguishable from unset)
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(3, None)], "k long, tag string"),
+        partial_update=True, insert_new=False,
+    )
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[1] == (11, "A") and got[3] == (30, None)
+
+    # delete wins; a later partial never resurrects
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([], "k long, v long, tag string, score double"),
+        deletes=spark.createDataFrame([(2,)], "k long"),
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, 999)], "k long, v long"),
+        partial_update=True, insert_new=False,
+    )
+    assert 2 not in {r["k"]
+                     for r in publish.read_table(spark, root, "t").collect()}
+
+    # compact folds partials into a clean wide base
+    publish.compact(spark, root, "t")
+    entry = publish.current_manifest(root)["tables"]["t"]
+    assert not entry.get("deltas")
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[1] == (11, "A") and got[3] == (30, None)
+
+
+def test_partial_update_validation(spark, tmp_path):
+    root = _store(spark, tmp_path)
+    pu = spark.createDataFrame([(1, 99.0)], "id long, val double")
+    with pytest.raises(ValueError, match="update-only"):
+        publish.merge_into_mor(spark, root, "t", pu, partial_update=True)
+    with pytest.raises(ValueError, match="cannot combine with deletes"):
+        publish.merge_into_mor(
+            spark, root, "t", pu, partial_update=True, insert_new=False,
+            deletes=spark.createDataFrame([(2,)], "id long"),
+        )
+    with pytest.raises(ValueError, match="cannot evolve"):
+        publish.merge_into_mor(
+            spark, root, "t", pu, partial_update=True, insert_new=False,
+            evolve_schema=True,
+        )
+    with pytest.raises(ValueError, match="at least one non-key"):
+        publish.merge_into_mor(
+            spark, root, "t", spark.createDataFrame([(1,)], "id long"),
+            partial_update=True, insert_new=False,
+        )
+
+
+def test_partial_update_cdc_fast_path_falls_back_but_matches(spark, tmp_path):
+    """A span whose suffix holds a partial delta cannot ride the
+    last-wins fast path — it must fall back to the generic two-version
+    diff and still produce the exact change set."""
+    root = _store(spark, tmp_path)
+    v1 = publish.current_manifest(root)["version"]
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(2, 99.0)], "id long, val double"),
+        partial_update=True, insert_new=False,
+    )
+    assert publish._bridged_delta_suffix(root, "t", v1, v1 + 1) is None
+    changes = publish.read_changes(spark, root, "t", v1, v1 + 1, keys=["id"])
+    assert _rows(changes) == {(2, "b", 99.0, "update")}
+    # a compact RESTORES the fast path for later spans
+    publish.compact(spark, root, "t")
+    v3 = publish.current_manifest(root)["version"]
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(5, "e", 50.0)],
+                              "id bigint, name string, val double"),
+    )
+    assert publish._bridged_delta_suffix(root, "t", v3, v3 + 1) is not None
+
+
+def test_partial_update_scan_predicate_on_overlaid_column(spark, tmp_path):
+    """scan_table with a predicate on an OVERLAID column must not prune
+    base files by their stale stored values: the overlay can move a row
+    into (or out of) the predicate."""
+    root = str(tmp_path / "store")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("val")
+    ).repartition(4, "k")
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+    publish.merge_into_mor(  # push low keys' val ABOVE the cut
+        spark, root, "t",
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") + 1000.0).alias("val")),
+        partial_update=True, insert_new=False,
+    )
+    got = publish.scan_table(spark, root, "t", [("val", ">", 500.0)])
+    assert {r["k"] for r in got.collect()} == set(range(5))
+    # and a predicate on a NON-overlaid column still scans correctly
+    got = publish.scan_table(spark, root, "t", [("k", "=", 3)])
+    assert [(r["k"], r["val"]) for r in got.collect()] == [(3, 1003.0)]
+
+
+def test_partial_update_through_column_mapping(spark, tmp_path):
+    """Partial staging arrives in LOGICAL names; the narrow delta is
+    written in physical names and reads back logically."""
+    root = _store(spark, tmp_path)
+    publish.rename_column(spark, root, "t", "val", "score")
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(1, 77.0)], "id long, score double"),
+        partial_update=True, insert_new=False,
+    )
+    got = {r["id"]: (r["name"], r["score"])
+           for r in publish.read_table(spark, root, "t").collect()}
+    assert got[1] == ("a", 77.0) and got[2] == ("b", 20.0)
+
+
+def test_partial_update_in_multi_table_txn(spark, tmp_path):
+    """merge_many_mor accepts partial_update specs — a partial overlay
+    and a full merge land as ONE atomic version."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"a": spark.createDataFrame([(1, 10, "x")], "k long, v long, t string"),
+         "b": spark.createDataFrame([(1, 5)], "k long, n long")},
+        root, table_keys={"a": ["k"], "b": ["k"]},
+    )
+    v0 = publish.current_manifest(root)["version"]
+    publish.merge_many_mor(spark, root, {
+        "a": {"staging": spark.createDataFrame([(1, 99)], "k long, v long"),
+              "partial_update": True, "insert_new": False},
+        "b": {"staging": spark.createDataFrame([(2, 7)], "k long, n long")},
+    })
+    assert publish.current_manifest(root)["version"] == v0 + 1
+    got_a = {r["k"]: (r["v"], r["t"])
+             for r in publish.read_table(spark, root, "a").collect()}
+    assert got_a == {1: (99, "x")}
+    assert publish.read_table(spark, root, "b").count() == 2
+
+
+def test_partial_update_respects_covered_constraints(spark, tmp_path):
+    """Row-local constraints whose columns the partial batch SETS are
+    enforced; specs over unset columns cannot newly break and are
+    skipped (the CoW partial-staging contract)."""
+    root = _store(spark, tmp_path)
+    publish.set_constraints(root, "t", [
+        ["range", "val", 0, 100], ["not_null", "name"],
+    ])
+    with pytest.raises(publish.ValidationError, match="outside"):
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame([(1, 9999.0)], "id long, val double"),
+            partial_update=True, insert_new=False,
+        )
+    # name not staged: its not_null spec is not evaluable and not broken
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(1, 42.0)], "id long, val double"),
+        partial_update=True, insert_new=False,
+    )
+    assert publish.read_table(spark, root, "t").filter(
+        (F.col("id") == 1) & (F.col("val") == 42.0)
+    ).count() == 1
+
+
+def test_partial_update_refuses_quarantine_mode(spark, tmp_path):
+    """Quarantined partial rows would lose their unset columns on the
+    requeue drain — refused up front."""
+    root = _store(spark, tmp_path)
+    publish.set_constraints(
+        root, "t", [["range", "val", 0, 100]], on_violation="quarantine"
+    )
+    with pytest.raises(ValueError, match="quarantine mode"):
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame([(1, 42.0)], "id long, val double"),
+            partial_update=True, insert_new=False,
+        )

@@ -746,3 +746,39 @@ def test_stream_over_conditional_backend_store(spark, tmp_path):
         ])
     finally:
         cp._REGISTRY.pop(root, None)
+
+
+def test_stream_over_partial_update_chain(spark, tmp_path):
+    """Round 9: the pyarrow replay handles PARTIAL deltas — set columns
+    overlay in commit order, unset columns ride through, delete markers
+    still win — and the tail matches read_changes exactly (the O(delta)
+    fast path detects the partial suffix and falls back)."""
+    root = str(tmp_path / "pstore")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, val double",
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(  # v2: full upsert
+        spark, root, "t",
+        spark.createDataFrame([(2, "B", 25.0), (4, "d", 40.0)],
+                              "id bigint, name string, val double"),
+    )
+    publish.merge_into_mor(  # v3: partial — val only
+        spark, root, "t",
+        spark.createDataFrame([(1, 111.0), (2, 222.0)], "id bigint, val double"),
+        partial_update=True, insert_new=False,
+    )
+    publish.merge_into_mor(  # v4: delete one overlaid key
+        spark, root, "t",
+        spark.createDataFrame([], "id bigint, name string, val double"),
+        deletes=spark.createDataFrame([(2,)], "id bigint"),
+    )
+    got = _read_stream(spark, root, str(tmp_path / "ckp"),
+                       startingVersion="1")
+    expected = publish.read_changes(spark, root, "t", 1, 4, keys=["id"])
+    assert _rows(got) == _rows(expected)
+    assert _rows(got) == sorted([
+        (1, "a", 111.0, "update"), (2, "b", 20.0, "delete"),
+        (4, "d", 40.0, "insert"),
+    ])
