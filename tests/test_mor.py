@@ -418,6 +418,12 @@ _OPS = st.lists(
             st.lists(st.tuples(_KEYS, st.integers(0, 99)), max_size=4, unique_by=lambda t: t[0]),
             st.lists(_KEYS, max_size=2, unique=True),
         ),
+        st.tuples(  # round 9: partial overlay of ONE column (v or w)
+            st.sampled_from(["partial_v", "partial_w"]),
+            st.lists(st.tuples(_KEYS, st.integers(0, 99)), min_size=1,
+                     max_size=4, unique_by=lambda t: t[0]),
+            st.none(),
+        ),
         st.tuples(st.just("compact"), st.none(), st.none()),
     ),
     min_size=1,
@@ -429,14 +435,17 @@ _OPS = st.lists(
 @given(ops=_OPS)
 def test_mor_model_property(spark, tmp_path_factory, ops):
     """Model-based check: any interleaving of MoR merges (upserts +
-    deletes) and compactions must equal a plain dict replay — the store's
-    read-side reconstruction IS the dict semantics, at every intermediate
-    version."""
+    deletes), PARTIAL single-column overlays (round 9) and compactions
+    must equal a plain dict replay — the store's read-side reconstruction
+    IS the dict semantics, at every intermediate version."""
     root = str(tmp_path_factory.mktemp("morprop") / "store")
-    base = {0: 1000, 1: 1001}
+    base = {0: (1000, 5), 1: (1001, 6)}
     publish.publish_tables(
         spark,
-        {"t": spark.createDataFrame(list(base.items()), "id bigint, v bigint")},
+        {"t": spark.createDataFrame(
+            [(k, v, w) for k, (v, w) in base.items()],
+            "id bigint, v bigint, w bigint",
+        )},
         root,
         table_keys={"t": ["id"]},
     )
@@ -444,11 +453,25 @@ def test_mor_model_property(spark, tmp_path_factory, ops):
     for op, upserts, deletes in ops:
         if op == "compact":
             publish.compact(spark, root, "t")
+        elif op in ("partial_v", "partial_w"):
+            col = op[-1]
+            publish.merge_into_mor(
+                spark, root, "t",
+                spark.createDataFrame(upserts, f"id bigint, {col} bigint"),
+                partial_update=True, insert_new=False,
+            )
+            for k, x in upserts:
+                if k in model:
+                    v, w = model[k]
+                    model[k] = (x, w) if col == "v" else (v, x)
         else:
             upserts = [(k, v) for k, v in upserts if k not in (deletes or [])]
             publish.merge_into_mor(
                 spark, root, "t",
-                spark.createDataFrame(upserts or [(999, 0)], "id bigint, v bigint")
+                spark.createDataFrame(
+                    [(k, v, v + 1) for k, v in upserts] or [(999, 0, 0)],
+                    "id bigint, v bigint, w bigint",
+                )
                 .filter(F.lit(bool(upserts))),
                 deletes=(
                     spark.createDataFrame([(k,) for k in deletes], "id bigint")
@@ -456,11 +479,12 @@ def test_mor_model_property(spark, tmp_path_factory, ops):
                 ),
             )
             for k, v in upserts:
-                model[k] = v
+                model[k] = (v, v + 1)
             for k in deletes or []:
                 model.pop(k, None)
         got = {
-            r.id: r.v for r in publish.read_table(spark, root, "t").collect()
+            r.id: (r.v, r.w)
+            for r in publish.read_table(spark, root, "t").collect()
         }
         assert got == model
 
@@ -1113,3 +1137,34 @@ def test_partial_update_refuses_quarantine_mode(spark, tmp_path):
             spark.createDataFrame([(1, 42.0)], "id long, val double"),
             partial_update=True, insert_new=False,
         )
+
+
+def test_partial_reconstruction_plan_keeps_base_shuffle_free(spark, tmp_path):
+    """The partial overlay must not change the reconstruction's scale
+    shape: the base side joins by BROADCAST (anti against full-delta
+    keys, left outer against the per-key overlay) — no SortMergeJoin,
+    no base Exchange."""
+    root = str(tmp_path / "store")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("val"),
+        F.lit("x").alias("tag"),
+    )
+    publish.publish_tables(spark, {"t": base}, root, table_keys={"t": ["k"]})
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") + 0.5).alias("val"),
+                              F.lit("y").alias("tag")),
+    )
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.range(3).select(F.col("id").alias("k"),
+                              F.lit("z").alias("tag")),
+        partial_update=True, insert_new=False,
+    )
+    plan = (
+        publish.read_table(spark, root, "t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2  # anti + overlay joins
