@@ -78,6 +78,7 @@ HEADLINE = [
     "u12_sql_transaction",          # BEGIN/COMMIT/ROLLBACK multi-table atomic block (round 9)
     "llm_repeated_spans_maximal",   # length-doubling maximal repeated spans (round 9)
     "u12_partial_update",           # partial-column MoR deltas: keys + set cols only (round 9)
+    "llm_sim_pq_topk",              # PQ codes + ADC shortlist + exact re-rank (round 9)
 ]
 
 

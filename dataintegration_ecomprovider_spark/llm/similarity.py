@@ -841,3 +841,222 @@ def brute_force_topk_quantized(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- product quantization (faiss PQ role: m sub-codebooks, ADC scan) -------
+
+def _unit(a: Column) -> Column:
+    """L2-normalized copy of `a` — PQ quantizes UNIT vectors so its
+    squared-L2 ordering equals the cosine ordering the exact engines
+    rank by (||x-y||^2 = 2 - 2cos for unit vectors)."""
+    return F.transform(a, lambda x: x / _norm(a))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 between two equal-length arrays — sequential fold, so
+    the DuckDB oracle's list_sum over the same elementwise squares
+    reproduces it."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
+def pq_index(
+    embeddings: DataFrame,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> dict[str, DataFrame]:
+    """Product-quantization index (faiss PQ): the vector splits into `m`
+    contiguous subvectors; each subspace gets a `codebook_size`-entry
+    codebook (the hash-rank-sampled vectors' subvectors — the same
+    deterministic no-count picker as ivf_index; k-means would drop in
+    without changing the encode plan); every vector encodes as m small
+    codes — ``m·log2(k)`` bits instead of ``d × 8`` bytes, an ~85x
+    candidate-bytes shrink at (m=4, k=16, d=64 float64) versus SQ8's 8x.
+
+    Returns {"codebook": (j, c, cv), "codes": (id, codes array<int>)} —
+    both publishable to the versioned store like the IVF tables.
+
+    Scale shape: the codebook is O(m·k) rows (broadcast everywhere); the
+    encode pass expands each vector to m·k scored rows PARTITION-LOCALLY
+    against the broadcast codebook and reduces with a map-side
+    min(struct(dist, c)) — one shuffle on the id for the final
+    per-vector code assembly, no corpus self-join anywhere."""
+    spark = embeddings.sparkSession
+    dim = embeddings.select(
+        F.size(F.col(vec_col)).alias("d")
+    ).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dim {dim}")
+    sub = dim // m
+    if portable:
+        from dataintegration_ecomprovider_spark.llm.portable import md5_int60
+
+        rank_hash = md5_int60(F.col(id_col).cast("string"))
+    else:
+        rank_hash = F.xxhash64(F.col(id_col))
+    sample = (
+        embeddings.select(
+            F.col(id_col),
+            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        )
+        .orderBy(rank_hash.asc(), F.col(id_col).asc())
+        .limit(codebook_size)
+        .collect()  # bounded: codebook_size rows — same contract as the
+    )                # pivot-value discovery's driver-side collect
+    codebook_rows = [
+        (j, c, list(row["v"][j * sub:(j + 1) * sub]))
+        for c, row in enumerate(sample)
+        for j in range(m)
+    ]
+    codebook = spark.createDataFrame(
+        codebook_rows, "j int, c int, cv array<double>"
+    )
+    cand = embeddings.select(
+        F.col(id_col),
+        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    expanded = cand.crossJoin(F.broadcast(codebook)).select(
+        id_col, "j", "c",
+        F.round(
+            _l2sq(F.slice(F.col("v"), F.col("j") * sub + 1, sub),
+                  F.col("cv")),
+            6,
+        ).alias("d"),
+    )
+    # argmin per (vector, subspace): min over struct orders by distance
+    # then code — rounding above makes near-ties deterministic ties
+    best = expanded.groupBy(id_col, "j").agg(
+        F.min(F.struct("d", "c")).getField("c").alias("code")
+    )
+    codes = best.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    return {"codebook": codebook, "codes": codes, "m": m, "sub": sub,
+            "k": codebook_size}
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): each query
+    precomputes an m×codebook_size table of exact query-subvector →
+    codebook-entry distances (O(m·k) work, broadcast), then every
+    candidate costs m TABLE LOOKUPS — no per-candidate float vector math
+    at all, the read side touching only the ~85x-smaller code table.
+    Vectors are unit-normalized before quantization, so the squared-L2
+    code distance orders like cosine (||x−y||² = 2−2·cos on the sphere).
+
+    `rerank=None` returns the raw ADC ordering: (query_id, neighbor_id,
+    distance, rank) ascending.  `rerank=R` is the PRODUCTION two-stage
+    form (faiss's refine step): the ADC pass shortlists R candidates per
+    query from codes alone, then ONLY those R rows fetch their float
+    vectors for an exact cosine re-rank — output (query_id, neighbor_id,
+    similarity, rank) like the exact engines, with the full-precision
+    read bounded at R/|corpus| of the data.  Raw-ADC recall floors are
+    data-dependent (structureless random vectors quantize badly — the
+    fixture's measured raw recall is documented in test_llm); the
+    reranked form is what a deployment serves."""
+    idx = pq_index(
+        embeddings, m=m, codebook_size=codebook_size,
+        id_col=id_col, vec_col=vec_col, portable=portable,
+    )
+    sub, kk = idx["sub"], idx["k"]
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    tab = q.crossJoin(F.broadcast(idx["codebook"])).select(
+        "query_id", "j", "c",
+        F.round(
+            _l2sq(F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
+                  F.col("cv")),
+            6,
+        ).alias("w"),
+    )
+    # one flat lookup array per query, index = j * codebook_size + c
+    tables = tab.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "c", "w"))),
+            lambda s: s["w"],
+        ).alias("table")
+    )
+    scored = (
+        idx["codes"]
+        .withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(tables))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc + F.element_at(
+                        F.col("table"),
+                        j * kk + F.element_at(F.col("codes"), j + 1) + 1,
+                    ),
+                ),
+                6,
+            ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "distance",
+                    F.col("rank").cast("int").alias("rank"))
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    )
+    # re-rank against the RAW query vector (same arithmetic as the exact
+    # engines and the oracle — cosine is scale-invariant mathematically,
+    # but the normalized copy's floats are not bit-identical)
+    qraw = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    refined = (
+        shortlist.join(F.broadcast(qraw), "query_id")
+        .join(cand, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6)
+            .alias("similarity"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity",
+                F.col("rank").cast("int").alias("rank"))
+    )

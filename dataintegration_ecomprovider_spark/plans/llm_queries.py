@@ -293,6 +293,102 @@ def q_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ORACLE_TOPK_QUANTIZED is defined after _COS, below)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank (round 9,
+    llm/similarity.py::pq_topk — faiss PQ + refine): vectors unit-
+    normalize, split into 4 sub-codebooks × 16 entries; the ADC pass
+    shortlists 50 candidates per query from CODES ALONE (4 table lookups
+    per candidate, ~85x smaller than the floats), then only the
+    shortlist fetches vectors for the exact cosine top-5.  Codebooks are
+    hash-rank sampled (portable md5 family) so the oracle unrolls the
+    ENTIRE two-stage pipeline — sample → per-subspace encode → ADC →
+    re-rank — in plain SQL with the identical sequential distance
+    fold."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(
+        emb, queries, k=5, m=4, codebook_size=16, portable=True, rerank=50
+    )
+
+
+ORACLE_PQ_TOPK = f"""
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+  FROM embeddings
+),
+cand AS (
+  SELECT vec_id, rv,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+  FROM raw
+),
+sample AS (
+  SELECT vec_id, v, CAST(ROW_NUMBER() OVER (
+    ORDER BY {md5_int60_sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+  ) - 1 AS INTEGER) AS c
+  FROM cand QUALIFY c < 16
+),
+codebook AS (
+  SELECT CAST(t.j AS INTEGER) AS j, c, v[t.j*16+1 : t.j*16+16] AS cv
+  FROM sample, UNNEST(range(0, 4)) AS t(j)
+),
+enc AS (
+  SELECT a.vec_id, cb.j, cb.c,
+         ROUND(list_sum(list_transform(range(1, 17),
+           i -> (a.v[cb.j*16 + i] - cb.cv[i])
+              * (a.v[cb.j*16 + i] - cb.cv[i]))), 6) AS d
+  FROM cand a CROSS JOIN codebook cb
+),
+best AS (
+  SELECT vec_id, j, c AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM enc
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes
+  FROM best WHERE rn = 1 GROUP BY vec_id
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.c,
+         ROUND(list_sum(list_transform(range(1, 17),
+           i -> (q.v[cb.j*16 + i] - cb.cv[i])
+              * (q.v[cb.j*16 + i] - cb.cv[i]))), 6) AS w
+  FROM cand q CROSS JOIN codebook cb WHERE q.vec_id < 10
+),
+qtables AS (
+  SELECT query_id, list(w ORDER BY j, c) AS tbl FROM qtab GROUP BY query_id
+),
+scored AS (
+  SELECT t.query_id, c2.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(0, 4),
+           j -> t.tbl[j*16 + c2.codes[j+1] + 1])), 6) AS distance
+  FROM codes c2 CROSS JOIN qtables t
+  WHERE t.query_id <> c2.vec_id
+),
+rankedq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY distance ASC, neighbor_id ASC) AS adc_rank
+  FROM scored
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_dot_product(q.rv, c.rv) /
+               (sqrt(list_dot_product(q.rv, q.rv))
+                * sqrt(list_dot_product(c.rv, c.rv))), 6) AS similarity
+  FROM rankedq s
+  JOIN cand q ON q.vec_id = s.query_id
+  JOIN cand c ON c.vec_id = s.neighbor_id
+  WHERE s.adc_rank <= 50
+),
+final AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM refined
+)
+SELECT query_id, neighbor_id, similarity, rank FROM final WHERE rank <= 5
+"""
+
+
 # --- IVF-bucketed ANN (rows-only: recall invariant in tests/test_llm.py) --
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).table("embeddings")
@@ -2466,6 +2562,7 @@ QUERIES = {
     "llm_ngram_jaccard": QueryDef(q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
     "llm_sim_topk_quantized": QueryDef(q_topk_quantized, ORACLE_TOPK_QUANTIZED),
+    "llm_sim_pq_topk": QueryDef(q_pq_topk, ORACLE_PQ_TOPK),
     "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None, retired=True),
     "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),
     "llm_lang_id": QueryDef(q_lang_id, ORACLE_LANG_ID),

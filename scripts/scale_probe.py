@@ -166,6 +166,12 @@ def main() -> None:
             "sq8": lambda: similarity.brute_force_topk_quantized(
                 emb, queries_df, k=K
             ),
+            # the production two-stage PQ: ADC shortlist from codes,
+            # exact re-rank of 200 of ~5000 (4%) — reported, not floored
+            # (raw-PQ recall is data-dependent; see SCALE.md)
+            "pq": lambda: similarity.pq_topk(
+                emb, queries_df, k=K, m=8, codebook_size=16, rerank=200
+            ),
         }
         for label, fn in engines.items():
             t0 = time.perf_counter()

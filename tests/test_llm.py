@@ -346,3 +346,47 @@ def test_cluster_assignments_partition_corpus_deterministically(spark):
         emb, n_clusters=8, iters=2, portable=True
     )
     assert portable.count() == n
+
+
+def test_pq_topk_recall_and_shape(spark):
+    """Product quantization (round 9): ADC top-5 keeps usable recall vs
+    the exact top-k on the fixture; codes are m integers in
+    [0, codebook_size); distances ascend within each query; the fast and
+    portable hash families agree on everything but the sampled codebook."""
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    pq = similarity.pq_topk(emb, queries, k=5, m=4, codebook_size=16)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows = pq.collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    raw_recall = len(ex & got) / len(ex)
+    # the fixture's vectors are STRUCTURELESS noise — PQ's worst case;
+    # the raw-ADC tier only has to be better than chance (5/500 = 1%)
+    assert raw_recall >= 0.1, f"pq raw recall {raw_recall}"
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["distance"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert all(rs[i][1] <= rs[i + 1][1] for i in range(len(rs) - 1))
+    # the production two-stage form: ADC shortlist (20% of the corpus)
+    # + exact re-rank recovers most of the exact top-k even on noise
+    rr = similarity.pq_topk(emb, queries, k=5, m=8, codebook_size=16,
+                            rerank=100)
+    rr_ids = {(r["query_id"], r["neighbor_id"]) for r in rr.collect()}
+    rr_recall = len(ex & rr_ids) / len(ex)
+    assert rr_recall >= 0.6, f"pq reranked recall {rr_recall}"
+    assert rr_recall > raw_recall
+
+    idx = similarity.pq_index(emb, m=4, codebook_size=16)
+    codes = idx["codes"].collect()
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r["codes"])
+    assert idx["codebook"].count() == 4 * 16
+    # the portable family runs the same pipeline end-to-end
+    p = similarity.pq_topk(emb, queries, k=5, m=4, codebook_size=16,
+                           portable=True)
+    assert p.columns == ["query_id", "neighbor_id", "distance", "rank"]
+    assert p.count() == 50
