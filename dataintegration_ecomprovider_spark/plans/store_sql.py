@@ -10,7 +10,7 @@ same engine paths the Python API uses — identical semantics by
 construction (the round-trip parity suite in tests/test_store_sql.py
 pins the U1-U3 mode matrix plus delete-incoming against the Python API):
 
-    MERGE INTO t USING s ON t.k = s.k
+    MERGE [WITH SCHEMA EVOLUTION] INTO t USING s ON t.k = s.k
       WHEN MATCHED THEN UPDATE SET *
       WHEN NOT MATCHED THEN INSERT *        -- U1/U2 full upsert
     MERGE INTO t USING s ON ... WHEN NOT MATCHED THEN INSERT *   -- U3 insert-only
@@ -25,7 +25,8 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     INSERT [OR IGNORE] INTO t <SELECT ...>
     INSERT [OR IGNORE] INTO t [(c1, c2)] VALUES (...), (...)
     SELECT ... FROM store_t [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...
-    CREATE TABLE t [KEYED BY (k1, k2)] AS SELECT ...
+    CREATE TABLE t [KEYED BY (k1, k2)]
+                   [PARTITIONED BY (c1, c2)] AS SELECT ...
     DROP TABLE t                          -- O(1) metadata commit
     OPTIMIZE t [ZORDER BY (c1, c2)]       -- compact / clustered rewrite
     VACUUM [RETAIN n VERSIONS|HOURS|DAYS] -- count- or time-based retention
@@ -148,7 +149,8 @@ def _parse_assignments(sets: str) -> dict[str, str]:
 
 
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
+    r"^\s*MERGE\s+(?:(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION)\s+)?"
+    r"INTO\s+(?P<target>\w+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?"
     r"\s+USING\s+(?:(?P<subquery>\(.*\))|(?P<source>\w+))"
     r"(?:\s+(?:AS\s+)?(?P<salias>\w+))?"
     r"\s+ON\s+(?P<on>.*?)"
@@ -200,6 +202,7 @@ _VACUUM_RE = re.compile(
 _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<target>\w+)"
     r"(?:\s+KEYED\s+BY\s+\(?(?P<keys>[\w\s,]+?)\)?)?"
+    r"(?:\s+PARTITIONED\s+BY\s+\(?(?P<parts>[\w\s,]+?)\)?)?"
     r"\s+AS\s+(?P<select>SELECT\s+.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -605,12 +608,17 @@ class StoreSQL:
             if target in publish.current_manifest(self.root)["tables"]:
                 raise ValueError(f"table {target!r} already exists")
             keys = m.group("keys")
+            parts = m.group("parts")
             return publish.publish_tables(
                 self.spark, {target: self.spark.sql(m.group("select"))},
                 self.root,
                 table_keys=(
                     {target: [k.strip() for k in keys.split(",")]}
                     if keys else None
+                ),
+                partition_by=(
+                    {target: [p.strip() for p in parts.split(",")]}
+                    if parts else None
                 ),
             )
         m = _DROP_RE.match(statement)
@@ -717,6 +725,7 @@ class StoreSQL:
 
     def _merge(self, m: re.Match) -> dict:
         target = m.group("target")
+        evolve = bool(m.group("evolve"))
         staging = self._frame(m.group("source"), m.group("subquery"))
         keys = self._keys_from_on(
             m.group("on"), target, m.group("talias"),
@@ -795,6 +804,7 @@ class StoreSQL:
                 self._tx_stage(target, {
                     "staging": staging, "keys": keys,
                     "insert_new": insert, "update_existing": update,
+                    "evolve_schema": evolve,
                 })
             return {"deferred": target}
         if by_source is not None:
@@ -821,6 +831,7 @@ class StoreSQL:
         return fn(
             self.spark, self.root, target, staging, keys=keys,
             insert_new=insert, update_existing=update,
+            evolve_schema=evolve,
         )
 
     def _merge_by_source(

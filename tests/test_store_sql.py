@@ -660,3 +660,48 @@ def test_insert_values_in_transaction_block(spark, tmp_path):
     assert publish.read_table(spark, root, "t").filter(
         F.col("k") == 200
     ).count() == 1
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """Delta's MERGE WITH SCHEMA EVOLUTION syntax: staging-only columns
+    widen the table (metadata-only on MoR; new type widenings compose);
+    without the clause the same statement refuses on MoR and drops the
+    column on CoW-upsert semantics preserved by the engine."""
+    root = _seed(spark, tmp_path, "evo")
+    spark.createDataFrame(
+        [(21, 1, "n", "EU")], "k long, v long, tag string, region string"
+    ).createOrReplaceTempView("evo_stg")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        store_sql(spark, root, mor=True).sql(
+            "MERGE INTO t USING evo_stg ON t.k = evo_stg.k "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    store_sql(spark, root, mor=True).sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO t USING evo_stg "
+        "ON t.k = evo_stg.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = publish.read_table(spark, root, "t")
+    assert "region" in got.columns
+    rows = {r["k"]: r["region"] for r in got.collect()}
+    assert rows[21] == "EU" and rows[0] is None
+
+
+def test_ctas_partitioned_by(spark, tmp_path):
+    import os
+
+    root = _seed(spark, tmp_path, "ctp")
+    store_sql(spark, root).sql(
+        "CREATE TABLE bytag KEYED BY (k) PARTITIONED BY (tag) "
+        "AS SELECT k, v, tag FROM store_t"
+    )
+    entry = publish.current_manifest(root)["tables"]["bytag"]
+    assert entry.get("partition_by") == ["tag"]
+    assert any(
+        d.startswith("tag=") for d in os.listdir(entry["path"])
+        if not d.startswith("_")
+    )
+    assert publish.read_table(spark, root, "bytag").count() == 20
+    # partition pruning works through the hive layout
+    kept, total = publish.prune_files(root, "bytag", [("tag", "=", "old")])
+    assert len(kept) >= 1
