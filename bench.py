@@ -79,6 +79,7 @@ HEADLINE = [
     "llm_repeated_spans_maximal",   # length-doubling maximal repeated spans (round 9)
     "u12_partial_update",           # partial-column MoR deltas: keys + set cols only (round 9)
     "llm_sim_pq_topk",              # PQ codes + ADC shortlist + exact re-rank (round 9)
+    "llm_pq_codes_cdc",             # CDC-maintained PQ code table lifecycle (round 9)
 ]
 
 

@@ -916,7 +916,20 @@ def pq_index(
     codebook = spark.createDataFrame(
         codebook_rows, "j int, c int, cv array<double>"
     )
-    cand = embeddings.select(
+    codes = _pq_encode(embeddings, codebook, sub, id_col, vec_col)
+    return {"codebook": codebook, "codes": codes, "m": m, "sub": sub,
+            "k": codebook_size}
+
+
+def _pq_encode(
+    rows: DataFrame, codebook: DataFrame, sub: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, codes): nearest codebook entry per subspace for each vector —
+    partition-local against the broadcast codebook, one shuffle on the
+    id for the final code assembly.  Pure per-row given the codebook,
+    which is what lets maintain_pq_codes run it over CDC deltas only."""
+    cand = rows.select(
         F.col(id_col),
         _unit(F.col(vec_col).cast("array<double>")).alias("v"),
     )
@@ -933,14 +946,81 @@ def pq_index(
     best = expanded.groupBy(id_col, "j").agg(
         F.min(F.struct("d", "c")).getField("c").alias("code")
     )
-    codes = best.groupBy(id_col).agg(
+    return best.groupBy(id_col).agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("j", "code"))),
             lambda s: s["code"],
         ).alias("codes")
     )
-    return {"codebook": codebook, "codes": codes, "m": m, "sub": sub,
-            "k": codebook_size}
+
+
+def publish_pq_codebook(
+    spark,
+    root: str,
+    src: str = "embeddings",
+    dst: str = "pq_codebook",
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> dict:
+    """Sample and PERSIST the PQ codebook (j, c, cv) from the current
+    `src` table — the fixed half of the index (codes follow the corpus
+    via maintain_pq_codes; re-sampling the codebook wholesale is a
+    maintenance decision, exactly like recenter_topics /
+    maintain_store's recluster gating)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = publish.read_table(spark, root, src)
+    # pq_index's "codes" frame stays lazy and unexecuted here — only the
+    # bounded codebook sample materializes
+    idx = pq_index(
+        emb, m=m, codebook_size=codebook_size,
+        id_col=id_col, vec_col=vec_col, portable=portable,
+    )
+    return publish.publish_tables(
+        spark, {dst: idx["codebook"]}, root,
+        table_keys={dst: ["j", "c"]},
+    )
+
+
+def maintain_pq_codes(
+    spark,
+    root: str,
+    src: str = "embeddings",
+    dst: str = "pq_codes",
+    codebook_table: str = "pq_codebook",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain the persisted PQ code table (id, codes) as a CDC-DRIVEN
+    VIEW of the embeddings table — ANN-by-codes stops returning vectors
+    curation deleted, and re-embedded vectors re-encode, without ever
+    re-encoding the full corpus.
+
+    Code assignment is a pure per-row function of (vector, persisted
+    codebook): inserts/updates re-encode just the changed vectors
+    (broadcast m×k codebook, O(batch)); deletes retract their code rows;
+    each refresh is one merge-on-read commit.  Implemented on
+    materialize.maintain_rowwise_view (stable single-key fast path — one
+    code row per vector, no view scan on refresh); the first call seeds
+    the table.  Declarable into the store for maintain_store's pass.
+
+    Returns {"dst", "from_version", "to_version", "mode"}."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    codebook = publish.read_table(spark, root, codebook_table)
+    sub = len(codebook.select("cv").first()["cv"])
+
+    def _build(rows):
+        return _pq_encode(rows, codebook, sub, id_col, vec_col)
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=[id_col], src_key=id_col, src_key_out=id_col,
+        stable_keys=True, state_key=f"pq-codes:{dst}",
+    )
 
 
 def pq_topk(

@@ -1796,6 +1796,105 @@ SELECT query_id, neighbor_id, similarity, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_pq_codes_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ code table as a CDC-MAINTAINED VIEW (round 9,
+    similarity.maintain_pq_codes on the rowwise-view primitive): the
+    codes follow the embeddings table — deletes retract code rows,
+    re-embedded vectors re-encode against the PERSISTED codebook, and
+    each refresh re-encodes only the changed vectors (broadcast m×k
+    codebook, O(batch)).  Lifecycle: sample + publish the codebook from
+    ingest batch 1 (portable md5 rank), seed the code table, MoR-insert
+    batch 2 → refresh, delete every vec_id ≡ 3 (mod 5) → refresh
+    (retraction), re-embed every live vec_id ≡ 0 (mod 7) as its
+    reversed vector → refresh (re-encode).  The maintained table must
+    equal a from-scratch encode of the FINAL corpus with the BATCH-1
+    codebook — exactly what the oracle computes; a stale code row for a
+    deleted or re-embedded vector breaks the hash."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    root = _scratch_store_root("pq_cdc")
+    publish.publish_tables(
+        spark, {"embeddings": batch1}, root,
+        table_keys={"embeddings": ["vec_id"]},
+    )
+    similarity.publish_pq_codebook(
+        spark, root, m=4, codebook_size=16, portable=True
+    )
+    res = similarity.maintain_pq_codes(spark, root)
+    assert res["mode"] == "seed", res
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.filter(F.col("vec_id") % 2 != 0)
+    )
+    res = similarity.maintain_pq_codes(spark, root)
+    assert res["mode"] == "delta", res
+    cur = publish.read_table(spark, root, "embeddings")
+    publish.merge_into_mor(
+        spark, root, "embeddings", cur.limit(0),
+        deletes=cur.filter(F.col("vec_id") % 5 == 3).select("vec_id"),
+    )
+    res = similarity.maintain_pq_codes(spark, root)
+    assert res["mode"] == "delta", res
+    cur = publish.read_table(spark, root, "embeddings")
+    publish.merge_into_mor(
+        spark, root, "embeddings",
+        cur.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("embedding", F.reverse("embedding")),
+    )
+    res = similarity.maintain_pq_codes(spark, root)
+    assert res["mode"] == "delta", res
+    codes = publish.read_table(spark, root, "pq_codes")
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    ).select("vec_id", F.col("j").cast("int").alias("j"), "code")
+
+
+ORACLE_PQ_CODES_CDC = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+  FROM embeddings
+),
+sample AS (
+  SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS nv,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY {md5_int60_sql("CAST(vec_id AS VARCHAR)")} ASC,
+                    vec_id ASC) - 1 AS INTEGER) AS c
+  FROM v WHERE vec_id % 2 = 0
+  QUALIFY c < 16
+),
+codebook AS (
+  SELECT CAST(t.j AS INTEGER) AS j, c, nv[t.j*16+1 : t.j*16+16] AS cv
+  FROM sample, UNNEST(range(0, 4)) AS t(j)
+),
+final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 0 THEN list_reverse(rv) ELSE rv END AS fv
+  FROM v WHERE vec_id % 5 <> 3
+),
+nfinal AS (
+  SELECT vec_id,
+         list_transform(fv, x -> x / sqrt(list_dot_product(fv, fv))) AS nv
+  FROM final
+),
+enc AS (
+  SELECT a.vec_id, cb.j, cb.c,
+         ROUND(list_sum(list_transform(range(1, 17),
+           i -> (a.nv[cb.j*16 + i] - cb.cv[i])
+              * (a.nv[cb.j*16 + i] - cb.cv[i]))), 6) AS d
+  FROM nfinal a CROSS JOIN codebook cb
+),
+best AS (
+  SELECT vec_id, j, c AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM enc
+)
+SELECT vec_id, j, code FROM best WHERE rn = 1
+"""
+
+
 # --- cross-document repeated spans (boilerplate detection) ----------------
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width repeated-span detection across the corpus
@@ -2563,6 +2662,7 @@ QUERIES = {
     "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
     "llm_sim_topk_quantized": QueryDef(q_topk_quantized, ORACLE_TOPK_QUANTIZED),
     "llm_sim_pq_topk": QueryDef(q_pq_topk, ORACLE_PQ_TOPK),
+    "llm_pq_codes_cdc": QueryDef(q_pq_codes_cdc, ORACLE_PQ_CODES_CDC),
     "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None, retired=True),
     "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),
     "llm_lang_id": QueryDef(q_lang_id, ORACLE_LANG_ID),

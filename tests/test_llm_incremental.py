@@ -1263,3 +1263,51 @@ def test_stream_dedup_into_store_mor_multi_table(spark, tmp_path):
     assert {
         r.doc_id for r in publish.read_table(spark, root, "corpus").collect()
     } == {1, 2, 12}
+
+
+def test_maintain_pq_codes_follows_corpus(spark, tmp_path):
+    """Round 9: the PQ code table is a CDC-driven view — seed, O(batch)
+    delta refresh, delete retraction, noop when nothing changed, and the
+    maintained state always equals a from-scratch encode of the current
+    corpus against the persisted codebook."""
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path / "store")
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    publish.publish_tables(
+        spark, {"embeddings": emb.filter(F.col("vec_id") % 2 == 0)}, root,
+        table_keys={"embeddings": ["vec_id"]},
+    )
+    similarity.publish_pq_codebook(spark, root, m=4, codebook_size=16)
+    assert similarity.maintain_pq_codes(spark, root)["mode"] == "seed"
+    # nothing changed since the seed: the refresh does no view work
+    # ("empty" = version advanced by another table's commit, "noop" =
+    # watermark already at head)
+    assert similarity.maintain_pq_codes(spark, root)["mode"] in (
+        "noop", "empty"
+    )
+
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.filter(F.col("vec_id") % 2 != 0)
+    )
+    assert similarity.maintain_pq_codes(spark, root)["mode"] == "delta"
+    cur = publish.read_table(spark, root, "embeddings")
+    publish.merge_into_mor(
+        spark, root, "embeddings", cur.limit(0),
+        deletes=cur.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+    )
+    assert similarity.maintain_pq_codes(spark, root)["mode"] == "delta"
+
+    got = {r["vec_id"]: r["codes"]
+           for r in publish.read_table(spark, root, "pq_codes").collect()}
+    live = publish.read_table(spark, root, "embeddings")
+    codebook = publish.read_table(spark, root, "pq_codebook")
+    expect = {r["vec_id"]: r["codes"] for r in similarity._pq_encode(
+        live, codebook, 16, "vec_id", "embedding"
+    ).collect()}
+    assert got == expect  # incremental == recompute
+    assert all(v % 5 != 0 for v in got)  # deletions retracted
