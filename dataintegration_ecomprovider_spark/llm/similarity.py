@@ -913,9 +913,14 @@ def pq_index(
         for c, row in enumerate(sample)
         for j in range(m)
     ]
+    # repartition(1): O(m·k) bounded rows — createDataFrame otherwise
+    # spreads them over defaultParallelism partitions, and publishing the
+    # codebook then writes ~32 near-empty files per commit.  (repartition,
+    # not coalesce: coalesce(1) over a parallelized local relation stalls
+    # ~4 s per job on this Spark build; the 64-row shuffle is free.)
     codebook = spark.createDataFrame(
         codebook_rows, "j int, c int, cv array<double>"
-    )
+    ).repartition(1)
     codes = _pq_encode(embeddings, codebook, sub, id_col, vec_col)
     return {"codebook": codebook, "codes": codes, "m": m, "sub": sub,
             "k": codebook_size}

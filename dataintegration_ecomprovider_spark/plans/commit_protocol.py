@@ -552,6 +552,13 @@ def protocol_for(root: str) -> CommitProtocol:
         with open(cfg, encoding="utf-8") as fh:
             name = json.load(fh)["protocol"]
     except (OSError, ValueError, KeyError):
+        # cache the MISS too: a default-POSIX root otherwise re-attempts
+        # this open on every commit/read for the life of the session.
+        # Safe to pin — the backend must be selected before the first
+        # publish (persist_protocol refuses mid-life switches), and both
+        # persist_protocol and set_protocol write _REGISTRY directly, so
+        # an in-session selection still overrides the cached default.
+        _REGISTRY[root] = _DEFAULT
         return _DEFAULT
     proto = _PROTOCOLS[name]()
     _REGISTRY[root] = proto  # cache: one instance per root per session

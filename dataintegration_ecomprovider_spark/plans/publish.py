@@ -137,6 +137,26 @@ def _read_entry(spark: SparkSession, entry) -> DataFrame:
     return base
 
 
+def _staged_has_columns(entry) -> bool | None:
+    """Cheap driver-side answer to "does this freshly staged table have at
+    least one column?" from a single parquet footer — the publish-path
+    validation that previously launched a whole Spark read per staged
+    table.  Returns None for "can't tell cheaply" (no data files, or a
+    footer with zero physical columns — possible when every column is a
+    partition column), in which case the caller falls back to the full
+    `_read_entry` check."""
+    path = entry["path"] if isinstance(entry, dict) else entry
+    try:
+        import pyarrow.parquet as pq
+
+        files = _data_files(path)
+        if not files:
+            return None
+        return pq.ParquetFile(files[0]).metadata.num_columns > 0 or None
+    except Exception:
+        return None
+
+
 def _entry_paths(entry) -> list[str]:
     """Every data directory a manifest entry references: the base path
     plus any merge-on-read delta directories.  Vacuum/orphan collection
@@ -1069,6 +1089,7 @@ def publish_tables(
     to their logical names to match the fresh files.
     """
     os.makedirs(root, exist_ok=True)
+    _t_publish = time.perf_counter()
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged_paths: dict[str, object] = {}
     prev = current_manifest(root)
@@ -1110,7 +1131,7 @@ def publish_tables(
             return spec or None
         return _carried(name, "partition_by")
 
-    for name, df in outputs.items():
+    def _stage_one(name: str, df: DataFrame):
         path = os.path.join(root, "data", txid, name)
         keys_meta = _keys_for(name)
         parts = _parts_for(name)
@@ -1135,19 +1156,41 @@ def publish_tables(
             }
             if keys_meta:
                 entry["keys"] = keys_meta
-            staged_paths[name] = entry
-        elif parts:
+            return entry
+        if parts:
             df.write.mode("errorifexists").partitionBy(*parts).parquet(path)
             entry = {"path": path, "partition_by": parts}
             if keys_meta:
                 entry["keys"] = keys_meta
-            staged_paths[name] = entry
-        elif keys_meta:
+            return entry
+        if keys_meta:
             df.write.mode("errorifexists").parquet(path)
-            staged_paths[name] = {"path": path, "keys": keys_meta}
-        else:
-            df.write.mode("errorifexists").parquet(path)
-            staged_paths[name] = path
+            return {"path": path, "keys": keys_meta}
+        df.write.mode("errorifexists").parquet(path)
+        return path
+
+    # stage tables CONCURRENTLY: each staged table is its own Spark write
+    # job into its own directory, and a multi-table transaction otherwise
+    # pays N sequential job launches for what the scheduler can overlap
+    # (job-level parallelism is exactly what Spark's FIFO scheduler
+    # time-slices across a 1000-executor cluster too — small per-table
+    # writes stop serializing on each other's task-launch latency)
+    if len(outputs) > 1:
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(8, len(outputs))
+        ) as pool:
+            futs = {
+                name: pool.submit(_stage_one, name, df)
+                for name, df in outputs.items()
+            }
+            # preserve the caller's table order in staged_paths
+            for name in outputs:
+                staged_paths[name] = futs[name].result()
+    else:
+        for name, df in outputs.items():
+            staged_paths[name] = _stage_one(name, df)
 
     if collect_stats:
         for name, entry in list(staged_paths.items()):
@@ -1206,12 +1249,25 @@ def publish_tables(
             staged_paths[name] = entry
 
     for name, entry in staged_paths.items():
+        cons = entry.get("constraints") if isinstance(entry, dict) else None
+        needs_frame = bool(
+            (validators and name in validators)
+            or (cons and not (rewrite_of and name in rewrite_of))
+        )
+        if not needs_frame:
+            # nothing to validate beyond "has columns": answer that from
+            # one parquet footer on the driver instead of launching a
+            # Spark read of the staged directory (a per-commit fixed cost
+            # that dominated small commits).  Unknown (no files, or a
+            # partition-column-only footer) falls through to the full read.
+            nonempty = _staged_has_columns(entry)
+            if nonempty is True:
+                continue
         staged = _read_entry(spark, entry)
         if not staged.schema.fields:
             raise ValidationError(f"{name}: staged table has no columns")
         if validators and name in validators:
             validators[name](staged)
-        cons = entry.get("constraints") if isinstance(entry, dict) else None
         if cons and not (rewrite_of and name in rewrite_of):
             try:
                 _constraint_validator(cons)(staged)
@@ -1255,6 +1311,12 @@ def publish_tables(
             # after _history_fields: the new watermark overrides the
             # carried-forward txns map
             **_txn_fields(prev, txn),
+            # stage-to-swap wall time: describe_history surfaces it so a
+            # creeping per-commit fixed cost is self-diagnosing instead
+            # of needing an external bisect
+            "commit_wall_ms": round(
+                (time.perf_counter() - _t_publish) * 1000, 1
+            ),
         }
         return _commit(root, txid, manifest, based_on=prev["version"])
 
@@ -1300,7 +1362,8 @@ def _history_fields(root: str, prev: dict) -> dict:
         hist.append(
             {"version": prev["version"], "txid": prev.get("txid"),
              "tables": prev["tables"],
-             "committed_at_unix": prev.get("committed_at_unix")}
+             "committed_at_unix": prev.get("committed_at_unix"),
+             "commit_wall_ms": prev.get("commit_wall_ms")}
         )
     spills = list(prev.get("history_spills", []))
     if len(hist) > HISTORY_INLINE_MAX:
@@ -2063,6 +2126,7 @@ def merge_into_mor(
         # already applied — skip before staging anything (authoritative
         # re-check under the commit lock below)
         return {**pre, "txn_skipped": True}
+    _t_publish = time.perf_counter()
     (
         delta_df, keys, base_schema, unknown, n_parts, set_cols,
     ) = _prepare_mor_delta(
@@ -2093,6 +2157,9 @@ def merge_into_mor(
             },
             **_history_fields(root, prev),
             **_txn_fields(prev, txn),
+            "commit_wall_ms": round(
+                (time.perf_counter() - _t_publish) * 1000, 1
+            ),
         }
         return _commit(root, txid, manifest, based_on=prev["version"])
 
@@ -2144,6 +2211,7 @@ def merge_many_mor(
             spec.get("evolve_schema", False),
             spec.get("partial_update", False),
         )
+    _t_publish = time.perf_counter()
     txid = f"{int(time.time() * 1000):x}-{uuid.uuid4().hex[:8]}"
     staged = {
         name: _write_mor_delta(
@@ -2171,6 +2239,9 @@ def merge_many_mor(
             "tables": tables,
             **_history_fields(root, prev),
             **_txn_fields(prev, txn),
+            "commit_wall_ms": round(
+                (time.perf_counter() - _t_publish) * 1000, 1
+            ),
         }
         return _commit(root, txid, manifest, based_on=prev["version"])
 
@@ -6346,6 +6417,7 @@ def describe_history(root: str) -> list[dict]:
             "version": h["version"],
             "txid": h.get("txid"),
             "committed_at_unix": h.get("committed_at_unix"),
+            "commit_wall_ms": h.get("commit_wall_ms"),
             "tables": h["tables"],
         }
         for h in _all_history(root, manifest)
@@ -6354,6 +6426,7 @@ def describe_history(root: str) -> list[dict]:
             "version": manifest["version"],
             "txid": manifest.get("txid"),
             "committed_at_unix": manifest.get("committed_at_unix"),
+            "commit_wall_ms": manifest.get("commit_wall_ms"),
             "tables": manifest["tables"],
         }
     ]
@@ -6372,6 +6445,10 @@ def describe_history(root: str) -> list[dict]:
             "version": snap["version"],
             "txid": snap["txid"],
             "committed_at_unix": snap["committed_at_unix"],
+            # stage-to-swap wall time the commit path stamped (None on
+            # versions predating the metric or from paths that skip it):
+            # per-commit cost drift shows up in the history itself
+            "commit_wall_ms": snap.get("commit_wall_ms"),
             "tables": sorted(snap["tables"]),
             "changed": changed,
         })
