@@ -116,14 +116,14 @@ def _read_entry(spark: SparkSession, entry) -> DataFrame:
     the merge-on-read state: base rows not overridden by any delta, plus
     the newest delta row per key that is not a delete marker."""
     if isinstance(entry, str):
-        return spark.read.parquet(entry)
+        return _cached_parquet(spark, entry)
     if "table" in entry:
         try:
             base = spark.table(entry["table"])
         except Exception:
-            base = spark.read.parquet(entry["path"])
+            base = _cached_parquet(spark, entry["path"])
     else:
-        base = spark.read.parquet(entry["path"])
+        base = _cached_parquet(spark, entry["path"])
     if entry.get("deltas"):
         return _apply_deltas(spark, base, entry)
     if entry.get("schema_json"):
@@ -135,6 +135,46 @@ def _read_entry(spark: SparkSession, entry) -> DataFrame:
             base, StructType.fromJson(json.loads(entry["schema_json"]))
         )
     return base
+
+
+_PARQUET_PLAN_CACHE: "dict[tuple[int, str], tuple[object, DataFrame]]" = {}
+_PARQUET_PLAN_CACHE_MAX = 512
+
+
+def _cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """`spark.read.parquet(path)` memoized per (session, path) — valid
+    ONLY for the store's own data directories, which are immutable by
+    construction (a committed data/<txid>/<table> dir is never appended
+    to or rewritten; every write mints a fresh txid).  Each uncached read
+    costs a JVM file-listing + schema-inference roundtrip (~100-200 ms),
+    and a single MoR lifecycle re-resolves the same dirs dozens of times
+    — on a real cluster the listing goes to S3, making the dedup worth
+    more, not less.  The key carries a weakref identity check so a
+    recycled id() after a session is garbage-collected can never serve a
+    stale plan; entries evict FIFO past the cap (plans are small, but
+    unbounded growth across many stores would still leak)."""
+    import weakref
+
+    key = (id(spark), path)
+    hit = _PARQUET_PLAN_CACHE.get(key)
+    if hit is not None:
+        ref, df = hit
+        if ref() is spark:
+            return df
+        del _PARQUET_PLAN_CACHE[key]
+    df = spark.read.parquet(path)
+    _PARQUET_PLAN_CACHE[key] = (weakref.ref(spark), df)
+    while len(_PARQUET_PLAN_CACHE) > _PARQUET_PLAN_CACHE_MAX:
+        _PARQUET_PLAN_CACHE.pop(next(iter(_PARQUET_PLAN_CACHE)))
+    return df
+
+
+def _uncache_parquet_prefix(path_prefix: str) -> None:
+    """Drop cached plans under `path_prefix` — vacuum/compact call this
+    after DELETING data dirs so a later read of a same-named path (never
+    minted in practice; belt-and-braces) cannot resolve a dead plan."""
+    for key in [k for k in _PARQUET_PLAN_CACHE if k[1].startswith(path_prefix)]:
+        _PARQUET_PLAN_CACHE.pop(key, None)
 
 
 def _staged_has_columns(entry) -> bool | None:
@@ -288,7 +328,7 @@ def _apply_deltas_partial(
     ]
     parts = []
     for i, d in partial:
-        df = spark.read.parquet(d["path"])
+        df = _cached_parquet(spark, d["path"])
         sets = set(d.get("set_cols") or [])
         parts.append(df.select(
             *keys,
@@ -336,7 +376,7 @@ def _read_delta_log(
     positional tags (the partial-overlay path numbers full and partial
     files on ONE shared axis)."""
     parts = [
-        spark.read.parquet(d["path"]).withColumn(
+        _cached_parquet(spark, d["path"]).withColumn(
             MOR_SEQ_COL, F.lit(seqs[i] if seqs is not None else i)
         )
         for i, d in enumerate(deltas)
@@ -1791,6 +1831,7 @@ def vacuum(
                 ):
                     spark.sql(f"DROP TABLE IF EXISTS {entry['table']}")
                 shutil.rmtree(path, ignore_errors=True)
+                _uncache_parquet_prefix(path)
                 removed_paths.append(path)
                 live.add(path)  # don't double-remove across pruned versions
     return {
@@ -1856,6 +1897,7 @@ def collect_orphans(
                 if now - newest < min_age_seconds:
                     continue
                 shutil.rmtree(path, ignore_errors=True)
+                _uncache_parquet_prefix(path)
                 removed.append(path)
             if not os.listdir(txdir):
                 os.rmdir(txdir)
@@ -1909,6 +1951,7 @@ def _sweep_sidecar_checkpoints(
         if now - newest < min_age_seconds:
             continue
         shutil.rmtree(full, ignore_errors=True)
+        _uncache_parquet_prefix(full)
         removed.append(full)
     return removed
 
@@ -3497,7 +3540,7 @@ def write_bloom_sidecar(
     ):
         base = spark.read.option("mergeSchema", "true").parquet(*sources)
     else:
-        base = spark.read.parquet(path)
+        base = _cached_parquet(spark, path)
     allowed = {"tinyint", "smallint", "int", "bigint", "string"}
     for c in columns:
         dt = dict(base.dtypes).get(c)
