@@ -1145,3 +1145,370 @@ def pq_topk(
         .select("query_id", "neighbor_id", "similarity",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_refine_codebook(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    sub: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_means: int | None = None,
+) -> DataFrame:
+    """Per-subspace Lloyd k-means refinement of a PQ codebook (faiss
+    trains its sub-codebooks exactly this way): each iteration assigns
+    every vector's j-th subvector to its nearest entry of subspace j's
+    codebook (broadcast O(m·k) codebook, partition-local L2² scoring)
+    and recomputes each (j, c) entry as the member subvectors' mean.
+    Returns (j, c, cv) with pq_index's codebook schema, so the encode
+    plan (`_pq_encode`) is untouched — the drop-in the hash-rank sample
+    always documented.
+
+    All m subspaces refine in ONE joint plan per iteration (the subspace
+    id j is just a grouping column), so the iteration cost matches a
+    single k-means pass: one broadcast join + argmin window + one
+    (j, c, dim) mean — never m separate jobs.  Entries that lose all
+    members drop out (standard Lloyd); the driver collects the bounded
+    m·k×sub means between iterations, like kmeans_refine.
+
+    `round_means=N` pins the recomputed means for cross-engine oracle
+    checks (the only data-dependent floats in the loop), same contract
+    as kmeans_refine."""
+    spark = embeddings.sparkSession
+    m_count = codebook.select(F.max("j")).first()[0] + 1
+    subvecs = (
+        embeddings.select(
+            F.col(id_col).alias("__vid"),
+            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        )
+        .select(
+            "__vid",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(int(m_count) - 1)),
+                    lambda j: F.struct(
+                        j.cast("int").alias("j"),
+                        F.slice(F.col("v"), j * sub + 1, sub).alias("sv"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("__vid", F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
+    )
+    current = codebook.select("j", "c", F.col("cv").cast("array<double>").alias("cv"))
+    for _ in range(iters):
+        scored = subvecs.join(F.broadcast(current), "j").select(
+            "__vid", "j", "c", "sv",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        )
+        w = Window.partitionBy("__vid", "j").orderBy(
+            F.col("d").asc(), F.col("c").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("j", "c", F.posexplode("sv").alias("dim", "x"))
+        )
+        mean_col = (
+            F.round(F.avg("x"), round_means)
+            if round_means is not None
+            else F.avg("x")
+        )
+        means = (
+            assigned.groupBy("j", "c", "dim")
+            .agg(mean_col.alias("m"))
+            .groupBy("j", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+        )
+        rows = means.collect()  # bounded: ≤ m·k rows of sub doubles
+        # an entry that lost every member KEEPS its previous value
+        # (faiss's empty-cluster handling): ADC lookup tables index a
+        # FLAT j×k array, so a dropped (j, c) would misalign every code
+        # past it — and the oracle twin mirrors this COALESCE exactly
+        updated = {(r.j, r.c): r.cv for r in rows}
+        prev = {(r.j, r.c): r.cv for r in current.collect()}
+        current = spark.createDataFrame(
+            [
+                (j, c, updated.get((j, c), cv))
+                for (j, c), cv in sorted(prev.items())
+            ],
+            "j int, c int, cv array<double>",
+        ).repartition(1)
+    return current
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    refine_iters: int = 0,
+    pq_iters: int = 0,
+) -> dict:
+    """Composed IVF+PQ index (faiss IVFPQ, by_residual=false): the
+    coarse quantizer (IVF centroids) bounds WHICH vectors a query
+    touches; the product quantizer bounds HOW MANY BYTES each touched
+    vector costs.  Returns {"centroids": (cid, cvec), "codebook":
+    (j, c, cv), "codes": (id, cid, codes)} — the codes table carries its
+    cell id so the serve path (ivfpq_topk) ADC-scans ONLY probed cells,
+    turning the flat-PQ O(corpus codes) scan into O(probed cells):
+    the missing piece VERDICT r9 ranked #1 for a 100 TB serve path.
+
+    Codes encode the unit-normalized vector itself, not the residual
+    against its centroid — the trade: residual encoding buys recall at
+    equal m, non-residual keeps the code table IDENTICAL to flat PQ
+    (same `_pq_encode`, same CDC maintenance — one encode function to
+    keep correct) and lets one code table serve both paths.
+
+    `pq_iters` > 0 trains the sub-codebooks with per-subspace Lloyd
+    iterations (pq_refine_codebook) instead of the raw hash-rank sample;
+    `refine_iters` Lloyd-refines the IVF centroids (kmeans_refine).
+    Persist all three tables with publish_ivfpq_index (cells bucketed on
+    cid) and maintain codes from CDC with maintain_ivfpq_codes."""
+    idx = pq_index(
+        embeddings, m=m, codebook_size=codebook_size,
+        id_col=id_col, vec_col=vec_col, portable=portable,
+    )
+    codebook = idx["codebook"]
+    if pq_iters > 0:
+        codebook = pq_refine_codebook(
+            embeddings, codebook, idx["sub"], iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+            round_means=9 if portable else None,
+        )
+    ivf = ivf_index(
+        embeddings, n_centroids=n_centroids, id_col=id_col,
+        vec_col=vec_col, portable=portable, refine_iters=refine_iters,
+    )
+    codes = _ivfpq_encode(
+        embeddings, ivf["centroids"], codebook, idx["sub"], id_col, vec_col
+    )
+    return {
+        "centroids": ivf["centroids"], "codebook": codebook,
+        "codes": codes, "m": m, "sub": idx["sub"], "k": codebook_size,
+    }
+
+
+def _ivfpq_encode(
+    rows: DataFrame, centroids: DataFrame, codebook: DataFrame, sub: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, cid, codes): nearest IVF cell + PQ codes per vector — both
+    halves pure per-row functions of broadcast tables (≤K centroids,
+    m·k codebook entries), which is what lets maintain_ivfpq_codes run
+    this over CDC deltas only.  One shuffle on the id to zip the two
+    assignments."""
+    cells = _assign_to_centroids(
+        rows.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
+        centroids, id_col, "__v", keep=1,
+    ).select(id_col, "cid")
+    codes = _pq_encode(rows, codebook, sub, id_col, vec_col)
+    return codes.join(cells, id_col).select(id_col, "cid", "codes")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Serve approximate top-k from an ivfpq_index layout: queries assign
+    to their `n_probe` nearest cells (broadcast centroids), build their
+    m×k ADC lookup table (broadcast codebook), then score ONLY the
+    probed cells' codes — the join on cid is the sole contact with the
+    corpus-scale table, so a store-persisted codes table bucketed on cid
+    serves probes with no corpus-side Exchange and per-query work
+    O(Σ probed |cell|), not O(corpus).
+
+    `rerank=R` (requires `embeddings`) is the production two-stage form:
+    the ADC pass shortlists R candidates per query from codes alone,
+    then only those R fetch float vectors for the exact cosine top-k —
+    output (query_id, neighbor_id, similarity, rank) like the exact
+    engines.  `rerank=None` returns the raw ADC ordering (query_id,
+    neighbor_id, distance, rank)."""
+    kk = codebook.select(F.max("c")).first()[0] + 1
+    m_count = codebook.select(F.max("j")).first()[0] + 1
+    sub = len(codebook.select("cv").first()["cv"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
+    )
+    probes = _assign_to_centroids(
+        q, centroids.select("cid", "cvec"), "query_id", "qv", keep=n_probe
+    ).select("query_id", "cid")
+    tab = q.crossJoin(F.broadcast(codebook)).select(
+        "query_id", "j", "c",
+        F.round(
+            _l2sq(F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
+                  F.col("cv")),
+            6,
+        ).alias("w"),
+    )
+    tables = tab.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "c", "w"))),
+            lambda s: s["w"],
+        ).alias("table")
+    )
+    # (query_id, cid, table): one row per probe — small (|queries|·n_probe),
+    # broadcast against the cid-bucketed codes table
+    probe_tables = probes.join(tables, "query_id")
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probe_tables), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(int(m_count) - 1)),
+                    F.lit(0.0),
+                    lambda acc, j: acc + F.element_at(
+                        F.col("table"),
+                        j * int(kk) + F.element_at(F.col("codes"), j + 1) + 1,
+                    ),
+                ),
+                6,
+            ).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "distance",
+                    F.col("rank").cast("int").alias("rank"))
+        )
+    if embeddings is None:
+        raise ValueError("rerank requires the raw embeddings table")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    )
+    qraw = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    refined = (
+        shortlist.join(F.broadcast(qraw), "query_id")
+        .join(cand, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("query_vec"), F.col("cand_vec")), 6)
+            .alias("similarity"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("similarity").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "similarity",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def publish_ivfpq_index(
+    spark,
+    root: str,
+    src: str = "embeddings",
+    n_centroids: int = 16,
+    m: int = 4,
+    codebook_size: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+    refine_iters: int = 0,
+    pq_iters: int = 0,
+    centroids_table: str = "ivfpq_centroids",
+    codebook_table: str = "ivfpq_codebook",
+    codes_table: str = "ivfpq_codes",
+) -> dict:
+    """Build and PERSIST the full IVFPQ layout from the current `src`
+    table in ONE atomic commit: centroids + codebook (the trained,
+    bounded halves) and the seed codes table bucketed on cid — later
+    probe joins read co-located cells with no corpus-side Exchange.
+    Codes then follow the corpus via maintain_ivfpq_codes; re-training
+    centroids/codebook wholesale is a maintenance decision (the
+    recenter_topics pattern)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    emb = publish.read_table(spark, root, src)
+    idx = ivfpq_index(
+        emb, n_centroids=n_centroids, m=m, codebook_size=codebook_size,
+        id_col=id_col, vec_col=vec_col, portable=portable,
+        refine_iters=refine_iters, pq_iters=pq_iters,
+    )
+    return publish.publish_tables(
+        spark,
+        {
+            centroids_table: idx["centroids"].repartition(1),
+            codebook_table: idx["codebook"],
+            codes_table: idx["codes"],
+        },
+        root,
+        table_keys={
+            centroids_table: ["cid"],
+            codebook_table: ["j", "c"],
+            codes_table: [id_col],
+        },
+        bucket_keys={codes_table: ["cid"]},
+        num_buckets=8,
+    )
+
+
+def maintain_ivfpq_codes(
+    spark,
+    root: str,
+    src: str = "embeddings",
+    dst: str = "ivfpq_codes",
+    centroids_table: str = "ivfpq_centroids",
+    codebook_table: str = "ivfpq_codebook",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain the persisted IVFPQ code table (id, cid, codes) as a
+    CDC-driven view of the embeddings table — the ivfpq analog of
+    maintain_pq_codes + maintain_ivf_cells in ONE table: inserts/updates
+    re-assign AND re-encode just the changed vectors (broadcast
+    centroids + codebook, O(batch)); deletes retract their rows; each
+    refresh is one merge-on-read commit.  The first call seeds the
+    table."""
+    from dataintegration_ecomprovider_spark.plans import materialize, publish
+
+    centroids = publish.read_table(spark, root, centroids_table)
+    codebook = publish.read_table(spark, root, codebook_table)
+    sub = len(codebook.select("cv").first()["cv"])
+
+    def _build(rows):
+        return _ivfpq_encode(rows, centroids, codebook, sub, id_col, vec_col)
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, _build,
+        dst_keys=[id_col], src_key=id_col, src_key_out=id_col,
+        stable_keys=True, state_key=f"ivfpq-codes:{dst}",
+    )

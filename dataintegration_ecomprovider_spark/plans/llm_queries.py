@@ -389,6 +389,173 @@ SELECT query_id, neighbor_id, similarity, rank FROM final WHERE rank <= 5
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ ANN (round 10, llm/similarity.py::ivfpq_index +
+    ivfpq_topk — faiss IVFPQ, by_residual=false): the coarse quantizer
+    probes 4 of 16 cells per query, the product quantizer (4 sub-
+    codebooks x 16 entries, ONE per-subspace Lloyd training iteration)
+    ADC-scores ONLY the probed cells' codes, a 50-candidate shortlist
+    re-ranks exactly — the serve path is O(probed cells), not O(corpus
+    codes) like flat PQ.  Everything is md5-family deterministic, so the
+    oracle unrolls the FULL pipeline in SQL: codebook sample -> Lloyd
+    iteration (means pinned to 9 decimals, empty entries keep their
+    previous value) -> encode -> centroid pick -> cell assign -> probe
+    -> ADC within probed cells -> exact re-rank."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx = similarity.ivfpq_index(
+        emb, n_centroids=16, m=4, codebook_size=16, portable=True,
+        pq_iters=1,
+    )
+    return similarity.ivfpq_topk(
+        queries, idx["centroids"], idx["codebook"], idx["codes"],
+        k=5, n_probe=4, rerank=50, embeddings=emb,
+    )
+
+
+_PQ_L2 = (
+    "ROUND(list_sum(list_transform(range(1, 17), "
+    "i -> ({a}[{j}*16 + i] - {cb}[i]) * ({a}[{j}*16 + i] - {cb}[i]))), 6)"
+)
+
+# rounded-cosine SQL (same text as _COS below, which is defined later in
+# the module — f-strings bind at definition time, so the IVFPQ oracle
+# needs it HERE)
+_COS_LLM = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+ORACLE_IVFPQ_TOPK = f"""
+WITH raw AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+  FROM embeddings
+),
+cand AS (
+  SELECT vec_id, rv,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+  FROM raw
+),
+sample AS (
+  SELECT vec_id, v, CAST(ROW_NUMBER() OVER (
+    ORDER BY {md5_int60_sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+  ) - 1 AS INTEGER) AS c
+  FROM cand QUALIFY c < 16
+),
+codebook0 AS (
+  SELECT CAST(t.j AS INTEGER) AS j, c, v[t.j*16+1 : t.j*16+16] AS cv
+  FROM sample, UNNEST(range(0, 4)) AS t(j)
+),
+tr_d AS (
+  SELECT a.vec_id, cb.j, cb.c,
+         {_PQ_L2.format(a="a.v", j="cb.j", cb="cb.cv")} AS d
+  FROM cand a CROSS JOIN codebook0 cb
+),
+tr_r AS (
+  SELECT vec_id, j, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM tr_d
+),
+tr_m AS (
+  SELECT b.j, b.c, t.dim,
+         ROUND(AVG(a.v[b.j*16 + t.dim + 1]), 9) AS mval
+  FROM tr_r b JOIN cand a ON a.vec_id = b.vec_id,
+       UNNEST(range(0, 16)) AS t(dim)
+  WHERE b.rn = 1
+  GROUP BY b.j, b.c, t.dim
+),
+tr_cv AS (
+  SELECT j, c, list(mval ORDER BY dim ASC) AS cv FROM tr_m GROUP BY j, c
+),
+codebook AS (
+  SELECT o.j, o.c, COALESCE(n.cv, o.cv) AS cv
+  FROM codebook0 o LEFT JOIN tr_cv n ON n.j = o.j AND n.c = o.c
+),
+enc AS (
+  SELECT a.vec_id, cb.j, cb.c,
+         {_PQ_L2.format(a="a.v", j="cb.j", cb="cb.cv")} AS d
+  FROM cand a CROSS JOIN codebook cb
+),
+best AS (
+  SELECT vec_id, j, c AS code,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                            ORDER BY d ASC, c ASC) AS rn
+  FROM enc
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY j) AS codes
+  FROM best WHERE rn = 1 GROUP BY vec_id
+),
+cent AS (
+  SELECT vec_id AS cid, rv AS cvec FROM raw
+  ORDER BY {md5_int60_sql("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+  LIMIT 16
+),
+casg AS (
+  SELECT a.vec_id, c.cid,
+         {_COS_LLM.format(a="a.rv", b="c.cvec")} AS csim
+  FROM raw a CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY csim DESC, cid ASC) AS rn
+    FROM casg
+  ) WHERE rn = 1
+),
+pasg AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         {_COS_LLM.format(a="q.v", b="c.cvec")} AS csim
+  FROM cand q CROSS JOIN cent c WHERE q.vec_id < 10
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY csim DESC, cid ASC) AS rn
+    FROM pasg
+  ) WHERE rn <= 4
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.c,
+         {_PQ_L2.format(a="q.v", j="cb.j", cb="cb.cv")} AS w
+  FROM cand q CROSS JOIN codebook cb WHERE q.vec_id < 10
+),
+qtables AS (
+  SELECT query_id, list(w ORDER BY j, c) AS tbl FROM qtab GROUP BY query_id
+),
+scored AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(range(0, 4),
+           j -> t.tbl[j*16 + co.codes[j+1] + 1])), 6) AS distance
+  FROM probes p
+  JOIN cells cl ON cl.cid = p.cid
+  JOIN codes co ON co.vec_id = cl.vec_id
+  JOIN qtables t ON t.query_id = p.query_id
+  WHERE p.query_id <> cl.vec_id
+),
+rankedq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY distance ASC, neighbor_id ASC) AS adc_rank
+  FROM scored
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_COS_LLM.format(a="q.rv", b="c.rv")} AS similarity
+  FROM rankedq s
+  JOIN raw q ON q.vec_id = s.query_id
+  JOIN raw c ON c.vec_id = s.neighbor_id
+  WHERE s.adc_rank <= 50
+),
+final AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY similarity DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM refined
+)
+SELECT query_id, neighbor_id, similarity, rank FROM final WHERE rank <= 5
+"""
+
+
 # --- IVF-bucketed ANN (rows-only: recall invariant in tests/test_llm.py) --
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).table("embeddings")
@@ -2662,6 +2829,7 @@ QUERIES = {
     "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
     "llm_sim_topk_quantized": QueryDef(q_topk_quantized, ORACLE_TOPK_QUANTIZED),
     "llm_sim_pq_topk": QueryDef(q_pq_topk, ORACLE_PQ_TOPK),
+    "llm_sim_ivfpq_topk": QueryDef(q_ivfpq_topk, ORACLE_IVFPQ_TOPK),
     "llm_pq_codes_cdc": QueryDef(q_pq_codes_cdc, ORACLE_PQ_CODES_CDC),
     "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None, retired=True),
     "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),

@@ -173,6 +173,21 @@ def main() -> None:
                 emb, queries_df, k=K, m=8, codebook_size=16, rerank=200
             ),
         }
+        # the round-10 composed index: coarse-probe 8/32 cells, ADC only
+        # within them, exact re-rank — the serve path whose ADC work is
+        # O(probed cells) instead of flat PQ's O(corpus codes).  Built
+        # once outside the timer (an index build is amortized across
+        # queries in production); the timing row is SERVE cost.
+        ivfpq_idx = similarity.ivfpq_index(
+            emb, n_centroids=32, m=8, codebook_size=16, pq_iters=1
+        )
+        for t in ivfpq_idx.values():
+            if hasattr(t, "persist"):
+                t.persist().count()
+        engines["ivfpq"] = lambda: similarity.ivfpq_topk(
+            queries_df, ivfpq_idx["centroids"], ivfpq_idx["codebook"],
+            ivfpq_idx["codes"], k=K, n_probe=8, rerank=200, embeddings=emb,
+        )
         for label, fn in engines.items():
             t0 = time.perf_counter()
             got = topk_ids(fn())
@@ -180,12 +195,64 @@ def main() -> None:
             hits = sum(len(got.get(q, set()) & g) for q, g in gt.items())
             total = sum(len(g) for g in gt.values())
             recalls[label] = round(hits / total, 3) if total else 1.0
+        # ADC sublinearity evidence for SCALE.md: candidates the IVFPQ
+        # serve path ADC-scored (Σ probed |cell| per query) vs the
+        # corpus size flat PQ scans per query
+        n_corpus = emb.count()
+        probes_df = similarity._assign_to_centroids(
+            queries_df.select(
+                F.col("vec_id").alias("query_id"),
+                similarity._unit(
+                    F.col("embedding").cast("array<double>")
+                ).alias("qv"),
+            ),
+            ivfpq_idx["centroids"], "query_id", "qv", keep=8,
+        ).select("query_id", "cid")
+        cell_sizes = ivfpq_idx["codes"].groupBy("cid").count()
+        avg_cands = (
+            probes_df.join(cell_sizes, "cid").groupBy("query_id")
+            .agg(F.sum("count").alias("c")).agg(F.avg("c")).first()[0]
+        )
+        recalls["ivfpq_adc_candidates_frac"] = round(
+            float(avg_cands) / n_corpus, 3
+        )
+        # k-means-trained vs hash-sampled PQ codebooks, isolated on RAW
+        # ADC recall (no re-rank, probe every cell → pure code quality).
+        # Measured on the UNDUPLICATED base corpus: the 10x synthesis
+        # gives every vector 9 exact twins whose codes are identical
+        # under ANY codebook, so it cannot distinguish codebook quality.
+        base_emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+        base_q = base_emb.filter(F.col("vec_id") < 20)
+        base_gt = topk_ids(similarity.brute_force_topk(base_emb, base_q, k=K))
+
+        def raw_adc_recall(pq_iters: int) -> float:
+            idx = similarity.ivfpq_index(
+                base_emb, n_centroids=32, m=8, codebook_size=16,
+                pq_iters=pq_iters,
+            )
+            got = topk_ids(similarity.ivfpq_topk(
+                base_q, idx["centroids"], idx["codebook"],
+                idx["codes"], k=K, n_probe=32, rerank=None,
+            ))
+            hits = sum(len(got.get(q, set()) & g) for q, g in base_gt.items())
+            return round(hits / sum(len(g) for g in base_gt.values()), 3)
+
+        recalls["pq_raw_sampled"] = raw_adc_recall(0)
+        recalls["pq_raw_trained"] = raw_adc_recall(2)
+        assert recalls["pq_raw_trained"] >= recalls["pq_raw_sampled"], recalls
+        for t in ivfpq_idx.values():
+            if hasattr(t, "unpersist"):
+                t.unpersist()
         # the floor: IVF at n_probe=8/32 cells must keep recall@10 ≥ 0.9;
         # SQ8 scans everything (quantization is the only loss) — ≥ 0.9
-        # too.  LSH@8 planes is reported, not asserted: its recall/probe
-        # trade is the tunable, the number in SCALE.md tracks drift.
+        # too.  IVFPQ re-ranked must clear 0.85 (it inherits IVF's probe
+        # miss AND PQ's code noise; the floor is set under the measured
+        # value with margin, like the others).  LSH@8 planes is reported,
+        # not asserted: its recall/probe trade is the tunable, the number
+        # in SCALE.md tracks drift.
         assert recalls["ivf"] >= 0.9, f"IVF recall regressed: {recalls}"
         assert recalls["sq8"] >= 0.9, f"SQ8 recall regressed: {recalls}"
+        assert recalls["ivfpq"] >= 0.85, f"IVFPQ recall regressed: {recalls}"
 
     store_probes = ("merge_cow", "merge_mor", "schema_changes")
     if wanted and not any(any(w in n for n in store_probes) for w in wanted):

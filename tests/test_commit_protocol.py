@@ -590,3 +590,38 @@ def test_conditional_lease_across_processes(tmp_path):
         depth += 1 if kind == "enter" else -1
         assert 0 <= depth <= 1, f"overlapping critical sections: {pairs}"
     assert depth == 0 and len(pairs) == 12
+
+
+def test_protocol_for_caches_default_miss(tmp_path):
+    """Round 10: a default-POSIX root resolves its protocol ONCE per
+    session (the miss is cached), while in-session registration and
+    durable persist still override the cached default, and clearing the
+    registration re-resolves."""
+    from dataintegration_ecomprovider_spark.plans import commit_protocol as cp
+
+    root = str(tmp_path / "store")
+    os.makedirs(root, exist_ok=True)
+    p1 = cp.protocol_for(root)
+    assert isinstance(p1, cp.PosixCommitProtocol)
+    assert root in cp._REGISTRY  # the miss itself is cached
+    # cached default does not stick past an explicit selection
+    cp.persist_protocol(root, "conditional")
+    assert isinstance(cp.protocol_for(root), cp.ConditionalCommitProtocol)
+    # clearing re-resolves from disk (the persisted choice wins)
+    cp.set_protocol(root, None)
+    assert isinstance(cp.protocol_for(root), cp.ConditionalCommitProtocol)
+
+
+def test_commit_wall_ms_recorded_and_surfaced(spark, tmp_path):
+    """Every hot commit path stamps stage-to-swap wall time into the
+    manifest, _history_fields carries it across versions, and
+    describe_history surfaces it — per-commit cost drift is readable
+    from the store itself."""
+    root = str(tmp_path / "store")
+    df = spark.range(50).selectExpr("id", "id * 2 AS v")
+    publish.publish_tables(spark, {"t": df}, root, table_keys={"t": ["id"]})
+    publish.merge_into_mor(spark, root, "t", df.limit(10))
+    hist = publish.describe_history(root)
+    assert len(hist) == 2
+    for h in hist:
+        assert h["commit_wall_ms"] is not None and h["commit_wall_ms"] > 0
