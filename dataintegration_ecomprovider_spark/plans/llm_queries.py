@@ -2856,7 +2856,14 @@ QUERIES = {
         q_near_dup_embedding_lsh_portable, ORACLE_NEAR_DUP_LSH_PORTABLE
     ),
     "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
-    "llm_sim_ivf_topk_portable": QueryDef(q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE),
+    # folded (round-10 registry governance, hard cap 150 driver slots):
+    # the inline IVF probe is a strict subset of the index round-trip
+    # lifecycle — same centroid pick, assignment and probe math; the
+    # oracle still value-checks in tests/test_retired_fastpaths.py
+    "llm_sim_ivf_topk_portable": QueryDef(
+        q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE,
+        folded_into="llm_sim_ivf_index_topk_portable",
+    ),
     "llm_sim_ivf_index_topk": QueryDef(q_ivf_index_topk, None, retired=True),
     "llm_sim_ivf_index_topk_portable": QueryDef(
         q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE

@@ -26,6 +26,15 @@ class QueryDef:
     # value-hash MATCH (tests/test_retired_fastpaths.py pins the
     # twin contract: same schema, fast path still runs)
     retired: bool = False
+    # folded_into="<name>" removes a NEAR-DUPLICATE surface from the
+    # driver-facing registry (round-10 governance: the registry is
+    # hard-capped at 150 = 3×50 driver rotation slots, so new operators
+    # displace consolidated ones).  Unlike retired fast paths, a folded
+    # entry KEEPS its oracle — tests/test_retired_fastpaths.py value-
+    # checks it against DuckDB every run, so the grade is not lost, it
+    # just stops consuming a rotation slot its covering entry (the
+    # richer superset lifecycle named here) already pays for.
+    folded_into: str | None = None
 
 
 def all_queries(include_retired: bool = False) -> dict[str, QueryDef]:
@@ -40,5 +49,8 @@ def all_queries(include_retired: bool = False) -> dict[str, QueryDef]:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(mod.QUERIES)
     if not include_retired:
-        out = {n: qd for n, qd in out.items() if not qd.retired}
+        out = {
+            n: qd for n, qd in out.items()
+            if not qd.retired and qd.folded_into is None
+        }
     return out

@@ -238,6 +238,24 @@ _ALTER_TYPE_RE = re.compile(
     r"^ALTER\s+COLUMN\s+(?P<col>\w+)\s+TYPE\s+(?P<type>[\w(),\s]+?)$",
     re.IGNORECASE,
 )
+_INSERT_OVERWRITE_RE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(?P<target>\w+)"
+    r"\s+(?P<select>(?:\(\s*)?SELECT\s+.+?(?:\s*\))?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REPLACE_WHERE_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>\w+)\s+REPLACE\s+WHERE\s+"
+    r"(?P<where>.+?)\s+(?P<select>(?:\(\s*)?SELECT\s+.+?(?:\s*\))?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# Delta's table_changes('t', startVersion [, endVersion]) table-valued
+# function: startVersion is the FIRST COMMIT whose changes are included,
+# so it maps to read_changes(from_version=start-1, to_version=end)
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes\(\s*'(?P<t>\w+)'\s*,\s*(?P<v1>\d+)"
+    r"(?:\s*,\s*(?P<v2>\d+))?\s*\)",
+    re.IGNORECASE,
+)
 _BEGIN_RE = re.compile(
     r"^\s*BEGIN(?:\s+TRANSACTION)?"
     r"(?:\s+AS\s+'(?P<app>[^']+)'\s+BATCH\s+(?P<batch>\d+))?\s*;?\s*$",
@@ -466,6 +484,29 @@ class StoreSQL:
         if m:
             return self._merge(m)
         if self._tx_merges is not None:
+            m = _REPLACE_WHERE_RE.match(statement)
+            if m:
+                # predicate-scoped replace joins the atomic block: delete
+                # markers for matched-but-not-reinserted keys + an upsert
+                # of the incoming rows, one table entry in the block's
+                # single version
+                target = m.group("target")
+                keys = self._keyed(target, "REPLACE WHERE inside transaction()")
+                rows, doomed = self._replace_where_parts(
+                    target, m.group("where"), m.group("select"), keys
+                )
+                self._tx_stage(target, {
+                    "staging": rows, "deletes": doomed, "keys": keys,
+                    "insert_new": True, "update_existing": True,
+                })
+                return {"deferred": target}
+            if _INSERT_OVERWRITE_RE.match(statement):
+                raise ValueError(
+                    "INSERT OVERWRITE replaces the whole table (a "
+                    "copy-on-write publish) and cannot join a merge-on-"
+                    "read transaction block — use REPLACE WHERE for a "
+                    "scoped replace, or run it outside the block"
+                )
             m = _INSERT_RE.match(statement) or _INSERT_VALUES_RE.match(
                 statement
             )
@@ -524,6 +565,16 @@ class StoreSQL:
                 "statements may run inside a transaction() block — "
                 "anything else commits its own version: "
                 f"{statement[:80]!r}"
+            )
+        m = _REPLACE_WHERE_RE.match(statement)
+        if m:
+            return self._replace_where(
+                m.group("target"), m.group("where"), m.group("select")
+            )
+        m = _INSERT_OVERWRITE_RE.match(statement)
+        if m:
+            return self._insert_overwrite(
+                m.group("target"), m.group("select")
             )
         m = _DELETE_RE.match(statement)
         if m:
@@ -681,6 +732,25 @@ class StoreSQL:
         read_table_at/read_table_asof into per-statement temp views and
         the rewritten text is handed to Spark SQL untouched."""
         publish.register_store(self.spark, self.root, prefix=self.prefix)
+
+        def tc_rewrite(m: re.Match) -> str:
+            name = m.group("t")
+            if name.startswith(self.prefix):
+                name = name[len(self.prefix):]
+            v1 = int(m.group("v1"))
+            to_v = int(m.group("v2")) if m.group("v2") is not None else None
+            df = publish.read_changes(
+                self.spark, self.root, name,
+                from_version=v1 - 1, to_version=to_v,
+            )
+            view = (
+                f"{self.prefix}{name}__changes_{v1}_"
+                f"{to_v if to_v is not None else 'head'}"
+            )
+            df.createOrReplaceTempView(view)
+            return view
+
+        statement = _TABLE_CHANGES_RE.sub(tc_rewrite, statement)
 
         def rewrite(m: re.Match) -> str:
             ref = m.group("table")
@@ -930,6 +1000,72 @@ class StoreSQL:
             self.spark, self.root, target, rows, keys=keys,
             insert_new=True, update_existing=False,
         )
+
+    def _replace_where_parts(
+        self, target: str, where: str, select: str, keys: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        """The two halves of a REPLACE WHERE: the incoming rows (checked
+        against Delta's contract — every row must satisfy the predicate,
+        else the scoped replace would silently leak writes outside its
+        scope) and the delete keys (matched rows NOT re-inserted; keys
+        both matched and incoming become upserts, not delete+insert, so
+        delete-wins resolution can never eat a replacement row)."""
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        rows = self._select(_unwrap_parens(select))
+        hit = F.coalesce(F.expr(where), F.lit(False))
+        if rows.filter(~F.coalesce(F.expr(where), F.lit(False))).limit(1).count():
+            raise ValueError(
+                f"REPLACE WHERE {target!r}: the source produced rows that "
+                f"do not satisfy ({where}) — a scoped replace may only "
+                "write rows inside its own scope"
+            )
+        doomed = (
+            self.spark.table(f"{self.prefix}{target}")
+            .filter(hit).select(*keys)
+            .join(rows.select(*keys), keys, "left_anti")
+        )
+        return rows, doomed
+
+    def _replace_where(self, target: str, where: str, select: str) -> dict:
+        """INSERT INTO t REPLACE WHERE <pred> <select>: atomically delete
+        the rows matching <pred> and insert the incoming rows — the
+        one-statement partition/predicate backfill (Delta's replaceWhere).
+        mor=True with recorded keys commits O(matched + incoming) delta
+        rows; otherwise a copy-on-write rewrite (keep NOT-matched ∪
+        incoming).  Null predicate rows are kept, like DELETE FROM."""
+        if self.mor and publish.table_keys(self.root, target):
+            keys = self._keyed(target, "REPLACE WHERE (mor)")
+            rows, doomed = self._replace_where_parts(
+                target, where, select, keys
+            )
+            return publish.merge_into_mor(
+                self.spark, self.root, target, rows, keys=keys,
+                deletes=doomed, insert_new=True, update_existing=True,
+            )
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        rows = self._select(_unwrap_parens(select))
+        if rows.filter(~F.coalesce(F.expr(where), F.lit(False))).limit(1).count():
+            raise ValueError(
+                f"REPLACE WHERE {target!r}: the source produced rows that "
+                f"do not satisfy ({where}) — a scoped replace may only "
+                "write rows inside its own scope"
+            )
+        keep = self.spark.table(f"{self.prefix}{target}").filter(
+            ~F.coalesce(F.expr(where), F.lit(False))
+        )
+        return publish.publish_tables(
+            self.spark, {target: keep.unionByName(rows)}, self.root
+        )
+
+    def _insert_overwrite(self, target: str, select: str) -> dict:
+        """INSERT OVERWRITE [TABLE] t <select>: replace the table's entire
+        contents in one copy-on-write commit.  Keys, partition spec and
+        constraints carry forward through publish_tables like any full
+        write; time travel keeps every prior version readable."""
+        publish.register_store(self.spark, self.root, prefix=self.prefix)
+        publish.read_table(self.spark, self.root, target)  # must exist
+        rows = self._select(_unwrap_parens(select))
+        return publish.publish_tables(self.spark, {target: rows}, self.root)
 
 
 def store_sql(spark: SparkSession, root: str, mor: bool = False,

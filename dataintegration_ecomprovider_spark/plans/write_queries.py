@@ -2922,6 +2922,144 @@ SELECT 'after_compact' AS phase, 'metadata' AS source, * FROM a1
 """
 
 
+def q_sql_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL CDC read (round 10, plans/store_sql.py): Delta's
+    ``table_changes('t', startVersion [, endVersion])`` table-valued
+    function inside SELECT — the piece that lets a SQL-ONLY orchestrator
+    build incremental consumers (the Python API's read_changes was the
+    only door before).  Lifecycle: seed → CoW UPDATE (v2) → DELETE (v3)
+    → keyed INSERT (v4), then ONE SQL statement reads the v2..head feed:
+    deletes surface the pre-change row, updates the new row, unchanged
+    rows drop.  startVersion maps to read_changes(from_version=start-1)
+    — the first commit whose changes are included, exactly Delta's
+    contract."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("stc_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    s = store_sql(spark, root)
+    s.sql("UPDATE orders SET price = price + 10 WHERE o_custkey % 10 = 0")
+    s.sql("DELETE FROM orders WHERE o_orderkey % 7 = 0")
+    s.sql(
+        "INSERT INTO orders "
+        "SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, "
+        "'N' AS o_orderstatus, CAST(0 AS double) AS price "
+        "FROM store_orders WHERE o_orderkey % 11 = 0"
+    )
+    return s.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, price, change_type "
+        "FROM table_changes('orders', 2)"
+    )
+
+
+ORACLE_SQL_TABLE_CHANGES = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders
+),
+-- v3 deletes: the feed returns the PRE-CHANGE (v1-state) row
+deleted AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, price,
+         'delete' AS change_type
+  FROM base WHERE o_orderkey % 7 = 0
+),
+-- v2 updates still live at head: the new row
+updated AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, price + 10 AS price,
+         'update' AS change_type
+  FROM base WHERE o_custkey % 10 = 0 AND o_orderkey % 7 <> 0
+),
+-- v4 inserts (selected from the post-delete state)
+inserted AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, CAST(0 AS DOUBLE) AS price,
+         'insert' AS change_type
+  FROM base WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+)
+SELECT * FROM deleted
+UNION ALL SELECT * FROM updated
+UNION ALL SELECT * FROM inserted
+"""
+
+
+def q_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition/predicate-scoped replace as ONE statement (round 10,
+    plans/store_sql.py): ``INSERT OVERWRITE t <select>`` rewrites the
+    whole table in one commit (keys/layout carry forward), and ``INSERT
+    INTO t REPLACE WHERE <pred> <select>`` atomically deletes the
+    predicate's rows and upserts the incoming rows — Delta's
+    replaceWhere, the one-statement backfill that previously needed a
+    DELETE+MERGE transaction block.  The REPLACE WHERE runs under
+    mor=True and must land as an O(matched + incoming) DELTA (asserted
+    in-query from the manifest — at 100 TB a scoped backfill must never
+    rewrite the base); incoming rows outside the predicate's scope are
+    rejected (also asserted)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("siow_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    publish.publish_tables(
+        spark, {"orders": base}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    s = store_sql(spark, root)
+    s.sql(
+        "INSERT OVERWRITE orders "
+        "SELECT o_orderkey, o_custkey, o_orderstatus, price * 2 AS price "
+        "FROM store_orders WHERE o_orderkey % 2 = 0"
+    )
+    s_mor = store_sql(spark, root, mor=True)
+    try:
+        s_mor.sql(
+            "INSERT INTO orders REPLACE WHERE o_custkey % 5 = 0 "
+            "SELECT o_orderkey, o_custkey, o_orderstatus, price "
+            "FROM store_orders"
+        )
+        raise AssertionError("out-of-scope REPLACE WHERE must be rejected")
+    except ValueError:
+        pass
+    s_mor.sql(
+        "INSERT INTO orders REPLACE WHERE o_custkey % 5 = 0 "
+        "SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus, "
+        "CAST(7 AS double) AS price "
+        "FROM store_orders WHERE o_custkey % 5 = 0 AND o_orderkey % 3 = 0"
+    )
+    entry = publish.current_manifest(root)["tables"]["orders"]
+    if not (isinstance(entry, dict) and entry.get("deltas")):
+        raise AssertionError(
+            "mor=True REPLACE WHERE must commit a delta, not rewrite "
+            f"the base: {entry!r}"
+        )
+    return publish.read_table(spark, root, "orders")
+
+
+ORACLE_INSERT_OVERWRITE = """
+WITH ow AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         ROUND(o_totalprice, 2) * 2 AS price
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+kept AS (SELECT * FROM ow WHERE o_custkey % 5 <> 0),
+repl AS (
+  SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+         CAST(7 AS DOUBLE) AS price
+  FROM ow WHERE o_custkey % 5 = 0 AND o_orderkey % 3 = 0
+)
+SELECT * FROM kept UNION ALL SELECT * FROM repl
+"""
+
+
 from dataintegration_ecomprovider_spark.plans.registry import QueryDef
 from dataintegration_ecomprovider_spark.plans.scratch import (
     scratch_store_root as _scratch_store_root,
@@ -2933,7 +3071,13 @@ QUERIES = {
     "e15_e16_u12_pipeline_run_job": QueryDef(q_pipeline_run_job, ORACLE_PIPELINE_RUN_JOB),
     "u12_pipeline_run_job_bucketed": QueryDef(q_pipeline_run_job_bucketed, ORACLE_PIPELINE_RUN_JOB),
     "u12_version_diff": QueryDef(q_version_diff, ORACLE_VERSION_DIFF),
-    "u12_cdc_filtered": QueryDef(q_cdc_filtered, ORACLE_CDC_FILTERED),
+    # folded: the AND-triple filtered CDC is a special case of the
+    # boolean-tree query below, which additionally asserts per-disjunct
+    # file skipping (round-10 governance; oracle-checked in pytest)
+    "u12_cdc_filtered": QueryDef(
+        q_cdc_filtered, ORACLE_CDC_FILTERED,
+        folded_into="u12_cdc_filtered_or",
+    ),
     "u12_cdc_filtered_or": QueryDef(q_cdc_filtered_or, ORACLE_CDC_FILTERED_OR),
     "u12_snapshot_join": QueryDef(q_snapshot_join, ORACLE_SNAPSHOT_JOIN),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
@@ -2946,6 +3090,12 @@ QUERIES = {
     ),
     "u12_sql_merge": QueryDef(q_sql_merge, ORACLE_SQL_MERGE),
     "u12_sql_update": QueryDef(q_sql_update, ORACLE_SQL_UPDATE),
+    "u12_sql_table_changes": QueryDef(
+        q_sql_table_changes, ORACLE_SQL_TABLE_CHANGES
+    ),
+    "u12_insert_overwrite": QueryDef(
+        q_insert_overwrite, ORACLE_INSERT_OVERWRITE
+    ),
     "u12_type_widening": QueryDef(q_type_widening, ORACLE_TYPE_WIDENING),
     "u12_sql_transaction": QueryDef(q_sql_transaction, ORACLE_SQL_TRANSACTION),
     "u12_partial_update": QueryDef(q_partial_update, ORACLE_PARTIAL_UPDATE),
@@ -2955,8 +3105,12 @@ QUERIES = {
     "u12_constraints_quarantine": QueryDef(
         q_constraints_quarantine, ORACLE_CONSTRAINTS_QUARANTINE
     ),
+    # folded: identical lifecycle to u12_constraints_quarantine under
+    # the copy-on-write engine flag, same oracle (round-10 governance;
+    # CoW/MoR parity still value-checked in pytest)
     "u12_constraints_quarantine_cow": QueryDef(
-        q_constraints_quarantine_cow, ORACLE_CONSTRAINTS_QUARANTINE
+        q_constraints_quarantine_cow, ORACLE_CONSTRAINTS_QUARANTINE,
+        folded_into="u12_constraints_quarantine",
     ),
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
     "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),

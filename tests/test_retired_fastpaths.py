@@ -28,6 +28,11 @@ def _retired():
     return {n: qd for n, qd in full.items() if qd.retired}
 
 
+def _folded():
+    full = all_queries(include_retired=True)
+    return {n: qd for n, qd in full.items() if qd.folded_into}
+
+
 def test_retirement_is_exactly_the_rows_only_set():
     full = all_queries(include_retired=True)
     retired = _retired()
@@ -41,7 +46,36 @@ def test_retirement_is_exactly_the_rows_only_set():
     # the driver-facing surface is now fully oracle-gated
     for name, qd in all_queries().items():
         assert qd.oracle is not None, f"driver-facing {name} lacks oracle"
-        assert not qd.retired
+        assert not qd.retired and qd.folded_into is None
+
+
+def test_registry_is_hard_capped_at_150_driver_slots():
+    """Round-10 governance: 149 registry entries + the flagship = 150 =
+    exactly 3×50 driver rotation slots, so no query waits more than 3
+    rounds between grades.  New operators displace folded/retired ones —
+    growing past the cap silently re-dilutes the rotation."""
+    assert len(all_queries()) <= 149
+
+
+def test_folded_entries_keep_their_oracle_grade(spark, oracle):
+    """A folded entry left the driver surface because a richer covering
+    entry pays its rotation slot — NOT because its check weakened: every
+    folded entry still has its oracle, its covering entry is driver-
+    facing, and the query still value-matches DuckDB right here."""
+    from tests.conftest import assert_frames_match
+
+    full = all_queries(include_retired=True)
+    driver_facing = all_queries()
+    folded = _folded()
+    assert folded, "governance expects at least the round-10 folds"
+    for name, qd in folded.items():
+        assert qd.oracle is not None, f"{name} folded without an oracle"
+        assert qd.folded_into in driver_facing, (
+            f"{name} folded into a non-driver-facing entry"
+        )
+        spark_pdf = qd.fn(spark, SF_DIR).toPandas()
+        oracle_pdf = oracle.execute(qd.oracle).fetchdf()
+        assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
 @pytest.mark.parametrize("name", sorted(_retired()))

@@ -705,3 +705,129 @@ def test_ctas_partitioned_by(spark, tmp_path):
     # partition pruning works through the hive layout
     kept, total = publish.prune_files(root, "bytag", [("tag", "=", "old")])
     assert len(kept) >= 1
+
+
+def test_table_changes_reads_cdc(spark, tmp_path):
+    """Round 10: SELECT over table_changes('t', v1[, v2]) resolves
+    through read_changes with Delta's version mapping (startVersion =
+    first commit included), composes with ordinary SQL, and matches the
+    Python API exactly."""
+    root = _seed(spark, tmp_path, "tc")
+    s = store_sql(spark, root)
+    s.sql("UPDATE t SET v = v + 1 WHERE k < 3")             # v2
+    s.sql("DELETE FROM t WHERE k = 10")                     # v3
+    s.sql("INSERT INTO t VALUES (100, 0, 'fresh')")         # v4
+
+    got = sorted(
+        (r["k"], r["change_type"])
+        for r in s.sql("SELECT k, change_type FROM table_changes('t', 2)")
+        .collect()
+    )
+    expect = sorted(
+        (r["k"], r["change_type"])
+        for r in publish.read_changes(
+            spark, root, "t", from_version=1
+        ).collect()
+    )
+    assert got == expect
+    assert ("h" not in dict(got)) and (100, "insert") in got
+    assert (10, "delete") in got
+
+    # bounded window: only v2's commits
+    only_v2 = sorted(
+        (r["k"], r["change_type"])
+        for r in s.sql(
+            "SELECT k, change_type FROM table_changes('t', 2, 2)"
+        ).collect()
+    )
+    assert only_v2 == [(0, "update"), (1, "update"), (2, "update")]
+
+    # composes: aggregation over the CDC feed in plain SQL
+    n = s.sql(
+        "SELECT COUNT(*) AS n FROM table_changes('t', 2) "
+        "WHERE change_type = 'update'"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+@pytest.mark.parametrize("mor", [False, True])
+def test_replace_where_matches_delete_plus_insert(spark, tmp_path, mor):
+    """REPLACE WHERE (one statement) lands exactly the state of
+    DELETE-matching + INSERT in a transaction, on both engines; incoming
+    rows that escape the predicate's scope are rejected."""
+    root_a = _seed(spark, tmp_path, f"rw_{mor}")
+    root_b = _seed(spark, tmp_path, f"rw2_{mor}")
+    src = "SELECT k, CAST(7 AS bigint) AS v, 'repl' AS tag FROM store_t WHERE k >= 18"
+
+    s = store_sql(spark, root_a, mor=mor)
+    s.sql(f"INSERT INTO t REPLACE WHERE k >= 15 {src}")
+
+    # reference state: delete matched-but-not-reinserted, then upsert
+    # the incoming rows (two commits — the parity claim is on the STATE)
+    sb = store_sql(spark, root_b, mor=mor)
+    sb.sql("DELETE FROM t WHERE k >= 15 AND k < 18")
+    sb.sql(
+        "MERGE INTO t USING (SELECT k, CAST(7 AS bigint) AS v, "
+        "'repl' AS tag FROM store_t WHERE k >= 18) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _rows(spark, root_a) == _rows(spark, root_b)
+    assert all(r[2] == "repl" for r in _rows(spark, root_a) if r[0] >= 15)
+
+    with pytest.raises(ValueError, match="do not satisfy"):
+        s.sql(
+            "INSERT INTO t REPLACE WHERE k >= 15 "
+            "SELECT k, v, tag FROM store_t"  # includes k < 15 rows
+        )
+
+
+def test_replace_where_in_transaction_block(spark, tmp_path):
+    """REPLACE WHERE joins an atomic multi-table block: one version, and
+    a key both deleted-by-predicate and re-inserted lands as the new row
+    (delete-wins can never eat a replacement)."""
+    root = _seed(spark, tmp_path, "rwtx")
+    publish.publish_tables(
+        spark, {"u": _dest(spark, 5)}, root, table_keys={"u": ["k"]},
+    )
+    s = store_sql(spark, root, mor=True)
+    v0 = publish.current_manifest(root)["version"]
+    s.sql("BEGIN")
+    s.sql(
+        "INSERT INTO t REPLACE WHERE k >= 10 "
+        "SELECT k, CAST(0 AS bigint) AS v, 'x' AS tag "
+        "FROM store_t WHERE k >= 12 AND k < 14"
+    )
+    s.sql("DELETE FROM u WHERE k = 1")
+    out = s.sql("COMMIT")
+    assert out["version"] == v0 + 1  # ONE version for both tables
+    t_rows = _rows(spark, root)
+    assert [r[0] for r in t_rows] == list(range(10)) + [12, 13]
+    assert all(r[2] == "x" for r in t_rows if r[0] >= 10)
+    assert sorted(r[0] for r in _rows(spark, root, "u")) == [0, 2, 3, 4]
+
+
+def test_insert_overwrite_replaces_table(spark, tmp_path):
+    """INSERT OVERWRITE replaces the whole table in one commit; keys
+    carry forward (a later keyed merge works), prior versions stay
+    readable, and it refuses to run inside a transaction block."""
+    root = _seed(spark, tmp_path, "iow")
+    s = store_sql(spark, root)
+    v0 = publish.current_manifest(root)["version"]
+    s.sql(
+        "INSERT OVERWRITE t SELECT k, CAST(1 AS bigint) AS v, "
+        "'ow' AS tag FROM store_t WHERE k < 4"
+    )
+    assert _rows(spark, root) == [
+        (0, 1, "ow"), (1, 1, "ow"), (2, 1, "ow"), (3, 1, "ow")
+    ]
+    # keys carried: keyed DML still works without re-declaring
+    s.sql("INSERT INTO t VALUES (50, 5, 'new')")
+    assert (50, 5, "new") in _rows(spark, root)
+    # time travel to the pre-overwrite state
+    old = publish.read_table_at(spark, root, "t", v0)
+    assert old.count() == 20
+    s.sql("BEGIN")
+    with pytest.raises(ValueError, match="cannot join"):
+        s.sql("INSERT OVERWRITE t SELECT * FROM store_t")
+    s.sql("ROLLBACK")
