@@ -62,6 +62,20 @@ MANIFEST = "MANIFEST.json"
 LOCK_FILE = ".MANIFEST.lock"
 PROTOCOL_CONFIG = "_PROTOCOL.json"
 
+# per-process contention counters (scripts/scale_probe.py `contention`
+# reads these): waits = lock-held poll sleeps, lost_cas_races = lease
+# CAS puts that lost to a concurrent writer, takeovers = expired-lease
+# CAS takeovers won.  Plain dict increments — no locking; the numbers
+# feed a probe, not a control decision.
+CONTENTION_STATS = {"waits": 0, "lost_cas_races": 0, "takeovers": 0}
+
+
+def reset_contention_stats() -> dict:
+    prev = dict(CONTENTION_STATS)
+    for k in CONTENTION_STATS:
+        CONTENTION_STATS[k] = 0
+    return prev
+
 
 class CommitConflict(RuntimeError):
     """The manifest advanced past the version this swap was based on —
@@ -141,6 +155,7 @@ class PosixCommitProtocol(CommitProtocol):
                         f"could not acquire manifest lock {path} "
                         f"within {timeout}s"
                     )
+                CONTENTION_STATS["waits"] += 1
                 time.sleep(0.02)
         try:
             yield
@@ -454,6 +469,15 @@ class ConditionalCommitProtocol(CommitProtocol):
         client = self._client(root)
         token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
+        # jittered exponential backoff on lost CAS races: N waiters who
+        # all observe the same lease release would otherwise hammer
+        # get+put in lockstep — harmless on a local directory store,
+        # a request storm (and 429 bills) against real S3/GCS.  The
+        # jitter derives from the waiter's own token, so contending
+        # writers desynchronize deterministically; capped so a waiter
+        # never naps past the lease-poll cadence.
+        lost_races = 0
+        jitter = 0.5 + int(token[:4], 16) / 0xFFFF  # 0.5x..1.5x, per writer
         while True:
             body = json.dumps(
                 {"token": token, "expires_at": time.time() + stale}
@@ -470,13 +494,20 @@ class ConditionalCommitProtocol(CommitProtocol):
                             f"could not acquire commit lease for {root} "
                             f"within {timeout}s"
                         )
-                    time.sleep(0.02)
+                    CONTENTION_STATS["waits"] += 1
+                    time.sleep(0.02 * jitter)
                     continue
                 # expired lease: CAS takeover — at most one winner
                 client.put(LEASE_KEY, body, if_match=cur[1])
+                CONTENTION_STATS["takeovers"] += 1
                 break
             except PreconditionFailed:
-                continue  # lost a race; observe the new state and retry
+                # lost a race; observe the new state and retry, backing
+                # off harder each consecutive loss
+                lost_races += 1
+                CONTENTION_STATS["lost_cas_races"] += 1
+                time.sleep(min(0.002 * (2 ** lost_races), 0.05) * jitter)
+                continue
         try:
             yield
         finally:

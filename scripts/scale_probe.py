@@ -61,7 +61,94 @@ def synthesize(spark) -> None:
     open(os.path.join(OUT, "_READY"), "w").close()
 
 
+def _contention_worker(args) -> dict:
+    """One writer process: M commits against a shared store root through
+    its CommitProtocol (lock → read manifest → next version → CAS swap),
+    the exact critical section every publish runs.  Returns its wall
+    time and this process's contention counters."""
+    root, writer_id, commits, backend = args
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from dataintegration_ecomprovider_spark.plans import commit_protocol as cp
+
+    proto = (
+        cp.ConditionalCommitProtocol() if backend == "conditional"
+        else cp.PosixCommitProtocol()
+    )
+    cp.reset_contention_stats()
+    conflicts = 0
+    t0 = time.perf_counter()
+    for i in range(commits):
+        while True:
+            with proto.lock(root, timeout=120.0):
+                prev = proto.read_manifest(root) or {"version": 0, "tables": {}}
+                manifest = {
+                    "version": prev["version"] + 1,
+                    "txid": f"w{writer_id}-{i}",
+                    "tables": prev["tables"],
+                }
+                try:
+                    proto.swap_manifest(
+                        root, manifest["txid"], manifest,
+                        based_on=prev["version"],
+                    )
+                    break
+                except cp.CommitConflict:
+                    conflicts += 1  # re-read and retry (shouldn't happen
+                    continue        # under the lock; counted to prove it)
+    wall = time.perf_counter() - t0
+    return {"wall": wall, "conflicts": conflicts, **cp.CONTENTION_STATS}
+
+
+def _contention_probe() -> dict:
+    """N concurrent writer processes × M commits against ONE store root,
+    on both commit backends: commits/sec, lock-wait polls, lost lease-CAS
+    races, takeovers.  The question (VERDICT r9 #6): does the etag-CAS
+    backend's retry behavior stay sane under real multi-writer
+    contention, or does it storm?"""
+    import multiprocessing as mp
+    import tempfile
+
+    from dataintegration_ecomprovider_spark.plans import commit_protocol as cp
+
+    out: dict = {}
+    M = 40
+    for backend in ("posix", "conditional"):
+        for n in (1, 2, 4, 8):
+            root = tempfile.mkdtemp(prefix=f"cont_{backend}_{n}_")
+            if backend == "conditional":
+                cp.persist_protocol(root, "conditional")
+            ctx = mp.get_context("spawn")
+            t0 = time.perf_counter()
+            with ctx.Pool(n) as pool:
+                stats = pool.map(
+                    _contention_worker,
+                    [(root, i, M, backend) for i in range(n)],
+                )
+            wall = time.perf_counter() - t0
+            proto = (
+                cp.ConditionalCommitProtocol() if backend == "conditional"
+                else cp.PosixCommitProtocol()
+            )
+            final = proto.read_manifest(root)
+            # every commit landed exactly once: the version count IS the
+            # serialization proof under maximal contention
+            assert final["version"] == n * M, (backend, n, final["version"])
+            out[f"{backend}_w{n}"] = {
+                "commits_per_sec": round(n * M / wall, 1),
+                "waits": sum(s["waits"] for s in stats),
+                "lost_cas_races": sum(s["lost_cas_races"] for s in stats),
+                "takeovers": sum(s["takeovers"] for s in stats),
+                "conflicts": sum(s["conflicts"] for s in stats),
+            }
+            shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
+    if sys.argv[1:] and all("contention" in w for w in sys.argv[1:]):
+        print(json.dumps({"probe": "commit_contention",
+                          "contention": _contention_probe()}))
+        return
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     synthesize(spark)
@@ -114,6 +201,10 @@ def main() -> None:
         "u12_sql_transaction",      # BEGIN/COMMIT/ROLLBACK atomic block
         "llm_repeated_spans_maximal",  # 3-level doubling + coverage joins
         "u12_partial_update",       # narrow partial deltas + overlay read
+        # round-10 surfaces
+        "llm_sim_ivfpq_topk",       # composed coarse-probe + ADC + re-rank
+        "u12_sql_table_changes",    # SQL CDC read lifecycle
+        "u12_insert_overwrite",     # one-statement scoped replace
     ]
     wanted = sys.argv[1:]
     if wanted:
