@@ -80,6 +80,9 @@ HEADLINE = [
     "u12_partial_update",           # partial-column MoR deltas: keys + set cols only (round 9)
     "llm_sim_pq_topk",              # PQ codes + ADC shortlist + exact re-rank (round 9)
     "llm_pq_codes_cdc",             # CDC-maintained PQ code table lifecycle (round 9)
+    "llm_sim_ivfpq_topk",           # composed IVF+PQ: probe cells, ADC within, re-rank (round 10)
+    "u12_sql_table_changes",        # SQL table_changes() CDC read lifecycle (round 10)
+    "u12_insert_overwrite",         # INSERT OVERWRITE + REPLACE WHERE scoped backfill (round 10)
 ]
 
 
