@@ -869,6 +869,7 @@ def pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     portable: bool = False,
+    normalize: bool = True,
 ) -> dict[str, DataFrame]:
     """Product-quantization index (faiss PQ): the vector splits into `m`
     contiguous subvectors; each subspace gets a `codebook_size`-entry
@@ -899,10 +900,11 @@ def pq_index(
         rank_hash = md5_int60(F.col(id_col).cast("string"))
     else:
         rank_hash = F.xxhash64(F.col(id_col))
+    vcol = F.col(vec_col).cast("array<double>")
     sample = (
         embeddings.select(
             F.col(id_col),
-            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+            (_unit(vcol) if normalize else vcol).alias("v"),
         )
         .orderBy(rank_hash.asc(), F.col(id_col).asc())
         .limit(codebook_size)
@@ -921,22 +923,28 @@ def pq_index(
     codebook = spark.createDataFrame(
         codebook_rows, "j int, c int, cv array<double>"
     ).repartition(1)
-    codes = _pq_encode(embeddings, codebook, sub, id_col, vec_col)
+    codes = _pq_encode(
+        embeddings, codebook, sub, id_col, vec_col, normalize=normalize
+    )
     return {"codebook": codebook, "codes": codes, "m": m, "sub": sub,
             "k": codebook_size}
 
 
 def _pq_encode(
     rows: DataFrame, codebook: DataFrame, sub: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, normalize: bool = True,
 ) -> DataFrame:
     """(id, codes): nearest codebook entry per subspace for each vector —
     partition-local against the broadcast codebook, one shuffle on the
     id for the final code assembly.  Pure per-row given the codebook,
-    which is what lets maintain_pq_codes run it over CDC deltas only."""
+    which is what lets maintain_pq_codes run it over CDC deltas only.
+    `normalize=False` encodes the column AS IS — the residual-IVFPQ path
+    passes already-centered residual vectors, which must not be
+    re-normalized."""
+    vcol = F.col(vec_col).cast("array<double>")
     cand = rows.select(
         F.col(id_col),
-        _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+        (_unit(vcol) if normalize else vcol).alias("v"),
     )
     expanded = cand.crossJoin(F.broadcast(codebook)).select(
         id_col, "j", "c",
@@ -1155,6 +1163,7 @@ def pq_refine_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_means: int | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Per-subspace Lloyd k-means refinement of a PQ codebook (faiss
     trains its sub-codebooks exactly this way): each iteration assigns
@@ -1177,10 +1186,11 @@ def pq_refine_codebook(
     as kmeans_refine."""
     spark = embeddings.sparkSession
     m_count = codebook.select(F.max("j")).first()[0] + 1
+    vcol = F.col(vec_col).cast("array<double>")
     subvecs = (
         embeddings.select(
             F.col(id_col).alias("__vid"),
-            _unit(F.col(vec_col).cast("array<double>")).alias("v"),
+            (_unit(vcol) if normalize else vcol).alias("v"),
         )
         .select(
             "__vid",
@@ -1253,6 +1263,7 @@ def ivfpq_index(
     portable: bool = False,
     refine_iters: int = 0,
     pq_iters: int = 0,
+    residual: bool = False,
 ) -> dict:
     """Composed IVF+PQ index (faiss IVFPQ, by_residual=false): the
     coarse quantizer (IVF centroids) bounds WHICH vectors a query
@@ -1263,50 +1274,100 @@ def ivfpq_index(
     turning the flat-PQ O(corpus codes) scan into O(probed cells):
     the missing piece VERDICT r9 ranked #1 for a 100 TB serve path.
 
-    Codes encode the unit-normalized vector itself, not the residual
-    against its centroid — the trade: residual encoding buys recall at
-    equal m, non-residual keeps the code table IDENTICAL to flat PQ
-    (same `_pq_encode`, same CDC maintenance — one encode function to
-    keep correct) and lets one code table serve both paths.
+    `residual=False` (default) encodes the unit-normalized vector
+    itself — the code table stays IDENTICAL to flat PQ (same
+    `_pq_encode`, same CDC maintenance) and one code table serves both
+    paths.  `residual=True` is faiss's by_residual default: codes
+    encode unit(v) − unit(centroid[cell]), whose norms are much smaller
+    than the vectors' own, so the same m·k codebook budget spends its
+    resolution on the part of the vector the coarse quantizer did NOT
+    already explain — higher raw-ADC recall on clustered data at the
+    cost of per-(query, probed-cell) ADC tables at serve time (the ADC
+    identity ||q−x||² = ||(q−c)−(x−c)||² holds exactly within a cell,
+    so the ordering math is unchanged).  Codebook (sample AND Lloyd
+    training) is built over the residuals in residual mode.
 
     `pq_iters` > 0 trains the sub-codebooks with per-subspace Lloyd
     iterations (pq_refine_codebook) instead of the raw hash-rank sample;
     `refine_iters` Lloyd-refines the IVF centroids (kmeans_refine).
     Persist all three tables with publish_ivfpq_index (cells bucketed on
     cid) and maintain codes from CDC with maintain_ivfpq_codes."""
-    idx = pq_index(
-        embeddings, m=m, codebook_size=codebook_size,
-        id_col=id_col, vec_col=vec_col, portable=portable,
-    )
-    codebook = idx["codebook"]
-    if pq_iters > 0:
-        codebook = pq_refine_codebook(
-            embeddings, codebook, idx["sub"], iters=pq_iters,
-            id_col=id_col, vec_col=vec_col,
-            round_means=9 if portable else None,
-        )
     ivf = ivf_index(
         embeddings, n_centroids=n_centroids, id_col=id_col,
         vec_col=vec_col, portable=portable, refine_iters=refine_iters,
     )
+    if residual:
+        resid = _ivfpq_residuals(
+            embeddings, ivf["centroids"], id_col, vec_col
+        )
+        pq_src, pq_vec, norm = resid, "__resid", False
+    else:
+        pq_src, pq_vec, norm = embeddings, vec_col, True
+    idx = pq_index(
+        pq_src, m=m, codebook_size=codebook_size,
+        id_col=id_col, vec_col=pq_vec, portable=portable,
+        normalize=norm,
+    )
+    codebook = idx["codebook"]
+    if pq_iters > 0:
+        codebook = pq_refine_codebook(
+            pq_src, codebook, idx["sub"], iters=pq_iters,
+            id_col=id_col, vec_col=pq_vec,
+            round_means=9 if portable else None, normalize=norm,
+        )
     codes = _ivfpq_encode(
-        embeddings, ivf["centroids"], codebook, idx["sub"], id_col, vec_col
+        embeddings, ivf["centroids"], codebook, idx["sub"], id_col,
+        vec_col, residual=residual,
     )
     return {
         "centroids": ivf["centroids"], "codebook": codebook,
         "codes": codes, "m": m, "sub": idx["sub"], "k": codebook_size,
+        "residual": residual,
     }
+
+
+def _ivfpq_residuals(
+    rows: DataFrame, centroids: DataFrame, id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, cid, __resid): each vector's nearest cell and its residual
+    unit(v) − unit(centroid) — the quantity residual-IVFPQ codes encode.
+    Broadcast centroids, partition-local; pure per-row."""
+    assigned = _assign_to_centroids(
+        rows.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        ),
+        centroids, id_col, "__v", keep=1,
+    )
+    return assigned.join(
+        F.broadcast(centroids.select("cid", "cvec")), "cid"
+    ).select(
+        F.col(id_col), "cid",
+        F.zip_with(
+            _unit(F.col("__v")), _unit(F.col("cvec").cast("array<double>")),
+            lambda x, c: x - c,
+        ).alias("__resid"),
+    )
 
 
 def _ivfpq_encode(
     rows: DataFrame, centroids: DataFrame, codebook: DataFrame, sub: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, residual: bool = False,
 ) -> DataFrame:
     """(id, cid, codes): nearest IVF cell + PQ codes per vector — both
     halves pure per-row functions of broadcast tables (≤K centroids,
     m·k codebook entries), which is what lets maintain_ivfpq_codes run
     this over CDC deltas only.  One shuffle on the id to zip the two
-    assignments."""
+    assignments.  `residual=True` encodes unit(v) − unit(centroid[cell])
+    instead of unit(v) (see ivfpq_index)."""
+    if residual:
+        resid = _ivfpq_residuals(rows, centroids, id_col, vec_col)
+        codes = _pq_encode(
+            resid, codebook, sub, id_col, "__resid", normalize=False
+        )
+        return codes.join(resid.select(id_col, "cid"), id_col).select(
+            id_col, "cid", "codes"
+        )
     cells = _assign_to_centroids(
         rows.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")),
         centroids, id_col, "__v", keep=1,
@@ -1326,6 +1387,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     rerank: int | None = None,
     embeddings: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Serve approximate top-k from an ivfpq_index layout: queries assign
     to their `n_probe` nearest cells (broadcast centroids), build their
@@ -1350,24 +1412,57 @@ def ivfpq_topk(
     )
     probes = _assign_to_centroids(
         q, centroids.select("cid", "cvec"), "query_id", "qv", keep=n_probe
-    ).select("query_id", "cid")
-    tab = q.crossJoin(F.broadcast(codebook)).select(
-        "query_id", "j", "c",
-        F.round(
-            _l2sq(F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
-                  F.col("cv")),
-            6,
-        ).alias("w"),
-    )
-    tables = tab.groupBy("query_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("j", "c", "w"))),
-            lambda s: s["w"],
-        ).alias("table")
-    )
-    # (query_id, cid, table): one row per probe — small (|queries|·n_probe),
-    # broadcast against the cid-bucketed codes table
-    probe_tables = probes.join(tables, "query_id")
+    ).select("query_id", "qv", "cid")
+    if residual:
+        # per-(query, probed cell) ADC tables over the RESIDUAL
+        # unit(q) − unit(centroid): |queries|·n_probe·m·k rows — still a
+        # broadcast-sized frame; within a probed cell the residual ADC
+        # orders exactly like the vector-space ADC
+        # (||q−x||² = ||(q−c)−(x−c)||²), with the codebook's resolution
+        # spent on the unexplained part
+        qres = probes.join(
+            F.broadcast(centroids.select("cid", "cvec")), "cid"
+        ).select(
+            "query_id", "cid",
+            F.zip_with(
+                F.col("qv"), _unit(F.col("cvec").cast("array<double>")),
+                lambda x, c: x - c,
+            ).alias("qv"),
+        )
+        tab = qres.crossJoin(F.broadcast(codebook)).select(
+            "query_id", "cid", "j", "c",
+            F.round(
+                _l2sq(F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
+                      F.col("cv")),
+                6,
+            ).alias("w"),
+        )
+        probe_tables = tab.groupBy("query_id", "cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "c", "w"))),
+                lambda s: s["w"],
+            ).alias("table")
+        )
+    else:
+        tab = q.crossJoin(F.broadcast(codebook)).select(
+            "query_id", "j", "c",
+            F.round(
+                _l2sq(F.slice(F.col("qv"), F.col("j") * sub + 1, sub),
+                      F.col("cv")),
+                6,
+            ).alias("w"),
+        )
+        tables = tab.groupBy("query_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "c", "w"))),
+                lambda s: s["w"],
+            ).alias("table")
+        )
+        # (query_id, cid, table): one row per probe — small
+        # (|queries|·n_probe), broadcast against the cid-bucketed codes
+        probe_tables = probes.select("query_id", "cid").join(
+            tables, "query_id"
+        )
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(probe_tables), "cid")
@@ -1444,6 +1539,7 @@ def publish_ivfpq_index(
     portable: bool = False,
     refine_iters: int = 0,
     pq_iters: int = 0,
+    residual: bool = False,
     centroids_table: str = "ivfpq_centroids",
     codebook_table: str = "ivfpq_codebook",
     codes_table: str = "ivfpq_codes",
@@ -1461,7 +1557,7 @@ def publish_ivfpq_index(
     idx = ivfpq_index(
         emb, n_centroids=n_centroids, m=m, codebook_size=codebook_size,
         id_col=id_col, vec_col=vec_col, portable=portable,
-        refine_iters=refine_iters, pq_iters=pq_iters,
+        refine_iters=refine_iters, pq_iters=pq_iters, residual=residual,
     )
     return publish.publish_tables(
         spark,
@@ -1490,6 +1586,7 @@ def maintain_ivfpq_codes(
     codebook_table: str = "ivfpq_codebook",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> dict:
     """Maintain the persisted IVFPQ code table (id, cid, codes) as a
     CDC-driven view of the embeddings table — the ivfpq analog of
@@ -1505,7 +1602,10 @@ def maintain_ivfpq_codes(
     sub = len(codebook.select("cv").first()["cv"])
 
     def _build(rows):
-        return _ivfpq_encode(rows, centroids, codebook, sub, id_col, vec_col)
+        return _ivfpq_encode(
+            rows, centroids, codebook, sub, id_col, vec_col,
+            residual=residual,
+        )
 
     return materialize.maintain_rowwise_view(
         spark, root, src, dst, _build,

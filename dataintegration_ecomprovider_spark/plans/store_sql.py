@@ -787,10 +787,14 @@ class StoreSQL:
                 int(h["version"]), h.get("txid"),
                 float(h["committed_at_unix"])
                 if h.get("committed_at_unix") is not None else None,
+                float(h["commit_wall_ms"])
+                if h.get("commit_wall_ms") is not None else None,
             ))
         rows.sort(key=lambda r: -r[0])
         return self.spark.createDataFrame(
-            rows, "version long, txid string, committed_at_unix double"
+            rows,
+            "version long, txid string, committed_at_unix double, "
+            "commit_wall_ms double",
         )
 
     def _merge(self, m: re.Match) -> dict:

@@ -1435,3 +1435,42 @@ def test_maintain_ivfpq_codes_follows_corpus(spark, tmp_path):
               ).collect()}
     assert got == expect
     assert all(v % 5 != 0 for v in got)
+
+
+def test_residual_ivfpq_beats_plain_on_clustered_data(spark):
+    """faiss by_residual: encoding unit(v) - unit(centroid) spends the
+    codebook's resolution on the part the coarse quantizer did not
+    explain.  On CLUSTERED vectors (where cells are tight and residual
+    norms are small) raw-ADC recall must beat non-residual encoding at
+    the same m x k budget; shapes/CDC plumbing are unchanged."""
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    # 8 well-separated clusters of 60 vectors each in 32-dim: center
+    # c has +5.0 in dims (4c..4c+3); members jitter deterministically
+    rows = []
+    for c in range(8):
+        for i in range(60):
+            vid = c * 60 + i
+            vec = [0.1 * (((vid * 7 + d) % 11) - 5) for d in range(32)]
+            for d in range(4 * c, 4 * c + 4):
+                vec[d] += 5.0
+            rows.append((vid, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 60 < 2)  # 2 per cluster
+    bf = {(r.query_id, r.neighbor_id)
+          for r in similarity.brute_force_topk(emb, queries, k=10).collect()}
+
+    def raw_recall(residual):
+        idx = similarity.ivfpq_index(
+            emb, n_centroids=8, m=4, codebook_size=16,
+            refine_iters=1, pq_iters=1, residual=residual,
+        )
+        got = {(r.query_id, r.neighbor_id) for r in similarity.ivfpq_topk(
+            queries, idx["centroids"], idx["codebook"], idx["codes"],
+            k=10, n_probe=2, rerank=None, residual=residual,
+        ).collect()}
+        return len(bf & got) / len(bf)
+
+    plain, resid = raw_recall(False), raw_recall(True)
+    assert resid > plain, (plain, resid)
+    assert resid >= 0.5  # clustered fixture: residual ADC is usable raw
