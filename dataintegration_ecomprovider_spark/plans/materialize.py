@@ -900,14 +900,19 @@ def declare_view(root: str, kind: str, **spec) -> dict:
     ranked-search stack one dependency-ordered refresh), ``shingles``
     (curation.maintain_corpus_shingles kwargs — a (hash, id) shingle
     index of any text table; used for both the corpus and benchmark
-    sides) or ``contamination`` (curation.maintain_contamination kwargs
-    — the per-doc decontamination view over BOTH shingle indexes);
+    sides), ``contamination`` (curation.maintain_contamination kwargs
+    — the per-doc decontamination view over BOTH shingle indexes),
+    ``pq_codes`` (similarity.maintain_pq_codes kwargs — the
+    CDC-maintained flat-PQ code table) or ``ivfpq``
+    (similarity.maintain_ivfpq_codes kwargs — the CDC-maintained
+    composed IVF+PQ code table, round 10);
     `spec` must include ``dst``
     (the view's table name, also its registry key).  Re-declaring a dst
     overwrites its spec.  Returns the full declared-view registry."""
     kinds = (
         "aggregate", "join", "topics", "minhash", "ivf", "postings",
         "doc_lengths", "term_df", "shingles", "contamination",
+        "pq_codes", "ivfpq",
     )
     if kind not in kinds:
         raise ValueError(
@@ -1041,6 +1046,17 @@ def _view_sources(spec: dict) -> list[str]:
             spec.get("src", "embeddings"),
             spec.get("centroids_table", "ivf_centroids"),
         ]
+    if spec.get("kind") == "pq_codes":
+        return [
+            spec.get("src", "embeddings"),
+            spec.get("codebook_table", "pq_codebook"),
+        ]
+    if spec.get("kind") == "ivfpq":
+        return [
+            spec.get("src", "embeddings"),
+            spec.get("centroids_table", "ivfpq_centroids"),
+            spec.get("codebook_table", "ivfpq_codebook"),
+        ]
     return [spec["fact"], spec["dim"]]
 
 
@@ -1118,6 +1134,14 @@ def refresh_declared_views(spark: SparkSession, root: str) -> dict:
         elif kind == "contamination":
             from dataintegration_ecomprovider_spark.llm.curation import (
                 maintain_contamination as fn,
+            )
+        elif kind == "pq_codes":
+            from dataintegration_ecomprovider_spark.llm.similarity import (
+                maintain_pq_codes as fn,
+            )
+        elif kind == "ivfpq":
+            from dataintegration_ecomprovider_spark.llm.similarity import (
+                maintain_ivfpq_codes as fn,
             )
         else:
             fn = maintain_aggregate if kind == "aggregate" else maintain_join

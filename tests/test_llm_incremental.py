@@ -1474,3 +1474,38 @@ def test_residual_ivfpq_beats_plain_on_clustered_data(spark):
     plain, resid = raw_recall(False), raw_recall(True)
     assert resid > plain, (plain, resid)
     assert resid >= 0.5  # clustered fixture: residual ADC is usable raw
+
+
+def test_declared_ivfpq_view_refreshes_with_store(spark, tmp_path):
+    """Round 10: the IVFPQ code table is declarable — ONE maintenance
+    pass (refresh_declared_views) keeps it current after ingests, with
+    the dependency order placing it after its centroids/codebook
+    sources."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from dataintegration_ecomprovider_spark.plans import materialize
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path / "store")
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    publish.publish_tables(
+        spark, {"embeddings": emb.filter(F.col("vec_id") % 2 == 0)}, root,
+        table_keys={"embeddings": ["vec_id"]},
+    )
+    similarity.publish_ivfpq_index(spark, root, n_centroids=8, m=4,
+                                   codebook_size=8)
+    materialize.declare_view(root, "ivfpq", dst="ivfpq_codes")
+    r1 = materialize.refresh_declared_views(spark, root)
+    assert not r1["errors"] and r1["views"]["ivfpq_codes"]["mode"] == "seed"
+
+    publish.merge_into_mor(
+        spark, root, "embeddings", emb.filter(F.col("vec_id") % 2 != 0)
+    )
+    r2 = materialize.refresh_declared_views(spark, root)
+    assert not r2["errors"] and r2["views"]["ivfpq_codes"]["mode"] == "delta"
+
+    got = {r["vec_id"] for r in
+           publish.read_table(spark, root, "ivfpq_codes").collect()}
+    live = {r["vec_id"] for r in
+            publish.read_table(spark, root, "embeddings").collect()}
+    assert got == live
