@@ -83,6 +83,9 @@ HEADLINE = [
     "llm_sim_ivfpq_topk",           # composed IVF+PQ: probe cells, ADC within, re-rank (round 10)
     "u12_sql_table_changes",        # SQL table_changes() CDC read lifecycle (round 10)
     "u12_insert_overwrite",         # INSERT OVERWRITE + REPLACE WHERE scoped backfill (round 10)
+    "llm_bpe_train",                # distributed BPE merge learning on the vocab table (round 10)
+    "llm_bpe_token_counts",         # trained-tokenizer encode: replace-chain corpus scan (round 10)
+    "llm_lm_perplexity",            # bigram stupid-backoff LM quality scoring (round 10)
 ]
 
 

@@ -1,0 +1,245 @@
+"""Distributed byte-pair-encoding tokenizer training and encoding.
+
+The reference engine only COUNTS tokens with a fixed GPT-2-style regex
+(functions/text.py:65 ``bpe_token_count`` mirrors it).  A real
+training-data pipeline also needs to TRAIN the tokenizer on the corpus —
+this module implements BPE merge learning (Sennrich, Haddow & Birch
+2016, "Neural Machine Translation of Rare Words with Subword Units";
+the GPT-2 tokenizer's training procedure) Spark-first:
+
+- The 100 TB corpus collapses ONCE into a (word, freq) table — the
+  classic scale reducer: distinct words grow sub-linearly with corpus
+  bytes (Heaps' law), so every training iteration runs on a vocabulary-
+  sized table, never the corpus.
+- Each merge iteration is ONE declarative aggregation (explode adjacent
+  symbol pairs weighted by word frequency → groupBy → argmax with a
+  total deterministic tie-break) plus one literal string ``replace``
+  applied to every word — all JVM-side built-ins, no Python in the loop
+  body, no UDFs.
+- Words are represented as delimiter-framed symbol strings so that a
+  merge is a single non-overlapping left-to-right ``replace`` — the
+  exact greedy-left semantics BPE specifies, identical in Spark's
+  ``replace`` and DuckDB's (the oracle replays training as a chain of
+  plain-SQL CTEs, see plans/llm_queries.py bpe oracles).
+
+Representation: word "abc" becomes
+
+    SEP a SEP SEP b SEP SEP c SEP SEP EOW SEP
+
+(every symbol wrapped in its own SEP pair, EOW appended as the classic
+end-of-word symbol).  Merging pair (x, y) is then
+
+    replace(sym, SEP x SEP SEP y SEP, SEP x·y SEP)
+
+Back-to-back matches stay adjacent ("a a a a" → "aa aa", not
+"aa a a") because each match consumes only its own frames — see
+tests/test_bpe.py::test_replace_merge_is_greedy_left.
+
+Symbols never contain SEP/EOW by construction: input words containing
+either control char are dropped up front (both engines apply the same
+filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # unit separator: frames every symbol
+EOW = "\x17"  # end-of-word symbol appended to every word
+
+_INNER = SEP + SEP
+
+
+def clean_words(words: Column) -> Column:
+    """Drop empty words and words containing the framing control chars
+    (the only inputs the delimited representation cannot carry)."""
+    return F.filter(
+        words,
+        lambda w: (w != "")
+        & ~F.contains(w, F.lit(SEP))
+        & ~F.contains(w, F.lit(EOW)),
+    )
+
+
+def word_tokens(text: Column, lowercase: bool = True) -> Column:
+    """Whitespace tokens of ``text`` (optionally lowercased), cleaned —
+    the shared tokenization for training and encoding."""
+    base = F.lower(text) if lowercase else text
+    return clean_words(F.split(F.trim(base), r"\s+"))
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-wide pass.
+
+    At 100 TB this is a single explode + hash aggregation (map-side
+    partial combine collapses each partition to its local vocabulary
+    before the shuffle); everything downstream runs on the result,
+    whose size is the corpus VOCABULARY, not the corpus."""
+    return (
+        docs.select(
+            F.explode(word_tokens(F.col(text_col), lowercase)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def _char_symbols(word: Column) -> Column:
+    """Per-character symbol array of ``word``, EOW appended."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substr(word, i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def symbol_string(word: Column) -> Column:
+    """Initial delimited symbol string: per-character symbols + EOW."""
+    return F.concat(
+        F.lit(SEP), F.array_join(_char_symbols(word), _INNER), F.lit(SEP)
+    )
+
+
+def _symbols(sym_col: str) -> Column:
+    """Symbol array back out of a delimited symbol string column."""
+    return F.split(F.btrim(F.col(sym_col), F.lit(SEP)), _INNER)
+
+
+def pair_counts(words: DataFrame, sym_col: str = "sym") -> DataFrame:
+    """(lft, rgt, cnt): adjacent-symbol pair frequencies weighted by
+    word frequency.  One explode + one aggregation over the vocabulary
+    table — the whole per-iteration cost of training."""
+    s = _symbols(sym_col)
+    n = F.size(s)
+    pairs = F.transform(
+        F.slice(s, F.lit(1), F.greatest(n - F.lit(1), F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("lft"),
+            F.element_at(_symbols(sym_col), i + F.lit(2)).alias("rgt"),
+        ),
+    )
+    return (
+        words.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.lft").alias("lft"), F.col("p.rgt").alias("rgt"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+
+def merge_pattern(lft: str, rgt: str) -> tuple[str, str]:
+    """(search, replace) literals realizing merge (lft, rgt) on the
+    delimited representation."""
+    return (SEP + lft + _INNER + rgt + SEP, SEP + lft + rgt + SEP)
+
+
+def train(
+    words: DataFrame,
+    num_merges: int,
+    min_pair_freq: int = 1,
+    checkpoint_every: int = 16,
+    strict: bool = False,
+) -> list[dict]:
+    """Learn ``num_merges`` BPE merges from a (word, freq) table.
+
+    Returns [{rank, lft, rgt, token, pair_freq}, ...] in rank order.
+    Each iteration is one Spark aggregation over the vocabulary table +
+    a 1-row collect (the argmax pair; the tie-break is total: count
+    DESC, lft ASC, rgt ASC — binary string order in both engines, so
+    training is deterministic and DuckDB-replayable).  Training stops
+    early when no pair reaches ``min_pair_freq`` (or raises when
+    ``strict``).
+
+    The vocabulary table is cached once; the per-iteration ``replace``
+    lineage is cut every ``checkpoint_every`` merges so iteration i
+    never replays O(i) string rewrites."""
+    cur = words.select(symbol_string(F.col("word")).alias("sym"), "freq").persist()
+    cached = [cur]
+    merges: list[dict] = []
+    try:
+        for rank in range(1, num_merges + 1):
+            best = (
+                pair_counts(cur)
+                .orderBy(F.col("cnt").desc(), F.col("lft").asc(), F.col("rgt").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_pair_freq:
+                if strict:
+                    raise ValueError(
+                        f"no pair with frequency >= {min_pair_freq} at rank {rank}"
+                    )
+                break
+            lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["cnt"]
+            merges.append(
+                {"rank": rank, "lft": lft, "rgt": rgt,
+                 "token": lft + rgt, "pair_freq": cnt}
+            )
+            pat, rep = merge_pattern(lft, rgt)
+            cur = cur.withColumn("sym", F.replace(F.col("sym"), F.lit(pat), F.lit(rep)))
+            if rank % checkpoint_every == 0:
+                cur = cur.localCheckpoint(eager=True)
+                cached.append(cur)
+    finally:
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    return merges
+
+
+def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
+    """The learned merge table as a (tiny) DataFrame — one file on disk,
+    broadcast-sized by construction."""
+    rows = [
+        (int(m["rank"]), m["lft"], m["rgt"], m["token"], int(m["pair_freq"]))
+        for m in merges
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, lft string, rgt string, token string, pair_freq bigint"
+    )
+    # local relations fan out over defaultParallelism near-empty
+    # partitions; repartition(1) computes them in parallel THEN writes
+    # one file (see SCALE.md round-10 commit-cost notes)
+    return df.repartition(1)
+
+
+def encoded_string(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
+    """The document's delimited symbol string AFTER applying all merges
+    in rank order (word symbol strings joined by a space, which can
+    never take part in a match: merge patterns are SEP-framed and SEP
+    never borders a space).  Pure column expression — a chain of
+    literal replaces, one corpus scan, no shuffle, no Python."""
+    wsyms = F.transform(
+        word_tokens(text, lowercase),
+        lambda w: F.concat(
+            F.lit(SEP), F.array_join(_char_symbols(w), _INNER), F.lit(SEP)
+        ),
+    )
+    s = F.array_join(wsyms, " ")
+    for m in merges:
+        pat, rep = merge_pattern(m["lft"], m["rgt"])
+        s = F.replace(s, F.lit(pat), F.lit(rep))
+    return s
+
+
+def token_count(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
+    """Tokens per document under the trained merges, without
+    materializing token arrays: each word contributes 1 + (inner
+    separators) symbols, so the count is n_words + total inner
+    separators — measured by length delta under a collapsing replace
+    (no triple-SEP runs exist, by format invariant)."""
+    s = encoded_string(text, merges, lowercase)
+    inner_seps = F.length(s) - F.length(F.replace(s, F.lit(_INNER), F.lit(SEP)))
+    return (F.size(word_tokens(text, lowercase)) + inner_seps).cast("bigint")
+
+
+def tokens(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
+    """The trained-BPE token array for a document (word-major order)."""
+    s = encoded_string(text, merges, lowercase)
+    per_word = F.filter(F.split(s, " "), lambda w: w != "")
+    return F.flatten(
+        F.transform(per_word, lambda w: F.split(F.btrim(w, F.lit(SEP)), _INNER))
+    )

@@ -1,0 +1,146 @@
+"""Count-based n-gram language-model scoring for corpus quality filtering.
+
+CCNet (Wenzek et al. 2020, "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data") filters web text by language-model
+perplexity against a clean reference corpus; production pipelines use a
+KenLM model.  This module is the same filter with the model TRAINED IN
+THE ENGINE: a bigram LM with stupid backoff (Brants et al. 2007, "Large
+Language Models in Machine Translation") — counts, not neural — so both
+training and scoring are plain declarative aggregations/joins and the
+whole computation is DuckDB-oracle-checkable.
+
+Scoring rule, for token w following prev:
+
+    score(w | prev) = c(prev, w) / c_ctx(prev)          if c(prev, w) > 0
+                    = 0.4 * (c(w) + 1) / (N + V)        otherwise
+
+where c_ctx(prev) = occurrences of prev as a predecessor in training,
+c(w) = training unigram count, N = total training tokens, V = training
+vocabulary size (so unseen words get the +1 floor — every score is > 0
+and log-scores are always finite).
+
+Cross-engine float determinism: each position's log-score is quantized
+to integer MICRO-NATS (round(lp * 1e6) as BIGINT) before aggregation —
+integer sums are exact and order-free, so Spark's partial-aggregation
+order cannot drift from DuckDB's single-threaded sum.  The only floats
+compared are one final division + round(6) per document (and a
+round(3) perplexity), both computed from identical operands.
+
+100 TB shape: training is two explode+count aggregations over the
+REFERENCE corpus (typically a curated slice, orders of magnitude
+smaller than the corpus being scored; ``min_count`` prunes the tail so
+the model stays broadcast-sized — pruned n-grams simply back off).
+Scoring is one pass over the target corpus: explode adjacent token
+pairs, join the count tables (broadcast when the model is pruned,
+shuffle-join otherwise), one integer aggregation per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BACKOFF = 0.4
+MICRO = 1_000_000
+
+
+def _tokens(text: Column, lowercase: bool = True) -> Column:
+    base = F.lower(text) if lowercase else text
+    return F.filter(
+        F.split(F.trim(F.coalesce(base, F.lit(""))), r"\s+"), lambda w: w != ""
+    )
+
+
+def _pairs(ws: Column) -> Column:
+    """Adjacent (prev, w) pairs of a token array."""
+    n = F.size(ws)
+    return F.transform(
+        F.slice(ws, F.lit(1), F.greatest(n - F.lit(1), F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("prev"), F.element_at(ws, i + F.lit(2)).alias("w")
+        ),
+    )
+
+
+def train_bigram_lm(
+    train_docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> dict[str, DataFrame]:
+    """Count model from a reference corpus: unigrams, bigrams, context
+    totals, and the (N, V) scalar stats — four small DataFrames.
+
+    ``min_count`` > 1 prunes rare n-grams AFTER the scalar stats are
+    taken (pruned entries back off at scoring time), keeping the model
+    broadcast-sized for 100 TB scoring runs."""
+    toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
+    uni_full = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ucnt"))
+    )
+    stats = uni_full.agg(
+        F.sum("ucnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    big_full = (
+        toks.select(F.explode(_pairs(F.col("ws"))).alias("p"))
+        .groupBy(F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    ctx = big_full.groupBy("prev").agg(F.sum("cnt").cast("bigint").alias("ccnt"))
+    uni = uni_full.filter(F.col("ucnt") >= min_count)
+    big = big_full.filter(F.col("cnt") >= min_count)
+    return {"unigrams": uni, "bigrams": big, "contexts": ctx, "stats": stats}
+
+
+def score_documents(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_scored, avg_logprob, ppl) per document with >= 2 tokens.
+
+    avg_logprob = mean natural-log score per scored position (rounded
+    to 6); ppl = exp(-avg_logprob) rounded to 3 — lower is more like
+    the reference corpus."""
+    pos = docs.select(
+        F.col(id_col), F.explode(_pairs(_tokens(F.col(text_col), lowercase))).alias("p")
+    ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
+
+    joined = (
+        pos.join(model["bigrams"], ["prev", "w"], "left")
+        .join(model["contexts"], ["prev"], "left")
+        .join(model["unigrams"], ["w"], "left")
+        .crossJoin(model["stats"])  # one broadcast row
+    )
+    lp = F.when(
+        F.col("cnt").isNotNull(), F.log(F.col("cnt")) - F.log(F.col("ccnt"))
+    ).otherwise(
+        F.log(F.lit(BACKOFF))
+        + F.log(F.coalesce(F.col("ucnt"), F.lit(0)) + F.lit(1))
+        - F.log(F.col("n_total") + F.col("vocab"))
+    )
+    scored = joined.select(
+        id_col, F.round(lp * F.lit(float(MICRO)), 0).cast("bigint").alias("micro")
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("micro").cast("bigint").alias("sm"),
+    )
+    fin = agg.select(
+        id_col,
+        "n_scored",
+        F.round(F.col("sm") / (F.col("n_scored") * F.lit(float(MICRO))), 6).alias(
+            "avg_logprob"
+        ),
+    )
+    return fin.select(
+        id_col,
+        "n_scored",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
+    )

@@ -2800,6 +2800,223 @@ FROM final
 """
 
 
+# --- BPE tokenizer training (round 10, llm/bpe.py) -------------------------
+_BPE_MERGES = 12
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich 2016 / the GPT-2
+    tokenizer's training procedure, llm/bpe.py): the corpus collapses
+    ONCE into a (word, freq) vocabulary table, then every merge
+    iteration is one declarative aggregation over THAT table (explode
+    adjacent symbol pairs weighted by word freq → argmax with a total
+    tie-break) plus one literal string replace — no UDFs, no Python in
+    the loop body.  The tie-break (count DESC, lft ASC, rgt ASC — binary
+    string order in both engines) makes training deterministic, so the
+    DuckDB oracle REPLAYS all 12 iterations as a chain of materialized
+    SQL CTEs."""
+    from dataintegration_ecomprovider_spark.llm import bpe
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = bpe.train(
+        bpe.word_frequencies(docs), num_merges=_BPE_MERGES, strict=True
+    )
+    return bpe.merges_df(spark, merges)
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merges trained on it: applying a
+    trained tokenizer is a chain of literal replaces over each
+    document's delimited symbol string — ONE corpus scan, zero
+    shuffles, whole-stage codegen end to end (the merge table is
+    driver-resident by construction: num_merges rows)."""
+    from dataintegration_ecomprovider_spark.llm import bpe
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    merges = bpe.train(
+        bpe.word_frequencies(docs), num_merges=_BPE_MERGES, strict=True
+    )
+    return docs.select(
+        "doc_id",
+        F.size(bpe.word_tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        bpe.token_count(F.col("text"), merges).alias("n_tokens"),
+    )
+
+
+# The oracle replays training: w0 = the (word, freq) vocabulary as
+# delimited symbol strings; p_i = the argmax pair at rank i; w_i = w_{i-1}
+# with merge i applied via the SAME literal replace Spark uses.  Every
+# chained CTE is MATERIALIZED — each level is referenced twice (p_i and
+# w_i both read w_{i-1}), so plain inlining would expand 2^merges copies.
+_BPE_WORDS_CTE = """w0 AS MATERIALIZED (
+  SELECT chr(31) || array_to_string(list_append(
+           list_transform(range(1, length(word) + 1), i -> word[i:i]),
+           chr(23)), chr(31) || chr(31)) || chr(31) AS sym,
+         freq
+  FROM (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> '' AND strpos(word, chr(31)) = 0 AND strpos(word, chr(23)) = 0
+    GROUP BY word
+  )
+)"""
+
+_BPE_PAIR_PAT = "chr(31) || p.lft || chr(31) || chr(31) || p.rgt || chr(31)"
+_BPE_PAIR_REP = "chr(31) || p.lft || p.rgt || chr(31)"
+
+
+def _bpe_pair_cte(i: int) -> str:
+    return f"""p{i} AS MATERIALIZED (
+  SELECT lft, rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT list_extract(s, i) AS lft, list_extract(s, i + 1) AS rgt, freq
+    FROM (
+      SELECT s, freq, unnest(range(1, len(s))) AS i
+      FROM (SELECT string_split(trim(sym, chr(31)), chr(31) || chr(31)) AS s, freq
+            FROM w{i - 1})
+    )
+  )
+  GROUP BY lft, rgt
+  ORDER BY cnt DESC, lft ASC, rgt ASC
+  LIMIT 1
+)"""
+
+
+def _bpe_merge_cte(i: int) -> str:
+    return f"""w{i} AS MATERIALIZED (
+  SELECT replace(w.sym, {_BPE_PAIR_PAT}, {_BPE_PAIR_REP}) AS sym, w.freq
+  FROM w{i - 1} w CROSS JOIN p{i} p
+)"""
+
+
+def _bpe_train_ctes(n: int) -> list[str]:
+    ctes = [_BPE_WORDS_CTE]
+    for i in range(1, n + 1):
+        ctes.append(_bpe_pair_cte(i))
+        if i < n:
+            ctes.append(_bpe_merge_cte(i))
+    return ctes
+
+
+def _bpe_train_oracle(n: int) -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, lft, rgt, lft || rgt AS token,"
+        f" cnt AS pair_freq FROM p{i}"
+        for i in range(1, n + 1)
+    )
+    return "WITH " + ",\n".join(_bpe_train_ctes(n)) + "\n" + finals
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    ctes = _bpe_train_ctes(n)
+    ctes.append("""enc0 AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_transform(words,
+            w -> chr(31) || array_to_string(list_append(
+                   list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                   chr(23)), chr(31) || chr(31)) || chr(31)), ' ') AS s,
+         len(words) AS n_words
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                       w -> w <> '' AND strpos(w, chr(31)) = 0
+                            AND strpos(w, chr(23)) = 0) AS words
+    FROM documents
+  )
+)""")
+    for i in range(1, n + 1):
+        ctes.append(f"""enc{i} AS MATERIALIZED (
+  SELECT e.doc_id, replace(e.s, {_BPE_PAIR_PAT}, {_BPE_PAIR_REP}) AS s, e.n_words
+  FROM enc{i - 1} e CROSS JOIN p{i} p
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_words + (length(s) - length(replace(s, chr(31) || chr(31), chr(31))))
+            AS BIGINT) AS n_tokens
+FROM enc{n}"""
+    )
+
+
+ORACLE_BPE_TRAIN = _bpe_train_oracle(_BPE_MERGES)
+ORACLE_BPE_TOKEN_COUNTS = _bpe_encode_oracle(_BPE_MERGES)
+
+
+# --- bigram-LM perplexity scoring (round 10, llm/lm.py) ---------------------
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (llm/lm.py): train a bigram stupid-
+    backoff model on the English slice, score EVERY document's tokens
+    against it (avg log score + perplexity).  Per-position log scores
+    quantize to integer micro-nats before aggregation, so the Spark and
+    DuckDB sums are exact and order-free — the only compared floats are
+    one division + round per document."""
+    from dataintegration_ecomprovider_spark.llm import lm
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    model = lm.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm.score_documents(docs, model)
+
+
+ORACLE_LM_PERPLEXITY = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+train_big AS MATERIALIZED (
+  SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT list_extract(ws, i) AS prev, list_extract(ws, i + 1) AS w
+    FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks WHERE lang = 'en')
+  )
+  GROUP BY prev, w
+),
+ctx AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM train_big GROUP BY prev),
+uni AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
+  GROUP BY w
+),
+stats AS (
+  SELECT CAST(SUM(ucnt) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM uni
+),
+pos AS (
+  SELECT doc_id, list_extract(ws, i) AS prev, list_extract(ws, i + 1) AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(ROUND((CASE WHEN b.cnt IS NOT NULL
+                          THEN ln(b.cnt) - ln(c.ccnt)
+                          ELSE ln(0.4) + ln(coalesce(u.ucnt, 0) + 1)
+                               - ln(s.n_total + s.vocab) END) * 1000000.0, 0)
+              AS BIGINT) AS micro
+  FROM pos p
+  LEFT JOIN train_big b ON b.prev = p.prev AND b.w = p.w
+  LEFT JOIN ctx c ON c.prev = p.prev
+  LEFT JOIN uni u ON u.w = p.w
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(micro) AS BIGINT) AS sm
+  FROM scored GROUP BY doc_id
+),
+fin AS (
+  SELECT doc_id, n_scored,
+         ROUND(sm / (n_scored * 1000000.0), 6) AS avg_logprob
+  FROM agg
+)
+SELECT doc_id, n_scored, avg_logprob, ROUND(exp(-avg_logprob), 3) AS ppl
+FROM fin
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "llm_training_shards_incremental": QueryDef(
@@ -2828,13 +3045,23 @@ QUERIES = {
     "llm_ngram_jaccard": QueryDef(q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "llm_sim_cosine_topk": QueryDef(q_cosine_topk, ORACLE_COSINE_TOPK),
     "llm_sim_topk_quantized": QueryDef(q_topk_quantized, ORACLE_TOPK_QUANTIZED),
-    "llm_sim_pq_topk": QueryDef(q_pq_topk, ORACLE_PQ_TOPK),
+    # folded (round-10 governance): flat PQ's sample → encode → ADC →
+    # re-rank is the documented linear-scan subset of the composed
+    # IVFPQ serve path, which runs the same PQ math within probed
+    # cells; the flat oracle still value-checks in
+    # tests/test_retired_fastpaths.py
+    "llm_sim_pq_topk": QueryDef(
+        q_pq_topk, ORACLE_PQ_TOPK, folded_into="llm_sim_ivfpq_topk"
+    ),
     "llm_sim_ivfpq_topk": QueryDef(q_ivfpq_topk, ORACLE_IVFPQ_TOPK),
     "llm_pq_codes_cdc": QueryDef(q_pq_codes_cdc, ORACLE_PQ_CODES_CDC),
     "llm_sim_lsh_topk": QueryDef(q_lsh_topk, None, retired=True),
     "llm_text_quality": QueryDef(q_text_quality, ORACLE_TEXT_QUALITY),
     "llm_lang_id": QueryDef(q_lang_id, ORACLE_LANG_ID),
     "llm_token_counts": QueryDef(q_token_counts, ORACLE_TOKEN_COUNTS),
+    "llm_bpe_train": QueryDef(q_bpe_train, ORACLE_BPE_TRAIN),
+    "llm_bpe_token_counts": QueryDef(q_bpe_token_counts, ORACLE_BPE_TOKEN_COUNTS),
+    "llm_lm_perplexity": QueryDef(q_lm_perplexity, ORACLE_LM_PERPLEXITY),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),
@@ -2857,16 +3084,19 @@ QUERIES = {
     ),
     "llm_sim_lsh_topk_portable": QueryDef(q_lsh_topk_portable, ORACLE_LSH_TOPK_PORTABLE),
     # folded (round-10 registry governance, hard cap 150 driver slots):
-    # the inline IVF probe is a strict subset of the index round-trip
-    # lifecycle — same centroid pick, assignment and probe math; the
-    # oracle still value-checks in tests/test_retired_fastpaths.py
+    # inline IVF probe ⊂ index round-trip ⊂ the CDC-maintained index
+    # lifecycle (seed publish + O(batch) merge + delete retraction +
+    # probe of the SAME persisted layout) — all three collapse onto the
+    # richest cover; the subset oracles still value-check in
+    # tests/test_retired_fastpaths.py
     "llm_sim_ivf_topk_portable": QueryDef(
         q_ivf_topk_portable, ORACLE_IVF_TOPK_PORTABLE,
-        folded_into="llm_sim_ivf_index_topk_portable",
+        folded_into="llm_ann_index_cdc_portable",
     ),
     "llm_sim_ivf_index_topk": QueryDef(q_ivf_index_topk, None, retired=True),
     "llm_sim_ivf_index_topk_portable": QueryDef(
-        q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE
+        q_ivf_index_topk_portable, ORACLE_IVF_TOPK_PORTABLE,
+        folded_into="llm_ann_index_cdc_portable",
     ),
     "llm_sim_ivf_topk_refined": QueryDef(q_ivf_topk_refined, None, retired=True),
     "llm_ann_index_cdc": QueryDef(q_ann_index_cdc, None, retired=True),
@@ -2877,8 +3107,13 @@ QUERIES = {
         q_ivf_topk_refined_portable, ORACLE_IVF_TOPK_REFINED_PORTABLE
     ),
     "llm_topic_clusters": QueryDef(q_topic_clusters, None, retired=True),
+    # folded (round-10 governance): the recenter lifecycle's final table
+    # is value-identical to cluster_assignments over the whole corpus —
+    # the two entries share ONE oracle string, so the batch clustering
+    # surface rides the richer lifecycle's rotation slot
     "llm_topic_clusters_portable": QueryDef(
-        q_topic_clusters_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE
+        q_topic_clusters_portable, ORACLE_TOPIC_CLUSTERS_PORTABLE,
+        folded_into="llm_topic_recenter_portable",
     ),
     "llm_topic_clusters_incremental": QueryDef(
         q_topic_clusters_incremental, None, retired=True

@@ -1,0 +1,166 @@
+"""BPE tokenizer training/encoding (llm/bpe.py) checked against an
+independent pure-Python reference implementation (the textbook
+symbol-list algorithm from Sennrich 2016), plus the DuckDB oracle
+parity for the registry queries."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataintegration_ecomprovider_spark.llm import bpe
+from tests.conftest import SF_DIR, assert_frames_match
+
+SEP, EOW = bpe.SEP, bpe.EOW
+
+
+# --- pure-Python reference (symbol lists, no string framing) ---------------
+def ref_train(word_freqs: dict[str, int], num_merges: int, min_pair_freq: int = 1):
+    vocab = [([*w, EOW], f) for w, f in word_freqs.items()]
+    merges = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_freq:
+            break
+        merges.append(
+            {"rank": rank, "lft": a, "rgt": b, "token": a + b, "pair_freq": cnt}
+        )
+        vocab = [(_ref_apply(s, a, b), f) for s, f in vocab]
+    return merges
+
+
+def _ref_apply(syms: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def ref_encode(word: str, merges) -> list[str]:
+    syms = [*word, EOW]
+    for m in merges:
+        syms = _ref_apply(syms, m["lft"], m["rgt"])
+    return syms
+
+
+def _words_df(spark, freqs: dict[str, int]):
+    return spark.createDataFrame(
+        [(w, f) for w, f in freqs.items()], "word string, freq bigint"
+    )
+
+
+SENNRICH = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2, "a": 1}
+
+
+def test_train_matches_reference(spark):
+    got = bpe.train(_words_df(spark, SENNRICH), num_merges=8)
+    assert got == ref_train(SENNRICH, 8)
+
+
+def test_replace_merge_is_greedy_left(spark):
+    """Back-to-back merges stay adjacent: 'aaaa' → (aa)(aa), 'aaa' →
+    (aa)(a) — the per-symbol SEP framing makes literal replace
+    realize exactly the greedy-left semantics."""
+    merges = bpe.train(_words_df(spark, {"aaaa": 1}), num_merges=1)
+    assert merges[0]["lft"] == "a" and merges[0]["rgt"] == "a"
+    assert merges[0]["pair_freq"] == 3
+    docs = spark.createDataFrame([(1, "aaaa"), (2, "aaa")], "id int, text string")
+    toks = {
+        r["id"]: r["t"]
+        for r in docs.select("id", bpe.tokens(F.col("text"), merges).alias("t")).collect()
+    }
+    assert toks[1] == ["aa", "aa", EOW]
+    assert toks[2] == ["aa", "a", EOW]
+
+
+def test_encode_matches_reference(spark):
+    merges = bpe.train(_words_df(spark, SENNRICH), num_merges=8)
+    text = "LOW lower  newest\twidest aaaa a low"
+    expect = []
+    for w in text.lower().split():
+        expect.extend(ref_encode(w, merges))
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            bpe.tokens(F.col("text"), merges).alias("t"),
+            bpe.token_count(F.col("text"), merges).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert row["t"] == expect
+    assert row["n"] == len(expect)
+
+
+def test_control_char_words_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, f"ok a{SEP}b c{EOW}d also")], "id int, text string"
+    )
+    words = {
+        r["word"]: r["freq"]
+        for r in bpe.word_frequencies(docs, "text").collect()
+    }
+    assert words == {"ok": 1, "also": 1}
+
+
+def test_empty_and_null_text(spark):
+    docs = spark.createDataFrame([(1, ""), (2, "   "), (3, None)], "id int, text string")
+    merges = [{"rank": 1, "lft": "a", "rgt": "a", "token": "aa", "pair_freq": 1}]
+    out = docs.select(
+        "id",
+        bpe.token_count(F.coalesce(F.col("text"), F.lit("")), merges).alias("n"),
+    ).collect()
+    assert {r["id"]: r["n"] for r in out} == {1: 0, 2: 0, 3: 0}
+
+
+def test_early_stop_and_strict(spark):
+    # "ab" fully merges in 2 steps; the third iteration has no pairs
+    words = _words_df(spark, {"ab": 1})
+    merges = bpe.train(words, num_merges=5)
+    assert [m["token"] for m in merges] == ["ab", "ab" + EOW]
+    with pytest.raises(ValueError):
+        bpe.train(words, num_merges=5, strict=True)
+    # min_pair_freq above every count stops immediately
+    assert bpe.train(words, num_merges=5, min_pair_freq=2) == []
+
+
+def test_checkpoint_interval_is_semantically_invisible(spark):
+    a = bpe.train(_words_df(spark, SENNRICH), num_merges=6, checkpoint_every=2)
+    b = bpe.train(_words_df(spark, SENNRICH), num_merges=6)
+    assert a == b
+
+
+def test_fixture_corpus_matches_reference(spark):
+    """Full-corpus training at sf0.001 agrees with the independent
+    Python implementation run on pandas-derived word counts."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = bpe.train(bpe.word_frequencies(docs), num_merges=12, strict=True)
+
+    pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["text"])
+    freqs: dict[str, int] = {}
+    for t in pdf["text"].fillna(""):
+        for w in t.lower().split():
+            if w and SEP not in w and EOW not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    assert got == ref_train(freqs, 12)
+
+
+def test_registry_queries_match_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("llm_bpe_train", "llm_bpe_token_counts"):
+        spdf = qs[name].fn(spark, SF_DIR).toPandas()
+        odf = oracle.execute(qs[name].oracle).fetchdf()
+        assert_frames_match(spdf, odf, name)
