@@ -905,14 +905,15 @@ def declare_view(root: str, kind: str, **spec) -> dict:
     ``pq_codes`` (similarity.maintain_pq_codes kwargs — the
     CDC-maintained flat-PQ code table) or ``ivfpq``
     (similarity.maintain_ivfpq_codes kwargs — the CDC-maintained
-    composed IVF+PQ code table, round 10);
+    composed IVF+PQ code table, round 10) or ``projection``
+    (maintain_projection kwargs — a per-row selectExpr view, round 10);
     `spec` must include ``dst``
     (the view's table name, also its registry key).  Re-declaring a dst
     overwrites its spec.  Returns the full declared-view registry."""
     kinds = (
         "aggregate", "join", "topics", "minhash", "ivf", "postings",
         "doc_lengths", "term_df", "shingles", "contamination",
-        "pq_codes", "ivfpq",
+        "pq_codes", "ivfpq", "projection",
     )
     if kind not in kinds:
         raise ValueError(
@@ -1023,9 +1024,51 @@ def clear_view_errors(root: str) -> int:
     return n
 
 
+def maintain_projection(
+    spark: SparkSession,
+    root: str,
+    src: str,
+    dst: str,
+    exprs: Sequence[str],
+    where: str | None = None,
+) -> dict:
+    """Maintain `dst` as a per-row SQL PROJECTION of `src`: `exprs` are
+    selectExpr items (scalar expressions with aliases; one must carry
+    the source's key column under its own name), `where` an optional
+    row filter.  The generic scalar-function view — token counts,
+    quality features, fingerprints — kept current O(batch) from the
+    source's CDC by maintain_rowwise_view: inserts/updates re-project
+    only the changed rows, deletes (and rows filtered OUT by an update)
+    retract via stable-key delete markers.  The SQL front-end's
+    CREATE MATERIALIZED VIEW projection shape declares exactly this."""
+    keys = publish.table_keys(root, src)
+    if not keys or len(keys) != 1:
+        raise ValueError(
+            f"projection view of {src!r} needs its single key column "
+            "recorded (publish with table_keys=)"
+        )
+    key = keys[0]
+
+    def build(rows: DataFrame) -> DataFrame:
+        out = rows.filter(where) if where else rows
+        out = out.selectExpr(*exprs)
+        if key not in out.columns:
+            raise ValueError(
+                f"projection exprs must carry the source key {key!r} "
+                f"(got columns {out.columns})"
+            )
+        return out
+
+    return maintain_rowwise_view(
+        spark, root, src, dst, build,
+        dst_keys=[key], src_key=key, stable_keys=True,
+        state_key=f"projection:{dst}",
+    )
+
+
 def _view_sources(spec: dict) -> list[str]:
     """The table names a declared view reads from."""
-    if spec.get("kind") == "aggregate":
+    if spec.get("kind") in ("aggregate", "projection"):
         return [spec["src"]]
     if spec.get("kind") == "topics":
         return [
@@ -1143,6 +1186,8 @@ def refresh_declared_views(spark: SparkSession, root: str) -> dict:
             from dataintegration_ecomprovider_spark.llm.similarity import (
                 maintain_ivfpq_codes as fn,
             )
+        elif kind == "projection":
+            fn = maintain_projection
         else:
             fn = maintain_aggregate if kind == "aggregate" else maintain_join
         try:

@@ -38,6 +38,21 @@ pins the U1-U3 mode matrix plus delete-incoming against the Python API):
     ALTER TABLE t DROP COLUMN c           -- O(1) metadata drop
     ALTER TABLE t ALTER COLUMN c TYPE bigint  -- O(1) lossless widening
     BEGIN [TRANSACTION] [AS 'app' BATCH n]; ...; COMMIT | ROLLBACK
+    CREATE MATERIALIZED VIEW v AS
+      SELECT g, COUNT(*), SUM(x), MIN(y), MAX(z),
+             APPROX_COUNT_DISTINCT(u)
+      FROM src [WHERE <pred>] GROUP BY g  -- incremental aggregate view
+    CREATE MATERIALIZED VIEW v AS
+      SELECT * | fact.*, dim.c1, ...
+      FROM fact [LEFT] JOIN dim ON fact.fk = dim.k
+      [WHERE <fact pred>]                 -- incremental join view
+    CREATE MATERIALIZED VIEW v AS
+      SELECT <scalar exprs incl. the key>
+      FROM src [WHERE <row filter>]       -- per-row projection view
+    REFRESH MATERIALIZED VIEWS            -- dependency-ordered IVM pass
+    DROP MATERIALIZED VIEW v              -- declaration only; DROP TABLE v for data
+    SHOW MATERIALIZED VIEWS               -- the declared-view registry
+    EXPLAIN [FORMATTED|EXTENDED|...] SELECT ...  -- Spark plan, store refs resolved
 
 and multi-statement ATOMIC blocks — MERGE / INSERT INTO / DELETE FROM /
 UPDATE statements over KEYED tables committed as ONE store version
@@ -184,11 +199,239 @@ _INSERT_VALUES_RE = re.compile(
 )
 _EQ_RE = re.compile(r"^\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*$")
 _SELECT_RE = re.compile(r"^\s*(?:SELECT|WITH)\b", re.IGNORECASE)
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN(\s+(?:EXTENDED|FORMATTED|CODEGEN|COST))?\s+(?:SELECT|WITH)\b",
+    re.IGNORECASE,
+)
 _ASOF_RE = re.compile(
     r"(?P<table>\w+)\s+(?:(?:VERSION\s+AS\s+OF\s+(?P<version>\d+))|"
     r"(?:TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'))",
     re.IGNORECASE,
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<target>\w+)\s+AS\s+"
+    r"(?P<select>SELECT\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEWS?\s*;?\s*$", re.IGNORECASE
+)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<target>\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_MV_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
+)
+# the two maintainable view shapes (materialize.maintain_aggregate /
+# maintain_join); anything else is rejected with the supported grammar
+_MV_JOIN_RE = re.compile(
+    r"^SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<fact>\w+)\s+"
+    r"(?:(?P<how>LEFT|INNER)\s+)?JOIN\s+(?P<dim>\w+)\s+ON\s+"
+    r"(?P<on>\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<src>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_AGG_ITEM_RE = re.compile(
+    r"^(?:(?P<fn>COUNT|SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*"
+    r"(?P<arg>\*|\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?|(?P<col>\w+))$",
+    re.IGNORECASE,
+)
+_MV_ON_RE = re.compile(
+    r"^(?P<ta>\w+)\s*\.\s*(?P<ka>\w+)\s*=\s*(?P<tb>\w+)\s*\.\s*(?P<kb>\w+)$"
+)
+_MV_PROJ_RE = re.compile(
+    r"^SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<src>\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_select_items(s: str) -> list[str]:
+    """Split a select list on top-level commas (paren- and
+    string-literal-aware) — selectExpr items like round(x, 2)."""
+    items: list[str] = []
+    cur: list[str] = []
+    depth, in_str, i = 0, False, 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        items.append(tail)
+    return items
+
+# --- SQL predicate text -> scan_table's boolean-tree algebra ---------------
+# (column, op, literal) triples / ("and"|"or", ...) / ("not", node) /
+# (column, "in", [values]) / (column, "is_null"|"is_not_null") — the
+# file-skipping form publish.scan_table and read_changes(where=) take.
+_MV_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<str>'(?:[^']|'')*')|(?P<num>-?\d+(?:\.\d+)?)"
+    r"|(?P<id>\w+)|(?P<op><=|>=|==|=|<>|!=|<|>)|(?P<lp>\()|(?P<rp>\))"
+    r"|(?P<comma>,))"
+)
+_MV_KEYWORDS = {"AND", "OR", "NOT", "IN", "IS", "NULL"}
+
+
+def _pred_tokens(s: str) -> list[tuple[str, object]]:
+    out: list[tuple[str, object]] = []
+    pos, n = 0, len(s)
+    while pos < n:
+        m = _MV_TOKEN_RE.match(s, pos)
+        if not m or m.end() == pos:
+            raise ValueError(f"cannot tokenize predicate at {s[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.group("str") is not None:
+            out.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num") is not None:
+            t = m.group("num")
+            out.append(("lit", float(t) if "." in t else int(t)))
+        elif m.group("id") is not None:
+            kw = m.group("id").upper()
+            if kw in _MV_KEYWORDS:
+                out.append(("kw", kw))
+            else:
+                out.append(("id", m.group("id")))
+        elif m.group("op") is not None:
+            out.append(("cmp", m.group("op")))
+        elif m.group("lp") is not None:
+            out.append(("lp", "("))
+        elif m.group("rp") is not None:
+            out.append(("rp", ")"))
+        elif m.group("comma") is not None:
+            out.append(("comma", ","))
+        # a pure-whitespace tail matches with no group: loop exits on pos
+    return out
+
+
+class _PredParser:
+    """Recursive-descent OR > AND > NOT > comparison, standard SQL
+    precedence; produces scan_table predicate nodes."""
+
+    def __init__(self, text: str):
+        self.toks = _pred_tokens(text)
+        self.i = 0
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _take(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def parse(self) -> list:
+        node = self._expr()
+        if self.i != len(self.toks):
+            raise ValueError(
+                f"trailing tokens in predicate: {self.toks[self.i:]!r}"
+            )
+        # scan_table takes a top-level AND list
+        return list(node[1:]) if node[0] == "and" else [node]
+
+    def _expr(self):
+        nodes = [self._term()]
+        while self._peek() == ("kw", "OR"):
+            self._take()
+            nodes.append(self._term())
+        return nodes[0] if len(nodes) == 1 else ("or", *nodes)
+
+    def _term(self):
+        nodes = [self._factor()]
+        while self._peek() == ("kw", "AND"):
+            self._take()
+            nodes.append(self._factor())
+        return nodes[0] if len(nodes) == 1 else ("and", *nodes)
+
+    def _factor(self):
+        kind, val = self._peek()
+        if (kind, val) == ("kw", "NOT"):
+            self._take()
+            return ("not", self._factor())
+        if kind == "lp":
+            self._take()
+            node = self._expr()
+            if self._take()[0] != "rp":
+                raise ValueError("unbalanced '(' in predicate")
+            return node
+        return self._comparison()
+
+    def _comparison(self):
+        kind, col = self._take()
+        if kind != "id":
+            raise ValueError(f"expected a column name, got {col!r}")
+        kind2, tok2 = self._take()
+        if (kind2, tok2) == ("kw", "IS"):
+            neg = self._peek() == ("kw", "NOT")
+            if neg:
+                self._take()
+            if self._take() != ("kw", "NULL"):
+                raise ValueError(f"expected NULL after {col} IS [NOT]")
+            return (col, "is_not_null" if neg else "is_null")
+        if (kind2, tok2) == ("kw", "IN"):
+            if self._take()[0] != "lp":
+                raise ValueError(f"expected '(' after {col} IN")
+            vals = []
+            while True:
+                k, v = self._take()
+                if k != "lit":
+                    raise ValueError("IN list values must be literals")
+                vals.append(v)
+                k, _ = self._take()
+                if k == "rp":
+                    break
+                if k != "comma":
+                    raise ValueError("expected ',' or ')' in IN list")
+            return (col, "in", vals)
+        if kind2 == "cmp":
+            if tok2 in ("<>", "!="):
+                k, v = self._take()
+                if k != "lit":
+                    raise ValueError("comparison values must be literals")
+                return ("not", (col, "=", v))
+            k, v = self._take()
+            if k != "lit":
+                raise ValueError("comparison values must be literals")
+            return (col, "=" if tok2 == "==" else tok2, v)
+        raise ValueError(f"unsupported predicate after column {col!r}")
+
+
+def parse_predicate_tree(text: str) -> list:
+    """SQL predicate text → scan_table's boolean-tree ``where=`` algebra
+    (the file-skipping form; also used by read_changes / metadata
+    aggregates).  Supports comparisons against literals, IN lists,
+    IS [NOT] NULL, AND/OR/NOT and parentheses."""
+    return _PredParser(text).parse()
+
+
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>\w+)"
     r"(?:\s+ZORDER\s+BY\s+\(?(?P<cols>[\w\s,]+?)\)?)?\s*;?\s*$",
@@ -606,6 +849,12 @@ class StoreSQL:
             )
         if _SELECT_RE.match(statement):
             return self._select(statement)
+        if _EXPLAIN_RE.match(statement):
+            # table refs (incl. time travel / table_changes) rewrite the
+            # same way as a SELECT; Spark's own EXPLAIN then returns the
+            # plan as a one-row DataFrame — the 100 TB sanity loop
+            # (PushedFilters, broadcast vs sort-merge) without leaving SQL
+            return self._select(statement)
         m = _ALTER_RE.match(statement)
         if m:
             target, body = m.group("target"), m.group("body").strip()
@@ -633,6 +882,24 @@ class StoreSQL:
                 "DROP COLUMN c / ALTER COLUMN c TYPE <wider type>): "
                 f"{body[:80]!r}"
             )
+        m = _CREATE_MV_RE.match(statement)
+        if m:
+            return self._create_matview(m.group("target"), m.group("select"))
+        if _REFRESH_MV_RE.match(statement):
+            from dataintegration_ecomprovider_spark.plans import materialize
+
+            return materialize.refresh_declared_views(self.spark, self.root)
+        m = _DROP_MV_RE.match(statement)
+        if m:
+            from dataintegration_ecomprovider_spark.plans import materialize
+
+            return {
+                "dropped": materialize.drop_view_declaration(
+                    self.root, m.group("target")
+                )
+            }
+        if _SHOW_MV_RE.match(statement):
+            return self._show_matviews()
         m = _OPTIMIZE_RE.match(statement)
         if m:
             cols = m.group("cols")
@@ -722,7 +989,9 @@ class StoreSQL:
             "unsupported statement (MERGE INTO / DELETE FROM / INSERT INTO "
             "/ SELECT [VERSION|TIMESTAMP AS OF] / CREATE TABLE ... AS "
             "SELECT / DROP TABLE / OPTIMIZE [ZORDER BY] / VACUUM / "
-            f"DESCRIBE HISTORY|DETAIL / RESTORE / EXPORT TABLE): {statement[:120]!r}"
+            "DESCRIBE HISTORY|DETAIL / RESTORE / EXPORT TABLE / CREATE|"
+            "REFRESH|DROP|SHOW MATERIALIZED VIEW[S]): "
+            f"{statement[:120]!r}"
         )
 
     def _select(self, statement: str) -> DataFrame:
@@ -1070,6 +1339,197 @@ class StoreSQL:
         publish.read_table(self.spark, self.root, target)  # must exist
         rows = self._select(_unwrap_parens(select))
         return publish.publish_tables(self.spark, {target: rows}, self.root)
+
+    # --- materialized views (IVM front-end) --------------------------------
+    def _create_matview(self, target: str, select: str) -> dict:
+        """CREATE MATERIALIZED VIEW v AS <select>: parse the SELECT into
+        a maintain_aggregate / maintain_join spec, persist it in the
+        declared-view registry (plans/materialize.declare_view) and run
+        the first refresh (the seed) immediately.  Every later ``REFRESH
+        MATERIALIZED VIEWS`` consumes only the source tables' CDC deltas
+        — the O(delta) IVM path, never a re-aggregation.
+
+        The maintained table's column names are CANONICAL (cnt, sum_<c>,
+        min_<c>, max_<c>, hll_<c>): an AS alias must match, because the
+        refresh algebra updates those physical columns — re-alias in the
+        SELECT that reads the view instead."""
+        from dataintegration_ecomprovider_spark.plans import materialize
+
+        s = select.strip().rstrip(";").strip()
+        tables = publish.current_manifest(self.root)["tables"]
+        if target in tables:
+            raise ValueError(
+                f"table {target!r} already exists — a materialized view "
+                "owns its destination table"
+            )
+
+        m = _MV_JOIN_RE.match(s)
+        if m:
+            fact, dim = m.group("fact"), m.group("dim")
+            for t in (fact, dim):
+                if t not in tables:
+                    raise ValueError(f"unknown source table {t!r}")
+            on = _MV_ON_RE.match(m.group("on").strip())
+            sides = {on.group("ta"): on.group("ka"), on.group("tb"): on.group("kb")}
+            if set(sides) != {fact, dim}:
+                raise ValueError(
+                    f"ON must equate {fact}.<fk> with {dim}.<key>, got "
+                    f"{m.group('on')!r}"
+                )
+            spec: dict = {
+                "fact": fact, "dim": dim, "dst": target,
+                "fk": sides[fact], "dim_key": sides[dim],
+                "how": "left" if (m.group("how") or "LEFT").upper() == "LEFT"
+                       else "inner",
+            }
+            cols = m.group("cols").strip()
+            if cols != "*":
+                items = [c.strip() for c in cols.split(",")]
+                if items[:1] != [f"{fact}.*"]:
+                    raise ValueError(
+                        "join-view select list must be * or "
+                        f"{fact}.*, {dim}.<col>, ... (got {cols!r})"
+                    )
+                dim_cols = []
+                for it in items[1:]:
+                    t, _, c = it.partition(".")
+                    if t != dim or not c or c == "*":
+                        raise ValueError(
+                            f"expected {dim}.<col> in select list, got {it!r}"
+                        )
+                    dim_cols.append(c)
+                spec["dim_cols"] = dim_cols
+            if m.group("where"):
+                spec["fact_where"] = parse_predicate_tree(m.group("where"))
+            if not publish.table_keys(self.root, fact):
+                raise ValueError(
+                    f"join view needs {fact!r}'s keys recorded "
+                    "(publish with table_keys=)"
+                )
+            materialize.declare_view(self.root, "join", **spec)
+            return materialize.maintain_join(self.spark, self.root, **spec)
+
+        m = _MV_AGG_RE.match(s)
+        if m:
+            src = m.group("src")
+            if src not in tables:
+                raise ValueError(f"unknown source table {src!r}")
+            group_cols = [c.strip() for c in m.group("group").split(",")]
+            sum_cols: list[str] = []
+            min_cols: list[str] = []
+            max_cols: list[str] = []
+            distinct_cols: list[str] = []
+            for item in (c.strip() for c in m.group("cols").split(",")):
+                mm = _MV_AGG_ITEM_RE.match(item)
+                if not mm:
+                    raise ValueError(
+                        "aggregate-view select items must be grouping "
+                        "columns or COUNT(*) / SUM(c) / MIN(c) / MAX(c) / "
+                        f"APPROX_COUNT_DISTINCT(c), got {item!r}"
+                    )
+                if mm.group("col"):
+                    if mm.group("col") not in group_cols:
+                        raise ValueError(
+                            f"bare column {mm.group('col')!r} must appear "
+                            "in GROUP BY"
+                        )
+                    continue
+                fn = mm.group("fn").upper()
+                arg = mm.group("arg")
+                if (fn == "COUNT") != (arg == "*"):
+                    raise ValueError(
+                        f"only COUNT(*) and {fn}(<column>) are "
+                        f"maintainable, got {item!r}"
+                    )
+                if fn == "COUNT":
+                    canon = materialize.COUNT_COL
+                elif fn == "SUM":
+                    sum_cols.append(arg)
+                    canon = f"sum_{arg}"
+                elif fn == "MIN":
+                    min_cols.append(arg)
+                    canon = f"min_{arg}"
+                elif fn == "MAX":
+                    max_cols.append(arg)
+                    canon = f"max_{arg}"
+                else:
+                    distinct_cols.append(arg)
+                    canon = f"hll_{arg}"
+                alias = mm.group("alias")
+                if alias and alias != canon:
+                    raise ValueError(
+                        f"{fn}({arg}) is maintained under the canonical "
+                        f"column name {canon!r} — alias it as {canon} (or "
+                        "re-alias when reading the view)"
+                    )
+            spec = {
+                "src": src, "dst": target, "group_cols": group_cols,
+                "sum_cols": sum_cols, "min_cols": min_cols,
+                "max_cols": max_cols, "distinct_cols": distinct_cols,
+            }
+            if m.group("where"):
+                spec["src_where"] = parse_predicate_tree(m.group("where"))
+            if not publish.table_keys(self.root, src):
+                raise ValueError(
+                    f"aggregate view needs {src!r}'s keys recorded "
+                    "(publish with table_keys=)"
+                )
+            materialize.declare_view(self.root, "aggregate", **spec)
+            return materialize.maintain_aggregate(self.spark, self.root, **spec)
+
+        m = _MV_PROJ_RE.match(s)
+        if m:
+            src = m.group("src")
+            if src not in tables:
+                raise ValueError(f"unknown source table {src!r}")
+            spec = {
+                "src": src, "dst": target,
+                "exprs": _split_select_items(m.group("cols")),
+            }
+            if m.group("where"):
+                # row-local filter: kept as SQL text (the per-key CDC
+                # refresh needs no tree algebra; rows filtered OUT by an
+                # update retract via the stable-key delete markers)
+                spec["where"] = m.group("where").strip()
+            materialize.declare_view(self.root, "projection", **spec)
+            try:
+                # the seed validates the exprs (key column carried,
+                # Spark-parseable) — a failure must not leave a broken
+                # declaration behind for the next REFRESH to trip on
+                return materialize.maintain_projection(
+                    self.spark, self.root, **spec
+                )
+            except Exception:
+                materialize.drop_view_declaration(self.root, target)
+                raise
+
+        raise ValueError(
+            "CREATE MATERIALIZED VIEW supports the three IVM shapes — "
+            "'SELECT <group cols + aggregates> FROM src [WHERE ...] "
+            "GROUP BY ...', 'SELECT *|fact.*, dim.c FROM fact [LEFT] "
+            "JOIN dim ON fact.fk = dim.k [WHERE ...]' or a per-row "
+            "projection 'SELECT <exprs incl. the key> FROM src "
+            f"[WHERE ...]': {s[:120]!r}"
+        )
+
+    def _show_matviews(self) -> DataFrame:
+        from dataintegration_ecomprovider_spark.plans import materialize
+
+        views = materialize.declared_views(self.root)
+        rows = [
+            (dst, spec.get("kind"),
+             _json_dumps({k: v for k, v in spec.items() if k != "kind"}))
+            for dst, spec in sorted(views.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "view string, kind string, spec string"
+        ).repartition(1)
+
+
+def _json_dumps(obj) -> str:
+    import json as _json
+
+    return _json.dumps(obj, sort_keys=True)
 
 
 def store_sql(spark: SparkSession, root: str, mor: bool = False,

@@ -2398,6 +2398,77 @@ GROUP BY 1
 """
 
 
+def q_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-declared incremental materialized views (round 10,
+    plans/store_sql.py): ``CREATE MATERIALIZED VIEW v AS SELECT ...
+    GROUP BY ...`` parses the SELECT into a maintain_aggregate spec,
+    persists it in the declared-view registry and seeds it;
+    ``REFRESH MATERIALIZED VIEWS`` then consumes ONLY the source's CDC
+    delta (mode == 'delta' asserted in-query, as is the registry
+    round-trip via SHOW MATERIALIZED VIEWS).  Same two-version orders
+    lifecycle as u12_incremental_aggregate (folded here) — inserts +
+    deletes + value updates + group moves — but a SQL-only orchestrator
+    owns every step; the oracle is the direct aggregate of v2."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("sql_matview_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW orders_by_status AS "
+        "SELECT o_orderstatus, COUNT(*) AS cnt, SUM(o_totalprice) "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    if seed["mode"] != "seed":
+        raise AssertionError(f"expected a seed, got {seed['mode']}")
+    # a per-row projection view rides the same registry + refresh pass
+    sq.sql(
+        "CREATE MATERIALIZED VIEW order_bands AS SELECT o_orderkey, "
+        "ROUND(o_totalprice / 1000, 0) AS band FROM orders "
+        "WHERE o_orderstatus <> 'X'"
+    )
+    shown = {r["view"]: r["kind"]
+             for r in sq.sql("SHOW MATERIALIZED VIEWS").collect()}
+    if shown != {"orders_by_status": "aggregate",
+                 "order_bands": "projection"}:
+        raise AssertionError(f"registry round-trip broke: {shown}")
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, root)
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    if rep["errors"] or any(
+        v["mode"] != "delta" for v in rep["views"].values()
+    ):
+        raise AssertionError(f"expected clean delta refreshes: {rep}")
+    # the projection view must equal its direct recompute (rows moved
+    # INTO 'X' by the status flip retracted via stable-key markers)
+    direct = publish.read_table(spark, root, "orders").filter(
+        F.col("o_orderstatus") != "X"
+    ).select(
+        "o_orderkey", F.round(F.col("o_totalprice") / 1000, 0).alias("band")
+    )
+    maintained = publish.read_table(spark, root, "order_bands")
+    if maintained.exceptAll(direct).count() or \
+            direct.exceptAll(maintained).count():
+        raise AssertionError("projection view drifted from its recompute")
+    return sq.sql(
+        "SELECT o_orderstatus, cnt, ROUND(sum_o_totalprice, 2) AS sum_total "
+        "FROM store_orders_by_status"
+    )
+
+
 ORACLE_STORE_REPLICATE = """
 SELECT o_orderkey, o_custkey,
        CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
@@ -3120,9 +3191,15 @@ QUERIES = {
     "u12_profile_table": QueryDef(q_profile_table, ORACLE_PROFILE_TABLE),
     "u12_auto_recluster": QueryDef(q_auto_recluster, ORACLE_AUTO_RECLUSTER),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
+    # folded (round-10 governance): the SQL-front-end lifecycle below
+    # drives the IDENTICAL maintain_aggregate machinery over the same
+    # two-version store and shares its oracle — the Python-API twin
+    # still value-checks in tests/test_retired_fastpaths.py
     "u12_incremental_aggregate": QueryDef(
-        q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE
+        q_incremental_aggregate, ORACLE_INCREMENTAL_AGGREGATE,
+        folded_into="u12_sql_matview",
     ),
+    "u12_sql_matview": QueryDef(q_sql_matview, ORACLE_INCREMENTAL_AGGREGATE),
     "u12_incremental_aggregate_filtered": QueryDef(
         q_incremental_aggregate_filtered, ORACLE_INCREMENTAL_AGGREGATE_FILTERED
     ),

@@ -205,6 +205,10 @@ def main() -> None:
         "llm_sim_ivfpq_topk",       # composed coarse-probe + ADC + re-rank
         "u12_sql_table_changes",    # SQL CDC read lifecycle
         "u12_insert_overwrite",     # one-statement scoped replace
+        "u12_sql_matview",          # SQL-declared IVM view: seed + O(delta) refresh
+        "llm_bpe_train",            # merge learning on the vocab table (corpus-size-free loop)
+        "llm_bpe_token_counts",     # trained-tokenizer replace-chain corpus scan
+        "llm_lm_perplexity",        # bigram backoff scoring: one pass + count joins
     ]
     wanted = sys.argv[1:]
     if wanted:

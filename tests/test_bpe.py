@@ -164,3 +164,20 @@ def test_registry_queries_match_oracle(spark, oracle):
         spdf = qs[name].fn(spark, SF_DIR).toPandas()
         odf = oracle.execute(qs[name].oracle).fetchdf()
         assert_frames_match(spdf, odf, name)
+
+
+def test_incremental_training_is_equivalent(spark):
+    """Delta-maintained pair counts must reproduce full-recount training
+    exactly: same merges, same tie-breaks, same early stop — on the
+    Sennrich corpus, a degenerate repeat-heavy corpus, and the fixture
+    corpus."""
+    for freqs, n in ((SENNRICH, 8), ({"aaaa": 3, "ab": 1}, 6)):
+        full = bpe.train(_words_df(spark, freqs), num_merges=n)
+        inc = bpe.train_incremental(
+            _words_df(spark, freqs), num_merges=n, checkpoint_every=2
+        )
+        assert inc == full
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    words = bpe.word_frequencies(docs)
+    assert bpe.train_incremental(words, num_merges=10) == \
+        bpe.train(words, num_merges=10)

@@ -831,3 +831,202 @@ def test_insert_overwrite_replaces_table(spark, tmp_path):
     with pytest.raises(ValueError, match="cannot join"):
         s.sql("INSERT OVERWRITE t SELECT * FROM store_t")
     s.sql("ROLLBACK")
+
+
+# --- materialized views (round 10: SQL front-end for the IVM layer) --------
+def _mv_seed(spark, tmp_path, sub):
+    root = str(tmp_path / sub)
+    fact = spark.createDataFrame(
+        [(1, "s1", 10, None), (2, "s1", 20, 5), (3, "s2", 5, 6)],
+        "id bigint, shop string, val bigint, opt bigint",
+    )
+    dim = spark.createDataFrame(
+        [("s1", "Berlin"), ("s2", "Oslo")], "shop string, city string"
+    )
+    publish.publish_tables(
+        spark, {"orders": fact, "shops": dim}, root,
+        table_keys={"orders": ["id"], "shops": ["shop"]},
+    )
+    return root
+
+
+def test_create_matview_aggregate_seeds_and_refreshes_o_delta(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_agg")
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW totals AS SELECT shop, COUNT(*) AS cnt, "
+        "SUM(val) AS sum_val, MIN(val), MAX(val) FROM orders GROUP BY shop"
+    )
+    assert seed["mode"] == "seed"
+    got = {r["shop"]: (r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+           for r in sq.sql("SELECT * FROM store_totals").collect()}
+    assert got == {"s1": (2, 30, 10, 20), "s2": (1, 5, 5, 5)}
+    # delta: insert s2, update s1 value, delete nothing
+    publish.merge_into(
+        spark, root, "orders",
+        spark.createDataFrame([(4, "s2", 7, None), (1, "s1", 11, None)],
+                              "id bigint, shop string, val bigint, opt bigint"),
+        keys=["id"],
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {}
+    assert rep["views"]["totals"]["mode"] == "delta"
+    got = {r["shop"]: (r["cnt"], r["sum_val"])
+           for r in sq.sql("SELECT * FROM store_totals").collect()}
+    assert got == {"s1": (2, 31), "s2": (2, 12)}
+
+
+def test_create_matview_aggregate_where_slice(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_agg_where")
+    sq = store_sql(spark, root)
+    sq.sql(
+        "CREATE MATERIALIZED VIEW s1_totals AS SELECT shop, COUNT(*), "
+        "SUM(val) FROM orders WHERE shop = 's1' AND val > 10 GROUP BY shop"
+    )
+    got = [tuple(r) for r in sq.sql(
+        "SELECT shop, cnt, sum_val FROM store_s1_totals").collect()]
+    assert got == [("s1", 1, 20)]
+    # the registry persisted the predicate tree (JSON round-trip)
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    spec = materialize.declared_views(root)["s1_totals"]
+    assert spec["src_where"] == [["shop", "=", "s1"], ["val", ">", 10]]
+
+
+def test_create_matview_join_and_drop(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_join")
+    sq = store_sql(spark, root)
+    r = sq.sql(
+        "CREATE MATERIALIZED VIEW with_city AS SELECT orders.*, shops.city "
+        "FROM orders LEFT JOIN shops ON orders.shop = shops.shop"
+    )
+    assert r["mode"] == "seed"
+    got = {r["id"]: r["city"]
+           for r in sq.sql("SELECT id, city FROM store_with_city").collect()}
+    assert got == {1: "Berlin", 2: "Berlin", 3: "Oslo"}
+    views = {r["view"]: r["kind"]
+             for r in sq.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert views == {"with_city": "join"}
+    assert sq.sql("DROP MATERIALIZED VIEW with_city") == {"dropped": True}
+    assert sq.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    # the data table survives the declaration drop (DROP TABLE owns it)
+    assert publish.read_table(spark, root, "with_city").count() == 3
+
+
+def test_create_matview_rejections(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_rej")
+    sq = store_sql(spark, root)
+    with pytest.raises(ValueError, match="canonical column name 'sum_val'"):
+        sq.sql("CREATE MATERIALIZED VIEW x AS SELECT shop, SUM(val) AS total "
+               "FROM orders GROUP BY shop")
+    with pytest.raises(ValueError, match="must appear in GROUP BY"):
+        sq.sql("CREATE MATERIALIZED VIEW x AS SELECT city, COUNT(*) "
+               "FROM orders GROUP BY shop")
+    with pytest.raises(ValueError, match="already exists"):
+        sq.sql("CREATE MATERIALIZED VIEW orders AS SELECT shop, COUNT(*) "
+               "FROM orders GROUP BY shop")
+    with pytest.raises(ValueError, match="unknown source table"):
+        sq.sql("CREATE MATERIALIZED VIEW x AS SELECT shop, COUNT(*) "
+               "FROM nope GROUP BY shop")
+    # a keyless projection falls through to the per-row shape and is
+    # rejected there (the declaration must not survive the failure)
+    with pytest.raises(ValueError, match="carry the source key"):
+        sq.sql("CREATE MATERIALIZED VIEW x AS SELECT shop FROM orders")
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    assert "x" not in materialize.declared_views(root)
+
+
+def test_matview_statements_rejected_inside_transaction(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_txn")
+    with store_sql(spark, root).transaction(txn=("mv", 1)) as tx:
+        with pytest.raises(ValueError, match="inside a transaction"):
+            tx.sql("CREATE MATERIALIZED VIEW v AS SELECT shop, COUNT(*) "
+                   "FROM orders GROUP BY shop")
+        tx.sql("DELETE FROM orders WHERE id = 3")
+
+
+def test_predicate_tree_parser():
+    from dataintegration_ecomprovider_spark.plans.store_sql import (
+        parse_predicate_tree,
+    )
+
+    assert parse_predicate_tree("a = 1") == [("a", "=", 1)]
+    assert parse_predicate_tree("a == 1 AND b >= 2.5") == [
+        ("a", "=", 1), ("b", ">=", 2.5)
+    ]
+    assert parse_predicate_tree(
+        "(a < 1 OR b IN ('x', 'it''s')) AND NOT c IS NULL AND d != 7"
+    ) == [
+        ("or", ("a", "<", 1), ("b", "in", ["x", "it's"])),
+        ("not", ("c", "is_null")),
+        ("not", ("d", "=", 7)),
+    ]
+    assert parse_predicate_tree("a IS NOT NULL") == [("a", "is_not_null")]
+    with pytest.raises(ValueError, match="literal"):
+        parse_predicate_tree("a = b")
+    with pytest.raises(ValueError, match="trailing|tokenize|unbalanced"):
+        parse_predicate_tree("a = 1 extra ~~")
+
+
+def test_explain_returns_plan_over_store_refs(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_explain")
+    sq = store_sql(spark, root)
+    plan = sq.sql(
+        "EXPLAIN FORMATTED SELECT shop, SUM(val) FROM store_orders "
+        "WHERE shop = 's1' GROUP BY shop"
+    ).collect()[0][0]
+    assert "HashAggregate" in plan or "Aggregate" in plan
+    # time-travel refs resolve before planning, like any SELECT
+    v0 = sq.sql(
+        "EXPLAIN SELECT * FROM store_orders VERSION AS OF 1"
+    ).collect()[0][0]
+    assert "Scan" in v0 or "Relation" in v0
+
+
+def test_create_matview_projection_lifecycle(spark, tmp_path):
+    """Per-row projection views (round 10): scalar-function view
+    maintained O(batch) from CDC — updates re-project, deletes retract,
+    rows filtered OUT by an update retract too."""
+    root = _mv_seed(spark, tmp_path, "mv_proj")
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW order_feats AS SELECT id, "
+        "val * 2 AS dbl, concat(shop, ':', cast(val as string)) AS tag "
+        "FROM orders WHERE val >= 10"
+    )
+    assert seed["mode"] == "seed"
+    got = {r["id"]: (r["dbl"], r["tag"])
+           for r in sq.sql("SELECT * FROM store_order_feats").collect()}
+    assert got == {1: (20, "s1:10"), 2: (40, "s1:20")}
+    # update: row 1 leaves the filter, row 3 enters it; insert row 4;
+    # delete row 2
+    publish.merge_into_mor(
+        spark, root, "orders",
+        spark.createDataFrame(
+            [(1, "s1", 5, None), (3, "s2", 50, None), (4, "s3", 11, None)],
+            "id bigint, shop string, val bigint, opt bigint",
+        ),
+        keys=["id"],
+        deletes=spark.createDataFrame([(2,)], "id bigint"),
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {}
+    assert rep["views"]["order_feats"]["mode"] == "delta"
+    got = {r["id"]: (r["dbl"], r["tag"])
+           for r in sq.sql("SELECT * FROM store_order_feats").collect()}
+    assert got == {3: (100, "s2:50"), 4: (22, "s3:11")}
+    views = {r["view"]: r["kind"]
+             for r in sq.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert views == {"order_feats": "projection"}
+
+
+def test_split_select_items_respects_parens_and_strings():
+    from dataintegration_ecomprovider_spark.plans.store_sql import (
+        _split_select_items,
+    )
+
+    assert _split_select_items(
+        "id, round(val, 2) AS r, concat(a, ',', b) AS c, 'x,''y' AS s"
+    ) == ["id", "round(val, 2) AS r", "concat(a, ',', b) AS c",
+          "'x,''y' AS s"]
