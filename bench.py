@@ -165,9 +165,33 @@ def _warmup(spark) -> None:
     runtime.release_caches(spark)
 
 
+def _cpu_times() -> list[int] | None:
+    """The aggregate /proc/stat cpu line (user .. steal ...), or None
+    off-Linux."""
+    try:
+        with open("/proc/stat", "r", encoding="ascii") as fh:
+            first = fh.readline().split()
+        return [int(x) for x in first[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(before: list[int] | None, after: list[int] | None) -> float | None:
+    """Hypervisor CPU steal across the run, as % of all cpu time — on a
+    shared VM this is THE confound for suite totals (a 25% steal window
+    inflates every query ~uniformly), so each BENCH record carries it."""
+    if not before or not after or len(before) < 8 or len(after) < 8:
+        return None
+    total = sum(after) - sum(before)
+    if total <= 0:
+        return None
+    return round(100.0 * (after[7] - before[7]) / total, 2)
+
+
 def main() -> None:
     import statistics
 
+    cpu0 = _cpu_times()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -212,6 +236,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "iters": iters,
+        # shared-VM self-diagnosis: % of host cpu stolen during the run
+        "host_steal_pct": _steal_pct(cpu0, _cpu_times()),
     }))
     spark.stop()
 
