@@ -52,7 +52,7 @@ HEADLINE = [
     "llm_dedup_incremental",        # batch-vs-index ingest dedup (round 4)
     "u12_data_skipping_scan",       # stats sidecar + file pruning (round 4)
     "llm_semantic_dedup",           # SemDeDup cluster-scoped dedup (round 4)
-    "u12_incremental_aggregate",    # IVM: O(delta) aggregate refresh (round 4)
+    "u12_sql_matview",              # SQL-declared IVM views: seed + O(delta) refresh (round 10; covers folded u12_incremental_aggregate)
     "u12_incremental_join",         # IVM: scoped join-view refresh (round 4)
     "u12_merge_on_read",            # MoR delta merges + lazy reconstruction (round 4)
     "u12_bloom_scan",               # Bloom-filter point-lookup skipping (round 4)

@@ -45,6 +45,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataintegration_ecomprovider_spark import runtime
+
 SEP = "\x1f"  # unit separator: frames every symbol
 EOW = "\x17"  # end-of-word symbol appended to every word
 
@@ -154,8 +156,10 @@ def train(
     The vocabulary table is cached once; the per-iteration ``replace``
     lineage is cut every ``checkpoint_every`` merges so iteration i
     never replays O(i) string rewrites."""
-    cur = words.select(symbol_string(F.col("word")).alias("sym"), "freq").persist()
-    cached = [cur]
+    base = words.select(symbol_string(F.col("word")).alias("sym"), "freq").persist()
+    spark = words.sparkSession
+    cur = base
+    ckpt_ids: set[int] = set()
     merges: list[dict] = []
     try:
         for rank in range(1, num_merges + 1):
@@ -179,15 +183,30 @@ def train(
             pat, rep = merge_pattern(lft, rgt)
             cur = cur.withColumn("sym", F.replace(F.col("sym"), F.lit(pat), F.lit(rep)))
             if rank % checkpoint_every == 0:
-                cur = cur.localCheckpoint(eager=True)
-                cached.append(cur)
+                new_cur, new_ids = _ckpt(cur)
+                # the fresh checkpoint is self-contained — its
+                # predecessor's storage can go immediately
+                runtime.unpersist_rdd_ids(spark, ckpt_ids)
+                cur, ckpt_ids = new_cur, new_ids
     finally:
-        for df in cached:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+        # nothing distributed escapes (the result is a plain list), so
+        # every intermediate frees here — explicit checkpoint-id
+        # tracking, the cluster.py pattern (cache-hygiene-tested)
+        try:
+            base.unpersist()
+        except Exception:
+            pass
+        runtime.unpersist_rdd_ids(spark, ckpt_ids)
     return merges
+
+
+def _ckpt(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint + the explicit id of the persisted RDD backing it
+    (runtime.checkpoint_rdd_id) so the trainer can free exactly its own
+    storage when done — clearCache() does not touch checkpoint RDDs."""
+    out = df.localCheckpoint(eager=True)
+    rid = runtime.checkpoint_rdd_id(out)
+    return out, ({rid} if rid is not None else set())
 
 
 def train_incremental(
@@ -212,49 +231,60 @@ def train_incremental(
 
     Exactly equivalent to `train` (asserted property-style in
     tests/test_bpe.py): same merges, same tie-breaks, same early stop."""
-    cur = words.select(symbol_string(F.col("word")).alias("sym"), "freq")
-    cur = cur.localCheckpoint(eager=True)
-    counts = pair_counts(cur).localCheckpoint(eager=True)
+    spark = words.sparkSession
+    cur, cur_ids = _ckpt(
+        words.select(symbol_string(F.col("word")).alias("sym"), "freq")
+    )
+    counts, count_ids = _ckpt(pair_counts(cur))
+    live_ids = cur_ids | count_ids
     merges: list[dict] = []
-    for rank in range(1, num_merges + 1):
-        best = (
-            counts.filter(F.col("cnt") > 0)
-            .orderBy(F.col("cnt").desc(), F.col("lft").asc(), F.col("rgt").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0]["cnt"] < min_pair_freq:
-            if strict:
-                raise ValueError(
-                    f"no pair with frequency >= {min_pair_freq} at rank {rank}"
-                )
-            break
-        lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["cnt"]
-        merges.append(
-            {"rank": rank, "lft": lft, "rgt": rgt,
-             "token": lft + rgt, "pair_freq": int(cnt)}
-        )
-        pat, rep = merge_pattern(lft, rgt)
-        affected = cur.filter(F.contains(F.col("sym"), F.lit(pat)))
-        rewritten = affected.withColumn(
-            "sym", F.replace(F.col("sym"), F.lit(pat), F.lit(rep))
-        )
-        delta = (
-            pair_counts(affected).withColumn("cnt", -F.col("cnt"))
-            .unionByName(pair_counts(rewritten))
-        )
-        counts = (
-            counts.unionByName(delta)
-            .groupBy("lft", "rgt")
-            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-            .filter(F.col("cnt") != 0)
-        )
-        cur = cur.filter(~F.contains(F.col("sym"), F.lit(pat))).unionByName(
-            rewritten
-        )
-        if rank % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
-            counts = counts.localCheckpoint(eager=True)
+    try:
+        for rank in range(1, num_merges + 1):
+            best = (
+                counts.filter(F.col("cnt") > 0)
+                .orderBy(F.col("cnt").desc(), F.col("lft").asc(), F.col("rgt").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best or best[0]["cnt"] < min_pair_freq:
+                if strict:
+                    raise ValueError(
+                        f"no pair with frequency >= {min_pair_freq} at rank {rank}"
+                    )
+                break
+            lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["cnt"]
+            merges.append(
+                {"rank": rank, "lft": lft, "rgt": rgt,
+                 "token": lft + rgt, "pair_freq": int(cnt)}
+            )
+            pat, rep = merge_pattern(lft, rgt)
+            affected = cur.filter(F.contains(F.col("sym"), F.lit(pat)))
+            rewritten = affected.withColumn(
+                "sym", F.replace(F.col("sym"), F.lit(pat), F.lit(rep))
+            )
+            delta = (
+                pair_counts(affected).withColumn("cnt", -F.col("cnt"))
+                .unionByName(pair_counts(rewritten))
+            )
+            counts = (
+                counts.unionByName(delta)
+                .groupBy("lft", "rgt")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            )
+            cur = cur.filter(~F.contains(F.col("sym"), F.lit(pat))).unionByName(
+                rewritten
+            )
+            if rank % checkpoint_every == 0:
+                cur, a = _ckpt(cur)
+                counts, b = _ckpt(counts)
+                # the fresh checkpoints are self-contained — the
+                # superseded round's storage goes immediately
+                runtime.unpersist_rdd_ids(spark, live_ids)
+                live_ids = a | b
+    finally:
+        # the result is a plain list — free every tracked checkpoint
+        runtime.unpersist_rdd_ids(spark, live_ids)
     return merges
 
 
