@@ -304,6 +304,89 @@ def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
     return df.repartition(1)
 
 
+def publish_bpe_merges(
+    spark: SparkSession, root: str, merges: list[dict],
+    table: str = "bpe_merges",
+) -> dict:
+    """Persist a trained merge table in the versioned store (keyed by
+    rank) — the tokenizer-as-a-table: training is a maintenance
+    decision (like ANN codebook rebuilds), consumers read the merges at
+    a pinned store version for reproducible token accounting."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    return publish.publish_tables(
+        spark, {table: merges_df(spark, merges)}, root,
+        table_keys={table: ["rank"]},
+    )
+
+
+def read_bpe_merges(
+    spark: SparkSession, root: str, table: str = "bpe_merges",
+    version: int | None = None,
+) -> list[dict]:
+    """The persisted merge list back out of the store, rank-ordered
+    (optionally at a pinned version) — bounded by vocabulary size, the
+    one driver-resident artifact of the tokenizer."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    df = (
+        publish.read_table_at(spark, root, table, version)
+        if version is not None
+        else publish.read_table(spark, root, table)
+    )
+    return [r.asDict() for r in df.orderBy("rank").collect()]
+
+
+def maintain_token_counts(
+    spark: SparkSession, root: str, src: str, dst: str,
+    merges_table: str = "bpe_merges",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> dict:
+    """CDC-maintained per-document token counts under the PERSISTED
+    tokenizer: a rowwise view (materialize.maintain_rowwise_view) whose
+    build applies the store's merge table as a replace chain — inserts/
+    updates re-encode only the changed documents, deletes retract.
+
+    Retraining the tokenizer is a rebuild decision: publish new merges,
+    drop + re-seed this view (counts under two different merge tables
+    must not mix, so the refresh does NOT silently pick up a newer
+    merge version mid-stream — the merge list is read once per call at
+    the current version and recorded work stays consistent because
+    every refresh re-reads it; callers pin accounting runs to a store
+    version for exact reproducibility)."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    merges = read_bpe_merges(spark, root, merges_table)
+
+    def build(rows: DataFrame) -> DataFrame:
+        keys = [c for c in rows.columns if c != text_col]
+        return rows.select(
+            *keys,
+            F.size(word_tokens(F.col(text_col), lowercase))
+            .cast("bigint").alias("n_words"),
+            token_count(F.col(text_col), merges, lowercase).alias("n_tokens"),
+        )
+
+    return materialize.maintain_rowwise_view(
+        spark, root, src, dst, build,
+        dst_keys=_src_keys(root, src),
+        stable_keys=True,
+        state_key=f"token_counts:{dst}",
+    )
+
+
+def _src_keys(root: str, src: str):
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    keys = publish.table_keys(root, src)
+    if not keys or len(keys) != 1:
+        raise ValueError(
+            f"token-count view of {src!r} needs its single key recorded"
+        )
+    return list(keys)
+
+
 def encoded_string(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
     """The document's delimited symbol string AFTER applying all merges
     in rank order (word symbol strings joined by a space, which can

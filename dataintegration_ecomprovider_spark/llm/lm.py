@@ -95,6 +95,107 @@ def train_bigram_lm(
     return {"unigrams": uni, "bigrams": big, "contexts": ctx, "stats": stats}
 
 
+def maintain_lm_model(
+    spark,
+    root: str,
+    src: str = "documents",
+    prefix: str = "lm",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_lang: str | None = None,
+    lang_col: str = "lang",
+    lowercase: bool = True,
+) -> dict:
+    """CDC-maintained stored LM model, composed ENTIRELY from existing
+    maintainers — no new refresh algebra:
+
+    - ``<prefix>_bigrams``: per-doc adjacent-pair fan-out of the train
+      slice (maintain_rowwise_view; updates re-explode only changed
+      docs, deletes/slice-exits retract),
+    - ``<prefix>_bigram_counts`` / ``<prefix>_ctx_counts``: exact-
+      retraction COUNT aggregates of that table (maintain_aggregate),
+    - ``<prefix>_tokens`` + ``<prefix>_unigram_counts``: same for
+      unigrams.
+
+    First call seeds everything; later calls consume only the source's
+    CDC deltas down the chain.  ``stored_model`` adapts the tables to
+    ``score_documents``'s model dict, so a 100 TB scoring run reads a
+    maintained reference model instead of re-counting the reference
+    corpus."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    def _slice(rows):
+        return rows.filter(F.col(lang_col) == train_lang) if train_lang else rows
+
+    def build_tokens(rows):
+        toks = _slice(rows).select(
+            F.col(id_col),
+            F.posexplode(_tokens(F.col(text_col), lowercase)).alias("pos", "w"),
+        )
+        return toks.select(id_col, F.col("pos").cast("int"), "w")
+
+    def build_bigrams(rows):
+        return _slice(rows).select(
+            F.col(id_col),
+            F.posexplode(_pairs(_tokens(F.col(text_col), lowercase))).alias(
+                "pos", "p"
+            ),
+        ).select(
+            id_col, F.col("pos").cast("int"),
+            F.col("p.prev").alias("prev"), F.col("p.w").alias("w"),
+        )
+
+    out = {
+        "tokens": materialize.maintain_rowwise_view(
+            spark, root, src, f"{prefix}_tokens", build_tokens,
+            dst_keys=[id_col, "pos"], src_key=id_col,
+            state_key=f"lm_tokens:{prefix}",
+        ),
+        "bigrams": materialize.maintain_rowwise_view(
+            spark, root, src, f"{prefix}_bigrams", build_bigrams,
+            dst_keys=[id_col, "pos"], src_key=id_col,
+            state_key=f"lm_bigrams:{prefix}",
+        ),
+    }
+    out["unigram_counts"] = materialize.maintain_aggregate(
+        spark, root, f"{prefix}_tokens", f"{prefix}_unigram_counts", ["w"]
+    )
+    out["bigram_counts"] = materialize.maintain_aggregate(
+        spark, root, f"{prefix}_bigrams", f"{prefix}_bigram_counts",
+        ["prev", "w"],
+    )
+    out["ctx_counts"] = materialize.maintain_aggregate(
+        spark, root, f"{prefix}_bigrams", f"{prefix}_ctx_counts", ["prev"]
+    )
+    return out
+
+
+def stored_model(
+    spark, root: str, prefix: str = "lm", min_count: int = 1
+) -> dict[str, DataFrame]:
+    """The maintained count tables adapted to ``score_documents``'s
+    model dict.  (N, V) derive from the unigram table in one tiny
+    aggregation — always consistent with the counts actually stored."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    uni_full = publish.read_table(spark, root, f"{prefix}_unigram_counts") \
+        .select("w", F.col("cnt").cast("bigint").alias("ucnt"))
+    stats = uni_full.agg(
+        F.sum("ucnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    big = publish.read_table(spark, root, f"{prefix}_bigram_counts") \
+        .select("prev", "w", F.col("cnt").cast("bigint").alias("cnt"))
+    ctx = publish.read_table(spark, root, f"{prefix}_ctx_counts") \
+        .select("prev", F.col("cnt").cast("bigint").alias("ccnt"))
+    return {
+        "unigrams": uni_full.filter(F.col("ucnt") >= min_count),
+        "bigrams": big.filter(F.col("cnt") >= min_count),
+        "contexts": ctx,
+        "stats": stats,
+    }
+
+
 def score_documents(
     docs: DataFrame,
     model: dict[str, DataFrame],

@@ -181,3 +181,55 @@ def test_incremental_training_is_equivalent(spark):
     words = bpe.word_frequencies(docs)
     assert bpe.train_incremental(words, num_merges=10) == \
         bpe.train(words, num_merges=10)
+
+
+def test_persisted_tokenizer_and_cdc_token_counts(spark, tmp_path):
+    """Tokenizer-as-a-table: train → publish merges → CDC-maintained
+    per-doc token counts (inserts/updates re-encode only changed docs,
+    deletes retract); the merge table time-travels for reproducible
+    accounting."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "tok_store")
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest widest"), (3, "aaaa a")],
+        "doc_id bigint, text string",
+    )
+    publish.publish_tables(
+        spark, {"documents": docs}, root, table_keys={"documents": ["doc_id"]}
+    )
+    merges = bpe.train(bpe.word_frequencies(docs), num_merges=6)
+    bpe.publish_bpe_merges(spark, root, merges)
+    assert bpe.read_bpe_merges(spark, root) == merges
+
+    rep = bpe.maintain_token_counts(spark, root, "documents", "doc_tokens")
+    assert rep["mode"] == "seed"
+
+    def counts():
+        return {
+            r["doc_id"]: r["n_tokens"]
+            for r in publish.read_table(spark, root, "doc_tokens").collect()
+        }
+
+    def expected(txt):
+        return sum(len(ref_encode(w, merges)) for w in txt.lower().split())
+
+    assert counts() == {1: expected("low low lower"),
+                        2: expected("newest widest"),
+                        3: expected("aaaa a")}
+    # delta: update doc 1, delete doc 2, insert doc 4
+    publish.merge_into_mor(
+        spark, root, "documents",
+        spark.createDataFrame(
+            [(1, "widest low"), (4, "newest newest")],
+            "doc_id bigint, text string",
+        ),
+        deletes=spark.createDataFrame([(2,)], "doc_id bigint"),
+    )
+    rep = bpe.maintain_token_counts(spark, root, "documents", "doc_tokens")
+    assert rep["mode"] == "delta"
+    assert counts() == {1: expected("widest low"),
+                        3: expected("aaaa a"),
+                        4: expected("newest newest")}
+    # the merge table itself time-travels (pinned accounting)
+    assert bpe.read_bpe_merges(spark, root, version=2) == merges

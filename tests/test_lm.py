@@ -104,3 +104,69 @@ def test_registry_query_matches_oracle(spark, oracle):
         oracle.execute(qd.oracle).fetchdf(),
         "llm_lm_perplexity",
     )
+
+
+def test_stored_lm_model_is_cdc_maintained(spark, tmp_path):
+    """The stored model (5 maintained tables composed from rowwise +
+    aggregate maintainers) scores identically to the in-memory model,
+    through seed AND delta (doc update, slice exit, delete, insert)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "lm_store")
+    docs = spark.createDataFrame(
+        [(1, "a b a", "en"), (2, "b a", "en"), (3, "x y", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    publish.publish_tables(
+        spark, {"documents": docs}, root, table_keys={"documents": ["doc_id"]}
+    )
+    rep = lm.maintain_lm_model(spark, root, train_lang="en")
+    assert {k: v["mode"] for k, v in rep.items()} == {
+        "tokens": "seed", "bigrams": "seed", "unigram_counts": "seed",
+        "bigram_counts": "seed", "ctx_counts": "seed",
+    }
+
+    targets = spark.createDataFrame(
+        [(10, "a b c"), (11, "b b")], "doc_id bigint, text string"
+    )
+
+    def stored_scores():
+        return {
+            r["doc_id"]: (r["n_scored"], r["avg_logprob"], r["ppl"])
+            for r in lm.score_documents(
+                targets, lm.stored_model(spark, root)
+            ).collect()
+        }
+
+    def direct_scores(train_df):
+        return {
+            r["doc_id"]: (r["n_scored"], r["avg_logprob"], r["ppl"])
+            for r in lm.score_documents(
+                targets, lm.train_bigram_lm(train_df)
+            ).collect()
+        }
+
+    assert stored_scores() == direct_scores(
+        docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    )
+
+    # delta: doc 1 re-texts, doc 2 leaves the train slice (lang flip),
+    # doc 4 arrives, doc 3 (never in slice) deletes
+    publish.merge_into_mor(
+        spark, root, "documents",
+        spark.createDataFrame(
+            [(1, "a a b", "en"), (2, "b a", "fr"), (4, "c a b", "en")],
+            "doc_id bigint, text string, lang string",
+        ),
+        deletes=spark.createDataFrame([(3,)], "doc_id bigint"),
+    )
+    rep = lm.maintain_lm_model(spark, root, train_lang="en")
+    assert all(v["mode"] == "delta" for v in rep.values()), rep
+    final_train = spark.createDataFrame(
+        [(1, "a a b"), (4, "c a b")], "doc_id bigint, text string"
+    )
+    assert stored_scores() == direct_scores(final_train)
+    # pruning composes with the stored tables too
+    pruned = lm.stored_model(spark, root, min_count=2)
+    assert pruned["bigrams"].count() <= \
+        lm.stored_model(spark, root)["bigrams"].count()
