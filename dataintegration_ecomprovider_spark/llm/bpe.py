@@ -66,9 +66,15 @@ def clean_words(words: Column) -> Column:
 
 def word_tokens(text: Column, lowercase: bool = True) -> Column:
     """Whitespace tokens of ``text`` (optionally lowercased), cleaned —
-    the shared tokenization for training and encoding."""
+    the shared tokenization for training and encoding.
+
+    The split class is spelled out as ``[ \\t\\n\\r\\f]+`` rather than
+    ``\\s+``: Java's ``\\s`` includes vertical tab (\\x0B) but DuckDB's
+    RE2 ``\\s`` does not, so a document containing \\x0B would tokenize
+    differently across engines and break the value-hash oracles — the
+    explicit class is the 5-char intersection both engines agree on."""
     base = F.lower(text) if lowercase else text
-    return clean_words(F.split(F.trim(base), r"\s+"))
+    return clean_words(F.split(F.trim(base), r"[ \t\n\r\f]+"))
 
 
 def word_frequencies(
@@ -288,6 +294,142 @@ def train_incremental(
     return merges
 
 
+def dropped_word_count(text: Column, lowercase: bool = True) -> Column:
+    """Words of ``text`` that the delimited representation cannot carry
+    (they contain SEP or EOW) and the encode/count path therefore DROPS
+    (clean_words) — surfaced per document so a corpus-accounting run can
+    budget the loss instead of silently under-counting.  This is the
+    documented encode contract: dropped words contribute to NEITHER
+    n_words NOR n_tokens, and n_dropped_words says how many went."""
+    base = F.lower(text) if lowercase else text
+    raw = F.filter(
+        F.split(F.trim(base), r"[ \t\n\r\f]+"), lambda w: w != ""
+    )
+    return (F.size(raw) - F.size(clean_words(raw))).cast("bigint")
+
+
+def vocab(
+    words: DataFrame,
+    merges: list[dict],
+    specials: tuple[str, ...] = ("<unk>",),
+) -> list[dict]:
+    """The tokenizer's vocabulary with STABLE token ids —
+    [{token_id, token, kind}] where ids number, in order: the reserved
+    ``specials`` (kind='special', in input order), the base character
+    symbols observed in the (word, freq) table plus EOW (kind='char',
+    binary-sorted — the same cross-engine total order training's
+    tie-break already relies on), then the merge tokens in rank order
+    (kind='merge').  First writer wins on surface-form collisions (two
+    merge paths CAN produce the same string; the earlier rank keeps the
+    id), so ids are dense and deterministic given (words, merges,
+    specials) — what a training run needs to consume the tokenizer.
+
+    The character pull is one distinct aggregation collected to the
+    driver — bounded by the corpus ALPHABET, the same driver-residency
+    class as the merge list itself."""
+    chars = {
+        r["c"]
+        for r in words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substr(F.col("word"), i, F.lit(1)),
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    } | {EOW}
+    out: list[dict] = []
+    seen: set[str] = set()
+
+    def add(token: str, kind: str) -> None:
+        if token not in seen:
+            seen.add(token)
+            out.append(
+                {"token_id": len(out), "token": token, "kind": kind}
+            )
+
+    for t in specials:
+        add(t, "special")
+    for c in sorted(chars):
+        add(c, "char")
+    for m in merges:
+        add(m["token"], "merge")
+    return out
+
+
+def vocab_df(spark: SparkSession, vocab_rows: list[dict]) -> DataFrame:
+    """The vocabulary as a (tiny, broadcast-sized) DataFrame."""
+    return spark.createDataFrame(
+        [(int(v["token_id"]), v["token"], v["kind"]) for v in vocab_rows],
+        "token_id bigint, token string, kind string",
+    ).repartition(1)
+
+
+def publish_bpe_tokenizer(
+    spark: SparkSession, root: str, merges: list[dict],
+    vocab_rows: list[dict],
+    merges_table: str = "bpe_merges",
+    vocab_table: str = "bpe_vocab",
+) -> dict:
+    """Persist the COMPLETE tokenizer — merge table + id-stable
+    vocabulary — in one atomic commit, so a consumer pinning a store
+    version gets a consistent (merges, ids) pair by construction."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    return publish.publish_tables(
+        spark,
+        {
+            merges_table: merges_df(spark, merges),
+            vocab_table: vocab_df(spark, vocab_rows),
+        },
+        root,
+        table_keys={merges_table: ["rank"], vocab_table: ["token_id"]},
+    )
+
+
+def token_id_rows(
+    docs: DataFrame,
+    merges: list[dict],
+    vocab_rows: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, pos, token_id): the trained-BPE encoding of each document as
+    id sequences — posexplode of the token array joined to the
+    (broadcast) vocabulary; a token absent from the vocabulary (possible
+    only when encoding text the vocab was not derived from) maps to the
+    first 'special' entry (the <unk> convention) or null if none is
+    reserved.  One corpus scan + one broadcast join — no corpus-side
+    shuffle."""
+    spark = docs.sparkSession
+    unk = next(
+        (v["token_id"] for v in vocab_rows if v["kind"] == "special"), None
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col), merges, lowercase)).alias(
+            "pos", "token"
+        ),
+    )
+    joined = toks.join(
+        F.broadcast(vocab_df(spark, vocab_rows).select("token", "token_id")),
+        "token",
+        "left",
+    )
+    tid = (
+        F.coalesce(F.col("token_id"), F.lit(int(unk)))
+        if unk is not None
+        else F.col("token_id")
+    )
+    return joined.select(
+        F.col(id_col), F.col("pos").cast("int").alias("pos"),
+        tid.cast("bigint").alias("token_id"),
+    )
+
+
 def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
     """The learned merge table as a (tiny) DataFrame — one file on disk,
     broadcast-sized by construction."""
@@ -366,6 +508,12 @@ def maintain_token_counts(
             F.size(word_tokens(F.col(text_col), lowercase))
             .cast("bigint").alias("n_words"),
             token_count(F.col(text_col), merges, lowercase).alias("n_tokens"),
+            # the documented drop contract, surfaced (see
+            # dropped_word_count): words containing SEP/EOW count here
+            # and nowhere else
+            dropped_word_count(F.col(text_col), lowercase).alias(
+                "n_dropped_words"
+            ),
         )
 
     return materialize.maintain_rowwise_view(

@@ -45,9 +45,13 @@ MICRO = 1_000_000
 
 
 def _tokens(text: Column, lowercase: bool = True) -> Column:
+    # explicit class instead of \s+: Java's \s includes \x0B, RE2's
+    # (DuckDB oracle side) does not — the 5-char intersection keeps the
+    # cross-engine value hashes safe for corpora containing vertical tabs
     base = F.lower(text) if lowercase else text
     return F.filter(
-        F.split(F.trim(F.coalesce(base, F.lit(""))), r"\s+"), lambda w: w != ""
+        F.split(F.trim(F.coalesce(base, F.lit(""))), r"[ \t\n\r\f]+"),
+        lambda w: w != "",
     )
 
 
@@ -58,6 +62,19 @@ def _pairs(ws: Column) -> Column:
         F.slice(ws, F.lit(1), F.greatest(n - F.lit(1), F.lit(0))),
         lambda x, i: F.struct(
             x.alias("prev"), F.element_at(ws, i + F.lit(2)).alias("w")
+        ),
+    )
+
+
+def _triples(ws: Column) -> Column:
+    """Adjacent (u, v, w) triples of a token array."""
+    n = F.size(ws)
+    return F.transform(
+        F.slice(ws, F.lit(1), F.greatest(n - F.lit(2), F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("u"),
+            F.element_at(ws, i + F.lit(2)).alias("v"),
+            F.element_at(ws, i + F.lit(3)).alias("w"),
         ),
     )
 
@@ -93,6 +110,40 @@ def train_bigram_lm(
     uni = uni_full.filter(F.col("ucnt") >= min_count)
     big = big_full.filter(F.col("cnt") >= min_count)
     return {"unigrams": uni, "bigrams": big, "contexts": ctx, "stats": stats}
+
+
+def train_trigram_lm(
+    train_docs: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> dict[str, DataFrame]:
+    """Order-3 count model: the bigram tables plus trigram counts and
+    their (u, v) context totals — one more explode+count aggregation
+    over the reference corpus, nothing else changes (the round-10
+    verdict's CCNet-quality step: KenLM-grade filters are 5-gram; the
+    backoff chain here generalizes one order at a time with one extra
+    count table per order).
+
+    Context totals (ctx, ctx2) are taken from the FULL count tables
+    before ``min_count`` pruning, so a pruned n-gram backs off against
+    the true denominator rather than a truncated one."""
+    model = train_bigram_lm(train_docs, text_col, lowercase, min_count)
+    toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
+    tri_full = (
+        toks.select(F.explode(_triples(F.col("ws"))).alias("t"))
+        .groupBy(
+            F.col("t.u").alias("u"), F.col("t.v").alias("v"),
+            F.col("t.w").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tcnt"))
+    )
+    ctx2 = tri_full.groupBy("u", "v").agg(
+        F.sum("tcnt").cast("bigint").alias("c2cnt")
+    )
+    model["trigrams"] = tri_full.filter(F.col("tcnt") >= min_count)
+    model["contexts2"] = ctx2
+    return model
 
 
 def maintain_lm_model(
@@ -229,6 +280,105 @@ def score_documents(
         id_col, F.round(lp * F.lit(float(MICRO)), 0).cast("bigint").alias("micro")
     )
     agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("micro").cast("bigint").alias("sm"),
+    )
+    fin = agg.select(
+        id_col,
+        "n_scored",
+        F.round(F.col("sm") / (F.col("n_scored") * F.lit(float(MICRO))), 6).alias(
+            "avg_logprob"
+        ),
+    )
+    return fin.select(
+        id_col,
+        "n_scored",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
+    )
+
+
+def score_documents_trigram(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_scored, avg_logprob, ppl) under the order-3 stupid-backoff
+    chain: position i >= 3 scores w_i against its two-word context,
+    position 2 against one word (KenLM's shortened-context head), so
+    n_scored stays len-1 and the bigram and trigram scores of the same
+    corpus are directly comparable.
+
+        score(w | u, v) = c(u,v,w) / c_ctx2(u,v)        if seen
+                        = 0.4 * c(v,w) / c_ctx(v)       elif bigram seen
+                        = 0.4^2 * (c(w)+1) / (N+V)      otherwise
+
+    Same micro-nat integer quantization as score_documents: per-position
+    log-scores round to bigint before the per-document sum, so Spark's
+    partial-aggregation order cannot drift from DuckDB's."""
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col), lowercase).alias("ws")
+    )
+    stats = model["stats"]
+    floor_lp = (
+        F.log(F.coalesce(F.col("ucnt"), F.lit(0)) + F.lit(1))
+        - F.log(F.col("n_total") + F.col("vocab"))
+    )
+
+    # position 2: one-word context — exactly the bigram chain
+    first = base.filter(F.size("ws") >= 2).select(
+        id_col,
+        F.element_at(F.col("ws"), 1).alias("prev"),
+        F.element_at(F.col("ws"), 2).alias("w"),
+    )
+    j2 = (
+        first.join(model["bigrams"], ["prev", "w"], "left")
+        .join(model["contexts"], ["prev"], "left")
+        .join(model["unigrams"], ["w"], "left")
+        .crossJoin(stats)  # one broadcast row
+    )
+    lp2 = F.when(
+        F.col("cnt").isNotNull(), F.log(F.col("cnt")) - F.log(F.col("ccnt"))
+    ).otherwise(F.log(F.lit(BACKOFF)) + floor_lp)
+    s2 = j2.select(
+        id_col,
+        F.round(lp2 * F.lit(float(MICRO)), 0).cast("bigint").alias("micro"),
+    )
+
+    # positions >= 3: two-word context with the full backoff chain
+    tri = base.select(
+        F.col(id_col), F.explode(_triples(F.col("ws"))).alias("t")
+    ).select(
+        id_col, F.col("t.u").alias("u"), F.col("t.v").alias("v"),
+        F.col("t.w").alias("w"),
+    )
+    j3 = (
+        tri.join(model["trigrams"], ["u", "v", "w"], "left")
+        .join(model["contexts2"], ["u", "v"], "left")
+        .join(model["bigrams"].withColumnRenamed("prev", "v"), ["v", "w"], "left")
+        .join(model["contexts"].withColumnRenamed("prev", "v"), ["v"], "left")
+        .join(model["unigrams"], ["w"], "left")
+        .crossJoin(stats)
+    )
+    lp3 = (
+        F.when(
+            F.col("tcnt").isNotNull(),
+            F.log(F.col("tcnt")) - F.log(F.col("c2cnt")),
+        )
+        .when(
+            F.col("cnt").isNotNull(),
+            F.log(F.lit(BACKOFF)) + F.log(F.col("cnt")) - F.log(F.col("ccnt")),
+        )
+        .otherwise(F.lit(2.0) * F.log(F.lit(BACKOFF)) + floor_lp)
+    )
+    s3 = j3.select(
+        id_col,
+        F.round(lp3 * F.lit(float(MICRO)), 0).cast("bigint").alias("micro"),
+    )
+
+    agg = s2.unionByName(s3).groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
         F.sum("micro").cast("bigint").alias("sm"),
     )

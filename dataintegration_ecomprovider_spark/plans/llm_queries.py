@@ -409,7 +409,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.ivfpq_topk(
         queries, idx["centroids"], idx["codebook"], idx["codes"],
-        k=5, n_probe=4, rerank=50, embeddings=emb,
+        k=5, n_probe=4, rerank=50, embeddings=emb, index=idx,
     )
 
 
@@ -2945,6 +2945,131 @@ ORACLE_BPE_TRAIN = _bpe_train_oracle(_BPE_MERGES)
 ORACLE_BPE_TOKEN_COUNTS = _bpe_encode_oracle(_BPE_MERGES)
 
 
+# --- tokenizer vocabulary + id encoding (round 11, llm/bpe.py) --------------
+_BPE_IDS_MAX_DOC = 40
+
+
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding under the id-stable vocabulary (round 11 — the
+    r10 verdict's 'BPE production artifacts' item): bpe.vocab numbers
+    reserved specials, then the corpus's base character symbols + EOW
+    (binary-sorted), then merge tokens in rank order — first writer wins
+    on surface-form collisions — and token_id_rows maps each document to
+    (doc_id, pos, token_id) via ONE broadcast join of the exploded token
+    stream against the vocabulary (no corpus-side shuffle).  The oracle
+    re-derives the vocabulary AND the full encode chain in SQL and joins
+    the same way.  Dropped-word contract: words containing SEP/EOW
+    appear in no id sequence (surfaced per doc by dropped_word_count /
+    the n_dropped_words column of maintained token counts)."""
+    from dataintegration_ecomprovider_spark.llm import bpe
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    words = bpe.word_frequencies(docs)
+    merges = bpe.train(words, num_merges=_BPE_MERGES, strict=True)
+    voc = bpe.vocab(words, merges)
+    return bpe.token_id_rows(
+        docs.filter(F.col("doc_id") < _BPE_IDS_MAX_DOC), merges, voc
+    )
+
+
+def _bpe_encode_ids_oracle(
+    n: int, max_doc: int, specials: tuple[str, ...] = ("<unk>",)
+) -> str:
+    ctes = _bpe_train_ctes(n)
+    ctes.append(f"""enc0 AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_transform(words,
+            w -> chr(31) || array_to_string(list_append(
+                   list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                   chr(23)), chr(31) || chr(31)) || chr(31)), ' ') AS s
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                       w -> w <> '' AND strpos(w, chr(31)) = 0
+                            AND strpos(w, chr(23)) = 0) AS words
+    FROM documents WHERE doc_id < {max_doc}
+  )
+)""")
+    for i in range(1, n + 1):
+        ctes.append(f"""enc{i} AS MATERIALIZED (
+  SELECT e.doc_id, replace(e.s, {_BPE_PAIR_PAT}, {_BPE_PAIR_REP}) AS s
+  FROM enc{i - 1} e CROSS JOIN p{i} p
+)""")
+    specials_vals = ", ".join(
+        f"({i}, '{s}', 'special')" for i, s in enumerate(specials)
+    )
+    all_merges = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS rank, lft || rgt AS token FROM p{i}"
+        for i in range(1, n + 1)
+    )
+    # vocabulary: specials (input order) -> chars + EOW (binary sort) ->
+    # merges (rank order); first writer wins on token collisions — the
+    # exact bpe.vocab construction
+    ctes.append(f"""train_words AS MATERIALIZED (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' AND strpos(word, chr(31)) = 0 AND strpos(word, chr(23)) = 0
+)""")
+    ctes.append(f"""vocab AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY prio, ord2, token) - 1 AS BIGINT)
+           AS token_id,
+         token, kind
+  FROM (
+    SELECT token, kind, prio, ord2
+    FROM (
+      SELECT token, kind, 0 AS prio, ord2
+      FROM (VALUES {specials_vals}) t(ord2, token, kind)
+      UNION ALL
+      SELECT token, 'char' AS kind, 1 AS prio, 0 AS ord2
+      FROM (
+        SELECT DISTINCT word[i:i] AS token
+        FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i
+              FROM train_words)
+        UNION
+        SELECT chr(23)
+      )
+      UNION ALL
+      SELECT token, 'merge' AS kind, 2 AS prio, rank AS ord2
+      FROM ({all_merges})
+    )
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY token ORDER BY prio, ord2) = 1
+  )
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+wsplit AS (SELECT doc_id, string_split(s, ' ') AS ws FROM enc{n}),
+words_pos AS (
+  SELECT doc_id, wi,
+         string_split(trim(list_extract(ws, wi), chr(31)),
+                      chr(31) || chr(31)) AS syms
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi FROM wsplit)
+  WHERE list_extract(ws, wi) <> ''
+),
+tok AS (
+  SELECT doc_id, wi, ti, list_extract(syms, ti) AS token
+  FROM (SELECT doc_id, wi, syms, unnest(range(1, len(syms) + 1)) AS ti
+        FROM words_pos)
+),
+pos_tok AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+              AS INT) AS pos,
+         token
+  FROM tok
+)
+SELECT p.doc_id, p.pos,
+       COALESCE(v.token_id,
+                (SELECT MIN(token_id) FROM vocab WHERE kind = 'special'))
+         AS token_id
+FROM pos_tok p LEFT JOIN vocab v ON v.token = p.token"""
+    )
+
+
+ORACLE_BPE_ENCODE_IDS = _bpe_encode_ids_oracle(_BPE_MERGES, _BPE_IDS_MAX_DOC)
+
+
 # --- bigram-LM perplexity scoring (round 10, llm/lm.py) ---------------------
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter (llm/lm.py): train a bigram stupid-
@@ -3017,6 +3142,115 @@ FROM fin
 """
 
 
+# --- trigram-LM perplexity scoring (round 11, llm/lm.py) --------------------
+def q_lm_perplexity_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 stupid-backoff LM scoring (llm/lm.py::train_trigram_lm +
+    score_documents_trigram — the round-10 verdict's CCNet-quality step
+    toward KenLM-grade filtering): position i >= 3 scores against a
+    two-word context (trigram → 0.4·bigram → 0.4²·unigram-floor),
+    position 2 against one word, so n_scored = len-1 exactly like the
+    bigram query.  The micro-nat integer quantization carries over
+    unchanged — the oracle adds one trigram count CTE, one context CTE,
+    and one more CASE branch."""
+    from dataintegration_ecomprovider_spark.llm import lm
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    model = lm.train_trigram_lm(docs.filter(F.col("lang") == "en"))
+    return lm.score_documents_trigram(docs, model)
+
+
+ORACLE_LM_PERPLEXITY_TRIGRAM = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+train_big AS MATERIALIZED (
+  SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT list_extract(ws, i) AS prev, list_extract(ws, i + 1) AS w
+    FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks WHERE lang = 'en')
+  )
+  GROUP BY prev, w
+),
+ctx AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM train_big GROUP BY prev),
+uni AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
+  GROUP BY w
+),
+stats AS (
+  SELECT CAST(SUM(ucnt) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM uni
+),
+train_tri AS MATERIALIZED (
+  SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS tcnt
+  FROM (
+    SELECT list_extract(ws, i) AS u, list_extract(ws, i + 1) AS v,
+           list_extract(ws, i + 2) AS w
+    FROM (SELECT ws, unnest(range(1, len(ws) - 1)) AS i FROM toks WHERE lang = 'en')
+  )
+  GROUP BY u, v, w
+),
+ctx2 AS (
+  SELECT u, v, CAST(SUM(tcnt) AS BIGINT) AS c2cnt FROM train_tri GROUP BY u, v
+),
+pos2 AS (
+  SELECT doc_id, list_extract(ws, 1) AS prev, list_extract(ws, 2) AS w
+  FROM toks WHERE len(ws) >= 2
+),
+pos3 AS (
+  SELECT doc_id, list_extract(ws, i) AS u, list_extract(ws, i + 1) AS v,
+         list_extract(ws, i + 2) AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM toks)
+),
+scored2 AS (
+  SELECT p.doc_id,
+         CAST(ROUND((CASE WHEN b.cnt IS NOT NULL
+                          THEN ln(b.cnt) - ln(c.ccnt)
+                          ELSE ln(0.4) + ln(coalesce(u.ucnt, 0) + 1)
+                               - ln(s.n_total + s.vocab) END) * 1000000.0, 0)
+              AS BIGINT) AS micro
+  FROM pos2 p
+  LEFT JOIN train_big b ON b.prev = p.prev AND b.w = p.w
+  LEFT JOIN ctx c ON c.prev = p.prev
+  LEFT JOIN uni u ON u.w = p.w
+  CROSS JOIN stats s
+),
+scored3 AS (
+  SELECT p.doc_id,
+         CAST(ROUND((CASE WHEN t.tcnt IS NOT NULL
+                          THEN ln(t.tcnt) - ln(c2.c2cnt)
+                          WHEN b.cnt IS NOT NULL
+                          THEN ln(0.4) + ln(b.cnt) - ln(c.ccnt)
+                          ELSE 2.0 * ln(0.4) + ln(coalesce(u.ucnt, 0) + 1)
+                               - ln(s.n_total + s.vocab) END) * 1000000.0, 0)
+              AS BIGINT) AS micro
+  FROM pos3 p
+  LEFT JOIN train_tri t ON t.u = p.u AND t.v = p.v AND t.w = p.w
+  LEFT JOIN ctx2 c2 ON c2.u = p.u AND c2.v = p.v
+  LEFT JOIN train_big b ON b.prev = p.v AND b.w = p.w
+  LEFT JOIN ctx c ON c.prev = p.v
+  LEFT JOIN uni u ON u.w = p.w
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(micro) AS BIGINT) AS sm
+  FROM (SELECT * FROM scored2 UNION ALL SELECT * FROM scored3)
+  GROUP BY doc_id
+),
+fin AS (
+  SELECT doc_id, n_scored,
+         ROUND(sm / (n_scored * 1000000.0), 6) AS avg_logprob
+  FROM agg
+)
+SELECT doc_id, n_scored, avg_logprob, ROUND(exp(-avg_logprob), 3) AS ppl
+FROM fin
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "llm_training_shards_incremental": QueryDef(
@@ -3061,7 +3295,11 @@ QUERIES = {
     "llm_token_counts": QueryDef(q_token_counts, ORACLE_TOKEN_COUNTS),
     "llm_bpe_train": QueryDef(q_bpe_train, ORACLE_BPE_TRAIN),
     "llm_bpe_token_counts": QueryDef(q_bpe_token_counts, ORACLE_BPE_TOKEN_COUNTS),
+    "llm_bpe_encode_ids": QueryDef(q_bpe_encode_ids, ORACLE_BPE_ENCODE_IDS),
     "llm_lm_perplexity": QueryDef(q_lm_perplexity, ORACLE_LM_PERPLEXITY),
+    "llm_lm_perplexity_trigram": QueryDef(
+        q_lm_perplexity_trigram, ORACLE_LM_PERPLEXITY_TRIGRAM
+    ),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),
     "llm_dedup_minhash_lsh_portable": QueryDef(q_minhash_portable, ORACLE_MINHASH_PORTABLE),

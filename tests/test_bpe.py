@@ -233,3 +233,167 @@ def test_persisted_tokenizer_and_cdc_token_counts(spark, tmp_path):
                         4: expected("newest newest")}
     # the merge table itself time-travels (pinned accounting)
     assert bpe.read_bpe_merges(spark, root, version=2) == merges
+
+
+# --- vocabulary + token ids (round 11) --------------------------------------
+def _tiny_words(spark):
+    return spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+        "word string, freq bigint",
+    )
+
+
+def test_vocab_ids_are_stable_and_ordered(spark):
+    """Specials first (input order), then chars + EOW binary-sorted,
+    then merge tokens in rank order — dense ids, first writer wins."""
+    words = _tiny_words(spark)
+    merges = bpe.train(words, num_merges=4, strict=True)
+    voc = bpe.vocab(words, merges, specials=("<unk>", "<pad>"))
+    assert [v["token_id"] for v in voc] == list(range(len(voc)))
+    assert voc[0] == {"token_id": 0, "token": "<unk>", "kind": "special"}
+    assert voc[1] == {"token_id": 1, "token": "<pad>", "kind": "special"}
+    chars = [v for v in voc if v["kind"] == "char"]
+    expected_chars = sorted(set("lowernewstwid") | {EOW})
+    assert [c["token"] for c in chars] == expected_chars
+    tail = [v["token"] for v in voc if v["kind"] == "merge"]
+    assert tail == [m["token"] for m in merges]
+    # round-trip: id -> token -> id
+    by_id = {v["token_id"]: v["token"] for v in voc}
+    by_tok = {v["token"]: v["token_id"] for v in voc}
+    assert all(by_tok[t] == i for i, t in by_id.items())
+
+
+def test_vocab_first_writer_wins_on_collision(spark):
+    words = spark.createDataFrame([("ab", 3)], "word string, freq bigint")
+    merges = [
+        {"rank": 1, "lft": "a", "rgt": "b", "token": "ab", "pair_freq": 3},
+        {"rank": 2, "lft": "a", "rgt": "b", "token": "ab", "pair_freq": 1},
+    ]
+    voc = bpe.vocab(words, merges, specials=())
+    assert [v["token"] for v in voc if v["kind"] == "merge"] == ["ab"]
+    assert [v["token_id"] for v in voc] == list(range(len(voc)))
+
+
+def test_token_id_rows_decode_back_to_tokens(spark):
+    """ids decode back to the exact token stream: join ids->tokens and
+    compare against bpe.tokens() order-sensitively."""
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest low")],
+        "doc_id bigint, text string",
+    )
+    words = bpe.word_frequencies(docs)
+    merges = bpe.train(words, num_merges=4, strict=True)
+    voc = bpe.vocab(words, merges)
+    by_id = {v["token_id"]: v["token"] for v in voc}
+    got = bpe.token_id_rows(docs, merges, voc).collect()
+    decoded: dict[int, list[str]] = {}
+    for r in sorted(got, key=lambda r: (r["doc_id"], r["pos"])):
+        decoded.setdefault(r["doc_id"], []).append(by_id[r["token_id"]])
+    direct = {
+        r["doc_id"]: list(r["toks"])
+        for r in docs.select(
+            "doc_id", bpe.tokens(F.col("text"), merges).alias("toks")
+        ).collect()
+    }
+    assert decoded == direct
+    # and every position is contiguous from 0
+    for doc_id, toks in direct.items():
+        poss = sorted(r["pos"] for r in got if r["doc_id"] == doc_id)
+        assert poss == list(range(len(toks)))
+
+
+def test_token_id_rows_unknown_token_maps_to_unk(spark):
+    """Encoding text the vocab was NOT derived from: unseen characters
+    fall back to the reserved <unk> id."""
+    train_docs = spark.createDataFrame(
+        [(1, "aa ab")], "doc_id bigint, text string"
+    )
+    words = bpe.word_frequencies(train_docs)
+    merges = bpe.train(words, num_merges=1, strict=True)
+    voc = bpe.vocab(words, merges)
+    out = bpe.token_id_rows(
+        spark.createDataFrame([(9, "az")], "doc_id bigint, text string"),
+        merges, voc,
+    ).collect()
+    by_tok = {v["token"]: v["token_id"] for v in voc}
+    ids = [r["token_id"] for r in sorted(out, key=lambda r: r["pos"])]
+    assert by_tok["<unk>"] == 0
+    assert ids[1] == 0  # 'z' is out-of-vocabulary
+    assert ids[0] == by_tok["a"]
+
+
+def test_dropped_word_count_surfaces_the_contract(spark):
+    docs = spark.createDataFrame(
+        [(1, f"good {SEP}bad also{EOW}bad fine"), (2, "all clean"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["nd"], r["nw"])
+        for r in docs.select(
+            "doc_id",
+            bpe.dropped_word_count(F.col("text")).alias("nd"),
+            F.size(bpe.word_tokens(F.col("text"))).cast("bigint").alias("nw"),
+        ).collect()
+    }
+    assert got[1] == (2, 2)
+    assert got[2] == (0, 2)
+    assert got[3][0] in (0, None) or got[3][0] == 0
+
+
+def test_publish_tokenizer_is_one_atomic_commit(spark, tmp_path):
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "tok_store")
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest widest")], "doc_id bigint, text string"
+    )
+    publish.publish_tables(
+        spark, {"documents": docs}, root, table_keys={"documents": ["doc_id"]}
+    )
+    words = bpe.word_frequencies(publish.read_table(spark, root, "documents"))
+    merges = bpe.train(words, num_merges=3, strict=True)
+    voc = bpe.vocab(words, merges)
+    v_before = publish.current_manifest(root)["version"]
+    bpe.publish_bpe_tokenizer(spark, root, merges, voc)
+    man = publish.current_manifest(root)
+    assert man["version"] == v_before + 1  # merges + vocab in ONE commit
+    assert {"bpe_merges", "bpe_vocab"} <= set(man["tables"])
+    stored = {
+        r["token_id"]: (r["token"], r["kind"])
+        for r in publish.read_table(spark, root, "bpe_vocab").collect()
+    }
+    assert stored == {
+        v["token_id"]: (v["token"], v["kind"]) for v in voc
+    }
+
+
+def test_encode_ids_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    qd = all_queries()["llm_bpe_encode_ids"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "llm_bpe_encode_ids",
+    )
+
+
+def test_maintained_token_counts_carry_dropped_words(spark, tmp_path):
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "tokdrop_store")
+    docs = spark.createDataFrame(
+        [(1, f"ok {SEP}gone ok"), (2, "clean text")],
+        "doc_id bigint, text string",
+    )
+    publish.publish_tables(
+        spark, {"documents": docs}, root, table_keys={"documents": ["doc_id"]}
+    )
+    words = bpe.word_frequencies(publish.read_table(spark, root, "documents"))
+    bpe.publish_bpe_merges(spark, root, bpe.train(words, num_merges=2))
+    bpe.maintain_token_counts(spark, root, "documents", "doc_tokens")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_dropped_words"])
+        for r in publish.read_table(spark, root, "doc_tokens").collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 0)}

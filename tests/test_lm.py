@@ -170,3 +170,86 @@ def test_stored_lm_model_is_cdc_maintained(spark, tmp_path):
     pruned = lm.stored_model(spark, root, min_count=2)
     assert pruned["bigrams"].count() <= \
         lm.stored_model(spark, root)["bigrams"].count()
+
+
+# --- trigram stupid backoff (round 11) --------------------------------------
+def test_trigram_hand_computed_backoff_chain(spark):
+    """train: 'a b a', 'b a c' → uni a:3 b:2 c:1 (N=6, V=3); bigrams
+    (a,b):1 (b,a):2 (a,c):1, ctx a:2 b:2; trigrams (a,b,a):1 (b,a,c):1,
+    ctx2 (a,b):1 (b,a):1.  Score 'a b a c z' — one position per chain
+    level: bigram head, trigram hit x2, full floor."""
+    train = _docs(spark, [(1, "a b a"), (2, "b a c")])
+    model = lm.train_trigram_lm(train)
+    out = lm.score_documents_trigram(
+        _docs(spark, [(10, "a b a c z")]), model
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_scored"] == 4
+    micros = [
+        _micro(math.log(1) - math.log(2)),            # head (a,b)
+        _micro(math.log(1) - math.log(1)),            # (a,b,a) trigram
+        _micro(math.log(1) - math.log(1)),            # (b,a,c) trigram
+        _micro(2 * math.log(0.4) + math.log(0 + 1) - math.log(6 + 3)),
+    ]
+    assert r["avg_logprob"] == _avg(micros)
+    assert r["ppl"] == round(math.exp(-r["avg_logprob"]), 3)
+
+
+def test_trigram_backs_off_to_seen_bigram(spark):
+    """(b,a,b) is an unseen trigram but (a,b) is a seen bigram: the
+    middle backoff level fires with ONE 0.4 factor."""
+    train = _docs(spark, [(1, "a b a"), (2, "b a c")])
+    model = lm.train_trigram_lm(train)
+    out = lm.score_documents_trigram(_docs(spark, [(1, "b a b")]), model).collect()
+    r = out[0]
+    assert r["n_scored"] == 2
+    micros = [
+        _micro(math.log(2) - math.log(2)),                      # head (b,a)
+        _micro(math.log(0.4) + math.log(1) - math.log(2)),      # 0.4·c(a,b)/ctx(a)
+    ]
+    assert r["avg_logprob"] == _avg(micros)
+
+
+def test_trigram_two_token_doc_scores_bigram_head_only(spark):
+    train = _docs(spark, [(1, "a b a")])
+    model = lm.train_trigram_lm(train)
+    out = lm.score_documents_trigram(_docs(spark, [(7, "a b")]), model).collect()
+    assert out[0]["n_scored"] == 1
+    # same value the bigram model assigns: n_scored is len-1 in both
+    big = lm.score_documents(
+        _docs(spark, [(7, "a b")]), lm.train_bigram_lm(train)
+    ).collect()
+    assert out[0]["avg_logprob"] == big[0]["avg_logprob"]
+
+
+def test_trigram_min_count_prunes_trigrams_but_keeps_ctx2(spark):
+    """min_count=2 prunes both 1-count trigrams → every trigram position
+    backs off; ctx2 keeps FULL counts so a retained trigram would
+    normalize unchanged."""
+    train = _docs(spark, [(1, "a b a"), (2, "b a c")])
+    pruned = lm.train_trigram_lm(train, min_count=2)
+    assert pruned["trigrams"].count() == 0
+    assert pruned["contexts2"].count() == 2
+    out = lm.score_documents_trigram(
+        _docs(spark, [(3, "a b a")]), pruned
+    ).collect()[0]
+    micros = [
+        # head (a,b): bigram (a,b):1 also pruned → 0.4·uni floor on
+        # w=b (ucnt 2, retained by the prune)
+        _micro(math.log(0.4) + math.log(2 + 1) - math.log(6 + 3)),
+        # (a,b,a): trigram pruned, bigram (b,a):2 retained → 0.4 level
+        _micro(math.log(0.4) + math.log(2) - math.log(2)),
+    ]
+    assert out["avg_logprob"] == _avg(micros)
+
+
+def test_trigram_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    qd = all_queries()["llm_lm_perplexity_trigram"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "llm_lm_perplexity_trigram",
+    )
