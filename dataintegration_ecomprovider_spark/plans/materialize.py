@@ -77,6 +77,39 @@ def estimate_distinct(df: DataFrame, distinct_cols: Sequence[str]) -> DataFrame:
     return out
 
 
+def derived_aggregate_columns(
+    df: DataFrame,
+    avg_cols: Sequence[str] = (),
+    having: str | None = None,
+) -> DataFrame:
+    """Read-side overlay for an aggregate view: derive each
+    avg_<c> = sum_<c> / cnt (double division over exactly-maintained
+    integer/decimal parts) and apply the HAVING post-filter (canonical-
+    column SQL text).  Pure projection + filter — no shuffle, no job."""
+    out = df
+    for c in avg_cols:
+        out = out.withColumn(
+            f"avg_{c}", F.col(_sum_alias(c)) / F.col(COUNT_COL)
+        )
+    if having:
+        out = out.filter(having)
+    return out
+
+
+def read_aggregate_view(spark: SparkSession, root: str, dst: str) -> DataFrame:
+    """The declared aggregate view `dst` in its READ form: the maintained
+    physical table plus derived avg columns and the HAVING post-filter
+    from its declaration."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    spec = declared_views(root).get(dst, {})
+    return derived_aggregate_columns(
+        publish.read_table(spark, root, dst),
+        avg_cols=spec.get("avg_cols", ()),
+        having=spec.get("having"),
+    )
+
+
 def aggregate_table(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -307,6 +340,8 @@ def maintain_aggregate(
     max_cols: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
     src_where: Sequence[tuple] = (),
+    avg_cols: Sequence[str] = (),
+    having: str | None = None,
 ) -> dict:
     """Bring the aggregate table `dst` current with source table `src`
     (same store root): first call seeds with a full aggregation; later
@@ -323,8 +358,20 @@ def maintain_aggregate(
     slice-scoped.  At 100 TB a per-tenant aggregate view costs the
     tenant's delta, never the table's.
 
+    `avg_cols` / `having` are READ-SIDE contracts (read_aggregate_view;
+    the SQL front-end overlays them on its temp views): an AVG(c) view
+    physically maintains sum_<c> + cnt — the only self-maintainable form
+    (an avg admits no delta algebra, its parts do) — and derives
+    avg_<c> = sum_<c>/cnt at read time; `having` (canonical-column SQL
+    text) post-filters the maintained table at read time, so groups
+    moving in/out of the HAVING slice as counts evolve never touch the
+    maintenance path.  Here they only guarantee every avg column's sum
+    is maintained.
+
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
     "seed" | "delta" | "noop"."""
+    # an AVG column is maintained through its sum (cnt is always kept)
+    sum_cols = list(dict.fromkeys([*sum_cols, *avg_cols]))
     state_key = f"agg:{dst}"
     manifest = publish.current_manifest(root)
     src_version = manifest["version"]

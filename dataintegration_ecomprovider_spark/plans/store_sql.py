@@ -235,11 +235,12 @@ _MV_JOIN_RE = re.compile(
 _MV_AGG_RE = re.compile(
     r"^SELECT\s+(?P<cols>.+?)\s+FROM\s+(?P<src>\w+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(?P<group>[\w\s,]+?)"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MV_AGG_ITEM_RE = re.compile(
-    r"^(?:(?P<fn>COUNT|SUM|MIN|MAX|APPROX_COUNT_DISTINCT)\s*\(\s*"
+    r"^(?:(?P<fn>COUNT|SUM|MIN|MAX|AVG|APPROX_COUNT_DISTINCT)\s*\(\s*"
     r"(?P<arg>\*|\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?|(?P<col>\w+))$",
     re.IGNORECASE,
 )
@@ -328,7 +329,9 @@ def _pred_tokens(s: str) -> list[tuple[str, object]]:
             out.append(("rp", ")"))
         elif m.group("comma") is not None:
             out.append(("comma", ","))
-        # a pure-whitespace tail matches with no group: loop exits on pos
+        # NOTE: every _MV_TOKEN_RE alternative is non-empty, so a
+        # pure-whitespace TAIL would fail to match and raise above —
+        # parse_predicate_tree strips its input so the loop never sees one
     return out
 
 
@@ -428,8 +431,11 @@ def parse_predicate_tree(text: str) -> list:
     """SQL predicate text → scan_table's boolean-tree ``where=`` algebra
     (the file-skipping form; also used by read_changes / metadata
     aggregates).  Supports comparisons against literals, IN lists,
-    IS [NOT] NULL, AND/OR/NOT and parentheses."""
-    return _PredParser(text).parse()
+    IS [NOT] NULL, AND/OR/NOT and parentheses.  Input is stripped:
+    the tokenizer requires non-empty matches, so an unstripped trailing
+    space would raise 'cannot tokenize' on otherwise-valid text (the MV
+    regexes pre-strip, but this is public API)."""
+    return _PredParser(text.strip()).parse()
 
 
 _OPTIMIZE_RE = re.compile(
@@ -1001,6 +1007,22 @@ class StoreSQL:
         read_table_at/read_table_asof into per-statement temp views and
         the rewritten text is handed to Spark SQL untouched."""
         publish.register_store(self.spark, self.root, prefix=self.prefix)
+        # aggregate matviews with read-side contracts (AVG derivation,
+        # HAVING post-filter) overlay their physical temp view with the
+        # READ form — a projection + filter over the same snapshot files,
+        # no job, so `SELECT avg_x FROM store_v` just works
+        from dataintegration_ecomprovider_spark.plans import materialize
+
+        tables = publish.current_manifest(self.root)["tables"]
+        for dst, spec in materialize.declared_views(self.root).items():
+            if (
+                spec.get("kind") == "aggregate"
+                and (spec.get("avg_cols") or spec.get("having"))
+                and dst in tables
+            ):
+                materialize.read_aggregate_view(
+                    self.spark, self.root, dst
+                ).createOrReplaceTempView(f"{self.prefix}{dst}")
 
         def tc_rewrite(m: re.Match) -> str:
             name = m.group("t")
@@ -1350,9 +1372,14 @@ class StoreSQL:
         — the O(delta) IVM path, never a re-aggregation.
 
         The maintained table's column names are CANONICAL (cnt, sum_<c>,
-        min_<c>, max_<c>, hll_<c>): an AS alias must match, because the
-        refresh algebra updates those physical columns — re-alias in the
-        SELECT that reads the view instead."""
+        min_<c>, max_<c>, avg_<c>, hll_<c>): an AS alias must match,
+        because the refresh algebra updates those physical columns —
+        re-alias in the SELECT that reads the view instead.  AVG(c) is
+        maintained as sum_<c> + cnt and derived at read time; HAVING is
+        a read-time post-filter over the canonical columns (both served
+        by the SELECT front-end's view overlay / read_aggregate_view),
+        so the maintenance path stays O(delta) and groups may move in
+        and out of the HAVING slice freely."""
         from dataintegration_ecomprovider_spark.plans import materialize
 
         s = select.strip().rstrip(";").strip()
@@ -1407,7 +1434,16 @@ class StoreSQL:
                     "(publish with table_keys=)"
                 )
             materialize.declare_view(self.root, "join", **spec)
-            return materialize.maintain_join(self.spark, self.root, **spec)
+            try:
+                # the seed validates the spec against the actual data
+                # (e.g. a WHERE column absent from the source passes the
+                # syntax-only parse above but fails here) — same rollback
+                # contract as the projection branch: a failed CREATE must
+                # not leave a declaration for REFRESH to trip on
+                return materialize.maintain_join(self.spark, self.root, **spec)
+            except Exception:
+                materialize.drop_view_declaration(self.root, target)
+                raise
 
         m = _MV_AGG_RE.match(s)
         if m:
@@ -1419,13 +1455,14 @@ class StoreSQL:
             min_cols: list[str] = []
             max_cols: list[str] = []
             distinct_cols: list[str] = []
+            avg_cols: list[str] = []
             for item in (c.strip() for c in m.group("cols").split(",")):
                 mm = _MV_AGG_ITEM_RE.match(item)
                 if not mm:
                     raise ValueError(
                         "aggregate-view select items must be grouping "
                         "columns or COUNT(*) / SUM(c) / MIN(c) / MAX(c) / "
-                        f"APPROX_COUNT_DISTINCT(c), got {item!r}"
+                        f"AVG(c) / APPROX_COUNT_DISTINCT(c), got {item!r}"
                     )
                 if mm.group("col"):
                     if mm.group("col") not in group_cols:
@@ -1452,6 +1489,12 @@ class StoreSQL:
                 elif fn == "MAX":
                     max_cols.append(arg)
                     canon = f"max_{arg}"
+                elif fn == "AVG":
+                    # physically maintained as sum_<arg> + cnt (the only
+                    # self-maintainable decomposition); avg_<arg> is a
+                    # derived read-time column
+                    avg_cols.append(arg)
+                    canon = f"avg_{arg}"
                 else:
                     distinct_cols.append(arg)
                     canon = f"hll_{arg}"
@@ -1466,16 +1509,42 @@ class StoreSQL:
                 "src": src, "dst": target, "group_cols": group_cols,
                 "sum_cols": sum_cols, "min_cols": min_cols,
                 "max_cols": max_cols, "distinct_cols": distinct_cols,
+                "avg_cols": avg_cols,
             }
             if m.group("where"):
                 spec["src_where"] = parse_predicate_tree(m.group("where"))
+            if m.group("having"):
+                spec["having"] = m.group("having").strip()
             if not publish.table_keys(self.root, src):
                 raise ValueError(
                     f"aggregate view needs {src!r}'s keys recorded "
                     "(publish with table_keys=)"
                 )
+            if spec.get("having"):
+                # resolve HAVING against the view's canonical schema
+                # BEFORE declaring/seeding — plan-time only (no job), so
+                # a bad reference fails the CREATE cleanly rather than
+                # poisoning later REFRESHes or rolling back a seeded
+                # table
+                probe = materialize.aggregate_table(
+                    publish.read_table(self.spark, self.root, src),
+                    group_cols, list(dict.fromkeys(sum_cols + avg_cols)),
+                    min_cols=min_cols, max_cols=max_cols,
+                    distinct_cols=distinct_cols,
+                )
+                materialize.derived_aggregate_columns(
+                    probe, avg_cols=avg_cols, having=spec["having"]
+                ).schema  # forces analysis
             materialize.declare_view(self.root, "aggregate", **spec)
-            return materialize.maintain_aggregate(self.spark, self.root, **spec)
+            try:
+                # same seed-failure rollback as the join/projection
+                # branches
+                return materialize.maintain_aggregate(
+                    self.spark, self.root, **spec
+                )
+            except Exception:
+                materialize.drop_view_declaration(self.root, target)
+                raise
 
         m = _MV_PROJ_RE.match(s)
         if m:
@@ -1506,7 +1575,7 @@ class StoreSQL:
         raise ValueError(
             "CREATE MATERIALIZED VIEW supports the three IVM shapes — "
             "'SELECT <group cols + aggregates> FROM src [WHERE ...] "
-            "GROUP BY ...', 'SELECT *|fact.*, dim.c FROM fact [LEFT] "
+            "GROUP BY ... [HAVING ...]', 'SELECT *|fact.*, dim.c FROM fact [LEFT] "
             "JOIN dim ON fact.fk = dim.k [WHERE ...]' or a per-row "
             "projection 'SELECT <exprs incl. the key> FROM src "
             f"[WHERE ...]': {s[:120]!r}"

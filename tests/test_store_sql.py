@@ -1030,3 +1030,126 @@ def test_split_select_items_respects_parens_and_strings():
         "id, round(val, 2) AS r, concat(a, ',', b) AS c, 'x,''y' AS s"
     ) == ["id", "round(val, 2) AS r", "concat(a, ',', b) AS c",
           "'x,''y' AS s"]
+
+
+# --- AVG + HAVING matviews (round 11) ---------------------------------------
+def test_create_matview_avg_having_lifecycle(spark, tmp_path):
+    """AVG(c) maintains sum_<c> + cnt and derives avg_<c> at read time;
+    HAVING is a read-time post-filter — groups enter and leave the slice
+    as counts evolve with NO maintenance-path involvement."""
+    root = _mv_seed(spark, tmp_path, "mv_avg")
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW shop_avg AS SELECT shop, COUNT(*) AS cnt, "
+        "AVG(val) AS avg_val FROM orders GROUP BY shop HAVING cnt >= 2"
+    )
+    assert seed["mode"] == "seed"
+    # s1: 2 rows avg 15; s2: 1 row — filtered by HAVING
+    got = {r["shop"]: (r["cnt"], r["avg_val"])
+           for r in sq.sql("SELECT * FROM store_shop_avg").collect()}
+    assert got == {"s1": (2, 15.0)}
+    # the PHYSICAL table keeps every group (sum_val + cnt, no avg col)
+    phys = publish.read_table(spark, root, "shop_avg")
+    assert set(phys.columns) == {"shop", "cnt", "sum_val"}
+    assert phys.count() == 2
+    # delta: s2 gains a row -> enters the HAVING slice; s1 updates
+    publish.merge_into(
+        spark, root, "orders",
+        spark.createDataFrame([(4, "s2", 7, None), (1, "s1", 16, None)],
+                              "id bigint, shop string, val bigint, opt bigint"),
+        keys=["id"],
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {} and rep["views"]["shop_avg"]["mode"] == "delta"
+    got = {r["shop"]: (r["cnt"], r["avg_val"])
+           for r in sq.sql("SELECT * FROM store_shop_avg").collect()}
+    assert got == {"s1": (2, 18.0), "s2": (2, 6.0)}
+    # deletes shrink s2 back out of the slice
+    sq.sql("DELETE FROM orders WHERE id = 4")
+    sq.sql("REFRESH MATERIALIZED VIEWS")
+    got = {r["shop"]: r["avg_val"]
+           for r in sq.sql("SELECT * FROM store_shop_avg").collect()}
+    assert set(got) == {"s1"}
+
+
+def test_create_matview_avg_with_explicit_sum_dedups(spark, tmp_path):
+    """SUM(val) and AVG(val) in one view maintain ONE sum_val column."""
+    root = _mv_seed(spark, tmp_path, "mv_avg_sum")
+    sq = store_sql(spark, root)
+    sq.sql(
+        "CREATE MATERIALIZED VIEW both_v AS SELECT shop, COUNT(*) AS cnt, "
+        "SUM(val) AS sum_val, AVG(val) AS avg_val FROM orders GROUP BY shop"
+    )
+    got = {r["shop"]: (r["sum_val"], r["avg_val"])
+           for r in sq.sql("SELECT * FROM store_both_v").collect()}
+    assert got == {"s1": (30, 15.0), "s2": (5, 5.0)}
+    phys_cols = set(publish.read_table(spark, root, "both_v").columns)
+    assert phys_cols == {"shop", "cnt", "sum_val"}
+
+
+def test_create_matview_avg_canonical_alias_enforced(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_avg_alias")
+    sq = store_sql(spark, root)
+    with pytest.raises(ValueError, match="canonical column name 'avg_val'"):
+        sq.sql("CREATE MATERIALIZED VIEW x AS SELECT shop, COUNT(*) AS cnt, "
+               "AVG(val) AS mean_val FROM orders GROUP BY shop")
+
+
+def test_create_matview_bad_having_leaves_no_declaration(spark, tmp_path):
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    root = _mv_seed(spark, tmp_path, "mv_bad_having")
+    sq = store_sql(spark, root)
+    with pytest.raises(Exception):
+        sq.sql("CREATE MATERIALIZED VIEW x AS SELECT shop, COUNT(*) AS cnt "
+               "FROM orders GROUP BY shop HAVING nope > 1")
+    assert "x" not in materialize.declared_views(root)
+    # and the failed CREATE published NO table either (validation is
+    # plan-time, before declare/seed)
+    assert "x" not in publish.current_manifest(root)["tables"]
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {}
+
+
+def test_create_matview_seed_failure_rolls_back_all_branches(spark, tmp_path):
+    """A WHERE column absent from the source passes the syntax-only
+    predicate parse but fails at seed — the aggregate AND join branches
+    must drop the declaration like the projection branch always did
+    (round-10 ADVICE)."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    root = _mv_seed(spark, tmp_path, "mv_seed_fail")
+    sq = store_sql(spark, root)
+    with pytest.raises(Exception):
+        sq.sql("CREATE MATERIALIZED VIEW agg_bad AS SELECT shop, COUNT(*) "
+               "FROM orders WHERE ghost_col = 1 GROUP BY shop")
+    with pytest.raises(Exception):
+        sq.sql("CREATE MATERIALIZED VIEW join_bad AS "
+               "SELECT orders.*, shops.city FROM orders "
+               "LEFT JOIN shops ON orders.shop = shops.shop "
+               "WHERE ghost_col = 1")
+    views = materialize.declared_views(root)
+    assert "agg_bad" not in views and "join_bad" not in views
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {}
+
+
+def test_predicate_tree_parser_tolerates_surrounding_whitespace():
+    from dataintegration_ecomprovider_spark.plans.store_sql import (
+        parse_predicate_tree,
+    )
+
+    assert parse_predicate_tree("a = 1 ") == [("a", "=", 1)]
+    assert parse_predicate_tree("  a = 1\n") == [("a", "=", 1)]
+
+
+def test_sql_matview_avg_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    qd = all_queries()["u12_sql_matview_avg"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "u12_sql_matview_avg",
+    )
