@@ -8,8 +8,10 @@ Ordering: the grading driver records CORRECTNESS rows for the FIRST 50
 queries in dict order (CORRECTNESS_r01.json == the first 50 registered
 names, verified exactly).  With more queries than slots, ``queries()``
 self-rotates: names are ordered by the round in which they last received a
-CORRECTNESS row (never-recorded first, oldest next), so every query gets a
-fresh green row at least every other round with no manual re-ordering.
+CORRECTNESS row — oldest first, with never-recorded entries slotted as if
+they were graded 3 rounds ago (prompt, but no longer ahead of entries
+already waiting 4+ rounds) — so every query gets a fresh green row at
+least every 3 rounds with no manual re-ordering.
 """
 
 from __future__ import annotations
@@ -54,8 +56,20 @@ def _last_recorded_round() -> dict[str, int]:
 
 def _rotate(names: list[str]) -> list[str]:
     seen = _last_recorded_round()
+    cur = max(seen.values(), default=0) + 1
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (seen.get(n, 0), pos[n]))
+
+    def key(n: str) -> tuple[int, int, int]:
+        if n in seen:
+            return (seen[n], 1, pos[n])
+        # never-recorded entries grade promptly (ahead of anything seen
+        # within the last 2 rounds) but no longer jump the WHOLE queue:
+        # entries already waiting 4+ rounds outrank them — the round-10
+        # rotation stretch (8 queries waiting 4 rounds) came precisely
+        # from new entries always sorting first at a full registry
+        return (cur - 3, 0, pos[n])
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -2398,6 +2398,89 @@ GROUP BY 1
 """
 
 
+def q_sql_matview_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG + HAVING in SQL matviews (round 11, the r10 verdict's matview-
+    expressiveness gap): ``AVG(c) AS avg_c`` is DECLARED in the view but
+    physically maintained as sum_<c> + cnt — the only self-maintainable
+    decomposition (an average admits no delta algebra; its parts do) —
+    and derived at read time by the SELECT front-end's view overlay;
+    ``HAVING`` compiles to a read-time post-filter over the canonical
+    columns, so groups move in and out of the slice as counts evolve
+    without touching the O(delta) maintenance path.  Same two-version
+    lifecycle as u12_sql_matview (delta mode asserted); the oracle is
+    the direct AVG + HAVING aggregate of v2."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("sql_matview_avg_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW prio_stats AS "
+        "SELECT o_orderpriority, COUNT(*) AS cnt, "
+        "AVG(o_totalprice) AS avg_o_totalprice "
+        "FROM orders GROUP BY o_orderpriority HAVING cnt >= 5"
+    )
+    if seed["mode"] != "seed":
+        raise AssertionError(f"expected a seed, got {seed['mode']}")
+    # a HAVING referencing a column outside the canonical schema must
+    # fail the CREATE *cleanly*: no declaration left for REFRESH to trip
+    try:
+        sq.sql(
+            "CREATE MATERIALIZED VIEW bad_view AS SELECT o_orderpriority, "
+            "COUNT(*) AS cnt FROM orders GROUP BY o_orderpriority "
+            "HAVING no_such_col > 1"
+        )
+        raise AssertionError("bad HAVING column must fail the CREATE")
+    except AssertionError:
+        raise
+    except Exception:
+        pass
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    if "bad_view" in materialize.declared_views(root):
+        raise AssertionError("failed CREATE left a stale declaration")
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("9-SYNTH")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, root)
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    if rep["errors"] or any(
+        v["mode"] != "delta" for v in rep["views"].values()
+    ):
+        raise AssertionError(f"expected clean delta refreshes: {rep}")
+    return sq.sql(
+        "SELECT o_orderpriority, cnt, "
+        "ROUND(avg_o_totalprice, 6) AS avg_total FROM store_prio_stats"
+    )
+
+
+ORACLE_SQL_MATVIEW_AVG = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN '9-SYNTH'
+              ELSE o_orderpriority END AS o_orderpriority,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(o_totalprice) / COUNT(*), 6) AS avg_total
+FROM v2
+GROUP BY o_orderpriority
+HAVING COUNT(*) >= 5
+"""
+
+
 def q_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-declared incremental materialized views (round 10,
     plans/store_sql.py): ``CREATE MATERIALIZED VIEW v AS SELECT ...
@@ -3150,7 +3233,14 @@ QUERIES = {
         folded_into="u12_cdc_filtered_or",
     ),
     "u12_cdc_filtered_or": QueryDef(q_cdc_filtered_or, ORACLE_CDC_FILTERED_OR),
-    "u12_snapshot_join": QueryDef(q_snapshot_join, ORACLE_SNAPSHOT_JOIN),
+    # folded (round-11 governance): the cross-table consistency snapshot
+    # READS is the guarantee u12_multi_table_txn WRITES (one manifest
+    # version for N tables); the pin-then-join lifecycle still
+    # value-checks in tests/test_retired_fastpaths.py
+    "u12_snapshot_join": QueryDef(
+        q_snapshot_join, ORACLE_SNAPSHOT_JOIN,
+        folded_into="u12_multi_table_txn",
+    ),
     "u12_cdc_apply": QueryDef(q_cdc_apply, ORACLE_CDC_APPLY),
     "u12_merge_on_read": QueryDef(q_merge_on_read, ORACLE_MERGE_ON_READ),
     "u12_maintain_store": QueryDef(q_maintain_store, ORACLE_MAINTAIN_STORE),
@@ -3184,11 +3274,26 @@ QUERIES = {
         folded_into="u12_constraints_quarantine",
     ),
     "u12_bloom_scan": QueryDef(q_bloom_scan, ORACLE_BLOOM_SCAN),
-    "u12_partitioned_scan": QueryDef(q_partitioned_scan, ORACLE_PARTITIONED_SCAN),
+    # folded (round-11 governance): directory-level partition pruning is
+    # the coarse sibling of u12_data_skipping_scan's file-level min/max
+    # pruning — same publish→prune-before-read→residual-filter lifecycle;
+    # the PartitionFilters plan shape stays pinned in
+    # tests/test_store_layout.py and the oracle in retired-fastpaths
+    "u12_partitioned_scan": QueryDef(
+        q_partitioned_scan, ORACLE_PARTITIONED_SCAN,
+        folded_into="u12_data_skipping_scan",
+    ),
     "u12_zorder_scan": QueryDef(q_zorder_scan, ORACLE_ZORDER_SCAN),
     "u12_metadata_agg": QueryDef(q_metadata_agg, ORACLE_METADATA_AGG),
     "u12_multi_table_txn": QueryDef(q_multi_table_txn, ORACLE_MULTI_TABLE_TXN),
-    "u12_profile_table": QueryDef(q_profile_table, ORACLE_PROFILE_TABLE),
+    # folded (round-11 governance): zero-job per-column profiling reads
+    # the same stats sidecar u12_metadata_agg's COUNT/MIN/MAX answers
+    # come from — both assert no Spark job ran; oracle retained in
+    # tests/test_retired_fastpaths.py
+    "u12_profile_table": QueryDef(
+        q_profile_table, ORACLE_PROFILE_TABLE,
+        folded_into="u12_metadata_agg",
+    ),
     "u12_auto_recluster": QueryDef(q_auto_recluster, ORACLE_AUTO_RECLUSTER),
     "u12_store_replicate": QueryDef(q_store_replicate, ORACLE_STORE_REPLICATE),
     # folded (round-10 governance): the SQL-front-end lifecycle below
@@ -3200,8 +3305,14 @@ QUERIES = {
         folded_into="u12_sql_matview",
     ),
     "u12_sql_matview": QueryDef(q_sql_matview, ORACLE_INCREMENTAL_AGGREGATE),
+    "u12_sql_matview_avg": QueryDef(q_sql_matview_avg, ORACLE_SQL_MATVIEW_AVG),
+    # folded (round-11 governance): the WHERE-scoped aggregate IVM is the
+    # same maintain_aggregate machinery u12_sql_matview drives, whose
+    # SQL WHERE compiles to the identical boolean-tree skipping algebra
+    # (parse_predicate_tree); oracle retained in retired-fastpaths
     "u12_incremental_aggregate_filtered": QueryDef(
-        q_incremental_aggregate_filtered, ORACLE_INCREMENTAL_AGGREGATE_FILTERED
+        q_incremental_aggregate_filtered, ORACLE_INCREMENTAL_AGGREGATE_FILTERED,
+        folded_into="u12_sql_matview",
     ),
     "u12_incremental_distinct": QueryDef(
         q_incremental_distinct, ORACLE_INCREMENTAL_DISTINCT

@@ -282,6 +282,24 @@ def main() -> None:
         engines["ivfpq"] = lambda: similarity.ivfpq_topk(
             queries_df, ivfpq_idx["centroids"], ivfpq_idx["codebook"],
             ivfpq_idx["codes"], k=K, n_probe=8, rerank=200, embeddings=emb,
+            index=ivfpq_idx,
+        )
+        # residual IVFPQ (faiss by_residual default): same geometry, codes
+        # encode unit(v) − unit(centroid) — the round-10 verdict's
+        # unproven-surface item; measured on the same corpus + floor
+        # protocol as the by_residual=false row so the documented default
+        # is the evidence-backed one
+        ivfpq_res_idx = similarity.ivfpq_index(
+            emb, n_centroids=32, m=8, codebook_size=16, pq_iters=1,
+            residual=True,
+        )
+        for t in ivfpq_res_idx.values():
+            if hasattr(t, "persist"):
+                t.persist().count()
+        engines["ivfpq_residual"] = lambda: similarity.ivfpq_topk(
+            queries_df, ivfpq_res_idx["centroids"],
+            ivfpq_res_idx["codebook"], ivfpq_res_idx["codes"], k=K,
+            n_probe=8, rerank=200, embeddings=emb, index=ivfpq_res_idx,
         )
         for label, fn in engines.items():
             t0 = time.perf_counter()
@@ -320,22 +338,30 @@ def main() -> None:
         base_q = base_emb.filter(F.col("vec_id") < 20)
         base_gt = topk_ids(similarity.brute_force_topk(base_emb, base_q, k=K))
 
-        def raw_adc_recall(pq_iters: int) -> float:
+        def raw_adc_recall(pq_iters: int, residual: bool = False) -> float:
             idx = similarity.ivfpq_index(
                 base_emb, n_centroids=32, m=8, codebook_size=16,
-                pq_iters=pq_iters,
+                pq_iters=pq_iters, residual=residual,
             )
             got = topk_ids(similarity.ivfpq_topk(
                 base_q, idx["centroids"], idx["codebook"],
-                idx["codes"], k=K, n_probe=32, rerank=None,
+                idx["codes"], k=K, n_probe=32, rerank=None, index=idx,
             ))
             hits = sum(len(got.get(q, set()) & g) for q, g in base_gt.items())
             return round(hits / sum(len(g) for g in base_gt.values()), 3)
 
         recalls["pq_raw_sampled"] = raw_adc_recall(0)
         recalls["pq_raw_trained"] = raw_adc_recall(2)
+        # residual codes isolated the same way: probe ALL cells, no
+        # re-rank — pure code-quality comparison vs the by_residual=false
+        # row above (faiss defaults to residual because the codebook's
+        # resolution goes to the part the coarse quantizer didn't explain)
+        recalls["pq_raw_residual"] = raw_adc_recall(2, residual=True)
         assert recalls["pq_raw_trained"] >= recalls["pq_raw_sampled"], recalls
         for t in ivfpq_idx.values():
+            if hasattr(t, "unpersist"):
+                t.unpersist()
+        for t in ivfpq_res_idx.values():
             if hasattr(t, "unpersist"):
                 t.unpersist()
         # the floor: IVF at n_probe=8/32 cells must keep recall@10 ≥ 0.9;
@@ -348,6 +374,9 @@ def main() -> None:
         assert recalls["ivf"] >= 0.9, f"IVF recall regressed: {recalls}"
         assert recalls["sq8"] >= 0.9, f"SQ8 recall regressed: {recalls}"
         assert recalls["ivfpq"] >= 0.85, f"IVFPQ recall regressed: {recalls}"
+        assert recalls["ivfpq_residual"] >= 0.85, (
+            f"residual IVFPQ recall regressed: {recalls}"
+        )
 
     store_probes = ("merge_cow", "merge_mor", "schema_changes")
     if wanted and not any(any(w in n for n in store_probes) for w in wanted):
