@@ -1509,3 +1509,42 @@ def test_declared_ivfpq_view_refreshes_with_store(spark, tmp_path):
     live = {r["vec_id"] for r in
             publish.read_table(spark, root, "embeddings").collect()}
     assert got == live
+
+
+def test_ivfpq_meta_round_trip_and_zero_job_serve(spark, tmp_path):
+    """Round 11: publish_ivfpq_index persists a 1-row meta table in the
+    SAME commit; load_ivfpq_meta rebuilds the serve-path index dict, and
+    ivfpq_topk(index=...) returns exactly what the derive-from-codebook
+    fallback returns (with zero geometry round-trips before the probe)."""
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+    from dataintegration_ecomprovider_spark.llm import similarity
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path / "store")
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    publish.publish_tables(
+        spark, {"embeddings": emb}, root, table_keys={"embeddings": ["vec_id"]}
+    )
+    rep = similarity.publish_ivfpq_index(
+        spark, root, n_centroids=8, m=4, codebook_size=8, pq_iters=1
+    )
+    # one atomic commit carries all four tables + the metadata echo
+    assert {"ivfpq_centroids", "ivfpq_codebook", "ivfpq_codes",
+            "ivfpq_meta"} <= set(rep["tables"])
+    assert (rep["m"], rep["k"], rep["residual"]) == (4, 8, False)
+    meta = similarity.load_ivfpq_meta(spark, root)
+    assert meta == {"m": 4, "k": 8, "sub": rep["sub"], "residual": False}
+
+    cents = publish.read_table(spark, root, "ivfpq_centroids")
+    codebook = publish.read_table(spark, root, "ivfpq_codebook")
+    codes = publish.read_table(spark, root, "ivfpq_codes")
+    queries = emb.filter(F.col("vec_id") < 5)
+    with_meta = similarity.ivfpq_topk(
+        queries, cents, codebook, codes, k=3, n_probe=4, index=meta
+    ).collect()
+    derived = similarity.ivfpq_topk(
+        queries, cents, codebook, codes, k=3, n_probe=4
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, with_meta)) == sorted(map(tuple, derived))
+    assert sorted(with_meta, key=key) == sorted(derived, key=key)
