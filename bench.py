@@ -255,10 +255,20 @@ def main() -> None:
             samples[name].append(run_once(name))
 
     # steal-gated retry: a query none of whose windows were quiet gets up
-    # to max_retries more chances to land in one, stopping at the first
+    # to max_retries more chances to land in one.  Retries run as
+    # round-robin SWEEPS over all still-degraded queries (not
+    # back-to-back per query) so a multi-second steal burst inflates one
+    # sweep instead of consuming every retry of one query inside the
+    # burst — the same reasoning as the round-robin iterations above
     retries: dict[str, int] = {name: 0 for name in HEADLINE}
-    for name in HEADLINE:
-        while not any(quiet(s) for _, s in samples[name]) and retries[name] < max_retries:
+    for _ in range(max_retries):
+        pending = [
+            n for n in HEADLINE
+            if not any(quiet(s) for _, s in samples[n])
+        ]
+        if not pending:
+            break
+        for name in pending:
             retries[name] += 1
             samples[name].append(run_once(name))
 

@@ -209,6 +209,10 @@ def main() -> None:
         "llm_bpe_train",            # merge learning on the vocab table (corpus-size-free loop)
         "llm_bpe_token_counts",     # trained-tokenizer replace-chain corpus scan
         "llm_lm_perplexity",        # bigram backoff scoring: one pass + count joins
+        # round-11 surfaces
+        "llm_lm_perplexity_trigram",  # order-3 chain: one extra count table + joins
+        "llm_bpe_encode_ids",       # id encoding: replace chain + broadcast vocab join
+        "u12_sql_matview_avg",      # AVG/HAVING view: same O(delta) refresh, read overlay
     ]
     wanted = sys.argv[1:]
     if wanted:
