@@ -261,15 +261,22 @@ def main() -> None:
     # sweep instead of consuming every retry of one query inside the
     # burst — the same reasoning as the round-robin iterations above
     retries: dict[str, int] = {name: 0 for name in HEADLINE}
+    # global budget: even a pathologically noisy host can at most ~double
+    # the run (2 extra runs per query on average), keeping the driver's
+    # wall-clock bounded
+    budget = 2 * len(HEADLINE)
     for _ in range(max_retries):
         pending = [
             n for n in HEADLINE
             if not any(quiet(s) for _, s in samples[n])
         ]
-        if not pending:
+        if not pending or budget <= 0:
             break
         for name in pending:
+            if budget <= 0:
+                break
             retries[name] += 1
+            budget -= 1
             samples[name].append(run_once(name))
 
     timings: dict[str, float] = {}

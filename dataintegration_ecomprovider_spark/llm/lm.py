@@ -22,9 +22,15 @@ and log-scores are always finite).
 Cross-engine float determinism: each position's log-score is quantized
 to integer MICRO-NATS (round(lp * 1e6) as BIGINT) before aggregation —
 integer sums are exact and order-free, so Spark's partial-aggregation
-order cannot drift from DuckDB's single-threaded sum.  The only floats
-compared are one final division + round(6) per document (and a
-round(3) perplexity), both computed from identical operands.
+order cannot drift from DuckDB's single-threaded sum.  The per-document
+average micro-nat is then rounded half-away-from-zero IN INT64
+((2·|sm| + n) div (2·n), signed) before ONE exact IEEE division by 1e6:
+a double quotient rounded with ROUND(x, 6) can land arbitrarily close
+to a 6th-decimal boundary where Spark (BigDecimal HALF_UP over the
+shortest decimal repr) and DuckDB (double·1e6 → C round) disagree by
+one ulp of OUTPUT — observed once in ~1500 scored fixture documents
+at order 5; integer arithmetic cannot.  The only remaining float
+compare is the round(3) perplexity of bit-identical doubles.
 
 100 TB shape: training is two explode+count aggregations over the
 REFERENCE corpus (typically a curated slice, orders of magnitude
@@ -77,6 +83,207 @@ def _triples(ws: Column) -> Column:
             F.element_at(ws, i + F.lit(3)).alias("w"),
         ),
     )
+
+
+def _finalize(agg: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_scored, avg_logprob, ppl) from the (id, n_scored, sm)
+    micro-nat aggregate, with the rounding decision taken in EXACT int64
+    arithmetic: avg_micro = sign(sm) * ((2*|sm| + n) div (2*n)) is
+    round-half-away-from-zero of sm/n, and avg_logprob = avg_micro/1e6
+    is one correctly-rounded IEEE division of exactly-representable
+    operands - bit-identical in Spark and DuckDB.  (The previous
+    ROUND(sm/(n*1e6), 6) form put a double quotient arbitrarily close
+    to 6th-decimal boundaries, where the engines' rounding paths can
+    disagree by one output ulp - see the module docstring.)"""
+    q = F.expr("(2 * abs(sm) + n_scored) div (2 * n_scored)")
+    avg_micro = F.when(F.col("sm") < 0, -q).otherwise(q)
+    fin = agg.select(
+        F.col(id_col),
+        "n_scored",
+        (avg_micro / F.lit(float(MICRO))).alias("avg_logprob"),
+    )
+    return fin.select(
+        F.col(id_col),
+        "n_scored",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
+    )
+
+
+def _kgrams(ws: Column, k: int) -> Column:
+    """Adjacent k-gram structs (w1..wk) of a token array."""
+    n = F.size(ws)
+    return F.transform(
+        F.slice(ws, F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("w1"),
+            *[
+                F.element_at(ws, i + F.lit(j + 1)).alias(f"w{j + 1}")
+                for j in range(1, k)
+            ],
+        ),
+    )
+
+
+def train_ngram_lm(
+    train_docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> dict:
+    """Generic order-N count model (KenLM-grade filters use order 5 —
+    Wenzek et al. 2020): unigrams + stats exactly as the bigram model,
+    plus one (k-gram counts, (k-1)-prefix context totals) table pair per
+    order k in 2..N — each pair is ONE more explode+count aggregation
+    over the reference corpus, nothing else changes with order.
+
+    Returns {"order", "unigrams", "stats", "grams": {k: df(w1..wk,
+    cnt)}, "ctxs": {k: df(w1..w{k-1}, ccnt)}}.  Context totals come
+    from the FULL count tables before ``min_count`` pruning, so pruned
+    k-grams back off against true denominators (the bigram/trigram
+    rule, generalized)."""
+    if order < 2:
+        raise ValueError("n-gram LM needs order >= 2")
+    toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
+    uni_full = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ucnt"))
+    )
+    stats = uni_full.agg(
+        F.sum("ucnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    grams: dict[int, DataFrame] = {}
+    ctxs: dict[int, DataFrame] = {}
+    for k in range(2, order + 1):
+        cols = [f"w{j}" for j in range(1, k + 1)]
+        full = (
+            toks.select(F.explode(_kgrams(F.col("ws"), k)).alias("g"))
+            .groupBy(*[F.col(f"g.{c}").alias(c) for c in cols])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        ctxs[k] = full.groupBy(*cols[:-1]).agg(
+            F.sum("cnt").cast("bigint").alias("ccnt")
+        )
+        grams[k] = full.filter(F.col("cnt") >= min_count)
+    return {
+        "order": order,
+        "unigrams": uni_full.filter(F.col("ucnt") >= min_count),
+        "stats": stats,
+        "grams": grams,
+        "ctxs": ctxs,
+    }
+
+
+def score_documents_ngram(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_scored, avg_logprob, ppl) under the order-N stupid-backoff
+    chain: position i scores w_i against its min(i−1, N−1)-word context
+    (KenLM's shortened-context head positions), so n_scored = len−1 for
+    every order and scores across orders are directly comparable.
+
+        score(w | c_1..c_m) = 0.4^(m-m') · c(suffix m'-gram)/ctx      (longest
+                              seen suffix of length m'+1, m' <= m)
+                            = 0.4^m · (c(w)+1)/(N+V)                  (floor)
+
+    Same micro-nat integer quantization as the fixed-order scorers;
+    order 2 and 3 reproduce score_documents / score_documents_trigram
+    bit-exactly (asserted in tests/test_lm.py)."""
+    order = model["order"]
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col), lowercase).alias("ws")
+    )
+    stats = model["stats"]
+    floor_lp = (
+        F.log(F.coalesce(F.col("ucnt"), F.lit(0)) + F.lit(1))
+        - F.log(F.col("n_total") + F.col("vocab"))
+    )
+
+    def scored_frame(rows: DataFrame, k: int) -> DataFrame:
+        """Rows carry g1..gk (the k-gram whose last token is scored);
+        join every suffix m-gram table (m = 2..k) + its context table +
+        unigrams, then pick the longest seen suffix."""
+        out = rows
+        for m in range(2, k + 1):
+            # suffix of length m: g_{k-m+1}..g_k
+            sfx = [f"g{j}" for j in range(k - m + 1, k + 1)]
+            gram = model["grams"][m]
+            ren = gram.select(
+                *[
+                    F.col(f"w{j + 1}").alias(sfx[j])
+                    for j in range(m)
+                ],
+                F.col("cnt").alias(f"cnt_{m}"),
+            )
+            out = out.join(ren, sfx, "left")
+            ctx = model["ctxs"][m]
+            cren = ctx.select(
+                *[
+                    F.col(f"w{j + 1}").alias(sfx[j])
+                    for j in range(m - 1)
+                ],
+                F.col("ccnt").alias(f"ctx_{m}"),
+            )
+            out = out.join(cren, sfx[:-1], "left")
+        out = out.join(
+            model["unigrams"].withColumnRenamed("w", f"g{k}"), [f"g{k}"], "left"
+        ).crossJoin(stats)
+        lp = None
+        for m in range(k, 1, -1):
+            if m == k:
+                term = F.log(F.col(f"cnt_{m}")) - F.log(F.col(f"ctx_{m}"))
+            else:
+                # left-to-right association mirrors the fixed-order
+                # scorers exactly (micro-nat parity is association-
+                # sensitive at the last ulp)
+                term = (
+                    F.lit(float(k - m)) * F.log(F.lit(BACKOFF))
+                    + F.log(F.col(f"cnt_{m}"))
+                    - F.log(F.col(f"ctx_{m}"))
+                )
+            cond = F.col(f"cnt_{m}").isNotNull()
+            lp = F.when(cond, term) if lp is None else lp.when(cond, term)
+        lp = lp.otherwise(
+            F.lit(float(k - 1)) * F.log(F.lit(BACKOFF)) + floor_lp
+        )
+        return out.select(
+            id_col,
+            F.round(lp * F.lit(float(MICRO)), 0).cast("bigint").alias("micro"),
+        )
+
+    frames: list[DataFrame] = []
+    for k in range(2, order):
+        # exactly position k (context k-1 < N-1): the gram is ws[1..k]
+        head = base.filter(F.size("ws") >= k).select(
+            id_col,
+            *[
+                F.element_at(F.col("ws"), j + 1).alias(f"g{j + 1}")
+                for j in range(k)
+            ],
+        )
+        frames.append(scored_frame(head, k))
+    sliding = base.select(
+        F.col(id_col), F.explode(_kgrams(F.col("ws"), order)).alias("g")
+    ).select(
+        id_col,
+        *[F.col(f"g.w{j + 1}").alias(f"g{j + 1}") for j in range(order)],
+    )
+    frames.append(scored_frame(sliding, order))
+    scored = frames[0]
+    for f in frames[1:]:
+        scored = scored.unionByName(f)
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("micro").cast("bigint").alias("sm"),
+    )
+    return _finalize(agg, id_col)
 
 
 def train_bigram_lm(
@@ -283,19 +490,7 @@ def score_documents(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
         F.sum("micro").cast("bigint").alias("sm"),
     )
-    fin = agg.select(
-        id_col,
-        "n_scored",
-        F.round(F.col("sm") / (F.col("n_scored") * F.lit(float(MICRO))), 6).alias(
-            "avg_logprob"
-        ),
-    )
-    return fin.select(
-        id_col,
-        "n_scored",
-        "avg_logprob",
-        F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
-    )
+    return _finalize(agg, id_col)
 
 
 def score_documents_trigram(
@@ -382,16 +577,4 @@ def score_documents_trigram(
         F.count(F.lit(1)).cast("bigint").alias("n_scored"),
         F.sum("micro").cast("bigint").alias("sm"),
     )
-    fin = agg.select(
-        id_col,
-        "n_scored",
-        F.round(F.col("sm") / (F.col("n_scored") * F.lit(float(MICRO))), 6).alias(
-            "avg_logprob"
-        ),
-    )
-    return fin.select(
-        id_col,
-        "n_scored",
-        "avg_logprob",
-        F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
-    )
+    return _finalize(agg, id_col)

@@ -3133,8 +3133,12 @@ agg AS (
   FROM scored GROUP BY doc_id
 ),
 fin AS (
+  -- round-half-away in exact int64, then one exact division by 1e6:
+  -- matches lm._finalize bit for bit (see its docstring)
   SELECT doc_id, n_scored,
-         ROUND(sm / (n_scored * 1000000.0), 6) AS avg_logprob
+         (CASE WHEN sm < 0 THEN -((2 * (-sm) + n_scored) // (2 * n_scored))
+               ELSE (2 * sm + n_scored) // (2 * n_scored) END)
+           / 1000000.0 AS avg_logprob
   FROM agg
 )
 SELECT doc_id, n_scored, avg_logprob, ROUND(exp(-avg_logprob), 3) AS ppl
@@ -3242,13 +3246,151 @@ agg AS (
   GROUP BY doc_id
 ),
 fin AS (
+  -- round-half-away in exact int64, then one exact division by 1e6:
+  -- matches lm._finalize bit for bit (see its docstring)
   SELECT doc_id, n_scored,
-         ROUND(sm / (n_scored * 1000000.0), 6) AS avg_logprob
+         (CASE WHEN sm < 0 THEN -((2 * (-sm) + n_scored) // (2 * n_scored))
+               ELSE (2 * sm + n_scored) // (2 * n_scored) END)
+           / 1000000.0 AS avg_logprob
   FROM agg
 )
 SELECT doc_id, n_scored, avg_logprob, ROUND(exp(-avg_logprob), 3) AS ppl
 FROM fin
 """
+
+
+# --- generic order-N LM scoring (round 11, llm/lm.py) -----------------------
+def q_lm_perplexity_5gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-5 stupid-backoff LM scoring — the KenLM order CCNet-grade
+    filters actually use (Wenzek et al. 2020) — via the generic
+    train_ngram_lm / score_documents_ngram (llm/lm.py): one (k-gram
+    count, prefix-context) table pair per order k ≤ 5, position i
+    scoring against its min(i−1, 4)-word context, longest-seen-suffix
+    backoff with one 0.4 factor per shortened level, micro-nat integer
+    quantization.  Orders 2 and 3 of the same engine reproduce the
+    dedicated bigram/trigram scorers exactly (pytest); the oracle here
+    is GENERATED for order 5 by the same rules that generated the
+    trigram oracle."""
+    from dataintegration_ecomprovider_spark.llm import lm
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    model = lm.train_ngram_lm(docs.filter(F.col("lang") == "en"), order=5)
+    return lm.score_documents_ngram(docs, model)
+
+
+def _ngram_oracle(order: int) -> str:
+    """DuckDB replay of train_ngram_lm + score_documents_ngram at
+    ``order`` — the trigram oracle's construction generalized: one
+    (g{k}, c{k}) CTE pair per order, one scored frame per context
+    length (head positions 2..order-1 + the sliding full-context
+    frame), CASE chain from longest suffix to the unigram floor."""
+    ctes = ["""toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+)"""]
+    for k in range(2, order + 1):
+        cols = ", ".join(f"w{j}" for j in range(1, k + 1))
+        sels = ", ".join(
+            f"list_extract(ws, i + {j - 1}) AS w{j}" for j in range(1, k + 1)
+        )
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT {sels}
+    FROM (SELECT ws, unnest(range(1, len(ws) - {k - 2})) AS i
+          FROM toks WHERE lang = 'en')
+  )
+  GROUP BY {cols}
+)""")
+        pfx = ", ".join(f"w{j}" for j in range(1, k))
+        ctes.append(
+            f"c{k} AS (SELECT {pfx}, CAST(SUM(cnt) AS BIGINT) AS ccnt "
+            f"FROM g{k} GROUP BY {pfx})"
+        )
+    ctes.append("""uni AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
+  GROUP BY w
+)""")
+    ctes.append("""stats AS (
+  SELECT CAST(SUM(ucnt) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM uni
+)""")
+
+    def scored(k: int, sliding: bool) -> str:
+        if sliding:
+            gsel = ", ".join(
+                f"list_extract(ws, i + {j - 1}) AS g{j}"
+                for j in range(1, k + 1)
+            )
+            pos = (f"SELECT doc_id, {gsel} FROM (SELECT doc_id, ws, "
+                   f"unnest(range(1, len(ws) - {k - 2})) AS i FROM toks)")
+        else:
+            gsel = ", ".join(
+                f"list_extract(ws, {j}) AS g{j}" for j in range(1, k + 1)
+            )
+            pos = f"SELECT doc_id, {gsel} FROM toks WHERE len(ws) >= {k}"
+        joins = []
+        for m in range(2, k + 1):
+            on_g = " AND ".join(
+                f"t{m}.w{j + 1} = p.g{k - m + 1 + j}" for j in range(m)
+            )
+            joins.append(f"LEFT JOIN g{m} t{m} ON {on_g}")
+            on_c = " AND ".join(
+                f"x{m}.w{j + 1} = p.g{k - m + 1 + j}" for j in range(m - 1)
+            )
+            joins.append(f"LEFT JOIN c{m} x{m} ON {on_c}")
+        cases = []
+        for m in range(k, 1, -1):
+            pen = "" if m == k else f"{float(k - m)} * ln(0.4) + "
+            cases.append(
+                f"WHEN t{m}.cnt IS NOT NULL THEN "
+                f"{pen}ln(t{m}.cnt) - ln(x{m}.ccnt)"
+            )
+        # parenthesized to match score_documents_ngram's association
+        # EXACTLY — pen + (ln(u+1) − ln(N+V)) — the micro-nat rounding
+        # is last-ulp-sensitive to the summation order
+        floor = (
+            f"{float(k - 1)} * ln(0.4) + (ln(coalesce(u.ucnt, 0) + 1) "
+            "- ln(s.n_total + s.vocab))"
+        )
+        return (
+            f"SELECT p.doc_id, CAST(ROUND((CASE {' '.join(cases)} "
+            f"ELSE {floor} END) * 1000000.0, 0) AS BIGINT) AS micro\n"
+            f"  FROM ({pos}) p\n  "
+            + "\n  ".join(joins)
+            + f"\n  LEFT JOIN uni u ON u.w = p.g{k}\n  CROSS JOIN stats s"
+        )
+
+    frames = [scored(k, sliding=False) for k in range(2, order)]
+    frames.append(scored(order, sliding=True))
+    union = "\nUNION ALL\n".join(frames)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+scored AS ({union}),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(micro) AS BIGINT) AS sm
+  FROM scored GROUP BY doc_id
+),
+fin AS (
+  -- round-half-away in exact int64, then one exact division by 1e6:
+  -- matches lm._finalize bit for bit (see its docstring)
+  SELECT doc_id, n_scored,
+         (CASE WHEN sm < 0 THEN -((2 * (-sm) + n_scored) // (2 * n_scored))
+               ELSE (2 * sm + n_scored) // (2 * n_scored) END)
+           / 1000000.0 AS avg_logprob
+  FROM agg
+)
+SELECT doc_id, n_scored, avg_logprob, ROUND(exp(-avg_logprob), 3) AS ppl
+FROM fin"""
+    )
+
+
+ORACLE_LM_PERPLEXITY_5GRAM = _ngram_oracle(5)
 
 
 QUERIES = {
@@ -3299,6 +3441,9 @@ QUERIES = {
     "llm_lm_perplexity": QueryDef(q_lm_perplexity, ORACLE_LM_PERPLEXITY),
     "llm_lm_perplexity_trigram": QueryDef(
         q_lm_perplexity_trigram, ORACLE_LM_PERPLEXITY_TRIGRAM
+    ),
+    "llm_lm_perplexity_5gram": QueryDef(
+        q_lm_perplexity_5gram, ORACLE_LM_PERPLEXITY_5GRAM
     ),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),

@@ -21,7 +21,11 @@ def _micro(lp: float) -> int:
 
 
 def _avg(micros: list[int]) -> float:
-    return round(sum(micros) / (len(micros) * float(lm.MICRO)), 6)
+    # mirror lm._finalize: round-half-away of sm/n in exact ints, then
+    # one exact division by 1e6
+    sm, n = sum(micros), len(micros)
+    q = (2 * abs(sm) + n) // (2 * n)
+    return (-q if sm < 0 else q) / float(lm.MICRO)
 
 
 def test_hand_computed_scores(spark):
@@ -252,4 +256,86 @@ def test_trigram_registry_query_matches_oracle(spark, oracle):
         qd.fn(spark, SF_DIR).toPandas(),
         oracle.execute(qd.oracle).fetchdf(),
         "llm_lm_perplexity_trigram",
+    )
+
+
+# --- generic order-N engine (round 11) ---------------------------------------
+def _fixture_docs(spark, n=120):
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).table("documents")
+    return docs.filter(F.col("doc_id") < n)
+
+
+def test_ngram_order2_reproduces_bigram_scorer(spark):
+    """The generic engine at order 2 IS the bigram scorer — same counts,
+    same chain, same micro-nat values on real fixture text."""
+    docs = _fixture_docs(spark)
+    train = docs.filter(F.col("lang") == "en")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in lm.score_documents_ngram(
+            docs, lm.train_ngram_lm(train, order=2)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in lm.score_documents(docs, lm.train_bigram_lm(train)).collect()
+    }
+    assert got == want
+
+
+def test_ngram_order3_reproduces_trigram_scorer(spark):
+    docs = _fixture_docs(spark)
+    train = docs.filter(F.col("lang") == "en")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in lm.score_documents_ngram(
+            docs, lm.train_ngram_lm(train, order=3)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in lm.score_documents_trigram(
+            docs, lm.train_trigram_lm(train)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ngram_order4_hand_computed_chain(spark):
+    """train 'a b c d a b c e' → 4-grams each once; score 'a b c d z':
+    head positions walk the shortened contexts, the 4-gram (a,b,c,d)
+    hits, and z falls through the whole chain to the 0.4^3 floor."""
+    train = _docs(spark, [(1, "a b c d a b c e")])
+    model = lm.train_ngram_lm(train, order=4)
+    out = lm.score_documents_ngram(_docs(spark, [(9, "a b c d z")]), model).collect()
+    r = out[0]
+    assert r["n_scored"] == 4
+    # uni: a2 b2 c2 d1 e1 -> N=8 V=5; bigrams (a,b):2 (b,c):2 (c,d):1
+    # (d,a):1 (c,e):1; trigrams (a,b,c):2 (b,c,d):1 (c,d,a):1 (d,a,b):1
+    # (b,c,e):1; 4-grams (a,b,c,d):1 (b,c,d,a):1 (c,d,a,b):1 (d,a,b,c):1
+    # (a,b,c,e):1
+    micros = [
+        _micro(math.log(2) - math.log(2)),   # pos2 (a,b)
+        _micro(math.log(2) - math.log(2)),   # pos3 (a,b,c) trigram ctx2(a,b)=2
+        _micro(math.log(1) - math.log(2)),   # pos4 (a,b,c,d): ctx3(a,b,c)=2
+        _micro(3 * math.log(0.4) + math.log(0 + 1) - math.log(8 + 5)),  # z
+    ]
+    assert r["avg_logprob"] == _avg(micros)
+
+
+def test_ngram_rejects_order_one(spark):
+    with pytest.raises(ValueError, match="order >= 2"):
+        lm.train_ngram_lm(_docs(spark, [(1, "a b")]), order=1)
+
+
+def test_5gram_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    qd = all_queries()["llm_lm_perplexity_5gram"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "llm_lm_perplexity_5gram",
     )
