@@ -308,10 +308,25 @@ def dropped_word_count(text: Column, lowercase: bool = True) -> Column:
     return (F.size(raw) - F.size(clean_words(raw))).cast("bigint")
 
 
+def byte_tokens(word: Column) -> Column:
+    """``<0xNN>`` per UTF-8 byte of ``word`` — the byte-fallback carrier
+    (GPT-2's convention) for words the delimited representation cannot
+    hold (they contain SEP/EOW).  Pure column expression: hex the UTF-8
+    encoding, slice two nibbles per token."""
+    h = F.hex(F.encode(word, "UTF-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(h) / F.lit(2)).cast("int")),
+        lambda i: F.concat(
+            F.lit("<0x"), F.substr(h, i * 2 - 1, F.lit(2)), F.lit(">")
+        ),
+    )
+
+
 def vocab(
     words: DataFrame,
     merges: list[dict],
     specials: tuple[str, ...] = ("<unk>",),
+    byte_fallback: bool = False,
 ) -> list[dict]:
     """The tokenizer's vocabulary with STABLE token ids —
     [{token_id, token, kind}] where ids number, in order: the reserved
@@ -323,6 +338,12 @@ def vocab(
     merge paths CAN produce the same string; the earlier rank keeps the
     id), so ids are dense and deterministic given (words, merges,
     specials) — what a training run needs to consume the tokenizer.
+
+    ``byte_fallback=True`` additionally reserves the 256 ``<0xNN>``
+    byte tokens (kind='byte') right after the specials — the GPT-2
+    convention: tokens(byte_fallback=True) carries SEP/EOW-bearing
+    words losslessly as bytes instead of dropping them, and every
+    fallback token has an id by construction.
 
     The character pull is one distinct aggregation collected to the
     driver — bounded by the corpus ALPHABET, the same driver-residency
@@ -352,6 +373,9 @@ def vocab(
 
     for t in specials:
         add(t, "special")
+    if byte_fallback:
+        for i in range(256):
+            add(f"<0x{i:02X}>", "byte")
     for c in sorted(chars):
         add(c, "char")
     for m in merges:
@@ -396,6 +420,7 @@ def token_id_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     lowercase: bool = True,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """(id, pos, token_id): the trained-BPE encoding of each document as
     id sequences — posexplode of the token array joined to the
@@ -410,9 +435,9 @@ def token_id_rows(
     )
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(tokens(F.col(text_col), merges, lowercase)).alias(
-            "pos", "token"
-        ),
+        F.posexplode(
+            tokens(F.col(text_col), merges, lowercase, byte_fallback)
+        ).alias("pos", "token"),
     )
     joined = toks.join(
         F.broadcast(vocab_df(spark, vocab_rows).select("token", "token_id")),
@@ -565,10 +590,44 @@ def token_count(text: Column, merges: list[dict], lowercase: bool = True) -> Col
     return (F.size(word_tokens(text, lowercase)) + inner_seps).cast("bigint")
 
 
-def tokens(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
-    """The trained-BPE token array for a document (word-major order)."""
-    s = encoded_string(text, merges, lowercase)
-    per_word = F.filter(F.split(s, " "), lambda w: w != "")
-    return F.flatten(
-        F.transform(per_word, lambda w: F.split(F.btrim(w, F.lit(SEP)), _INNER))
+def tokens(
+    text: Column,
+    merges: list[dict],
+    lowercase: bool = True,
+    byte_fallback: bool = False,
+) -> Column:
+    """The trained-BPE token array for a document (word-major order).
+
+    ``byte_fallback=True`` replaces the drop contract: words containing
+    SEP/EOW — which the delimited replace representation cannot carry —
+    are emitted as their UTF-8 ``<0xNN>`` byte tokens IN PLACE (word
+    order preserved), so the encoding is lossless.  Clean words produce
+    exactly the same tokens on either path: merge patterns are
+    SEP-framed and never span a word boundary, so the per-word replace
+    chain used here equals the document-level chain in encoded_string
+    (the same invariant that lets encoded_string join words with
+    spaces)."""
+    if not byte_fallback:
+        s = encoded_string(text, merges, lowercase)
+        per_word = F.filter(F.split(s, " "), lambda w: w != "")
+        return F.flatten(
+            F.transform(per_word, lambda w: F.split(F.btrim(w, F.lit(SEP)), _INNER))
+        )
+    base = F.lower(text) if lowercase else text
+    raw = F.filter(
+        F.split(F.trim(base), r"[ \t\n\r\f]+"), lambda w: w != ""
     )
+
+    def word_toks(w: Column) -> Column:
+        sym = F.concat(
+            F.lit(SEP), F.array_join(_char_symbols(w), _INNER), F.lit(SEP)
+        )
+        for m in merges:
+            pat, rep = merge_pattern(m["lft"], m["rgt"])
+            sym = F.replace(sym, F.lit(pat), F.lit(rep))
+        return F.when(
+            F.contains(w, F.lit(SEP)) | F.contains(w, F.lit(EOW)),
+            byte_tokens(w),
+        ).otherwise(F.split(F.btrim(sym, F.lit(SEP)), _INNER))
+
+    return F.flatten(F.transform(raw, word_toks))

@@ -397,3 +397,160 @@ def test_maintained_token_counts_carry_dropped_words(spark, tmp_path):
         for r in publish.read_table(spark, root, "doc_tokens").collect()
     }
     assert got == {1: (2, 1), 2: (2, 0)}
+
+
+# --- byte-fallback encoding (round 11) ---------------------------------------
+def _sql_str(s: str) -> str:
+    """A DuckDB expression producing exactly ``s`` (chr() for anything
+    non-printable or quoted)."""
+    parts = []
+    for ch in s:
+        o = ord(ch)
+        if 32 <= o < 127 and ch != "'":
+            parts.append(f"'{ch}'")
+        else:
+            parts.append(f"chr({o})")
+    return " || ".join(parts) if parts else "''"
+
+
+def test_byte_tokens_are_utf8_bytes(spark):
+    out = spark.range(1).select(
+        bpe.byte_tokens(F.lit(f"a{SEP}é")).alias("t")
+    ).collect()[0]["t"]
+    # 'a' = 0x61, SEP = 0x1F, 'é' = UTF-8 C3 A9
+    assert list(out) == ["<0x61>", "<0x1F>", "<0xC3>", "<0xA9>"]
+
+
+def test_tokens_byte_fallback_preserves_word_order(spark):
+    docs = spark.createDataFrame(
+        [(1, f"low {SEP}mid low")], "doc_id bigint, text string"
+    )
+    words = bpe.word_frequencies(docs)  # dirty word drops from TRAINING
+    merges = bpe.train(words, num_merges=2, strict=True)
+    toks = docs.select(
+        bpe.tokens(F.col("text"), merges, byte_fallback=True).alias("t")
+    ).collect()[0]["t"]
+    clean = docs.select(
+        bpe.tokens(F.lit("low"), merges).alias("t")
+    ).collect()[0]["t"]
+    n = len(clean)
+    # word-major: low-tokens, then the 4 bytes of SEP+m+i+d, then low
+    assert list(toks[:n]) == list(clean)
+    assert list(toks[n:n + 4]) == ["<0x1F>", "<0x6D>", "<0x69>", "<0x64>"]
+    assert list(toks[n + 4:]) == list(clean)
+
+
+def test_tokens_byte_fallback_equals_plain_on_clean_text(spark):
+    from dataintegration_ecomprovider_spark.catalog import Catalog
+
+    docs = Catalog(spark, SF_DIR).table("documents").filter(
+        F.col("doc_id") < 30
+    )
+    merges = bpe.train(bpe.word_frequencies(docs), num_merges=6, strict=True)
+    a = docs.select(
+        "doc_id", bpe.tokens(F.col("text"), merges).alias("t")
+    ).collect()
+    b = docs.select(
+        "doc_id",
+        bpe.tokens(F.col("text"), merges, byte_fallback=True).alias("t"),
+    ).collect()
+    assert {r["doc_id"]: list(r["t"]) for r in a} == \
+        {r["doc_id"]: list(r["t"]) for r in b}
+
+
+def test_vocab_byte_fallback_reserves_256_ids_and_ids_decode(spark):
+    docs = spark.createDataFrame(
+        [(1, f"aa ab z{EOW}q")], "doc_id bigint, text string"
+    )
+    words = bpe.word_frequencies(docs)
+    merges = bpe.train(words, num_merges=1, strict=True)
+    voc = bpe.vocab(words, merges, byte_fallback=True)
+    bytes_ = [v for v in voc if v["kind"] == "byte"]
+    assert len(bytes_) == 256
+    assert bytes_[0]["token_id"] == 1  # right after ('<unk>',)
+    assert bytes_[0x61]["token"] == "<0x61>"
+    by_tok = {v["token"]: v["token_id"] for v in voc}
+    got = bpe.token_id_rows(
+        docs, merges, voc, byte_fallback=True
+    ).collect()
+    ids = [r["token_id"] for r in sorted(got, key=lambda r: r["pos"])]
+    # the dirty word z\x17q arrives as bytes 7A 17 71 with byte-token ids
+    assert ids[-3:] == [by_tok["<0x7A>"], by_tok["<0x17>"], by_tok["<0x71>"]]
+    # and nothing mapped to <unk>
+    assert 0 not in ids
+
+
+def test_byte_fallback_duckdb_parity(spark, oracle):
+    """Cross-engine proof for the fallback path: DuckDB re-derives the
+    mixed clean/byte encoding from the SAME merge literals and the SAME
+    vocabulary, value-equal on (doc_id, pos, token_id)."""
+    import duckdb
+
+    rows = [
+        (1, f"low lower {SEP}bad newest"),
+        (2, f"wi{EOW}de low"),
+        (3, "newest newest lower"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    words = bpe.word_frequencies(docs)
+    merges = bpe.train(words, num_merges=4, strict=True)
+    voc = bpe.vocab(words, merges, byte_fallback=True)
+    got = {
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in bpe.token_id_rows(
+            docs, merges, voc, byte_fallback=True
+        ).collect()
+    }
+
+    sym = ("chr(31) || array_to_string(list_append("
+           "list_transform(range(1, length(w) + 1), i -> w[i:i]), chr(23)),"
+           " chr(31) || chr(31)) || chr(31)")
+    chain = sym
+    for m in merges:
+        pat, rep = bpe.merge_pattern(m["lft"], m["rgt"])
+        chain = f"replace({chain}, {_sql_str(pat)}, {_sql_str(rep)})"
+    doc_vals = ", ".join(f"({i}, {_sql_str(t)})" for i, t in rows)
+    voc_vals = ", ".join(
+        f"({v['token_id']}, {_sql_str(v['token'])})" for v in voc
+    )
+    sql = f"""
+WITH docs(doc_id, text) AS (VALUES {doc_vals}),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM docs
+),
+words_pos AS (
+  SELECT doc_id, wi, list_extract(ws, wi) AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi FROM toks)
+),
+wtoks AS (
+  SELECT doc_id, wi,
+         CASE WHEN strpos(w, chr(31)) > 0 OR strpos(w, chr(23)) > 0
+              THEN list_transform(range(1, length(hex(encode(w))) // 2 + 1),
+                     i -> '<0x' || substring(hex(encode(w)),
+                                             CAST(2 * i - 1 AS INT), 2) || '>')
+              ELSE string_split(trim({chain}, chr(31)), chr(31) || chr(31))
+         END AS toks
+  FROM words_pos
+),
+tok AS (
+  SELECT doc_id, wi, ti, list_extract(toks, ti) AS token
+  FROM (SELECT doc_id, wi, toks, unnest(range(1, len(toks) + 1)) AS ti
+        FROM wtoks)
+),
+pos_tok AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+              AS INT) AS pos,
+         token
+  FROM tok
+),
+vocab(token_id, token) AS (VALUES {voc_vals})
+SELECT p.doc_id, p.pos, COALESCE(v.token_id, 0) AS token_id
+FROM pos_tok p LEFT JOIN vocab v ON v.token = p.token
+"""
+    con = duckdb.connect()
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want and len(got) > 10
