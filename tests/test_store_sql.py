@@ -1153,3 +1153,18 @@ def test_sql_matview_avg_registry_query_matches_oracle(spark, oracle):
         oracle.execute(qd.oracle).fetchdf(),
         "u12_sql_matview_avg",
     )
+
+
+def test_matview_having_can_reference_derived_avg(spark, tmp_path):
+    """HAVING applies AFTER avg derivation in the read overlay, so it
+    can filter on avg_<c> itself — the natural SQL reading."""
+    root = _mv_seed(spark, tmp_path, "mv_avg_having_on_avg")
+    sq = store_sql(spark, root)
+    sq.sql(
+        "CREATE MATERIALIZED VIEW rich AS SELECT shop, COUNT(*) AS cnt, "
+        "AVG(val) AS avg_val FROM orders GROUP BY shop "
+        "HAVING avg_val > 10"
+    )
+    got = {r["shop"]: r["avg_val"]
+           for r in sq.sql("SELECT * FROM store_rich").collect()}
+    assert got == {"s1": 15.0}  # s2 avg 5.0 filtered out
