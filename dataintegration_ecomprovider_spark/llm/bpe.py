@@ -579,15 +579,41 @@ def encoded_string(text: Column, merges: list[dict], lowercase: bool = True) -> 
     return s
 
 
-def token_count(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
+def token_count(
+    text: Column,
+    merges: list[dict],
+    lowercase: bool = True,
+    byte_fallback: bool = False,
+) -> Column:
     """Tokens per document under the trained merges, without
     materializing token arrays: each word contributes 1 + (inner
     separators) symbols, so the count is n_words + total inner
     separators — measured by length delta under a collapsing replace
-    (no triple-SEP runs exist, by format invariant)."""
+    (no triple-SEP runs exist, by format invariant).
+
+    ``byte_fallback=True`` counts the fallback carriage too: a dropped
+    word encodes as one ``<0xNN>`` token per UTF-8 byte, so its token
+    count is exactly octet_length(word) — still length arithmetic,
+    still no arrays (equals size(tokens(byte_fallback=True)), asserted
+    in tests/test_bpe.py)."""
     s = encoded_string(text, merges, lowercase)
     inner_seps = F.length(s) - F.length(F.replace(s, F.lit(_INNER), F.lit(SEP)))
-    return (F.size(word_tokens(text, lowercase)) + inner_seps).cast("bigint")
+    clean_count = F.size(word_tokens(text, lowercase)) + inner_seps
+    if not byte_fallback:
+        return clean_count.cast("bigint")
+    base = F.lower(text) if lowercase else text
+    raw = F.filter(
+        F.split(F.trim(base), r"[ \t\n\r\f]+"), lambda w: w != ""
+    )
+    dirty_bytes = F.aggregate(
+        F.filter(
+            raw,
+            lambda w: F.contains(w, F.lit(SEP)) | F.contains(w, F.lit(EOW)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.octet_length(w),
+    )
+    return (clean_count + dirty_bytes).cast("bigint")
 
 
 def tokens(

@@ -554,3 +554,26 @@ FROM pos_tok p LEFT JOIN vocab v ON v.token = p.token
     con = duckdb.connect()
     want = {tuple(r) for r in con.execute(sql).fetchall()}
     assert got == want and len(got) > 10
+
+
+def test_token_count_byte_fallback_matches_materialized_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, f"low {SEP}mid lower wi{EOW}de"), (2, "newest low"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    merges = bpe.train(bpe.word_frequencies(docs), num_merges=3, strict=True)
+    got = {
+        r["doc_id"]: (r["n"], len(r["t"]))
+        for r in docs.select(
+            "doc_id",
+            bpe.token_count(F.col("text"), merges, byte_fallback=True).alias("n"),
+            bpe.tokens(F.col("text"), merges, byte_fallback=True).alias("t"),
+        ).collect()
+    }
+    for doc_id, (n, arr_len) in got.items():
+        assert n == arr_len, (doc_id, n, arr_len)
+    # and the fallback count strictly exceeds the drop count for doc 1
+    drop = docs.filter("doc_id = 1").select(
+        bpe.token_count(F.col("text"), merges).alias("n")
+    ).collect()[0]["n"]
+    assert got[1][0] > drop
