@@ -44,7 +44,7 @@ def chunk_documents(
     # materialize the word array BEFORE referencing it in lambdas (the
     # O(W²) re-evaluation trap, see llm/dedup.shingles_from_words)
     with_words = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), "\\s+").alias("__w")
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"[ \t\n\r\f]+").alias("__w")
     )
     n = F.size("__w")
     # number of windows: 1 + ceil((n - max_words) / stride) for n > max

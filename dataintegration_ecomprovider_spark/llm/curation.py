@@ -41,7 +41,9 @@ PHONE_PATTERN = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
 
 def words_nonempty(text: Column) -> Column:
     """Whitespace tokens with empties dropped ('' splits to [''])."""
-    return F.filter(F.split(F.trim(text), "\\s+"), lambda w: w != "")
+    # [ \t\n\r\f]+ not \s+: Java \s includes \x0B, the DuckDB oracles'
+    # RE2 \s does not (see llm/bpe.word_tokens)
+    return F.filter(F.split(F.trim(text), r"[ \t\n\r\f]+"), lambda w: w != "")
 
 
 def repetition_metrics(

@@ -42,7 +42,9 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def words_of(text: Column) -> Column:
-    return F.split(F.trim(F.lower(text)), "\\s+")
+    # [ \t\n\r\f]+ not \s+: Java \s includes \x0B, the DuckDB oracles'
+    # RE2 \s does not (see llm/bpe.word_tokens)
+    return F.split(F.trim(F.lower(text)), r"[ \t\n\r\f]+")
 
 
 def shingles_from_words(words: Column, n: int = 3) -> Column:

@@ -19,7 +19,9 @@ LANG_MARKERS = (("en", " the "), ("es", " el "), ("fr", " le "), ("de", " der ")
 
 
 def word_array(text: Column) -> Column:
-    return F.split(F.trim(text), "\\s+")
+    # [ \t\n\r\f]+ not \s+: Java \s includes \x0B, the DuckDB oracles'
+    # RE2 \s does not (see llm/bpe.word_tokens)
+    return F.split(F.trim(text), r"[ \t\n\r\f]+")
 
 
 def n_words(text: Column) -> Column:
@@ -49,7 +51,7 @@ def quality_features(text: Column) -> dict[str, Column]:
         "char_len": F.length(text).cast("bigint"),
         "word_count": nw,
         "avg_word_len": F.round(
-            F.length(F.regexp_replace(text, "\\s+", "")) / F.greatest(nw, F.lit(1)), 6
+            F.length(F.regexp_replace(text, r"[ \t\n\r\f]+", "")) / F.greatest(nw, F.lit(1)), 6
         ),
         "stopword_ratio": F.round(stopword_count(text) / F.greatest(nw, F.lit(1)), 6),
     }
