@@ -504,11 +504,30 @@ def read_bpe_merges(
     return [r.asDict() for r in df.orderBy("rank").collect()]
 
 
+def read_bpe_vocab(
+    spark: SparkSession, root: str, table: str = "bpe_vocab",
+    version: int | None = None,
+) -> list[dict]:
+    """The persisted vocabulary back out of the store, id-ordered
+    (optionally at a pinned version) — the consumption half of
+    publish_bpe_tokenizer: pin one store version and you hold a
+    consistent (merges, ids) pair for a whole training run."""
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    df = (
+        publish.read_table_at(spark, root, table, version)
+        if version is not None
+        else publish.read_table(spark, root, table)
+    )
+    return [r.asDict() for r in df.orderBy("token_id").collect()]
+
+
 def maintain_token_counts(
     spark: SparkSession, root: str, src: str, dst: str,
     merges_table: str = "bpe_merges",
     text_col: str = "text",
     lowercase: bool = True,
+    byte_fallback: bool = False,
 ) -> dict:
     """CDC-maintained per-document token counts under the PERSISTED
     tokenizer: a rowwise view (materialize.maintain_rowwise_view) whose
@@ -532,10 +551,14 @@ def maintain_token_counts(
             *keys,
             F.size(word_tokens(F.col(text_col), lowercase))
             .cast("bigint").alias("n_words"),
-            token_count(F.col(text_col), merges, lowercase).alias("n_tokens"),
+            token_count(
+                F.col(text_col), merges, lowercase, byte_fallback
+            ).alias("n_tokens"),
             # the documented drop contract, surfaced (see
             # dropped_word_count): words containing SEP/EOW count here
-            # and nowhere else
+            # and nowhere else — under byte_fallback they ALSO count in
+            # n_tokens (as their UTF-8 bytes), so the column then reads
+            # "words carried as byte fallback" rather than "words lost"
             dropped_word_count(F.col(text_col), lowercase).alias(
                 "n_dropped_words"
             ),

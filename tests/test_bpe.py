@@ -577,3 +577,61 @@ def test_token_count_byte_fallback_matches_materialized_tokens(spark):
         bpe.token_count(F.col("text"), merges).alias("n")
     ).collect()[0]["n"]
     assert got[1][0] > drop
+
+
+def test_read_bpe_vocab_round_trips_at_pinned_version(spark, tmp_path):
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "vocab_store")
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "newest widest")], "doc_id bigint, text string"
+    )
+    publish.publish_tables(
+        spark, {"documents": docs}, root, table_keys={"documents": ["doc_id"]}
+    )
+    words = bpe.word_frequencies(publish.read_table(spark, root, "documents"))
+    merges = bpe.train(words, num_merges=2, strict=True)
+    v1 = bpe.vocab(words, merges)
+    bpe.publish_bpe_tokenizer(spark, root, merges, v1)
+    pinned = publish.current_manifest(root)["version"]
+    # retrain with more merges and republish — the pinned read survives
+    merges2 = bpe.train(words, num_merges=4, strict=True)
+    bpe.publish_bpe_tokenizer(spark, root, merges2, bpe.vocab(words, merges2))
+    assert bpe.read_bpe_vocab(spark, root, version=pinned) == v1
+    assert bpe.read_bpe_vocab(spark, root) == bpe.vocab(words, merges2)
+    assert bpe.read_bpe_merges(spark, root, version=pinned) == merges
+
+
+def test_maintained_token_counts_with_byte_fallback(spark, tmp_path):
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    root = str(tmp_path / "tokfb_store")
+    docs = spark.createDataFrame(
+        [(1, f"ok {SEP}ab ok"), (2, "clean text")],
+        "doc_id bigint, text string",
+    )
+    publish.publish_tables(
+        spark, {"documents": docs}, root, table_keys={"documents": ["doc_id"]}
+    )
+    words = bpe.word_frequencies(publish.read_table(spark, root, "documents"))
+    bpe.publish_bpe_merges(spark, root, bpe.train(words, num_merges=2))
+    bpe.maintain_token_counts(
+        spark, root, "documents", "doc_tokens", byte_fallback=True
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_dropped_words"])
+        for r in publish.read_table(spark, root, "doc_tokens").collect()
+    }
+    # doc 1: 2 clean words + the 3 fallback bytes of \x1f a b in n_tokens
+    drop_only = {
+        r["doc_id"]: r["n_tokens"]
+        for r in publish.read_table(spark, root, "documents").select(
+            "doc_id",
+            bpe.token_count(
+                F.col("text"),
+                bpe.read_bpe_merges(spark, root),
+            ).alias("n_tokens"),
+        ).collect()
+    }
+    assert got[1][2] == 1 and got[1][1] == drop_only[1] + 3
+    assert got[2] == (2, drop_only[2], 0)
