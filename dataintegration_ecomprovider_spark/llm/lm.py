@@ -476,12 +476,19 @@ def score_documents(
         .join(model["unigrams"], ["w"], "left")
         .crossJoin(model["stats"])  # one broadcast row
     )
+    # floor association is CANONICALLY pen + (b - c) across every scorer
+    # and oracle in this engine (ADVICE r11): IEEE doubles differ by an
+    # ulp under re-association and the micro-nat round-to-bigint is
+    # last-ulp-sensitive, so ((a+b)-c) here vs (a+(b-c)) in the trigram /
+    # order-N scorers could flake data-dependently
     lp = F.when(
         F.col("cnt").isNotNull(), F.log(F.col("cnt")) - F.log(F.col("ccnt"))
     ).otherwise(
         F.log(F.lit(BACKOFF))
-        + F.log(F.coalesce(F.col("ucnt"), F.lit(0)) + F.lit(1))
-        - F.log(F.col("n_total") + F.col("vocab"))
+        + (
+            F.log(F.coalesce(F.col("ucnt"), F.lit(0)) + F.lit(1))
+            - F.log(F.col("n_total") + F.col("vocab"))
+        )
     )
     scored = joined.select(
         id_col, F.round(lp * F.lit(float(MICRO)), 0).cast("bigint").alias("micro")

@@ -3118,8 +3118,8 @@ scored AS (
   SELECT p.doc_id,
          CAST(ROUND((CASE WHEN b.cnt IS NOT NULL
                           THEN ln(b.cnt) - ln(c.ccnt)
-                          ELSE ln(0.4) + ln(coalesce(u.ucnt, 0) + 1)
-                               - ln(s.n_total + s.vocab) END) * 1000000.0, 0)
+                          ELSE ln(0.4) + (ln(coalesce(u.ucnt, 0) + 1)
+                               - ln(s.n_total + s.vocab)) END) * 1000000.0, 0)
               AS BIGINT) AS micro
   FROM pos p
   LEFT JOIN train_big b ON b.prev = p.prev AND b.w = p.w
@@ -3213,8 +3213,8 @@ scored2 AS (
   SELECT p.doc_id,
          CAST(ROUND((CASE WHEN b.cnt IS NOT NULL
                           THEN ln(b.cnt) - ln(c.ccnt)
-                          ELSE ln(0.4) + ln(coalesce(u.ucnt, 0) + 1)
-                               - ln(s.n_total + s.vocab) END) * 1000000.0, 0)
+                          ELSE ln(0.4) + (ln(coalesce(u.ucnt, 0) + 1)
+                               - ln(s.n_total + s.vocab)) END) * 1000000.0, 0)
               AS BIGINT) AS micro
   FROM pos2 p
   LEFT JOIN train_big b ON b.prev = p.prev AND b.w = p.w
@@ -3228,8 +3228,8 @@ scored3 AS (
                           THEN ln(t.tcnt) - ln(c2.c2cnt)
                           WHEN b.cnt IS NOT NULL
                           THEN ln(0.4) + ln(b.cnt) - ln(c.ccnt)
-                          ELSE 2.0 * ln(0.4) + ln(coalesce(u.ucnt, 0) + 1)
-                               - ln(s.n_total + s.vocab) END) * 1000000.0, 0)
+                          ELSE 2.0 * ln(0.4) + (ln(coalesce(u.ucnt, 0) + 1)
+                               - ln(s.n_total + s.vocab)) END) * 1000000.0, 0)
               AS BIGINT) AS micro
   FROM pos3 p
   LEFT JOIN train_tri t ON t.u = p.u AND t.v = p.v AND t.w = p.w

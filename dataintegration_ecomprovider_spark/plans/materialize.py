@@ -66,6 +66,15 @@ def _hll_alias(c: str) -> str:
     return f"hll_{c}"
 
 
+def _nncnt_alias(c: str) -> str:
+    """Per-avg-column NON-NULL count: SQL AVG(c) excludes NULLs from both
+    numerator and denominator, so avg_<c> = sum_<c> / nncnt_<c>, not
+    sum_<c> / cnt (ADVICE r11 — dividing by COUNT(*) silently diverged
+    from SELECT AVG(c) on nullable columns).  A non-null count is a sum
+    of 0/1 indicators, so it rides the same ± delta algebra as sums."""
+    return f"nncnt_{c}"
+
+
 def estimate_distinct(df: DataFrame, distinct_cols: Sequence[str]) -> DataFrame:
     """Replace each maintained HLL sketch column with its BIGINT distinct
     estimate (the read-side of distinct_cols maintenance)."""
@@ -83,13 +92,18 @@ def derived_aggregate_columns(
     having: str | None = None,
 ) -> DataFrame:
     """Read-side overlay for an aggregate view: derive each
-    avg_<c> = sum_<c> / cnt (double division over exactly-maintained
-    integer/decimal parts) and apply the HAVING post-filter (canonical-
-    column SQL text).  Pure projection + filter — no shuffle, no job."""
+    avg_<c> = sum_<c> / nncnt_<c> (double division over exactly-maintained
+    integer/decimal parts; NULL when the group has no non-null value —
+    exactly SQL AVG) and apply the HAVING post-filter (canonical-column
+    SQL text).  Pure projection + filter — no shuffle, no job."""
     out = df
     for c in avg_cols:
         out = out.withColumn(
-            f"avg_{c}", F.col(_sum_alias(c)) / F.col(COUNT_COL)
+            f"avg_{c}",
+            F.when(
+                F.col(_nncnt_alias(c)) > 0,
+                F.col(_sum_alias(c)) / F.col(_nncnt_alias(c)),
+            ),
         )
     if having:
         out = out.filter(having)
@@ -117,12 +131,14 @@ def aggregate_table(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
+    avg_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The view definition, computed directly (seed / recompute oracle):
     COUNT(*) + SUM(coalesce(c, 0)) + MIN(c)/MAX(c) per group (MIN/MAX
     skip nulls, standard SQL) + an HLL sketch per distinct_cols column
-    (Datasketches hll_sketch_agg; read estimates via
-    estimate_distinct)."""
+    (Datasketches hll_sketch_agg; read estimates via estimate_distinct)
+    + a non-null count per avg_cols column (COUNT(c) — the denominator
+    SQL AVG actually uses; see _nncnt_alias)."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(COUNT_COL),
         *[
@@ -134,6 +150,10 @@ def aggregate_table(
         *[
             F.hll_sketch_agg(F.col(c)).alias(_hll_alias(c))
             for c in distinct_cols
+        ],
+        *[
+            F.count(F.col(c)).cast("bigint").alias(_nncnt_alias(c))
+            for c in avg_cols
         ],
     )
 
@@ -148,6 +168,7 @@ def apply_aggregate_delta(
     max_cols: Sequence[str] = (),
     source: DataFrame | None = None,
     distinct_cols: Sequence[str] = (),
+    avg_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Merge a read_changes(include_old=True) feed into an aggregate-table
     state: O(delta) contributions + one key-wise merge join.  Groups whose
@@ -174,6 +195,7 @@ def apply_aggregate_delta(
     min_cols = list(min_cols)
     max_cols = list(max_cols)
     distinct_cols = list(distinct_cols)
+    avg_cols = list(avg_cols)
     if (min_cols or max_cols or distinct_cols) and source is None:
         raise ValueError(
             "min/max/distinct maintenance needs the target-version source"
@@ -184,6 +206,10 @@ def apply_aggregate_delta(
         *group_cols,
         F.lit(1).alias("__d_cnt"),
         *[F.coalesce(F.col(c), F.lit(0)).alias(f"__d_{c}") for c in sum_cols],
+        *[
+            F.col(c).isNotNull().cast("bigint").alias(f"__d_nn_{c}")
+            for c in avg_cols
+        ],
     )
     # -old contributions (delete + update), grouped by OLD group values
     # (delete rows carry old values in BOTH the main and __old columns)
@@ -194,6 +220,12 @@ def apply_aggregate_delta(
             (-F.coalesce(F.col(f"{c}__old"), F.lit(0))).alias(f"__d_{c}")
             for c in sum_cols
         ],
+        *[
+            (-F.col(f"{c}__old").isNotNull().cast("bigint")).alias(
+                f"__d_nn_{c}"
+            )
+            for c in avg_cols
+        ],
     )
     delta = (
         pos.unionByName(neg)
@@ -201,6 +233,7 @@ def apply_aggregate_delta(
         .agg(
             F.sum("__d_cnt").alias("__d_cnt"),
             *[F.sum(f"__d_{c}").alias(f"__d_{c}") for c in sum_cols],
+            *[F.sum(f"__d_nn_{c}").alias(f"__d_nn_{c}") for c in avg_cols],
         )
     )
     # All merge joins key on `__gk` = struct(<group cols>): struct join
@@ -255,6 +288,12 @@ def apply_aggregate_delta(
             (F.coalesce(F.col(_sum_alias(c)), F.lit(0))
              + F.coalesce(F.col(f"__d_{c}"), F.lit(0))).alias(_sum_alias(c))
             for c in sum_cols
+        ],
+        *[
+            (F.coalesce(F.col(_nncnt_alias(c)), F.lit(0))
+             + F.coalesce(F.col(f"__d_nn_{c}"), F.lit(0))).alias(
+                 _nncnt_alias(c))
+            for c in avg_cols
         ],
     ]
     if not non_self:
@@ -370,7 +409,8 @@ def maintain_aggregate(
 
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
     "seed" | "delta" | "noop"."""
-    # an AVG column is maintained through its sum (cnt is always kept)
+    # an AVG column is maintained through its sum + its NON-NULL count
+    # (cnt is always kept; nncnt_<c> is the denominator SQL AVG uses)
     sum_cols = list(dict.fromkeys([*sum_cols, *avg_cols]))
     state_key = f"agg:{dst}"
     manifest = publish.current_manifest(root)
@@ -392,11 +432,30 @@ def maintain_aggregate(
             else publish.read_table_at(spark, root, src, src_version),
             group_cols, sum_cols,
             min_cols=min_cols, max_cols=max_cols, distinct_cols=distinct_cols,
+            avg_cols=avg_cols,
         )
         publish.publish_tables(spark, {dst: out}, root)
         return "seed"
 
+    def _schema_stale() -> bool:
+        # a view seeded by an older engine/declaration can lack maintained
+        # columns the current code expects (e.g. nncnt_<c> for AVG, added
+        # round 12) — a delta refresh against it would fail analysis, and
+        # a silent pass-through would leave the read side broken.  Force
+        # a re-seed instead (schema check is plan-time, no job).
+        expected = {
+            COUNT_COL,
+            *[_sum_alias(c) for c in sum_cols],
+            *[_min_alias(c) for c in min_cols],
+            *[_max_alias(c) for c in max_cols],
+            *[_hll_alias(c) for c in distinct_cols],
+            *[_nncnt_alias(c) for c in avg_cols],
+        }
+        return not expected <= set(publish.read_table(spark, root, dst).columns)
+
     if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif _schema_stale():
         mode = _seed()
     elif last == src_version:
         return {"dst": dst, "from_version": last, "to_version": src_version,
@@ -437,6 +496,7 @@ def maintain_aggregate(
                             agg, changes, group_cols, sum_cols,
                             min_cols=min_cols, max_cols=max_cols,
                             distinct_cols=distinct_cols,
+                            avg_cols=avg_cols,
                             source=(
                                 (
                                     publish.scan_table_at(
@@ -847,7 +907,20 @@ def maintain_rowwise_view(
         )
         return "seed"
 
+    def _dst_schema_stale() -> bool:
+        # a view seeded by an older `build` can lack columns the current
+        # build emits (e.g. token counts gained n_dropped_words in round
+        # 11) — committing the new build output as a MoR delta against
+        # the old table would mismatch schemas (ADVICE r11).  Detect via
+        # plan-time analysis (no job) and force a re-seed.
+        expected = set(
+            build(publish.read_table_at(spark, root, src, src_version)).columns
+        )
+        return not expected <= set(publish.read_table(spark, root, dst).columns)
+
     if last is None or dst not in manifest["tables"]:
+        mode = _seed()
+    elif _dst_schema_stale():
         mode = _seed()
     elif last == src_version:
         return {"dst": dst, "from_version": last, "to_version": src_version,

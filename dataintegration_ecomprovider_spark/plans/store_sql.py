@@ -1530,7 +1530,7 @@ class StoreSQL:
                     publish.read_table(self.spark, self.root, src),
                     group_cols, list(dict.fromkeys(sum_cols + avg_cols)),
                     min_cols=min_cols, max_cols=max_cols,
-                    distinct_cols=distinct_cols,
+                    distinct_cols=distinct_cols, avg_cols=avg_cols,
                 )
                 materialize.derived_aggregate_columns(
                     probe, avg_cols=avg_cols, having=spec["having"]

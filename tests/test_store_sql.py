@@ -1048,9 +1048,10 @@ def test_create_matview_avg_having_lifecycle(spark, tmp_path):
     got = {r["shop"]: (r["cnt"], r["avg_val"])
            for r in sq.sql("SELECT * FROM store_shop_avg").collect()}
     assert got == {"s1": (2, 15.0)}
-    # the PHYSICAL table keeps every group (sum_val + cnt, no avg col)
+    # the PHYSICAL table keeps every group (sum_val + cnt + the non-null
+    # count that is AVG's true denominator, no avg col)
     phys = publish.read_table(spark, root, "shop_avg")
-    assert set(phys.columns) == {"shop", "cnt", "sum_val"}
+    assert set(phys.columns) == {"shop", "cnt", "sum_val", "nncnt_val"}
     assert phys.count() == 2
     # delta: s2 gains a row -> enters the HAVING slice; s1 updates
     publish.merge_into(
@@ -1072,6 +1073,63 @@ def test_create_matview_avg_having_lifecycle(spark, tmp_path):
     assert set(got) == {"s1"}
 
 
+def test_create_matview_avg_nullable_matches_sql_avg(spark, tmp_path):
+    """AVG over a NULLable column excludes NULLs from numerator AND
+    denominator (ADVICE r11: dividing by COUNT(*) silently diverged from
+    SELECT AVG(c)); an all-null group reads avg NULL, exactly SQL."""
+    root = _mv_seed(spark, tmp_path, "mv_avg_null")
+    sq = store_sql(spark, root)
+    sq.sql(
+        "CREATE MATERIALIZED VIEW shop_opt AS SELECT shop, COUNT(*) AS cnt, "
+        "AVG(opt) AS avg_opt FROM orders GROUP BY shop"
+    )
+    # s1: opts (NULL, 5) -> avg 5.0 (NOT 2.5); s2: (6) -> 6.0
+    got = {r["shop"]: (r["cnt"], r["avg_opt"])
+           for r in sq.sql("SELECT * FROM store_shop_opt").collect()}
+    assert got == {"s1": (2, 5.0), "s2": (1, 6.0)}
+    # delta: s2's only non-null opt goes NULL -> whole group all-null
+    publish.merge_into(
+        spark, root, "orders",
+        spark.createDataFrame([(3, "s2", 5, None)],
+                              "id bigint, shop string, val bigint, opt bigint"),
+        keys=["id"],
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {} and rep["views"]["shop_opt"]["mode"] == "delta"
+    got = {r["shop"]: (r["cnt"], r["avg_opt"])
+           for r in sq.sql("SELECT * FROM store_shop_opt").collect()}
+    assert got == {"s1": (2, 5.0), "s2": (1, None)}
+
+
+def test_matview_avg_schema_evolution_reseeds(spark, tmp_path):
+    """A view whose physical table predates a maintained column (here:
+    nncnt_<c>, simulated by dropping it) re-seeds on the next refresh
+    instead of failing analysis or silently diverging (ADVICE r11)."""
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    root = _mv_seed(spark, tmp_path, "mv_avg_evo")
+    sq = store_sql(spark, root)
+    sq.sql(
+        "CREATE MATERIALIZED VIEW shop_avg AS SELECT shop, COUNT(*) AS cnt, "
+        "AVG(val) AS avg_val FROM orders GROUP BY shop"
+    )
+    # simulate a pre-round-12 physical table: republish without nncnt_val
+    old = publish.read_table(spark, root, "shop_avg").drop("nncnt_val")
+    publish.publish_tables(spark, {"shop_avg": old}, root)
+    # advance the source so the refresh is not a noop
+    publish.merge_into(
+        spark, root, "orders",
+        spark.createDataFrame([(9, "s2", 8, 1)],
+                              "id bigint, shop string, val bigint, opt bigint"),
+        keys=["id"],
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {} and rep["views"]["shop_avg"]["mode"] == "seed"
+    got = {r["shop"]: r["avg_val"]
+           for r in sq.sql("SELECT * FROM store_shop_avg").collect()}
+    assert got == {"s1": 15.0, "s2": 6.5}
+
+
 def test_create_matview_avg_with_explicit_sum_dedups(spark, tmp_path):
     """SUM(val) and AVG(val) in one view maintain ONE sum_val column."""
     root = _mv_seed(spark, tmp_path, "mv_avg_sum")
@@ -1084,7 +1142,7 @@ def test_create_matview_avg_with_explicit_sum_dedups(spark, tmp_path):
            for r in sq.sql("SELECT * FROM store_both_v").collect()}
     assert got == {"s1": (30, 15.0), "s2": (5, 5.0)}
     phys_cols = set(publish.read_table(spark, root, "both_v").columns)
-    assert phys_cols == {"shop", "cnt", "sum_val"}
+    assert phys_cols == {"shop", "cnt", "sum_val", "nncnt_val"}
 
 
 def test_create_matview_avg_canonical_alias_enforced(spark, tmp_path):
