@@ -122,6 +122,7 @@ HEADLINE = [
     "llm_lm_perplexity",            # bigram stupid-backoff LM quality scoring (round 10)
     "llm_lm_perplexity_trigram",    # order-3 backoff chain scoring (round 11)
     "llm_lm_perplexity_5gram",      # KenLM-order generic chain scoring (round 11)
+    "llm_lm_perplexity_kn",         # interpolated Kneser-Ney chain (round 12)
     "llm_bpe_encode_ids",           # id-stable vocab + token-id encoding (round 11)
     "u12_sql_matview_avg",          # AVG/HAVING matview: read-side derivation (round 11)
 ]

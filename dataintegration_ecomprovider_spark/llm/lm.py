@@ -131,6 +131,7 @@ def train_ngram_lm(
     text_col: str = "text",
     lowercase: bool = True,
     min_count: int = 1,
+    smoothing: str = "sbo",
 ) -> dict:
     """Generic order-N count model (KenLM-grade filters use order 5 —
     Wenzek et al. 2020): unigrams + stats exactly as the bigram model,
@@ -142,9 +143,24 @@ def train_ngram_lm(
     cnt)}, "ctxs": {k: df(w1..w{k-1}, ccnt)}}.  Context totals come
     from the FULL count tables before ``min_count`` pruning, so pruned
     k-grams back off against true denominators (the bigram/trigram
-    rule, generalized)."""
+    rule, generalized).
+
+    ``smoothing="kn"`` returns an interpolated Kneser-Ney model instead
+    (see train_kn_lm) — stupid backoff stays the scale default (Brants
+    2007: at web scale SBO matches KN quality at a fraction of the
+    cost), KN is the declared quality option (Chen & Goodman 1999)."""
     if order < 2:
         raise ValueError("n-gram LM needs order >= 2")
+    if smoothing == "kn":
+        if min_count != 1:
+            raise ValueError(
+                "Kneser-Ney uses FULL count tables (pruning breaks the "
+                "probability mass the discounts redistribute) — "
+                "min_count must stay 1 with smoothing='kn'"
+            )
+        return train_kn_lm(train_docs, order, text_col, lowercase)
+    if smoothing != "sbo":
+        raise ValueError(f"smoothing must be 'sbo' or 'kn', got {smoothing!r}")
     toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
     uni_full = (
         toks.select(F.explode("ws").alias("w"))
@@ -170,10 +186,143 @@ def train_ngram_lm(
         grams[k] = full.filter(F.col("cnt") >= min_count)
     return {
         "order": order,
+        "smoothing": "sbo",
         "unigrams": uni_full.filter(F.col("ucnt") >= min_count),
         "stats": stats,
         "grams": grams,
         "ctxs": ctxs,
+    }
+
+
+def _count_of_counts(df: DataFrame, cnt_col: str) -> DataFrame:
+    """One-row (n1, n2) frame: how many TYPES occur exactly once / twice.
+    Feeds the standard Kneser-Ney discount estimate D = n1/(n1 + 2·n2)
+    (Chen & Goodman 1999 eq. 26; Heafield 2011 uses the same rule per
+    order)."""
+    return df.agg(
+        F.sum(F.when(F.col(cnt_col) == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col(cnt_col) == 2, 1).otherwise(0))
+        .cast("bigint").alias("n2"),
+    )
+
+
+def _discount(n1: Column, n2: Column) -> Column:
+    """D = n1/(n1 + 2·n2) ∈ [0, 1); 0.5 when the table has no singletons
+    or doubletons at all (degenerate tiny corpora).  One bigint division
+    — correctly rounded IEEE, bit-identical in Spark and DuckDB."""
+    denom = n1 + F.lit(2) * n2
+    return F.when(denom > 0, n1 / denom).otherwise(F.lit(0.5))
+
+
+def train_kn_lm(
+    train_docs: DataFrame,
+    order: int,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> dict:
+    """Interpolated Kneser-Ney count model (Chen & Goodman 1999; the
+    KenLM estimation pipeline of Heafield 2011 builds the same tables):
+    regular k-gram counts feed only the TOP level of each scoring chain;
+    every lower level uses CONTINUATION counts — cc(g) = number of
+    distinct one-word LEFT-extensions of g — so frequent-but-predictable
+    words ("Francisco") stop inflating the backoff distribution.  Per
+    level, probability mass D·N1+(c·)/denom is discounted from seen
+    types and redistributed through the lower level, bottoming out at a
+    uniform 1/(V+1) (the +1 reserves mass for out-of-vocabulary words,
+    keeping every log-score finite without sentence markers).
+
+    Everything is a declarative aggregation — no driver-side collect:
+    even the discounts ride a one-row scalar frame (`kstats`) that the
+    scorer cross-joins (broadcast).  Tables:
+
+    - grams[k] (w1..wk, cnt), k = 2..N: FULL regular counts
+    - regctx[k] (w1..w{k-1}, ccnt, n1p): context totals + distinct-
+      extension counts N1+(c·) over grams[k]
+    - cont[j] (w1..wj, cc), j = 1..N-1: continuation counts from
+      grams[j+1] (each (j+1)-gram TYPE contributes one left-extension)
+    - contctx[j] (w1..w{j-1}, mid, n1c), j = 2..N-1: per-context
+      continuation totals N1+(·c·) + distinct-extension counts
+    - kstats (vocab, cc1tot, n1c1, d_reg_k…, d_cont_j…): one row —
+      unigram-level scalars + per-level discounts n1/(n1+2·n2)
+
+    100 TB shape: identical to the SBO trainer — explode+count over the
+    (small, curated) reference corpus; the extra tables are GROUP BYs of
+    tables already built.  The model stays broadcast-sized."""
+    if order < 2:
+        raise ValueError("n-gram LM needs order >= 2")
+    toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
+    uni_full = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ucnt"))
+    )
+    stats = uni_full.agg(
+        F.sum("ucnt").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    grams: dict[int, DataFrame] = {}
+    regctx: dict[int, DataFrame] = {}
+    for k in range(2, order + 1):
+        cols = [f"w{j}" for j in range(1, k + 1)]
+        grams[k] = (
+            toks.select(F.explode(_kgrams(F.col("ws"), k)).alias("g"))
+            .groupBy(*[F.col(f"g.{c}").alias(c) for c in cols])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        regctx[k] = grams[k].groupBy(*cols[:-1]).agg(
+            F.sum("cnt").cast("bigint").alias("ccnt"),
+            F.count(F.lit(1)).cast("bigint").alias("n1p"),
+        )
+    cont: dict[int, DataFrame] = {}
+    contctx: dict[int, DataFrame] = {}
+    for j in range(1, order):
+        # continuation count of the j-gram (w2..w{j+1} of each (j+1)-gram
+        # type): each DISTINCT (j+1)-gram is one left-extension type
+        cont[j] = (
+            grams[j + 1]
+            .groupBy(
+                *[
+                    F.col(f"w{i + 2}").alias(f"w{i + 1}")
+                    for i in range(j)
+                ]
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cc"))
+        )
+        if j >= 2:
+            contctx[j] = cont[j].groupBy(
+                *[f"w{i + 1}" for i in range(j - 1)]
+            ).agg(
+                F.sum("cc").cast("bigint").alias("mid"),
+                F.count(F.lit(1)).cast("bigint").alias("n1c"),
+            )
+    kstats = stats.select("vocab").crossJoin(
+        cont[1].agg(
+            F.sum("cc").cast("bigint").alias("cc1tot"),
+            F.count(F.lit(1)).cast("bigint").alias("n1c1"),
+        )
+    )
+    for k in range(2, order + 1):
+        kstats = kstats.crossJoin(
+            _count_of_counts(grams[k], "cnt").select(
+                _discount(F.col("n1"), F.col("n2")).alias(f"d_reg_{k}")
+            )
+        )
+    for j in range(1, order):
+        kstats = kstats.crossJoin(
+            _count_of_counts(cont[j], "cc").select(
+                _discount(F.col("n1"), F.col("n2")).alias(f"d_cont_{j}")
+            )
+        )
+    return {
+        "order": order,
+        "smoothing": "kn",
+        "stats": stats,
+        "grams": grams,
+        "regctx": regctx,
+        "cont": cont,
+        "contctx": contctx,
+        "kstats": kstats,
     }
 
 
@@ -195,7 +344,13 @@ def score_documents_ngram(
 
     Same micro-nat integer quantization as the fixed-order scorers;
     order 2 and 3 reproduce score_documents / score_documents_trigram
-    bit-exactly (asserted in tests/test_lm.py)."""
+    bit-exactly (asserted in tests/test_lm.py).
+
+    A model trained with smoothing="kn" dispatches to the interpolated
+    Kneser-Ney scorer (score_documents_kn) — same framing, same
+    micro-nat quantization, different probability rule."""
+    if model.get("smoothing") == "kn":
+        return score_documents_kn(docs, model, text_col, id_col, lowercase)
     order = model["order"]
     base = docs.select(
         F.col(id_col), _tokens(F.col(text_col), lowercase).alias("ws")
@@ -261,6 +416,141 @@ def score_documents_ngram(
     frames: list[DataFrame] = []
     for k in range(2, order):
         # exactly position k (context k-1 < N-1): the gram is ws[1..k]
+        head = base.filter(F.size("ws") >= k).select(
+            id_col,
+            *[
+                F.element_at(F.col("ws"), j + 1).alias(f"g{j + 1}")
+                for j in range(k)
+            ],
+        )
+        frames.append(scored_frame(head, k))
+    sliding = base.select(
+        F.col(id_col), F.explode(_kgrams(F.col("ws"), order)).alias("g")
+    ).select(
+        id_col,
+        *[F.col(f"g.w{j + 1}").alias(f"g{j + 1}") for j in range(order)],
+    )
+    frames.append(scored_frame(sliding, order))
+    scored = frames[0]
+    for f in frames[1:]:
+        scored = scored.unionByName(f)
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("micro").cast("bigint").alias("sm"),
+    )
+    return _finalize(agg, id_col)
+
+
+def score_documents_kn(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, n_scored, avg_logprob, ppl) under interpolated Kneser-Ney
+    (Chen & Goodman 1999): same framing as the stupid-backoff scorers —
+    position i scores against its min(i−1, N−1)-word context, n_scored
+    = len−1 — but the probability is the discounted-interpolated chain
+
+        p(w | c)   = max(c(cw) − D, 0)/c(c·)
+                   + (D·N1+(c·)/c(c·)) · p̄(w | c′)        (top: regular counts)
+        p̄(w | c)  = max(cc(cw) − D, 0)/N1+(·c·)
+                   + (D·N1+(c·)/N1+(·c·)) · p̄(w | c′)     (lower: continuation)
+        p̄(w)      = max(cc(w) − D, 0)/B
+                   + (D·N1c/B) · 1/(V+1)                   (B = distinct bigrams)
+
+    with an unseen context collapsing its level (weight-1 pass-through to
+    the next-shorter context).  Head positions (context shorter than N−1)
+    score with the order-(m+1) chain whose top level uses the regular
+    m+1-gram counts — exactly how a separately-trained order-(m+1) KN
+    model scores, per Chen & Goodman's formulation.
+
+    Float determinism: every probability is built with a FIXED operation
+    order (term + (weight)·lower, each a single correctly-rounded IEEE
+    op over bit-identical inputs), then ln → micro-nat integer
+    quantization as in every other scorer, so the DuckDB oracle
+    (generated by the same rules) matches bit for bit.
+
+    100 TB shape: one pass over the scored corpus; ~3 broadcast joins
+    per chain level against broadcast-sized model tables; no shuffle of
+    the corpus beyond the per-document integer aggregation."""
+    order = model["order"]
+    base = docs.select(
+        F.col(id_col), _tokens(F.col(text_col), lowercase).alias("ws")
+    )
+
+    def scored_frame(rows: DataFrame, k: int) -> DataFrame:
+        out = rows
+        gcols = [f"g{j + 1}" for j in range(k)]
+        gren = model["grams"][k].select(
+            *[F.col(f"w{j + 1}").alias(gcols[j]) for j in range(k)],
+            F.col("cnt").alias("cnt_top"),
+        )
+        out = out.join(gren, gcols, "left")
+        rctx = model["regctx"][k].select(
+            *[F.col(f"w{j + 1}").alias(gcols[j]) for j in range(k - 1)],
+            F.col("ccnt").alias("ctx_top"),
+            F.col("n1p").alias("n1p_top"),
+        )
+        out = out.join(rctx, gcols[:-1], "left")
+        for j in range(1, k):
+            # continuation level j looks up the LAST j tokens
+            sfx = gcols[k - j:]
+            cren = model["cont"][j].select(
+                *[F.col(f"w{i + 1}").alias(sfx[i]) for i in range(j)],
+                F.col("cc").alias(f"cc_{j}"),
+            )
+            out = out.join(cren, sfx, "left")
+            if j >= 2:
+                xren = model["contctx"][j].select(
+                    *[F.col(f"w{i + 1}").alias(sfx[i]) for i in range(j - 1)],
+                    F.col("mid").alias(f"mid_{j}"),
+                    F.col("n1c").alias(f"n1c_{j}"),
+                )
+                out = out.join(xren, sfx[:-1], "left")
+        out = out.crossJoin(model["kstats"])  # one broadcast row
+
+        # probability chain, bottom-up — operation order FIXED to match
+        # the generated oracle: term + (weight) * lower
+        p = F.lit(1.0) / (F.col("vocab") + F.lit(1))
+        t1 = (
+            F.greatest(
+                F.coalesce(F.col("cc_1"), F.lit(0)) - F.col("d_cont_1"),
+                F.lit(0.0),
+            )
+            / F.col("cc1tot")
+        )
+        w1 = (F.col("d_cont_1") * F.col("n1c1")) / F.col("cc1tot")
+        p = t1 + w1 * p
+        for j in range(2, k):
+            tj = (
+                F.greatest(
+                    F.coalesce(F.col(f"cc_{j}"), F.lit(0))
+                    - F.col(f"d_cont_{j}"),
+                    F.lit(0.0),
+                )
+                / F.col(f"mid_{j}")
+            )
+            wj = (F.col(f"d_cont_{j}") * F.col(f"n1c_{j}")) / F.col(f"mid_{j}")
+            p = F.when(F.col(f"mid_{j}").isNull(), p).otherwise(tj + wj * p)
+        tt = (
+            F.greatest(
+                F.coalesce(F.col("cnt_top"), F.lit(0)) - F.col(f"d_reg_{k}"),
+                F.lit(0.0),
+            )
+            / F.col("ctx_top")
+        )
+        wt = (F.col(f"d_reg_{k}") * F.col("n1p_top")) / F.col("ctx_top")
+        p = F.when(F.col("ctx_top").isNull(), p).otherwise(tt + wt * p)
+        return out.select(
+            id_col,
+            F.round(F.log(p) * F.lit(float(MICRO)), 0).cast("bigint")
+            .alias("micro"),
+        )
+
+    frames: list[DataFrame] = []
+    for k in range(2, order):
         head = base.filter(F.size("ws") >= k).select(
             id_col,
             *[

@@ -3393,6 +3393,209 @@ FROM fin"""
 ORACLE_LM_PERPLEXITY_5GRAM = _ngram_oracle(5)
 
 
+# --- interpolated Kneser-Ney LM scoring (round 12, llm/lm.py) ---------------
+def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 interpolated Kneser-Ney scoring (Chen & Goodman 1999;
+    KenLM's estimation pipeline per Heafield 2011 builds the same
+    tables): regular counts at the top level of each chain, CONTINUATION
+    counts below, per-level discounts D = n1/(n1+2·n2) from
+    count-of-counts, uniform 1/(V+1) OOV floor.  Stupid backoff stays
+    the scale default (train_ngram_lm smoothing='sbo'); this grades the
+    quality option end to end.  The oracle is GENERATED by the same
+    rules (_kn_oracle) — a full independent DuckDB re-derivation of the
+    model from raw parquet, per-level float association pinned."""
+    from dataintegration_ecomprovider_spark.llm import lm
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    model = lm.train_ngram_lm(
+        docs.filter(F.col("lang") == "en"), order=3, smoothing="kn"
+    )
+    return lm.score_documents_ngram(docs, model)
+
+
+def _kn_oracle(order: int) -> str:
+    """DuckDB replay of train_kn_lm + score_documents_kn at ``order``:
+    FULL regular count tables g{k} + (ccnt, n1p) context rollups rc{k},
+    continuation tables cont{j} (from g{j+1} types) + (mid, n1c)
+    rollups cctx{j}, a one-row kstats (vocab, unigram-continuation
+    scalars, per-level discounts), then one scored frame per context
+    length with the probability chain built in STAGED subqueries whose
+    operation order matches the Spark scorer expression for expression:
+    term + (weight)·lower, each one correctly-rounded IEEE op."""
+    ctes = ["""toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+)"""]
+    for k in range(2, order + 1):
+        cols = ", ".join(f"w{j}" for j in range(1, k + 1))
+        sels = ", ".join(
+            f"list_extract(ws, i + {j - 1}) AS w{j}" for j in range(1, k + 1)
+        )
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT {cols}, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT {sels}
+    FROM (SELECT ws, unnest(range(1, len(ws) - {k - 2})) AS i
+          FROM toks WHERE lang = 'en')
+  )
+  GROUP BY {cols}
+)""")
+        pfx = ", ".join(f"w{j}" for j in range(1, k))
+        ctes.append(
+            f"rc{k} AS (SELECT {pfx}, CAST(SUM(cnt) AS BIGINT) AS ccnt, "
+            f"CAST(COUNT(*) AS BIGINT) AS n1p FROM g{k} GROUP BY {pfx})"
+        )
+    for j in range(1, order):
+        # continuation count of the j-gram = distinct left-extension
+        # TYPES: each distinct (j+1)-gram contributes exactly one
+        sel = ", ".join(f"w{i + 2} AS w{i + 1}" for i in range(j))
+        grp = ", ".join(f"w{i + 2}" for i in range(j))
+        ctes.append(
+            f"cont{j} AS MATERIALIZED (SELECT {sel}, "
+            f"CAST(COUNT(*) AS BIGINT) AS cc FROM g{j + 1} GROUP BY {grp})"
+        )
+        if j >= 2:
+            pfx = ", ".join(f"w{i + 1}" for i in range(j - 1))
+            ctes.append(
+                f"cctx{j} AS (SELECT {pfx}, CAST(SUM(cc) AS BIGINT) AS mid, "
+                f"CAST(COUNT(*) AS BIGINT) AS n1c FROM cont{j} GROUP BY {pfx})"
+            )
+    ctes.append("""uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
+  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
+  GROUP BY w
+)""")
+    ctes.append(
+        "stats AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS n_total, "
+        "CAST(COUNT(*) AS BIGINT) AS vocab FROM uni)"
+    )
+    # one-row kstats: D = n1/(n1 + 2*n2) per level (0.5 degenerate),
+    # same bigint division both engines perform as one IEEE op
+    dj = []
+    for k in range(2, order + 1):
+        dj.append(
+            f"CROSS JOIN (SELECT CASE WHEN n1 + 2 * n2 > 0 "
+            f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_reg_{k} FROM ("
+            f"SELECT CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+            f"CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+            f"FROM g{k})) dr{k}"
+        )
+    for j in range(1, order):
+        dj.append(
+            f"CROSS JOIN (SELECT CASE WHEN n1 + 2 * n2 > 0 "
+            f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_cont_{j} FROM ("
+            f"SELECT CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+            f"CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
+            f"FROM cont{j})) dc{j}"
+        )
+    ctes.append(
+        "kstats AS (SELECT * FROM (SELECT vocab FROM stats) s\n  "
+        "CROSS JOIN (SELECT CAST(SUM(cc) AS BIGINT) AS cc1tot, "
+        "CAST(COUNT(*) AS BIGINT) AS n1c1 FROM cont1) c1\n  "
+        + "\n  ".join(dj) + ")"
+    )
+
+    def scored(k: int, sliding: bool) -> str:
+        if sliding:
+            gsel = ", ".join(
+                f"list_extract(ws, i + {j - 1}) AS g{j}"
+                for j in range(1, k + 1)
+            )
+            pos = (f"SELECT doc_id, {gsel} FROM (SELECT doc_id, ws, "
+                   f"unnest(range(1, len(ws) - {k - 2})) AS i FROM toks)")
+        else:
+            gsel = ", ".join(
+                f"list_extract(ws, {j}) AS g{j}" for j in range(1, k + 1)
+            )
+            pos = f"SELECT doc_id, {gsel} FROM toks WHERE len(ws) >= {k}"
+        sel = ["p.doc_id", "t.cnt AS cnt_top", "r.ccnt AS ctx_top",
+               "r.n1p AS n1p_top", "ks.vocab", "ks.cc1tot", "ks.n1c1",
+               f"ks.d_reg_{k}"]
+        joins = [
+            "LEFT JOIN g%d t ON %s" % (
+                k,
+                " AND ".join(f"t.w{j + 1} = p.g{j + 1}" for j in range(k)),
+            ),
+            "LEFT JOIN rc%d r ON %s" % (
+                k,
+                " AND ".join(f"r.w{j + 1} = p.g{j + 1}" for j in range(k - 1)),
+            ),
+        ]
+        for j in range(1, k):
+            sel.append(f"c{j}.cc AS cc_{j}")
+            sel.append(f"ks.d_cont_{j}")
+            on_c = " AND ".join(
+                f"c{j}.w{i + 1} = p.g{k - j + 1 + i}" for i in range(j)
+            )
+            joins.append(f"LEFT JOIN cont{j} c{j} ON {on_c}")
+            if j >= 2:
+                sel.append(f"x{j}.mid AS mid_{j}")
+                sel.append(f"x{j}.n1c AS n1c_{j}")
+                on_x = " AND ".join(
+                    f"x{j}.w{i + 1} = p.g{k - j + 1 + i}" for i in range(j - 1)
+                )
+                joins.append(f"LEFT JOIN cctx{j} x{j} ON {on_x}")
+        inner = (
+            f"SELECT {', '.join(sel)}\n    FROM ({pos}) p\n    "
+            + "\n    ".join(joins)
+            + "\n    CROSS JOIN kstats ks"
+        )
+        # staged probability chain — each stage one SELECT *, matching
+        # the Spark expression's operation order exactly
+        stage = (
+            f"SELECT *, (GREATEST(coalesce(cc_1, 0) - d_cont_1, 0.0) "
+            f"/ cc1tot) + ((d_cont_1 * n1c1) / cc1tot) "
+            f"* (CAST(1.0 AS DOUBLE) / (vocab + 1)) AS p1 FROM ({inner})"
+        )
+        for j in range(2, k):
+            stage = (
+                f"SELECT *, CASE WHEN mid_{j} IS NULL THEN p{j - 1} ELSE "
+                f"(GREATEST(coalesce(cc_{j}, 0) - d_cont_{j}, 0.0) "
+                f"/ mid_{j}) + ((d_cont_{j} * n1c_{j}) / mid_{j}) "
+                f"* p{j - 1} END AS p{j} FROM ({stage})"
+            )
+        stage = (
+            f"SELECT *, CASE WHEN ctx_top IS NULL THEN p{k - 1} ELSE "
+            f"(GREATEST(coalesce(cnt_top, 0) - d_reg_{k}, 0.0) "
+            f"/ ctx_top) + ((d_reg_{k} * n1p_top) / ctx_top) "
+            f"* p{k - 1} END AS p{k} FROM ({stage})"
+        )
+        return (
+            f"SELECT doc_id, CAST(ROUND(ln(p{k}) * 1000000.0, 0) AS BIGINT) "
+            f"AS micro FROM ({stage})"
+        )
+
+    frames = [scored(k, sliding=False) for k in range(2, order)]
+    frames.append(scored(order, sliding=True))
+    union = "\nUNION ALL\n".join(frames)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+scored AS ({union}),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(micro) AS BIGINT) AS sm
+  FROM scored GROUP BY doc_id
+),
+fin AS (
+  -- round-half-away in exact int64, then one exact division by 1e6:
+  -- matches lm._finalize bit for bit (see its docstring)
+  SELECT doc_id, n_scored,
+         (CASE WHEN sm < 0 THEN -((2 * (-sm) + n_scored) // (2 * n_scored))
+               ELSE (2 * sm + n_scored) // (2 * n_scored) END)
+           / 1000000.0 AS avg_logprob
+  FROM agg
+)
+SELECT doc_id, n_scored, avg_logprob, ROUND(exp(-avg_logprob), 3) AS ppl
+FROM fin"""
+    )
+
+
+ORACLE_LM_PERPLEXITY_KN = _kn_oracle(3)
+
+
 QUERIES = {
     "llm_dedup_exact": QueryDef(q_dedup_exact, ORACLE_DEDUP_EXACT),
     "llm_training_shards_incremental": QueryDef(
@@ -3439,11 +3642,21 @@ QUERIES = {
     "llm_bpe_token_counts": QueryDef(q_bpe_token_counts, ORACLE_BPE_TOKEN_COUNTS),
     "llm_bpe_encode_ids": QueryDef(q_bpe_encode_ids, ORACLE_BPE_ENCODE_IDS),
     "llm_lm_perplexity": QueryDef(q_lm_perplexity, ORACLE_LM_PERPLEXITY),
+    # folded (round-12 governance, funding llm_lm_perplexity_kn at the
+    # 150 = 3×50 cap): the order-3 chain is the k=3 instance of the
+    # generic order-N scorer the 5-gram entry grades (orders 2 and 3
+    # reproduce the dedicated scorers bit-exactly, pinned in
+    # tests/test_lm.py), and this oracle still value-checks every
+    # pytest run in tests/test_retired_fastpaths.py
     "llm_lm_perplexity_trigram": QueryDef(
-        q_lm_perplexity_trigram, ORACLE_LM_PERPLEXITY_TRIGRAM
+        q_lm_perplexity_trigram, ORACLE_LM_PERPLEXITY_TRIGRAM,
+        folded_into="llm_lm_perplexity_5gram",
     ),
     "llm_lm_perplexity_5gram": QueryDef(
         q_lm_perplexity_5gram, ORACLE_LM_PERPLEXITY_5GRAM
+    ),
+    "llm_lm_perplexity_kn": QueryDef(
+        q_lm_perplexity_kn, ORACLE_LM_PERPLEXITY_KN
     ),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),

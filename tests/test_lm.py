@@ -249,9 +249,11 @@ def test_trigram_min_count_prunes_trigrams_but_keeps_ctx2(spark):
 
 
 def test_trigram_registry_query_matches_oracle(spark, oracle):
+    # folded into llm_lm_perplexity_5gram (round-12 governance) — the
+    # oracle keeps value-checking here and in test_retired_fastpaths
     from dataintegration_ecomprovider_spark.plans.registry import all_queries
 
-    qd = all_queries()["llm_lm_perplexity_trigram"]
+    qd = all_queries(include_retired=True)["llm_lm_perplexity_trigram"]
     assert_frames_match(
         qd.fn(spark, SF_DIR).toPandas(),
         oracle.execute(qd.oracle).fetchdf(),
@@ -338,4 +340,151 @@ def test_5gram_registry_query_matches_oracle(spark, oracle):
         qd.fn(spark, SF_DIR).toPandas(),
         oracle.execute(qd.oracle).fetchdf(),
         "llm_lm_perplexity_5gram",
+    )
+
+
+# --- interpolated Kneser-Ney (round 12) --------------------------------------
+def test_kn_order2_hand_computed_chain(spark):
+    """train 'a b a b c' — fully hand-derived interpolated-KN chain.
+
+    Tables: uni a2 b2 c1 (V=3); bigrams (a,b):2 (b,a):1 (b,c):1;
+    rc2: a→(ccnt 2, n1p 1), b→(ccnt 2, n1p 2);
+    cont1: a:1 b:1 c:1 (each word has exactly one distinct predecessor
+    type) → cc1tot=3, n1c1=3;
+    discounts: d_reg_2 = n1/(n1+2n2) = 2/(2+2·1) = 0.5 over bigram
+    counts {2,1,1}; d_cont_1 = 3/(3+0) = 1.0 over cc values {1,1,1}.
+
+    Unigram level (D=1 discounts everything):
+      p̄(w) = max(1−1,0)/3 + (1·3/3)·(1/(3+1)) = 0.25   for every seen w
+      p̄(z) = 0 + 1·0.25 = 0.25                          for unseen z
+    Score 'a b z':
+      p(b|a) = max(2−0.5,0)/2 + (0.5·1/2)·0.25 = 0.75 + 0.0625 = 0.8125
+      p(z|b) = max(0−0.5,0)/2 + (0.5·2/2)·0.25 = 0.125"""
+    train = _docs(spark, [(1, "a b a b c")])
+    model = lm.train_ngram_lm(train, order=2, smoothing="kn")
+    out = lm.score_documents_ngram(_docs(spark, [(9, "a b z")]), model).collect()
+    r = out[0]
+    assert r["n_scored"] == 2
+    micros = [_micro(math.log(0.8125)), _micro(math.log(0.125))]
+    assert r["avg_logprob"] == _avg(micros)
+
+
+def test_kn_unseen_context_passes_through(spark):
+    """A context never seen in training collapses its level: the score
+    is the lower (unigram-continuation) distribution unchanged."""
+    train = _docs(spark, [(1, "a b a b c")])
+    model = lm.train_ngram_lm(train, order=2, smoothing="kn")
+    out = lm.score_documents_ngram(_docs(spark, [(9, "q b")]), model).collect()
+    # p = p̄(b) = 0.25 (see the hand computation above)
+    assert out[0]["avg_logprob"] == _avg([_micro(math.log(0.25))])
+
+
+def _kn_reference(train_texts, score_texts, order):
+    """Independent plain-Python interpolated-KN reimplementation (dicts
+    and loops, no Spark): the cross-check for the distributed scorer."""
+    from collections import Counter, defaultdict
+
+    toks = [t.split() for t in train_texts]
+    grams = {
+        k: Counter(
+            tuple(ws[i:i + k]) for ws in toks for i in range(len(ws) - k + 1)
+        )
+        for k in range(1, order + 1)
+    }
+    V = len(grams[1])
+    regctx, n1p = {}, {}
+    for k in range(2, order + 1):
+        regctx[k] = defaultdict(int)
+        n1p[k] = defaultdict(int)
+        for g, c in grams[k].items():
+            regctx[k][g[:-1]] += c
+            n1p[k][g[:-1]] += 1
+    cont = {}
+    for j in range(1, order):
+        cont[j] = defaultdict(int)
+        for g in grams[j + 1]:
+            cont[j][g[1:]] += 1
+    contctx, n1c = {}, {}
+    for j in range(2, order):
+        contctx[j] = defaultdict(int)
+        n1c[j] = defaultdict(int)
+        for g, c in cont[j].items():
+            contctx[j][g[:-1]] += c
+            n1c[j][g[:-1]] += 1
+    cc1tot = sum(cont[1].values())
+    n1c1 = len(cont[1])
+
+    def disc(counter):
+        n1 = sum(1 for c in counter.values() if c == 1)
+        n2 = sum(1 for c in counter.values() if c == 2)
+        return n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.5
+
+    d_reg = {k: disc(grams[k]) for k in range(2, order + 1)}
+    d_cont = {j: disc(cont[j]) for j in range(1, order)}
+
+    def prob(gram):
+        k = len(gram)
+        p = 1.0 / (V + 1)
+        p = (
+            max(cont[1].get(gram[-1:], 0) - d_cont[1], 0.0) / cc1tot
+            + ((d_cont[1] * n1c1) / cc1tot) * p
+        )
+        for j in range(2, k):
+            key, ckey = gram[-j:], gram[-j:-1]
+            if ckey in contctx[j]:
+                p = (
+                    max(cont[j].get(key, 0) - d_cont[j], 0.0) / contctx[j][ckey]
+                    + ((d_cont[j] * n1c[j][ckey]) / contctx[j][ckey]) * p
+                )
+        ctx = gram[:-1]
+        if ctx in regctx[k]:
+            p = (
+                max(grams[k].get(gram, 0) - d_reg[k], 0.0) / regctx[k][ctx]
+                + ((d_reg[k] * n1p[k][ctx]) / regctx[k][ctx]) * p
+            )
+        return p
+
+    out = {}
+    for i, text in enumerate(score_texts):
+        ws = text.split()
+        micros = []
+        for pos in range(2, len(ws) + 1):
+            k = min(pos, order)
+            micros.append(_micro(math.log(prob(tuple(ws[pos - k:pos])))))
+        if micros:
+            out[i + 1] = (len(micros), _avg(micros))
+    return out
+
+
+def test_kn_order3_matches_python_reference(spark):
+    train_texts = ["a b a b c a", "b a b a c", "c c a b a b"]
+    score_texts = ["a b a b", "b c q a", "q q q q", "c a b"]
+    want = _kn_reference(train_texts, score_texts, order=3)
+    model = lm.train_ngram_lm(
+        _docs(spark, list(enumerate(train_texts, 1))), order=3, smoothing="kn"
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["avg_logprob"])
+        for r in lm.score_documents_ngram(
+            _docs(spark, list(enumerate(score_texts, 1))), model
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kn_rejects_pruning(spark):
+    with pytest.raises(ValueError, match="min_count"):
+        lm.train_ngram_lm(
+            _docs(spark, [(1, "a b")]), order=2, min_count=2, smoothing="kn"
+        )
+
+
+def test_kn_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    qd = all_queries()["llm_lm_perplexity_kn"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "llm_lm_perplexity_kn",
     )
