@@ -125,6 +125,7 @@ HEADLINE = [
     "llm_lm_perplexity_kn",         # interpolated Kneser-Ney chain (round 12)
     "llm_bpe_encode_ids",           # id-stable vocab + token-id encoding (round 11)
     "u12_sql_matview_avg",          # AVG/HAVING matview: read-side derivation (round 11)
+    "u12_sql_matview_expr",         # SUM(expr) + exact COUNT(DISTINCT) matview (round 12)
 ]
 
 

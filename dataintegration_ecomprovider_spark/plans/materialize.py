@@ -112,13 +112,39 @@ def derived_aggregate_columns(
 
 def read_aggregate_view(spark: SparkSession, root: str, dst: str) -> DataFrame:
     """The declared aggregate view `dst` in its READ form: the maintained
-    physical table plus derived avg columns and the HAVING post-filter
-    from its declaration."""
+    physical table, plus per exact_distinct_cols column a null-safe
+    group join against its maintained companion pair table (counting
+    non-null values — exactly COUNT(DISTINCT c), an all-null group reads
+    0), plus derived avg columns and the HAVING post-filter (which may
+    reference cntd_<c> — it applies after the join)."""
     from dataintegration_ecomprovider_spark.plans import publish
 
     spec = declared_views(root).get(dst, {})
+    df = publish.read_table(spark, root, dst)
+    group_cols = list(spec.get("group_cols", ()))
+    for c in spec.get("exact_distinct_cols", ()):
+        comp = publish.read_table(spark, root, f"{dst}__xd_{c}")
+        dc = (
+            comp.filter(F.col(c).isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"cntd_{c}"))
+        )
+        # struct equality is NULL-SAFE per field (same contract as the
+        # maintenance merge join) — NULL group values must still match
+        df = (
+            df.withColumn("__gk", F.struct(*group_cols))
+            .join(
+                dc.withColumn("__gk", F.struct(*group_cols))
+                .select("__gk", f"cntd_{c}"),
+                "__gk", "left",
+            )
+            .drop("__gk")
+            .withColumn(
+                f"cntd_{c}", F.coalesce(F.col(f"cntd_{c}"), F.lit(0))
+            )
+        )
     return derived_aggregate_columns(
-        publish.read_table(spark, root, dst),
+        df,
         avg_cols=spec.get("avg_cols", ()),
         having=spec.get("having"),
     )
@@ -132,13 +158,15 @@ def aggregate_table(
     max_cols: Sequence[str] = (),
     distinct_cols: Sequence[str] = (),
     avg_cols: Sequence[str] = (),
+    sum_exprs: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """The view definition, computed directly (seed / recompute oracle):
     COUNT(*) + SUM(coalesce(c, 0)) + MIN(c)/MAX(c) per group (MIN/MAX
     skip nulls, standard SQL) + an HLL sketch per distinct_cols column
     (Datasketches hll_sketch_agg; read estimates via estimate_distinct)
     + a non-null count per avg_cols column (COUNT(c) — the denominator
-    SQL AVG actually uses; see _nncnt_alias)."""
+    SQL AVG actually uses; see _nncnt_alias) + SUM(<expr>) per
+    sum_exprs ([(alias, row-local SQL expr)]) entry."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias(COUNT_COL),
         *[
@@ -155,6 +183,10 @@ def aggregate_table(
             F.count(F.col(c)).cast("bigint").alias(_nncnt_alias(c))
             for c in avg_cols
         ],
+        *[
+            F.sum(F.coalesce(F.expr(e), F.lit(0))).alias(a)
+            for a, e in sum_exprs
+        ],
     )
 
 
@@ -169,6 +201,7 @@ def apply_aggregate_delta(
     source: DataFrame | None = None,
     distinct_cols: Sequence[str] = (),
     avg_cols: Sequence[str] = (),
+    sum_exprs: Sequence[tuple[str, str]] = (),
 ) -> DataFrame:
     """Merge a read_changes(include_old=True) feed into an aggregate-table
     state: O(delta) contributions + one key-wise merge join.  Groups whose
@@ -189,13 +222,20 @@ def apply_aggregate_delta(
     retraction touching a group forces that group's sketch recompute via
     the same scoped semi-join — the sketch analog of the MIN/MAX rule,
     with a coarser trigger (no "did it touch the extremum" test
-    exists for a sketch)."""
+    exists for a sketch).
+
+    `sum_exprs` ([(alias, row-local SQL expr)]) maintain SUM(<expr>)
+    EXACTLY through the same ± algebra — the expression is evaluated in
+    the rowwise feed (over new column values for +, over the __old
+    columns re-projected to their base names for −), so any arithmetic
+    a row can compute locally is a maintainable sum."""
     group_cols = list(group_cols)
     sum_cols = list(sum_cols)
     min_cols = list(min_cols)
     max_cols = list(max_cols)
     distinct_cols = list(distinct_cols)
     avg_cols = list(avg_cols)
+    sum_exprs = [tuple(e) for e in sum_exprs]
     if (min_cols or max_cols or distinct_cols) and source is None:
         raise ValueError(
             "min/max/distinct maintenance needs the target-version source"
@@ -210,21 +250,37 @@ def apply_aggregate_delta(
             F.col(c).isNotNull().cast("bigint").alias(f"__d_nn_{c}")
             for c in avg_cols
         ],
+        *[
+            F.coalesce(F.expr(e), F.lit(0)).alias(f"__d_{a}")
+            for a, e in sum_exprs
+        ],
     )
-    # -old contributions (delete + update), grouped by OLD group values
-    # (delete rows carry old values in BOTH the main and __old columns)
-    neg = changes.filter(F.col(change_col) != "insert").select(
-        *[F.col(f"{g}__old").alias(g) for g in group_cols],
+    # -old contributions (delete + update): re-project EVERY __old column
+    # to its base name first, so group values, sum columns and arbitrary
+    # sum EXPRESSIONS all evaluate over the retracted row's old state
+    # with one rule (delete rows carry old values in BOTH the main and
+    # __old columns)
+    base_cols = [
+        c for c in changes.columns
+        if c != change_col and not c.endswith("__old")
+    ]
+    old_rows = changes.filter(F.col(change_col) != "insert").select(
+        *[F.col(f"{c}__old").alias(c) for c in base_cols]
+    )
+    neg = old_rows.select(
+        *group_cols,
         F.lit(-1).alias("__d_cnt"),
         *[
-            (-F.coalesce(F.col(f"{c}__old"), F.lit(0))).alias(f"__d_{c}")
+            (-F.coalesce(F.col(c), F.lit(0))).alias(f"__d_{c}")
             for c in sum_cols
         ],
         *[
-            (-F.col(f"{c}__old").isNotNull().cast("bigint")).alias(
-                f"__d_nn_{c}"
-            )
+            (-F.col(c).isNotNull().cast("bigint")).alias(f"__d_nn_{c}")
             for c in avg_cols
+        ],
+        *[
+            (-F.coalesce(F.expr(e), F.lit(0))).alias(f"__d_{a}")
+            for a, e in sum_exprs
         ],
     )
     delta = (
@@ -234,6 +290,7 @@ def apply_aggregate_delta(
             F.sum("__d_cnt").alias("__d_cnt"),
             *[F.sum(f"__d_{c}").alias(f"__d_{c}") for c in sum_cols],
             *[F.sum(f"__d_nn_{c}").alias(f"__d_nn_{c}") for c in avg_cols],
+            *[F.sum(f"__d_{a}").alias(f"__d_{a}") for a, _ in sum_exprs],
         )
     )
     # All merge joins key on `__gk` = struct(<group cols>): struct join
@@ -294,6 +351,11 @@ def apply_aggregate_delta(
              + F.coalesce(F.col(f"__d_nn_{c}"), F.lit(0))).alias(
                  _nncnt_alias(c))
             for c in avg_cols
+        ],
+        *[
+            (F.coalesce(F.col(a), F.lit(0))
+             + F.coalesce(F.col(f"__d_{a}"), F.lit(0))).alias(a)
+            for a, _ in sum_exprs
         ],
     ]
     if not non_self:
@@ -381,6 +443,8 @@ def maintain_aggregate(
     src_where: Sequence[tuple] = (),
     avg_cols: Sequence[str] = (),
     having: str | None = None,
+    sum_exprs: Sequence[tuple[str, str]] = (),
+    exact_distinct_cols: Sequence[str] = (),
 ) -> dict:
     """Bring the aggregate table `dst` current with source table `src`
     (same store root): first call seeds with a full aggregation; later
@@ -407,11 +471,34 @@ def maintain_aggregate(
     maintenance path.  Here they only guarantee every avg column's sum
     is maintained.
 
+    `sum_exprs` ([(alias, row-local SQL expr)]) maintain SUM(<expr>)
+    exactly — same ± delta algebra, the expression evaluates in the
+    rowwise feed (see apply_aggregate_delta).  `exact_distinct_cols`
+    maintain EXACT COUNT(DISTINCT c) as the declared alternative to the
+    HLL sketch: each column gets a companion aggregate table
+    ``<dst>__xd_<c>`` keyed by (group_cols, c) — itself fully
+    self-maintainable through this same function — and the read side
+    (read_aggregate_view) derives cntd_<c> by counting the companion's
+    non-null values per group.  Storage is O(distinct pairs), every
+    refresh is O(delta), and a read pays one aggregation over the
+    companion — the honest exact-distinct cost; HLL stays the O(1)-read
+    approximate choice.
+
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
     "seed" | "delta" | "noop"."""
+    # companion tables first: each is an ordinary aggregate view of the
+    # same source grouped one level finer, with its own watermark
+    companions = {
+        f"{dst}__xd_{c}": maintain_aggregate(
+            spark, root, src, f"{dst}__xd_{c}",
+            [*group_cols, c], keys=keys, src_where=src_where,
+        )["mode"]
+        for c in exact_distinct_cols
+    }
     # an AVG column is maintained through its sum + its NON-NULL count
     # (cnt is always kept; nncnt_<c> is the denominator SQL AVG uses)
     sum_cols = list(dict.fromkeys([*sum_cols, *avg_cols]))
+    sum_exprs = [tuple(e) for e in sum_exprs]
     state_key = f"agg:{dst}"
     manifest = publish.current_manifest(root)
     src_version = manifest["version"]
@@ -432,7 +519,7 @@ def maintain_aggregate(
             else publish.read_table_at(spark, root, src, src_version),
             group_cols, sum_cols,
             min_cols=min_cols, max_cols=max_cols, distinct_cols=distinct_cols,
-            avg_cols=avg_cols,
+            avg_cols=avg_cols, sum_exprs=sum_exprs,
         )
         publish.publish_tables(spark, {dst: out}, root)
         return "seed"
@@ -450,6 +537,7 @@ def maintain_aggregate(
             *[_max_alias(c) for c in max_cols],
             *[_hll_alias(c) for c in distinct_cols],
             *[_nncnt_alias(c) for c in avg_cols],
+            *[a for a, _ in sum_exprs],
         }
         return not expected <= set(publish.read_table(spark, root, dst).columns)
 
@@ -458,8 +546,11 @@ def maintain_aggregate(
     elif _schema_stale():
         mode = _seed()
     elif last == src_version:
-        return {"dst": dst, "from_version": last, "to_version": src_version,
-                "mode": "noop"}
+        out = {"dst": dst, "from_version": last, "to_version": src_version,
+               "mode": "noop"}
+        if companions:
+            out["companions"] = companions
+        return out
     else:
         if not keys:
             raise ValueError(
@@ -496,7 +587,7 @@ def maintain_aggregate(
                             agg, changes, group_cols, sum_cols,
                             min_cols=min_cols, max_cols=max_cols,
                             distinct_cols=distinct_cols,
-                            avg_cols=avg_cols,
+                            avg_cols=avg_cols, sum_exprs=sum_exprs,
                             source=(
                                 (
                                     publish.scan_table_at(
@@ -521,8 +612,11 @@ def maintain_aggregate(
                     scope.release(spark)
 
     publish._set_sync_state(root, state_key, src_version)
-    return {"dst": dst, "from_version": last, "to_version": src_version,
-            "mode": mode}
+    out = {"dst": dst, "from_version": last, "to_version": src_version,
+           "mode": mode}
+    if companions:
+        out["companions"] = companions
+    return out
 
 
 # --- join-view maintenance (round 4) ---------------------------------------

@@ -244,6 +244,18 @@ _MV_AGG_ITEM_RE = re.compile(
     r"(?P<arg>\*|\w+)\s*\)(?:\s+AS\s+(?P<alias>\w+))?|(?P<col>\w+))$",
     re.IGNORECASE,
 )
+# exact COUNT(DISTINCT c) — the declared alternative to the HLL sketch
+_MV_CNTD_RE = re.compile(
+    r"^COUNT\s*\(\s*DISTINCT\s+(?P<arg>\w+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
+)
+# SUM over an arbitrary row-local expression — alias REQUIRED (it is the
+# maintained physical column's name)
+_MV_SUM_EXPR_RE = re.compile(
+    r"^SUM\s*\((?P<expr>.+)\)\s+AS\s+(?P<alias>\w+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 _MV_ON_RE = re.compile(
     r"^(?P<ta>\w+)\s*\.\s*(?P<ka>\w+)\s*=\s*(?P<tb>\w+)\s*\.\s*(?P<kb>\w+)$"
 )
@@ -1017,7 +1029,11 @@ class StoreSQL:
         for dst, spec in materialize.declared_views(self.root).items():
             if (
                 spec.get("kind") == "aggregate"
-                and (spec.get("avg_cols") or spec.get("having"))
+                and (
+                    spec.get("avg_cols")
+                    or spec.get("having")
+                    or spec.get("exact_distinct_cols")
+                )
                 and dst in tables
             ):
                 materialize.read_aggregate_view(
@@ -1456,13 +1472,35 @@ class StoreSQL:
             max_cols: list[str] = []
             distinct_cols: list[str] = []
             avg_cols: list[str] = []
-            for item in (c.strip() for c in m.group("cols").split(",")):
+            sum_exprs: list[list[str]] = []
+            exact_distinct_cols: list[str] = []
+            for item in (c.strip() for c in _split_select_items(m.group("cols"))):
+                md = _MV_CNTD_RE.match(item)
+                if md:
+                    arg = md.group("arg")
+                    canon = f"cntd_{arg}"
+                    alias = md.group("alias")
+                    if alias and alias != canon:
+                        raise ValueError(
+                            f"COUNT(DISTINCT {arg}) is maintained under "
+                            f"the canonical column name {canon!r} — alias "
+                            f"it as {canon} (or re-alias when reading)"
+                        )
+                    exact_distinct_cols.append(arg)
+                    continue
                 mm = _MV_AGG_ITEM_RE.match(item)
                 if not mm:
+                    ms = _MV_SUM_EXPR_RE.match(item)
+                    if ms:
+                        sum_exprs.append(
+                            [ms.group("alias"), ms.group("expr").strip()]
+                        )
+                        continue
                     raise ValueError(
                         "aggregate-view select items must be grouping "
-                        "columns or COUNT(*) / SUM(c) / MIN(c) / MAX(c) / "
-                        f"AVG(c) / APPROX_COUNT_DISTINCT(c), got {item!r}"
+                        "columns or COUNT(*) / SUM(c) / SUM(<expr>) AS a / "
+                        "MIN(c) / MAX(c) / AVG(c) / COUNT(DISTINCT c) / "
+                        f"APPROX_COUNT_DISTINCT(c), got {item!r}"
                     )
                 if mm.group("col"):
                     if mm.group("col") not in group_cols:
@@ -1509,7 +1547,8 @@ class StoreSQL:
                 "src": src, "dst": target, "group_cols": group_cols,
                 "sum_cols": sum_cols, "min_cols": min_cols,
                 "max_cols": max_cols, "distinct_cols": distinct_cols,
-                "avg_cols": avg_cols,
+                "avg_cols": avg_cols, "sum_exprs": sum_exprs,
+                "exact_distinct_cols": exact_distinct_cols,
             }
             if m.group("where"):
                 spec["src_where"] = parse_predicate_tree(m.group("where"))
@@ -1531,7 +1570,14 @@ class StoreSQL:
                     group_cols, list(dict.fromkeys(sum_cols + avg_cols)),
                     min_cols=min_cols, max_cols=max_cols,
                     distinct_cols=distinct_cols, avg_cols=avg_cols,
+                    sum_exprs=sum_exprs,
                 )
+                for c in exact_distinct_cols:
+                    # read-time derived column — present in the probe so
+                    # HAVING may reference it
+                    probe = probe.withColumn(
+                        f"cntd_{c}", F.lit(0).cast("bigint")
+                    )
                 materialize.derived_aggregate_columns(
                     probe, avg_cols=avg_cols, having=spec["having"]
                 ).schema  # forces analysis

@@ -2481,6 +2481,86 @@ HAVING COUNT(*) >= 5
 """
 
 
+def q_sql_matview_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression aggregates in SQL matviews (round 12, the r11
+    verdict's matview-expressiveness ask), superset of the AVG+HAVING
+    lifecycle it folds: ``SUM(<arithmetic expr>) AS sum_x`` maintains
+    the expression's sum EXACTLY (the expression evaluates in the
+    rowwise ± delta feed — over old column values on the retract side),
+    and ``COUNT(DISTINCT c)`` is EXACT via a companion pair table
+    ``<dst>__xd_<c>`` keyed by (group, c) — itself an ordinary
+    self-maintainable aggregate view — counted per group at read time
+    (the declared choice vs the O(1)-read APPROX_COUNT_DISTINCT HLL).
+    AVG + HAVING ride along from the folded lifecycle; HAVING references
+    the read-derived cntd column.  Two-version lifecycle, delta mode
+    asserted for main AND companion; the oracle is the direct aggregate
+    of v2."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("sql_matview_expr_store")
+    base = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    v1 = base.filter(F.col("o_orderkey") % 3 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1}, root, table_keys={"orders": ["o_orderkey"]}
+    )
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW prio_stats AS "
+        "SELECT o_orderpriority, COUNT(*) AS cnt, "
+        "AVG(o_totalprice) AS avg_o_totalprice, "
+        "SUM(o_orderkey % 97 * 2 + 1) AS sum_gross, "
+        "COUNT(DISTINCT o_custkey) AS cntd_o_custkey "
+        "FROM orders GROUP BY o_orderpriority HAVING cntd_o_custkey >= 3"
+    )
+    if seed["mode"] != "seed":
+        raise AssertionError(f"expected a seed, got {seed['mode']}")
+    v2 = base.filter(F.col("o_orderkey") % 4 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("9-SYNTH")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    publish.publish_tables(spark, {"orders": v2}, root)
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    if rep["errors"] or any(
+        v["mode"] != "delta" for v in rep["views"].values()
+    ):
+        raise AssertionError(f"expected clean delta refreshes: {rep}")
+    # the companion pair table must ALSO have refreshed as a delta (its
+    # own watermark; a re-seed here would mean O(source) refresh cost)
+    comp = rep["views"]["prio_stats"].get("companions")
+    if comp != {"prio_stats__xd_o_custkey": "delta"}:
+        raise AssertionError(f"companion must delta-refresh, got {comp}")
+    return sq.sql(
+        "SELECT o_orderpriority, cnt, "
+        "ROUND(avg_o_totalprice, 6) AS avg_total, sum_gross, "
+        "cntd_o_custkey FROM store_prio_stats"
+    )
+
+
+ORACLE_SQL_MATVIEW_EXPR = """
+WITH v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN '9-SYNTH'
+              ELSE o_orderpriority END AS o_orderpriority,
+         o_custkey,
+         ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(SUM(o_totalprice) / COUNT(*), 6) AS avg_total,
+       CAST(SUM(o_orderkey % 97 * 2 + 1) AS BIGINT) AS sum_gross,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS cntd_o_custkey
+FROM v2
+GROUP BY o_orderpriority
+HAVING COUNT(DISTINCT o_custkey) >= 3
+"""
+
+
 def q_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-declared incremental materialized views (round 10,
     plans/store_sql.py): ``CREATE MATERIALIZED VIEW v AS SELECT ...
@@ -3305,7 +3385,18 @@ QUERIES = {
         folded_into="u12_sql_matview",
     ),
     "u12_sql_matview": QueryDef(q_sql_matview, ORACLE_INCREMENTAL_AGGREGATE),
-    "u12_sql_matview_avg": QueryDef(q_sql_matview_avg, ORACLE_SQL_MATVIEW_AVG),
+    # folded (round-12 governance, funding u12_sql_matview_expr at the
+    # 150 = 3×50 cap): the expr lifecycle is the strict superset — same
+    # source, same two-version lifecycle, AVG + HAVING included — and
+    # this oracle still value-checks every pytest run in
+    # tests/test_retired_fastpaths.py
+    "u12_sql_matview_avg": QueryDef(
+        q_sql_matview_avg, ORACLE_SQL_MATVIEW_AVG,
+        folded_into="u12_sql_matview_expr",
+    ),
+    "u12_sql_matview_expr": QueryDef(
+        q_sql_matview_expr, ORACLE_SQL_MATVIEW_EXPR
+    ),
     # folded (round-11 governance): the WHERE-scoped aggregate IVM is the
     # same maintain_aggregate machinery u12_sql_matview drives, whose
     # SQL WHERE compiles to the identical boolean-tree skipping algebra

@@ -1130,6 +1130,88 @@ def test_matview_avg_schema_evolution_reseeds(spark, tmp_path):
     assert got == {"s1": 15.0, "s2": 6.5}
 
 
+def test_create_matview_sum_expr_and_exact_distinct_lifecycle(spark, tmp_path):
+    """SUM(<expr>) maintains the expression's sum exactly through the ±
+    delta feed (old-side evaluated over __old values), and
+    COUNT(DISTINCT c) is EXACT via the companion pair table, derived at
+    read time; HAVING may reference the derived cntd column."""
+    root = str(tmp_path / "mv_expr")
+    fact = spark.createDataFrame(
+        [(1, "s1", 10, 7), (2, "s1", 20, 7), (3, "s2", 5, 9), (4, "s1", 20, 8)],
+        "id bigint, shop string, val bigint, cust bigint",
+    )
+    publish.publish_tables(
+        spark, {"orders": fact}, root, table_keys={"orders": ["id"]}
+    )
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW v AS SELECT shop, COUNT(*) AS cnt, "
+        "SUM(val * 2 + 1) AS sum_x, COUNT(DISTINCT cust) AS cntd_cust "
+        "FROM orders GROUP BY shop HAVING cntd_cust >= 1"
+    )
+    assert seed["mode"] == "seed"
+    assert seed["companions"] == {"v__xd_cust": "seed"}
+    got = {r["shop"]: (r["cnt"], r["sum_x"], r["cntd_cust"])
+           for r in sq.sql("SELECT * FROM store_v").collect()}
+    # s1: vals 10,20,20 -> 21+41+41 = 103; custs {7,8} -> 2
+    assert got == {"s1": (3, 103, 2), "s2": (1, 11, 1)}
+    # delta: row 3 moves s2->s1 with a NEW cust; row 4 deleted (its cust
+    # 8 must leave the distinct set exactly)
+    publish.merge_into_mor(
+        spark, root, "orders",
+        spark.createDataFrame([(3, "s1", 5, 11)],
+                              "id bigint, shop string, val bigint, cust bigint"),
+        keys=["id"],
+        deletes=spark.createDataFrame([(4,)], "id bigint"),
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {} and rep["views"]["v"]["mode"] == "delta"
+    assert rep["views"]["v"]["companions"] == {"v__xd_cust": "delta"}
+    got = {r["shop"]: (r["cnt"], r["sum_x"], r["cntd_cust"])
+           for r in sq.sql("SELECT * FROM store_v").collect()}
+    # s1: rows {1,2,3}: 21+41+11 = 73; custs {7,11} -> 2; s2 retracted
+    assert got == {"s1": (3, 73, 2)}
+
+
+def test_matview_exact_distinct_ignores_nulls(spark, tmp_path):
+    """COUNT(DISTINCT c) excludes NULLs (SQL); an all-null group reads 0."""
+    root = str(tmp_path / "mv_cntd_null")
+    fact = spark.createDataFrame(
+        [(1, "s1", 7), (2, "s1", None), (3, "s2", None)],
+        "id bigint, shop string, cust bigint",
+    )
+    publish.publish_tables(
+        spark, {"orders": fact}, root, table_keys={"orders": ["id"]}
+    )
+    sq = store_sql(spark, root)
+    sq.sql(
+        "CREATE MATERIALIZED VIEW v AS SELECT shop, COUNT(*) AS cnt, "
+        "COUNT(DISTINCT cust) AS cntd_cust FROM orders GROUP BY shop"
+    )
+    got = {r["shop"]: (r["cnt"], r["cntd_cust"])
+           for r in sq.sql("SELECT * FROM store_v").collect()}
+    assert got == {"s1": (2, 1), "s2": (1, 0)}
+
+
+def test_matview_sum_expr_requires_alias_and_cntd_canonical(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_expr_err")
+    sq = store_sql(spark, root)
+    with pytest.raises(ValueError, match="aggregate-view select items"):
+        sq.sql(
+            "CREATE MATERIALIZED VIEW v1 AS SELECT shop, COUNT(*) AS cnt, "
+            "SUM(val * 2) FROM orders GROUP BY shop"
+        )
+    with pytest.raises(ValueError, match="canonical column name"):
+        sq.sql(
+            "CREATE MATERIALIZED VIEW v2 AS SELECT shop, COUNT(*) AS cnt, "
+            "COUNT(DISTINCT val) AS n_vals FROM orders GROUP BY shop"
+        )
+    # neither failed CREATE may leave a declaration behind
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    assert not set(materialize.declared_views(root)) & {"v1", "v2"}
+
+
 def test_create_matview_avg_with_explicit_sum_dedups(spark, tmp_path):
     """SUM(val) and AVG(val) in one view maintain ONE sum_val column."""
     root = _mv_seed(spark, tmp_path, "mv_avg_sum")
@@ -1202,14 +1284,28 @@ def test_predicate_tree_parser_tolerates_surrounding_whitespace():
 
 
 def test_sql_matview_avg_registry_query_matches_oracle(spark, oracle):
+    # folded into u12_sql_matview_expr (round-12 governance) — the
+    # oracle keeps value-checking here and in test_retired_fastpaths
     from dataintegration_ecomprovider_spark.plans.registry import all_queries
     from tests.conftest import SF_DIR, assert_frames_match
 
-    qd = all_queries()["u12_sql_matview_avg"]
+    qd = all_queries(include_retired=True)["u12_sql_matview_avg"]
     assert_frames_match(
         qd.fn(spark, SF_DIR).toPandas(),
         oracle.execute(qd.oracle).fetchdf(),
         "u12_sql_matview_avg",
+    )
+
+
+def test_sql_matview_expr_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+    from tests.conftest import SF_DIR, assert_frames_match
+
+    qd = all_queries()["u12_sql_matview_expr"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "u12_sql_matview_expr",
     )
 
 
