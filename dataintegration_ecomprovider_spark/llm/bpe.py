@@ -308,6 +308,48 @@ def dropped_word_count(text: Column, lowercase: bool = True) -> Column:
     return (F.size(raw) - F.size(clean_words(raw))).cast("bigint")
 
 
+def _tokens_udf(
+    text: Column,
+    merges: list[dict],
+    lowercase: bool = True,
+    byte_fallback: bool = False,
+) -> Column:
+    """tokens()'s scale path past REPLACE_CHAIN_MAX merges: greedy
+    per-word encode, byte-fallback words emitted as uppercase-hex
+    ``<0xNN>`` tokens in place (exactly byte_tokens' format)."""
+    import re as _re
+
+    import pandas as pd
+
+    ranks = {(m["lft"], m["rgt"]): i for i, m in enumerate(merges)}
+    ws_re = _re.compile(r"[ \t\n\r\f]+")
+
+    def _tok_fn(col):
+        def one(t):
+            if t is None:
+                return None  # the column chain propagates NULL text
+            if lowercase:
+                t = t.lower()
+            out: list[str] = []
+            for w in ws_re.split(t.strip(" \t\n\r\f")):
+                if not w:
+                    continue
+                if SEP in w or EOW in w:
+                    if byte_fallback:
+                        out.extend(
+                            f"<0x{b:02X}>" for b in w.encode("utf-8")
+                        )
+                    continue
+                out.extend(_encode_word_greedy(w, ranks))
+            return out
+
+        return col.map(one)
+
+    # see _encoded_string_udf for why annotations are attached post-hoc
+    _tok_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return F.pandas_udf("array<string>")(_tok_fn)(text)
+
+
 def byte_tokens(word: Column) -> Column:
     """``<0xNN>`` per UTF-8 byte of ``word`` — the byte-fallback carrier
     (GPT-2's convention) for words the delimited representation cannot
@@ -583,12 +625,31 @@ def _src_keys(root: str, src: str):
     return list(keys)
 
 
+# Measured ceiling of the nested-replace column expression (round 12,
+# scripts/scale_probe.py bpe_ceiling + SCALE.md table): the classic
+# Column → Catalyst expression conversion recurses once per nested node
+# and OVERFLOWS THE DRIVER STACK between 256 and 384 nested replaces —
+# a production 32k-merge tokenizer would crash at plan build, long
+# before codegen limits matter.  At or under the ceiling the chain stays
+# the fast path (pure JVM, one corpus scan); above it encoding switches
+# to the Arrow-batched greedy encoder (_encoded_string_udf), whose
+# per-word cost is independent of the merge count.
+REPLACE_CHAIN_MAX = 256
+
+
 def encoded_string(text: Column, merges: list[dict], lowercase: bool = True) -> Column:
     """The document's delimited symbol string AFTER applying all merges
     in rank order (word symbol strings joined by a space, which can
     never take part in a match: merge patterns are SEP-framed and SEP
-    never borders a space).  Pure column expression — a chain of
-    literal replaces, one corpus scan, no shuffle, no Python."""
+    never borders a space).
+
+    Up to REPLACE_CHAIN_MAX merges this is a pure column expression — a
+    chain of literal replaces, one corpus scan, no shuffle, no Python.
+    Larger tokenizers use the Arrow-batched greedy encoder: identical
+    output (tests/test_bpe.py pins parity on trained merge lists), one
+    pass, broadcast-sized rank dict per executor."""
+    if len(merges) > REPLACE_CHAIN_MAX:
+        return _encoded_string_udf(text, merges, lowercase)
     wsyms = F.transform(
         word_tokens(text, lowercase),
         lambda w: F.concat(
@@ -600,6 +661,78 @@ def encoded_string(text: Column, merges: list[dict], lowercase: bool = True) -> 
         pat, rep = merge_pattern(m["lft"], m["rgt"])
         s = F.replace(s, F.lit(pat), F.lit(rep))
     return s
+
+
+def _encode_word_greedy(word: str, ranks: dict) -> list[str]:
+    """Classic BPE encode of one word (chars + EOW), repeatedly merging
+    the LOWEST-RANK adjacent pair (all leftmost non-overlapping
+    occurrences per step).  For a well-formed learned merge list this is
+    exactly the rank-ordered exhaustive replace chain: a merge's product
+    symbol can only appear in patterns learned LATER, so applying ranks
+    in order never re-enables an earlier pattern — the equivalence the
+    parity test pins."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                lft, rgt = syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == lft and syms[i + 1] == rgt:
+                out.append(lft + rgt)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _encoded_string_udf(
+    text: Column, merges: list[dict], lowercase: bool = True
+) -> Column:
+    """encoded_string's scale path: an Arrow-batched Pandas UDF running
+    the greedy encoder per word — same delimited output format, cost
+    independent of the merge count (the replace chain pays one corpus
+    scan PER MERGE and overflows the driver stack past
+    REPLACE_CHAIN_MAX nested nodes).  The rank dict ships once per
+    executor inside the serialized closure (a 32k-merge tokenizer is
+    ~1 MB — broadcast-sized)."""
+    import re as _re
+
+    import pandas as pd
+
+    ranks = {(m["lft"], m["rgt"]): i for i, m in enumerate(merges)}
+    ws_re = _re.compile(r"[ \t\n\r\f]+")
+
+    def _enc_fn(col):
+        def one(t):
+            if t is None:
+                return None  # the replace chain propagates NULL text
+            if lowercase:
+                t = t.lower()
+            words = [
+                w for w in ws_re.split(t.strip(" \t\n\r\f"))
+                if w and SEP not in w and EOW not in w
+            ]
+            return " ".join(
+                SEP + _INNER.join(_encode_word_greedy(w, ranks)) + SEP
+                for w in words
+            )
+
+        return col.map(one)
+
+    # real annotation objects: `from __future__ import annotations` turns
+    # inline hints into strings pandas_udf cannot resolve against a
+    # function-local pandas import
+    _enc_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return F.pandas_udf("string")(_enc_fn)(text)
 
 
 def token_count(
@@ -656,6 +789,10 @@ def tokens(
     chain used here equals the document-level chain in encoded_string
     (the same invariant that lets encoded_string join words with
     spaces)."""
+    if len(merges) > REPLACE_CHAIN_MAX:
+        # same driver-stack ceiling as encoded_string (the per-word
+        # chain nests one replace per merge too) — greedy Arrow path
+        return _tokens_udf(text, merges, lowercase, byte_fallback)
     if not byte_fallback:
         s = encoded_string(text, merges, lowercase)
         per_word = F.filter(F.split(s, " "), lambda w: w != "")

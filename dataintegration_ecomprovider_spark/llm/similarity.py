@@ -1281,11 +1281,22 @@ def ivfpq_index(
     encode unit(v) − unit(centroid[cell]), whose norms are much smaller
     than the vectors' own, so the same m·k codebook budget spends its
     resolution on the part of the vector the coarse quantizer did NOT
-    already explain — higher raw-ADC recall on clustered data at the
-    cost of per-(query, probed-cell) ADC tables at serve time (the ADC
-    identity ||q−x||² = ||(q−c)−(x−c)||² holds exactly within a cell,
-    so the ordering math is unchanged).  Codebook (sample AND Lloyd
-    training) is built over the residuals in residual mode.
+    already explain — at the cost of per-(query, probed-cell) ADC
+    tables at serve time (the ADC identity ||q−x||² = ||(q−c)−(x−c)||²
+    holds exactly within a cell, so the ordering math is unchanged).
+    Codebook (sample AND Lloyd training) is built over the residuals in
+    residual mode.
+
+    Which to pick (both fixtures measured, SCALE.md round-11 + round-12
+    ANN tables): on CLUSTERED embeddings — the organic case, probed on
+    a mixture-of-Gaussians fixture — residual wins on raw-ADC (0.085 vs
+    0.060) AND re-ranked (0.980 vs 0.955) recall, exactly faiss's
+    rationale; on structureless noise it loses (raw ADC 0.035 vs
+    0.155) because the residual has no concentration to exploit.  The
+    API default stays False for the architectural reason above (one
+    code table shared with flat PQ, no per-cell ADC tables) and
+    robustness when the space is unstructured; prefer residual=True for
+    organic embedding corpora.
 
     `pq_iters` > 0 trains the sub-codebooks with per-subspace Lloyd
     iterations (pq_refine_codebook) instead of the raw hash-rank sample;

@@ -144,10 +144,148 @@ def _contention_probe() -> dict:
     return out
 
 
+def _bpe_ceiling_probe(spark) -> dict:
+    """Measure the BPE encode paths across merge-list sizes (round 12,
+    verdict task): the nested-replace chain's plan-build cost and the
+    driver-stack ceiling it hits (StackOverflow in the Column→Catalyst
+    conversion between 256 and 384 nested replaces — measured, pinned
+    as bpe.REPLACE_CHAIN_MAX), and the Arrow-batched greedy encoder the
+    gate switches to above it, whose cost is merge-count-independent.
+    20k docs × 40 words; times include plan build + noop execution."""
+    import string
+    import time as _t
+
+    from dataintegration_ecomprovider_spark.llm import bpe
+
+    def synth_merges(n):
+        pool = string.ascii_lowercase
+        out, i = [], 0
+        for a in pool:
+            for b in pool:
+                for c in pool:
+                    out.append({"lft": a + b, "rgt": c})
+                    i += 1
+                    if i >= n:
+                        return out
+        return out
+
+    docs = spark.range(20_000).select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(39)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("id") + i * 7, F.lit(997)).cast("string"),
+                ),
+            ),
+        ).alias("text")
+    )
+    out: dict[str, dict] = {}
+    # the chain AT its gate (fast path) + the greedy path at tokenizer
+    # scales the chain cannot reach (1k/8k/32k — GPT-2 is 50k merges)
+    for n in (bpe.REPLACE_CHAIN_MAX, 1_000, 8_000, 32_000):
+        t0 = _t.perf_counter()
+        df = docs.select(
+            bpe.encoded_string(F.col("text"), synth_merges(n)).alias("s")
+        )
+        _ = df.schema
+        t_build = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[str(n)] = {
+            "path": "chain" if n <= bpe.REPLACE_CHAIN_MAX else "greedy_udf",
+            "build_s": round(t_build, 2),
+            "exec_s": round(_t.perf_counter() - t0, 2),
+        }
+    return out
+
+
+def _ann_clustered_probe(spark) -> dict:
+    """Residual vs non-residual IVFPQ on CLUSTERED embeddings (round 12,
+    verdict task): the round-11 probe used structureless noise — exactly
+    the case faiss's by_residual default loses, because residuals have
+    no concentration to exploit.  This fixture is the opposite: a
+    mixture of Gaussians (the standard synthetic shape for clustered
+    embedding spaces — 24 centers, within-cluster sigma 0.15 of the
+    center scale, dim 64, 5,000 vectors, seeded numpy), where the
+    coarse quantizer explains most of each vector and the m·k codebook
+    budget should go to the residual.  Same recall protocol as every
+    ANN row: brute-force top-10 ground truth over a 20-query panel;
+    raw-ADC recall (probe ALL cells, no re-rank) isolates pure code
+    quality; the re-ranked rows show the serve path."""
+    import numpy as np
+
+    from dataintegration_ecomprovider_spark.llm import similarity
+
+    rng = np.random.default_rng(7)
+    n, dim, k_clusters = 5_000, 64, 24
+    centers = rng.normal(0.0, 1.0, (k_clusters, dim))
+    assign = rng.integers(0, k_clusters, n)
+    vecs = centers[assign] + rng.normal(0.0, 0.15, (n, dim))
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).persist()
+    emb.count()
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    K = 10
+
+    def topk_ids(df):
+        out: dict[int, set] = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    gt = topk_ids(similarity.brute_force_topk(emb, queries_df, k=K))
+
+    def recall(got):
+        hits = sum(len(got.get(q, set()) & g) for q, g in gt.items())
+        return round(hits / sum(len(g) for g in gt.values()), 3)
+
+    out: dict[str, float] = {}
+    for residual in (False, True):
+        idx = similarity.ivfpq_index(
+            emb, n_centroids=32, m=8, codebook_size=16, pq_iters=2,
+            residual=residual,
+        )
+        for t in idx.values():
+            if hasattr(t, "persist"):
+                t.persist().count()
+        tag = "residual" if residual else "plain"
+        out[f"raw_adc_{tag}"] = recall(topk_ids(similarity.ivfpq_topk(
+            queries_df, idx["centroids"], idx["codebook"], idx["codes"],
+            k=K, n_probe=32, rerank=None, index=idx,
+        )))
+        out[f"reranked_{tag}"] = recall(topk_ids(similarity.ivfpq_topk(
+            queries_df, idx["centroids"], idx["codebook"], idx["codes"],
+            k=K, n_probe=8, rerank=200, embeddings=emb, index=idx,
+        )))
+        for t in idx.values():
+            if hasattr(t, "unpersist"):
+                t.unpersist()
+    emb.unpersist()
+    return out
+
+
 def main() -> None:
     if sys.argv[1:] and all("contention" in w for w in sys.argv[1:]):
         print(json.dumps({"probe": "commit_contention",
                           "contention": _contention_probe()}))
+        return
+    if sys.argv[1:] and all("bpe_ceiling" in w for w in sys.argv[1:]):
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"probe": "bpe_ceiling",
+                          "bpe_ceiling": _bpe_ceiling_probe(spark)}))
+        spark.stop()
+        return
+    if sys.argv[1:] and all("ann_clustered" in w for w in sys.argv[1:]):
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"probe": "ann_clustered",
+                          "ann_clustered": _ann_clustered_probe(spark)}))
+        spark.stop()
         return
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -213,6 +351,9 @@ def main() -> None:
         "llm_lm_perplexity_trigram",  # order-3 chain: one extra count table + joins
         "llm_bpe_encode_ids",       # id encoding: replace chain + broadcast vocab join
         "u12_sql_matview_avg",      # AVG/HAVING view: same O(delta) refresh, read overlay
+        # round-12 surfaces
+        "llm_lm_perplexity_kn",     # interpolated KN: continuation tables + scalar kstats
+        "u12_sql_matview_expr",     # SUM(expr) + exact-distinct companion lifecycle
     ]
     wanted = sys.argv[1:]
     if wanted:

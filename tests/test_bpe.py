@@ -635,3 +635,85 @@ def test_maintained_token_counts_with_byte_fallback(spark, tmp_path):
     }
     assert got[1][2] == 1 and got[1][1] == drop_only[1] + 3
     assert got[2] == (2, drop_only[2], 0)
+
+
+# --- replace-chain ceiling + greedy scale path (round 12) --------------------
+def test_greedy_udf_matches_replace_chain_on_trained_merges(spark):
+    """The Arrow-batched greedy encoder (the >REPLACE_CHAIN_MAX path)
+    produces the replace chain's delimited string byte for byte on a
+    TRAINED merge list — the well-formedness the equivalence argument
+    (a merge's product only appears in later patterns) relies on."""
+    merges = ref_train(SENNRICH, 12)
+    docs = spark.createDataFrame(
+        [(1, "low lower newest stuff"), (2, "widest aaaa a low low"),
+         (3, ""), (4, None), (5, "  newest\twidest \n lower ")],
+        "doc_id bigint, text string",
+    )
+    chain = docs.select(
+        "doc_id", bpe.encoded_string(F.col("text"), merges).alias("s")
+    )
+    greedy = docs.select(
+        "doc_id", bpe._encoded_string_udf(F.col("text"), merges).alias("s")
+    )
+    a = {r["doc_id"]: r["s"] for r in chain.collect()}
+    b = {r["doc_id"]: r["s"] for r in greedy.collect()}
+    assert a == b
+
+
+def test_greedy_udf_tokens_match_chain_with_byte_fallback(spark):
+    merges = ref_train(SENNRICH, 8)
+    docs = spark.createDataFrame(
+        [(1, "low " + SEP + "bad low"), (2, "newest " + EOW + "x")],
+        "doc_id bigint, text string",
+    )
+    for bf in (False, True):
+        a = {r["doc_id"]: r["t"] for r in docs.select(
+            "doc_id", bpe.tokens(F.col("text"), merges, byte_fallback=bf).alias("t")
+        ).collect()}
+        b = {r["doc_id"]: r["t"] for r in docs.select(
+            "doc_id", bpe._tokens_udf(F.col("text"), merges, True, bf).alias("t")
+        ).collect()}
+        assert a == b, f"byte_fallback={bf}"
+
+
+def _long_wellformed_merges(n: int) -> list[dict]:
+    """A >REPLACE_CHAIN_MAX well-formed merge list: one growing chain
+    over a base alphabet (each merge's lft is the previous product)."""
+    import string
+
+    base = string.ascii_lowercase
+    out = []
+    cur = "q"
+    for i in range(n):
+        nxt = base[i % 26]
+        out.append({"rank": i + 1, "lft": cur, "rgt": nxt, "token": cur + nxt,
+                    "pair_freq": 1})
+        cur = cur + nxt
+    return out
+
+
+def test_encoded_string_gates_to_greedy_above_ceiling(spark):
+    """Past REPLACE_CHAIN_MAX merges the chain would StackOverflow the
+    driver at plan build (measured: between 256 and 384 nested
+    replaces) — the gate must route to the greedy path and the
+    token_count length arithmetic must stay consistent with tokens()."""
+    merges = _long_wellformed_merges(bpe.REPLACE_CHAIN_MAX + 50)
+    docs = spark.createDataFrame(
+        [(1, "qab qabc xyz"), (2, "qabcdefghij q")],
+        "doc_id bigint, text string",
+    )
+    got = docs.select(
+        "doc_id",
+        bpe.token_count(F.col("text"), merges).alias("n"),
+        F.size(bpe.tokens(F.col("text"), merges)).cast("bigint").alias("m"),
+    ).collect()
+    assert all(r["n"] == r["m"] for r in got)
+    # the chain itself at the ceiling still works (the fast path)
+    small = merges[: bpe.REPLACE_CHAIN_MAX]
+    chain = docs.select(bpe.encoded_string(F.col("text"), small).alias("s"))
+    greedy = docs.select(
+        bpe._encoded_string_udf(F.col("text"), small).alias("s")
+    )
+    assert [r["s"] for r in chain.collect()] == [
+        r["s"] for r in greedy.collect()
+    ]
