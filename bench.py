@@ -362,26 +362,25 @@ def main() -> None:
         "median_total_sec": median_total,
     }, separators=(",", ":")))
     # line 2 (FINAL stdout line): the compact graded record.  Length
-    # guard: per-query seconds at 2 decimals + no-space separators keeps
-    # ~61 queries under ~1,900 chars; if the suite ever grows past the
-    # window, coarsen per-query rounding rather than overflow — a parsed
-    # artifact at 0.1 s resolution beats an unparsed one at 0.001 s.
+    # guard: pick the FINEST per-query rounding whose serialized line
+    # stays ≤ 1,950 chars (the driver's tail window is 2,000) — at 61
+    # queries that is 1 decimal; a parsed artifact at 0.1 s resolution
+    # beats an unparsed one at 0.001 s (BENCH_r11's fate).  `basis` and
+    # `median_total_sec` live on the meta line above, not here.
     core = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "queries": timings,
         "sf": sf,
         "iters": iters,
-        "basis": "min_of_k_steal_gated",
-        "median_total_sec": median_total,
         "degraded": degraded,
         # shared-VM self-diagnosis: % of host cpu stolen during the run
         "host_steal_pct": _steal_pct(cpu0, _cpu_times()),
     }
     line = json.dumps(core, separators=(",", ":"))
-    for ndigits in (1, 0):
-        if len(line) <= 1800:
+    for ndigits in (2, 1, 0):
+        if len(line) <= 1950:
             break
         core["queries"] = {n: round(t, ndigits) for n, t in timings.items()}
         line = json.dumps(core, separators=(",", ":"))
