@@ -529,7 +529,12 @@ def maintain_aggregate(
         # columns the current code expects (e.g. nncnt_<c> for AVG, added
         # round 12) — a delta refresh against it would fail analysis, and
         # a silent pass-through would leave the read side broken.  Force
-        # a re-seed instead (schema check is plan-time, no job).
+        # a re-seed instead (schema check is plan-time, no job).  Only
+        # avg_cols (nncnt_<c>) and sum_exprs introduced maintained
+        # columns after the original column set, so plain count/sum/
+        # min/max/hll views skip the per-refresh footer read entirely.
+        if not (avg_cols or sum_exprs):
+            return False
         expected = {
             COUNT_COL,
             *[_sum_alias(c) for c in sum_cols],

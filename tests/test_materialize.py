@@ -976,3 +976,49 @@ def test_maintain_rowwise_view_rejects_bad_stable_keys(spark, tmp_path):
             spark, root, "t", "v", lambda df: df,
             dst_keys=["k", "extra"], stable_keys=True,
         )
+
+
+def test_maintain_rowwise_view_reseeds_on_build_schema_evolution(spark, tmp_path):
+    """A rowwise view seeded by an OLDER build (fewer output columns)
+    re-seeds when the current build emits more — committing the new
+    build output as a MoR delta against the old table would mismatch
+    schemas (ADVICE r11: token counts gained n_dropped_words)."""
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"t": spark.createDataFrame(
+            [(1, "a b"), (2, "c")], "k bigint, text string")},
+        root, table_keys={"t": ["k"]},
+    )
+
+    def build_v1(rows):
+        return rows.select("k", F.length("text").alias("n_chars"))
+
+    def build_v2(rows):
+        return rows.select(
+            "k", F.length("text").alias("n_chars"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        )
+
+    def refresh(build):
+        return materialize.maintain_rowwise_view(
+            spark, root, "t", "v", build, dst_keys=["k"], stable_keys=True,
+        )
+
+    assert refresh(build_v1)["mode"] == "seed"
+    # advance the source so the next call is not a noop
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(3, "d e f")], "k bigint, text string"),
+    )
+    # the evolved build must force a clean re-seed, not a delta commit
+    assert refresh(build_v2)["mode"] == "seed"
+    got = {r["k"]: (r["n_chars"], r["n_words"])
+           for r in publish.read_table(spark, root, "v").collect()}
+    assert got == {1: (3, 2), 2: (1, 1), 3: (5, 3)}
+    # and the unchanged build keeps delta-refreshing afterwards
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, "g h")], "k bigint, text string"),
+    )
+    assert refresh(build_v2)["mode"] == "delta"
