@@ -1022,3 +1022,70 @@ def test_maintain_rowwise_view_reseeds_on_build_schema_evolution(spark, tmp_path
         spark.createDataFrame([(4, "g h")], "k bigint, text string"),
     )
     assert refresh(build_v2)["mode"] == "delta"
+
+
+_ROWS12 = st.lists(
+    st.tuples(
+        st.integers(0, 6),                        # id
+        st.sampled_from(["g1", "g2", None]),      # group (nullable!)
+        st.one_of(st.none(), st.integers(0, 9)),  # val (nullable)
+        st.one_of(st.none(), st.integers(0, 3)),  # cust (nullable)
+    ),
+    min_size=0, max_size=7, unique_by=lambda t: t[0],
+)
+_CHAIN12 = st.lists(_ROWS12, min_size=2, max_size=4)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(chain=_CHAIN12)
+def test_matview_expr_distinct_avg_model_property(spark, tmp_path_factory, chain):
+    """Model-based check for the round-12 aggregate surface: for ANY
+    version sequence (inserts, deletes, group moves — including NULL
+    groups — value/cust updates through NULL), the maintained view READ
+    (AVG over a nullable column + SUM(expr) + exact COUNT(DISTINCT))
+    equals the direct SQL aggregate of the current version."""
+    root = str(tmp_path_factory.mktemp("mvxprop") / "store")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows or [], "id bigint, grp string, val int, cust int"
+        )
+
+    def direct(df):
+        return {
+            (r["grp"],): (r["cnt"], r["avg_val"], r["sum_x"], r["cntd"])
+            for r in df.groupBy("grp").agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.avg("val").alias("avg_val"),
+                F.sum(
+                    F.coalesce(F.col("val") * 2 + 1, F.lit(0))
+                ).alias("sum_x"),
+                F.count_distinct(F.col("cust")).cast("bigint").alias("cntd"),
+            ).collect()
+        }
+
+    def maintained():
+        got = materialize.read_aggregate_view(spark, root, "v")
+        return {
+            (r["grp"],): (r["cnt"], r["avg_val"], r["sum_x"],
+                          r["cntd_cust"])
+            for r in got.select(
+                "grp", "cnt", F.col("avg_val"),
+                "sum_x", "cntd_cust",
+            ).collect()
+        }
+
+    spec = dict(
+        src="t", dst="v", group_cols=["grp"], avg_cols=["val"],
+        sum_exprs=[["sum_x", "val * 2 + 1"]], exact_distinct_cols=["cust"],
+    )
+    f0 = frame(chain[0])
+    publish.publish_tables(spark, {"t": f0}, root, table_keys={"t": ["id"]})
+    materialize.declare_view(root, "aggregate", **spec)
+    materialize.maintain_aggregate(spark, root, **spec)
+    assert maintained() == direct(f0)
+    for rows in chain[1:]:
+        f = frame(rows)
+        publish.publish_tables(spark, {"t": f}, root)
+        materialize.maintain_aggregate(spark, root, **spec)
+        assert maintained() == direct(f)
