@@ -61,13 +61,15 @@ def _rotate(names: list[str]) -> list[str]:
 
     def key(n: str) -> tuple[int, int, int]:
         if n in seen:
-            return (seen[n], 1, pos[n])
+            return (seen[n], 0, pos[n])
         # never-recorded entries grade promptly (ahead of anything seen
-        # within the last 2 rounds) but no longer jump the WHOLE queue:
-        # entries already waiting 4+ rounds outrank them — the round-10
-        # rotation stretch (8 queries waiting 4 rounds) came precisely
-        # from new entries always sorting first at a full registry
-        return (cur - 3, 0, pos[n])
+        # within the last 2 rounds) but never displace entries already
+        # waiting: they slot as if graded 3 rounds ago yet AFTER every
+        # entry genuinely graded then — in round 12 two additions keyed
+        # (cur-3, 0, …) displaced the two entries truly graded 3 rounds
+        # earlier to slate positions 50/51, stretching them to a 4-round
+        # wait; the `1` tiebreak makes that displacement impossible
+        return (cur - 3, 1, pos[n])
 
     return sorted(names, key=key)
 
