@@ -205,6 +205,55 @@ def _warmup(spark) -> None:
     runtime.release_caches(spark)
 
 
+MAX_FINAL_LINE = 1950  # the grading driver keeps the last 2,000 chars
+
+
+def query_aliases(names: list[str]) -> dict[str, str]:
+    """Stable short alias per headline query ({"q01": name, ...}, list
+    order).  The FINAL stdout line keys per-query times by alias so 63+
+    full query names cannot push it past the driver's tail window; the
+    alias→name map rides the meta line, so the artifact pair stays
+    self-describing at full 3-decimal resolution (round-12 verdict: the
+    full-name map left 73 chars of headroom and would have coarsened to
+    2dp within ~2 rounds)."""
+    width = max(2, len(str(len(names))))
+    return {f"q{i + 1:0{width}d}": n for i, n in enumerate(names)}
+
+
+def final_line(core: dict, max_len: int = MAX_FINAL_LINE) -> str:
+    """Serialize the graded final-line record under the length cap.
+
+    Guard ladder: 3-decimal per-query times, then 2/1/0 decimals, then —
+    new in round 13 (ADVICE r12: the old ladder never re-checked after
+    its LAST rounding step) — drop the per-query map entirely, keeping
+    the suite total parseable.  The result is re-checked (json.loads +
+    length) before being returned; a violation raises instead of
+    printing an unparseable artifact — the BENCH_r11 transport-bug class
+    must be structurally impossible, not just currently fixed."""
+    core = dict(core)
+    timings = dict(core.get("queries", {}))
+    line = json.dumps(core, separators=(",", ":"))
+    for ndigits in (2, 1, 0):
+        if len(line) <= max_len:
+            break
+        core["queries"] = {n: round(t, ndigits) for n, t in timings.items()}
+        line = json.dumps(core, separators=(",", ":"))
+    if len(line) > max_len:
+        # even 0-decimal didn't fit (pathological name/count growth):
+        # a final line with the suite total but no per-query map still
+        # parses and grades; the per-query data survives on the meta line
+        core.pop("queries", None)
+        core["queries_dropped"] = True
+        line = json.dumps(core, separators=(",", ":"))
+    parsed = json.loads(line)  # raises on a malformed record — fail loudly
+    if len(line) > max_len or parsed.get("metric") != core.get("metric"):
+        raise RuntimeError(
+            f"bench final line unparseable or over {max_len} chars "
+            f"({len(line)}) even after dropping the per-query map"
+        )
+    return line
+
+
 def _cpu_times() -> list[int] | None:
     """The aggregate /proc/stat cpu line (user .. steal ...), or None
     off-Linux."""
@@ -349,42 +398,41 @@ def main() -> None:
         }
     total = round(sum(timings.values()), 3)
     median_total = round(sum(m["median_s"] for m in query_meta.values()), 3)
+    aliases = query_aliases(HEADLINE)
     # line 1: self-certification metadata — per-query kept-steal, sample
-    # and retry counts, which gate the kept sample passed, and the
-    # ungated medians.  NOT the final line: the grading driver captures
-    # only the last 2,000 chars of stdout, and this payload is what
-    # pushed round 11's single-line artifact past that window.
+    # and retry counts, which gate the kept sample passed, the ungated
+    # medians, and the alias→name map decoding the final line's short
+    # query keys.  NOT the final line: the grading driver captures only
+    # the last 2,000 chars of stdout, and this payload is what pushed
+    # round 11's single-line artifact past that window.
     print(json.dumps({
         "bench_meta": query_meta,
         "basis": "min_of_k_steal_gated",
         "steal_gate_pct": steal_gate,
         "steal_fallback_pct": steal_fallback,
         "median_total_sec": median_total,
+        "aliases": aliases,
     }, separators=(",", ":")))
-    # line 2 (FINAL stdout line): the compact graded record.  Length
-    # guard: pick the FINEST per-query rounding whose serialized line
-    # stays ≤ 1,950 chars (the driver's tail window is 2,000) — at 61
-    # queries that is 1 decimal; a parsed artifact at 0.1 s resolution
-    # beats an unparsed one at 0.001 s (BENCH_r11's fate).  `basis` and
-    # `median_total_sec` live on the meta line above, not here.
+    # line 2 (FINAL stdout line): the compact graded record, per-query
+    # times keyed by the stable short aliases at full 3-decimal
+    # resolution.  final_line() holds the length-guard ladder and the
+    # parse/length self-check (raises rather than print an unparseable
+    # artifact).  `basis`, `median_total_sec` and the alias map live on
+    # the meta line above, not here.
     core = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {a: timings[n] for a, n in aliases.items()},
         "sf": sf,
         "iters": iters,
-        "degraded": degraded,
+        "degraded": [
+            a for a, n in aliases.items() if n in degraded
+        ],
         # shared-VM self-diagnosis: % of host cpu stolen during the run
         "host_steal_pct": _steal_pct(cpu0, _cpu_times()),
     }
-    line = json.dumps(core, separators=(",", ":"))
-    for ndigits in (2, 1, 0):
-        if len(line) <= 1950:
-            break
-        core["queries"] = {n: round(t, ndigits) for n, t in timings.items()}
-        line = json.dumps(core, separators=(",", ":"))
-    print(line)
+    print(final_line(core))
     spark.stop()
 
 

@@ -208,11 +208,14 @@ def _count_of_counts(df: DataFrame, cnt_col: str) -> DataFrame:
 
 
 def _discount(n1: Column, n2: Column) -> Column:
-    """D = n1/(n1 + 2·n2) ∈ [0, 1); 0.5 when the table has no singletons
-    or doubletons at all (degenerate tiny corpora).  One bigint division
-    — correctly rounded IEEE, bit-identical in Spark and DuckDB."""
-    denom = n1 + F.lit(2) * n2
-    return F.when(denom > 0, n1 / denom).otherwise(F.lit(0.5))
+    """D = n1/(n1 + 2·n2) ∈ (0, 1); 0.5 whenever the table has NO
+    singletons (n1 == 0) — not just when it also lacks doubletons: with
+    n1 = 0 and n2 > 0 the formula yields D = 0, which assigns unseen
+    events probability exactly 0 and turns ln(p) into NULL micro in
+    Spark / -inf in DuckDB (cross-engine divergence on degenerate
+    corpora).  One bigint division — correctly rounded IEEE,
+    bit-identical in Spark and DuckDB."""
+    return F.when(n1 > 0, n1 / (n1 + F.lit(2) * n2)).otherwise(F.lit(0.5))
 
 
 def train_kn_lm(

@@ -3471,12 +3471,13 @@ def _kn_oracle(order: int) -> str:
         "stats AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS n_total, "
         "CAST(COUNT(*) AS BIGINT) AS vocab FROM uni)"
     )
-    # one-row kstats: D = n1/(n1 + 2*n2) per level (0.5 degenerate),
+    # one-row kstats: D = n1/(n1 + 2*n2) per level (0.5 whenever n1 = 0
+    # — D = 0 would zero out unseen-event mass; matches lm._discount),
     # same bigint division both engines perform as one IEEE op
     dj = []
     for k in range(2, order + 1):
         dj.append(
-            f"CROSS JOIN (SELECT CASE WHEN n1 + 2 * n2 > 0 "
+            f"CROSS JOIN (SELECT CASE WHEN n1 > 0 "
             f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_reg_{k} FROM ("
             f"SELECT CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
             f"CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
@@ -3484,7 +3485,7 @@ def _kn_oracle(order: int) -> str:
         )
     for j in range(1, order):
         dj.append(
-            f"CROSS JOIN (SELECT CASE WHEN n1 + 2 * n2 > 0 "
+            f"CROSS JOIN (SELECT CASE WHEN n1 > 0 "
             f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_cont_{j} FROM ("
             f"SELECT CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
             f"CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "

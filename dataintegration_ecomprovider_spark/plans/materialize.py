@@ -116,14 +116,21 @@ def read_aggregate_view(spark: SparkSession, root: str, dst: str) -> DataFrame:
     group join against its maintained companion pair table (counting
     non-null values — exactly COUNT(DISTINCT c), an all-null group reads
     0), plus derived avg columns and the HAVING post-filter (which may
-    reference cntd_<c> — it applies after the join)."""
+    reference cntd_<c> — it applies after the join).
+
+    The parent table and every companion are read AT ONE captured
+    manifest version: maintain_aggregate commits them atomically (one
+    manifest swap), so any single version is internally consistent —
+    independent current-version reads could straddle a commit landing
+    between the two plan-time resolutions (ADVICE r12)."""
     from dataintegration_ecomprovider_spark.plans import publish
 
     spec = declared_views(root).get(dst, {})
-    df = publish.read_table(spark, root, dst)
+    at_version = publish.current_manifest(root)["version"]
+    df = publish.read_table_at(spark, root, dst, at_version)
     group_cols = list(spec.get("group_cols", ()))
     for c in spec.get("exact_distinct_cols", ()):
-        comp = publish.read_table(spark, root, f"{dst}__xd_{c}")
+        comp = publish.read_table_at(spark, root, f"{dst}__xd_{c}", at_version)
         dc = (
             comp.filter(F.col(c).isNotNull())
             .groupBy(*group_cols)
@@ -485,142 +492,144 @@ def maintain_aggregate(
     approximate choice.
 
     Returns {"dst", "from_version", "to_version", "mode"} — mode is
-    "seed" | "delta" | "noop"."""
-    # companion tables first: each is an ordinary aggregate view of the
-    # same source grouped one level finer, with its own watermark
-    companions = {
-        f"{dst}__xd_{c}": maintain_aggregate(
-            spark, root, src, f"{dst}__xd_{c}",
-            [*group_cols, c], keys=keys, src_where=src_where,
-        )["mode"]
-        for c in exact_distinct_cols
-    }
+    "seed" | "delta" | "noop" | "empty".
+
+    Atomicity (ADVICE r12): the parent table and every ``__xd``
+    companion are planned against ONE captured manifest and made
+    visible in ONE ``publish_tables`` commit — companion-then-parent
+    as separate commits let a concurrent reader see cntd_<c> derived
+    from a newer source version joined against stale parent groups."""
+    from dataintegration_ecomprovider_spark import runtime
+
     # an AVG column is maintained through its sum + its NON-NULL count
     # (cnt is always kept; nncnt_<c> is the denominator SQL AVG uses)
     sum_cols = list(dict.fromkeys([*sum_cols, *avg_cols]))
     sum_exprs = [tuple(e) for e in sum_exprs]
-    state_key = f"agg:{dst}"
     manifest = publish.current_manifest(root)
     src_version = manifest["version"]
     state = publish._sync_state(root)
-    last = state.get(state_key)
+    last = state.get(f"agg:{dst}")
     if keys is None:
         keys = publish.table_keys(root, src)
 
-    def _seed() -> str:
+    def _src_at() -> DataFrame:
         # read the source AT the watermarked version, not at whatever is
         # current: a publish landing between the manifest capture above
         # and this scan would put version-N+1 data in the seed while the
         # watermark says N — the next delta refresh would re-apply the
         # N→N+1 delta and silently double-count
-        out = aggregate_table(
+        return (
             publish.scan_table_at(spark, root, src, src_version, src_where)
             if src_where
-            else publish.read_table_at(spark, root, src, src_version),
-            group_cols, sum_cols,
-            min_cols=min_cols, max_cols=max_cols, distinct_cols=distinct_cols,
-            avg_cols=avg_cols, sum_exprs=sum_exprs,
+            else publish.read_table_at(spark, root, src, src_version)
         )
-        publish.publish_tables(spark, {dst: out}, root)
-        return "seed"
 
-    def _schema_stale() -> bool:
-        # a view seeded by an older engine/declaration can lack maintained
-        # columns the current code expects (e.g. nncnt_<c> for AVG, added
-        # round 12) — a delta refresh against it would fail analysis, and
-        # a silent pass-through would leave the read side broken.  Force
-        # a re-seed instead (schema check is plan-time, no job).  Only
-        # avg_cols (nncnt_<c>) and sum_exprs introduced maintained
-        # columns after the original column set, so plain count/sum/
-        # min/max/hll views skip the per-refresh footer read entirely.
-        if not (avg_cols or sum_exprs):
-            return False
-        expected = {
-            COUNT_COL,
-            *[_sum_alias(c) for c in sum_cols],
-            *[_min_alias(c) for c in min_cols],
-            *[_max_alias(c) for c in max_cols],
-            *[_hll_alias(c) for c in distinct_cols],
-            *[_nncnt_alias(c) for c in avg_cols],
-            *[a for a, _ in sum_exprs],
-        }
-        return not expected <= set(publish.read_table(spark, root, dst).columns)
+    def _plan(name, g_cols, s_cols=(), mn=(), mx=(), dcols=(), acols=(),
+              sexprs=()):
+        """(new_state_df | None, mode) for one maintained table at the
+        shared captured src_version — computes, never publishes."""
+        tlast = state.get(f"agg:{name}")
 
-    if last is None or dst not in manifest["tables"]:
-        mode = _seed()
-    elif _schema_stale():
-        mode = _seed()
-    elif last == src_version:
-        out = {"dst": dst, "from_version": last, "to_version": src_version,
-               "mode": "noop"}
-        if companions:
-            out["companions"] = companions
-        return out
-    else:
+        def _seed():
+            return aggregate_table(
+                _src_at(), g_cols, s_cols, min_cols=mn, max_cols=mx,
+                distinct_cols=dcols, avg_cols=acols, sum_exprs=sexprs,
+            ), "seed"
+
+        def _schema_stale() -> bool:
+            # a view seeded by an older engine/declaration can lack
+            # maintained columns the current code expects (e.g. nncnt_<c>
+            # for AVG, added round 12) — a delta refresh against it would
+            # fail analysis, and a silent pass-through would leave the
+            # read side broken.  Force a re-seed instead (schema check is
+            # plan-time, no job).  Only avg_cols (nncnt_<c>) and sum_exprs
+            # introduced maintained columns after the original column set,
+            # so plain count/sum/min/max/hll views skip the per-refresh
+            # footer read entirely.
+            if not (acols or sexprs):
+                return False
+            expected = {
+                COUNT_COL,
+                *[_sum_alias(c) for c in s_cols],
+                *[_min_alias(c) for c in mn],
+                *[_max_alias(c) for c in mx],
+                *[_hll_alias(c) for c in dcols],
+                *[_nncnt_alias(c) for c in acols],
+                *[a for a, _ in sexprs],
+            }
+            return not expected <= set(
+                publish.read_table(spark, root, name).columns
+            )
+
+        if tlast is None or name not in manifest["tables"] or _schema_stale():
+            return _seed()
+        if tlast == src_version:
+            return None, "noop"
         if not keys:
             raise ValueError(
-                f"incremental maintenance of {dst!r} needs {src!r}'s key "
+                f"incremental maintenance of {name!r} needs {src!r}'s key "
                 "columns — publish with table_keys= or pass keys="
             )
         try:
             changes = publish.read_changes(
-                spark, root, src, from_version=last, to_version=src_version,
+                spark, root, src, from_version=tlast, to_version=src_version,
                 keys=keys, include_old=True, where=src_where,
             )
         except KeyError:
             # the consumed-from version was vacuumed out of history: the
             # delta is unrecoverable, fall back to a full re-seed
-            mode = _seed()
-        else:
-            from dataintegration_ecomprovider_spark import runtime
+            return _seed()
+        # persist the delta-sized change feed ONCE (released by the
+        # enclosing scope after the joint publish): the refresh plan
+        # reads `changes` up to four times (± contributions,
+        # insert/retract bookkeeping), each of which would otherwise
+        # re-evaluate the O(table) version diff — same treatment as
+        # maintain_join
+        changes = runtime.track(changes.persist())
+        if changes.count() == 0:
+            # the store advanced but `src` didn't (e.g. our own dst
+            # publishes): advance the watermark, no rewrite
+            return None, "empty"
+        return apply_aggregate_delta(
+            publish.read_table(spark, root, name), changes, g_cols, s_cols,
+            min_cols=mn, max_cols=mx, distinct_cols=dcols, avg_cols=acols,
+            sum_exprs=sexprs,
+            source=_src_at() if (mn or mx or dcols) else None,
+        ), "delta"
 
-            # persist the delta-sized change feed ONCE and free it after
-            # the publish: the refresh plan reads `changes` up to four
-            # times (± contributions, insert/retract bookkeeping), each
-            # of which would otherwise re-evaluate the O(table) version
-            # diff — same treatment as maintain_join
-            with runtime.job_scope() as scope:
-                try:
-                    changes = runtime.track(changes.persist())
-                    if changes.count() == 0:
-                        # the store advanced but `src` didn't (e.g. our own
-                        # dst publishes): advance the watermark, no rewrite
-                        mode = "empty"
-                    else:
-                        agg = publish.read_table(spark, root, dst)
-                        new_state = apply_aggregate_delta(
-                            agg, changes, group_cols, sum_cols,
-                            min_cols=min_cols, max_cols=max_cols,
-                            distinct_cols=distinct_cols,
-                            avg_cols=avg_cols, sum_exprs=sum_exprs,
-                            source=(
-                                (
-                                    publish.scan_table_at(
-                                        spark, root, src, src_version,
-                                        src_where,
-                                    )
-                                    if src_where
-                                    else publish.read_table_at(
-                                        spark, root, src, src_version
-                                    )
-                                )
-                                if (min_cols or max_cols or distinct_cols)
-                                else None
-                            ),
-                        )
-                        publish.publish_tables(spark, {dst: new_state}, root)
-                        mode = "delta"
-                finally:
-                    # release even when the refresh raises — a chronically
-                    # failing view must not leak its persisted change feed
-                    # every maintain pass (executor storage memory)
-                    scope.release(spark)
+    # companions first in plan order: each is an ordinary aggregate view
+    # of the same source grouped one level finer, with its own watermark
+    plans = [
+        (f"{dst}__xd_{c}", dict(g_cols=[*group_cols, c]))
+        for c in exact_distinct_cols
+    ]
+    plans.append((dst, dict(
+        g_cols=list(group_cols), s_cols=sum_cols, mn=list(min_cols),
+        mx=list(max_cols), dcols=list(distinct_cols), acols=list(avg_cols),
+        sexprs=sum_exprs,
+    )))
 
-    publish._set_sync_state(root, state_key, src_version)
+    to_publish: dict[str, DataFrame] = {}
+    modes: dict[str, str] = {}
+    with runtime.job_scope() as scope:
+        try:
+            for name, kw in plans:
+                df, modes[name] = _plan(name, **kw)
+                if df is not None:
+                    to_publish[name] = df
+            if to_publish:
+                publish.publish_tables(spark, to_publish, root)
+        finally:
+            # release even when the refresh raises — a chronically
+            # failing view must not leak its persisted change feeds
+            # every maintain pass (executor storage memory)
+            scope.release(spark)
+    for name, _ in plans:
+        publish._set_sync_state(root, f"agg:{name}", src_version)
     out = {"dst": dst, "from_version": last, "to_version": src_version,
-           "mode": mode}
-    if companions:
-        out["companions"] = companions
+           "mode": modes[dst]}
+    if exact_distinct_cols:
+        out["companions"] = {name: modes[name] for name, _ in plans[:-1]}
     return out
 
 

@@ -1543,6 +1543,31 @@ class StoreSQL:
                         f"column name {canon!r} — alias it as {canon} (or "
                         "re-alias when reading the view)"
                     )
+            # CREATE-time expr-alias validation (ADVICE r12): an alias
+            # colliding with a canonical maintained column (cnt, sum_/
+            # nncnt_/min_/max_/hll_/avg_/cntd_<c>), a group column, or
+            # another expression alias would otherwise only surface at
+            # seed-publish time as an opaque duplicate-column error
+            reserved = {
+                materialize.COUNT_COL,
+                *group_cols,
+                *[f"sum_{c}" for c in dict.fromkeys(sum_cols + avg_cols)],
+                *[f"nncnt_{c}" for c in avg_cols],
+                *[f"min_{c}" for c in min_cols],
+                *[f"max_{c}" for c in max_cols],
+                *[f"hll_{c}" for c in distinct_cols],
+                *[f"avg_{c}" for c in avg_cols],
+                *[f"cntd_{c}" for c in exact_distinct_cols],
+            }
+            seen_aliases: set[str] = set()
+            for ealias, _eexpr in sum_exprs:
+                if ealias in reserved or ealias in seen_aliases:
+                    raise ValueError(
+                        f"SUM(<expr>) alias {ealias!r} collides with a "
+                        "canonical maintained column, a group column, or "
+                        "another expression alias — choose a distinct alias"
+                    )
+                seen_aliases.add(ealias)
             spec = {
                 "src": src, "dst": target, "group_cols": group_cols,
                 "sum_cols": sum_cols, "min_cols": min_cols,

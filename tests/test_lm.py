@@ -417,7 +417,7 @@ def _kn_reference(train_texts, score_texts, order):
     def disc(counter):
         n1 = sum(1 for c in counter.values() if c == 1)
         n2 = sum(1 for c in counter.values() if c == 2)
-        return n1 / (n1 + 2 * n2) if n1 + 2 * n2 > 0 else 0.5
+        return n1 / (n1 + 2 * n2) if n1 > 0 else 0.5
 
     d_reg = {k: disc(grams[k]) for k in range(2, order + 1)}
     d_cont = {j: disc(cont[j]) for j in range(1, order)}
@@ -469,6 +469,29 @@ def test_kn_order3_matches_python_reference(spark):
             _docs(spark, list(enumerate(score_texts, 1))), model
         ).collect()
     }
+    assert got == want
+
+
+def test_kn_no_singleton_corpus_keeps_discount_positive(spark):
+    """Round-13 ADVICE: a corpus whose count tables have doubletons but
+    NO singletons (every sentence duplicated -> every regular k-gram
+    count is even) made D = n1/(n1+2*n2) = 0, so unseen events got
+    probability exactly 0 -> ln(0) = NULL micro in Spark and -inf in
+    DuckDB.  The 0.5 fallback must fire whenever n1 == 0, not only when
+    n1 == n2 == 0; scores stay finite and match the python reference."""
+    base = ["a b a c", "b a c b", "c c a b"]
+    train_texts = base + base  # duplicate: n1 = 0, n2 > 0 at reg levels
+    score_texts = ["a b a c", "q q q q", "c a b"]
+    want = _kn_reference(train_texts, score_texts, order=3)
+    model = lm.train_ngram_lm(
+        _docs(spark, list(enumerate(train_texts, 1))), order=3, smoothing="kn"
+    )
+    rows = lm.score_documents_ngram(
+        _docs(spark, list(enumerate(score_texts, 1))), model
+    ).collect()
+    got = {r["doc_id"]: (r["n_scored"], r["avg_logprob"]) for r in rows}
+    for r in rows:
+        assert r["avg_logprob"] is not None, f"doc {r['doc_id']} scored NULL"
     assert got == want
 
 

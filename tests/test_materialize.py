@@ -1089,3 +1089,52 @@ def test_matview_expr_distinct_avg_model_property(spark, tmp_path_factory, chain
         publish.publish_tables(spark, {"t": f}, root)
         materialize.maintain_aggregate(spark, root, **spec)
         assert maintained() == direct(f)
+
+
+def test_maintain_aggregate_companion_publish_is_atomic(spark, tmp_path):
+    """ADVICE r12: the parent aggregate and its exact-distinct companion
+    must become visible in ONE manifest swap — separate commits let a
+    reader between them see cntd_<c> from a newer source joined against
+    stale parent groups.  Pin: each maintain pass that rewrites both
+    advances the store version by exactly 1, and both tables' manifest
+    entries carry that same version."""
+    root = str(tmp_path / "store")
+    rows = [(1, "g1", 10, 1), (2, "g1", 20, 2), (3, "g2", 30, 1)]
+    schema = "id bigint, grp string, val int, cust int"
+    publish.publish_tables(
+        spark, {"t": spark.createDataFrame(rows, schema)}, root,
+        table_keys={"t": ["id"]},
+    )
+    spec = dict(src="t", dst="v", group_cols=["grp"], sum_cols=["val"],
+                exact_distinct_cols=["cust"])
+
+    def _paths():
+        m = publish.current_manifest(root)
+        out = {}
+        for name in ("v", "v__xd_cust"):
+            entry = m["tables"].get(name)
+            out[name] = entry["path"] if isinstance(entry, dict) else entry
+        return m["version"], out
+
+    # seed: one commit lands parent + companion together
+    before = publish.current_manifest(root)["version"]
+    out = materialize.maintain_aggregate(spark, root, **spec)
+    assert out["mode"] == "seed"
+    assert out["companions"] == {"v__xd_cust": "seed"}
+    v, paths = _paths()
+    assert v == before + 1
+    assert all(paths.values())
+
+    # delta refresh: still one commit for both rewrites
+    publish.merge_into_mor(
+        spark, root, "t",
+        spark.createDataFrame([(4, "g2", 40, 3)], schema), keys=["id"],
+    )
+    before, old_paths = _paths()
+    out = materialize.maintain_aggregate(spark, root, **spec)
+    assert out["mode"] == "delta"
+    assert out["companions"] == {"v__xd_cust": "delta"}
+    v, paths = _paths()
+    assert v == before + 1
+    assert paths["v"] != old_paths["v"]
+    assert paths["v__xd_cust"] != old_paths["v__xd_cust"]

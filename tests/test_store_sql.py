@@ -1212,6 +1212,33 @@ def test_matview_sum_expr_requires_alias_and_cntd_canonical(spark, tmp_path):
     assert not set(materialize.declared_views(root)) & {"v1", "v2"}
 
 
+def test_matview_sum_expr_alias_collisions_fail_at_create(spark, tmp_path):
+    """ADVICE r12: a SUM(<expr>) alias colliding with a canonical
+    maintained column (cnt, sum_<c>, ...), a group column, or another
+    expr alias must fail the CREATE with a clear message — not surface
+    later as an opaque duplicate-column error at seed-publish time."""
+    root = _mv_seed(spark, tmp_path, "mv_expr_alias")
+    sq = store_sql(spark, root)
+    bad = [
+        "SUM(val * 2) AS cnt, COUNT(*) AS cnt",             # canonical cnt
+        "SUM(val) AS sum_val, SUM(val * 2) AS sum_val",     # canonical sum_
+        "SUM(val * 2) AS shop",                             # group column
+        "SUM(val * 2) AS x, SUM(val * 3) AS x",             # duplicate alias
+        "AVG(val) AS avg_val, SUM(val * 2) AS nncnt_val",   # avg companion
+    ]
+    for i, items in enumerate(bad):
+        with pytest.raises(ValueError, match="collides"):
+            sq.sql(
+                f"CREATE MATERIALIZED VIEW bad{i} AS SELECT shop, {items} "
+                "FROM orders GROUP BY shop"
+            )
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    assert not set(materialize.declared_views(root)) & {
+        f"bad{i}" for i in range(len(bad))
+    }
+
+
 def test_create_matview_avg_with_explicit_sum_dedups(spark, tmp_path):
     """SUM(val) and AVG(val) in one view maintain ONE sum_val column."""
     root = _mv_seed(spark, tmp_path, "mv_avg_sum")
