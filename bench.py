@@ -83,7 +83,7 @@ HEADLINE = [
     "u12_data_skipping_scan",       # stats sidecar + file pruning (round 4)
     "llm_semantic_dedup",           # SemDeDup cluster-scoped dedup (round 4)
     "u12_sql_matview",              # SQL-declared IVM views: seed + O(delta) refresh (round 10; covers folded u12_incremental_aggregate)
-    "u12_incremental_join",         # IVM: scoped join-view refresh (round 4)
+    "u12_sql_matview_join",         # star rollup: join view feeding aggregate view, O(delta) via both CDC feeds (round 13; covers folded u12_incremental_join)
     "u12_merge_on_read",            # MoR delta merges + lazy reconstruction (round 4)
     "u12_bloom_scan",               # Bloom-filter point-lookup skipping (round 4)
     "stream_interval_join",         # stream-stream interval join, batch form (round 4)

@@ -2561,6 +2561,105 @@ HAVING COUNT(DISTINCT o_custkey) >= 3
 """
 
 
+def q_sql_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-rollup materialized view (round 13, the r12 verdict's gap
+    #2): ``CREATE MATERIALIZED VIEW v AS SELECT dim.c, AGG(fact.x) FROM
+    fact JOIN dim ON ... GROUP BY dim.c`` — the first view a warehouse
+    consumer declares, previously requiring a hand-split into a join
+    view + an aggregate view.  The front-end composes exactly that: an
+    internal join view ``<dst>__j`` (maintain_join) feeds an aggregate
+    view ``<dst>`` (maintain_aggregate over the join view's CDC), so one
+    REFRESH pass keeps the rollup current O(delta) through BOTH feeds —
+    fact inserts/deletes/FK-moves/value-updates ride the join delta into
+    the ± aggregation algebra, and a dim segment rename moves whole fact
+    cohorts ACROSS groups (retract old group, add new) without touching
+    unaffected groups.  Seed + one combined fact+dim delta version;
+    delta mode asserted for both views.  The measure is integer cents so
+    the maintained sum is exact cross-engine.  The oracle is the direct
+    rollup of v2.  Reference: the whole export join + aggregation re-runs
+    per refresh (src/EcomProvider.cs:937-966)."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.plans.store_sql import store_sql
+
+    root = _scratch_store_root("sql_matview_join_store")
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cust = cat.table("customer").select("c_custkey", "c_mktsegment")
+    v1_orders = orders.filter(F.col("o_orderkey") % 3 != 0)
+    v1_cust = cust.filter(F.col("c_custkey") % 2 != 0)
+    publish.publish_tables(
+        spark, {"orders": v1_orders, "customer": v1_cust}, root,
+        table_keys={"orders": ["o_orderkey"], "customer": ["c_custkey"]},
+    )
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW seg_stats AS "
+        "SELECT customer.c_mktsegment, COUNT(*) AS cnt, "
+        "SUM(orders.cents) AS sum_cents "
+        "FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey "
+        "GROUP BY customer.c_mktsegment"
+    )
+    if seed["mode"] != "seed" or seed["join_view"]["mode"] != "seed":
+        raise AssertionError(f"expected rollup seed, got {seed}")
+    v2_orders = (
+        orders.filter(F.col("o_orderkey") % 4 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1)
+            .otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("cents") + 1000
+            ).otherwise(F.col("cents")),
+        )
+    )
+    v2_cust = cust.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    publish.publish_tables(
+        spark, {"orders": v2_orders, "customer": v2_cust}, root
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    if rep["errors"] or any(
+        v["mode"] != "delta" for v in rep["views"].values()
+    ):
+        raise AssertionError(f"expected clean delta refreshes: {rep}")
+    return sq.sql(
+        "SELECT c_mktsegment, cnt, sum_cents FROM store_seg_stats"
+    )
+
+
+ORACLE_SQL_MATVIEW_JOIN = """
+WITH v2_orders AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 11 = 0
+              THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + 1000
+              ELSE CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderkey % 4 <> 0
+),
+v2_cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(o.cents) AS BIGINT) AS sum_cents
+FROM v2_orders o JOIN v2_cust c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-declared incremental materialized views (round 10,
     plans/store_sql.py): ``CREATE MATERIALIZED VIEW v AS SELECT ...
@@ -3408,8 +3507,18 @@ QUERIES = {
     "u12_incremental_distinct": QueryDef(
         q_incremental_distinct, ORACLE_INCREMENTAL_DISTINCT
     ),
+    # folded (round-13 governance, funding u12_sql_matview_join at the
+    # 150 = 3×50 cap): the star rollup drives the IDENTICAL maintain_join
+    # machinery (same orders⋈customer lifecycle — inserts, deletes,
+    # FK moves, dim rewrites) as its internal join view, then aggregates
+    # on top; the Python-API twin still value-checks every pytest run in
+    # tests/test_retired_fastpaths.py
     "u12_incremental_join": QueryDef(
-        q_incremental_join, ORACLE_INCREMENTAL_JOIN
+        q_incremental_join, ORACLE_INCREMENTAL_JOIN,
+        folded_into="u12_sql_matview_join",
+    ),
+    "u12_sql_matview_join": QueryDef(
+        q_sql_matview_join, ORACLE_SQL_MATVIEW_JOIN
     ),
     "u6_remove_missing_union": QueryDef(q_remove_missing_union, ORACLE_REMOVE_MISSING_UNION),
     "u10_relation_prune_partial": QueryDef(q_relation_prune_partial, ORACLE_RELATION_PRUNE_PARTIAL),

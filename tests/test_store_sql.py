@@ -1239,6 +1239,84 @@ def test_matview_sum_expr_alias_collisions_fail_at_create(spark, tmp_path):
     }
 
 
+def test_create_matview_star_rollup_lifecycle(spark, tmp_path):
+    """Round-13 star rollup: ``SELECT dim.c, AGG(fact.x) FROM fact JOIN
+    dim ... GROUP BY dim.c`` composes an internal join view feeding an
+    aggregate view; one REFRESH pass keeps both current O(delta) through
+    BOTH feeds — including a dim rename moving rows ACROSS groups."""
+    root = _mv_seed(spark, tmp_path, "mv_rollup")
+    sq = store_sql(spark, root)
+    seed = sq.sql(
+        "CREATE MATERIALIZED VIEW city_stats AS "
+        "SELECT shops.city, COUNT(*) AS cnt, SUM(orders.val) AS sum_val "
+        "FROM orders JOIN shops ON orders.shop = shops.shop "
+        "GROUP BY shops.city"
+    )
+    assert seed["mode"] == "seed"
+    assert seed["join_view"] == {"dst": "city_stats__j", "mode": "seed"}
+    got = {r["city"]: (r["cnt"], r["sum_val"])
+           for r in sq.sql("SELECT * FROM store_city_stats").collect()}
+    assert got == {"Berlin": (2, 30), "Oslo": (1, 5)}
+    # the internal join view is plumbing: hidden from SHOW
+    shown = {r["view"] for r in sq.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert shown == {"city_stats"}
+    # fact delta (update + delete + insert) ...
+    publish.merge_into_mor(
+        spark, root, "orders",
+        spark.createDataFrame(
+            [(4, "s2", 40, None), (1, "s1", 15, None)],
+            "id bigint, shop string, val bigint, opt bigint",
+        ),
+        keys=["id"],
+        deletes=spark.createDataFrame([(3,)], "id bigint"),
+    )
+    # ... and a dim rename crossing groups: s2 moves Oslo -> Berlin
+    publish.merge_into_mor(
+        spark, root, "shops",
+        spark.createDataFrame([("s2", "Berlin")], "shop string, city string"),
+        keys=["shop"],
+    )
+    rep = sq.sql("REFRESH MATERIALIZED VIEWS")
+    assert rep["errors"] == {}
+    assert rep["views"]["city_stats__j"]["mode"] == "delta"
+    assert rep["views"]["city_stats"]["mode"] == "delta"
+    got = {r["city"]: (r["cnt"], r["sum_val"])
+           for r in sq.sql("SELECT * FROM store_city_stats").collect()}
+    # rows now: (1,s1,15),(2,s1,20),(4,s2,40); both shops in Berlin —
+    # the Oslo group retracted exactly, its rows folded into Berlin
+    assert got == {"Berlin": (3, 75)}
+    # DROP removes the rollup AND its internal join-view declaration
+    assert sq.sql("DROP MATERIALIZED VIEW city_stats")["dropped"] is True
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    assert not set(materialize.declared_views(root)) & {
+        "city_stats", "city_stats__j"
+    }
+
+
+def test_matview_rollup_rejects_unqualified_and_dim_where(spark, tmp_path):
+    root = _mv_seed(spark, tmp_path, "mv_rollup_err")
+    sq = store_sql(spark, root)
+    with pytest.raises(ValueError, match="table-qualified"):
+        sq.sql(
+            "CREATE MATERIALIZED VIEW r1 AS SELECT shops.city, "
+            "COUNT(*) AS cnt FROM orders JOIN shops ON "
+            "orders.shop = shops.shop GROUP BY city"
+        )
+    with pytest.raises(ValueError, match="fact-side only"):
+        sq.sql(
+            "CREATE MATERIALIZED VIEW r2 AS SELECT shops.city, "
+            "COUNT(*) AS cnt FROM orders JOIN shops ON "
+            "orders.shop = shops.shop WHERE shops.city = 'Oslo' "
+            "GROUP BY shops.city"
+        )
+    from dataintegration_ecomprovider_spark.plans import materialize
+
+    assert not set(materialize.declared_views(root)) & {
+        "r1", "r1__j", "r2", "r2__j"
+    }
+
+
 def test_create_matview_avg_with_explicit_sum_dedups(spark, tmp_path):
     """SUM(val) and AVG(val) in one view maintain ONE sum_val column."""
     root = _mv_seed(spark, tmp_path, "mv_avg_sum")
