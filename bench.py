@@ -123,6 +123,7 @@ HEADLINE = [
     "llm_lm_perplexity_trigram",    # order-3 backoff chain scoring (round 11)
     "llm_lm_perplexity_5gram",      # KenLM-order generic chain scoring (round 11)
     "llm_lm_perplexity_kn",         # interpolated Kneser-Ney chain (round 12)
+    "llm_lm_perplexity_mkn",        # modified KN: three discounts per level (round 13; covers folded llm_lm_perplexity via 5gram)
     "llm_bpe_encode_ids",           # id-stable vocab + token-id encoding (round 11)
     "u12_sql_matview_avg",          # AVG/HAVING matview: read-side derivation (round 11)
     "u12_sql_matview_expr",         # SUM(expr) + exact COUNT(DISTINCT) matview (round 12)

@@ -151,16 +151,21 @@ def train_ngram_lm(
     cost), KN is the declared quality option (Chen & Goodman 1999)."""
     if order < 2:
         raise ValueError("n-gram LM needs order >= 2")
-    if smoothing == "kn":
+    if smoothing in ("kn", "mkn"):
         if min_count != 1:
             raise ValueError(
                 "Kneser-Ney uses FULL count tables (pruning breaks the "
                 "probability mass the discounts redistribute) — "
                 "min_count must stay 1 with smoothing='kn'"
             )
-        return train_kn_lm(train_docs, order, text_col, lowercase)
+        return train_kn_lm(
+            train_docs, order, text_col, lowercase,
+            modified=(smoothing == "mkn"),
+        )
     if smoothing != "sbo":
-        raise ValueError(f"smoothing must be 'sbo' or 'kn', got {smoothing!r}")
+        raise ValueError(
+            f"smoothing must be 'sbo', 'kn' or 'mkn', got {smoothing!r}"
+        )
     toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
     uni_full = (
         toks.select(F.explode("ws").alias("w"))
@@ -195,15 +200,17 @@ def train_ngram_lm(
 
 
 def _count_of_counts(df: DataFrame, cnt_col: str) -> DataFrame:
-    """One-row (n1, n2) frame: how many TYPES occur exactly once / twice.
-    Feeds the standard Kneser-Ney discount estimate D = n1/(n1 + 2·n2)
+    """One-row (n1..n4) frame: how many TYPES occur exactly 1..4 times.
+    n1/n2 feed the standard Kneser-Ney discount D = n1/(n1 + 2·n2)
     (Chen & Goodman 1999 eq. 26; Heafield 2011 uses the same rule per
-    order)."""
+    order); n3/n4 additionally feed the MODIFIED KN three-discount
+    estimator (_mkn_discounts)."""
     return df.agg(
-        F.sum(F.when(F.col(cnt_col) == 1, 1).otherwise(0))
-        .cast("bigint").alias("n1"),
-        F.sum(F.when(F.col(cnt_col) == 2, 1).otherwise(0))
-        .cast("bigint").alias("n2"),
+        *[
+            F.sum(F.when(F.col(cnt_col) == i, 1).otherwise(0))
+            .cast("bigint").alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ]
     )
 
 
@@ -218,11 +225,50 @@ def _discount(n1: Column, n2: Column) -> Column:
     return F.when(n1 > 0, n1 / (n1 + F.lit(2) * n2)).otherwise(F.lit(0.5))
 
 
+def _mkn_discounts(cc: DataFrame, suffix: str) -> DataFrame:
+    """Modified Kneser-Ney three-discount estimates from a one-row
+    count-of-counts frame (Chen & Goodman 1999 §3, the KenLM estimator
+    default):
+
+        Y  = n1 / (n1 + 2·n2)
+        D1 = 1 − 2·Y·n2/n1      (applies to count-1 events)
+        D2 = 2 − 3·Y·n3/n2      (count-2 events)
+        D3 = 3 − 4·Y·n4/n3      (count-≥3 events)
+
+    Degenerate-count fallbacks keep every discount strictly positive —
+    a zero discount would leave unseen events probability exactly 0 at
+    a level with no other discount classes (the ln(0) → NULL-micro
+    failure the interpolated-KN n1==0 guard closes): whenever a
+    formula's anchor count is 0 OR the formula goes non-positive, Di
+    falls back to i/2 (0.5 / 1.0 / 1.5 — the half-of-class analog of
+    the interpolated 0.5 rule).  Every op is a fixed-order IEEE
+    double expression mirrored exactly in the generated DuckDB oracle
+    and the pure-python test reference."""
+    y = F.when(
+        F.col("n1") > 0, F.col("n1") / (F.col("n1") + F.lit(2) * F.col("n2"))
+    ).otherwise(F.lit(0.5))
+    out = []
+    for i, (num, den) in enumerate(
+        [("n2", "n1"), ("n3", "n2"), ("n4", "n3")], start=1
+    ):
+        raw = (
+            F.lit(float(i))
+            - F.lit(float(i + 1)) * y * F.col(num) / F.col(den)
+        )
+        out.append(
+            F.when((F.col(den) > 0) & (raw > 0), raw)
+            .otherwise(F.lit(i / 2.0))
+            .alias(f"d{i}_{suffix}")
+        )
+    return cc.select(*out)
+
+
 def train_kn_lm(
     train_docs: DataFrame,
     order: int,
     text_col: str = "text",
     lowercase: bool = True,
+    modified: bool = False,
 ) -> dict:
     """Interpolated Kneser-Ney count model (Chen & Goodman 1999; the
     KenLM estimation pipeline of Heafield 2011 builds the same tables):
@@ -249,11 +295,33 @@ def train_kn_lm(
     - kstats (vocab, cc1tot, n1c1, d_reg_k…, d_cont_j…): one row —
       unigram-level scalars + per-level discounts n1/(n1+2·n2)
 
+    ``modified=True`` builds the MODIFIED Kneser-Ney variant (Chen &
+    Goodman 1999 §3 — KenLM's estimator default): three discounts
+    D1/D2/D3+ per level (from n1..n4, _mkn_discounts) applied by the
+    event's count class, with per-context class type-counts
+    N1(c·)/N2(c·)/N3+(c·) maintained beside the distinct-extension
+    totals so each context's backoff mass is
+    (D1·N1 + D2·N2 + D3+·N3+)/denom.  Same tables, three extra integer
+    columns per context row and two extra scalar triples per level.
+
     100 TB shape: identical to the SBO trainer — explode+count over the
     (small, curated) reference corpus; the extra tables are GROUP BYs of
     tables already built.  The model stays broadcast-sized."""
     if order < 2:
         raise ValueError("n-gram LM needs order >= 2")
+
+    def _classes(cnt_col: str) -> list:
+        # per-context type counts by count class: exactly-1 / exactly-2 /
+        # 3-or-more occurrences (the three discount classes)
+        return [
+            F.sum(F.when(F.col(cnt_col) == 1, 1).otherwise(0))
+            .cast("bigint").alias("nc1"),
+            F.sum(F.when(F.col(cnt_col) == 2, 1).otherwise(0))
+            .cast("bigint").alias("nc2"),
+            F.sum(F.when(F.col(cnt_col) >= 3, 1).otherwise(0))
+            .cast("bigint").alias("nc3"),
+        ]
+
     toks = train_docs.select(_tokens(F.col(text_col), lowercase).alias("ws"))
     uni_full = (
         toks.select(F.explode("ws").alias("w"))
@@ -276,6 +344,7 @@ def train_kn_lm(
         regctx[k] = grams[k].groupBy(*cols[:-1]).agg(
             F.sum("cnt").cast("bigint").alias("ccnt"),
             F.count(F.lit(1)).cast("bigint").alias("n1p"),
+            *(_classes("cnt") if modified else []),
         )
     cont: dict[int, DataFrame] = {}
     contctx: dict[int, DataFrame] = {}
@@ -298,28 +367,48 @@ def train_kn_lm(
             ).agg(
                 F.sum("cc").cast("bigint").alias("mid"),
                 F.count(F.lit(1)).cast("bigint").alias("n1c"),
+                *(_classes("cc") if modified else []),
             )
     kstats = stats.select("vocab").crossJoin(
         cont[1].agg(
             F.sum("cc").cast("bigint").alias("cc1tot"),
             F.count(F.lit(1)).cast("bigint").alias("n1c1"),
+            # unigram-level class scalars (the "context" is empty, so
+            # the class counts collapse to three one-row totals)
+            *(
+                [
+                    F.sum(F.when(F.col("cc") == 1, 1).otherwise(0))
+                    .cast("bigint").alias("m1c1"),
+                    F.sum(F.when(F.col("cc") == 2, 1).otherwise(0))
+                    .cast("bigint").alias("m1c2"),
+                    F.sum(F.when(F.col("cc") >= 3, 1).otherwise(0))
+                    .cast("bigint").alias("m1c3"),
+                ]
+                if modified else []
+            ),
         )
     )
     for k in range(2, order + 1):
+        cc = _count_of_counts(grams[k], "cnt")
         kstats = kstats.crossJoin(
-            _count_of_counts(grams[k], "cnt").select(
+            _mkn_discounts(cc, f"reg_{k}")
+            if modified
+            else cc.select(
                 _discount(F.col("n1"), F.col("n2")).alias(f"d_reg_{k}")
             )
         )
     for j in range(1, order):
+        cc = _count_of_counts(cont[j], "cc")
         kstats = kstats.crossJoin(
-            _count_of_counts(cont[j], "cc").select(
+            _mkn_discounts(cc, f"cont_{j}")
+            if modified
+            else cc.select(
                 _discount(F.col("n1"), F.col("n2")).alias(f"d_cont_{j}")
             )
         )
     return {
         "order": order,
-        "smoothing": "kn",
+        "smoothing": "mkn" if modified else "kn",
         "stats": stats,
         "grams": grams,
         "regctx": regctx,
@@ -349,10 +438,10 @@ def score_documents_ngram(
     order 2 and 3 reproduce score_documents / score_documents_trigram
     bit-exactly (asserted in tests/test_lm.py).
 
-    A model trained with smoothing="kn" dispatches to the interpolated
+    A model trained with smoothing="kn" or "mkn" dispatches to the
     Kneser-Ney scorer (score_documents_kn) — same framing, same
     micro-nat quantization, different probability rule."""
-    if model.get("smoothing") == "kn":
+    if model.get("smoothing") in ("kn", "mkn"):
         return score_documents_kn(docs, model, text_col, id_col, lowercase)
     order = model["order"]
     base = docs.select(
@@ -475,13 +564,37 @@ def score_documents_kn(
     quantization as in every other scorer, so the DuckDB oracle
     (generated by the same rules) matches bit for bit.
 
+    Modified-KN models (smoothing="mkn") score the same chain with the
+    three-discount rule: the discount subtracted from a seen event is
+    keyed by its COUNT CLASS (D1 for count 1, D2 for 2, D3+ for ≥3),
+    and each context's backoff mass is (D1·N1 + D2·N2 + D3+·N3+)/denom
+    over the per-class type counts (Chen & Goodman 1999 §3).
+
     100 TB shape: one pass over the scored corpus; ~3 broadcast joins
     per chain level against broadcast-sized model tables; no shuffle of
     the corpus beyond the per-document integer aggregation."""
     order = model["order"]
+    mod = model.get("smoothing") == "mkn"
     base = docs.select(
         F.col(id_col), _tokens(F.col(text_col), lowercase).alias("ws")
     )
+
+    def _disc3(c, prefix: str):
+        # count-class discount; the c == 0 arm lands on D3 but its term
+        # is greatest(0 − D, 0) = 0 either way
+        return (
+            F.when(c == 1, F.col(f"d1_{prefix}"))
+            .when(c == 2, F.col(f"d2_{prefix}"))
+            .otherwise(F.col(f"d3_{prefix}"))
+        )
+
+    def _gamma3(prefix: str, c1, c2, c3, denom):
+        # backoff mass: (D1·N1 + D2·N2 + D3·N3+)/denom, left-assoc sum
+        return (
+            F.col(f"d1_{prefix}") * c1
+            + F.col(f"d2_{prefix}") * c2
+            + F.col(f"d3_{prefix}") * c3
+        ) / denom
 
     def scored_frame(rows: DataFrame, k: int) -> DataFrame:
         out = rows
@@ -495,6 +608,10 @@ def score_documents_kn(
             *[F.col(f"w{j + 1}").alias(gcols[j]) for j in range(k - 1)],
             F.col("ccnt").alias("ctx_top"),
             F.col("n1p").alias("n1p_top"),
+            *(
+                [F.col(f"nc{i}").alias(f"nc{i}_top") for i in (1, 2, 3)]
+                if mod else []
+            ),
         )
         out = out.join(rctx, gcols[:-1], "left")
         for j in range(1, k):
@@ -510,6 +627,10 @@ def score_documents_kn(
                     *[F.col(f"w{i + 1}").alias(sfx[i]) for i in range(j - 1)],
                     F.col("mid").alias(f"mid_{j}"),
                     F.col("n1c").alias(f"n1c_{j}"),
+                    *(
+                        [F.col(f"nc{i}").alias(f"nc{i}_{j}") for i in (1, 2, 3)]
+                        if mod else []
+                    ),
                 )
                 out = out.join(xren, sfx[:-1], "left")
         out = out.crossJoin(model["kstats"])  # one broadcast row
@@ -517,34 +638,59 @@ def score_documents_kn(
         # probability chain, bottom-up — operation order FIXED to match
         # the generated oracle: term + (weight) * lower
         p = F.lit(1.0) / (F.col("vocab") + F.lit(1))
-        t1 = (
-            F.greatest(
-                F.coalesce(F.col("cc_1"), F.lit(0)) - F.col("d_cont_1"),
-                F.lit(0.0),
+        c1 = F.coalesce(F.col("cc_1"), F.lit(0))
+        if mod:
+            t1 = (
+                F.greatest(c1 - _disc3(c1, "cont_1"), F.lit(0.0))
+                / F.col("cc1tot")
             )
-            / F.col("cc1tot")
-        )
-        w1 = (F.col("d_cont_1") * F.col("n1c1")) / F.col("cc1tot")
+            w1 = _gamma3(
+                "cont_1", F.col("m1c1"), F.col("m1c2"), F.col("m1c3"),
+                F.col("cc1tot"),
+            )
+        else:
+            t1 = (
+                F.greatest(c1 - F.col("d_cont_1"), F.lit(0.0))
+                / F.col("cc1tot")
+            )
+            w1 = (F.col("d_cont_1") * F.col("n1c1")) / F.col("cc1tot")
         p = t1 + w1 * p
         for j in range(2, k):
-            tj = (
-                F.greatest(
-                    F.coalesce(F.col(f"cc_{j}"), F.lit(0))
-                    - F.col(f"d_cont_{j}"),
-                    F.lit(0.0),
+            cj = F.coalesce(F.col(f"cc_{j}"), F.lit(0))
+            if mod:
+                tj = (
+                    F.greatest(cj - _disc3(cj, f"cont_{j}"), F.lit(0.0))
+                    / F.col(f"mid_{j}")
                 )
-                / F.col(f"mid_{j}")
-            )
-            wj = (F.col(f"d_cont_{j}") * F.col(f"n1c_{j}")) / F.col(f"mid_{j}")
+                wj = _gamma3(
+                    f"cont_{j}", F.col(f"nc1_{j}"), F.col(f"nc2_{j}"),
+                    F.col(f"nc3_{j}"), F.col(f"mid_{j}"),
+                )
+            else:
+                tj = (
+                    F.greatest(cj - F.col(f"d_cont_{j}"), F.lit(0.0))
+                    / F.col(f"mid_{j}")
+                )
+                wj = (
+                    F.col(f"d_cont_{j}") * F.col(f"n1c_{j}")
+                ) / F.col(f"mid_{j}")
             p = F.when(F.col(f"mid_{j}").isNull(), p).otherwise(tj + wj * p)
-        tt = (
-            F.greatest(
-                F.coalesce(F.col("cnt_top"), F.lit(0)) - F.col(f"d_reg_{k}"),
-                F.lit(0.0),
+        ct = F.coalesce(F.col("cnt_top"), F.lit(0))
+        if mod:
+            tt = (
+                F.greatest(ct - _disc3(ct, f"reg_{k}"), F.lit(0.0))
+                / F.col("ctx_top")
             )
-            / F.col("ctx_top")
-        )
-        wt = (F.col(f"d_reg_{k}") * F.col("n1p_top")) / F.col("ctx_top")
+            wt = _gamma3(
+                f"reg_{k}", F.col("nc1_top"), F.col("nc2_top"),
+                F.col("nc3_top"), F.col("ctx_top"),
+            )
+        else:
+            tt = (
+                F.greatest(ct - F.col(f"d_reg_{k}"), F.lit(0.0))
+                / F.col("ctx_top")
+            )
+            wt = (F.col(f"d_reg_{k}") * F.col("n1p_top")) / F.col("ctx_top")
         p = F.when(F.col("ctx_top").isNull(), p).otherwise(tt + wt * p)
         return out.select(
             id_col,

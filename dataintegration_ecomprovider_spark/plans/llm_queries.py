@@ -3413,7 +3413,7 @@ def q_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.score_documents_ngram(docs, model)
 
 
-def _kn_oracle(order: int) -> str:
+def _kn_oracle(order: int, modified: bool = False) -> str:
     """DuckDB replay of train_kn_lm + score_documents_kn at ``order``:
     FULL regular count tables g{k} + (ccnt, n1p) context rollups rc{k},
     continuation tables cont{j} (from g{j+1} types) + (mid, n1c)
@@ -3421,7 +3421,19 @@ def _kn_oracle(order: int) -> str:
     scalars, per-level discounts), then one scored frame per context
     length with the probability chain built in STAGED subqueries whose
     operation order matches the Spark scorer expression for expression:
-    term + (weight)·lower, each one correctly-rounded IEEE op."""
+    term + (weight)·lower, each one correctly-rounded IEEE op.
+
+    ``modified=True`` replays the MODIFIED-KN variant (Chen & Goodman
+    1999 §3): context rollups gain per-count-class type counts
+    (nc1/nc2/nc3), kstats carries three discounts D1/D2/D3 per level
+    (from n1..n4, the lm._mkn_discounts formulas with the same i/2
+    fallbacks), and the chain subtracts the count-class discount and
+    interpolates with (D1·N1 + D2·N2 + D3·N3+)/denom."""
+    cls_cnt = (
+        ", CAST(SUM(CASE WHEN {c} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc1"
+        ", CAST(SUM(CASE WHEN {c} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nc2"
+        ", CAST(SUM(CASE WHEN {c} >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS nc3"
+    )
     ctes = ["""toks AS MATERIALIZED (
   SELECT doc_id, lang,
          list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
@@ -3445,7 +3457,9 @@ def _kn_oracle(order: int) -> str:
         pfx = ", ".join(f"w{j}" for j in range(1, k))
         ctes.append(
             f"rc{k} AS (SELECT {pfx}, CAST(SUM(cnt) AS BIGINT) AS ccnt, "
-            f"CAST(COUNT(*) AS BIGINT) AS n1p FROM g{k} GROUP BY {pfx})"
+            f"CAST(COUNT(*) AS BIGINT) AS n1p"
+            + (cls_cnt.format(c="cnt") if modified else "")
+            + f" FROM g{k} GROUP BY {pfx})"
         )
     for j in range(1, order):
         # continuation count of the j-gram = distinct left-extension
@@ -3460,7 +3474,9 @@ def _kn_oracle(order: int) -> str:
             pfx = ", ".join(f"w{i + 1}" for i in range(j - 1))
             ctes.append(
                 f"cctx{j} AS (SELECT {pfx}, CAST(SUM(cc) AS BIGINT) AS mid, "
-                f"CAST(COUNT(*) AS BIGINT) AS n1c FROM cont{j} GROUP BY {pfx})"
+                f"CAST(COUNT(*) AS BIGINT) AS n1c"
+                + (cls_cnt.format(c="cc") if modified else "")
+                + f" FROM cont{j} GROUP BY {pfx})"
             )
     ctes.append("""uni AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS ucnt
@@ -3471,30 +3487,66 @@ def _kn_oracle(order: int) -> str:
         "stats AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS n_total, "
         "CAST(COUNT(*) AS BIGINT) AS vocab FROM uni)"
     )
-    # one-row kstats: D = n1/(n1 + 2*n2) per level (0.5 whenever n1 = 0
-    # — D = 0 would zero out unseen-event mass; matches lm._discount),
-    # same bigint division both engines perform as one IEEE op
+    # one-row kstats.  Interpolated: D = n1/(n1 + 2*n2) per level (0.5
+    # whenever n1 = 0 — D = 0 would zero out unseen-event mass; matches
+    # lm._discount).  Modified: D1/D2/D3 per level from n1..n4 with the
+    # i/2 fallbacks (matches lm._mkn_discounts — anchor count 0 or a
+    # non-positive formula result).  Same bigint divisions both engines
+    # perform as single IEEE ops.
+    def _n1234(tbl: str, c: str) -> str:
+        return ", ".join(
+            f"CAST(SUM(CASE WHEN {c} = {i} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n{i}"
+            for i in (1, 2, 3, 4)
+        ) + f" FROM {tbl}"
+
+    def _mkn_block(tbl: str, c: str, sfx: str, alias: str) -> str:
+        ds = []
+        for i, (num, den) in enumerate([(2, 1), (3, 2), (4, 3)], start=1):
+            raw = f"{i} - {i + 1} * y * n{num} / n{den}"
+            ds.append(
+                f"CASE WHEN n{den} > 0 AND ({raw}) > 0 THEN {raw} "
+                f"ELSE {i / 2.0} END AS d{i}_{sfx}"
+            )
+        return (
+            f"CROSS JOIN (SELECT {', '.join(ds)} FROM ("
+            f"SELECT *, CASE WHEN n1 > 0 THEN n1 / (n1 + 2 * n2) "
+            f"ELSE 0.5 END AS y FROM (SELECT {_n1234(tbl, c)}))) {alias}"
+        )
+
     dj = []
     for k in range(2, order + 1):
-        dj.append(
-            f"CROSS JOIN (SELECT CASE WHEN n1 > 0 "
-            f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_reg_{k} FROM ("
-            f"SELECT CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
-            f"CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
-            f"FROM g{k})) dr{k}"
-        )
+        if modified:
+            dj.append(_mkn_block(f"g{k}", "cnt", f"reg_{k}", f"dr{k}"))
+        else:
+            dj.append(
+                f"CROSS JOIN (SELECT CASE WHEN n1 > 0 "
+                f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_reg_{k} FROM ("
+                f"SELECT {_n1234(f'g{k}', 'cnt')})) dr{k}"
+            )
     for j in range(1, order):
-        dj.append(
-            f"CROSS JOIN (SELECT CASE WHEN n1 > 0 "
-            f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_cont_{j} FROM ("
-            f"SELECT CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
-            f"CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 "
-            f"FROM cont{j})) dc{j}"
+        if modified:
+            dj.append(_mkn_block(f"cont{j}", "cc", f"cont_{j}", f"dc{j}"))
+        else:
+            dj.append(
+                f"CROSS JOIN (SELECT CASE WHEN n1 > 0 "
+                f"THEN n1 / (n1 + 2 * n2) ELSE 0.5 END AS d_cont_{j} FROM ("
+                f"SELECT {_n1234(f'cont{j}', 'cc')})) dc{j}"
+            )
+    c1_scalars = (
+        "CROSS JOIN (SELECT CAST(SUM(cc) AS BIGINT) AS cc1tot, "
+        "CAST(COUNT(*) AS BIGINT) AS n1c1"
+        + (
+            ", CAST(SUM(CASE WHEN cc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1c1"
+            ", CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS m1c2"
+            ", CAST(SUM(CASE WHEN cc >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS m1c3"
+            if modified else ""
         )
+        + " FROM cont1) c1"
+    )
     ctes.append(
         "kstats AS (SELECT * FROM (SELECT vocab FROM stats) s\n  "
-        "CROSS JOIN (SELECT CAST(SUM(cc) AS BIGINT) AS cc1tot, "
-        "CAST(COUNT(*) AS BIGINT) AS n1c1 FROM cont1) c1\n  "
+        + c1_scalars + "\n  "
         + "\n  ".join(dj) + ")"
     )
 
@@ -3512,8 +3564,13 @@ def _kn_oracle(order: int) -> str:
             )
             pos = f"SELECT doc_id, {gsel} FROM toks WHERE len(ws) >= {k}"
         sel = ["p.doc_id", "t.cnt AS cnt_top", "r.ccnt AS ctx_top",
-               "r.n1p AS n1p_top", "ks.vocab", "ks.cc1tot", "ks.n1c1",
-               f"ks.d_reg_{k}"]
+               "r.n1p AS n1p_top", "ks.vocab", "ks.cc1tot", "ks.n1c1"]
+        if modified:
+            sel += [f"r.nc{i} AS nc{i}_top" for i in (1, 2, 3)]
+            sel += [f"ks.d{i}_reg_{k}" for i in (1, 2, 3)]
+            sel += ["ks.m1c1", "ks.m1c2", "ks.m1c3"]
+        else:
+            sel.append(f"ks.d_reg_{k}")
         joins = [
             "LEFT JOIN g%d t ON %s" % (
                 k,
@@ -3526,7 +3583,10 @@ def _kn_oracle(order: int) -> str:
         ]
         for j in range(1, k):
             sel.append(f"c{j}.cc AS cc_{j}")
-            sel.append(f"ks.d_cont_{j}")
+            if modified:
+                sel += [f"ks.d{i}_cont_{j}" for i in (1, 2, 3)]
+            else:
+                sel.append(f"ks.d_cont_{j}")
             on_c = " AND ".join(
                 f"c{j}.w{i + 1} = p.g{k - j + 1 + i}" for i in range(j)
             )
@@ -3534,6 +3594,8 @@ def _kn_oracle(order: int) -> str:
             if j >= 2:
                 sel.append(f"x{j}.mid AS mid_{j}")
                 sel.append(f"x{j}.n1c AS n1c_{j}")
+                if modified:
+                    sel += [f"x{j}.nc{i} AS nc{i}_{j}" for i in (1, 2, 3)]
                 on_x = " AND ".join(
                     f"x{j}.w{i + 1} = p.g{k - j + 1 + i}" for i in range(j - 1)
                 )
@@ -3543,26 +3605,69 @@ def _kn_oracle(order: int) -> str:
             + "\n    ".join(joins)
             + "\n    CROSS JOIN kstats ks"
         )
+
+        def _d3(c_expr: str, sfx: str) -> str:
+            # count-class discount, mirroring lm._disc3's when-chain
+            return (
+                f"(CASE WHEN {c_expr} = 1 THEN d1_{sfx} "
+                f"WHEN {c_expr} = 2 THEN d2_{sfx} ELSE d3_{sfx} END)"
+            )
+
+        def _g3(sfx: str, c1: str, c2: str, c3: str, denom: str) -> str:
+            # backoff mass, same left-assoc sum as lm._gamma3
+            return (
+                f"((d1_{sfx} * {c1} + d2_{sfx} * {c2} + d3_{sfx} * {c3}) "
+                f"/ {denom})"
+            )
+
         # staged probability chain — each stage one SELECT *, matching
         # the Spark expression's operation order exactly
-        stage = (
-            f"SELECT *, (GREATEST(coalesce(cc_1, 0) - d_cont_1, 0.0) "
-            f"/ cc1tot) + ((d_cont_1 * n1c1) / cc1tot) "
-            f"* (CAST(1.0 AS DOUBLE) / (vocab + 1)) AS p1 FROM ({inner})"
-        )
-        for j in range(2, k):
+        if modified:
             stage = (
-                f"SELECT *, CASE WHEN mid_{j} IS NULL THEN p{j - 1} ELSE "
-                f"(GREATEST(coalesce(cc_{j}, 0) - d_cont_{j}, 0.0) "
-                f"/ mid_{j}) + ((d_cont_{j} * n1c_{j}) / mid_{j}) "
-                f"* p{j - 1} END AS p{j} FROM ({stage})"
+                f"SELECT *, (GREATEST(coalesce(cc_1, 0) - "
+                f"{_d3('coalesce(cc_1, 0)', 'cont_1')}, 0.0) "
+                f"/ cc1tot) + {_g3('cont_1', 'm1c1', 'm1c2', 'm1c3', 'cc1tot')} "
+                f"* (CAST(1.0 AS DOUBLE) / (vocab + 1)) AS p1 FROM ({inner})"
             )
-        stage = (
-            f"SELECT *, CASE WHEN ctx_top IS NULL THEN p{k - 1} ELSE "
-            f"(GREATEST(coalesce(cnt_top, 0) - d_reg_{k}, 0.0) "
-            f"/ ctx_top) + ((d_reg_{k} * n1p_top) / ctx_top) "
-            f"* p{k - 1} END AS p{k} FROM ({stage})"
-        )
+        else:
+            stage = (
+                f"SELECT *, (GREATEST(coalesce(cc_1, 0) - d_cont_1, 0.0) "
+                f"/ cc1tot) + ((d_cont_1 * n1c1) / cc1tot) "
+                f"* (CAST(1.0 AS DOUBLE) / (vocab + 1)) AS p1 FROM ({inner})"
+            )
+        for j in range(2, k):
+            if modified:
+                stage = (
+                    f"SELECT *, CASE WHEN mid_{j} IS NULL THEN p{j - 1} ELSE "
+                    f"(GREATEST(coalesce(cc_{j}, 0) - "
+                    f"{_d3(f'coalesce(cc_{j}, 0)', f'cont_{j}')}, 0.0) "
+                    f"/ mid_{j}) + "
+                    f"{_g3(f'cont_{j}', f'nc1_{j}', f'nc2_{j}', f'nc3_{j}', f'mid_{j}')} "
+                    f"* p{j - 1} END AS p{j} FROM ({stage})"
+                )
+            else:
+                stage = (
+                    f"SELECT *, CASE WHEN mid_{j} IS NULL THEN p{j - 1} ELSE "
+                    f"(GREATEST(coalesce(cc_{j}, 0) - d_cont_{j}, 0.0) "
+                    f"/ mid_{j}) + ((d_cont_{j} * n1c_{j}) / mid_{j}) "
+                    f"* p{j - 1} END AS p{j} FROM ({stage})"
+                )
+        if modified:
+            stage = (
+                f"SELECT *, CASE WHEN ctx_top IS NULL THEN p{k - 1} ELSE "
+                f"(GREATEST(coalesce(cnt_top, 0) - "
+                f"{_d3('coalesce(cnt_top, 0)', f'reg_{k}')}, 0.0) "
+                f"/ ctx_top) + "
+                f"{_g3(f'reg_{k}', 'nc1_top', 'nc2_top', 'nc3_top', 'ctx_top')} "
+                f"* p{k - 1} END AS p{k} FROM ({stage})"
+            )
+        else:
+            stage = (
+                f"SELECT *, CASE WHEN ctx_top IS NULL THEN p{k - 1} ELSE "
+                f"(GREATEST(coalesce(cnt_top, 0) - d_reg_{k}, 0.0) "
+                f"/ ctx_top) + ((d_reg_{k} * n1p_top) / ctx_top) "
+                f"* p{k - 1} END AS p{k} FROM ({stage})"
+            )
         return (
             f"SELECT doc_id, CAST(ROUND(ln(p{k}) * 1000000.0, 0) AS BIGINT) "
             f"AS micro FROM ({stage})"
@@ -3595,6 +3700,28 @@ FROM fin"""
 
 
 ORACLE_LM_PERPLEXITY_KN = _kn_oracle(3)
+
+
+def q_lm_perplexity_mkn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 MODIFIED Kneser-Ney scoring (Chen & Goodman 1999 §3 —
+    KenLM's estimator default, round 13): three discounts D1/D2/D3+ per
+    level from n1..n4 count-of-counts, applied by each event's count
+    class, with per-context class type-counts in the backoff mass
+    (D1·N1 + D2·N2 + D3+·N3+)/denom.  Same table/scoring plumbing as
+    the interpolated chain (llm_lm_perplexity_kn — still value-checked
+    in pytest); the oracle is GENERATED by the same rules
+    (_kn_oracle(modified=True)) — a full independent DuckDB
+    re-derivation from raw parquet, float association pinned."""
+    from dataintegration_ecomprovider_spark.llm import lm
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    model = lm.train_ngram_lm(
+        docs.filter(F.col("lang") == "en"), order=3, smoothing="mkn"
+    )
+    return lm.score_documents_ngram(docs, model)
+
+
+ORACLE_LM_PERPLEXITY_MKN = _kn_oracle(3, modified=True)
 
 
 QUERIES = {
@@ -3642,7 +3769,16 @@ QUERIES = {
     "llm_bpe_train": QueryDef(q_bpe_train, ORACLE_BPE_TRAIN),
     "llm_bpe_token_counts": QueryDef(q_bpe_token_counts, ORACLE_BPE_TOKEN_COUNTS),
     "llm_bpe_encode_ids": QueryDef(q_bpe_encode_ids, ORACLE_BPE_ENCODE_IDS),
-    "llm_lm_perplexity": QueryDef(q_lm_perplexity, ORACLE_LM_PERPLEXITY),
+    # folded (round-13 governance, funding llm_lm_perplexity_mkn at the
+    # 150 = 3×50 cap): the bigram stupid-backoff scorer is the k=2
+    # instance of the generic order-N scorer the 5-gram entry grades —
+    # bit-exact reproduction pinned in tests/test_lm.py
+    # (test_ngram_order2_reproduces_bigram_scorer) — and this oracle
+    # still value-checks every pytest run in tests/test_retired_fastpaths.py
+    "llm_lm_perplexity": QueryDef(
+        q_lm_perplexity, ORACLE_LM_PERPLEXITY,
+        folded_into="llm_lm_perplexity_5gram",
+    ),
     # folded (round-12 governance, funding llm_lm_perplexity_kn at the
     # 150 = 3×50 cap): the order-3 chain is the k=3 instance of the
     # generic order-N scorer the 5-gram entry grades (orders 2 and 3
@@ -3658,6 +3794,9 @@ QUERIES = {
     ),
     "llm_lm_perplexity_kn": QueryDef(
         q_lm_perplexity_kn, ORACLE_LM_PERPLEXITY_KN
+    ),
+    "llm_lm_perplexity_mkn": QueryDef(
+        q_lm_perplexity_mkn, ORACLE_LM_PERPLEXITY_MKN
     ),
     "llm_fingerprint": QueryDef(q_fingerprint, ORACLE_FINGERPRINT),
     "llm_multimodal_features": QueryDef(q_multimodal_features, ORACLE_MULTIMODAL),

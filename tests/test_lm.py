@@ -472,6 +472,193 @@ def test_kn_order3_matches_python_reference(spark):
     assert got == want
 
 
+def _mkn_reference(train_texts, score_texts, order):
+    """Independent plain-Python MODIFIED Kneser-Ney reimplementation
+    (Chen & Goodman 1999 §3: three discounts D1/D2/D3+ per level keyed
+    by count class, per-context class type-counts in the backoff mass).
+    Operation order mirrors the Spark scorer exactly — the micro-nat
+    comparison is bit-sensitive."""
+    from collections import Counter, defaultdict
+
+    toks = [t.split() for t in train_texts]
+    grams = {
+        k: Counter(
+            tuple(ws[i:i + k]) for ws in toks for i in range(len(ws) - k + 1)
+        )
+        for k in range(1, order + 1)
+    }
+    V = len(grams[1])
+    regctx, rcls = {}, {}
+    for k in range(2, order + 1):
+        regctx[k] = defaultdict(int)
+        rcls[k] = defaultdict(lambda: [0, 0, 0])
+        for g, c in grams[k].items():
+            regctx[k][g[:-1]] += c
+            rcls[k][g[:-1]][0 if c == 1 else 1 if c == 2 else 2] += 1
+    cont = {}
+    for j in range(1, order):
+        cont[j] = defaultdict(int)
+        for g in grams[j + 1]:
+            cont[j][g[1:]] += 1
+    contctx, ccls = {}, {}
+    for j in range(2, order):
+        contctx[j] = defaultdict(int)
+        ccls[j] = defaultdict(lambda: [0, 0, 0])
+        for g, c in cont[j].items():
+            contctx[j][g[:-1]] += c
+            ccls[j][g[:-1]][0 if c == 1 else 1 if c == 2 else 2] += 1
+    cc1tot = sum(cont[1].values())
+    m1 = [
+        sum(1 for c in cont[1].values() if c == 1),
+        sum(1 for c in cont[1].values() if c == 2),
+        sum(1 for c in cont[1].values() if c >= 3),
+    ]
+
+    def discs(counter):
+        n = {i: sum(1 for c in counter.values() if c == i) for i in (1, 2, 3, 4)}
+        y = n[1] / (n[1] + 2 * n[2]) if n[1] > 0 else 0.5
+        out = []
+        for i, (num, den) in enumerate([(2, 1), (3, 2), (4, 3)], start=1):
+            if n[den] > 0:
+                raw = float(i) - float(i + 1) * y * n[num] / n[den]
+                out.append(raw if raw > 0 else i / 2.0)
+            else:
+                out.append(i / 2.0)
+        return out
+
+    d_reg = {k: discs(grams[k]) for k in range(2, order + 1)}
+    d_cont = {j: discs(cont[j]) for j in range(1, order)}
+
+    def disc_of(ds, c):
+        return ds[0] if c == 1 else ds[1] if c == 2 else ds[2]
+
+    def gamma(ds, cls, denom):
+        return (ds[0] * cls[0] + ds[1] * cls[1] + ds[2] * cls[2]) / denom
+
+    def prob(gram):
+        k = len(gram)
+        p = 1.0 / (V + 1)
+        c = cont[1].get(gram[-1:], 0)
+        p = (
+            max(c - disc_of(d_cont[1], c), 0.0) / cc1tot
+            + gamma(d_cont[1], m1, cc1tot) * p
+        )
+        for j in range(2, k):
+            key, ckey = gram[-j:], gram[-j:-1]
+            if ckey in contctx[j]:
+                c = cont[j].get(key, 0)
+                p = (
+                    max(c - disc_of(d_cont[j], c), 0.0) / contctx[j][ckey]
+                    + gamma(d_cont[j], ccls[j][ckey], contctx[j][ckey]) * p
+                )
+        ctx = gram[:-1]
+        if ctx in regctx[k]:
+            c = grams[k].get(gram, 0)
+            p = (
+                max(c - disc_of(d_reg[k], c), 0.0) / regctx[k][ctx]
+                + gamma(d_reg[k], rcls[k][ctx], regctx[k][ctx]) * p
+            )
+        return p
+
+    out = {}
+    for i, text in enumerate(score_texts):
+        ws = text.split()
+        micros = []
+        for pos in range(2, len(ws) + 1):
+            k = min(pos, order)
+            micros.append(_micro(math.log(prob(tuple(ws[pos - k:pos])))))
+        if micros:
+            out[i + 1] = (len(micros), _avg(micros))
+    return out
+
+
+def test_mkn_order2_hand_computed_chain(spark):
+    """train 'a b a b a c b c' — hand-derived modified-KN chain.
+
+    Bigrams (a,b):2 (b,a):2 (a,c):1 (c,b):1 (b,c):1 → n1=3 n2=2:
+      Y = 3/7, D1 = 1−2·(3/7)·2/3 = 3/7, D2 = 2−0 = 2, D3 = 1.5 (n3=0);
+    rc2: a→(ccnt 3, N1 1, N2 1), b→(ccnt 3, N1 1, N2 1);
+    cont1 cc: a:1 b:2 c:2 → cc1tot 5, classes m=(1,2,0); over {1,2,2}
+      n1=1 n2=2 → Y=0.2, D1 = 1−2·0.2·2 = 0.2, D2 = 2, D3 = 1.5.
+
+    Unigram level: γ1 = (0.2·1 + 2·2 + 1.5·0)/5 = 0.84, uniform 1/4:
+      p̄(b) = max(2−2,0)/5 + 0.84·0.25 = 0.21
+      p̄(z) = 0 + 0.21 = 0.21                          (unseen)
+    Score 'a b z' (γ(a)=γ(b)=(3/7·1 + 2·1)/3):
+      p(b|a) = max(2−D2,0)/3 + γ(a)·p̄(b) = (17/21)·0.21
+      p(z|b) = 0 + γ(b)·p̄(z) = (17/21)·0.21"""
+    train = _docs(spark, [(1, "a b a b a c b c")])
+    model = lm.train_ngram_lm(train, order=2, smoothing="mkn")
+    out = lm.score_documents_ngram(_docs(spark, [(9, "a b z")]), model).collect()
+    r = out[0]
+    assert r["n_scored"] == 2
+    d1r = 1.0 - 2.0 * (3 / (3 + 2 * 2)) * 2 / 3          # reg D1 = 3/7
+    d1c = 1.0 - 2.0 * (1 / (1 + 2 * 2)) * 2 / 1          # cont D1 = 0.2
+    p_bar = max(2 - 2.0, 0.0) / 5 + (
+        (d1c * 1 + 2.0 * 2 + 1.5 * 0) / 5
+    ) * (1.0 / 4)
+    gamma_ab = (d1r * 1 + 2.0 * 1 + 1.5 * 0) / 3
+    p1 = max(2 - 2.0, 0.0) / 3 + gamma_ab * p_bar        # p(b|a)
+    p2 = max(0 - 1.5, 0.0) / 3 + gamma_ab * p_bar        # p(z|b)
+    micros = [_micro(math.log(p1)), _micro(math.log(p2))]
+    assert r["avg_logprob"] == _avg(micros)
+
+
+def test_mkn_order3_matches_python_reference(spark):
+    train_texts = ["a b a b c a", "b a b a c", "c c a b a b", "a b c a b"]
+    score_texts = ["a b a b", "b c q a", "q q q q", "c a b c"]
+    want = _mkn_reference(train_texts, score_texts, order=3)
+    model = lm.train_ngram_lm(
+        _docs(spark, list(enumerate(train_texts, 1))), order=3,
+        smoothing="mkn",
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["avg_logprob"])
+        for r in lm.score_documents_ngram(
+            _docs(spark, list(enumerate(score_texts, 1))), model
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mkn_order2_matches_python_reference(spark):
+    train_texts = ["a b a b a c b c", "c a c a b b a"]
+    score_texts = ["a b c", "z a b", "b b b"]
+    want = _mkn_reference(train_texts, score_texts, order=2)
+    model = lm.train_ngram_lm(
+        _docs(spark, list(enumerate(train_texts, 1))), order=2,
+        smoothing="mkn",
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["avg_logprob"])
+        for r in lm.score_documents_ngram(
+            _docs(spark, list(enumerate(score_texts, 1))), model
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mkn_no_singleton_corpus_scores_finite(spark):
+    """Duplicated corpus: regular count tables have NO singletons, so
+    D1's formula anchor (n1) is 0 — the i/2 fallbacks must keep every
+    discount positive and every score finite, matching the reference."""
+    base = ["a b a c", "b a c b", "c c a b"]
+    train_texts = base + base
+    score_texts = ["a b a c", "q q q q"]
+    want = _mkn_reference(train_texts, score_texts, order=3)
+    model = lm.train_ngram_lm(
+        _docs(spark, list(enumerate(train_texts, 1))), order=3,
+        smoothing="mkn",
+    )
+    rows = lm.score_documents_ngram(
+        _docs(spark, list(enumerate(score_texts, 1))), model
+    ).collect()
+    for r in rows:
+        assert r["avg_logprob"] is not None
+    got = {r["doc_id"]: (r["n_scored"], r["avg_logprob"]) for r in rows}
+    assert got == want
+
+
 def test_kn_no_singleton_corpus_keeps_discount_positive(spark):
     """Round-13 ADVICE: a corpus whose count tables have doubletons but
     NO singletons (every sentence duplicated -> every regular k-gram
@@ -510,4 +697,15 @@ def test_kn_registry_query_matches_oracle(spark, oracle):
         qd.fn(spark, SF_DIR).toPandas(),
         oracle.execute(qd.oracle).fetchdf(),
         "llm_lm_perplexity_kn",
+    )
+
+
+def test_mkn_registry_query_matches_oracle(spark, oracle):
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    qd = all_queries()["llm_lm_perplexity_mkn"]
+    assert_frames_match(
+        qd.fn(spark, SF_DIR).toPandas(),
+        oracle.execute(qd.oracle).fetchdf(),
+        "llm_lm_perplexity_mkn",
     )
