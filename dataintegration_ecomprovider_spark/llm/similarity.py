@@ -1046,6 +1046,8 @@ def pq_topk(
     vec_col: str = "embedding",
     portable: bool = False,
     rerank: int | None = None,
+    codebook: DataFrame | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance (ADC): each query
     precomputes an m×codebook_size table of exact query-subvector →
@@ -1064,16 +1066,51 @@ def pq_topk(
     read bounded at R/|corpus| of the data.  Raw-ADC recall floors are
     data-dependent (structureless random vectors quantize badly — the
     fixture's measured raw recall is documented in test_llm); the
-    reranked form is what a deployment serves."""
-    idx = pq_index(
-        embeddings, m=m, codebook_size=codebook_size,
-        id_col=id_col, vec_col=vec_col, portable=portable,
-    )
-    sub, kk = idx["sub"], idx["k"]
+    reranked form is what a deployment serves.
+
+    `codebook=` serves against a PRE-TRAINED codebook (Lloyd- or
+    OPQ-trained) instead of the in-call hash-rank sample; `rotation=`
+    applies the OPQ projection (opq_train) to the unit corpus AND query
+    vectors before encode/ADC — one broadcast matmul each, nothing else
+    changes (the exact re-rank uses the RAW vectors either way, cosine
+    being rotation-invariant)."""
+    if codebook is not None:
+        cb = codebook.select(
+            "j", "c", F.col("cv").cast("array<double>").alias("cv")
+        )
+        first = cb.agg(
+            F.max(F.size("cv")).alias("s"),
+            (F.max("j") + 1).alias("m"),
+            (F.max("c") + 1).alias("k"),
+        ).first()
+        sub, m, kk = first["s"], int(first["m"]), int(first["k"])
+        corpus = embeddings.select(
+            F.col(id_col),
+            _unit(F.col(vec_col).cast("array<double>")).alias("__v"),
+        )
+        if rotation is not None:
+            corpus = rotate_vectors(
+                corpus, rotation, vec_col="__v", normalize=False
+            )
+        idx = {
+            "codebook": cb,
+            "codes": _pq_encode(
+                corpus, cb, sub, id_col, "__v", normalize=False
+            ),
+            "sub": sub, "k": kk,
+        }
+    else:
+        idx = pq_index(
+            embeddings, m=m, codebook_size=codebook_size,
+            id_col=id_col, vec_col=vec_col, portable=portable,
+        )
+        sub, kk = idx["sub"], idx["k"]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _unit(F.col(vec_col).cast("array<double>")).alias("qv"),
     )
+    if rotation is not None:
+        q = rotate_vectors(q, rotation, vec_col="qv", normalize=False)
     tab = q.crossJoin(F.broadcast(idx["codebook"])).select(
         "query_id", "j", "c",
         F.round(
@@ -1153,6 +1190,145 @@ def pq_topk(
         .select("query_id", "neighbor_id", "similarity",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """x̂ = R·x per row — the OPQ projection (Ge et al. 2013), applied
+    as a broadcast HOF matmul: R rides a ONE-ROW frame (d×d doubles, a
+    bounded model parameter like the codebook) cross-joined broadcast,
+    and each output component is one zip_with·aggregate dot product.
+    This is the 'one extra broadcast matmul per encode' the OPQ serve
+    path costs; everything downstream (Lloyd, encode, ADC) is unchanged
+    because rotation preserves L2 geometry."""
+    spark = df.sparkSession
+    rmat = spark.createDataFrame(
+        [([list(map(float, row)) for row in rotation],)],
+        "__rot array<array<double>>",
+    ).repartition(1)
+    vcol = F.col(vec_col).cast("array<double>")
+    src = _unit(vcol) if normalize else vcol
+    return df.crossJoin(F.broadcast(rmat)).withColumn(
+        out_col or vec_col,
+        F.transform(
+            F.col("__rot"),
+            lambda row: F.aggregate(
+                F.zip_with(row, src, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ),
+        ),
+    ).drop("__rot")
+
+
+def opq_train(
+    embeddings: DataFrame,
+    m: int = 4,
+    codebook_size: int = 16,
+    opq_iters: int = 3,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_means: int | None = 6,
+    portable: bool = False,
+) -> dict:
+    """Optimized Product Quantization (Ge et al. 2013, non-parametric
+    alternation): learn an orthogonal rotation R and a PQ codebook
+    jointly so the m subspaces share the data's variance instead of
+    inheriting whatever correlations the raw dimension order carries —
+    the standard fix when raw-ADC code quality (not the re-rank) is the
+    recall bottleneck.  Each iteration alternates:
+
+    1. fix R — one distributed per-subspace Lloyd step over the ROTATED
+       unit vectors (pq_refine_codebook, the existing trainer), then the
+       distributed encode (_pq_encode);
+    2. fix the codebook — solve the orthogonal Procrustes problem
+       min_R Σ‖R·xᵢ − yᵢ‖² (yᵢ = the concatenated codebook entries of
+       xᵢ's codes): accumulate M = Σ xᵢ·yᵢᵀ DISTRIBUTED (posexplode of
+       x → d groups × d partial sums, map-side combined — never a
+       driver pass over vectors), then R = V·Uᵀ from the d×d SVD of M
+       (numpy, driver-side: d² doubles, a bounded model parameter).
+
+    Returns {"rotation": d×d list, "codebook", "m", "sub", "k"} —
+    codebook/codes live in ROTATED space; serve by passing rotation=
+    + codebook= to pq_topk (queries rotate through the same R).  Not on
+    the DuckDB-oracle surface (SVD has no portable SQL twin); graded by
+    the recall study in scripts/scale_probe.py + pytest floors."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dim {dim}")
+    sub = dim // m
+    from dataintegration_ecomprovider_spark import runtime
+
+    base = runtime.track(
+        embeddings.select(
+            F.col(id_col),
+            _unit(F.col(vec_col).cast("array<double>")).alias("x"),
+        ).persist()
+    )
+    # seed codebook: the hash-rank sample picker pq_index documents
+    # (identity rotation first pass, so sampling unrotated is exact)
+    codebook = pq_index(
+        base, m=m, codebook_size=codebook_size,
+        id_col=id_col, vec_col="x", portable=portable,
+    )["codebook"]
+    r_np = np.eye(dim)
+    for _ in range(max(1, opq_iters)):
+        rot = rotate_vectors(
+            base, r_np.tolist(), vec_col="x", out_col="xr", normalize=False
+        )
+        codebook = pq_refine_codebook(
+            rot, codebook, sub, iters=max(1, lloyd_iters),
+            id_col=id_col, vec_col="xr", round_means=round_means,
+            normalize=False,
+        )
+        codes = _pq_encode(rot, codebook, sub, id_col, "xr", normalize=False)
+        # yᵢ: concatenate the codebook entries of xᵢ's codes (rotated
+        # space), via one broadcast join against the m·k codebook
+        recon = (
+            codes.select(
+                F.col(id_col),
+                F.posexplode("codes").alias("j", "c"),
+            )
+            .join(F.broadcast(codebook), ["j", "c"])
+            .groupBy(id_col)
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                        lambda s: s["cv"],
+                    )
+                ).alias("y")
+            )
+        )
+        # M[a][b] = Σ x[a]·y[b]: d groups × d partial sums (map-side
+        # combined — the only driver materialization is the d×d result)
+        pairs = base.join(recon, id_col).select(
+            F.posexplode("x").alias("a", "xa"), "y"
+        )
+        mrows = pairs.groupBy("a").agg(
+            *[
+                F.sum(F.col("xa") * F.element_at(F.col("y"), b + 1))
+                .alias(f"m{b}")
+                for b in range(dim)
+            ]
+        ).collect()
+        m_np = np.zeros((dim, dim))
+        for r in mrows:
+            m_np[r["a"]] = [r[f"m{b}"] for b in range(dim)]
+        u, _s, vt = np.linalg.svd(m_np)
+        r_np = vt.T @ u.T  # maximizes tr(R·M): the Procrustes optimum
+    return {
+        "rotation": r_np.tolist(), "codebook": codebook,
+        "m": m, "sub": sub, "k": codebook_size,
+    }
 
 
 def pq_refine_codebook(

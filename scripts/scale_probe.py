@@ -264,11 +264,171 @@ def _ann_clustered_probe(spark) -> dict:
         for t in idx.values():
             if hasattr(t, "unpersist"):
                 t.unpersist()
+    # OPQ (round 13, Ge et al. 2013): learn the rotation on the corpus
+    # (flat-PQ objective), rotate the space once (distance-preserving,
+    # so the brute-force ground truth transfers verbatim), then run the
+    # UNCHANGED IVFPQ pipeline on the rotated frame — this is exactly
+    # how an OPQ-IVFPQ deployment composes (rotate at ingest + query)
+    opq = similarity.opq_train(emb, m=8, codebook_size=16, opq_iters=2)
+    emb_rot = similarity.rotate_vectors(emb, opq["rotation"]).persist()
+    emb_rot.count()
+    q_rot = emb_rot.filter(F.col("vec_id") < 20)
+    idx = similarity.ivfpq_index(
+        emb_rot, n_centroids=32, m=8, codebook_size=16, pq_iters=2,
+        residual=False,
+    )
+    for t in idx.values():
+        if hasattr(t, "persist"):
+            t.persist().count()
+    out["raw_adc_opq"] = recall(topk_ids(similarity.ivfpq_topk(
+        q_rot, idx["centroids"], idx["codebook"], idx["codes"],
+        k=K, n_probe=32, rerank=None, index=idx,
+    )))
+    out["reranked_opq"] = recall(topk_ids(similarity.ivfpq_topk(
+        q_rot, idx["centroids"], idx["codebook"], idx["codes"],
+        k=K, n_probe=8, rerank=200, embeddings=emb_rot, index=idx,
+    )))
+    # the full IVFOPQ composition (Ge et al. §IVFOPQ): rotation + coarse
+    # quantizer + RESIDUAL codes — rotating the space also rotates the
+    # residuals, so the existing residual path composes for free
+    idx_r = similarity.ivfpq_index(
+        emb_rot, n_centroids=32, m=8, codebook_size=16, pq_iters=2,
+        residual=True,
+    )
+    out["raw_adc_opq_residual"] = recall(topk_ids(similarity.ivfpq_topk(
+        q_rot, idx_r["centroids"], idx_r["codebook"], idx_r["codes"],
+        k=K, n_probe=32, rerank=None, index=idx_r,
+    )))
+    out["reranked_opq_residual"] = recall(topk_ids(similarity.ivfpq_topk(
+        q_rot, idx_r["centroids"], idx_r["codebook"], idx_r["codes"],
+        k=K, n_probe=8, rerank=200, embeddings=emb_rot, index=idx_r,
+    )))
+    # flat-PQ ablation: sampled codebook vs OPQ codebook+rotation —
+    # isolates the rotation+Lloyd gain from the coarse quantizer
+    def flat_recall(**kw):
+        return recall(topk_ids(similarity.pq_topk(
+            emb, queries_df, k=K, m=8, codebook_size=16, **kw
+        )))
+
+    out["flat_raw_sampled"] = flat_recall()
+    out["flat_raw_opq"] = flat_recall(
+        codebook=opq["codebook"], rotation=opq["rotation"]
+    )
+    for t in idx.values():
+        if hasattr(t, "unpersist"):
+            t.unpersist()
+    emb_rot.unpersist()
     emb.unpersist()
+
+    # ANISOTROPIC variant (round 13): same mixture, but with a
+    # fast-decaying per-dim variance profile mixed through a fixed dense
+    # orthogonal matrix — variance smeared ACROSS subspace boundaries,
+    # the correlated-coordinates case OPQ exists for (Ge et al. 2013).
+    # The isotropic fixture above gives rotation nothing to exploit
+    # (random Gaussian centers have no preferred basis); this one does.
+    scales = np.array([1.0 / (1 + 0.35 * i) for i in range(dim)])
+    mix, _ = np.linalg.qr(rng.normal(0.0, 1.0, (dim, dim)))
+    vecs2 = (
+        (centers[assign] + rng.normal(0.0, 0.15, (n, dim))) * scales
+    ) @ mix.T
+    emb2 = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs2[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    ).persist()
+    emb2.count()
+    q2 = emb2.filter(F.col("vec_id") < 20)
+    gt2 = topk_ids(similarity.brute_force_topk(emb2, q2, k=K))
+
+    def recall2(got):
+        hits = sum(len(got.get(q, set()) & g) for q, g in gt2.items())
+        return round(hits / sum(len(g) for g in gt2.values()), 3)
+
+    idx = similarity.ivfpq_index(
+        emb2, n_centroids=32, m=8, codebook_size=16, pq_iters=2,
+        residual=False,
+    )
+    out["aniso_raw_adc_plain"] = recall2(topk_ids(similarity.ivfpq_topk(
+        q2, idx["centroids"], idx["codebook"], idx["codes"],
+        k=K, n_probe=32, rerank=None, index=idx,
+    )))
+    opq2 = similarity.opq_train(emb2, m=8, codebook_size=16, opq_iters=2)
+    emb2_rot = similarity.rotate_vectors(emb2, opq2["rotation"]).persist()
+    emb2_rot.count()
+    q2_rot = emb2_rot.filter(F.col("vec_id") < 20)
+    idx2 = similarity.ivfpq_index(
+        emb2_rot, n_centroids=32, m=8, codebook_size=16, pq_iters=2,
+        residual=False,
+    )
+    out["aniso_raw_adc_opq"] = recall2(topk_ids(similarity.ivfpq_topk(
+        q2_rot, idx2["centroids"], idx2["codebook"], idx2["codes"],
+        k=K, n_probe=32, rerank=None, index=idx2,
+    )))
+    out["aniso_reranked_plain"] = recall2(topk_ids(similarity.ivfpq_topk(
+        q2, idx["centroids"], idx["codebook"], idx["codes"],
+        k=K, n_probe=8, rerank=200, embeddings=emb2, index=idx,
+    )))
+    out["aniso_reranked_opq"] = recall2(topk_ids(similarity.ivfpq_topk(
+        q2_rot, idx2["centroids"], idx2["codebook"], idx2["codes"],
+        k=K, n_probe=8, rerank=200, embeddings=emb2_rot, index=idx2,
+    )))
+    emb2_rot.unpersist()
+    emb2.unpersist()
     return out
 
 
+def _temporal_10x_probe(spark) -> dict:
+    """10× probes for the two windowed temporal queries (round 13,
+    VERDICT r12 #7 — graded since round 2 but never probed).  `events`
+    is a PASSTHROUGH symlink in the shared ~sf1 synthesis (the stream
+    probes' cross-round numbers depend on its size staying fixed), so
+    this probe builds its OWN events-only 10× dir: user_id AND event_id
+    shift per copy — 10× rows and 10× window partitions, the shape a
+    1000-executor windowed job actually scales along (both queries are
+    one shuffle on user_id + lag/lead windows; more users = more
+    parallel partitions, per-partition work constant)."""
+    out_dir = "/tmp/sfprobe_r13_events"
+    if not os.path.exists(os.path.join(out_dir, "_READY")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir)
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]:
+            os.symlink(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
+        ev = spark.read.parquet(f"{BASE}/events.parquet")
+        mx_u = ev.agg(F.max("user_id")).collect()[0][0] + 1
+        mx_e = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        big = None
+        for i in range(COPIES):
+            c = ev.withColumn(
+                "user_id", F.col("user_id") + F.lit(i * mx_u)
+            ).withColumn("event_id", F.col("event_id") + F.lit(i * mx_e))
+            big = c if big is None else big.unionByName(c)
+        big.write.parquet(f"{out_dir}/events.parquet")
+        open(os.path.join(out_dir, "_READY"), "w").close()
+    from dataintegration_ecomprovider_spark.plans.registry import all_queries
+
+    queries = all_queries(include_retired=True)
+    res: dict[str, float] = {}
+    for name in ("twa_user_values", "scd2_event_type_history"):
+        for tag, d in (("1x", BASE), ("10x", out_dir)):
+            t0 = time.perf_counter()
+            queries[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runtime.release_caches(spark)
+            res[f"{name}_{tag}"] = round(time.perf_counter() - t0, 2)
+    return res
+
+
 def main() -> None:
+    if sys.argv[1:] and all("temporal_10x" in w for w in sys.argv[1:]):
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"probe": "temporal_10x",
+                          "temporal_10x": _temporal_10x_probe(spark)}))
+        spark.stop()
+        return
     if sys.argv[1:] and all("contention" in w for w in sys.argv[1:]):
         print(json.dumps({"probe": "commit_contention",
                           "contention": _contention_probe()}))
@@ -354,6 +514,9 @@ def main() -> None:
         # round-12 surfaces
         "llm_lm_perplexity_kn",     # interpolated KN: continuation tables + scalar kstats
         "u12_sql_matview_expr",     # SUM(expr) + exact-distinct companion lifecycle
+        # round-13 surfaces
+        "u12_sql_matview_join",     # star rollup: join view + aggregate view, both CDC feeds
+        "llm_lm_perplexity_mkn",    # modified KN: class counts + 3-discount kstats
     ]
     wanted = sys.argv[1:]
     if wanted:

@@ -390,3 +390,65 @@ def test_pq_topk_recall_and_shape(spark):
                            portable=True)
     assert p.columns == ["query_id", "neighbor_id", "distance", "rank"]
     assert p.count() == 50
+
+
+def test_opq_rotation_orthogonal_and_improves_raw_adc(spark):
+    """OPQ (round 13, Ge et al. 2013): on a fixture whose variance is
+    deliberately smeared ACROSS the subspace boundaries (a fixed dense
+    mixing of a low-variance-tail latent), the learned rotation must be
+    orthogonal (distance-preserving) and the OPQ codebook+rotation must
+    beat the default sampled-codebook raw-ADC recall.  Deterministic:
+    seeded numpy fixture, hash-rank codebook seed, fixed alternation."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n, dim = 600, 16
+    # latent with fast-decaying per-dim variance, then a fixed orthogonal
+    # mix (QR of a seeded Gaussian) so raw coordinates are correlated
+    scales = np.array([1.0 / (1 + 0.6 * i) for i in range(dim)])
+    z = rng.normal(0.0, 1.0, (n, dim)) * scales
+    mix, _ = np.linalg.qr(rng.normal(0.0, 1.0, (dim, dim)))
+    vecs = z @ mix.T
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    opq = similarity.opq_train(emb, m=4, codebook_size=16, opq_iters=2)
+    r_np = np.array(opq["rotation"])
+    assert np.abs(r_np.T @ r_np - np.eye(dim)).max() < 1e-8
+
+    # rotation preserves pairwise geometry (one spot pair)
+    rot = similarity.rotate_vectors(emb, opq["rotation"]).collect()
+    by_id = {r["vec_id"]: np.array(r["embedding"]) for r in rot}
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    d_orig = np.linalg.norm(unit[3] - unit[7])
+    d_rot = np.linalg.norm(by_id[3] - by_id[7])
+    assert abs(d_orig - d_rot) < 1e-9
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    base_raw = recall(
+        similarity.pq_topk(emb, queries, k=5, m=4, codebook_size=16)
+    )
+    opq_raw = recall(
+        similarity.pq_topk(
+            emb, queries, k=5,
+            codebook=opq["codebook"], rotation=opq["rotation"],
+        )
+    )
+    assert opq_raw >= base_raw, f"OPQ {opq_raw} < sampled-PQ {base_raw}"
+    # the production two-stage form serves through the same rotation
+    rr = similarity.pq_topk(
+        emb, queries, k=5, codebook=opq["codebook"],
+        rotation=opq["rotation"], rerank=60,
+    )
+    assert rr.columns == ["query_id", "neighbor_id", "similarity", "rank"]
+    assert recall(rr) >= opq_raw
