@@ -83,7 +83,8 @@ HEADLINE = [
     "u12_data_skipping_scan",       # stats sidecar + file pruning (round 4)
     "llm_semantic_dedup",           # SemDeDup cluster-scoped dedup (round 4)
     "u12_sql_matview",              # SQL-declared IVM views: seed + O(delta) refresh (round 10; covers folded u12_incremental_aggregate)
-    "u12_sql_matview_join",         # star rollup: join view feeding aggregate view, O(delta) via both CDC feeds (round 13; covers folded u12_incremental_join)
+    "u12_incremental_join",         # CDC-maintained join view (round 5; bench entries are never removed)
+    "u12_sql_matview_join",         # star rollup: join view feeding aggregate view, O(delta) via both CDC feeds (round 13)
     "u12_merge_on_read",            # MoR delta merges + lazy reconstruction (round 4)
     "u12_bloom_scan",               # Bloom-filter point-lookup skipping (round 4)
     "stream_interval_join",         # stream-stream interval join, batch form (round 4)
@@ -207,18 +208,6 @@ def _warmup(spark) -> None:
 
 
 MAX_FINAL_LINE = 1950  # the grading driver keeps the last 2,000 chars
-
-
-def query_aliases(names: list[str]) -> dict[str, str]:
-    """Stable short alias per headline query ({"q01": name, ...}, list
-    order).  The FINAL stdout line keys per-query times by alias so 63+
-    full query names cannot push it past the driver's tail window; the
-    alias→name map rides the meta line, so the artifact pair stays
-    self-describing at full 3-decimal resolution (round-12 verdict: the
-    full-name map left 73 chars of headroom and would have coarsened to
-    2dp within ~2 rounds)."""
-    width = max(2, len(str(len(names))))
-    return {f"q{i + 1:0{width}d}": n for i, n in enumerate(names)}
 
 
 def final_line(core: dict, max_len: int = MAX_FINAL_LINE) -> str:
@@ -399,37 +388,36 @@ def main() -> None:
         }
     total = round(sum(timings.values()), 3)
     median_total = round(sum(m["median_s"] for m in query_meta.values()), 3)
-    aliases = query_aliases(HEADLINE)
     # line 1: self-certification metadata — per-query kept-steal, sample
     # and retry counts, which gate the kept sample passed, the ungated
-    # medians, and the alias→name map decoding the final line's short
-    # query keys.  NOT the final line: the grading driver captures only
-    # the last 2,000 chars of stdout, and this payload is what pushed
-    # round 11's single-line artifact past that window.
+    # medians, and the full-resolution (3-decimal) per-query timings in
+    # case the final line's guard ladder has to coarsen its copy.  NOT
+    # the final line: the grading driver captures only the last 2,000
+    # chars of stdout, and this payload is what pushed round 11's
+    # single-line artifact past that window.
     print(json.dumps({
         "bench_meta": query_meta,
         "basis": "min_of_k_steal_gated",
         "steal_gate_pct": steal_gate,
         "steal_fallback_pct": steal_fallback,
         "median_total_sec": median_total,
-        "aliases": aliases,
+        "timings_s": timings,
     }, separators=(",", ":")))
     # line 2 (FINAL stdout line): the compact graded record, per-query
-    # times keyed by the stable short aliases at full 3-decimal
-    # resolution.  final_line() holds the length-guard ladder and the
-    # parse/length self-check (raises rather than print an unparseable
-    # artifact).  `basis`, `median_total_sec` and the alias map live on
-    # the meta line above, not here.
+    # times keyed by FULL query names — the optimization-round bench
+    # contract forbids renaming existing entries, so the mid-build alias
+    # scheme was reverted; the guard ladder in final_line() (3→2→1→0
+    # decimals, then drop the map) keeps the line inside the driver's
+    # tail window instead.  `basis` and `median_total_sec` live on the
+    # meta line above, not here.
     core = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": {a: timings[n] for a, n in aliases.items()},
+        "queries": dict(timings),
         "sf": sf,
         "iters": iters,
-        "degraded": [
-            a for a, n in aliases.items() if n in degraded
-        ],
+        "degraded": list(degraded),
         # shared-VM self-diagnosis: % of host cpu stolen during the run
         "host_steal_pct": _steal_pct(cpu0, _cpu_times()),
     }

@@ -3769,16 +3769,12 @@ QUERIES = {
     "llm_bpe_train": QueryDef(q_bpe_train, ORACLE_BPE_TRAIN),
     "llm_bpe_token_counts": QueryDef(q_bpe_token_counts, ORACLE_BPE_TOKEN_COUNTS),
     "llm_bpe_encode_ids": QueryDef(q_bpe_encode_ids, ORACLE_BPE_ENCODE_IDS),
-    # folded (round-13 governance, funding llm_lm_perplexity_mkn at the
-    # 150 = 3×50 cap): the bigram stupid-backoff scorer is the k=2
-    # instance of the generic order-N scorer the 5-gram entry grades —
-    # bit-exact reproduction pinned in tests/test_lm.py
-    # (test_ngram_order2_reproduces_bigram_scorer) — and this oracle
-    # still value-checks every pytest run in tests/test_retired_fastpaths.py
-    "llm_lm_perplexity": QueryDef(
-        q_lm_perplexity, ORACLE_LM_PERPLEXITY,
-        folded_into="llm_lm_perplexity_5gram",
-    ),
+    # round-13 note: a mid-build fold (into llm_lm_perplexity_5gram) was
+    # reverted by the optimization round — the optimization driver
+    # re-runs every declared query and treats a disappeared name as a
+    # regression, so the bigram scorer stays declared (its k=2
+    # reproduction by the order-N scorer remains pinned in tests/test_lm.py)
+    "llm_lm_perplexity": QueryDef(q_lm_perplexity, ORACLE_LM_PERPLEXITY),
     # folded (round-12 governance, funding llm_lm_perplexity_kn at the
     # 150 = 3×50 cap): the order-3 chain is the k=3 instance of the
     # generic order-N scorer the 5-gram entry grades (orders 2 and 3

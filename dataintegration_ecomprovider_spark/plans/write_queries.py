@@ -3507,15 +3507,13 @@ QUERIES = {
     "u12_incremental_distinct": QueryDef(
         q_incremental_distinct, ORACLE_INCREMENTAL_DISTINCT
     ),
-    # folded (round-13 governance, funding u12_sql_matview_join at the
-    # 150 = 3×50 cap): the star rollup drives the IDENTICAL maintain_join
-    # machinery (same orders⋈customer lifecycle — inserts, deletes,
-    # FK moves, dim rewrites) as its internal join view, then aggregates
-    # on top; the Python-API twin still value-checks every pytest run in
-    # tests/test_retired_fastpaths.py
+    # round-13 note: a mid-build fold (into u12_sql_matview_join) was
+    # reverted by the optimization round — the optimization driver
+    # re-runs every declared query and treats a disappeared name as a
+    # regression, so the Python-API join view stays declared alongside
+    # the star rollup that drives the same maintain_join machinery
     "u12_incremental_join": QueryDef(
-        q_incremental_join, ORACLE_INCREMENTAL_JOIN,
-        folded_into="u12_sql_matview_join",
+        q_incremental_join, ORACLE_INCREMENTAL_JOIN
     ),
     "u12_sql_matview_join": QueryDef(
         q_sql_matview_join, ORACLE_SQL_MATVIEW_JOIN
