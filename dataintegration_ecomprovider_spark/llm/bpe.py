@@ -86,6 +86,9 @@ def word_frequencies(
     partial combine collapses each partition to its local vocabulary
     before the shuffle); everything downstream runs on the result,
     whose size is the corpus VOCABULARY, not the corpus."""
+    # guide §2.5: a single-file corpus otherwise explodes on ONE core;
+    # counts are order-insensitive (no-op at scale)
+    docs = runtime.spread_scan(docs)
     return (
         docs.select(
             F.explode(word_tokens(F.col(text_col), lowercase)).alias("word")
@@ -475,6 +478,9 @@ def token_id_rows(
     unk = next(
         (v["token_id"] for v in vocab_rows if v["kind"] == "special"), None
     )
+    # guide §2.5: spread a single-file corpus scan (per-(id,pos) output
+    # rows are order-insensitive; no-op at scale)
+    docs = runtime.spread_scan(docs)
     toks = docs.select(
         F.col(id_col),
         F.posexplode(

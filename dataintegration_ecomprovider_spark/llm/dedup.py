@@ -127,6 +127,12 @@ def minhash_signatures(
         base = md5_int60(F.col("s"))
     else:
         base = F.xxhash64("s")
+    from dataintegration_ecomprovider_spark import runtime
+
+    # guide §2.5: shingle explosion over a single-file scan otherwise
+    # hashes the whole corpus on ONE core; the per-id min-reduce is
+    # order-insensitive (no-op at scale)
+    docs = runtime.spread_scan(docs)
     with_words = docs.select(
         F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
     )
@@ -419,6 +425,12 @@ def repeated_spans_maximal(
 
     Returns (span, width, n_docs) — one row per distinct maximal span,
     n_docs counted at its own width over the whole corpus."""
+    from dataintegration_ecomprovider_spark import runtime
+
+    # guide §2.5: positional-span explosion over a single-file scan
+    # otherwise runs on ONE core; span counts are order-insensitive
+    # (no-op at scale)
+    docs = runtime.spread_scan(docs)
     with_words = docs.select(
         F.col(id_col).alias("__id"), words_of(F.col(text_col)).alias("w")
     )

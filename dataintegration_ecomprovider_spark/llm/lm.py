@@ -46,6 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dataintegration_ecomprovider_spark import runtime
+
 BACKOFF = 0.4
 MICRO = 1_000_000
 
@@ -575,6 +577,7 @@ def score_documents_kn(
     the corpus beyond the per-document integer aggregation."""
     order = model["order"]
     mod = model.get("smoothing") == "mkn"
+    docs = runtime.spread_scan(docs)  # guide §2.5 (see score_documents)
     base = docs.select(
         F.col(id_col), _tokens(F.col(text_col), lowercase).alias("ws")
     )
@@ -905,6 +908,9 @@ def score_documents(
     avg_logprob = mean natural-log score per scored position (rounded
     to 6); ppl = exp(-avg_logprob) rounded to 3 — lower is more like
     the reference corpus."""
+    # guide §2.5: the scored corpus is order-insensitive downstream
+    # (integer micro-nat sums per doc); spread a single-file scan
+    docs = runtime.spread_scan(docs)
     pos = docs.select(
         F.col(id_col), F.explode(_pairs(_tokens(F.col(text_col), lowercase))).alias("p")
     ).select(id_col, F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataintegration_ecomprovider_spark import runtime
 from dataintegration_ecomprovider_spark.catalog import Catalog
 from dataintegration_ecomprovider_spark.llm import dedup, similarity, text as text_ops
 from dataintegration_ecomprovider_spark.llm.multimodal import attach_binary_payload, extract_features
@@ -2836,7 +2837,10 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.train(
         bpe.word_frequencies(docs), num_merges=_BPE_MERGES, strict=True
     )
-    return docs.select(
+    # guide §2.5: the encode pass is row-wise (heavy replace chain per
+    # doc) over a single-file scan — spread it across cores (per-doc
+    # output rows are order-insensitive; no-op at scale)
+    return runtime.spread_scan(docs).select(
         "doc_id",
         F.size(bpe.word_tokens(F.col("text"))).cast("bigint").alias("n_words"),
         bpe.token_count(F.col("text"), merges).alias("n_tokens"),

@@ -557,6 +557,12 @@ def maintain_aggregate(
                 *[_nncnt_alias(c) for c in acols],
                 *[a for a, _ in sexprs],
             }
+            # driver-side footer schema first (round 13, guide §1.2) —
+            # only the column NAMES matter here; fall back to the Spark
+            # read when the cheap path can't answer
+            dst_schema = publish.table_schema(root, name)
+            if dst_schema is not None:
+                return not expected <= {f.name for f in dst_schema.fields}
             return not expected <= set(
                 publish.read_table(spark, root, name).columns
             )
@@ -1021,6 +1027,25 @@ def maintain_rowwise_view(
         # 11) — committing the new build output as a MoR delta against
         # the old table would mismatch schemas (ADVICE r11).  Detect via
         # plan-time analysis (no job) and force a re-seed.
+        #
+        # Fast path (round 13, guide §1.2): both sides of the name-set
+        # comparison come from driver-side footer schemas — `build` runs
+        # over an EMPTY local relation with the source's logical schema,
+        # so the check never constructs (or analyzes) the full MoR read
+        # plan it previously paid ~0.5 s of py4j/Catalyst time for per
+        # refresh.  Any trouble (partitioned entry, footer miss, build
+        # analysis error on the empty frame) falls back to the original
+        # full-plan check, which remains the source of truth.
+        src_schema = publish.table_schema(root, src)
+        dst_schema = publish.table_schema(root, dst)
+        if src_schema is not None and dst_schema is not None:
+            try:
+                expected = set(
+                    build(spark.createDataFrame([], src_schema)).columns
+                )
+                return not expected <= {f.name for f in dst_schema.fields}
+            except Exception:
+                pass
         expected = set(
             build(publish.read_table_at(spark, root, src, src_version)).columns
         )

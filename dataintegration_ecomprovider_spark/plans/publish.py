@@ -197,6 +197,72 @@ def _staged_has_columns(entry) -> bool | None:
         return None
 
 
+def entry_schema(entry) -> "StructType | None":
+    """Driver-side LOGICAL schema of a committed entry, from one parquet
+    footer (or the entry's widened ``schema_json``) plus its rename/drop
+    column map — no Spark read, no JVM file-listing job.  A maintenance
+    pass that only needs "which columns does this table have?" pays
+    ~100-200 ms per ``spark.read.parquet`` schema-inference roundtrip;
+    one pyarrow footer read answers the same question in ~1 ms, and a
+    single lifecycle query runs several such checks per refresh
+    (guide §1.2: per-task/fixed work, after the algorithm is right).
+
+    Returns None when the cheap answer could be wrong — hive-partitioned
+    layout (partition columns never appear in footers), no data files,
+    or an unreadable footer — in which case callers MUST fall back to
+    the full read path.  MoR delta entries are fine: deltas conform to
+    the base schema, and a widened entry carries schema_json."""
+    from pyspark.sql.types import StructField, StructType
+
+    try:
+        if isinstance(entry, dict) and entry.get("partition_by"):
+            return None
+        if isinstance(entry, dict) and entry.get("schema_json"):
+            phys = StructType.fromJson(json.loads(entry["schema_json"]))
+        else:
+            path = entry["path"] if isinstance(entry, dict) else entry
+            files = _data_files(path)
+            if not files:
+                return None
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_type
+
+            # prefer_timestamp_ntz: Spark's parquet scanner reads a
+            # tz-naive (isAdjustedToUTC=false) timestamp as TIMESTAMP_NTZ;
+            # from_arrow_schema's default would report TimestampType and
+            # silently diverge from read_table's schema
+            phys = StructType(
+                [
+                    StructField(
+                        f.name,
+                        from_arrow_type(f.type, prefer_timestamp_ntz=True),
+                        f.nullable,
+                    )
+                    for f in pq.read_schema(files[0])
+                ]
+            )
+        renames, dropped = _column_map(entry)
+        if not renames and not dropped:
+            return phys
+        return StructType(
+            [
+                StructField(renames.get(f.name, f.name), f.dataType, f.nullable)
+                for f in phys.fields
+                if f.name not in dropped
+            ]
+        )
+    except Exception:
+        return None
+
+
+def table_schema(root: str, name: str) -> "StructType | None":
+    """entry_schema() for `name`'s CURRENT committed version, or None if
+    the table doesn't exist or the cheap path can't answer (see
+    entry_schema)."""
+    entry = current_manifest(root)["tables"].get(name)
+    return None if entry is None else entry_schema(entry)
+
+
 def _entry_paths(entry) -> list[str]:
     """Every data directory a manifest entry references: the base path
     plus any merge-on-read delta directories.  Vacuum/orphan collection

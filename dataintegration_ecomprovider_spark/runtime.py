@@ -177,3 +177,28 @@ def release_caches(
             unpersist_rdd_ids(spark, persistent_rdd_ids(spark), blocking)
         except Exception:
             pass
+
+
+def spread_scan(df: DataFrame, min_fill: int = 4) -> DataFrame:
+    """Raise scan parallelism for small/unsplittable inputs (optimization
+    guide §2.5 "input skew": one single-row-group parquet file scans as
+    ONE task, serializing a corpus-sized explode+aggregate onto one core
+    of local[32]).  When the plan's current partition count is below
+    defaultParallelism / ``min_fill``, repartition round-robin to
+    defaultParallelism — one tiny shuffle of the raw rows buys a 32-way
+    explode stage.  No-op whenever the scan is already reasonably
+    parallel (the 100 TB case: thousands of input splits >> cores), so
+    no Exchange is added at scale.
+
+    Only correct for ORDER-INSENSITIVE consumers (aggregations, joins,
+    row-wise projections): round-robin repartitioning reorders rows.
+    Callers whose results depend on row order must not use it.
+    """
+    try:
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if df.rdd.getNumPartitions() * min_fill >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)

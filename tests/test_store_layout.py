@@ -1637,3 +1637,47 @@ def test_partition_spec_refuses_bucketed_and_unknown_columns(spark, store):
     publish.publish_tables(spark, {"plain": df.limit(10)}, store)
     with pytest.raises(ValueError, match="no column"):
         publish.set_partition_spec(spark, store, "plain", ["nope"])
+
+
+def test_entry_schema_fast_path_matches_read_table(spark, store):
+    """entry_schema/table_schema (round-13: footer-driven, no Spark read)
+    must agree with read_table's logical schema NAMES across entry
+    shapes — plain, keyed, merge-on-read deltas, rename/drop column
+    maps, widened schema_json — and must decline (None) on partitioned
+    entries, whose partition columns never appear in footers."""
+    df = _orders(spark)
+    publish.publish_tables(
+        spark, {"t": df}, store, table_keys={"t": ["o_orderkey"]}
+    )
+
+    def check(name):
+        fast = publish.table_schema(store, name)
+        assert fast is not None, f"{name}: fast path declined unexpectedly"
+        slow = publish.read_table(spark, store, name).schema
+        assert [f.name for f in fast.fields] == [f.name for f in slow.fields]
+        assert [f.dataType for f in fast.fields] == [f.dataType for f in slow.fields]
+
+    check("t")
+    # MoR deltas: same logical schema
+    upd = df.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    publish.merge_into_mor(spark, store, "t", upd)
+    check("t")
+    # rename + drop column map
+    publish.rename_column(spark, store, "t", "o_orderstatus", "status")
+    publish.drop_column(spark, store, "t", "o_orderdate")
+    check("t")
+    # schema widening (evolve_schema → schema_json on the entry)
+    widened = publish.read_table(spark, store, "t").withColumn(
+        "note", F.lit("x")
+    ).filter(F.col("o_orderkey") % 11 == 0)
+    publish.merge_into_mor(spark, store, "t", widened, evolve_schema=True)
+    check("t")
+    # partitioned entries must decline — footer lacks partition columns
+    publish.publish_tables(
+        spark, {"p": df}, store, partition_by={"p": ["o_orderstatus"]}
+    )
+    assert publish.table_schema(store, "p") is None
+    # unknown table
+    assert publish.table_schema(store, "nope") is None
