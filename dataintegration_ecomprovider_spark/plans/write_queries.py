@@ -2722,8 +2722,19 @@ def q_sql_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.round(F.col("o_totalprice") / 1000, 0).alias("band")
     )
     maintained = publish.read_table(spark, root, "order_bands")
-    if maintained.exceptAll(direct).count() or \
-            direct.exceptAll(maintained).count():
+    # multiset equality in ONE job (guide §1.2 — the two exceptAll
+    # counts ran two full-plan jobs for one yes/no answer): tag sides
+    # +1/-1, group on the full row; any group with a non-zero sum means
+    # the multisets differ.  Equivalent to (A\B) ∪ (B\A) being empty.
+    tagged = maintained.withColumn("__side", F.lit(1)).unionByName(
+        direct.withColumn("__side", F.lit(-1))
+    )
+    drift = (
+        tagged.groupBy(*maintained.columns)
+        .agg(F.sum("__side").alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    if drift.limit(1).count():
         raise AssertionError("projection view drifted from its recompute")
     return sq.sql(
         "SELECT o_orderstatus, cnt, ROUND(sum_o_totalprice, 2) AS sum_total "
