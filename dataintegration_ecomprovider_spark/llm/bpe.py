@@ -478,9 +478,10 @@ def token_id_rows(
     unk = next(
         (v["token_id"] for v in vocab_rows if v["kind"] == "special"), None
     )
-    # guide §2.5: spread a single-file corpus scan (per-(id,pos) output
-    # rows are order-insensitive; no-op at scale)
-    docs = runtime.spread_scan(docs)
+    # round-13 note: spreading docs here (guide §2.5) was measured and
+    # REVERTED — callers feed filtered subsets, and the interleaved A/B
+    # showed the added Exchange costs more than the explode gains
+    # (llm_bpe_encode_ids 3.83 s without vs 4.47 s with)
     toks = docs.select(
         F.col(id_col),
         F.posexplode(
