@@ -37,16 +37,18 @@ def get_spark(app_name: str = "dataintegration-ecomprovider-spark") -> SparkSess
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        # guide §3.1/§9: let the planner pick shuffled-hash join when its
-        # size conditions hold instead of always preferring sort-merge —
-        # SHJ skips both sorts and was measured ~9% faster across a
-        # representative 8-query subset (OPTIMIZATION_r13.md); sort-merge
-        # still wins automatically when the per-partition build side is
-        # too big for a hash table.  Overridable for memory-tight
-        # clusters via SPARK_GRAFT_PREFER_SMJ=true.
+        # guide §3.1: preferSortMergeJoin=false (shuffled-hash joins) was
+        # TRIED and REVERTED in round 13 — an initial 8-query A/B showed
+        # −9%, but four alternating re-runs and a suite-level bench could
+        # not reproduce it (the original delta was window drift on this
+        # shared VM; OPTIMIZATION_r13.md wave 4 records all the numbers).
+        # Spark's default (sort-merge preference) stays: it is also the
+        # safer choice at 100 TB, where an SHJ build-side partition that
+        # misses memory is an OOM instead of a graceful sort-merge spill.
+        # Re-testable via SPARK_GRAFT_PREFER_SMJ=false.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         # INT64 micros instead of Spark's legacy INT96: INT96 carries NO
         # parquet column statistics, so timestamp predicates could never
