@@ -524,6 +524,10 @@ def maintain_aggregate(
             else publish.read_table_at(spark, root, src, src_version)
         )
 
+    # per-from-version memo of (persisted change feed, count), shared by
+    # the parent and its companions — see the delta branch in _plan
+    _feed_cache: dict[int, tuple[DataFrame, int]] = {}
+
     def _plan(name, g_cols, s_cols=(), mn=(), mx=(), dcols=(), acols=(),
               sexprs=()):
         """(new_state_df | None, mode) for one maintained table at the
@@ -576,23 +580,33 @@ def maintain_aggregate(
                 f"incremental maintenance of {name!r} needs {src!r}'s key "
                 "columns — publish with table_keys= or pass keys="
             )
-        try:
-            changes = publish.read_changes(
-                spark, root, src, from_version=tlast, to_version=src_version,
-                keys=keys, include_old=True, where=src_where,
-            )
-        except KeyError:
-            # the consumed-from version was vacuumed out of history: the
-            # delta is unrecoverable, fall back to a full re-seed
-            return _seed()
-        # persist the delta-sized change feed ONCE (released by the
-        # enclosing scope after the joint publish): the refresh plan
-        # reads `changes` up to four times (± contributions,
-        # insert/retract bookkeeping), each of which would otherwise
-        # re-evaluate the O(table) version diff — same treatment as
-        # maintain_join
-        changes = runtime.track(changes.persist())
-        if changes.count() == 0:
+        # the parent and its __xd companions consume the SAME source
+        # span (they normally share one watermark), so the persisted
+        # change feed and its count are memoized per from-version
+        # (round 14, guide §1.2): one version diff + one count job per
+        # refresh pass instead of one per maintained table
+        hit = _feed_cache.get(tlast)
+        if hit is None:
+            try:
+                changes = publish.read_changes(
+                    spark, root, src, from_version=tlast,
+                    to_version=src_version,
+                    keys=keys, include_old=True, where=src_where,
+                )
+            except KeyError:
+                # the consumed-from version was vacuumed out of history:
+                # the delta is unrecoverable, fall back to a full re-seed
+                return _seed()
+            # persist the delta-sized change feed ONCE (released by the
+            # enclosing scope after the joint publish): the refresh plan
+            # reads `changes` up to four times (± contributions,
+            # insert/retract bookkeeping), each of which would otherwise
+            # re-evaluate the O(table) version diff — same treatment as
+            # maintain_join
+            changes = runtime.track(changes.persist())
+            _feed_cache[tlast] = (changes, changes.count())
+        changes, n_changed = _feed_cache[tlast]
+        if n_changed == 0:
             # the store advanced but `src` didn't (e.g. our own dst
             # publishes): advance the watermark, no rewrite
             return None, "empty"
@@ -630,8 +644,9 @@ def maintain_aggregate(
             # failing view must not leak its persisted change feeds
             # every maintain pass (executor storage memory)
             scope.release(spark)
-    for name, _ in plans:
-        publish._set_sync_state(root, f"agg:{name}", src_version)
+    publish._set_sync_states(
+        root, {f"agg:{name}": src_version for name, _ in plans}
+    )
     out = {"dst": dst, "from_version": last, "to_version": src_version,
            "mode": modes[dst]}
     if exact_distinct_cols:
@@ -749,6 +764,7 @@ def apply_join_delta(
     change_col: str = "change_type",
     broadcast: bool | None = None,
     broadcast_max_bytes: int = 64 * 1024 * 1024,
+    dim_changed_count: int | None = None,
 ) -> DataFrame:
     """Merge read_changes feeds for the fact and/or dim side into a
     join-view state (semantics documented on the section header above).
@@ -759,26 +775,42 @@ def apply_join_delta(
     aggregate family's ``__gk`` merge key.
 
     Broadcasting is GATED, not forced (the dedup_clusters pattern):
-    ``broadcast=None`` persists the changed-dim-key and affected-key sets
-    (each registered in the current runtime scope — release via
-    release_caches/job_scope; the persist also stops the affected-key
-    subtree recomputing for its anti- and semi-join consumers), counts
-    them, and hints F.broadcast only while ``count × estimated row
-    width`` stays under `broadcast_max_bytes` — a BYTE gate, like the
-    MoR fast path's MOR_BROADCAST_MAX_BYTES, because a row-count gate
-    silently lets wide multi-column/string keys balloon to hundreds of
-    driver-side MB.  A delta-sized refresh thus never shuffles the full
-    fact table, while a pathological all-rows-changed refresh degrades
-    to a shuffle join instead of blowing the broadcast limit.
-    True/False overrides the gate in either direction (skipping the
-    persist+count)."""
+    ``broadcast=None`` persists the affected-key set (registered in the
+    current runtime scope — release via release_caches/job_scope; the
+    persist also stops the affected-key subtree recomputing for its
+    anti- and semi-join consumers), counts it, and hints F.broadcast
+    only while ``count × estimated row width`` stays under
+    `broadcast_max_bytes` — a BYTE gate, like the MoR fast path's
+    MOR_BROADCAST_MAX_BYTES, because a row-count gate silently lets wide
+    multi-column/string keys balloon to hundreds of driver-side MB.  A
+    delta-sized refresh thus never shuffles the full fact table, while a
+    pathological all-rows-changed refresh degrades to a shuffle join
+    instead of blowing the broadcast limit.  True/False overrides the
+    gate in either direction (skipping the persist+count).
+
+    `dim_changed_count` (round 14, guide §1.2): the dim change feed's
+    row count when the caller already paid for it (maintain_join counts
+    both feeds to decide the refresh mode).  Every change row
+    contributes at most TWO changed dim keys (its new and its old
+    value), so ``2 × dim_changed_count`` bounds the changed-dim-key set
+    from above and the byte gate can decide from the bound — one fewer
+    persist+count job per refresh, and the key set is consumed by
+    exactly one semi-join, so the dropped persist bought no reuse.  The
+    bound only ever declines a broadcast the exact count might have
+    allowed (conservative in the safe direction).  Without it the gate
+    falls back to the persist+count."""
     from dataintegration_ecomprovider_spark import runtime
 
     fact_keys = list(fact_keys)
     dim_key = dim_key or fk
 
-    def _gate(keys: DataFrame) -> DataFrame:
+    def _gate(keys: DataFrame, est_rows: int | None = None) -> DataFrame:
         if broadcast is None:
+            if est_rows is not None:
+                est = est_rows * _approx_row_bytes(keys.schema)
+                return (
+                    F.broadcast(keys) if est <= broadcast_max_bytes else keys
+                )
             keys = runtime.track(keys.persist())
             est = keys.count() * _approx_row_bytes(keys.schema)
             return F.broadcast(keys) if est <= broadcast_max_bytes else keys
@@ -792,7 +824,13 @@ def apply_join_delta(
             F.struct(*fact_keys).alias("__gk")
         ).distinct()
     if dim_changes is not None:
-        dkeys = _gate(_changed_dim_keys(dim_changes, dim_key, change_col))
+        dkeys = _gate(
+            _changed_dim_keys(dim_changes, dim_key, change_col),
+            est_rows=(
+                2 * dim_changed_count
+                if dim_changed_count is not None else None
+            ),
+        )
         via_dim = (
             fact_now.join(dkeys, fact_now[fk] == F.col("__jk"), "left_semi")
             .select(F.struct(*fact_keys).alias("__gk"))
@@ -906,15 +944,33 @@ def maintain_join(
             # release_caches
             with runtime.job_scope() as scope:
                 # persist the delta-sized change feeds ONCE: the moved
-                # probes, the broadcast-gate counts and the refresh plan
-                # all read the cached delta, where evaluating each
-                # consumer against the lazy diff would recompute the
-                # O(table) version diff per use
+                # probes and the refresh plan read the cached delta,
+                # where evaluating each consumer against the lazy diff
+                # would recompute the O(table) version diff per use.
+                # BOTH feeds count in ONE action (round 14, guide §1.2:
+                # the two separate .count() jobs were pure job-launch
+                # overhead — a tagged union materializes both persisted
+                # feeds and returns both counts in one job), and the dim
+                # count feeds apply_join_delta's broadcast byte gate so
+                # the changed-dim-key set needs no persist+count of its
+                # own.
                 try:
                     fact_changes = runtime.track(fact_changes.persist())
                     dim_changes = runtime.track(dim_changes.persist())
-                    fact_moved = fact_changes.count() > 0
-                    dim_moved = dim_changes.count() > 0
+                    counts = {
+                        r["__side"]: r["__n"]
+                        for r in fact_changes.select(
+                            F.lit("f").alias("__side")
+                        ).unionByName(
+                            dim_changes.select(F.lit("d").alias("__side"))
+                        ).groupBy("__side").agg(
+                            F.count(F.lit(1)).alias("__n")
+                        ).collect()
+                    }
+                    n_fact = int(counts.get("f", 0))
+                    n_dim = int(counts.get("d", 0))
+                    fact_moved = n_fact > 0
+                    dim_moved = n_dim > 0
                     if not fact_moved and not dim_moved:
                         mode = "empty"
                     else:
@@ -933,6 +989,7 @@ def maintain_join(
                             fact_changes if fact_moved else None,
                             dim_changes if dim_moved else None,
                             fact_keys, fk, dim_key, dim_cols, how,
+                            dim_changed_count=n_dim if dim_moved else None,
                         )
                         publish.publish_tables(
                             spark, {dst: new_state}, root,

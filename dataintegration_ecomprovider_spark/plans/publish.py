@@ -5868,9 +5868,19 @@ def _set_sync_state(root: str, key: str, value) -> None:
     (`_SYNC.json`) under the manifest lock — the shared watermark
     registry for incremental consumers (replication cursors, maintained
     views, topic indexes)."""
+    _set_sync_states(root, {key: value})
+
+
+def _set_sync_states(root: str, entries: Mapping) -> None:
+    """_set_sync_state for several keys in ONE lock window and ONE file
+    rewrite (round 14, guide §1.2): a maintain pass that advances the
+    parent view's watermark plus N companions paid N+1 lock acquisitions
+    and rewrites for one logical update."""
+    if not entries:
+        return
     with _manifest_lock(root):
         state = _sync_state(root)
-        state[key] = value
+        state.update(entries)
         protocol_for(root).write_aux(root, SYNC_FILE, state)
 
 

@@ -433,6 +433,39 @@ def stream_store_to_store(
         .load()
     )
 
+    process = _store_to_store_sink(
+        dst_root, dst_table, app_id, transform, keys, evolve_schema
+    )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _store_to_store_sink(
+    dst_root: str,
+    dst_table: str,
+    app_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None,
+    keys: Sequence[str],
+    evolve_schema: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """stream_store_to_store's foreachBatch sink as a reusable closure:
+    the stream run and the checkpoint-log replay (replay_store_to_store)
+    must push batches through the IDENTICAL merge/seed/txn logic, or the
+    replay would prove a different sink than the one that runs."""
+    from dataintegration_ecomprovider_spark.plans import publish
+    from dataintegration_ecomprovider_spark.streaming.store_source import (
+        CHANGE_COL,
+    )
+
+    keys = list(keys)
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if not batch.columns:
             return
@@ -462,11 +495,110 @@ def stream_store_to_store(
                 table_keys={dst_table: keys}, txn=txn,
             )
 
-    writer = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return process
+
+
+def replay_store_to_store(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    src_root: str,
+    src_table: str,
+    dst_root: str,
+    dst_table: str,
+    app_id: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    keys: Sequence[str] | None = None,
+    starting_version: int = 0,
+) -> dict:
+    """Re-deliver every micro-batch a COMPLETED stream_store_to_store run
+    recorded in `checkpoint_dir`, through the SAME sink closure, without
+    paying a second structured-streaming start (guide §1.2: ~1.9 s of
+    engine fixed cost per start while every replayed merge is a
+    manifest-level txn no-op).
+
+    The replay is reconstructed from the engine's own commit log:
+    ``commits/`` lists exactly the batch ids that completed,
+    ``offsets/<id>`` records each batch's END store version, and a
+    batch's rows are the deterministic key-wise diff of its version span
+    (publish.read_changes computes the same insert/update/delete feed
+    the store_changes source shards per partition).  Each batch is
+    re-pushed with its original ``(app_id, batch_id)`` txn stamp — the
+    worst-case fresh-checkpoint re-delivery — and the sink's watermark
+    must absorb all of it.  The ENGINE-level fresh-checkpoint replay
+    (source offset determinism included) stays pinned in
+    tests/test_txn.py::test_stream_store_to_store_follows_exactly_once;
+    this helper is the cheap per-run proof.
+
+    Returns {"batches": [ids], "spans": {id: (from_v, to_v)}}.  Raises
+    if the checkpoint recorded no completed batch (a vacuous replay
+    proves nothing).
+    """
+    import json as _json
+    import os as _os
+
+    from dataintegration_ecomprovider_spark.plans import publish
+
+    if keys is None:
+        keys = publish.table_keys(src_root, src_table)
+        if not keys:
+            raise ValueError(
+                f"source table {src_table!r} has no recorded keys — pass "
+                "keys= or publish with publish_tables(table_keys=...)"
+            )
+    keys = list(keys)
+
+    commits_dir = _os.path.join(checkpoint_dir, "commits")
+    batch_ids = sorted(
+        int(f) for f in _os.listdir(commits_dir) if f.isdigit()
+    ) if _os.path.isdir(commits_dir) else []
+    if not batch_ids:
+        raise ValueError(
+            f"checkpoint {checkpoint_dir!r} recorded no completed batch — "
+            "nothing to replay"
+        )
+
+    def _end_version(batch_id: int) -> int:
+        path = _os.path.join(checkpoint_dir, "offsets", str(batch_id))
+        with open(path, encoding="utf-8") as fh:
+            last = [ln for ln in fh.read().splitlines() if ln.strip()][-1]
+        off = _json.loads(last)
+        if isinstance(off, str):  # engines that double-encode the offset
+            off = _json.loads(off)
+        return int(off["version"])
+
+    from dataintegration_ecomprovider_spark.streaming.store_source import (
+        CHANGE_COL,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+
+    def _batch_frame(a: int, b: int) -> DataFrame | None:
+        # version 0 (and a table not yet created at `a`) reads as EMPTY
+        # on the source side, so the whole snapshot at `b` diffs to
+        # inserts — mirror that here instead of asking read_changes for
+        # a version the history doesn't carry
+        if a > 0:
+            try:
+                return publish.read_changes(
+                    spark, src_root, src_table,
+                    from_version=a, to_version=b, keys=keys,
+                )
+            except KeyError:
+                pass
+        try:
+            snap = publish.read_table_at(spark, src_root, src_table, b)
+        except KeyError:
+            return None  # table absent at the span's end: empty batch
+        return snap.withColumn(CHANGE_COL, F.lit("insert"))
+
+    sink = _store_to_store_sink(
+        dst_root, dst_table, app_id, transform, keys
+    )
+    spans: dict[int, tuple[int, int]] = {}
+    prev_end = int(starting_version)
+    for bid in batch_ids:
+        end = _end_version(bid)
+        spans[bid] = (prev_end, end)
+        batch = _batch_frame(prev_end, end)
+        if batch is not None:
+            sink(batch, bid)
+        prev_end = end
+    return {"batches": batch_ids, "spans": spans}

@@ -452,6 +452,39 @@ def test_apply_join_delta_null_safe_fact_keys(spark):
     )
 
 
+def test_apply_join_delta_counted_dim_gate_both_directions(spark):
+    """dim_changed_count (round 14) replaces the changed-dim-key
+    persist+count with a byte gate over the bound 2 × count: the refresh
+    result must equal the direct recompute whether the bound ALLOWS the
+    broadcast (small count) or DECLINES it (count forced over the
+    limit via a tiny broadcast_max_bytes)."""
+    from collections import Counter
+
+    fact = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 20, 3.0)],
+        "id bigint, fk int, val double",
+    )
+    dim1 = spark.createDataFrame(
+        [(10, "ten"), (20, "twenty")], "dk int, name string"
+    )
+    dim2 = spark.createDataFrame(
+        [(10, "TEN"), (20, "twenty")], "dk int, name string"
+    )
+    view1 = materialize.join_view(fact, dim1, "fk", "dk")
+    dim_changes = publish.diff_frames(dim1, dim2, ["dk"], include_old=True)
+    n_dim = dim_changes.count()
+    expected = Counter(
+        tuple(r)
+        for r in materialize.join_view(fact, dim2, "fk", "dk").collect()
+    )
+    for max_bytes in (64 * 1024 * 1024, 1):  # gate allows, gate declines
+        got = materialize.apply_join_delta(
+            view1, fact, dim2, None, dim_changes, ["id"], "fk", "dk",
+            broadcast_max_bytes=max_bytes, dim_changed_count=n_dim,
+        )
+        assert Counter(tuple(r) for r in got.collect()) == expected
+
+
 def test_join_view_rejects_collisions_and_bad_how(spark):
     fact = spark.createDataFrame([(1, 10, "x")], "id bigint, fk int, name string")
     dim = spark.createDataFrame([(10, "ten")], "dk int, name string")

@@ -254,6 +254,70 @@ def test_stream_store_to_store_follows_exactly_once(spark, tmp_path):
     }
 
 
+def test_replay_store_to_store_is_downstream_noop(spark, tmp_path):
+    """replay_store_to_store (round 14): re-deliver every batch a finished
+    run's commit log recorded, through the same sink, WITHOUT a second
+    stream start — the downstream version must not move, the replayed
+    batch set must equal the checkpoint's commit log, and the spans must
+    tile the streamed version range."""
+    import os
+
+    from dataintegration_ecomprovider_spark.streaming.incremental import (
+        replay_store_to_store,
+        stream_store_to_store,
+    )
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    publish.publish_tables(
+        spark, {"t": _df(spark, [(1, "a"), (2, "b"), (3, "c")])},
+        src_root, table_keys={"t": ["k"]},
+    )
+    publish.merge_into_mor(
+        spark, src_root, "t", _df(spark, [(2, "B2"), (4, "d")]),
+        deletes=_df(spark, [(3, "_")]),
+    )
+
+    def transform(df):
+        return df.filter(F.col("k") != 4).select("k", F.upper("v").alias("v"))
+
+    ck = _ck("s2s_replay")
+    q = stream_store_to_store(
+        spark, src_root, "t", dst_root, "d", ck, "hop1",
+        transform=transform,
+    )
+    q.awaitTermination(120)
+    assert _rows(spark, dst_root, "d") == {(1, "A"), (2, "B2")}
+    v1 = publish.current_manifest(dst_root)["version"]
+
+    rep = replay_store_to_store(
+        spark, ck, src_root, "t", dst_root, "d", "hop1",
+        transform=transform,
+    )
+    # the replay covered exactly the commit log's batches, spanning the
+    # whole streamed version range from the earliest start
+    committed = sorted(
+        int(f) for f in os.listdir(os.path.join(ck, "commits"))
+        if f.isdigit()
+    )
+    assert rep["batches"] == committed and committed
+    assert rep["spans"][committed[0]][0] == 0
+    assert (
+        rep["spans"][committed[-1]][1]
+        == publish.current_manifest(src_root)["version"]
+    )
+    # ... and the sink absorbed all of it: no new version, same rows
+    assert publish.current_manifest(dst_root)["version"] == v1
+    assert _rows(spark, dst_root, "d") == {(1, "A"), (2, "B2")}
+
+    # a checkpoint with no completed batch is a vacuous proof: refuse
+    with pytest.raises(ValueError, match="no completed batch"):
+        replay_store_to_store(
+            spark, str(tmp_path / "empty_ck"), src_root, "t",
+            dst_root, "d", "hop1", transform=transform,
+        )
+
+
 def test_transform_must_preserve_keys(spark, tmp_path):
     from dataintegration_ecomprovider_spark.streaming.incremental import (
         stream_store_to_store,
