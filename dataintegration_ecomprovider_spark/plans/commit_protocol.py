@@ -114,6 +114,46 @@ class CommitProtocol:
         raise NotImplementedError
 
 
+# Stat-keyed parse cache for the POSIX backend's JSON documents
+# (round 14, guide §1.2): a single store-lifecycle query re-reads its
+# manifest 40-65 times (every tables_at/version walk re-parses it), and
+# the manifest grows O(history × tables) — pure repeated driver-side
+# json.load of an unchanged file.  The key is (inode, size, mtime_ns):
+# every writer replaces the file via os.replace (fresh inode from the
+# tmp file), so any commit — this process or another — changes the
+# signature and invalidates naturally.  CALLERS MUST NOT MUTATE the
+# returned document (the store code copies before mutating everywhere —
+# _update_entry_meta, _append_mor_entry, _history_fields,
+# _set_sync_states, _read_readers); a mutation would poison every later
+# read until the next commit.
+_JSON_DOC_CACHE: dict[str, tuple[tuple, object]] = {}
+_JSON_DOC_CACHE_MAX = 1024
+
+
+def _cached_json_doc(path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        _JSON_DOC_CACHE.pop(path, None)
+        return None
+    sig = (st.st_ino, st.st_size, st.st_mtime_ns)
+    hit = _JSON_DOC_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    try:
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+    except FileNotFoundError:
+        # deleted between stat and open (e.g. a concurrent vacuum of an
+        # aux file): absent, same as the stat miss
+        _JSON_DOC_CACHE.pop(path, None)
+        return None
+    _JSON_DOC_CACHE[path] = (sig, doc)
+    while len(_JSON_DOC_CACHE) > _JSON_DOC_CACHE_MAX:
+        _JSON_DOC_CACHE.pop(next(iter(_JSON_DOC_CACHE)))
+    return doc
+
+
 class PosixCommitProtocol(CommitProtocol):
     """O_EXCL advisory lock + atomic-rename swap (the default backend).
 
@@ -208,11 +248,7 @@ class PosixCommitProtocol(CommitProtocol):
                 pass
 
     def read_manifest(self, root: str) -> dict | None:
-        path = os.path.join(root, MANIFEST)
-        if not os.path.exists(path):
-            return None
-        with open(path, encoding="utf-8") as fh:
-            return json.load(fh)
+        return _cached_json_doc(os.path.join(root, MANIFEST))
 
     def swap_manifest(
         self, root: str, txid: str, manifest: dict,
@@ -238,11 +274,7 @@ class PosixCommitProtocol(CommitProtocol):
         os.replace(tmp, path)  # the atomic commit point
 
     def read_aux(self, root: str, filename: str) -> dict | None:
-        path = os.path.join(root, filename)
-        if not os.path.exists(path):
-            return None
-        with open(path, encoding="utf-8") as fh:
-            return json.load(fh)
+        return _cached_json_doc(os.path.join(root, filename))
 
     def write_aux(self, root: str, filename: str, doc: dict) -> None:
         tmp = os.path.join(root, filename + ".tmp")

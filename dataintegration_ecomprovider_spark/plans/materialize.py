@@ -1046,7 +1046,12 @@ def maintain_rowwise_view(
     `build` must not read other rows (no windows over the corpus, no
     joins between source rows); broadcast lookups against other tables
     are fine (the topics maintainer scores against broadcast
-    centroids).  `src_key_out` names the build-output/dst column that
+    centroids).  `build`'s OUTPUT COLUMN SET must also be
+    data-independent (no pivot-without-values, no inferred-schema
+    UDFs): the schema-drift fast path runs build over an empty relation
+    and trusts its .columns — a data-dependent column set would make
+    drift detection silently diverge from the full-plan check (ADVICE
+    r13).  `src_key_out` names the build-output/dst column that
     carries the source key when build renames it (default: same name).
     First call seeds dst from the source at the watermarked version;
     the watermark lives in the store sync-state under `state_key`

@@ -152,8 +152,14 @@ def _footer_spark_schema(path: str):
         files = _data_files(path)
         if not files:
             return None
-        if any(os.sep in os.path.relpath(f, path) for f in files[:1]):
-            return None  # nested layout → partition columns in dir names
+        if any(os.sep in os.path.relpath(f, path) for f in files):
+            # nested layout → partition columns in dir names.  ALL files
+            # checked (round 14, ADVICE r13): a hypothetical mixed
+            # flat+nested dir would otherwise pass on its first flat file
+            # and hand Spark a schema missing the partition columns —
+            # unreachable under the store's single-commit invariant, but
+            # the full check costs nothing (_data_files already listed)
+            return None
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_type
         from pyspark.sql.types import StructField, StructType
@@ -1584,10 +1590,20 @@ def _txn_fields(prev: dict, txn: tuple[str, int] | None) -> dict:
 
 
 def _spilled_entries(root: str, spill: dict) -> list[dict]:
-    with open(
-        os.path.join(root, HISTORY_DIR, spill["file"]), encoding="utf-8"
-    ) as fh:
-        return json.load(fh)["entries"]
+    # spill files are immutable once a manifest references them, so the
+    # stat-keyed parse cache turns every later history walk's read into
+    # a dict lookup (round 14, guide §1.2) — read-only, like every other
+    # consumer of the cached documents
+    from dataintegration_ecomprovider_spark.plans.commit_protocol import (
+        _cached_json_doc,
+    )
+
+    doc = _cached_json_doc(os.path.join(root, HISTORY_DIR, spill["file"]))
+    if doc is None:
+        raise FileNotFoundError(
+            os.path.join(root, HISTORY_DIR, spill["file"])
+        )
+    return doc["entries"]
 
 
 def _all_history(root: str, manifest: dict) -> list[dict]:
@@ -1724,7 +1740,9 @@ def _read_readers(root: str) -> dict:
         doc = protocol_for(root).read_aux(root, READERS_FILE)
     except (OSError, ValueError):
         return {}
-    return (doc or {}).get("readers", {})
+    # copy: register/unregister mutate the map, and the protocol may
+    # have served this read from its stat-keyed parse cache
+    return dict((doc or {}).get("readers", {}))
 
 
 def _write_readers(root: str, readers: dict) -> None:
@@ -5879,7 +5897,9 @@ def _set_sync_states(root: str, entries: Mapping) -> None:
     if not entries:
         return
     with _manifest_lock(root):
-        state = _sync_state(root)
+        # copy before mutating: the protocol may serve the read from its
+        # stat-keyed parse cache (commit_protocol._cached_json_doc)
+        state = dict(_sync_state(root))
         state.update(entries)
         protocol_for(root).write_aux(root, SYNC_FILE, state)
 

@@ -183,20 +183,29 @@ def spread_scan(df: DataFrame, min_fill: int = 4) -> DataFrame:
     """Raise scan parallelism for small/unsplittable inputs (optimization
     guide §2.5 "input skew": one single-row-group parquet file scans as
     ONE task, serializing a corpus-sized explode+aggregate onto one core
-    of local[32]).  When the plan's current partition count is below
-    defaultParallelism / ``min_fill``, repartition round-robin to
-    defaultParallelism — one tiny shuffle of the raw rows buys a 32-way
-    explode stage.  No-op whenever the scan is already reasonably
-    parallel (the 100 TB case: thousands of input splits >> cores), so
-    no Exchange is added at scale.
+    of local[32]).  When the input is below defaultParallelism /
+    ``min_fill`` granules, repartition round-robin to defaultParallelism
+    — one tiny shuffle of the raw rows buys a 32-way explode stage.
+    No-op whenever the scan is already reasonably parallel (the 100 TB
+    case: thousands of input files >> cores), so no Exchange is added at
+    scale.
 
-    Only correct for ORDER-INSENSITIVE consumers (aggregations, joins,
-    row-wise projections): round-robin repartitioning reorders rows.
-    Callers whose results depend on row order must not use it.
+    Call on RAW SCANS (or scan + row-local projections/filters) only:
+
+    - Only correct for ORDER-INSENSITIVE consumers (aggregations, joins,
+      row-wise projections): round-robin repartitioning reorders rows.
+    - The many-files no-op decides from ``df.inputFiles()`` — plan
+      metadata, no job (round 14, ADVICE r13).  Only a FEW-files input
+      falls through to ``df.rdd.getNumPartitions()``, which compiles the
+      physical plan and, under AQE, would eagerly materialize query
+      stages if the plan contained a shuffle — a raw scan never does.
     """
     try:
         sc = df.sparkSession.sparkContext
         target = sc.defaultParallelism
+        files = df.inputFiles()
+        if files and len(files) * min_fill >= target:
+            return df  # enough input granules — structural no-op at scale
         if df.rdd.getNumPartitions() * min_fill >= target:
             return df
     except Exception:

@@ -1681,3 +1681,33 @@ def test_entry_schema_fast_path_matches_read_table(spark, store):
     assert publish.table_schema(store, "p") is None
     # unknown table
     assert publish.table_schema(store, "nope") is None
+
+
+def test_footer_schema_declines_nested_and_mixed_layouts(spark, store):
+    """_footer_spark_schema must return None (→ callers fall back to the
+    full Spark read) for ANY layout with nested data files: a pure
+    hive-partitioned dir, and — round 14, ADVICE r13 — a mixed
+    flat+nested dir, which the old files[:1] sample would misread as
+    flat when the first listed file happened to be the top-level one."""
+    import os
+    import shutil
+
+    df = _orders(spark)
+    pdir = str(store) + "/probe_partitioned"
+    df.write.partitionBy("o_orderstatus").parquet(pdir)
+    assert publish._footer_spark_schema(pdir) is None
+
+    flat = str(store) + "/probe_flat"
+    df.write.parquet(flat)
+    got = publish._footer_spark_schema(flat)
+    assert got is not None and {f.name for f in got.fields} == set(df.columns)
+
+    # mixed: top-level parquet file(s) PLUS a nested partition dir
+    mixed = str(store) + "/probe_mixed"
+    shutil.copytree(flat, mixed)
+    sub = next(
+        d for d in os.listdir(pdir)
+        if d.startswith("o_orderstatus=")
+    )
+    shutil.copytree(os.path.join(pdir, sub), os.path.join(mixed, sub))
+    assert publish._footer_spark_schema(mixed) is None
