@@ -888,12 +888,6 @@ def pq_index(
     min(struct(dist, c)) — one shuffle on the id for the final
     per-vector code assembly, no corpus self-join anywhere."""
     spark = embeddings.sparkSession
-    dim = embeddings.select(
-        F.size(F.col(vec_col)).alias("d")
-    ).first()["d"]
-    if dim % m != 0:
-        raise ValueError(f"m={m} must divide the embedding dim {dim}")
-    sub = dim // m
     if portable:
         from dataintegration_ecomprovider_spark.llm.portable import md5_int60
 
@@ -910,6 +904,15 @@ def pq_index(
         .limit(codebook_size)
         .collect()  # bounded: codebook_size rows — same contract as the
     )                # pivot-value discovery's driver-side collect
+    if not sample:
+        raise ValueError("pq_index needs a non-empty embeddings table")
+    # the dimension comes off the sampled rows — the old separate
+    # .first() probe was one more full-plan driver round-trip per index
+    # build (round 14, guide §1.2)
+    dim = len(sample[0]["v"])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dim {dim}")
+    sub = dim // m
     codebook_rows = [
         (j, c, list(row["v"][j * sub:(j + 1) * sub]))
         for c, row in enumerate(sample)
@@ -1287,7 +1290,7 @@ def opq_train(
         codebook = pq_refine_codebook(
             rot, codebook, sub, iters=max(1, lloyd_iters),
             id_col=id_col, vec_col="xr", round_means=round_means,
-            normalize=False,
+            normalize=False, m_count=m,
         )
         codes = _pq_encode(rot, codebook, sub, id_col, "xr", normalize=False)
         # yᵢ: concatenate the codebook entries of xᵢ's codes (rotated
@@ -1340,6 +1343,7 @@ def pq_refine_codebook(
     vec_col: str = "embedding",
     round_means: int | None = None,
     normalize: bool = True,
+    m_count: int | None = None,
 ) -> DataFrame:
     """Per-subspace Lloyd k-means refinement of a PQ codebook (faiss
     trains its sub-codebooks exactly this way): each iteration assigns
@@ -1357,11 +1361,21 @@ def pq_refine_codebook(
     members drop out (standard Lloyd); the driver collects the bounded
     m·k×sub means between iterations, like kmeans_refine.
 
+    Driver round-trips per call (round 14, guide §1.2): ONE upfront
+    collect of the bounded starting codebook plus one means collect per
+    iteration — the empty-entry COALESCE bookkeeping lives driver-side
+    across iterations instead of re-collecting `current` (whose first
+    incarnation is a whole sampled-codebook plan) every pass.  Callers
+    that know the subspace count pass `m_count` and skip its probe job.
+    Multi-iteration refinements persist the subvector frame once (it is
+    otherwise re-derived from the corpus scan per iteration).
+
     `round_means=N` pins the recomputed means for cross-engine oracle
     checks (the only data-dependent floats in the loop), same contract
     as kmeans_refine."""
     spark = embeddings.sparkSession
-    m_count = codebook.select(F.max("j")).first()[0] + 1
+    if m_count is None:
+        m_count = codebook.select(F.max("j")).first()[0] + 1
     vcol = F.col(vec_col).cast("array<double>")
     subvecs = (
         embeddings.select(
@@ -1382,7 +1396,17 @@ def pq_refine_codebook(
         )
         .select("__vid", F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
     )
+    if iters > 1:
+        # the subvector frame is re-derived from the corpus scan every
+        # iteration otherwise — persist once, release with the caller's
+        # scope (runtime.release_caches)
+        from dataintegration_ecomprovider_spark import runtime
+
+        subvecs = runtime.track(subvecs.persist())
     current = codebook.select("j", "c", F.col("cv").cast("array<double>").alias("cv"))
+    # one upfront collect of the bounded starting codebook; the merge
+    # bookkeeping below keeps `prev` current driver-side per iteration
+    prev = {(r["j"], r["c"]): list(r["cv"]) for r in current.collect()}
     for _ in range(iters):
         scored = subvecs.join(F.broadcast(current), "j").select(
             "__vid", "j", "c", "sv",
@@ -1417,14 +1441,14 @@ def pq_refine_codebook(
         # (faiss's empty-cluster handling): ADC lookup tables index a
         # FLAT j×k array, so a dropped (j, c) would misalign every code
         # past it — and the oracle twin mirrors this COALESCE exactly
-        updated = {(r.j, r.c): r.cv for r in rows}
-        prev = {(r.j, r.c): r.cv for r in current.collect()}
+        updated = {(r.j, r.c): list(r.cv) for r in rows}
+        merged = [
+            (j, c, updated.get((j, c), cv))
+            for (j, c), cv in sorted(prev.items())
+        ]
+        prev = {(j, c): cv for j, c, cv in merged}
         current = spark.createDataFrame(
-            [
-                (j, c, updated.get((j, c), cv))
-                for (j, c), cv in sorted(prev.items())
-            ],
-            "j int, c int, cv array<double>",
+            merged, "j int, c int, cv array<double>",
         ).repartition(1)
     return current
 
@@ -1501,6 +1525,7 @@ def ivfpq_index(
             pq_src, codebook, idx["sub"], iters=pq_iters,
             id_col=id_col, vec_col=pq_vec,
             round_means=9 if portable else None, normalize=norm,
+            m_count=m,  # known here — skips the probe job
         )
     codes = _ivfpq_encode(
         embeddings, ivf["centroids"], codebook, idx["sub"], id_col,

@@ -1,12 +1,14 @@
 """Capture .explain("formatted") for named queries into plans/<tag>/.
 
-Usage: python scripts/capture_plans.py <outdir_suffix> <query> [...]
+Usage: python scripts/capture_plans.py <round>/<suffix> <query> [...]
+  e.g. capture_plans.py r14/before u12_sql_matview_join
 
-Writes plans/r13/<query>_<suffix>.txt for each query's RETURNED
-DataFrame (the driver-graded surface).  Lifecycle queries execute their
-store commits during construction; only the final read's plan is
-captured — the in-lifecycle delta plans are discussed in
-OPTIMIZATION_r13.md with measured timings instead.
+Writes plans/<round>/<query>_<suffix>.txt for each query's RETURNED
+DataFrame (the driver-graded surface); a bare suffix defaults to
+plans/r13 (the round-13 layout).  Lifecycle queries execute their store
+commits during construction; only the final read's plan is captured —
+the in-lifecycle delta plans are discussed in OPTIMIZATION_r*.md with
+measured timings instead.
 """
 
 from __future__ import annotations
@@ -26,7 +28,11 @@ from dataintegration_ecomprovider_spark.session import get_spark
 def main() -> int:
     suffix = sys.argv[1]
     names = sys.argv[2:]
-    outdir = REPO / "plans" / "r13"
+    if "/" in suffix:
+        rnd, suffix = suffix.split("/", 1)
+        outdir = REPO / "plans" / rnd
+    else:
+        outdir = REPO / "plans" / "r13"
     outdir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("plan-capture")
     from dataintegration_ecomprovider_spark.plans.registry import all_queries
