@@ -127,12 +127,11 @@ def minhash_signatures(
         base = md5_int60(F.col("s"))
     else:
         base = F.xxhash64("s")
-    from dataintegration_ecomprovider_spark import runtime
-
-    # guide §2.5: shingle explosion over a single-file scan otherwise
-    # hashes the whole corpus on ONE core; the per-id min-reduce is
-    # order-insensitive (no-op at scale)
-    docs = runtime.spread_scan(docs)
+    # guide §2.5 spread lives at the CORPUS-SIZED call sites
+    # (minhash_candidates, the dedup-index seed), not here: this
+    # primitive also receives delta-sized CDC batches, where the added
+    # Exchange per small batch is the same pattern measured as a
+    # lifecycle regression for token_postings in round 13 (ADVICE r13)
     with_words = docs.select(
         F.col(id_col).alias("id"), words_of(F.col(text_col)).alias("w")
     )
@@ -199,7 +198,17 @@ def minhash_candidates(
     join key is engine-independent — slightly wider shuffle keys, same
     join shape.
     """
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, portable)
+    from dataintegration_ecomprovider_spark import runtime
+
+    # guide §2.5: candidate generation sees corpus-sized inputs (the
+    # batch-ingest path signs batches via minhash_signatures directly),
+    # and a single-file corpus otherwise shingles on ONE core — the
+    # round-13 A/B site (2.56 → 2.25 s), moved here from the shared
+    # primitive so delta-sized signature calls skip the Exchange
+    sig = minhash_signatures(
+        runtime.spread_scan(docs), id_col, text_col, num_hashes, shingle_n,
+        portable,
+    )
     banded = band_buckets(sig, num_hashes, bands, portable)
     # Pairs via groupBy-collect within each (band, bucket) — NOT a banded
     # self-join: the signature pipeline is consumed exactly once (no

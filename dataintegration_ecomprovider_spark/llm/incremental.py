@@ -154,8 +154,14 @@ def maintain_dedup_index(
         return sigs, dedup.band_buckets(sigs, num_hashes, bands, portable)
 
     def _seed() -> str:
+        # corpus-sized input: spread here, NOT inside _build — the delta
+        # branch feeds _build batch-sized CDC frames (ADVICE r13)
+        from dataintegration_ecomprovider_spark import runtime
+
         sigs, band_rows = _build(
-            publish.read_table_at(spark, root, src, src_version)
+            runtime.spread_scan(
+                publish.read_table_at(spark, root, src, src_version)
+            )
         )
         publish.publish_tables(
             spark, {dst: sigs, bands_table: band_rows}, root,

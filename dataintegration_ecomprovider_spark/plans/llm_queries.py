@@ -891,7 +891,11 @@ def _incremental_matches(spark: SparkSession, sf_dir: str, portable: bool) -> Da
     docs = Catalog(spark, sf_dir).table("documents")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
-    idx_sigs = dedup.minhash_signatures(corpus, portable=portable)
+    # corpus-sized index build: spread here (the batch side stays
+    # unspread — ADVICE r13 moved the spread out of the primitive)
+    idx_sigs = dedup.minhash_signatures(
+        runtime.spread_scan(corpus), portable=portable
+    )
     idx_bands = dedup.band_buckets(idx_sigs, portable=portable)
     step = incremental.dedup_batch_against_index(
         batch, idx_sigs, idx_bands, threshold=0.5, portable=portable
