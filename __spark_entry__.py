@@ -62,14 +62,20 @@ def _rotate(names: list[str]) -> list[str]:
     def key(n: str) -> tuple[int, int, int]:
         if n in seen:
             return (seen[n], 0, pos[n])
-        # never-recorded entries grade promptly (ahead of anything seen
-        # within the last 2 rounds) but never displace entries already
-        # waiting: they slot as if graded 3 rounds ago yet AFTER every
-        # entry genuinely graded then — in round 12 two additions keyed
-        # (cur-3, 0, …) displaced the two entries truly graded 3 rounds
-        # earlier to slate positions 50/51, stretching them to a 4-round
-        # wait; the `1` tiebreak makes that displacement impossible
-        return (cur - 3, 1, pos[n])
+        # never-recorded entries slot as if graded 3 rounds ago, AHEAD of
+        # the cohort genuinely graded then but BEHIND anything older.
+        # Round 13 keyed them (cur-3, 1, …) — after that cohort — so
+        # additions could never displace a waiting entry; round 14 found
+        # the starvation that hides: with the registry 2 over the 150 =
+        # 3×50 rotation capacity, every cohort is exactly 50, the
+        # synthetic-cohort tail never reaches a slot, and a NEVER-graded
+        # query (no driver correctness row, ever) waits forever while
+        # 3-round-stale (but previously proven) entries re-grade.  A
+        # query with no row ever is strictly more urgent than one proven
+        # 3 rounds ago; entries waiting 4+ rounds still outrank both.
+        # Cost: past capacity, the displaced cohort tail waits 4 rounds
+        # once — someone must, 152 > 150 (see tests/test_rotation.py).
+        return (cur - 3, -1, pos[n])
 
     return sorted(names, key=key)
 
