@@ -50,6 +50,123 @@ from dataintegration_ecomprovider_spark.plans import publish
 COUNT_COL = "cnt"
 
 
+# --- shared change feeds (round 14, guide §1.2/§2.1) ------------------------
+#
+# A refresh pass that maintains SEVERAL views of one source (token
+# postings + doc lengths over documents; an aggregate matview and its
+# projection sibling over orders) previously ran one O(table) version
+# diff + persist + count PER VIEW over the identical immutable span.
+# This memo shares the persisted feed and its count across maintainer
+# CALLS, keyed on everything that shapes the feed plan — a hit serves a
+# feed that is plan-identical (not merely row-identical) to what the
+# caller would have built, so every downstream result is bit-identical
+# by construction.  At 100 TB the diff is the dominant cost of a refresh
+# pass; deduplicating it across views is the whole win.
+#
+# Safety: the key embeds the manifest ENTRY of the table at both span
+# ends (its data paths carry globally unique txids), so a re-minted
+# store at the same filesystem path can never hit a stale feed, and a
+# vacuumed span drops via the publish uncache hook below.  The cache —
+# not any job scope — owns the persists; it is capped (evictions
+# unpersist) and runtime.release_caches() clears it, so bench reps and
+# long-lived drivers start clean.
+
+_SPAN_FEEDS: "dict[tuple, tuple[object, DataFrame, int]]" = {}
+_SPAN_FEEDS_MAX = 6
+
+
+def span_change_feed(
+    spark: SparkSession,
+    root: str,
+    src: str,
+    from_version: int,
+    to_version: int,
+    keys: Sequence[str],
+    include_old: bool = False,
+    where=(),
+) -> tuple[DataFrame, int]:
+    """The PERSISTED CDC feed and its row count for one immutable version
+    span of `src` — computed once per (span, feed shape) and shared by
+    every maintainer refreshing a view of that source in the same pass.
+    Raises KeyError exactly where read_changes would (span end vacuumed /
+    table absent), so callers keep their re-seed fallback unchanged.
+
+    The key is the pair of `src` MANIFEST ENTRIES at the span ends, not
+    the version numbers: sibling views watermark at slightly shifted
+    versions (each view's own commits advance the store), but a span
+    over which `src`'s entry did not move carries the identical feed —
+    the diff plan is a pure function of the two entries (the fast path's
+    delta suffix is their delta-list difference; entries can never
+    revert to an earlier value because data paths carry fresh txids).
+    `where`-scoped feeds keep the raw versions in the key (their scan
+    resolution is version-addressed)."""
+    import weakref
+
+    ident = (
+        json.dumps(
+            publish.tables_at(root, from_version).get(src), sort_keys=True
+        ),
+        json.dumps(
+            publish.tables_at(root, to_version).get(src), sort_keys=True
+        ),
+    )
+    key = (
+        id(spark), os.path.realpath(root), src, ident, tuple(keys),
+        bool(include_old),
+        (repr(tuple(where)), int(from_version), int(to_version))
+        if where else None,
+    )
+    hit = _SPAN_FEEDS.get(key)
+    if hit is not None:
+        ref, df, n = hit
+        if ref() is spark:
+            return df, n
+        del _SPAN_FEEDS[key]
+    changes = publish.read_changes(
+        spark, root, src, from_version=from_version, to_version=to_version,
+        keys=list(keys), include_old=include_old, where=where,
+    ).persist()
+    n = changes.count()
+    _SPAN_FEEDS[key] = (weakref.ref(spark), changes, n)
+    while len(_SPAN_FEEDS) > _SPAN_FEEDS_MAX:
+        _, old_df, _ = _SPAN_FEEDS.pop(next(iter(_SPAN_FEEDS)))
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass
+    return changes, n
+
+
+def clear_span_feeds(blocking: bool = False) -> None:
+    """Unpersist and drop every cached span feed (release_caches hook)."""
+    while _SPAN_FEEDS:
+        _, df, _ = _SPAN_FEEDS.pop(next(iter(_SPAN_FEEDS)))
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass
+
+
+def _drop_span_feeds_under(path_prefix: str) -> None:
+    """Vacuum/compact deleted data dirs under this path: drop any feed
+    whose store root contains them (publish uncache hook)."""
+    pp = os.path.realpath(path_prefix)
+    for k in [
+        k for k in _SPAN_FEEDS if pp.startswith(k[1]) or k[1].startswith(pp)
+    ]:
+        _, df, _ = _SPAN_FEEDS.pop(k)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+from dataintegration_ecomprovider_spark import runtime as _runtime  # noqa: E402
+
+_runtime.register_cache_cleaner(clear_span_feeds)
+publish.register_uncache_hook(_drop_span_feeds_under)
+
+
 def _sum_alias(c: str) -> str:
     return f"sum_{c}"
 
@@ -524,10 +641,6 @@ def maintain_aggregate(
             else publish.read_table_at(spark, root, src, src_version)
         )
 
-    # per-from-version memo of (persisted change feed, count), shared by
-    # the parent and its companions — see the delta branch in _plan
-    _feed_cache: dict[int, tuple[DataFrame, int]] = {}
-
     def _plan(name, g_cols, s_cols=(), mn=(), mx=(), dcols=(), acols=(),
               sexprs=()):
         """(new_state_df | None, mode) for one maintained table at the
@@ -580,32 +693,23 @@ def maintain_aggregate(
                 f"incremental maintenance of {name!r} needs {src!r}'s key "
                 "columns — publish with table_keys= or pass keys="
             )
-        # the parent and its __xd companions consume the SAME source
-        # span (they normally share one watermark), so the persisted
-        # change feed and its count are memoized per from-version
-        # (round 14, guide §1.2): one version diff + one count job per
-        # refresh pass instead of one per maintained table
-        hit = _feed_cache.get(tlast)
-        if hit is None:
-            try:
-                changes = publish.read_changes(
-                    spark, root, src, from_version=tlast,
-                    to_version=src_version,
-                    keys=keys, include_old=True, where=src_where,
-                )
-            except KeyError:
-                # the consumed-from version was vacuumed out of history:
-                # the delta is unrecoverable, fall back to a full re-seed
-                return _seed()
-            # persist the delta-sized change feed ONCE (released by the
-            # enclosing scope after the joint publish): the refresh plan
-            # reads `changes` up to four times (± contributions,
-            # insert/retract bookkeeping), each of which would otherwise
-            # re-evaluate the O(table) version diff — same treatment as
-            # maintain_join
-            changes = runtime.track(changes.persist())
-            _feed_cache[tlast] = (changes, changes.count())
-        changes, n_changed = _feed_cache[tlast]
+        # the parent, its __xd companions, AND any other aggregate view
+        # of the same source span (ctx counts after bigram counts)
+        # consume ONE persisted change feed + count via the module-level
+        # span memo (round 14, guide §1.2): one version diff + one count
+        # job per refresh pass instead of one per maintained table.  The
+        # refresh plan reads `changes` up to four times (± contributions,
+        # insert/retract bookkeeping), each of which would otherwise
+        # re-evaluate the O(table) version diff.
+        try:
+            changes, n_changed = span_change_feed(
+                spark, root, src, tlast, src_version, keys,
+                include_old=True, where=src_where,
+            )
+        except KeyError:
+            # the consumed-from version was vacuumed out of history:
+            # the delta is unrecoverable, fall back to a full re-seed
+            return _seed()
         if n_changed == 0:
             # the store advanced but `src` didn't (e.g. our own dst
             # publishes): advance the watermark, no rewrite
@@ -1122,9 +1226,12 @@ def maintain_rowwise_view(
                 "mode": "noop"}
     else:
         try:
-            changes = publish.read_changes(
-                spark, root, src, from_version=last, to_version=src_version,
-                keys=[src_key],
+            # shared span feed (round 14): a sibling view of the same
+            # source span (doc lengths after token postings) reuses this
+            # persisted diff + count instead of re-running the O(table)
+            # version diff per view
+            changes, n_changed = span_change_feed(
+                spark, root, src, last, src_version, [src_key],
             )
         except KeyError:
             mode = _seed()  # consumed-from version vacuumed: re-seed
@@ -1133,8 +1240,6 @@ def maintain_rowwise_view(
 
             with runtime.job_scope() as scope:
                 try:
-                    changes = runtime.track(changes.persist())
-                    n_changed = changes.count()
                     if n_changed == 0:
                         mode = "empty"
                     else:

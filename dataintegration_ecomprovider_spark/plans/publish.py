@@ -215,12 +215,28 @@ def _cached_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_uncache_hooks: list = []
+
+
+def register_uncache_hook(fn) -> None:
+    """Register a callable invoked with every `_uncache_parquet_prefix`
+    path: downstream plan caches built over store data dirs (e.g.
+    materialize's span-feed cache) drop their entries alongside this
+    module's, so vacuum/compact invalidate every layer at once."""
+    _uncache_hooks.append(fn)
+
+
 def _uncache_parquet_prefix(path_prefix: str) -> None:
     """Drop cached plans under `path_prefix` — vacuum/compact call this
     after DELETING data dirs so a later read of a same-named path (never
     minted in practice; belt-and-braces) cannot resolve a dead plan."""
     for key in [k for k in _PARQUET_PLAN_CACHE if k[1].startswith(path_prefix)]:
         _PARQUET_PLAN_CACHE.pop(key, None)
+    for fn in list(_uncache_hooks):
+        try:
+            fn(path_prefix)
+        except Exception:
+            pass
 
 
 def _staged_has_columns(entry) -> bool | None:

@@ -158,6 +158,18 @@ def unpersist_rdd_ids(
             handle.unpersist(blocking)
 
 
+_cache_cleaners: list = []
+
+
+def register_cache_cleaner(fn) -> None:
+    """Register a callable run by release_caches(): module-level caches
+    that OWN persisted DataFrames outside any job scope (e.g.
+    materialize's span-feed cache) hook in here, so one release call
+    still frees everything the library holds — without runtime importing
+    those modules (no import cycle)."""
+    _cache_cleaners.append(fn)
+
+
 def release_caches(
     spark: SparkSession | None = None,
     blocking: bool = False,
@@ -172,6 +184,11 @@ def release_caches(
     scope.release(spark, blocking)
     if scope is not _global_scope:
         _global_scope.release(spark, blocking)
+    for fn in list(_cache_cleaners):
+        try:
+            fn(blocking)
+        except Exception:
+            pass
     if sweep_all and spark is not None:
         try:
             unpersist_rdd_ids(spark, persistent_rdd_ids(spark), blocking)

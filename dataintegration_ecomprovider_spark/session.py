@@ -35,7 +35,9 @@ def get_spark(app_name: str = "dataintegration-ecomprovider-spark") -> SparkSess
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off in production/bench runs; SPARK_GRAFT_UI=true lets the
+        # scripts/ diagnostics read per-job callsites from the REST API.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # guide §3.1: preferSortMergeJoin=false (shuffled-hash joins) was
         # TRIED and REVERTED in round 13 — an initial 8-query A/B showed

@@ -1171,3 +1171,130 @@ def test_maintain_aggregate_companion_publish_is_atomic(spark, tmp_path):
     assert v == before + 1
     assert paths["v"] != old_paths["v"]
     assert paths["v__xd_cust"] != old_paths["v__xd_cust"]
+
+
+def test_span_feed_shared_across_sibling_views(spark, tmp_path, monkeypatch):
+    """Round 14 (guide §1.2): two rowwise views of the SAME source span
+    refresh off ONE shared change feed — the O(table) version diff runs
+    once per refresh pass, not once per view — and both views still
+    equal their from-scratch rebuilds.  Distinct feed shapes
+    (include_old, keys, where) never share an entry."""
+    materialize.clear_span_feeds()
+    root = str(tmp_path / "store")
+    publish.publish_tables(
+        spark,
+        {"documents": spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma"), (3, "delta beta")],
+            "doc_id bigint, text string")},
+        root, table_keys={"documents": ["doc_id"]},
+    )
+
+    def build_len(docs):
+        return docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_words"),
+        )
+
+    def build_flag(docs):
+        return docs.select(
+            "doc_id",
+            F.col("text").contains("beta").alias("has_beta"),
+        )
+
+    def refresh_both():
+        a = materialize.maintain_rowwise_view(
+            spark, root, "documents", "doc_len", build_len,
+            dst_keys=["doc_id"], stable_keys=True,
+        )
+        b = materialize.maintain_rowwise_view(
+            spark, root, "documents", "doc_flag", build_flag,
+            dst_keys=["doc_id"], stable_keys=True,
+        )
+        return a, b
+
+    a, b = refresh_both()
+    assert (a["mode"], b["mode"]) == ("seed", "seed")
+
+    publish.merge_into_mor(
+        spark, root, "documents",
+        spark.createDataFrame([(1, "beta"), (4, "zeta eta")],
+                              "doc_id bigint, text string"),
+        deletes=spark.createDataFrame([(2,)], "doc_id bigint"),
+    )
+
+    calls = []
+    real_read_changes = publish.read_changes
+
+    def counting(*args, **kwargs):
+        calls.append((args, kwargs))
+        return real_read_changes(*args, **kwargs)
+
+    monkeypatch.setattr(publish, "read_changes", counting)
+    a, b = refresh_both()
+    assert (a["mode"], b["mode"]) == ("delta", "delta")
+    # doc_flag's refresh over the identical (src, span, keys, shape)
+    # reused doc_len's persisted feed: ONE diff for two views
+    assert len(calls) == 1
+    monkeypatch.undo()
+
+    for dst, build in (("doc_len", build_len), ("doc_flag", build_flag)):
+        assert _rows(publish.read_table(spark, root, dst)) == _rows(
+            build(publish.read_table(spark, root, "documents"))
+        )
+
+    # a different feed SHAPE over the same span is a different entry
+    df1, n1 = materialize.span_change_feed(
+        spark, root, "documents", 3, 4, ["doc_id"])
+    df2, n2 = materialize.span_change_feed(
+        spark, root, "documents", 3, 4, ["doc_id"], include_old=True)
+    assert n1 == n2 and df1 is not df2
+    assert set(df2.columns) - set(df1.columns)  # __old columns
+
+    # release_caches drains the memo (bench hygiene: reps start clean)
+    assert materialize._SPAN_FEEDS
+    from dataintegration_ecomprovider_spark import runtime
+
+    runtime.release_caches(spark)
+    assert not materialize._SPAN_FEEDS
+
+
+def test_span_feed_dropped_by_uncache_hook_and_reminted_store(
+    spark, tmp_path
+):
+    """Vacuum/compact invalidation reaches the span-feed memo through the
+    publish uncache hook, and a re-minted store at the SAME path can
+    never hit the old store's feed (entry txids differ)."""
+    import shutil
+
+    materialize.clear_span_feeds()
+    root = str(tmp_path / "store")
+
+    def mint(rows):
+        publish.publish_tables(
+            spark,
+            {"t": spark.createDataFrame(rows, "k bigint, v string")},
+            root, table_keys={"t": ["k"]},
+        )
+        publish.merge_into_mor(
+            spark, root, "t",
+            spark.createDataFrame([(9, "nine")], "k bigint, v string"),
+        )
+
+    mint([(1, "a"), (2, "b")])
+    df, n = materialize.span_change_feed(spark, root, "t", 1, 2, ["k"])
+    assert n == 1
+    key1 = next(iter(materialize._SPAN_FEEDS))
+
+    # the hook vacuum/compact fire drops feeds under the store
+    publish._uncache_parquet_prefix(os.path.join(root, "data"))
+    assert not materialize._SPAN_FEEDS
+
+    # re-mint the same path with DIFFERENT data: the key's entry
+    # identity (txid-bearing paths) differs, so no stale hit is possible
+    shutil.rmtree(root)
+    mint([(1, "a"), (2, "b"), (3, "c")])
+    df2, n2 = materialize.span_change_feed(spark, root, "t", 1, 2, ["k"])
+    key2 = next(iter(materialize._SPAN_FEEDS))
+    assert key1 != key2
+    assert n2 == 1
+    materialize.clear_span_feeds()
