@@ -127,6 +127,21 @@ def span_change_feed(
         keys=list(keys), include_old=include_old, where=where,
     ).persist()
     n = changes.count()
+    # supersede: a NEW span for the same (source, shape) means the store
+    # advanced past the old one — no sibling will ask for it again, and
+    # every lingering persisted plan costs all later actions a
+    # CacheManager plan-comparison walk (plus executor storage at scale)
+    stale = [
+        k for k in _SPAN_FEEDS
+        if (k[0], k[1], k[2], k[4], k[5], k[6]) ==
+           (key[0], key[1], key[2], key[4], key[5], key[6])
+    ]
+    for k in stale:
+        _, old_df, _ = _SPAN_FEEDS.pop(k)
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass
     _SPAN_FEEDS[key] = (weakref.ref(spark), changes, n)
     while len(_SPAN_FEEDS) > _SPAN_FEEDS_MAX:
         _, old_df, _ = _SPAN_FEEDS.pop(next(iter(_SPAN_FEEDS)))
